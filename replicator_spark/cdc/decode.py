@@ -1,0 +1,152 @@
+"""MySQL scalar decode library — the reference's entire per-cell
+"expression surface" (format/MysqlTypeDeserializer.java:48-236,
+SURVEY.md §1.2/§2.9) re-expressed as Spark column expressions.
+
+Every function is a built-in-composed Column (JVM-side, codegen'd) —
+no UDFs. The oracle query exercises the surface over the `part` /
+`lineitem` tables with deterministic synthetic inputs.
+
+Decode rules ported (reference line cites):
+- unsigned reinterpretation tiny/small/medium/int   (:37-41, :172-190)
+- unsigned BIGINT two-word reassembly → decimal(20) (:192-207)
+- BINARY zero-pad to CHAR_MAX_LENGTH then hex       (:60-75)
+- BLOB → hex                                        (:77-83)
+- BIT → bit string                                  (:111-121)
+- DATE 'yyyy-MM-dd' / TIME 'HH:mm:ss'               (:123-129)
+- DATETIME/TIMESTAMP → epoch millis (UTC-pinned)    (:131-142)
+- ENUM 1-based index → label                        (:144-152)
+- SET bitmask → joined labels                       (:154-170)
+- DECIMAL → plain string                            (:215-218)
+- NULL → 'NULL' sentinel (AugmentedRow.java:13)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+
+TWO_POW_64 = "18446744073709551616"
+
+
+def unsigned_reinterpret(col: Column, bits: int) -> Column:
+    """Signed → unsigned reinterpretation for tiny/small/medium/int."""
+    mod = 1 << bits
+    return ((col % mod) + mod) % mod
+
+
+def unsigned_bigint(col: Column) -> Column:
+    """Unsigned BIGINT via 2^64 wraparound, as plain decimal string."""
+    dec = col.cast("decimal(20,0)")
+    return F.when(
+        col < 0, (dec + F.expr(f"cast({TWO_POW_64} as decimal(21,0))"))
+    ).otherwise(dec.cast("decimal(21,0)")).cast("string")
+
+
+def binary_hex(col: Column, pad_to: int = 0) -> Column:
+    """BINARY(n): zero-pad to n bytes then hex (BLOB: pad_to=0)."""
+    h = F.hex(col)
+    if pad_to:
+        h = F.rpad(h, 2 * pad_to, "0")
+    return h
+
+
+def bit_string(col: Column, width: int = 8) -> Column:
+    return F.lpad(F.bin(col), width, "0")
+
+
+def date_str(col: Column) -> Column:
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+def time_str(col: Column) -> Column:
+    return F.date_format(col, "HH:mm:ss")
+
+
+def epoch_millis(col: Column) -> Column:
+    return F.unix_millis(col)
+
+
+def enum_label(col_idx: Column, labels: Sequence[str]) -> Column:
+    """1-based ENUM index → label (index 0 / out of range → NULL)."""
+    return F.element_at(F.array(*[F.lit(x) for x in labels]), col_idx)
+
+
+def set_labels(col_mask: Column, labels: Sequence[str]) -> Column:
+    """SET bitmask → comma-joined labels (concat_ws drops the nulls)."""
+    parts = [
+        F.when((col_mask.bitwiseAND(F.lit(1 << i))) != 0, F.lit(lab))
+        for i, lab in enumerate(labels)
+    ]
+    return F.concat_ws(",", *parts)
+
+
+def decimal_plain(col: Column, precision: int = 18, scale: int = 2) -> Column:
+    return col.cast(f"decimal({precision},{scale})").cast("string")
+
+
+def null_sentinel(col: Column) -> Column:
+    return F.coalesce(col.cast("string"), F.lit("NULL"))
+
+
+_ENUM_LABELS = ("animalia", "plantae")
+_SET_LABELS = ("read", "write", "admin")
+
+
+def type_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full decode surface over `part` (+ synthetic signed inputs)."""
+    prep(spark)
+    part = read_table(spark, sf_dir, "part")
+    signed = (F.col("p_size") - F.lit(100)).cast("long")  # goes negative
+    return part.select(
+        "p_partkey",
+        unsigned_reinterpret(signed, 8).cast("long").alias("utiny"),
+        unsigned_reinterpret(signed, 16).cast("long").alias("usmall"),
+        unsigned_reinterpret(signed, 24).cast("long").alias("umedium"),
+        unsigned_reinterpret(signed, 32).cast("long").alias("uint"),
+        unsigned_bigint((F.col("p_partkey") * F.lit(-1)).cast("long")).alias(
+            "ubigint"
+        ),
+        binary_hex(F.col("p_brand"), pad_to=16).alias("bin_hex"),
+        bit_string(F.col("p_size") % 256, 8).alias("bits"),
+        date_str(F.to_date(F.lit("2024-01-01"))).alias("d"),
+        enum_label((F.col("p_size") % 2 + 1).cast("int"), _ENUM_LABELS).alias(
+            "kingdom"
+        ),
+        set_labels(F.col("p_size") % 8, _SET_LABELS).alias("perms"),
+        decimal_plain(F.col("p_retailprice"), 12, 2).alias("price_str"),
+        null_sentinel(
+            F.when(F.col("p_size") % 7 == 0, F.col("p_type"))
+        ).alias("maybe_type"),
+    )
+
+
+TYPE_DECODE_SQL = f"""
+WITH src AS (
+    SELECT *, CAST(p_size - 100 AS BIGINT) AS signed_v FROM part
+)
+SELECT p_partkey,
+    ((signed_v % 256) + 256) % 256 AS utiny,
+    ((signed_v % 65536) + 65536) % 65536 AS usmall,
+    ((signed_v % 16777216) + 16777216) % 16777216 AS umedium,
+    ((signed_v % 4294967296) + 4294967296) % 4294967296 AS uint,
+    CAST(CASE WHEN -p_partkey < 0
+        THEN CAST(-p_partkey AS DECIMAL(20,0))
+             + CAST({TWO_POW_64} AS DECIMAL(21,0))
+        ELSE CAST(-p_partkey AS DECIMAL(21,0)) END AS VARCHAR) AS ubigint,
+    rpad(hex(p_brand), 32, '0') AS bin_hex,
+    lpad(bin(p_size % 256), 8, '0') AS bits,
+    strftime(DATE '2024-01-01', '%Y-%m-%d') AS d,
+    (['animalia', 'plantae'])[CAST(p_size % 2 + 1 AS INT)] AS kingdom,
+    concat_ws(',',
+        CASE WHEN (p_size % 8) & 1 <> 0 THEN 'read' END,
+        CASE WHEN (p_size % 8) & 2 <> 0 THEN 'write' END,
+        CASE WHEN (p_size % 8) & 4 <> 0 THEN 'admin' END) AS perms,
+    CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+    COALESCE(CASE WHEN p_size % 7 = 0 THEN p_type END, 'NULL')
+        AS maybe_type
+FROM src
+"""

@@ -1,0 +1,68 @@
+"""SparkSession construction + per-query session prep.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` in one JVM; the configs
+below are chosen so the same logical plans scale to a real cluster:
+AQE on (runtime coalesce + skew-join), shuffle partitions sized to
+cores locally (cluster: ~2-3x total cores), UTC session time so
+results are zone-independent, Arrow enabled for the Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that MUST hold for our readers/expressions regardless of who
+# built the session (the driver harness builds its own). All of these
+# are runtime-settable SQLConfs.
+RUNTIME_CONFS = {
+    # driver testdata events.parquet uses INT64(TIMESTAMP_NANOS,...) which
+    # Spark's parquet reader rejects; read the nanos as plain longs and
+    # convert explicitly (see cdc/envelope.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # zone-independent date_format/unix_millis — parity with the DuckDB
+    # oracle (naive-UTC timestamps) and with the reference's pinned-UTC
+    # fixtures (SURVEY.md §7 "zone-dependent timestamp math").
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally built session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # already fixed to the same value, or a no-op conf
+    return spark
+
+
+def get_spark(app_name: str = "replicator-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return prep(spark)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    prep(spark)
+    return spark.read.parquet(table_path(sf_dir, name))

@@ -1,0 +1,199 @@
+"""Time-machine sink: the HBase "every row version preserved" store as a
+long-format versioned table, plus the as-of snapshot read path.
+
+Reference semantics (HBaseApplierMutationGenerator.java:113-334,
+FIXTURES.md F6):
+- one cell per (rowkey, column, version_us); single column family
+- INSERT writes all columns, NULL → the literal string 'NULL'
+  (AugmentedRow.java:13; HBaseApplierMutationGenerator.java:268-270)
+- UPDATE writes only columns whose before != after (changed-column
+  delta projection, :186-260)
+- DELETE writes only a row_status='D' tombstone — no physical delete
+- every mutation also writes the row_status cell (I/U/D) + txn metadata
+
+Spark-first shape: a conditional array-of-structs per change event,
+exploded — one scan of the feed, no per-op union re-reads, whole-stage
+codegen throughout. The store itself is an *append-only* parquet/Delta
+table partitioned by table_name; idempotence under replay comes from
+deterministic version timestamps (same cell key + ts overwrites —
+HBaseApplier.java:166-196), which we reproduce exactly.
+
+The as-of snapshot ("state of table T at time t") is the time-machine's
+read query: latest cell per (rowkey, column) at or before the cutoff,
+dropping rows whose latest row_status is the tombstone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..cdc.transactions import ORGANIZED_FEED_SQL, organized_feed
+
+NULL_SENTINEL = "NULL"
+
+# as-of cutoff used by the oracle-checked snapshot query (any constant
+# works; both engines use the same literal). 2024-03-01T00:00:00Z in µs.
+SNAPSHOT_CUTOFF_US = 1_709_251_200_000_000
+
+_CELL_T = "array<struct<column_name:string,cell_value:string>>"
+
+
+def _cell(name: str, value: Column) -> Column:
+    return F.struct(
+        F.lit(name).alias("column_name"), value.alias("cell_value")
+    )
+
+
+def timemachine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed → long-format versioned cells."""
+    feed = organized_feed(spark, sf_dir)
+    empty = F.array().cast(_CELL_T)
+    val_after = F.coalesce(
+        F.col("value_after").cast("string"), F.lit(NULL_SENTINEL)
+    )
+    props_after = F.coalesce(F.col("props_after"), F.lit(NULL_SENTINEL))
+    insert_cells = F.array(
+        _cell("value", val_after),
+        _cell("props", props_after),
+        _cell("row_status", F.lit("I")),
+    )
+    update_cells = F.concat(
+        F.when(
+            ~F.col("value_before").eqNullSafe(F.col("value_after")),
+            F.array(_cell("value", val_after)),
+        ).otherwise(empty),
+        F.when(
+            ~F.col("props_before").eqNullSafe(F.col("props_after")),
+            F.array(_cell("props", props_after)),
+        ).otherwise(empty),
+        F.array(_cell("row_status", F.lit("U"))),
+    )
+    delete_cells = F.array(_cell("row_status", F.lit("D")))
+    cells = (
+        F.when(F.col("op") == "INSERT", insert_cells)
+        .when(F.col("op") == "UPDATE", update_cells)
+        .when(F.col("op") == "DELETE", delete_cells)
+    )
+    return (
+        feed.where(F.col("op") != "QUERY")
+        .select(
+            "event_id",
+            "table_name",
+            "rowkey",
+            "txn_uuid",
+            "txn_xid",
+            "version_us",
+            F.explode(cells).alias("cell"),
+        )
+        .select(
+            "event_id",
+            "table_name",
+            "rowkey",
+            F.col("cell.column_name").alias("column_name"),
+            F.col("cell.cell_value").alias("cell_value"),
+            "version_us",
+            "txn_uuid",
+            "txn_xid",
+        )
+    )
+
+
+TIMEMACHINE_CELLS_SQL = (
+    ORGANIZED_FEED_SQL
+    + f"""
+, mutations AS (SELECT * FROM organized WHERE op <> 'QUERY')
+SELECT event_id, table_name, rowkey, column_name, cell_value,
+       version_us, txn_uuid, txn_xid
+FROM (
+    SELECT *, 'value' AS column_name,
+        COALESCE(CAST(value_after AS VARCHAR), '{NULL_SENTINEL}') AS cell_value
+    FROM mutations
+    WHERE op = 'INSERT'
+       OR (op = 'UPDATE' AND value_before IS DISTINCT FROM value_after)
+    UNION ALL
+    SELECT *, 'props' AS column_name,
+        COALESCE(props_after, '{NULL_SENTINEL}') AS cell_value
+    FROM mutations
+    WHERE op = 'INSERT'
+       OR (op = 'UPDATE' AND props_before IS DISTINCT FROM props_after)
+    UNION ALL
+    SELECT *, 'row_status' AS column_name,
+        CASE op WHEN 'INSERT' THEN 'I' WHEN 'UPDATE' THEN 'U' ELSE 'D' END
+        AS cell_value
+    FROM mutations
+)
+"""
+)
+
+
+def write_timemachine(cells: DataFrame, path: str, mode: str = "append") -> None:
+    """Persist the versioned store partitioned by table (the analog of
+    one HBase table per source table, HBaseTimeMachineWriter.java:232-237;
+    group-by-table write batching comes free from partitionBy)."""
+    cells.write.mode(mode).partitionBy("table_name").parquet(path)
+
+
+def asof_snapshot(
+    cells: DataFrame, cutoff_us: int = SNAPSHOT_CUTOFF_US
+) -> DataFrame:
+    """Current state of every row as of ``cutoff_us``."""
+    capped = cells.where(F.col("version_us") <= F.lit(cutoff_us))
+    w = W.partitionBy("table_name", "rowkey", "column_name").orderBy(
+        F.col("version_us").desc(), F.col("event_id").desc()
+    )
+    latest = capped.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    alive = latest.where(
+        (F.col("column_name") == "row_status") & (F.col("cell_value") != "D")
+    ).select("table_name", "rowkey")
+    return (
+        latest.where(F.col("column_name").isin("value", "props"))
+        .join(alive, ["table_name", "rowkey"])
+        .groupBy("table_name", "rowkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("column_name") == "value", F.col("cell_value")
+                )
+            ).alias("value"),
+            F.max(
+                F.when(
+                    F.col("column_name") == "props", F.col("cell_value")
+                )
+            ).alias("props"),
+        )
+    )
+
+
+def asof_snapshot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_snapshot(timemachine_cells(spark, sf_dir))
+
+
+ASOF_SNAPSHOT_SQL = (
+    "WITH cells AS ("
+    + TIMEMACHINE_CELLS_SQL
+    + f"""
+), capped AS (
+    SELECT * FROM cells WHERE version_us <= {SNAPSHOT_CUTOFF_US}
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY table_name, rowkey, column_name
+        ORDER BY version_us DESC, event_id DESC) AS rn
+    FROM capped
+), latest AS (
+    SELECT * FROM ranked WHERE rn = 1
+), alive AS (
+    SELECT table_name, rowkey FROM latest
+    WHERE column_name = 'row_status' AND cell_value <> 'D'
+)
+SELECT l.table_name, l.rowkey,
+    MAX(CASE WHEN l.column_name = 'value' THEN l.cell_value END) AS value,
+    MAX(CASE WHEN l.column_name = 'props' THEN l.cell_value END) AS props
+FROM latest l JOIN alive a
+  ON l.table_name = a.table_name AND l.rowkey = a.rowkey
+WHERE l.column_name IN ('value', 'props')
+GROUP BY l.table_name, l.rowkey
+"""
+)

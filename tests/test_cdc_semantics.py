@@ -1,0 +1,145 @@
+"""Golden-state semantic tests for the CDC layer — PySpark
+re-expressions of the reference's integration-test assertions
+(SURVEY.md §5: TransmitInserts / MicrosecondValidation /
+LongTransaction golden-state pattern).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row, functions as F
+
+
+def test_salted_rowkey_matches_reference_shape(spark):
+    """TransmitInsertsTestImpl.groovy:139-194 expects keys like
+    '7fc56270;A;1' — md5(pk1) hex prefix + ';'-joined PK values."""
+    from replicator_spark.cdc.rowkey import salted_rowkey
+
+    df = spark.createDataFrame([Row(pk1="A", pk2=1)])
+    out = df.select(
+        salted_rowkey([F.col("pk1"), F.col("pk2")]).alias("k")
+    ).collect()[0]["k"]
+    expected_salt = hashlib.md5(b"A").hexdigest()[:8]
+    assert out == f"{expected_salt};A;1"
+    assert expected_salt.startswith("7fc56270")  # the reference's own value
+
+
+def test_rowkey_requires_pk(spark):
+    from replicator_spark.cdc.rowkey import salted_rowkey
+
+    try:
+        salted_rowkey([])
+        assert False, "no-PK tables must be rejected (HBaseRowKeyMapper.java:48-50)"
+    except ValueError:
+        pass
+
+
+def test_micro_organizer_span_and_saturation(spark):
+    """RowTimestampOrganizer.java:46-103: first version at commit_µs-50,
+    +1 per subsequent same-row change, saturating at commit_µs
+    (MicrosecondValidationTestImpl: 56 updates → 50 ordered + saturate)."""
+    from replicator_spark.cdc.transactions import VERSION_SPAN_US
+
+    # 56 versions of one row in one txn (like the reference's test)
+    rows = [
+        Row(
+            event_id=i,
+            table_name="t",
+            rowkey="k",
+            txn_xid=1,
+            commit_ts_ms=1_700_000_000_000,
+            txn_seq=0,
+        )
+        for i in range(56)
+    ]
+    df = spark.createDataFrame(rows)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("table_name", "rowkey", "txn_xid").orderBy("event_id")
+    out = (
+        df.withColumn(
+            "version_us",
+            F.col("commit_ts_ms") * 1000
+            + F.col("txn_seq") * 100
+            - F.lit(VERSION_SPAN_US)
+            + F.least(
+                F.row_number().over(w) - F.lit(1), F.lit(VERSION_SPAN_US)
+            ),
+        )
+        .orderBy("event_id")
+        .select("version_us")
+        .collect()
+    )
+    base = 1_700_000_000_000 * 1000
+    versions = [r["version_us"] for r in out]
+    assert versions[0] == base - 50
+    assert versions[49] == base - 1
+    # versions 50..55 all saturate at the commit timestamp
+    assert versions[50:] == [base] * 6
+
+
+def test_delete_writes_tombstone_only(spark, sf_dir):
+    """HBaseApplierMutationGenerator.java:141-185 — DELETE mutations carry
+    no column cells, only row_status='D'."""
+    from replicator_spark.sinks.timemachine import timemachine_cells
+
+    cells = timemachine_cells(spark, sf_dir)
+    del_cols = (
+        cells.join(
+            cells.where(
+                (F.col("column_name") == "row_status")
+                & (F.col("cell_value") == "D")
+            ).select("event_id"),
+            "event_id",
+        )
+        .select("column_name")
+        .distinct()
+        .collect()
+    )
+    assert {r["column_name"] for r in del_cols} == {"row_status"}
+
+
+def test_null_sentinel(spark):
+    """AugmentedRow.java:13 — NULL cells become the string 'NULL'."""
+    from replicator_spark.cdc.decode import null_sentinel
+
+    df = spark.createDataFrame([Row(v=None), Row(v="x")], "v string")
+    out = sorted(
+        r["s"] for r in df.select(null_sentinel(F.col("v")).alias("s")).collect()
+    )
+    assert out == ["NULL", "x"]
+
+
+def test_table_merge_pattern(spark):
+    """AugmenterTest.java:19-38 — `MyTable_201912` merges to `MyTable`;
+    non-date suffixes survive."""
+    from replicator_spark.cdc.filters import merge_table_name
+
+    df = spark.createDataFrame(
+        [Row(t="MyTable_201912"), Row(t="MyTable_202001"), Row(t="Other_99")]
+    )
+    out = [
+        r["m"]
+        for r in df.select(merge_table_name(F.col("t")).alias("m"))
+        .orderBy("m")
+        .collect()
+    ]
+    assert out == ["MyTable", "MyTable", "Other_99"]
+
+
+def test_unsigned_reinterpret(spark):
+    """MysqlTypeDeserializer.java:172-207 — signed → unsigned masks."""
+    from replicator_spark.cdc.decode import unsigned_bigint, unsigned_reinterpret
+
+    df = spark.createDataFrame([Row(v=-1)])
+    r = df.select(
+        unsigned_reinterpret(F.col("v"), 8).alias("u8"),
+        unsigned_reinterpret(F.col("v"), 16).alias("u16"),
+        unsigned_reinterpret(F.col("v"), 32).alias("u32"),
+        unsigned_bigint(F.col("v").cast("long")).alias("u64"),
+    ).collect()[0]
+    assert r["u8"] == 255
+    assert r["u16"] == 65535
+    assert r["u32"] == 4294967295
+    assert r["u64"] == "18446744073709551615"
