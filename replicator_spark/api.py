@@ -130,9 +130,34 @@ def _load() -> None:
         pass
 
     try:
-        from .streaming import job as streaming_job
+        from .sinks import console as console_sink_mod
+        from .sinks import count as count_sink_mod
+        from .sinks import kafka as kafka_sink_mod
 
-        for name, fn, sql in streaming_job.REGISTRY:
+        for mod in (count_sink_mod, console_sink_mod, kafka_sink_mod):
+            for name, fn, sql in mod.REGISTRY:
+                register(name, fn, sql)
+    except ImportError:
+        pass
+
+    try:
+        from .streaming import job as streaming_job
+        from .streaming import registry as schema_registry
+        from .streaming import txn_state
+
+        for name, fn, sql in (
+            streaming_job.REGISTRY
+            + schema_registry.REGISTRY
+            + txn_state.REGISTRY
+        ):
+            register(name, fn, sql)
+    except ImportError:
+        pass
+
+    try:
+        from .pipeline import multimodal
+
+        for name, fn, sql in multimodal.REGISTRY:
             register(name, fn, sql)
     except ImportError:
         pass

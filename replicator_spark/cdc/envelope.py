@@ -53,7 +53,13 @@ OP_CASE_SQL = """CASE event_type
 def change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical change-feed DataFrame (one row per change event)."""
     prep(spark)
-    ev = read_table(spark, sf_dir, "events")
+    return change_feed_from(read_table(spark, sf_dir, "events"))
+
+
+def change_feed_from(ev: DataFrame) -> DataFrame:
+    """Envelope derivation from an events DataFrame (batch or a
+    foreachBatch micro-batch — same code path, SURVEY §2.2: the Streams
+    framework's job is done by Structured Streaming itself)."""
     # ts column arrives as raw nanos (nanosAsLong); work in epoch millis.
     base = ev.select(
         "event_id",

@@ -101,7 +101,11 @@ def organized_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     version_us = commit_ms*1000 + txn_seq*100 - 50
                  + min(rank_within(table,rowkey,txn) - 1, 50)
     """
-    feed = change_feed(spark, sf_dir).withColumn(
+    return organized_feed_from(change_feed(spark, sf_dir))
+
+
+def organized_feed_from(feed_df: DataFrame) -> DataFrame:
+    feed = feed_df.withColumn(
         "rowkey", salted_rowkey([F.col("user_id")])
     )
     txn_seqs = txn_sequence(

@@ -1,0 +1,333 @@
+"""Deduplication operators over `documents`: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale design (100 TB):
+- exact dedup: hash-groupBy on content digest — one combiner-backed
+  shuffle keyed by md5, no skew (hash keys are uniform).
+- MinHash+LSH: shingle → K minhashes → band buckets → self-join *within
+  buckets only* (the classic sub-quadratic near-dup path). The band
+  join is an equi-join on the band key, so Spark shuffles both sides
+  by bucket — never the full cross product.
+- n-gram Jaccard: exact verification, applied only to LSH candidate
+  pairs (composition: LSH proposes, Jaccard disposes).
+- SimHash: per-doc 32-bit signature via bit-vote aggregation; near-dup
+  bucketing on the high half.
+
+Hash functions are md5-derived so the DuckDB oracle can reproduce them
+bit-for-bit; at production scale you'd swap in xxhash64 (also a Spark
+builtin) without touching the topology.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+from .text import ws_tokens
+
+N_MINHASH = 8
+N_BANDS = 4  # 2 rows per band
+SHINGLE_K = 3
+
+
+def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: keep the smallest doc_id per
+    group, count members."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .groupBy("n_copies")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.min("keeper_doc_id").alias("min_keeper"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+WITH groups AS (
+    SELECT md5(text) AS digest, MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+)
+SELECT n_copies, COUNT(*) AS n_groups, MIN(keeper_doc_id) AS min_keeper
+FROM groups GROUP BY n_copies
+"""
+
+
+def _shingles(col: Column) -> Column:
+    """Word-level k-shingles as an array<string>."""
+    toks = ws_tokens(F.lower(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(1)))
+    # F.get is 0-based and returns NULL out of range (ANSI-safe for short
+    # docs); concat_ws drops NULLs — matching DuckDB's toks[i] semantics.
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.get(toks, i - 1),
+            F.get(toks, i),
+            F.get(toks, i + 1),
+        ),
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → [min over shingles of md5(seed|shingle)] × N_MINHASH.
+
+    Lexicographic min over fixed-width hex == numeric min of the hash —
+    portable to the SQL oracle. One explode + one groupBy(doc_id) with
+    map-side partial min: a single shuffle keyed by doc_id.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    )
+    per_seed = sh.select(
+        "doc_id",
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))), 1, 16
+            ).alias(f"h{s}")
+            for s in range(N_MINHASH)
+        ],
+    )
+    return per_seed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(N_MINHASH)]
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over the signatures.
+
+    The bands are exploded from ONE signature computation (not a
+    per-band union, which would recompute the expensive shingle+md5
+    subtree N_BANDS times on each side of the self-join — Spark reuses
+    the identical exchange for both sides instead)."""
+    sig = minhash_signatures(docs)
+    rows_per_band = N_MINHASH // N_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs)
+
+
+_SHINGLES_SQL = """
+list_filter(
+    list_transform(
+        range(1, greatest(len(toks) - 2, 1) + 1),
+        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+    s -> s IS NOT NULL)
+"""
+
+_SIG_SQL = f"""
+WITH toked AS (
+    SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+), shingled AS (
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toked
+), sig AS (
+    SELECT doc_id,
+        {", ".join(f"MIN(substr(md5('{s}|' || shingle), 1, 16)) AS h{s}" for s in range(N_MINHASH))}
+    FROM shingled GROUP BY doc_id
+)
+"""
+
+_BANDED_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, h{b * 2} || '|' || h{b * 2 + 1} AS bucket FROM sig"
+    for b in range(N_BANDS)
+)
+
+MINHASH_LSH_SQL = (
+    _SIG_SQL
+    + f""", banded AS ({_BANDED_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+)
+
+
+def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity on the LSH candidate pairs —
+    LSH proposes, Jaccard verifies (the standard two-phase near-dup)."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    sets = docs.select(
+        "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("sh")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+NGRAM_JACCARD_SQL = (
+    _SIG_SQL
+    + f""", banded AS ({_BANDED_SQL}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sets AS (
+    SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
+    FROM (
+        SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        FROM documents)
+)
+SELECT p.doc_a, p.doc_b,
+    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+        AS jaccard
+FROM pairs p
+JOIN sets sa ON p.doc_a = sa.doc_id
+JOIN sets sb ON p.doc_b = sb.doc_id
+"""
+)
+
+SIMHASH_BITS = 32
+_HEX = "0123456789abcdef"
+
+
+def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: each token votes ±1 on every bit of
+    its md5; the sign of the vote sum is the signature bit. Emitted as a
+    bit-string plus the 8-bit prefix bucket (near-dup blocking key)."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("t")
+    )
+    hashed = tok.select(
+        "doc_id", F.substring(F.md5(F.col("t")), 1, 8).alias("h8")
+    )
+    # bit b of the token hash: nibble = hexval(h8[b/4]); bit = nibble>>(3-b%4)&1
+    votes = hashed.select(
+        "doc_id",
+        *[
+            (
+                (
+                    (
+                        F.instr(
+                            F.lit(_HEX),
+                            F.substring(F.col("h8"), b // 4 + 1, 1),
+                        )
+                        - 1
+                    ).bitwiseAND(F.lit(8 >> (b % 4)))
+                    > 0
+                )
+                .cast("int")
+                .alias(f"b{b}")
+            )
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(
+        *[
+            (F.sum(F.col(f"b{b}") * 2 - 1) > 0).cast("int").alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = agg.select(
+        "doc_id",
+        F.concat(*[F.col(f"s{b}").cast("string") for b in range(SIMHASH_BITS)]).alias(
+            "simhash"
+        ),
+    )
+    return sig.select(
+        "doc_id", "simhash", F.substring("simhash", 1, 8).alias("bucket8")
+    )
+
+
+_SIMHASH_BIT_SQL = ", ".join(
+    f"CAST(((strpos('{_HEX}', substr(h8, {b // 4 + 1}, 1)) - 1) & {8 >> (b % 4)}) > 0 AS INT) AS b{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_SIGN_SQL = ", ".join(
+    f"CAST(SUM(b{b} * 2 - 1) > 0 AS INT) AS s{b}" for b in range(SIMHASH_BITS)
+)
+_SIMHASH_CONCAT_SQL = " || ".join(
+    f"CAST(s{b} AS VARCHAR)" for b in range(SIMHASH_BITS)
+)
+
+SIMHASH_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+            AS t
+    FROM documents
+), hashed AS (
+    SELECT doc_id, substr(md5(t), 1, 8) AS h8 FROM tok
+), votes AS (
+    SELECT doc_id, {_SIMHASH_BIT_SQL} FROM hashed
+), agg AS (
+    SELECT doc_id, {_SIMHASH_SIGN_SQL} FROM votes GROUP BY doc_id
+), sig AS (
+    SELECT doc_id, {_SIMHASH_CONCAT_SQL} AS simhash FROM agg
+)
+SELECT doc_id, simhash, substr(simhash, 1, 8) AS bucket8 FROM sig
+"""
+
+
+REGISTRY = [
+    ("dedup_exact", exact_dedup_query, EXACT_DEDUP_SQL),
+    ("dedup_minhash_lsh", minhash_lsh_query, MINHASH_LSH_SQL),
+    ("dedup_ngram_jaccard", ngram_jaccard_query, NGRAM_JACCARD_SQL),
+    ("dedup_simhash", simhash_query, SIMHASH_SQL),
+]

@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, decoded/feature-extracted via Arrow-batched
+Pandas UDFs over mapInPandas.
+
+The container has no image/audio libraries, so the *decode* step is a
+clearly marked stub (deterministic fake) — what is real and tested is
+the Spark-side plumbing: binary column synthesis, metadata struct
+schema, mapInPandas batch iteration, UDF signature, and partitioning.
+
+Scale notes: binary payloads ride the same parquet scan as everything
+else; feature extraction is map-only (no shuffle), Arrow-batched, and
+the output schema is fixed so downstream ops stay columnar.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+
+FORMATS = ("png", "jpeg", "wav")
+
+FEATURE_SCHEMA = (
+    "doc_id long, fmt string, n_bytes int, byte_sum long, "
+    "feat_mean double, feat_dim int"
+)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize the opaque binary column + metadata struct (the shape
+    a real multimodal table would have: payload + typed sidecar)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.element_at(
+                F.array(*[F.lit(f) for f in FORMATS]),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("fmt"),
+            F.length("text").alias("n_bytes"),
+            (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, fmt: str) -> list:
+    """STUB: real image/audio decode is unavailable in this container
+    (no PIL/cv2/librosa). Deterministic fake 'decoded features': the
+    per-byte values themselves. Swap with a real decoder in prod.
+    """
+    # NotImplementedError would be raised for a real codec path:
+    if fmt not in FORMATS:
+        raise NotImplementedError(f"unsupported format: {fmt}")
+    return list(payload)
+
+
+def extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batches in, fixed-schema features out."""
+    for pdf in it:
+        feats = []
+        for doc_id, payload, meta in zip(
+            pdf["doc_id"], pdf["payload"], pdf["meta"]
+        ):
+            data = decode_stub(bytes(payload), meta["fmt"])
+            n = len(data)
+            s = int(sum(data))
+            feats.append(
+                (
+                    int(doc_id),
+                    meta["fmt"],
+                    n,
+                    s,
+                    float(s) / n if n else 0.0,
+                    n,
+                )
+            )
+        yield pd.DataFrame(
+            feats,
+            columns=[
+                "doc_id", "fmt", "n_bytes", "byte_sum", "feat_mean",
+                "feat_dim",
+            ],
+        )
+
+
+def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full plumbing path: docs → binary+meta → mapInPandas decode
+    stub → features. byte_sum/feat_mean are reproducible in SQL (UTF-8
+    bytes of the text), so even the UDF path gets a real oracle."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs)
+    feats = payloads.mapInPandas(extract_features, FEATURE_SCHEMA)
+    return feats.select(
+        "doc_id",
+        "fmt",
+        "n_bytes",
+        "byte_sum",
+        F.round("feat_mean", 6).alias("feat_mean"),
+    )
+
+
+# documents text is ASCII word-soup, so UTF-8 byte values == unicode
+# codepoints — lets plain SQL reproduce the stubbed decoder exactly.
+MULTIMODAL_FEATURES_SQL = """
+WITH payload AS (
+    SELECT doc_id,
+        (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt,
+        length(text) AS n_bytes,
+        list_sum(list_transform(string_split_regex(text, ''),
+                                c -> unicode(c))) AS byte_sum
+    FROM documents
+)
+SELECT doc_id, fmt, n_bytes, CAST(byte_sum AS BIGINT) AS byte_sum,
+    round(CAST(byte_sum AS DOUBLE) / n_bytes, 6) AS feat_mean
+FROM payload
+"""
+
+
+REGISTRY = [
+    ("multimodal_features", multimodal_features_query, MULTIMODAL_FEATURES_SQL)
+]

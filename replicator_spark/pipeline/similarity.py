@@ -1,0 +1,212 @@
+"""Similarity search over the `embeddings` table (array<float> dim 64):
+brute-force cosine top-k (the exactness baseline) and random-hyperplane
+LSH bucketing (the scale path).
+
+Scale design (100 TB):
+- brute force is a broadcast nested loop: the query set is tiny and
+  broadcast; candidates stream through one scan — no shuffle except
+  the final per-query top-k (window over ~|Q|×k rows).
+- LSH: per-vector signature is a map-only projection; bucket histogram
+  is one combiner-backed groupBy. An IVF-style search then equi-joins
+  query buckets to candidate buckets instead of the full cross product.
+- dot products use F.aggregate over zipped arrays — sequential, exact
+  order, JVM-side; elements are cast to double first so the oracle
+  (DuckDB list lambdas, same sequential order) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+N_PLANES = 8  # LSH hyperplanes → 2^8 buckets
+_HEX = "0123456789abcdef"
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential (index-ordered) dot product — deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: queries = vec_id < N_QUERIES against
+    the full table (self-matches excluded)."""
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "cand_id", "cosine")
+    )
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT_SQL.format(a=a, b=b)
+
+
+COSINE_TOPK_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT q.query_id, c.vec_id AS cand_id,
+        round(
+            (0.0 + {_dot_sql("q.qv", "c.v")})
+            / (sqrt(0.0 + {_dot_sql("q.qv", "q.qv")})
+               * sqrt(0.0 + {_dot_sql("c.v", "c.v")})), 6) AS cosine
+    FROM emb c CROSS JOIN q
+    WHERE c.vec_id <> q.query_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, cand_id, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _plane_component(plane: int, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-7.5, 7.5]:
+    hexval(md5('plane_dim')[0]) - 7.5 (reproducible in SQL)."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{plane}_"), dim.cast("string"))), 1, 1
+    )
+    return (F.instr(F.lit(_HEX), h) - 1).cast("double") - F.lit(7.5)
+
+
+def lsh_bucket_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: sign bit per plane → bucket id; report the
+    bucket histogram (the partition layout an IVF search would join on)."""
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    def _term_fn(p: int):
+        # NB: must stay a 1-arg lambda — a second (default) parameter
+        # makes F.transform pass the array index into it.
+        return lambda i: F.get(F.col("v"), i - 1) * _plane_component(p, i)
+
+    bits = []
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.lit(64)), _term_fn(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append((proj > 0).cast("int") * F.lit(1 << p))
+    bucket = sum(bits[1:], bits[0]).alias("bucket")
+    return (
+        emb.select("vec_id", bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def _plane_component_sql(plane: int, dim_expr: str) -> str:
+    return (
+        f"(CAST(strpos('{_HEX}', substr(md5('{plane}_' || "
+        f"CAST({dim_expr} AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5)"
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_reduce(list_transform(range(1, 65), "
+    f"i -> v[i] * {_plane_component_sql(p, 'i')}), (x, y) -> x + y) > 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p in range(N_PLANES)
+)
+
+LSH_BUCKET_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bucketed AS (
+    SELECT vec_id, {_BUCKET_SQL} AS bucket FROM emb
+)
+SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM bucketed GROUP BY bucket
+"""
+
+
+def norm_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-ops surface: per-label L2-norm stats (map-only + one agg)."""
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "label", _as_double(F.col("embedding")).alias("v")
+    )
+    norm = F.round(_norm(F.col("v")), 6)
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
+
+
+NORM_STATS_SQL = f"""
+WITH emb AS (
+    SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), norms AS (
+    SELECT label,
+        round(sqrt(0.0 + {_dot_sql("v", "v")}), 6) AS norm
+    FROM emb
+)
+SELECT label, COUNT(*) AS n_vectors,
+    round(MIN(norm), 6) AS min_norm,
+    round(MAX(norm), 6) AS max_norm
+FROM norms GROUP BY label
+"""
+
+
+REGISTRY = [
+    ("sim_cosine_topk", cosine_topk_query, COSINE_TOPK_SQL),
+    ("sim_lsh_buckets", lsh_bucket_query, LSH_BUCKET_SQL),
+    ("sim_norm_stats", norm_stats_query, NORM_STATS_SQL),
+]

@@ -1,0 +1,214 @@
+"""Text analysis operators over the `documents` table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure column expressions (codegen'd, no UDF): at 100 TB these run
+as a single scan with map-side projection — no shuffle at all except
+the final stats aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space.
+TOKEN_RE = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokenization (empty-string guard included)."""
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+    len(list_filter(string_split(text, ' '), t -> t <> ''))
+        AS n_ws_tokens,
+    len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_bpe_tokens,
+    length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, word stats, stopword ratio — the usual
+    cheap pretraining-data quality gates."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    )
+    uniq_ratio = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / n_words, 6
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.round(
+            (F.length("text") - n_words + 1).cast("double") / n_words, 6
+        ).alias("avg_word_len"),
+        F.round(n_stop.cast("double") / n_words, 6).alias("stopword_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+        (
+            (n_words >= 20)
+            & (n_words <= 1000)
+            & (n_stop.cast("double") / n_words >= 0.01)
+        ).alias("passes_quality"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+QUALITY_SQL = f"""
+WITH t AS (
+    SELECT doc_id, lang, text,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents
+)
+SELECT doc_id, lang,
+    len(toks) AS n_words,
+    round(CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks), 6)
+        AS avg_word_len,
+    round(CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+        / len(toks), 6) AS stopword_ratio,
+    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+        AS unique_ratio,
+    len(toks) >= 20 AND len(toks) <= 1000
+        AND CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+            / len(toks) >= 0.01 AS passes_quality
+FROM t
+"""
+
+# marker-token tables for the language-ID heuristic (counting by
+# replace-length arithmetic so both engines agree exactly)
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "nicht"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+}
+
+
+def _marker_score(padded: Column, words: tuple) -> Column:
+    score = F.lit(0).cast("long")
+    for wd in words:
+        needle = f" {wd} "
+        score = score + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(needle))))
+            / len(needle)
+        ).cast("long")
+    return score
+
+
+def langid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-token language ID: score each language's marker
+    set, pick the argmax (fixed precedence on ties), CJK by codepoint
+    class. Reported as predicted-vs-labeled confusion counts."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("text").rlike("[\\u4e00-\\u9fff]"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("s_zh"),
+        *[
+            _marker_score(padded, words).alias(f"s_{code}")
+            for code, words in LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{c}") for c in LANG_MARKERS])
+    pred = (
+        F.when(F.col("s_zh") > 0, F.lit("zh"))
+        .when(best == 0, F.lit("unknown"))
+        .when(F.col("s_en") == best, F.lit("en"))
+        .when(F.col("s_de") == best, F.lit("de"))
+        .when(F.col("s_fr") == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return (
+        scored.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _marker_score_sql(words: tuple) -> str:
+    terms = [
+        f"(length(padded) - length(replace(padded, ' {wd} ', ''))) // {len(wd) + 2}"
+        for wd in words
+    ]
+    return " + ".join(terms)
+
+
+LANGID_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+        CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 1 ELSE 0 END
+            AS s_zh,
+        {", ".join(f"({_marker_score_sql(w)}) AS s_{c}" for c, w in LANG_MARKERS.items())}
+    FROM (SELECT *, ' ' || text || ' ' AS padded FROM documents)
+), pred AS (
+    SELECT lang,
+        CASE
+            WHEN s_zh > 0 THEN 'zh'
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS predicted
+    FROM scored
+)
+SELECT lang, predicted, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, predicted
+"""
+
+
+def fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenRefine-style document fingerprint: md5 of the sorted distinct
+    token set — canonicalizes word order + repetition for fuzzy dedup."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(ws_tokens(F.lower(F.col("text"))))),
+            " ",
+        )
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+    md5(array_to_string(
+        list_sort(list_distinct(
+            list_filter(string_split(lower(text), ' '), t -> t <> ''))),
+        ' ')) AS fingerprint
+FROM documents
+"""
+
+
+REGISTRY = [
+    ("text_token_count", token_count_query, TOKEN_COUNT_SQL),
+    ("text_quality", quality_query, QUALITY_SQL),
+    ("text_langid", langid_query, LANGID_SQL),
+    ("text_fingerprint", fingerprint_query, FINGERPRINT_SQL),
+]

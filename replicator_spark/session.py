@@ -25,6 +25,10 @@ RUNTIME_CONFS = {
     # oracle (naive-UTC timestamps) and with the reference's pinned-UTC
     # fixtures (SURVEY.md §7 "zone-dependent timestamp math").
     "spark.sql.session.timeZone": "UTC",
+    # the default 200 shuffle partitions over-parallelizes local runs
+    # by an order of magnitude (AQE coalesces batch plans, but
+    # stateful streaming ops are pinned to this number at first run)
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

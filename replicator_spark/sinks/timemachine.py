@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..cdc.transactions import ORGANIZED_FEED_SQL, organized_feed
+from ..cdc.transactions import (
+    ORGANIZED_FEED_SQL,
+    organized_feed,
+    organized_feed_from,
+)
 
 NULL_SENTINEL = "NULL"
 
@@ -47,7 +51,10 @@ def _cell(name: str, value: Column) -> Column:
 
 def timemachine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed → long-format versioned cells."""
-    feed = organized_feed(spark, sf_dir)
+    return cells_from(organized_feed(spark, sf_dir))
+
+
+def cells_from(feed: DataFrame) -> DataFrame:
     empty = F.array().cast(_CELL_T)
     val_after = F.coalesce(
         F.col("value_after").cast("string"), F.lit(NULL_SENTINEL)

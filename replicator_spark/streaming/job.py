@@ -1,0 +1,162 @@
+"""Streaming pipeline wiring: readStream → CDC transform → foreachBatch
+time-machine sink.
+
+Reference analog (Replicator.java:151-204): sourceStream (augment) →
+destinationStream (applier). Here the micro-batch loop, checkpointing,
+backpressure, retries, and partitioned queues are all Spark's
+(SURVEY.md §2.2 — "no port needed"); the per-batch transformation is
+the *same code path* as batch (change_feed_from → organized_feed_from →
+cells_from), so streaming == batch semantics by construction, and the
+oracle for the streaming query is literally the batch cells SQL.
+
+Exactly-once: foreachBatch + deterministic version timestamps — a
+replayed micro-batch rewrites identical cells (the reference's
+idempotent-Put argument, HBaseApplier.java:166-196) — plus the
+streaming checkpoint (the safe-GTID-watermark analog, SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..cdc.envelope import change_feed_from
+from ..cdc.transactions import organized_feed_from
+from ..session import prep, table_path
+from ..sinks.timemachine import TIMEMACHINE_CELLS_SQL, cells_from
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # file-stream sources need a directory; select the events file by glob
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_timemachine_stream(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Run the CDC pipeline as a stream over the events table with an
+    availableNow trigger (drains all input, then stops)."""
+    prep(spark)
+    stream = _events_stream(spark, sf_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        cells = cells_from(organized_feed_from(change_feed_from(batch_df)))
+        cells.write.mode("append").partitionBy("table_name").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_timemachine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: drive the streaming pipeline to completion and
+    return the persisted cells — checked against the *batch* oracle SQL
+    (streaming == batch is the assertion)."""
+    base = tempfile.mkdtemp(prefix="tm_stream_")
+    out = os.path.join(base, "cells")
+    ckpt = os.path.join(base, "ckpt")
+    run_timemachine_stream(spark, sf_dir, out, ckpt)
+    df = spark.read.parquet(out)
+    return df.select(
+        "event_id",
+        "table_name",
+        "rowkey",
+        "column_name",
+        "cell_value",
+        "version_us",
+        "txn_uuid",
+        "txn_xid",
+    )
+
+
+STREAM_TIMEMACHINE_SQL = TIMEMACHINE_CELLS_SQL
+
+
+def stream_windowed_counts_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked windowed aggregation (the late-data-tolerant op the
+    reference never needed — binlog is totally ordered — but a CDC
+    engine on Spark gets for free): per-hour per-event-type counts."""
+    prep(spark)
+    base = tempfile.mkdtemp(prefix="tm_win_")
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "ts_ts", F.timestamp_millis(F.expr("ts div 1000000"))
+    )
+    agg = (
+        stream.withWatermark("ts_ts", "1 hour")
+        .groupBy(F.window("ts_ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            # decimal-exact sum → order-insensitive (oracle parity)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    out = os.path.join(base, "out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    df = spark.read.parquet(out)
+    return df.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+# Oracle: the same hourly rollup in plain SQL, including the watermark
+# emission rule — append mode emits a window only once the watermark
+# (max event time - 1h) passes its end, so the trailing windows are
+# withheld. That rule is deterministic from the data and expressed in
+# the HAVING clause.
+STREAM_WINDOWED_SQL = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+    event_type, COUNT(*) AS n,
+    CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS sum_value
+FROM events
+GROUP BY 1, 2
+HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR
+    <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+"""
+
+REGISTRY = [
+    ("stream_timemachine", stream_timemachine_query, STREAM_TIMEMACHINE_SQL),
+    (
+        "stream_windowed_counts",
+        stream_windowed_counts_query,
+        STREAM_WINDOWED_SQL,
+    ),
+]

@@ -1,0 +1,306 @@
+"""Schema registry with DDL replay — the Spark re-expression of the
+reference's "active schema" design.
+
+Reference: ActiveSchemaManager (augmenter/ActiveSchemaManager.java:
+202-231,239-264) maintains a shadow MySQL database and *executes each
+DDL against it*, snapshotting the schema before and after
+(AugmenterContext.updateSchema:636-703); the snapshots ride on the DDL
+event (SchemaSnapshot/SchemaTransitionSequence) and land in a
+schema-history table (HBaseApplier.doSchemaLog:296-308).
+
+Spark has no shadow DB to replay DDL against, so this module is the
+~150-line DDL-effect interpreter SURVEY §7 calls the one genuinely
+custom component: it applies CREATE/ALTER/DROP/RENAME/TRUNCATE effects
+directly to a versioned {table → StructType} registry and appends a
+schema-history row per DDL. DDL volume is tiny (human-scale), so the
+replay is driver-side and sequential by design — per-event decode at
+scale reads the *broadcast* registry version pinned to its batch.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# MySQL type name → Spark type (subset of schema/DataType.java:7-59,
+# mapped per the decode rules of SURVEY §1.2).
+MYSQL_TO_SPARK = {
+    "tinyint": T.IntegerType(),
+    "smallint": T.IntegerType(),
+    "mediumint": T.IntegerType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "decimal": T.DecimalType(27, 9),
+    "char": T.StringType(),
+    "varchar": T.StringType(),
+    "text": T.StringType(),
+    "tinytext": T.StringType(),
+    "mediumtext": T.StringType(),
+    "longtext": T.StringType(),
+    "blob": T.BinaryType(),
+    "binary": T.BinaryType(),
+    "varbinary": T.BinaryType(),
+    "json": T.StringType(),
+    "enum": T.StringType(),
+    "set": T.StringType(),
+    "bit": T.StringType(),
+    "date": T.DateType(),
+    "time": T.StringType(),
+    "datetime": T.TimestampType(),
+    "timestamp": T.TimestampType(),
+    "year": T.IntegerType(),
+}
+
+_R_CREATE = re.compile(
+    r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?`?(\w+)`?\s*\((.*)\)\s*$",
+    re.I | re.S,
+)
+_R_DROP = re.compile(
+    r"^\s*drop\s+table\s+(?:if\s+exists\s+)?`?(\w+)`?", re.I
+)
+_R_RENAME = re.compile(
+    r"^\s*rename\s+table\s+(.*)$", re.I | re.S
+)
+_R_RENAME_PAIR = re.compile(r"`?(\w+)`?\s+to\s+`?(\w+)`?", re.I)
+_R_ALTER = re.compile(r"^\s*alter\s+table\s+`?(\w+)`?\s+(.*)$", re.I | re.S)
+_R_ADD_COL = re.compile(
+    r"^add\s+(?:column\s+)?`?(\w+)`?\s+(\w+)", re.I
+)
+_R_DROP_COL = re.compile(r"^drop\s+(?:column\s+)?`?(\w+)`?", re.I)
+_R_MODIFY_COL = re.compile(r"^modify\s+(?:column\s+)?`?(\w+)`?\s+(\w+)", re.I)
+_R_CHANGE_COL = re.compile(
+    r"^change\s+(?:column\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+)", re.I
+)
+_R_TRUNCATE = re.compile(r"^\s*truncate\s+table\s+`?(\w+)`?", re.I)
+# active-schema db-name rewrite (ActiveSchemaHelpers.java:150-171):
+# strip `db.` / `` `db`. `` / leading `USE db;` so DDL applies locally.
+_R_USE_PREFIX = re.compile(r"^\s*use\s+`?\w+`?\s*;\s*", re.I)
+
+
+def rewrite_active_schema_name(sql: str, db: str) -> str:
+    """Strip the database qualifier so the DDL applies to the registry's
+    (single-database) namespace — ActiveSchemaHelpers.java:150-171."""
+    sql = _R_USE_PREFIX.sub("", sql)
+    sql = re.sub(rf"`?{re.escape(db)}`?\s*\.\s*", "", sql)
+    return sql
+
+
+def _parse_type(type_name: str) -> T.DataType:
+    return MYSQL_TO_SPARK.get(type_name.lower(), T.StringType())
+
+
+@dataclass
+class SchemaRegistry:
+    """Versioned table→StructType registry with DDL replay + history."""
+
+    tables: dict[str, T.StructType] = field(default_factory=dict)
+    history: list[dict] = field(default_factory=list)
+    version: int = 0
+
+    def get(self, table: str) -> Optional[T.StructType]:
+        return self.tables.get(table.lower())
+
+    def apply_ddl(self, sql: str, db: str = "") -> dict:
+        """Replay one DDL statement; returns the history row (with
+        before/after snapshots — AugmenterContext.updateSchema analog)."""
+        if db:
+            sql = rewrite_active_schema_name(sql, db)
+        stmt = sql.strip().rstrip(";")
+        before = {t: s.jsonValue() for t, s in self.tables.items()}
+        kind, table = self._dispatch(stmt)
+        self.version += 1
+        row = {
+            "version": self.version,
+            "kind": kind,
+            "table": table,
+            "sql": sql,
+            "schema_before": before,
+            "schema_after": {
+                t: s.jsonValue() for t, s in self.tables.items()
+            },
+        }
+        self.history.append(row)
+        return row
+
+    def _dispatch(self, stmt: str) -> tuple[str, str]:
+        m = _R_CREATE.match(stmt)
+        if m:
+            table, cols_src = m.group(1).lower(), m.group(2)
+            fields = []
+            for coldef in self._split_cols(cols_src):
+                cm = re.match(r"^\s*`?(\w+)`?\s+(\w+)", coldef)
+                if cm and cm.group(1).lower() not in (
+                    "primary", "unique", "key", "index", "constraint",
+                    "foreign",
+                ):
+                    fields.append(
+                        T.StructField(
+                            cm.group(1).lower(), _parse_type(cm.group(2))
+                        )
+                    )
+            self.tables[table] = T.StructType(fields)
+            return "CREATE_TABLE", table
+        m = _R_DROP.match(stmt)
+        if m:
+            table = m.group(1).lower()
+            self.tables.pop(table, None)
+            return "DROP_TABLE", table
+        m = _R_TRUNCATE.match(stmt)
+        if m:
+            return "TRUNCATE_TABLE", m.group(1).lower()
+        m = _R_RENAME.match(stmt)
+        if m:
+            # multi-pair RENAME is atomic in MySQL (the online-schema-
+            # change swap of FIXTURES F3) — stage all reads first.
+            pairs = _R_RENAME_PAIR.findall(m.group(1))
+            staged = {
+                old.lower(): self.tables.get(old.lower()) for old, _ in pairs
+            }
+            for old, _ in pairs:
+                self.tables.pop(old.lower(), None)
+            for old, new in pairs:
+                if staged[old.lower()] is not None:
+                    self.tables[new.lower()] = staged[old.lower()]
+            return "RENAME_TABLE", ",".join(
+                f"{o.lower()}->{n.lower()}" for o, n in pairs
+            )
+        m = _R_ALTER.match(stmt)
+        if m:
+            table, rest = m.group(1).lower(), m.group(2)
+            schema = self.tables.get(table)
+            if schema is None:
+                return "ALTER_UNKNOWN_TABLE", table
+            fields = list(schema.fields)
+            for clause in self._split_cols(rest):
+                clause = clause.strip()
+                am = _R_ADD_COL.match(clause)
+                if am:
+                    name, typ = am.group(1).lower(), am.group(2)
+                    if all(f.name != name for f in fields):
+                        fields.append(T.StructField(name, _parse_type(typ)))
+                    continue
+                dm = _R_DROP_COL.match(clause)
+                if dm:
+                    name = dm.group(1).lower()
+                    fields = [f for f in fields if f.name != name]
+                    continue
+                mm = _R_MODIFY_COL.match(clause)
+                if mm:
+                    name, typ = mm.group(1).lower(), mm.group(2)
+                    fields = [
+                        T.StructField(name, _parse_type(typ))
+                        if f.name == name
+                        else f
+                        for f in fields
+                    ]
+                    continue
+                cm = _R_CHANGE_COL.match(clause)
+                if cm:
+                    old, new, typ = (
+                        cm.group(1).lower(),
+                        cm.group(2).lower(),
+                        cm.group(3),
+                    )
+                    fields = [
+                        T.StructField(new, _parse_type(typ))
+                        if f.name == old
+                        else f
+                        for f in fields
+                    ]
+                    continue
+            self.tables[table] = T.StructType(fields)
+            return "ALTER_TABLE", table
+        return "UNKNOWN", ""
+
+    @staticmethod
+    def _split_cols(src: str) -> list[str]:
+        """Split column definitions on top-level commas."""
+        out, depth, cur = [], 0, []
+        for ch in src:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """The schema-history table (append-only, one row per DDL)."""
+        rows = [
+            (
+                h["version"],
+                h["kind"],
+                h["table"],
+                h["sql"],
+                len(self.tables),
+            )
+            for h in self.history
+        ]
+        return spark.createDataFrame(
+            rows, "version int, kind string, table_ref string, sql string, n_tables_after int"
+        )
+
+
+def ddl_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the synthesized DDL stream from the QUERY events through
+    the registry; emit per-table column counts after replay.
+
+    QUERY events with user_id%5==2 carry 'ALTER TABLE <t> ADD COLUMN
+    c<event_id> INT' (distinct column per event — see classify.py), so
+    the post-replay column count per table is 2 (value, props) + the
+    number of such events — which the SQL oracle states declaratively.
+    """
+    from ..cdc.envelope import change_feed
+    from ..session import prep
+
+    prep(spark)
+    feed = change_feed(spark, sf_dir)
+    ddls = (
+        feed.where((feed.op == "QUERY") & (feed.user_id % 5 == 2))
+        .select("event_id", "table_name")
+        .orderBy("event_id")
+        .collect()  # DDL stream is tiny by nature; replay is sequential
+    )
+    reg = SchemaRegistry()
+    seen_tables = set()
+    for r in ddls:
+        t = r["table_name"].lower()
+        if t not in seen_tables:
+            reg.apply_ddl(
+                f"CREATE TABLE {t} (user_id bigint, value double, props json)"
+            )
+            seen_tables.add(t)
+        reg.apply_ddl(
+            f"ALTER TABLE {t} ADD COLUMN c{r['event_id']} int"
+        )
+    rows = [
+        (t, len(reg.tables[t].fields)) for t in sorted(reg.tables)
+    ]
+    return spark.createDataFrame(rows, "table_name string, n_columns int")
+
+
+from ..cdc.envelope import CHANGE_FEED_SQL  # noqa: E402
+
+DDL_REPLAY_SQL = f"""
+WITH feed AS ({CHANGE_FEED_SQL})
+SELECT lower(table_name) AS table_name,
+       3 + COUNT(*) AS n_columns
+FROM feed
+WHERE op = 'QUERY' AND user_id % 5 = 2
+GROUP BY lower(table_name)
+"""
+
+REGISTRY = [("schema_ddl_replay", ddl_replay_query, DDL_REPLAY_SQL)]
