@@ -87,10 +87,21 @@ def change_feed_from(ev: DataFrame) -> DataFrame:
         "value",
         "props",
     )
-    w_txn = W.partitionBy("txn_xid")
-    w_txn_seq = W.partitionBy("txn_xid").orderBy("event_id")
+    # Single-exchange window plan: the per-user lag window is computed
+    # first (exchange on user_id); the txn-scoped windows are keyed
+    # (user_id, txn_xid), which hash-partitioning on user_id already
+    # satisfies (subset rule) — Spark adds only a sort, no re-shuffle.
+    # txn_xid is user-strided, so prefixing user_id doesn't change the
+    # grouping. At 100 TB this halves the shuffled bytes of the feed.
     w_user = W.partitionBy("user_id").orderBy("event_id")
-    out = env.select(
+    lagged = env.select(
+        "*",
+        F.lag("value").over(w_user).alias("_prev_value"),
+        F.lag("props").over(w_user).alias("_prev_props"),
+    )
+    w_txn = W.partitionBy("user_id", "txn_xid")
+    w_txn_seq = W.partitionBy("user_id", "txn_xid").orderBy("event_id")
+    out = lagged.select(
         "event_id",
         "op",
         "db",
@@ -102,15 +113,13 @@ def change_feed_from(ev: DataFrame) -> DataFrame:
         F.max("ts_ms").over(w_txn).alias("commit_ts_ms"),
         F.row_number().over(w_txn_seq).alias("seq_in_txn"),
         F.when(
-            F.col("op").isin("UPDATE", "DELETE"),
-            F.lag("value").over(w_user),
+            F.col("op").isin("UPDATE", "DELETE"), F.col("_prev_value")
         ).alias("value_before"),
         F.when(F.col("op").isin("INSERT", "UPDATE"), F.col("value")).alias(
             "value_after"
         ),
         F.when(
-            F.col("op").isin("UPDATE", "DELETE"),
-            F.lag("props").over(w_user),
+            F.col("op").isin("UPDATE", "DELETE"), F.col("_prev_props")
         ).alias("props_before"),
         F.when(F.col("op").isin("INSERT", "UPDATE"), F.col("props")).alias(
             "props_after"

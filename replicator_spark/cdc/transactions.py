@@ -108,24 +108,31 @@ def organized_feed_from(feed_df: DataFrame) -> DataFrame:
     feed = feed_df.withColumn(
         "rowkey", salted_rowkey([F.col("user_id")])
     )
-    txn_seqs = txn_sequence(
-        feed.groupBy("txn_xid").agg(F.max("commit_ts_ms").alias("commit_ts_ms"))
-    ).select("txn_xid", "txn_seq")
-    # txn_seqs is tiny relative to the feed (1 row per txn) → broadcast.
-    stamped = feed.join(F.broadcast(txn_seqs), "txn_xid")
-    w_row = W.partitionBy("table_name", "rowkey", "txn_xid").orderBy("event_id")
+    # per-second txn sequence directly as dense_rank over the rows:
+    # ranks distinct txn_xids within each commit second — identical to
+    # aggregating txns first, without the extra groupBy+join (one
+    # exchange on the high-cardinality commit second instead).
+    w_sec = W.partitionBy(F.expr("commit_ts_ms div 1000")).orderBy("txn_xid")
+    # (user_id, table_name, txn_xid) groups identically to the
+    # reference's (table, rowkey, txn) — rowkey is a bijection of the
+    # PK (user_id) — while staying a superset of the user_id hash
+    # partitioning, so this window reuses the envelope's exchange
+    # (sort only); the per-second rank is then the single new exchange.
+    w_row = W.partitionBy("user_id", "table_name", "txn_xid").orderBy(
+        "event_id"
+    )
+    stamped = feed.withColumn(
+        "row_rank", F.row_number().over(w_row) - F.lit(1)
+    ).withColumn("txn_seq", F.dense_rank().over(w_sec) - F.lit(1))
     return stamped.withColumn(
         "version_us",
         (
             F.col("commit_ts_ms") * 1000
             + F.col("txn_seq") * 100
             - F.lit(VERSION_SPAN_US)
-            + F.least(
-                F.row_number().over(w_row) - F.lit(1),
-                F.lit(VERSION_SPAN_US),
-            )
+            + F.least(F.col("row_rank"), F.lit(VERSION_SPAN_US))
         ),
-    )
+    ).drop("row_rank")
 
 
 # Shared SQL prefix: the organized feed as a CTE chain (oracle analog of
