@@ -63,9 +63,15 @@ FROM groups GROUP BY n_copies
 
 
 def _shingles(col: Column) -> Column:
-    """Word-level k-shingles as an array<string>."""
-    toks = ws_tokens(F.lower(col))
-    n = F.size(toks)
+    """Word-level k-shingles as an array<string>.
+
+    `col` must be an ATTRIBUTE reference to an already-computed token
+    array (see _with_shingles), never an inline `split(...)` expression:
+    the builder references it 3 times, and an inline expression would be
+    cloned into the lambda and re-evaluated per shingle — O(tokens²)
+    regex splits per doc (measured 7× slowdown at sf0.1).
+    """
+    n = F.size(col)
     idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(1)))
     # F.get is 0-based and returns NULL out of range (ANSI-safe for short
     # docs); concat_ws drops NULLs — matching DuckDB's toks[i] semantics.
@@ -73,35 +79,53 @@ def _shingles(col: Column) -> Column:
         idx,
         lambda i: F.concat_ws(
             " ",
-            F.get(toks, i - 1),
-            F.get(toks, i),
-            F.get(toks, i + 1),
+            F.get(col, i - 1),
+            F.get(col, i),
+            F.get(col, i + 1),
         ),
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → [min over shingles of md5(seed|shingle)] × N_MINHASH.
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id + shingle array, with the token split materialized in its
+    own projection so it is computed once per row."""
+    toked = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    return toked.select("doc_id", _shingles(F.col("toks")).alias("sh"))
 
-    Lexicographic min over fixed-width hex == numeric min of the hash —
-    portable to the SQL oracle. One explode + one groupBy(doc_id) with
-    map-side partial min: a single shuffle keyed by doc_id.
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → N_MINHASH minhashes, computed entirely narrow (no
+    explode, no groupBy): shingles stay an array column; each shingle is
+    hashed with exactly TWO md5 calls (md5(s), md5('x'|s)) whose 32+32
+    hex chars are sliced into 8 disjoint 32-bit hash functions; the
+    per-doc minhash is `array_min` over each slice. Lexicographic min
+    over fixed-width hex == numeric min — portable to the SQL oracle.
+    At 100 TB this is a pure map stage: zero exchanges, 4× less hashing
+    than one-md5-per-seed.
     """
-    sh = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
-    )
-    per_seed = sh.select(
+    sh = _with_shingles(docs)
+    hashed = sh.select(
         "doc_id",
-        *[
-            F.substring(
-                F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))), 1, 16
-            ).alias(f"h{s}")
-            for s in range(N_MINHASH)
-        ],
+        F.transform("sh", lambda s: F.md5(s)).alias("m0"),
+        F.transform("sh", lambda s: F.md5(F.concat(F.lit("x"), s))).alias(
+            "m1"
+        ),
     )
-    return per_seed.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"h{s}") for s in range(N_MINHASH)]
-    )
+    def _slice(off):
+        # single-arg lambda on purpose: a 2-arg lambda would be taken by
+        # F.transform as (element, index) and shadow the offset
+        return lambda x: F.substring(x, off, 8)
+
+    cols = []
+    for s in range(N_MINHASH):
+        src = "m0" if s < N_MINHASH // 2 else "m1"
+        off = (s % (N_MINHASH // 2)) * 8 + 1
+        cols.append(
+            F.array_min(F.transform(F.col(src), _slice(off))).alias(f"h{s}")
+        )
+    return hashed.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -131,19 +155,28 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     banded = sig.select(
         "doc_id", F.explode(band_structs).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = banded.alias("a")
-    right = banded.alias("b")
+    # Pairs via groupBy + in-bucket combination instead of a self-join:
+    # the expensive signature subtree is evaluated ONCE (a self-join
+    # scans and hashes it twice), and the only exchange is the combiner-
+    # backed groupBy on (band, bucket). In-bucket pair expansion is the
+    # same O(k²) the join would do, but k is the bucket size (tiny by
+    # LSH design); a skewed mega-bucket would hurt either topology.
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    """flatten(transform(ids, (x, i) ->
+                        transform(slice(ids, i + 2, size(ids) - i - 1),
+                                  y -> struct(x AS doc_a, y AS doc_b))))"""
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     return pairs
@@ -163,17 +196,29 @@ list_filter(
     s -> s IS NOT NULL)
 """
 
+_SIG_SLICES = ", ".join(
+    "list_min(list_transform(m{src}, x -> substr(x, {off}, 8))) AS h{s}".format(
+        src=0 if s < N_MINHASH // 2 else 1,
+        off=(s % (N_MINHASH // 2)) * 8 + 1,
+        s=s,
+    )
+    for s in range(N_MINHASH)
+)
+
 _SIG_SQL = f"""
 WITH toked AS (
     SELECT doc_id,
         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
     FROM documents
 ), shingled AS (
-    SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toked
-), sig AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS sh FROM toked
+), hashed AS (
     SELECT doc_id,
-        {", ".join(f"MIN(substr(md5('{s}|' || shingle), 1, 16)) AS h{s}" for s in range(N_MINHASH))}
-    FROM shingled GROUP BY doc_id
+        list_transform(sh, s -> md5(s)) AS m0,
+        list_transform(sh, s -> md5('x' || s)) AS m1
+    FROM shingled
+), sig AS (
+    SELECT doc_id, {_SIG_SLICES} FROM hashed
 )
 """
 
@@ -198,8 +243,8 @@ def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = read_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs)
-    sets = docs.select(
-        "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("sh")
+    sets = _with_shingles(docs).select(
+        "doc_id", F.array_distinct(F.col("sh")).alias("sh")
     )
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
