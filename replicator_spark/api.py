@@ -50,7 +50,9 @@ def _load() -> None:
         filters,
         partitioners,
         rowkey,
+        seeker,
         transactions,
+        validation,
     )
     from .sinks import timemachine
 
@@ -99,6 +101,20 @@ def _load() -> None:
     register(
         "cdc_type_decode", decode.type_decode_query, decode.TYPE_DECODE_SQL
     )
+    register(
+        "cdc_payload_rowkey", rowkey.payload_rowkey_query,
+        rowkey.PAYLOAD_ROWKEY_SQL,
+    )
+    for name, fn, sql in seeker.REGISTRY + validation.REGISTRY:
+        register(name, fn, sql)
+
+    try:
+        from .sources import bootstrap
+
+        for name, fn, sql in bootstrap.REGISTRY:
+            register(name, fn, sql)
+    except ImportError:
+        pass
 
     # --- Time-machine sink + read path (SURVEY §2.8, §1.4) ---
     register(
@@ -130,11 +146,14 @@ def _load() -> None:
         pass
 
     try:
+        from .sinks import avro as avro_sink_mod
         from .sinks import console as console_sink_mod
         from .sinks import count as count_sink_mod
         from .sinks import kafka as kafka_sink_mod
 
-        for mod in (count_sink_mod, console_sink_mod, kafka_sink_mod):
+        for mod in (
+            count_sink_mod, console_sink_mod, kafka_sink_mod, avro_sink_mod
+        ):
             for name, fn, sql in mod.REGISTRY:
                 register(name, fn, sql)
     except ImportError:

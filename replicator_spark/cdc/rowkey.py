@@ -51,3 +51,45 @@ SELECT event_id, table_name,
         || ';' || CAST(user_id AS VARCHAR) AS rowkey
 FROM feed
 """
+
+
+# Designated payload/context table: its rows are keyed by transaction
+# UUID, not by PK (HBaseRowKeyMapper.getPayloadTableHBaseRowKey:60-67) —
+# the payload table stores one opaque context blob per transaction.
+def payload_aware_rowkey(
+    table_col: Column,
+    txn_uuid_col: Column,
+    pk_cols: Sequence[Column],
+    payload_table: str,
+) -> Column:
+    """Salted PK key, except the payload table which keys by txn UUID."""
+    return F.when(
+        table_col == F.lit(payload_table), txn_uuid_col
+    ).otherwise(salted_rowkey(pk_cols))
+
+
+def payload_rowkey_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = change_feed(spark, sf_dir)
+    # payload table := the January table of the feed's first year
+    payload = feed.agg(F.min("table_name").alias("t"))
+    with_payload = feed.crossJoin(F.broadcast(payload))
+    return with_payload.select(
+        "event_id",
+        "table_name",
+        F.when(F.col("table_name") == F.col("t"), F.col("txn_uuid"))
+        .otherwise(salted_rowkey([F.col("user_id")]))
+        .alias("rowkey"),
+        (F.col("table_name") == F.col("t")).alias("is_payload"),
+    )
+
+
+PAYLOAD_ROWKEY_SQL = f"""
+WITH feed AS ({CHANGE_FEED_SQL}),
+payload AS (SELECT MIN(table_name) AS t FROM feed)
+SELECT event_id, table_name,
+    CASE WHEN table_name = t THEN txn_uuid
+         ELSE substr(md5(CAST(user_id AS VARCHAR)), 1, {SALT_LEN})
+              || ';' || CAST(user_id AS VARCHAR) END AS rowkey,
+    table_name = t AS is_payload
+FROM feed, payload
+"""

@@ -303,4 +303,80 @@ WHERE op = 'QUERY' AND user_id % 5 = 2
 GROUP BY lower(table_name)
 """
 
-REGISTRY = [("schema_ddl_replay", ddl_replay_query, DDL_REPLAY_SQL)]
+def schema_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append-only schema-history log after replaying the DDL
+    stream — the Spark analog of the HBase `<db>_schema_history` side
+    table (HBaseApplier.doSchemaLog:296-308, HBaseSchemaManager.
+    writeSchemaSnapshot): one row per DDL with its position (version),
+    classification, target table, SQL, and the post-DDL table count.
+    """
+    from ..cdc.envelope import change_feed
+    from ..session import prep
+
+    prep(spark)
+    feed = change_feed(spark, sf_dir)
+    ddls = (
+        feed.where((feed.op == "QUERY") & (feed.user_id % 5 == 2))
+        .select("event_id", "table_name")
+        .orderBy("event_id")
+        .collect()  # DDL stream is human-scale; replay is sequential
+    )
+    reg = SchemaRegistry()
+    seen = set()
+    for r in ddls:
+        t = r["table_name"].lower()
+        if t not in seen:
+            reg.apply_ddl(
+                f"CREATE TABLE {t} (user_id bigint, value double, props json)"
+            )
+            seen.add(t)
+        reg.apply_ddl(f"ALTER TABLE {t} ADD COLUMN c{r['event_id']} int")
+    rows = [
+        (
+            h["version"],
+            h["kind"],
+            h["table"],
+            h["sql"],
+            len(h["schema_after"]),
+        )
+        for h in reg.history
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, kind string, table_ref string, sql string,"
+        " n_tables_after long",
+    )
+
+
+SCHEMA_HISTORY_SQL = f"""
+WITH feed AS ({CHANGE_FEED_SQL}),
+ddls AS (
+    SELECT event_id, lower(table_name) AS t,
+        ROW_NUMBER() OVER (
+            PARTITION BY lower(table_name) ORDER BY event_id
+        ) AS rn
+    FROM feed WHERE op = 'QUERY' AND user_id % 5 = 2
+),
+rows0 AS (
+    SELECT event_id, 0 AS sub, 'CREATE_TABLE' AS kind, t,
+        'CREATE TABLE ' || t
+        || ' (user_id bigint, value double, props json)' AS sql
+    FROM ddls WHERE rn = 1
+    UNION ALL
+    SELECT event_id, 1 AS sub, 'ALTER_TABLE' AS kind, t,
+        'ALTER TABLE ' || t || ' ADD COLUMN c'
+        || CAST(event_id AS VARCHAR) || ' int' AS sql
+    FROM ddls
+),
+firsts AS (SELECT t, MIN(event_id) AS fe FROM ddls GROUP BY t)
+SELECT ROW_NUMBER() OVER (ORDER BY event_id, sub) AS version,
+    kind, t AS table_ref, sql,
+    (SELECT COUNT(*) FROM firsts WHERE fe <= rows0.event_id)
+        AS n_tables_after
+FROM rows0
+"""
+
+REGISTRY = [
+    ("schema_ddl_replay", ddl_replay_query, DDL_REPLAY_SQL),
+    ("schema_history_log", schema_history_query, SCHEMA_HISTORY_SQL),
+]

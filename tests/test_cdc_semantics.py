@@ -143,3 +143,59 @@ def test_unsigned_reinterpret(spark):
     assert r["u16"] == 65535
     assert r["u32"] == 4294967295
     assert r["u64"] == "18446744073709551615"
+
+
+def test_seeker_trim_suppresses_below_watermark(spark):
+    """KafkaSeeker.java:117-144 — events at/below their partition's
+    watermark are dropped; partitions without a watermark pass all."""
+    from replicator_spark.cdc.seeker import seek_trim
+
+    feed = spark.createDataFrame(
+        [Row(event_id=i, partition=i % 2) for i in range(1, 7)]
+    )
+    applied = spark.createDataFrame([Row(partition=0, watermark_event_id=4)])
+    out = sorted(r["event_id"] for r in seek_trim(feed, applied).collect())
+    # partition 0 holds {2,4,6}: 2 and 4 suppressed; partition 1 all pass
+    assert out == [1, 3, 5, 6]
+
+
+def test_avro_schema_generation_is_valid_json(spark):
+    """EventDataPresenterAvro.java:152-223 — per-table record schema:
+    valid JSON, meta fields last, type mapping per §1.4."""
+    import json
+
+    from replicator_spark.sinks.avro import avro_schemas, catalog_df
+
+    rows = {r["subject"]: r["avro_schema"] for r in avro_schemas(
+        catalog_df(spark)).collect()}
+    assert set(rows) == {
+        "bigdata-testdb-organisms-value", "bigdata-testdb-users-value"
+    }
+    org = json.loads(rows["bigdata-testdb-organisms-value"])
+    assert org["type"] == "record"
+    by_name = {f["name"]: f["type"] for f in org["fields"]}
+    assert by_name["id"] == ["null", "long"]          # int unsigned
+    assert by_name["lifespan"] == ["null", "int"]     # smallint
+    assert by_name["population"] == ["null", "string"]  # bigint unsigned
+    assert by_name["mass"] == ["null", "float"]
+    assert by_name["dna"] == ["null", "string"]       # blob → hex string
+    assert [f["name"] for f in org["fields"]][-3:] == [
+        "__timestamp", "__is_deleted", "__binlog_position"
+    ]
+
+
+def test_bootstrap_snapshot_precedes_stream(spark, sf_dir):
+    """BootstrapReplicator.java:38-99 — the seed copy is stamped before
+    every stream event and carries only INSERTs."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark.sources.bootstrap import bootstrap_union
+
+    u = bootstrap_union(spark, sf_dir)
+    agg = u.groupBy("source").agg(
+        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi"),
+        F.countDistinct("op").alias("n_ops"),
+    ).collect()
+    by = {r["source"]: r for r in agg}
+    assert by["snapshot"]["hi"] < by["binlog"]["lo"]
+    assert by["snapshot"]["n_ops"] == 1  # INSERT only
