@@ -21,7 +21,11 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q9",
     "tpch_q10",
+    "tpch_q13",
+    "tpch_q18",
+    "tpch_q21",
     "cdc_change_feed",
     "cdc_micro_organizer",
     "tm_cells",

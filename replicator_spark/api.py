@@ -128,9 +128,9 @@ def _load() -> None:
 
     # --- Batch query surface (TPC-H-style DataFrame layer) ---
     try:
-        from .queries import tpch
+        from .queries import tpch, tpch_ext
 
-        for name, fn, sql in tpch.REGISTRY:
+        for name, fn, sql in tpch.REGISTRY + tpch_ext.REGISTRY:
             register(name, fn, sql)
     except ImportError:
         pass

@@ -1,0 +1,727 @@
+"""Extended TPC-H-style coverage over the driver's slimmed star schema.
+
+The driver testdata has no `partsupp` table and trims several TPC-H
+columns (commit/receipt dates, ship mode, phones, comments), so the
+partsupp-dependent queries (2, 9, 11, 16, 20) and the date/mode-
+dependent ones (12, 21) are *adapted*: same join/aggregation shape,
+predicates re-targeted at available columns; the lineitem fact is used
+as the part↔supplier relation where partsupp is required. Each
+docstring notes the adaptation.
+
+Same conventions as tpch.py: money in DECIMAL then rounded/cast at the
+boundary; dimension joins broadcast; filters pushed to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+from .tpch import _dec
+
+_ONE = "CAST(1 AS DECIMAL(4,2))"
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    f" * ({_ONE} - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _revenue():
+    return _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2)
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: shipping volume between NATION_1 and NATION_2 by year."""
+    prep(spark)
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    sn = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        read_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    co = (
+        read_table(spark, sf_dir, "orders")
+        .join(F.broadcast(cn), F.col("o_custkey") == cn.c_custkey)
+        .select("o_orderkey", "cust_nation")
+    )
+    out = (
+        li.join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+    )
+    return out
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+    CAST(round(SUM(volume), 2) AS DOUBLE) AS revenue
+FROM (
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        year(l_shipdate) AS l_year, {_REV_SQL} AS volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: NATION_3's market share of PROMO parts sold into ASIA."""
+    prep(spark)
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    asia_n = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .join(F.broadcast(asia_n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    co = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    sn = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    vol = _revenue()
+    out = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+    return out
+
+
+Q8_SQL = f"""
+SELECT o_year,
+    round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+          / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+    SELECT year(o_orderdate) AS o_year, {_REV_SQL} AS volume,
+        sn.n_name AS supp_nation
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 adapted: no partsupp → profit is discounted revenue only
+    (ps_supplycost unavailable); STANDARD parts, by supplier nation × year."""
+    prep(spark)
+    nation = read_table(spark, sf_dir, "nation")
+    part = read_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "STANDARD"
+    )
+    sn = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    out = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(_revenue()), 2).cast("double").alias("sum_profit")
+        )
+    )
+    return out
+
+
+Q9_SQL = f"""
+SELECT nation, o_year,
+    CAST(round(SUM(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        {_REV_SQL} AS amount
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_type = 'STANDARD'
+)
+GROUP BY nation, o_year
+"""
+
+
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 adapted: no ship mode / receipt date → late = shipped >90
+    days after order date, bucketed by order status instead of mode."""
+    prep(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_orderstatus"
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    joined = li.join(
+        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+    ).where(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    out = joined.groupBy("o_orderstatus").agg(
+        F.sum(high.cast("long")).alias("high_line_count"),
+        F.sum((~high).cast("long")).alias("low_line_count"),
+    )
+    return out
+
+
+Q12_SQL = """
+SELECT o_orderstatus,
+    SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS high_line_count,
+    SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderstatus
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of order counts per customer (incl. 0)."""
+    prep(spark)
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo revenue share for September 1996."""
+    prep(spark)
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    vol = _revenue()
+    out = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+    return out
+
+
+Q14_SQL = f"""
+SELECT round(100.0
+    * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with maximum revenue in 1996 Q1."""
+    prep(spark)
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue0 AS (
+    SELECT l_suppkey AS supplier_no,
+        CAST(round(SUM({_REV_SQL}), 2) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+"""
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 adapted: lineitem stands in for partsupp — distinct suppliers
+    who shipped each (brand, type, size), excluding Brand#5, 8 sizes."""
+    prep(spark)
+    sizes = [1, 4, 9, 14, 19, 23, 36, 45]
+    part = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(sizes)
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(
+            F.broadcast(
+                part.select("p_partkey", "p_brand", "p_type", "p_size")
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+    COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: yearly revenue lost to small orders of Brand#1 parts
+    (quantity below 50% of the part's average)."""
+    prep(spark)
+    part = read_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#1"
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    lib = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    avg_qty = lib.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    out = (
+        lib.join(F.broadcast(avg_qty), "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6
+            ).alias("avg_yearly")
+        )
+    )
+    return out
+
+
+Q17_SQL = """
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+    / 7.0, 6) AS avg_yearly
+FROM lineitem l1 JOIN part ON l1.l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: top-100 large-volume customer orders (sum qty > 300)."""
+    prep(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(F.broadcast(orders), big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(_dec("o_totalprice"), 2).cast("double").alias(
+                "o_totalprice"
+            ),
+            F.round(F.col("sum_qty"), 2).alias("sum_qty"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+    CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+        AS o_totalprice,
+    round(sum_qty, 2) AS sum_qty
+FROM (
+    SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 adapted: no container/shipmode → OR'd brand × size × quantity
+    windows only."""
+    prep(spark)
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(_revenue()), 2).cast("double").alias("revenue")
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(round(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 adapted: no commit/receipt dates → "kept waiting" = shipped
+    >60 days after order date; supplier counted when it is the ONLY
+    late supplier in a multi-supplier order. Top 50 by wait count."""
+    prep(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+    flagged = j.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+        .alias("late"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    late_pairs = (
+        flagged.where("late").select("l_orderkey", "l_suppkey").distinct()
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        late_pairs.join(
+            per_order.where(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(50)
+        .select("s_name", "numwait")
+    )
+
+
+Q21_SQL = """
+WITH flagged AS (
+    SELECT l_orderkey, l_suppkey,
+        l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+    SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+        COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+    FROM flagged GROUP BY l_orderkey
+),
+late_pairs AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM flagged WHERE late
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late_pairs
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 50
+"""
+
+
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 adapted: no phone country codes → nation instead; customers
+    with above-average (positive) balance and no orders since 2000
+    (the unwindowed anti-join is empty at every SF — all rich
+    customers have *some* order in this data)."""
+    prep(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders.distinct(), cust.c_custkey == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT n_name, COUNT(*) AS numcust,
+    CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name
+"""
+
+
+def q2_min_bal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 adapted: no partsupp/supplycost → for STANDARD size-15 parts,
+    the EUROPE supplier with minimum account balance among those who
+    shipped the part (lineitem as the part↔supplier relation)."""
+    prep(spark)
+    part = read_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE"
+    )
+    eur_n = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(eur_n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    shipped = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+        .distinct()
+    )
+    w = W.partitionBy("p_partkey").orderBy("s_acctbal", "s_name")
+    return (
+        shipped.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .orderBy("p_partkey")
+        .limit(20)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round(_dec("s_acctbal"), 2).cast("double").alias("s_acctbal"),
+            "n_name",
+        )
+    )
+
+
+Q2_SQL = """
+SELECT p_partkey, p_name, s_name,
+    CAST(round(CAST(s_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS s_acctbal,
+    n_name
+FROM (
+    SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal, n_name,
+        ROW_NUMBER() OVER (
+            PARTITION BY p_partkey ORDER BY s_acctbal, s_name) AS rk
+    FROM (
+        SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal, n_name
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+    )
+)
+WHERE rk = 1
+ORDER BY p_partkey
+LIMIT 20
+"""
+
+
+REGISTRY = [
+    ("tpch_q2", q2_min_bal_supplier, Q2_SQL),
+    ("tpch_q7", q7_volume_shipping, Q7_SQL),
+    ("tpch_q8", q8_market_share, Q8_SQL),
+    ("tpch_q9", q9_product_profit, Q9_SQL),
+    ("tpch_q12", q12_late_lines, Q12_SQL),
+    ("tpch_q13", q13_customer_distribution, Q13_SQL),
+    ("tpch_q14", q14_promo_revenue, Q14_SQL),
+    ("tpch_q15", q15_top_supplier, Q15_SQL),
+    ("tpch_q16", q16_supplier_cnt, Q16_SQL),
+    ("tpch_q17", q17_small_quantity, Q17_SQL),
+    ("tpch_q18", q18_large_volume, Q18_SQL),
+    ("tpch_q19", q19_discounted_revenue, Q19_SQL),
+    ("tpch_q21", q21_waiting_supplier, Q21_SQL),
+    ("tpch_q22", q22_global_sales, Q22_SQL),
+]
