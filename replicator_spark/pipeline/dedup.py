@@ -370,9 +370,89 @@ SELECT doc_id, simhash, substr(simhash, 1, 8) AS bucket8 FROM sig
 """
 
 
+# The synthetic embeddings are near-orthogonal (max pairwise cosine
+# ≈ 0.47), so the threshold sits at the similarity tail to keep the
+# operator's output non-empty; on a real corpus it would be ~0.95+.
+EMB_NEAR_DUP_THRESHOLD = 0.30
+
+
+def embedding_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: candidate pairs from shared
+    random-hyperplane LSH buckets (sub-quadratic blocking), verified by
+    exact cosine ≥ threshold. Same propose/dispose split as
+    MinHash+Jaccard, over the vector modality."""
+    from .similarity import _as_double, _dot, _norm, lsh_bucket_expr
+
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.select(
+        "vec_id", lsh_bucket_expr(F.col("v")).alias("bucket")
+    )
+    buckets = (
+        bucketed.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(ids, (x, i) ->
+                    transform(slice(ids, i + 2, size(ids) - i - 1),
+                              y -> struct(x AS vec_a, y AS vec_b))))"""
+            )
+        ).alias("p")
+    ).select("p.vec_a", "p.vec_b")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(F.broadcast(a), "vec_a")
+        .join(F.broadcast(b), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= EMB_NEAR_DUP_THRESHOLD)
+    )
+
+
+def _emb_near_dup_sql() -> str:
+    from .similarity import _BUCKET_SQL, _dot_sql
+
+    return f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bucketed AS (
+    SELECT vec_id, {_BUCKET_SQL} AS bucket FROM emb
+), pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+    round((0.0 + {_dot_sql("ea.v", "eb.v")})
+        / (sqrt(0.0 + {_dot_sql("ea.v", "ea.v")})
+           * sqrt(0.0 + {_dot_sql("eb.v", "eb.v")})), 6) AS cosine
+FROM pairs
+JOIN emb ea ON vec_a = ea.vec_id
+JOIN emb eb ON vec_b = eb.vec_id
+WHERE round((0.0 + {_dot_sql("ea.v", "eb.v")})
+        / (sqrt(0.0 + {_dot_sql("ea.v", "ea.v")})
+           * sqrt(0.0 + {_dot_sql("eb.v", "eb.v")})), 6)
+      >= {EMB_NEAR_DUP_THRESHOLD}
+"""
+
+
 REGISTRY = [
     ("dedup_exact", exact_dedup_query, EXACT_DEDUP_SQL),
     ("dedup_minhash_lsh", minhash_lsh_query, MINHASH_LSH_SQL),
     ("dedup_ngram_jaccard", ngram_jaccard_query, NGRAM_JACCARD_SQL),
     ("dedup_simhash", simhash_query, SIMHASH_SQL),
+    ("dedup_embedding_cosine", embedding_near_dup_query, _emb_near_dup_sql()),
 ]

@@ -119,17 +119,12 @@ def _plane_component(plane: int, dim: Column) -> Column:
     return (F.instr(F.lit(_HEX), h) - 1).cast("double") - F.lit(7.5)
 
 
-def lsh_bucket_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH: sign bit per plane → bucket id; report the
-    bucket histogram (the partition layout an IVF search would join on)."""
-    prep(spark)
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+def lsh_bucket_expr(v: Column) -> Column:
+    """Random-hyperplane signature: sign bit per plane → bucket id."""
     def _term_fn(p: int):
         # NB: must stay a 1-arg lambda — a second (default) parameter
         # makes F.transform pass the array index into it.
-        return lambda i: F.get(F.col("v"), i - 1) * _plane_component(p, i)
+        return lambda i: F.get(v, i - 1) * _plane_component(p, i)
 
     bits = []
     for p in range(N_PLANES):
@@ -139,9 +134,18 @@ def lsh_bucket_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
         bits.append((proj > 0).cast("int") * F.lit(1 << p))
-    bucket = sum(bits[1:], bits[0]).alias("bucket")
+    return sum(bits[1:], bits[0])
+
+
+def lsh_bucket_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (the partition layout an
+    IVF search would join on)."""
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
     return (
-        emb.select("vec_id", bucket)
+        emb.select("vec_id", lsh_bucket_expr(F.col("v")).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
     )
@@ -205,8 +209,136 @@ FROM norms GROUP BY label
 """
 
 
+N_PROBE = 3  # IVF cells probed per query
+DIM = 64
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroid vectors — the IVF coarse quantizer.
+
+    posexplode → combiner-backed groupBy(label, dim) → rebuild array:
+    the distributed element-wise mean (no driver collect). Components
+    round to 6 so the Spark partial-sum order can't leak into ranks.
+    """
+    dims = emb.select(
+        "label", F.posexplode(F.col("v")).alias("dim", "x")
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.round(F.avg("x"), 6).alias("m")
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("centroid")
+    )
+
+
+def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-label centroids as the coarse quantizer; each
+    query (vec_id < N_QUERIES) probes its N_PROBE nearest cells by
+    centroid cosine, then runs exact cosine top-k *within those cells
+    only*. At 100 TB the fine search is an equi-join on the cell id
+    (candidates shuffled once by cell, queries broadcast), never a
+    cross product — the IVF trade: recall bounded by the quantizer,
+    cost bounded by nprobe/ncells.
+    """
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"), "label"
+    )
+    cents = _centroids(emb)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qc = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "label",
+            (
+                _dot(F.col("qv"), F.col("centroid"))
+                / (_norm(F.col("qv")) * _norm(F.col("centroid")))
+            ).alias("c_cos"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("label")
+    )
+    probes = (
+        qc.withColumn("probe_rank", F.row_number().over(wq))
+        .where(F.col("probe_rank") <= N_PROBE)
+        .select("query_id", "qv", "label")
+    )
+    scored = (
+        emb.join(F.broadcast(probes), "label")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (_norm(F.col("qv")) * _norm(F.col("v"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "cand_id", "cosine")
+    )
+
+
+IVF_TOPK_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+), dims AS (
+    SELECT label, i AS dim, v[i] AS x
+    FROM emb, (SELECT unnest(range(1, {DIM + 1})) AS i)
+), per_dim AS (
+    SELECT label, dim, round(AVG(x), 6) AS m
+    FROM dims GROUP BY label, dim
+), cents AS (
+    SELECT label, list(m ORDER BY dim) AS centroid
+    FROM per_dim GROUP BY label
+), q AS (
+    SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+), qc AS (
+    SELECT query_id, qv, label,
+        (0.0 + {_dot_sql("qv", "centroid")})
+        / (sqrt(0.0 + {_dot_sql("qv", "qv")})
+           * sqrt(0.0 + {_dot_sql("centroid", "centroid")})) AS c_cos
+    FROM q CROSS JOIN cents
+), probes AS (
+    SELECT query_id, qv, label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY c_cos DESC, label) AS probe_rank
+        FROM qc
+    ) WHERE probe_rank <= {N_PROBE}
+), scored AS (
+    SELECT p.query_id, e.vec_id AS cand_id,
+        round((0.0 + {_dot_sql("p.qv", "e.v")})
+            / (sqrt(0.0 + {_dot_sql("p.qv", "p.qv")})
+               * sqrt(0.0 + {_dot_sql("e.v", "e.v")})), 6) AS cosine
+    FROM emb e JOIN probes p USING (label)
+    WHERE e.vec_id <> p.query_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, cand_id, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 REGISTRY = [
     ("sim_cosine_topk", cosine_topk_query, COSINE_TOPK_SQL),
+    ("sim_ivf_topk", ivf_topk_query, IVF_TOPK_SQL),
     ("sim_lsh_buckets", lsh_bucket_query, LSH_BUCKET_SQL),
     ("sim_norm_stats", norm_stats_query, NORM_STATS_SQL),
 ]
