@@ -123,6 +123,117 @@ FROM payload
 """
 
 
+TARGET_BOX = 256  # resize target (fit within TARGET_BOX × TARGET_BOX)
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_w int, out_h int, "
+    "scale double"
+)
+
+
+def resize_plan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: aspect-preserving fit-to-box resize plan.
+    The pixel resample itself is the stubbed step (no PIL/cv2 in this
+    container) — the geometry, batch shape, and output schema are the
+    real plumbing a decoder would slot into."""
+    for pdf in it:
+        w = pdf["width"].astype("int64")
+        h = pdf["height"].astype("int64")
+        # scale is rounded once and used rounded everywhere — the SQL
+        # oracle does the same, so trunc boundaries agree
+        scale = (
+            (TARGET_BOX / w).combine(TARGET_BOX / h, min)
+            .clip(upper=1.0)
+            .round(6)
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": w,
+                "height": h,
+                "out_w": (w * scale).round(6).apply(int),
+                "out_h": (h * scale).round(6).apply(int),
+                "scale": scale,
+            }
+        )
+        yield out
+
+
+def multimodal_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    dims = with_binary_payload(docs).select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return dims.mapInPandas(resize_plan, RESIZE_SCHEMA)
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH dims AS (
+    SELECT doc_id,
+        CAST(doc_id % 640 + 1 AS INT) AS width,
+        CAST(doc_id % 480 + 1 AS INT) AS height
+    FROM documents
+), scaled AS (
+    SELECT *, round(least(least({TARGET_BOX}.0 / width,
+                               {TARGET_BOX}.0 / height), 1.0), 6) AS scale
+    FROM dims
+)
+SELECT doc_id, width, height,
+    CAST(trunc(round(width * scale, 6)) AS INT) AS out_w,
+    CAST(trunc(round(height * scale, 6)) AS INT) AS out_h,
+    scale
+FROM scaled
+"""
+
+FRAME_EVERY = 30  # sample one frame per FRAME_EVERY (≈1/s at 30 fps)
+FPS = 30.0
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long"
+
+
+def frame_sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: 1→N frame-index expansion per video.
+    Frame *decode* is the stubbed step; the sampling plan (which frame
+    indices to pull, at which timestamps) is the real Spark-side work.
+    """
+    for pdf in it:
+        out = []
+        for doc_id, n_frames in zip(pdf["doc_id"], pdf["n_frames"]):
+            for idx in range(0, int(n_frames), FRAME_EVERY):
+                out.append(
+                    (int(doc_id), idx, int(round(idx / FPS * 1000)))
+                )
+        yield pd.DataFrame(
+            out, columns=["doc_id", "frame_idx", "ts_ms"]
+        )
+
+
+def multimodal_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    videos = docs.select(
+        "doc_id", (F.col("doc_id") % 300 + 1).cast("int").alias("n_frames")
+    )
+    return videos.mapInPandas(frame_sample, FRAME_SCHEMA)
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+WITH videos AS (
+    SELECT doc_id, CAST(doc_id % 300 + 1 AS INT) AS n_frames
+    FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+    CAST(round(i / {FPS} * 1000) AS BIGINT) AS ts_ms
+FROM videos, LATERAL (
+    SELECT unnest(range(0, n_frames, {FRAME_EVERY})) AS i)
+"""
+
+
 REGISTRY = [
-    ("multimodal_features", multimodal_features_query, MULTIMODAL_FEATURES_SQL)
+    ("multimodal_features", multimodal_features_query, MULTIMODAL_FEATURES_SQL),
+    ("multimodal_resize", multimodal_resize_query, MULTIMODAL_RESIZE_SQL),
+    ("multimodal_frame_sample", multimodal_frames_query, MULTIMODAL_FRAMES_SQL),
 ]
