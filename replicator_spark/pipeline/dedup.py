@@ -407,8 +407,8 @@ def embedding_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     return (
-        pairs.join(F.broadcast(a), "vec_a")
-        .join(F.broadcast(b), "vec_b")
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
         .select(
             "vec_a",
             "vec_b",

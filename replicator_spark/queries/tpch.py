@@ -8,10 +8,13 @@ differ between engines in the last ulp.
 
 Scale notes (100 TB): every query is a declarative plan — Catalyst
 pushes the date/segment filters into the parquet scan and prunes
-columns; dimension joins (region/nation/customer/supplier/part) are
-explicitly broadcast so the only shuffles left are the keyed
-aggregations. Verified via .explain: PushedFilters present, dims
-broadcast, aggregations partial (map-side combine) before exchange.
+columns. Broadcast hints go ONLY on bounded-size sides (region/nation
+and scalar aggregates); customer/orders/part/supplier scale with SF,
+so those joins are left plain and AQE broadcasts them while they fit
+(64 MB threshold) or shuffles beyond — a hard hint would pin a
+cluster-killing broadcast at 1000× the data. Verified via .explain:
+PushedFilters present, aggregations partial (map-side combine) before
+exchange.
 """
 
 from __future__ import annotations
@@ -97,13 +100,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2)
     )
+    # customer/orders scale with SF — no broadcast hint; AQE broadcasts
+    # them while they fit and falls back to a shuffled join beyond that
     joined = li.join(
-        F.broadcast(
-            orders.join(
-                F.broadcast(cust),
-                orders.o_custkey == cust.c_custkey,
-            ).select("o_orderkey", "o_orderdate", "o_orderpriority")
-        ),
+        orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
         li.l_orderkey == F.col("o_orderkey"),
     )
     out = (
@@ -160,18 +162,19 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nr = nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name")
-    # supplier ⨝ nation-of-region: tiny → broadcast into the fact join
+    # only the nation⨝region side is bounded — broadcast-hint just it;
+    # supplier/customer/orders scale with SF and are left to AQE
     sn = supp.join(
         F.broadcast(nr), supp.s_nationkey == nr.n_nationkey
     ).select("s_suppkey", "s_nationkey", "n_name")
     co = orders.join(
-        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        cust.select("c_custkey", "c_nationkey"),
         orders.o_custkey == F.col("c_custkey"),
     ).select("o_orderkey", "c_nationkey")
     out = (
-        li.join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
+        li.join(co, li.l_orderkey == co.o_orderkey)
         .join(
-            F.broadcast(sn),
+            sn,
             (li.l_suppkey == sn.s_suppkey)
             & (F.col("c_nationkey") == sn.s_nationkey),
         )
@@ -281,11 +284,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust),
+            cust,
             F.col("o_custkey") == cust.c_custkey,
         )
         .join(

@@ -9,7 +9,11 @@ as the part↔supplier relation where partsupp is required. Each
 docstring notes the adaptation.
 
 Same conventions as tpch.py: money in DECIMAL then rounded/cast at the
-boundary; dimension joins broadcast; filters pushed to the scan.
+boundary; filters pushed to the scan. Broadcast hints are used ONLY on
+bounded-size sides (region/nation, scalar aggregates); every side that
+scales with SF (customer/orders/part/supplier subtrees) is a plain
+join so AQE broadcasts it while it fits and falls back to a shuffled
+join beyond that — a hard hint would OOM a 1000-executor cluster.
 """
 
 from __future__ import annotations
@@ -53,12 +57,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     co = (
         read_table(spark, sf_dir, "orders")
-        .join(F.broadcast(cn), F.col("o_custkey") == cn.c_custkey)
+        .join(cn, F.col("o_custkey") == cn.c_custkey)
         .select("o_orderkey", "cust_nation")
     )
     out = (
-        li.join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
-        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        li.join(co, li.l_orderkey == co.o_orderkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
         .where(
             (
                 (F.col("supp_nation") == "NATION_1")
@@ -120,7 +124,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01"))
     )
     co = orders.join(
-        F.broadcast(cust), F.col("o_custkey") == cust.c_custkey
+        cust, F.col("o_custkey") == cust.c_custkey
     ).select("o_orderkey", "o_orderdate")
     part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     sn = (
@@ -131,9 +135,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     vol = _revenue()
     out = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
-        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(co, li.l_orderkey == co.o_orderkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -192,9 +196,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = read_table(spark, sf_dir, "lineitem")
     out = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(F.sum(_revenue()), 2).cast("double").alias("sum_profit")
@@ -229,7 +233,7 @@ def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = read_table(spark, sf_dir, "lineitem")
     joined = li.join(
-        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+        orders, li.l_orderkey == orders.o_orderkey
     ).where(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS"))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     out = joined.groupBy("o_orderstatus").agg(
@@ -289,7 +293,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = _revenue()
     out = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -335,7 +339,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -368,9 +372,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                part.select("p_partkey", "p_brand", "p_type", "p_size")
-            ),
+            part.select("p_partkey", "p_brand", "p_type", "p_size"),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy("p_brand", "p_type", "p_size")
@@ -397,14 +399,14 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = read_table(spark, sf_dir, "lineitem")
     lib = li.join(
-        F.broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),
         li.l_partkey == F.col("p_partkey"),
     )
     avg_qty = lib.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.5).alias("half_avg")
     )
     out = (
-        lib.join(F.broadcast(avg_qty), "l_partkey")
+        lib.join(avg_qty, "l_partkey")
         .where(F.col("l_quantity") < F.col("half_avg"))
         .agg(
             F.round(
@@ -442,8 +444,8 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name"
     )
     return (
-        big.join(F.broadcast(orders), big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
         .select(
@@ -484,7 +486,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_brand", "p_size"
     )
     li = read_table(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -530,7 +532,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    j = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
     flagged = j.select(
         "l_orderkey",
         "l_suppkey",
@@ -558,7 +560,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(50)
         .select("s_name", "numwait")
@@ -662,10 +664,10 @@ def q2_min_bal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shipped = (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_name")),
+            part.select("p_partkey", "p_name"),
             li.l_partkey == F.col("p_partkey"),
         )
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
         .distinct()
     )
