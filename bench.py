@@ -44,8 +44,15 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = api.queries()
-    # warm the JVM + parquet footers with a trivial action
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm the JVM, codegen, parquet footers, and the noop-sink path so
+    # the first measured query doesn't pay one-time session costs (it
+    # otherwise reads ~2s slower than steady state).
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.groupBy("l_returnflag").agg(F.count("*")).write.format(
+        "noop"
+    ).mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         start = time.perf_counter()
