@@ -539,20 +539,23 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
         .alias("late"),
     )
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    # One pre-aggregate per (order, supplier) pair feeds BOTH the
+    # per-order counts and the late-pair set: avoids the countDistinct
+    # EXPAND (which triples the shuffled rows) and a second scan of the
+    # fact join. All later shuffles are over the tiny pair table.
+    per_pair = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
     )
-    late_pairs = (
-        flagged.where("late").select("l_orderkey", "l_suppkey").distinct()
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("late").cast("long")).alias("n_late_supp"),
     )
     supp = read_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
     return (
-        late_pairs.join(
+        per_pair.where("late")
+        .join(
             per_order.where(
                 (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
             ),

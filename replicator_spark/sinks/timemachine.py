@@ -144,33 +144,37 @@ def write_timemachine(cells: DataFrame, path: str, mode: str = "append") -> None
 def asof_snapshot(
     cells: DataFrame, cutoff_us: int = SNAPSHOT_CUTOFF_US
 ) -> DataFrame:
-    """Current state of every row as of ``cutoff_us``."""
+    """Current state of every row as of ``cutoff_us``.
+
+    Two stacked aggregations, no window + no self-join: max_by picks
+    each cell's latest value in ONE combiner-backed shuffle (the
+    previous window + latest⨝alive join evaluated the whole cells
+    subtree twice — 2× the work at any scale); the second groupBy
+    pivots the three columns and filters tombstones.
+    """
     capped = cells.where(F.col("version_us") <= F.lit(cutoff_us))
-    w = W.partitionBy("table_name", "rowkey", "column_name").orderBy(
-        F.col("version_us").desc(), F.col("event_id").desc()
+    latest = capped.groupBy("table_name", "rowkey", "column_name").agg(
+        F.max_by(
+            "cell_value", F.struct("version_us", "event_id")
+        ).alias("cell_value")
     )
-    latest = capped.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") == 1
+    pivoted = latest.groupBy("table_name", "rowkey").agg(
+        F.max(
+            F.when(F.col("column_name") == "value", F.col("cell_value"))
+        ).alias("value"),
+        F.max(
+            F.when(F.col("column_name") == "props", F.col("cell_value"))
+        ).alias("props"),
+        F.max(
+            F.when(
+                F.col("column_name") == "row_status", F.col("cell_value")
+            )
+        ).alias("row_status"),
     )
-    alive = latest.where(
-        (F.col("column_name") == "row_status") & (F.col("cell_value") != "D")
-    ).select("table_name", "rowkey")
     return (
-        latest.where(F.col("column_name").isin("value", "props"))
-        .join(alive, ["table_name", "rowkey"])
-        .groupBy("table_name", "rowkey")
-        .agg(
-            F.max(
-                F.when(
-                    F.col("column_name") == "value", F.col("cell_value")
-                )
-            ).alias("value"),
-            F.max(
-                F.when(
-                    F.col("column_name") == "props", F.col("cell_value")
-                )
-            ).alias("props"),
-        )
+        pivoted.where(F.col("row_status") != "D")
+        .where(F.col("value").isNotNull() | F.col("props").isNotNull())
+        .select("table_name", "rowkey", "value", "props")
     )
 
 
@@ -178,29 +182,32 @@ def asof_snapshot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_snapshot(timemachine_cells(spark, sf_dir))
 
 
+# max_by key: version_us*1e10 + event_id (scalar HUGEINT) orders
+# identically to Spark's struct(version_us, event_id) — event_id < 1e10.
 ASOF_SNAPSHOT_SQL = (
     "WITH cells AS ("
     + TIMEMACHINE_CELLS_SQL
     + f"""
 ), capped AS (
     SELECT * FROM cells WHERE version_us <= {SNAPSHOT_CUTOFF_US}
-), ranked AS (
-    SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY table_name, rowkey, column_name
-        ORDER BY version_us DESC, event_id DESC) AS rn
-    FROM capped
 ), latest AS (
-    SELECT * FROM ranked WHERE rn = 1
-), alive AS (
-    SELECT table_name, rowkey FROM latest
-    WHERE column_name = 'row_status' AND cell_value <> 'D'
+    SELECT table_name, rowkey, column_name,
+        max_by(cell_value,
+               CAST(version_us AS HUGEINT) * 10000000000 + event_id)
+            AS cell_value
+    FROM capped
+    GROUP BY table_name, rowkey, column_name
+), pivoted AS (
+    SELECT table_name, rowkey,
+        MAX(CASE WHEN column_name = 'value' THEN cell_value END) AS value,
+        MAX(CASE WHEN column_name = 'props' THEN cell_value END) AS props,
+        MAX(CASE WHEN column_name = 'row_status' THEN cell_value END)
+            AS row_status
+    FROM latest
+    GROUP BY table_name, rowkey
 )
-SELECT l.table_name, l.rowkey,
-    MAX(CASE WHEN l.column_name = 'value' THEN l.cell_value END) AS value,
-    MAX(CASE WHEN l.column_name = 'props' THEN l.cell_value END) AS props
-FROM latest l JOIN alive a
-  ON l.table_name = a.table_name AND l.rowkey = a.rowkey
-WHERE l.column_name IN ('value', 'props')
-GROUP BY l.table_name, l.rowkey
+SELECT table_name, rowkey, value, props
+FROM pivoted
+WHERE row_status <> 'D' AND (value IS NOT NULL OR props IS NOT NULL)
 """
 )
