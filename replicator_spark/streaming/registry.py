@@ -376,7 +376,86 @@ SELECT ROW_NUMBER() OVER (ORDER BY event_id, sub) AS version,
 FROM rows0
 """
 
+def avro_compat(before: dict, after: dict) -> str:
+    """Schema-compatibility verdict between two schema snapshots of one
+    table (KafkaApplier.handleIncompatibleSchemaChange:261-287 — an
+    incompatible change deletes the registry subject and forces
+    re-registration).
+
+    Backward-compatible: every old field still exists with the same
+    type (new nullable fields may be added). Dropped fields or type
+    changes are incompatible.
+    """
+    if before is None:
+        return "COMPATIBLE"  # first registration
+    old = {f["name"]: f["type"] for f in before["fields"]}
+    new = {f["name"]: f["type"] for f in after["fields"]}
+    for name, typ in old.items():
+        if name not in new:
+            return "INCOMPATIBLE_FIELD_DROPPED"
+        if new[name] != typ:
+            return "INCOMPATIBLE_TYPE_CHANGED"
+    return "COMPATIBLE"
+
+
+def schema_compat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table compat audit of the replayed DDL stream: every change
+    is verdict-checked against the previous snapshot. The driver's DDL
+    stream is append-only ADD COLUMNs, so the oracle can state the
+    verdict tally declaratively; the incompatible branches are
+    exercised by unit tests (DROP/MODIFY)."""
+    from ..cdc.envelope import change_feed
+    from ..session import prep
+
+    prep(spark)
+    feed = change_feed(spark, sf_dir)
+    ddls = (
+        feed.where((feed.op == "QUERY") & (feed.user_id % 5 == 2))
+        .select("event_id", "table_name")
+        .orderBy("event_id")
+        .collect()
+    )
+    reg = SchemaRegistry()
+    seen = set()
+    tallies: dict[str, list] = {}
+    for r in ddls:
+        t = r["table_name"].lower()
+        if t not in seen:
+            reg.apply_ddl(
+                f"CREATE TABLE {t} (user_id bigint, value double, props json)"
+            )
+            seen.add(t)
+        row = reg.apply_ddl(
+            f"ALTER TABLE {t} ADD COLUMN c{r['event_id']} int"
+        )
+        verdict = avro_compat(
+            row["schema_before"].get(t), row["schema_after"][t]
+        )
+        tally = tallies.setdefault(t, [0, 0])
+        if verdict == "COMPATIBLE":
+            tally[0] += 1
+        else:
+            tally[1] += 1
+    rows = [
+        (t, v[0], v[1]) for t, v in sorted(tallies.items())
+    ]
+    return spark.createDataFrame(
+        rows, "table_name string, n_compatible long, n_incompatible long"
+    )
+
+
+SCHEMA_COMPAT_SQL = f"""
+WITH feed AS ({CHANGE_FEED_SQL})
+SELECT lower(table_name) AS table_name,
+    COUNT(*) AS n_compatible,
+    CAST(0 AS BIGINT) AS n_incompatible
+FROM feed WHERE op = 'QUERY' AND user_id % 5 = 2
+GROUP BY lower(table_name)
+"""
+
+
 REGISTRY = [
     ("schema_ddl_replay", ddl_replay_query, DDL_REPLAY_SQL),
     ("schema_history_log", schema_history_query, SCHEMA_HISTORY_SQL),
+    ("schema_compat_check", schema_compat_query, SCHEMA_COMPAT_SQL),
 ]

@@ -199,3 +199,23 @@ def test_bootstrap_snapshot_precedes_stream(spark, sf_dir):
     by = {r["source"]: r for r in agg}
     assert by["snapshot"]["hi"] < by["binlog"]["lo"]
     assert by["snapshot"]["n_ops"] == 1  # INSERT only
+
+
+def test_avro_compat_verdicts():
+    """KafkaApplier.handleIncompatibleSchemaChange:261-287 — add-column
+    is compatible; drop and type-change force re-registration."""
+    from replicator_spark.streaming.registry import SchemaRegistry, avro_compat
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE t (a int, b varchar)")
+    s0 = dict(reg.history[-1]["schema_after"])["t"]
+    reg.apply_ddl("ALTER TABLE t ADD COLUMN c bigint")
+    s1 = dict(reg.history[-1]["schema_after"])["t"]
+    assert avro_compat(s0, s1) == "COMPATIBLE"
+    reg.apply_ddl("ALTER TABLE t DROP COLUMN b")
+    s2 = dict(reg.history[-1]["schema_after"])["t"]
+    assert avro_compat(s1, s2) == "INCOMPATIBLE_FIELD_DROPPED"
+    reg.apply_ddl("ALTER TABLE t MODIFY COLUMN a varchar")
+    s3 = dict(reg.history[-1]["schema_after"])["t"]
+    assert avro_compat(s2, s3) == "INCOMPATIBLE_TYPE_CHANGED"
+    assert avro_compat(None, s3) == "COMPATIBLE"
