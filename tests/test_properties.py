@@ -1,0 +1,180 @@
+"""Property-based tests (hypothesis) for the order-sensitive CDC
+invariants — the reference's golden-state scenarios generalized:
+MicrosecondValidationTestImpl (version band + saturation),
+SplitTransactionTestImpl (state continuation across batches), and the
+DDL-replay registry's consistency under random DDL sequences.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@st.composite
+def _txn_batches(draw):
+    """A transaction's events split arbitrarily into 1-3 batches."""
+    n = draw(st.integers(min_value=1, max_value=40))
+    ids = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=10_000),
+                min_size=n, max_size=n, unique=True,
+            )
+        )
+    )
+    ts = draw(
+        st.lists(
+            st.integers(min_value=1_600_000_000_000, max_value=1_700_000_000_000),
+            min_size=n, max_size=n,
+        )
+    )
+    cuts = sorted(
+        draw(st.lists(st.integers(min_value=0, max_value=n), max_size=2))
+    )
+    bounds = [0] + cuts + [n]
+    batches = [
+        (ids[a:b], ts[a:b]) for a, b in zip(bounds, bounds[1:]) if b > a
+    ]
+    return ids, ts, batches
+
+
+@given(_txn_batches())
+@settings(max_examples=50, suppress_health_check=[HealthCheck.too_slow])
+def test_txn_assembly_state_is_batch_split_invariant(data):
+    """SplitTransactionTestImpl analog: however a transaction's events
+    are split across micro-batches, the final assembled summary equals
+    the single-batch result."""
+    from replicator_spark.streaming.txn_state import _assemble
+
+    ids, ts, batches = data
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def run(batch_list):
+        state = FakeState()
+        last = None
+        for ids_b, ts_b in batch_list:
+            pdf = pd.DataFrame(
+                {"event_id": ids_b, "ts_ms": ts_b, "commit_ts_ms": ts_b}
+            )
+            last = list(_assemble((7,), iter([pdf]), state))[-1]
+        return last.iloc[0].tolist()
+
+    assert run(batches) == run([(ids, ts)])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),   # commit second
+            st.integers(min_value=1, max_value=60),    # changes to one row
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_micro_organizer_band_and_saturation(spark, txns):
+    """MicrosecondValidationTestImpl generalized: for every (table,
+    rowkey, txn) the versions start at commit_µs − 50, step by 1, and
+    saturate at commit_µs; ordering within the txn follows event order.
+    """
+    from pyspark.sql import functions as F
+
+    from replicator_spark.cdc.transactions import (
+        VERSION_SPAN_US,
+        organized_feed_from,
+    )
+
+    rows = []
+    eid = 0
+    for i, (sec, n_changes) in enumerate(txns):
+        for _ in range(n_changes):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    "INSERT",
+                    "testdb",
+                    "users_202401",
+                    sec * 1000,
+                    1,  # same user → same rowkey
+                    1000 + i,  # txn id
+                    float(eid),
+                    None,
+                    sec * 1000,
+                )
+            )
+    feed = spark.createDataFrame(
+        rows,
+        "event_id long, op string, db string, table_name string, "
+        "ts_ms long, user_id long, txn_xid long, value_after double, "
+        "props_after string, commit_ts_ms long",
+    )
+    out = organized_feed_from(feed).select(
+        "txn_xid", "event_id", "commit_ts_ms", "version_us"
+    ).collect()
+    by_txn: dict[int, list] = {}
+    for r in out:
+        by_txn.setdefault(r["txn_xid"], []).append(r)
+    for txn_rows in by_txn.values():
+        txn_rows.sort(key=lambda r: r["event_id"])
+        first = txn_rows[0]["version_us"]
+        commit_us = txn_rows[0]["commit_ts_ms"] * 1000
+        # first version sits at commit_µs + txn_seq*100 − 50 for some
+        # non-negative per-second txn sequence
+        assert (first - (commit_us - VERSION_SPAN_US)) % 100 == 0
+        assert first >= commit_us - VERSION_SPAN_US
+        for k, r in enumerate(txn_rows):
+            # offset from the first version: +1 per change, saturating
+            # at the span (RowTimestampOrganizer.java:78-89)
+            assert r["version_us"] - first == min(k, VERSION_SPAN_US)
+
+
+@given(
+    st.lists(
+        st.sampled_from(["add", "drop", "modify"]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=50)
+def test_registry_replay_consistency(ops):
+    """Random DDL sequences: the registry never loses the table, the
+    column count follows the op algebra, and every op appends exactly
+    one history row."""
+    from replicator_spark.streaming.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE t (c0 int)")
+    cols = ["c0"]
+    next_id = 1
+    for op in ops:
+        if op == "add":
+            reg.apply_ddl(f"ALTER TABLE t ADD COLUMN c{next_id} int")
+            cols.append(f"c{next_id}")
+            next_id += 1
+        elif op == "drop" and len(cols) > 1:
+            victim = cols.pop()
+            reg.apply_ddl(f"ALTER TABLE t DROP COLUMN {victim}")
+        elif op == "modify":
+            reg.apply_ddl(f"ALTER TABLE t MODIFY COLUMN {cols[0]} varchar")
+    schema = reg.get("t")
+    assert schema is not None
+    assert [f.name for f in schema.fields] == cols
+    assert len(reg.history) == reg.version
