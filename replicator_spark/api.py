@@ -125,6 +125,10 @@ def _load() -> None:
         "tm_asof_snapshot", timemachine.asof_snapshot_query,
         timemachine.ASOF_SNAPSHOT_SQL,
     )
+    register(
+        "tm_row_history", timemachine.row_history_query,
+        timemachine.ROW_HISTORY_SQL,
+    )
 
     # --- Batch query surface (TPC-H-style DataFrame layer) ---
     try:

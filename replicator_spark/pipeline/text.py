@@ -206,9 +206,46 @@ FROM documents
 """
 
 
+ROLL_BASE = 131
+ROLL_MOD = 1_000_000_007  # keeps acc*131+255 < 2^47: no overflow either engine
+
+
+def rolling_hash(col: Column) -> Column:
+    """Rabin–Karp polynomial hash over the character stream:
+    h = fold(h*B + code) mod M. Sequential fold (F.aggregate), exact
+    order — the content-defined-chunking primitive, as a full-doc
+    fingerprint."""
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_BASE + x) % ROLL_MOD,
+    )
+
+
+def rolling_hash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_hash(F.col("text")).alias("roll_hash")
+    )
+
+
+ROLLING_HASH_SQL = f"""
+SELECT doc_id,
+    list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split_regex(text, ''),
+                           c -> CAST(unicode(c) AS BIGINT))),
+        (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD}) AS roll_hash
+FROM documents
+"""
+
+
 REGISTRY = [
     ("text_token_count", token_count_query, TOKEN_COUNT_SQL),
     ("text_quality", quality_query, QUALITY_SQL),
     ("text_langid", langid_query, LANGID_SQL),
     ("text_fingerprint", fingerprint_query, FINGERPRINT_SQL),
+    ("text_rolling_hash", rolling_hash_query, ROLLING_HASH_SQL),
 ]

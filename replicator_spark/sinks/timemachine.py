@@ -182,6 +182,35 @@ def asof_snapshot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_snapshot(timemachine_cells(spark, sf_dir))
 
 
+def row_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full version history of selected row keys — the HBase
+    `get(rowkey, ALL_VERSIONS)` read path (the "time machine" itself).
+    At scale this is a partition-pruned point scan of the store
+    (partitioned by table, sorted by rowkey): no shuffle, no window.
+    """
+    cells = timemachine_cells(spark, sf_dir)
+    return cells.where(F.col("rowkey").like("%;1") | F.col("rowkey").like("%;7")).select(
+        "table_name",
+        "rowkey",
+        "column_name",
+        "cell_value",
+        "version_us",
+        "txn_uuid",
+    )
+
+
+ROW_HISTORY_SQL = (
+    "WITH cells AS ("
+    + TIMEMACHINE_CELLS_SQL
+    + """
+)
+SELECT table_name, rowkey, column_name, cell_value, version_us, txn_uuid
+FROM cells
+WHERE rowkey LIKE '%;1' OR rowkey LIKE '%;7'
+"""
+)
+
+
 # max_by key: version_us*1e10 + event_id (scalar HUGEINT) orders
 # identically to Spark's struct(version_us, event_id) — event_id < 1e10.
 ASOF_SNAPSHOT_SQL = (
