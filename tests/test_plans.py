@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the scale properties the operators
+claim (filter pushdown, no cartesian blowups, map-side partial
+aggregation, bounded-only broadcast hints) asserted on the actual
+Catalyst output, so a refactor can't silently regress them.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    import contextlib
+    import io
+
+    from replicator_spark import api
+
+    df = api.queries()[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q1")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    # only the needed columns reach the scan
+    assert "l_comment" not in plan
+
+
+def test_q6_fully_pushed_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q6")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q18", "tpch_q21",
+        "dedup_minhash_lsh", "tm_asof_snapshot",
+    ],
+)
+def test_no_cartesian_or_nested_loop_blowup(spark, sf_dir, name):
+    """Equi-joins must never degrade to CartesianProduct; the only
+    nested-loop joins allowed are against 1-row aggregate sides."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_sim_queries_broadcast_only_bounded_sides(spark, sf_dir):
+    """The ANN fine search broadcasts probes (|Q|×nprobe rows), never
+    the candidate table."""
+    plan = _plan(spark, sf_dir, "sim_ivf_topk")
+    assert "CartesianProduct" not in plan
+
+
+def test_feed_windows_share_one_exchange(spark, sf_dir):
+    """The change-feed envelope computes its three window functions
+    over a single hash exchange on user_id (the txn windows reuse the
+    per-user partitioning — subset rule)."""
+    plan = _plan(spark, sf_dir, "cdc_change_feed")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+    # no second shuffle keyed by txn_xid alone
+    assert "Exchange hashpartitioning(txn_xid" not in plan
+
+
+def test_timemachine_cells_single_scan(spark, sf_dir):
+    """The cell fan-out is one explode over one feed scan — not a
+    3-way union re-reading the source."""
+    import re
+
+    plan = _plan(spark, sf_dir, "tm_cells")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Union" not in plan
