@@ -219,3 +219,35 @@ def test_avro_compat_verdicts():
     s3 = dict(reg.history[-1]["schema_after"])["t"]
     assert avro_compat(s2, s3) == "INCOMPATIBLE_TYPE_CHANGED"
     assert avro_compat(None, s3) == "COMPATIBLE"
+
+
+def test_config_driven_pipeline(spark, sf_dir):
+    """Replicator.java:151-204 analog — the dotted-key config wires
+    filter -> partitioner -> applier into one composed stage."""
+    from replicator_spark.cdc.envelope import change_feed
+    from replicator_spark.pipeline_config import build_pipeline
+
+    feed = change_feed(spark, sf_dir)
+    counts = build_pipeline(
+        {
+            "augmenter.filter.type": "TABLE_MERGE",
+            "replicator.partitioner.type": "TRID",
+            "replicator.partitions": 4,
+            "applier.type": "count",
+        }
+    )(feed)
+    rows = {r["op"]: r["n_events"] for r in counts.collect()}
+    assert set(rows) == {"INSERT", "UPDATE", "DELETE", "QUERY"}
+
+    cells = build_pipeline({"applier.type": "timemachine"})(feed)
+    assert "version_us" in cells.columns and "rowkey" in cells.columns
+
+    merged = build_pipeline(
+        {"augmenter.filter.type": "TABLE_MERGE", "applier.type": "console"}
+    )(feed)
+    assert merged.count() == feed.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_pipeline({"applier.type": "nope"})(feed)
