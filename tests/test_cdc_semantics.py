@@ -251,3 +251,45 @@ def test_config_driven_pipeline(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         build_pipeline({"applier.type": "nope"})(feed)
+
+
+def test_timemachine_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """HBaseApplier.java:166-196 — at-least-once delivery + deterministic
+    version timestamps => replaying a batch rewrites identical cells, so
+    last-writer-wins dedup on the cell key restores exactly-once."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark.sinks.timemachine import (
+        timemachine_cells,
+        write_timemachine,
+    )
+
+    cells = timemachine_cells(spark, sf_dir)
+    out = str(tmp_path / "store")
+    write_timemachine(cells, out)
+    write_timemachine(cells, out)  # the replay
+    stored = spark.read.parquet(out)
+    key = ["table_name", "rowkey", "column_name", "version_us"]
+    deduped = stored.dropDuplicates(key)
+    assert stored.count() == 2 * cells.count()
+    assert deduped.count() == cells.count()
+    # every replayed cell agrees byte-for-byte with the original
+    distinct_payloads = stored.select(
+        *key, "cell_value", "txn_uuid"
+    ).distinct()
+    assert distinct_payloads.count() == cells.count()
+
+
+def test_stream_restart_honors_checkpoint(spark, sf_dir, tmp_path):
+    """Structured Streaming's offset log is the safe-checkpoint analog
+    (SURVEY 2.5): re-running the drained stream with the same
+    checkpoint emits nothing new."""
+    from replicator_spark.streaming.job import run_timemachine_stream
+
+    out = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    run_timemachine_stream(spark, sf_dir, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    run_timemachine_stream(spark, sf_dir, out, ckpt)  # restart, same ckpt
+    n2 = spark.read.parquet(out).count()
+    assert n1 > 0 and n2 == n1
