@@ -152,6 +152,44 @@ HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR
     <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
 """
 
+def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates over the unbounded stream
+    (state-store backed — the incremental analog of the batch dedup
+    family; at scale the state is pruned by the event-time watermark).
+    Emits each distinct (user_id, event_type) once; summarized per
+    event_type for the oracle."""
+    prep(spark)
+    base = tempfile.mkdtemp(prefix="tm_dedup_")
+    out = os.path.join(base, "out")
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withColumn("ts_ts", F.timestamp_millis(F.expr("ts div 1000000")))
+        .withWatermark("ts_ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_users"))
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events
+GROUP BY event_type
+"""
+
 REGISTRY = [
     ("stream_timemachine", stream_timemachine_query, STREAM_TIMEMACHINE_SQL),
     (
@@ -159,4 +197,5 @@ REGISTRY = [
         stream_windowed_counts_query,
         STREAM_WINDOWED_SQL,
     ),
+    ("stream_dedup_exact", stream_dedup_query, STREAM_DEDUP_SQL),
 ]
