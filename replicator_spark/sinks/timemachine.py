@@ -25,14 +25,10 @@ dropping rows whose latest row_status is the tombstone.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cdc.transactions import (
-    ORGANIZED_FEED_SQL,
-    organized_feed,
-    organized_feed_from,
-)
+from ..cdc.transactions import ORGANIZED_FEED_SQL, organized_feed
 
 NULL_SENTINEL = "NULL"
 

@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from ..cdc.envelope import change_feed_from
 from ..cdc.transactions import organized_feed_from
-from ..session import prep, table_path
+from ..session import prep
 from ..sinks.timemachine import TIMEMACHINE_CELLS_SQL, cells_from
 
 EVENTS_SCHEMA = T.StructType(
