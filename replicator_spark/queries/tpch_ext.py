@@ -714,8 +714,129 @@ LIMIT 20
 """
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 adapted: no partsupp → "stock value" is the shipped revenue
+    per part from NATION_5 suppliers; keep parts whose value exceeds
+    twice the nation's average per-part value (scale-free analog of
+    the reference's 0.0001/SF fraction — a fixed fraction empties out
+    as the part count grows; same group + scalar-threshold shape)."""
+    prep(spark)
+    nation = read_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_5"
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    part_value = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
+    )
+    total = part_value.agg(
+        (F.avg("value_dec") * F.lit(2.0)).alias("threshold")
+    )
+    return (
+        part_value.crossJoin(F.broadcast(total))
+        .where(F.col("value_dec") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.round("value_dec", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+Q11_SQL = """
+WITH pv AS (
+    SELECT l_partkey,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+    GROUP BY l_partkey
+)
+SELECT l_partkey,
+    CAST(round(value_dec, 2) AS DOUBLE) AS part_value
+FROM pv
+WHERE value_dec > (SELECT AVG(value_dec) * 2.0 FROM pv)
+"""
+
+
+def q20_restock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 adapted: no partsupp availqty → a NATION_4 supplier is a
+    "restock" candidate when, for some PROMO part it ships, its 1997
+    shipped quantity exceeds half its 1996 shipped quantity (the same
+    nested semi-join shape: supplier IN (... part IN (...)))."""
+    prep(spark)
+    nation = read_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_4"
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+    promo = read_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = read_table(spark, sf_dir, "lineitem")
+    lp = li.join(promo, li.l_partkey == promo.p_partkey)
+    qty_by_year = lp.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01")),
+                F.col("l_quantity"),
+            ).otherwise(F.lit(0.0))
+        ).alias("qty96"),
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") >= F.lit("1997-01-01"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01")),
+                F.col("l_quantity"),
+            ).otherwise(F.lit(0.0))
+        ).alias("qty97"),
+    )
+    restock_pairs = qty_by_year.where(
+        F.col("qty97") > F.col("qty96") * 0.5
+    ).select("l_suppkey").distinct()
+    return (
+        supp.join(restock_pairs, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH qty AS (
+    SELECT l_suppkey, l_partkey,
+        SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                 THEN l_quantity ELSE 0 END) AS qty96,
+        SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                 THEN l_quantity ELSE 0 END) AS qty97
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+    GROUP BY l_suppkey, l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_4'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM qty WHERE qty97 > qty96 * 0.5)
+ORDER BY s_suppkey
+"""
+
+
 REGISTRY = [
     ("tpch_q2", q2_min_bal_supplier, Q2_SQL),
+    ("tpch_q11", q11_important_stock, Q11_SQL),
+    ("tpch_q20", q20_restock_suppliers, Q20_SQL),
     ("tpch_q7", q7_volume_shipping, Q7_SQL),
     ("tpch_q8", q8_market_share, Q8_SQL),
     ("tpch_q9", q9_product_profit, Q9_SQL),
