@@ -293,3 +293,31 @@ def test_stream_restart_honors_checkpoint(spark, sf_dir, tmp_path):
     run_timemachine_stream(spark, sf_dir, out, ckpt)  # restart, same ckpt
     n2 = spark.read.parquet(out).count()
     assert n1 > 0 and n2 == n1
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Skew salting (SURVEY 4: the rowkey-salt idea applied to joins):
+    the (key, salt) join must produce exactly the plain-join result."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark.session import read_table
+    from replicator_spark.utils import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(orders, ["l_orderkey"]).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q")
+    )
+    salted = salted_join(
+        li, orders, ["l_orderkey"], n_salts=4,
+        big_id_cols=["l_orderkey", "l_partkey"],
+    ).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
