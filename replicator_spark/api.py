@@ -132,9 +132,11 @@ def _load() -> None:
 
     # --- Batch query surface (TPC-H-style DataFrame layer) ---
     try:
-        from .queries import tpch, tpch_ext
+        from .queries import temporal, tpch, tpch_ext
 
-        for name, fn, sql in tpch.REGISTRY + tpch_ext.REGISTRY:
+        for name, fn, sql in (
+            tpch.REGISTRY + tpch_ext.REGISTRY + temporal.REGISTRY
+        ):
             register(name, fn, sql)
     except ImportError:
         pass

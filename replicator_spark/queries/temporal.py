@@ -1,0 +1,213 @@
+"""Temporal join operators Spark lacks as builtins: as-of join and
+range (interval) join — expressed as scalable compositions.
+
+As-of join (left row ← latest right row with ts ≤ left.ts, per key):
+the naive per-row subquery is O(n·m); the scalable form is the
+union-window algorithm — tag both sides, sort by (key, ts, side),
+carry the last right value forward with `last(ignorenulls)` over an
+unbounded-preceding window. ONE exchange on the key, one sort; no
+range explosion. DuckDB's native ASOF JOIN is the oracle.
+
+Range join (event ts ∈ [start, end) of arbitrary windows): the naive
+theta join is a cartesian filter; the scalable form buckets time —
+windows explode to the day buckets they overlap, events join on their
+day bucket (equi!), then the exact interval predicate filters. The
+cross product never materializes beyond bucket-local pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """For each left row, the latest right row with right_ts <= left_ts
+    (per key). Union-window algorithm; returns left columns + right_vals
+    (NULL when no prior right row exists)."""
+    l_tag = left.select(
+        F.col(key).alias("k"),
+        F.col(left_ts).alias("ts"),
+        F.lit(1).alias("is_left"),
+        "*",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"r_{c}")
+          for c in right_vals],
+    )
+    r_tag = right.select(
+        F.col(key).alias("k"),
+        F.col(right_ts).alias("ts"),
+        F.lit(0).alias("is_left"),
+        *[F.lit(None).cast(f.dataType).alias(f.name)
+          for f in left.schema.fields],
+        *[F.col(c).alias(f"r_{c}") for c in right_vals],
+    )
+    u = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal ts (is_left ASC), so a
+    # same-timestamp right row IS visible to the left row (ts <= ts)
+    w = W.partitionBy("k").orderBy("ts", "is_left").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_vals
+        ],
+    )
+    return carried.where(F.col("is_left") == 1).select(
+        *[f.name for f in left.schema.fields],
+        *[F.col(f"asof_{c}").alias(f"asof_{c}") for c in right_vals],
+    )
+
+
+def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event: the same user's latest click value at
+    or before the purchase — per-user summary."""
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts_ms", "user_id", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts_ms").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        F.col("event_id").alias("c_event_id"),
+    )
+    joined = asof_join(
+        purchases.withColumnRenamed("user_id", "u"),
+        clicks.withColumnRenamed("c_user", "u"),
+        key="u",
+        left_ts="ts_ms",
+        right_ts="c_ts",
+        right_vals=["c_event_id"],
+    )
+    return (
+        joined.groupBy(F.col("u").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(
+                F.col("asof_c_event_id").isNotNull().cast("long")
+            ).alias("n_with_prior_click"),
+            F.max("asof_c_event_id").alias("max_prior_click_event"),
+        )
+    )
+
+
+# DuckDB ties at equal ts: ASOF JOIN uses >= so a same-ts click is
+# matched — mirrored by the is_left sort order in the Spark algorithm.
+# When several clicks share the max eligible ts, pick the max event_id
+# (Spark's last() at same ts is order-dependent, so the fixture
+# guarantees unique (user, ts) among clicks — true for this data).
+ASOF_JOIN_SQL = """
+WITH ev AS (
+    SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+    FROM events
+), purchases AS (
+    SELECT event_id, ts_ms, user_id, value FROM ev
+    WHERE event_type = 'purchase'
+), clicks AS (
+    SELECT user_id AS c_user, ts_ms AS c_ts, event_id AS c_event_id
+    FROM ev WHERE event_type = 'click'
+), joined AS (
+    SELECT p.user_id, p.event_id, c.c_event_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.c_user AND p.ts_ms >= c.c_ts
+)
+SELECT user_id, COUNT(*) AS n_purchases,
+    SUM(CASE WHEN c_event_id IS NOT NULL THEN 1 ELSE 0 END)
+        AS n_with_prior_click,
+    MAX(c_event_id) AS max_prior_click_event
+FROM joined GROUP BY user_id
+"""
+
+
+DAY_MS = 86_400_000
+N_WINDOWS = 40
+
+
+def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events ∈ arbitrary overlapping maintenance windows, joined via
+    day-bucket equi-join + exact interval filter (never a cartesian):
+    window w: [epoch + w·0.6 days, + 2.2 days). Per-window event count.
+    """
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", F.expr("ts div 1000000").alias("ts_ms")
+    )
+    base = ev.agg(F.min("ts_ms").alias("t0"))
+    # integer arithmetic only — double stride math truncates in Spark
+    # but rounds in DuckDB casts, shifting boundaries by 1 ms
+    stride = 6 * DAY_MS // 10       # 0.6 day
+    span = 22 * DAY_MS // 10        # 2.2 days
+    windows = (
+        spark.range(N_WINDOWS)
+        .withColumnRenamed("id", "w_id")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "w_id",
+            (F.col("t0") + F.col("w_id") * stride).alias("w_start"),
+            (F.col("t0") + F.col("w_id") * stride + span).alias("w_end"),
+        )
+    )
+    # windows exploded to overlapped day buckets (bounded: ⌈2.2/1⌉+1)
+    w_buckets = windows.select(
+        "w_id", "w_start", "w_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"w_start div {DAY_MS}"),
+                F.expr(f"(w_end - 1) div {DAY_MS}"),
+            )
+        ).alias("day_bucket"),
+    )
+    e_buckets = ev.withColumn(
+        "day_bucket", F.expr(f"ts_ms div {DAY_MS}")
+    )
+    joined = e_buckets.join(w_buckets, "day_bucket").where(
+        (F.col("ts_ms") >= F.col("w_start"))
+        & (F.col("ts_ms") < F.col("w_end"))
+    )
+    return joined.groupBy("w_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_ms").alias("first_ts_ms"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    )
+
+
+RANGE_JOIN_SQL = f"""
+WITH ev AS (
+    SELECT event_id, epoch_ms(ts) AS ts_ms FROM events
+), base AS (SELECT MIN(ts_ms) AS t0 FROM ev),
+windows AS (
+    SELECT w_id,
+        t0 + w_id * {6 * DAY_MS // 10} AS w_start,
+        t0 + w_id * {6 * DAY_MS // 10} + {22 * DAY_MS // 10} AS w_end
+    FROM (SELECT unnest(range(0, {N_WINDOWS})) AS w_id), base
+)
+SELECT w_id, COUNT(*) AS n_events,
+    MIN(ts_ms) AS first_ts_ms, MAX(ts_ms) AS last_ts_ms
+FROM ev JOIN windows
+  ON ts_ms >= w_start AND ts_ms < w_end
+GROUP BY w_id
+"""
+
+REGISTRY = [
+    ("temporal_asof_join", asof_join_query, ASOF_JOIN_SQL),
+    ("temporal_range_join", range_join_query, RANGE_JOIN_SQL),
+]
