@@ -207,7 +207,59 @@ FROM ev JOIN windows
 GROUP BY w_id
 """
 
+HOUR_MS = 3_600_000
+
+
+def rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the daily rollup is
+    RE-aggregated from the hourly rollup, never from raw events — at
+    100 TB the raw scan happens once (hourly), every coarser
+    resolution reads the much smaller previous tier. Sums use DECIMAL
+    so re-aggregation is exactly associative (a double sum would drift
+    between tiers). Output: daily tier with its hourly provenance."""
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        F.expr("ts div 1000000").alias("ts_ms"), "event_type", "value"
+    )
+    hourly = ev.groupBy(
+        F.expr(f"ts_ms div {HOUR_MS}").alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+    )
+    daily = (
+        hourly.groupBy(
+            F.expr("hour_bucket div 24").alias("day_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sum_dec"), 2).cast("double").alias("sum_value"),
+            F.count("*").alias("n_hourly_rows"),
+        )
+    )
+    return daily
+
+
+ROLLUP_SQL = f"""
+WITH ev AS (
+    SELECT epoch_ms(ts) AS ts_ms, event_type, value FROM events
+), hourly AS (
+    SELECT ts_ms // {HOUR_MS} AS hour_bucket, event_type,
+        COUNT(*) AS n,
+        SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+    FROM ev GROUP BY 1, 2
+)
+SELECT hour_bucket // 24 AS day_bucket, event_type,
+    SUM(n) AS n_events,
+    CAST(round(SUM(sum_dec), 2) AS DOUBLE) AS sum_value,
+    COUNT(*) AS n_hourly_rows
+FROM hourly GROUP BY 1, 2
+"""
+
 REGISTRY = [
     ("temporal_asof_join", asof_join_query, ASOF_JOIN_SQL),
     ("temporal_range_join", range_join_query, RANGE_JOIN_SQL),
+    ("temporal_rollup", rollup_query, ROLLUP_SQL),
 ]
