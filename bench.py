@@ -33,6 +33,9 @@ HEADLINE = [
     "text_quality",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "temporal_asof_join",
+    "sessionize_events",
+    "sketch_kmv_distinct",
 ]
 
 
