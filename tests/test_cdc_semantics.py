@@ -321,3 +321,75 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_transmit_inserts_golden_cells(spark):
+    """TransmitInsertsTestImpl.groovy:139-194 analog — cell-exact
+    expected sink state including literal salted rowkeys and
+    row_status=I, computed independently with hashlib."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from replicator_spark.cdc.rowkey import salted_rowkey
+    from replicator_spark.sinks.timemachine import cells_from
+
+    rows = [
+        # event_id, op, table, user_id(pk), value_after, props_after
+        (1, "INSERT", "users_202401", 11, 1.5, "a"),
+        (2, "INSERT", "users_202401", 12, 2.5, None),
+        (3, "INSERT", "users_202401", 13, None, "c"),
+    ]
+    feed = spark.createDataFrame(
+        [
+            (e, op, "testdb", t, 1000, u, 7, None, v, None, p, 1000, 0)
+            for e, op, t, u, v, p in rows
+        ],
+        "event_id long, op string, db string, table_name string, ts_ms long,"
+        " user_id long, txn_xid long, value_before double,"
+        " value_after double, props_before string, props_after string,"
+        " commit_ts_ms long, seq_in_txn int",
+    ).withColumn("txn_uuid", F.md5(F.col("txn_xid").cast("string")))
+    organized = feed.withColumn(
+        "rowkey", salted_rowkey([F.col("user_id")])
+    ).withColumn("version_us", F.lit(999))
+    got = {
+        (r["rowkey"], r["column_name"]): r["cell_value"]
+        for r in cells_from(organized).collect()
+    }
+    for _, _, _, u, v, p in rows:
+        salt = hashlib.md5(str(u).encode()).hexdigest()[:8]
+        rk = f"{salt};{u}"
+        assert got[(rk, "row_status")] == "I"
+        assert got[(rk, "value")] == ("NULL" if v is None else str(v))
+        assert got[(rk, "props")] == ("NULL" if p is None else p)
+    assert len(got) == 9  # 3 rows x 3 cells, nothing extra
+
+
+def test_long_transaction_commit_time_override(spark):
+    """LongTransactionTestImpl.groovy:23-80 analog — every event of a
+    transaction is stamped with the COMMIT event's timestamp (the max
+    ts in the txn), not its own."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark.cdc.envelope import TXN_USER_STRIDE, change_feed_from
+
+    base_ns = 1_700_000_000_000_000_000
+    evs = spark.createDataFrame(
+        [
+            # one user, three events 10s apart -> same minute txn
+            (1, base_ns, 5, "signup", 1.0, "x"),
+            (2, base_ns + 10_000_000_000, 5, "click", 2.0, "y"),
+            (3, base_ns + 20_000_000_000, 5, "purchase", 3.0, "z"),
+        ],
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    )
+    feed = change_feed_from(evs).select(
+        "event_id", "ts_ms", "commit_ts_ms", "txn_xid", "seq_in_txn"
+    ).collect()
+    commit = max(r["ts_ms"] for r in feed)
+    assert all(r["commit_ts_ms"] == commit for r in feed)
+    assert [r["seq_in_txn"] for r in sorted(feed, key=lambda r: r["event_id"])] == [1, 2, 3]
+    assert len({r["txn_xid"] for r in feed}) == 1
+    assert feed[0]["txn_xid"] == 5 * TXN_USER_STRIDE + (base_ns // 1_000_000) // 60_000
