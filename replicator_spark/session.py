@@ -55,6 +55,11 @@ def get_spark(app_name: str = "replicator-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan-split sizing: 128 MB input splits keep a task's working
+        # set well under executor memory at any SF (at 100 TB this is
+        # the lever that bounds per-task memory, together with
+        # shuffle.partitions ≈ 2-3× total cores)
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

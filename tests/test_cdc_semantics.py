@@ -393,3 +393,28 @@ def test_long_transaction_commit_time_override(spark):
     assert [r["seq_in_txn"] for r in sorted(feed, key=lambda r: r["event_id"])] == [1, 2, 3]
     assert len({r["txn_xid"] for r in feed}) == 1
     assert feed[0]["txn_xid"] == 5 * TXN_USER_STRIDE + (base_ns // 1_000_000) // 60_000
+
+
+def test_ivf_results_consistent_with_bruteforce(spark, sf_dir):
+    """The IVF fine search must agree with the exhaustive search on
+    every (query, candidate) pair it returns (same cosine), and its
+    per-query best score can never exceed brute force's."""
+    from replicator_spark.pipeline.similarity import (
+        cosine_topk_query,
+        ivf_topk_query,
+    )
+
+    bf = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in cosine_topk_query(spark, sf_dir).collect()
+    }
+    bf_best = {}
+    for (q, _), c in bf.items():
+        bf_best[q] = max(bf_best.get(q, -2.0), c)
+    ivf = ivf_topk_query(spark, sf_dir).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        key = (r["query_id"], r["cand_id"])
+        if key in bf:  # same pair scored by both → identical cosine
+            assert abs(r["cosine"] - bf[key]) < 1e-9
+        assert r["cosine"] <= bf_best[r["query_id"]] + 1e-9
