@@ -129,6 +129,10 @@ def _load() -> None:
         "tm_row_history", timemachine.row_history_query,
         timemachine.ROW_HISTORY_SQL,
     )
+    register(
+        "tm_compaction", timemachine.compaction_query,
+        timemachine.COMPACTION_SQL,
+    )
 
     # --- Batch query surface (TPC-H-style DataFrame layer) ---
     try:

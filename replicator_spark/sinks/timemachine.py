@@ -25,7 +25,7 @@ dropping rows whose latest row_status is the tombstone.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..cdc.transactions import ORGANIZED_FEED_SQL, organized_feed
@@ -203,6 +203,89 @@ ROW_HISTORY_SQL = (
 SELECT table_name, rowkey, column_name, cell_value, version_us, txn_uuid
 FROM cells
 WHERE rowkey LIKE '%;1' OR rowkey LIKE '%;7'
+"""
+)
+
+
+# HBase mirrored tables keep at most 1000 versions per cell
+# (HBaseSchemaManager.java:57-58); compaction is the maintenance job
+# that enforces it on the append-only store. MAX_VERSIONS is small here
+# so the test data actually exercises eviction.
+MAX_VERSIONS = 3
+
+
+def compact_timemachine(
+    cells: DataFrame, max_versions: int = MAX_VERSIONS
+) -> DataFrame:
+    """Keep only the newest `max_versions` versions per cell key — the
+    HBase max-versions eviction as a batch rewrite. One combiner-less
+    window per cell key; at scale this runs per table partition and
+    rewrites files in place (here: returns the surviving cells)."""
+    w = W.partitionBy("table_name", "rowkey", "column_name").orderBy(
+        F.col("version_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        cells.withColumn("vrank", F.row_number().over(w))
+        .where(F.col("vrank") <= max_versions)
+        .drop("vrank")
+    )
+
+
+def compaction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction audit: per table, cells before/after eviction and the
+    number of over-limit cell keys."""
+    cells = timemachine_cells(spark, sf_dir)
+    kept = compact_timemachine(cells)
+    before = cells.groupBy("table_name").agg(
+        F.count("*").alias("cells_before")
+    )
+    after = kept.groupBy("table_name").agg(
+        F.count("*").alias("cells_after")
+    )
+    over = (
+        cells.groupBy("table_name", "rowkey", "column_name")
+        .agg(F.count("*").alias("nv"))
+        .where(F.col("nv") > MAX_VERSIONS)
+        .groupBy("table_name")
+        .agg(F.count("*").alias("overlimit_cell_keys"))
+    )
+    return (
+        before.join(after, "table_name")
+        .join(over, "table_name", "left")
+        .select(
+            "table_name",
+            "cells_before",
+            "cells_after",
+            F.coalesce("overlimit_cell_keys", F.lit(0)).alias(
+                "overlimit_cell_keys"
+            ),
+        )
+    )
+
+
+COMPACTION_SQL = (
+    "WITH cells AS ("
+    + TIMEMACHINE_CELLS_SQL
+    + f"""
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY table_name, rowkey, column_name
+        ORDER BY version_us DESC, event_id DESC) AS vrank
+    FROM cells
+), per_key AS (
+    SELECT table_name, rowkey, column_name, COUNT(*) AS nv
+    FROM cells GROUP BY 1, 2, 3
+)
+SELECT c.table_name,
+    (SELECT COUNT(*) FROM cells WHERE table_name = c.table_name)
+        AS cells_before,
+    SUM(CASE WHEN vrank <= {MAX_VERSIONS} THEN 1 ELSE 0 END)
+        AS cells_after,
+    (SELECT COUNT(*) FROM per_key
+     WHERE table_name = c.table_name AND nv > {MAX_VERSIONS})
+        AS overlimit_cell_keys
+FROM ranked c
+GROUP BY c.table_name
 """
 )
 
