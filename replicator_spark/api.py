@@ -147,9 +147,16 @@ def _load() -> None:
 
     # --- Training-data pipeline ops ---
     try:
-        from .pipeline import dedup, sessions, similarity, sketches, text
+        from .pipeline import (
+            curation,
+            dedup,
+            sessions,
+            similarity,
+            sketches,
+            text,
+        )
 
-        for mod in (dedup, sessions, similarity, sketches, text):
+        for mod in (curation, dedup, sessions, similarity, sketches, text):
             for name, fn, sql in mod.REGISTRY:
                 register(name, fn, sql)
     except ImportError:

@@ -1,0 +1,258 @@
+"""Dataset-curation operators for a pretraining-data pipeline over the
+`documents` table: sequence packing, deterministic stratified sampling,
+train/val/test hash splits, and benchmark-contamination scanning.
+
+Scale notes (100 TB): every op here is a single scan plus one shuffle
+at most. Packing uses a window partitioned by `lang` — the running sum
+never crosses partitions, so parallelism = #strata (at real scale the
+partition key would be (lang, shard) with a fixed shard count, which
+keeps the same semantics per shard while bounding per-task state).
+Sampling/splitting are pure map-side hash predicates (no shuffle until
+the final stats agg); contamination is a map-side regex scan that
+whole-stage-codegens into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+from .text import ws_tokens
+
+_HEX = "0123456789abcdef"
+
+# Context-window budget for concat-and-split packing (tokens).
+PACK_BUDGET = 256
+
+# Per-language keep-rate numerators out of 256 (md5-bucket space):
+# downsample the dominant language, keep the tail intact.
+SAMPLE_RATES = {"en": 64, "zh": 128}
+SAMPLE_RATE_DEFAULT = 256
+
+# Hash-split boundaries in the 0..255 bucket space: <204 → train (~80%),
+# <230 → val (~10%), else test.
+SPLIT_TRAIN_LT = 204
+SPLIT_VAL_LT = 230
+
+# Benchmark-contamination denylist (phrase hits flag the doc), plus the
+# usual PII patterns (emails, long digit runs) scrubbed from pretraining
+# corpora. Patterns are in the common Java-regex/RE2 subset so the
+# DuckDB oracle runs the identical expression.
+DENYLIST = ("key agg", "window table", "spark sql")
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONG_NUM_RE = "[0-9]{6,}"
+
+
+def _md5_bucket256(col: Column) -> Column:
+    """0..255 bucket from md5's first two nibbles (engine-portable;
+    same construction as cdc/validation.py)."""
+    h = F.md5(col.cast("string"))
+    n1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    n2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return (n1 * 16 + n2).cast("int")
+
+
+def _bucket256_sql(expr: str) -> str:
+    h = f"md5(CAST({expr} AS VARCHAR))"
+    return (
+        f"((strpos('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + strpos('{_HEX}', substr({h}, 2, 1)) - 1)"
+    )
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang",
+        F.size(ws_tokens(F.col("text"))).alias("n_tokens"),
+    )
+
+
+_TOKENIZED_SQL = """
+WITH tokenized AS (
+    SELECT doc_id, lang,
+        len(list_filter(string_split(text, ' '), t -> t <> ''))
+            AS n_tokens
+    FROM documents
+)
+"""
+
+
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: documents are laid out in
+    deterministic (lang, doc_id) order and cut into PACK_BUDGET-token
+    context windows; a document belongs to the bin its first token
+    lands in. Integer arithmetic only (`div`), per the engine-parity
+    rule on double truncation."""
+    prep(spark)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = _tokenized(spark, sf_dir).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    d = d.withColumn(
+        "bin_id", F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
+    )
+    return d.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+PACK_SEQUENCES_SQL = (
+    _TOKENIZED_SQL
+    + f""",
+cum AS (
+    SELECT *, sum(n_tokens) OVER (
+        PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+    ) AS cum
+    FROM tokenized
+)
+SELECT lang, (cum - n_tokens) // {PACK_BUDGET} AS bin_id,
+    count(*) AS n_docs,
+    sum(n_tokens) AS bin_tokens,
+    min(doc_id) AS first_doc
+FROM cum
+GROUP BY lang, bin_id
+"""
+)
+
+
+def _rate_col() -> Column:
+    rate = F.lit(SAMPLE_RATE_DEFAULT)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return rate
+
+
+def stratified_sample_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff its md5 bucket
+    falls under the language's keep-rate. Pure map-side predicate —
+    reproducible across runs and engines (no rand())."""
+    prep(spark)
+    d = _tokenized(spark, sf_dir).withColumn(
+        "keep", _md5_bucket256(F.col("doc_id")) < _rate_col()
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+    )
+
+
+def _rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE {SAMPLE_RATE_DEFAULT} END"
+
+
+STRATIFIED_SAMPLE_SQL = (
+    _TOKENIZED_SQL
+    + f""",
+flagged AS (
+    SELECT *, {_bucket256_sql('doc_id')} < {_rate_sql()} AS keep
+    FROM tokenized
+)
+SELECT lang, count(*) AS n_total,
+    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+    sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS kept_tokens
+FROM flagged
+GROUP BY lang
+"""
+)
+
+
+def dataset_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by doc_id hash bucket;
+    returns per-(lang, split) doc and token counts."""
+    prep(spark)
+    b = _md5_bucket256(F.col("doc_id"))
+    split = (
+        F.when(b < SPLIT_TRAIN_LT, "train")
+        .when(b < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        _tokenized(spark, sf_dir)
+        .withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+DATASET_SPLIT_SQL = (
+    _TOKENIZED_SQL
+    + f""",
+flagged AS (
+    SELECT *,
+        CASE WHEN {_bucket256_sql('doc_id')} < {SPLIT_TRAIN_LT} THEN 'train'
+             WHEN {_bucket256_sql('doc_id')} < {SPLIT_VAL_LT} THEN 'val'
+             ELSE 'test' END AS split
+    FROM tokenized
+)
+SELECT lang, split, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+FROM flagged
+GROUP BY lang, split
+"""
+)
+
+
+def contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination / PII scan: per-doc hit counts for the
+    denylist phrases + email/long-number patterns, and the flag a
+    curation pipeline would filter on."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    deny_hits = None
+    for phrase in DENYLIST:
+        c = F.regexp_count(F.col("text"), F.lit(phrase))
+        deny_hits = c if deny_hits is None else deny_hits + c
+    emails = F.regexp_count(F.col("text"), F.lit(EMAIL_RE))
+    nums = F.regexp_count(F.col("text"), F.lit(LONG_NUM_RE))
+    return docs.select(
+        "doc_id",
+        deny_hits.alias("n_denylist_hits"),
+        emails.alias("n_emails"),
+        nums.alias("n_long_nums"),
+        ((deny_hits + emails + nums) > 0).alias("contaminated"),
+    )
+
+
+_DENY_SUM_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '{p}'))" for p in DENYLIST
+)
+CONTAMINATION_SQL = f"""
+SELECT doc_id,
+    {_DENY_SUM_SQL} AS n_denylist_hits,
+    len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+    len(regexp_extract_all(text, '{LONG_NUM_RE}')) AS n_long_nums,
+    ({_DENY_SUM_SQL}
+     + len(regexp_extract_all(text, '{EMAIL_RE}'))
+     + len(regexp_extract_all(text, '{LONG_NUM_RE}'))) > 0 AS contaminated
+FROM documents
+"""
+
+
+REGISTRY = [
+    ("curate_pack_sequences", pack_sequences_query, PACK_SEQUENCES_SQL),
+    (
+        "curate_stratified_sample",
+        stratified_sample_query,
+        STRATIFIED_SAMPLE_SQL,
+    ),
+    ("curate_dataset_split", dataset_split_query, DATASET_SPLIT_SQL),
+    ("curate_contamination", contamination_query, CONTAMINATION_SQL),
+]

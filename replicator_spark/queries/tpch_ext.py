@@ -833,6 +833,76 @@ ORDER BY s_suppkey
 """
 
 
+def agg_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP over the q1 dimensions: per-(flag, status)
+    pricing stats plus per-flag and grand-total subtotal rows (null
+    grouping keys coalesced to 'ALL' for engine-portable output).
+    Scale: one shuffle; the rollup re-aggregates the leaf groups, not
+    the fact table — map-side partial agg carries all tiers."""
+    prep(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    rolled = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty_d"),
+            F.sum(_revenue()).alias("revenue_d"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            F.col("sum_qty_d").cast("double").alias("sum_qty"),
+            F.round(F.col("revenue_d").cast("double"), 2).alias("revenue"),
+            "n_lines",
+        )
+    )
+    return rolled
+
+
+AGG_ROLLUP_SQL = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+    coalesce(l_linestatus, 'ALL') AS l_linestatus,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+    round(CAST(sum({_REV_SQL}) AS DOUBLE), 2) AS revenue,
+    count(*) AS n_lines
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over order priority × status: all 4 grouping-set
+    combinations in one pass (null keys coalesced to 'ALL')."""
+    prep(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("total_d"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+                "o_orderpriority"
+            ),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "n_orders",
+            F.round(F.col("total_d").cast("double"), 2).alias("total_price"),
+        )
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+    coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+    count(*) AS n_orders,
+    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 REGISTRY = [
     ("tpch_q2", q2_min_bal_supplier, Q2_SQL),
     ("tpch_q11", q11_important_stock, Q11_SQL),
@@ -850,4 +920,6 @@ REGISTRY = [
     ("tpch_q19", q19_discounted_revenue, Q19_SQL),
     ("tpch_q21", q21_waiting_supplier, Q21_SQL),
     ("tpch_q22", q22_global_sales, Q22_SQL),
+    ("agg_rollup_pricing", agg_rollup_pricing, AGG_ROLLUP_SQL),
+    ("agg_cube_orders", agg_cube_orders, AGG_CUBE_SQL),
 ]
