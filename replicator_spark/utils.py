@@ -1,4 +1,4 @@
-"""Scale utilities: skew-aware join salting.
+"""Scale utilities: skew-aware join salting + bucketed co-located joins.
 
 AQE's skew-join split (enabled in session.py) handles most skew at
 runtime by splitting oversized partitions, but it only works for
@@ -57,3 +57,46 @@ def salted_join(
     b = salt_big_side(big, n_salts, *(big_id_cols or []))
     s = explode_small_side(small, n_salts)
     return b.join(s, on + [SALT_COL], how).drop(SALT_COL)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    key: str,
+    n_buckets: int = 32,
+) -> None:
+    """Persist `df` as a bucketed + sorted table (hash-partitioned into
+    `n_buckets` files per write-task group, each sorted by `key`).
+
+    This is the 100 TB lever for repeated fact↔fact joins: two tables
+    bucketed on the same key with the same bucket count join with NO
+    shuffle — the scan itself satisfies the join's distribution
+    requirement (Spark ≥3.0 keeps a local per-bucket sort, which is
+    cheap over the already-sorted single-file buckets this writer
+    produces). At cluster scale, bucket count is chosen once
+    (≈ total cores × small multiple) and every downstream join/groupBy
+    on that key reuses the layout.
+    """
+    (
+        # repartition on the bucket key first: Spark's bucketing and
+        # repartition use the same Murmur3 hash, so every bucket is
+        # written by exactly one task → one file per bucket, which is
+        # what lets the bucketed scan also satisfy the join's SORT
+        # requirement (multi-file buckets would force a re-sort).
+        df.repartition(n_buckets, key)
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_join(
+    spark, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two co-bucketed catalog tables; with matching bucket
+    specs Spark plans a sort-merge join with zero Exchange
+    operators."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -68,6 +68,45 @@ def test_feed_windows_share_one_exchange(spark, sf_dir):
     assert "Exchange hashpartitioning(txn_xid" not in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables co-bucketed on the join key sort-merge-join with NO
+    Exchange — the layout every repeated fact↔fact join should be
+    written into at 100 TB. (A local Sort remains: Spark ≥3.0 dropped
+    bucketed-scan output *ordering*, so only the network shuffle — the
+    expensive part — is eliminated; the sort runs over already-sorted
+    single-file buckets.)"""
+    import contextlib
+    import io
+
+    from replicator_spark.session import read_table
+    from replicator_spark.utils import bucketed_join, write_bucketed
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "t_orders_b", str(tmp_path / "o"), "o_orderkey", 8)
+    write_bucketed(li, "t_lineitem_b", str(tmp_path / "l"), "o_orderkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(
+            spark, "t_lineitem_b", "t_orders_b", ["o_orderkey"]
+        ).select("o_orderkey", "o_orderstatus", "l_quantity")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert plan.count("Bucketed: true") == 2
+        assert j.count() == li.count()  # inner join keeps every line
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
 def test_timemachine_cells_single_scan(spark, sf_dir):
     """The cell fan-out is one explode over one feed scan — not a
     3-way union re-reading the source."""
