@@ -1,6 +1,15 @@
 """Operator registry: every implemented operator from SURVEY.md §2 as a
 (queries entry, oracle SQL) pair. `__spark_entry__.py` re-exports these
 for the driver's correctness gate.
+
+Registration ORDER matters: the driver grades the first N registered
+entries (N=50 in round 1). `_PRIORITY` therefore lists all SURVEY §2
+rows first (CDC core, sinks, schema registry, streaming), then the
+round-1 hash-fail fixes that need driver re-verification, then the
+LLM-pipeline operator families by grading value, with TPC-H — fully
+driver-verified green in round 1 — last. Any registered name missing
+from `_PRIORITY` is appended at the end (never silently dropped), and
+a name listed but not registered raises at load time.
 """
 
 from __future__ import annotations
@@ -14,6 +23,103 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+
+# Explicit grading order (see module docstring). Keep every §2 family
+# and every round-over-round fix inside the first 50 entries.
+_PRIORITY = [
+    # --- §2.3-2.9 CDC core ---
+    "cdc_change_feed",
+    "cdc_classify_ops",
+    "cdc_query_classifier",
+    "cdc_table_merge",
+    "cdc_include_exclude",
+    "cdc_rowkey_salt",
+    "cdc_txn_group",
+    "cdc_txn_seq",
+    "cdc_micro_organizer",
+    "cdc_changed_cols",
+    "cdc_partitioners",
+    "cdc_safe_watermark",
+    "cdc_type_decode",
+    "cdc_payload_rowkey",
+    "cdc_seeker_resume",
+    "cdc_validation_sample",
+    "source_bootstrap_snapshot",
+    # --- §2.8 time-machine sink + read path ---
+    "tm_cells",
+    "tm_asof_snapshot",
+    "tm_row_history",
+    "tm_compaction",
+    # --- §2.8 other sinks ---
+    "sink_count",
+    "sink_console",
+    "sink_kafka_messages",
+    "sink_avro_schemas",
+    # --- §2.6 schema registry ---
+    "schema_ddl_replay",
+    "schema_history_log",
+    "schema_compat_check",
+    # --- §2.5 streaming ---
+    "stream_timemachine",
+    "stream_windowed_counts",
+    "stream_dedup_exact",
+    "stream_txn_assembly",
+    # --- round-1 hash-fail fixes needing driver re-verification ---
+    "tpch_q12",
+    "temporal_asof_join",
+    "temporal_rollup",
+    "curate_pack_sequences",
+    # --- LLM-pipeline ops ---
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_lsh_buckets",
+    "sim_norm_stats",
+    "curate_stratified_sample",
+    "curate_dataset_split",
+    "curate_contamination",
+    "text_token_count",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "sessionize_events",
+    "sketch_kmv_distinct",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # --- temporal / agg extensions (driver-green in round 1) ---
+    "temporal_range_join",
+    "topk_per_group",
+    "agg_rollup_pricing",
+    "agg_cube_orders",
+    # --- TPC-H (fully driver-green in round 1) ---
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+]
 
 
 def register(name: str, fn: QueryFn, sql: Optional[str] = None) -> None:
@@ -29,18 +135,20 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     _load()
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _QUERIES if n in _ORACLES}
 
 
 _LOADED = False
 
 
 def _load() -> None:
-    global _LOADED
+    global _LOADED, _QUERIES
     if _LOADED:
         return
     _LOADED = True
 
+    # Imports are intentionally loud: a broken module must fail the
+    # whole registry, not silently shrink the driver's grading window.
     from .cdc import (
         checkpoint,
         classify,
@@ -54,146 +162,79 @@ def _load() -> None:
         transactions,
         validation,
     )
+    from .pipeline import (
+        curation,
+        dedup,
+        multimodal,
+        sessions,
+        similarity,
+        sketches,
+        text,
+    )
+    from .queries import temporal, tpch, tpch_ext
+    from .sinks import avro as avro_sink
+    from .sinks import console as console_sink
+    from .sinks import count as count_sink
+    from .sinks import kafka as kafka_sink
     from .sinks import timemachine
+    from .sources import bootstrap
+    from .streaming import job as streaming_job
+    from .streaming import registry as schema_registry
+    from .streaming import txn_state
 
-    # --- CDC core (SURVEY §2.3-2.9) ---
-    register(
-        "cdc_change_feed", envelope.change_feed_query, envelope.CHANGE_FEED_SQL
-    )
-    register(
-        "cdc_classify_ops", classify.classify_ops_query,
-        classify.CLASSIFY_OPS_SQL,
-    )
-    register(
-        "cdc_query_classifier", classify.query_classifier_query,
-        classify.QUERY_CLASSIFIER_SQL,
-    )
-    register(
-        "cdc_table_merge", filters.table_merge_query, filters.TABLE_MERGE_SQL
-    )
-    register(
-        "cdc_include_exclude", filters.include_exclude_query,
-        filters.INCLUDE_EXCLUDE_SQL,
-    )
+    register("cdc_change_feed", envelope.change_feed_query,
+             envelope.CHANGE_FEED_SQL)
+    register("cdc_classify_ops", classify.classify_ops_query,
+             classify.CLASSIFY_OPS_SQL)
+    register("cdc_query_classifier", classify.query_classifier_query,
+             classify.QUERY_CLASSIFIER_SQL)
+    register("cdc_table_merge", filters.table_merge_query,
+             filters.TABLE_MERGE_SQL)
+    register("cdc_include_exclude", filters.include_exclude_query,
+             filters.INCLUDE_EXCLUDE_SQL)
     register("cdc_rowkey_salt", rowkey.rowkey_query, rowkey.ROWKEY_SQL)
-    register(
-        "cdc_txn_group", transactions.txn_group_query,
-        transactions.TXN_GROUP_SQL,
-    )
-    register(
-        "cdc_txn_seq", transactions.txn_seq_query, transactions.TXN_SEQ_SQL
-    )
-    register(
-        "cdc_micro_organizer", transactions.organize_versions,
-        transactions.MICRO_ORGANIZER_SQL,
-    )
-    register(
-        "cdc_changed_cols", diff.changed_cols_query, diff.CHANGED_COLS_SQL
-    )
-    register(
-        "cdc_partitioners", partitioners.partitioners_query,
-        partitioners.PARTITIONERS_SQL,
-    )
-    register(
-        "cdc_safe_watermark", checkpoint.watermark_query,
-        checkpoint.WATERMARK_SQL,
-    )
-    register(
-        "cdc_type_decode", decode.type_decode_query, decode.TYPE_DECODE_SQL
-    )
-    register(
-        "cdc_payload_rowkey", rowkey.payload_rowkey_query,
-        rowkey.PAYLOAD_ROWKEY_SQL,
-    )
-    for name, fn, sql in seeker.REGISTRY + validation.REGISTRY:
-        register(name, fn, sql)
+    register("cdc_txn_group", transactions.txn_group_query,
+             transactions.TXN_GROUP_SQL)
+    register("cdc_txn_seq", transactions.txn_seq_query,
+             transactions.TXN_SEQ_SQL)
+    register("cdc_micro_organizer", transactions.organize_versions,
+             transactions.MICRO_ORGANIZER_SQL)
+    register("cdc_changed_cols", diff.changed_cols_query,
+             diff.CHANGED_COLS_SQL)
+    register("cdc_partitioners", partitioners.partitioners_query,
+             partitioners.PARTITIONERS_SQL)
+    register("cdc_safe_watermark", checkpoint.watermark_query,
+             checkpoint.WATERMARK_SQL)
+    register("cdc_type_decode", decode.type_decode_query,
+             decode.TYPE_DECODE_SQL)
+    register("cdc_payload_rowkey", rowkey.payload_rowkey_query,
+             rowkey.PAYLOAD_ROWKEY_SQL)
 
-    try:
-        from .sources import bootstrap
+    register("tm_cells", timemachine.timemachine_cells,
+             timemachine.TIMEMACHINE_CELLS_SQL)
+    register("tm_asof_snapshot", timemachine.asof_snapshot_query,
+             timemachine.ASOF_SNAPSHOT_SQL)
+    register("tm_row_history", timemachine.row_history_query,
+             timemachine.ROW_HISTORY_SQL)
+    register("tm_compaction", timemachine.compaction_query,
+             timemachine.COMPACTION_SQL)
 
-        for name, fn, sql in bootstrap.REGISTRY:
+    for mod in (
+        seeker, validation, bootstrap,
+        count_sink, console_sink, kafka_sink, avro_sink,
+        schema_registry, streaming_job, txn_state,
+        tpch, tpch_ext, temporal,
+        curation, dedup, sessions, similarity, sketches, text,
+        multimodal,
+    ):
+        for name, fn, sql in mod.REGISTRY:
             register(name, fn, sql)
-    except ImportError:
-        pass
 
-    # --- Time-machine sink + read path (SURVEY §2.8, §1.4) ---
-    register(
-        "tm_cells", timemachine.timemachine_cells,
-        timemachine.TIMEMACHINE_CELLS_SQL,
+    missing = [n for n in _PRIORITY if n not in _QUERIES]
+    if missing:
+        raise RuntimeError(f"_PRIORITY names not registered: {missing}")
+    ordered = {n: _QUERIES[n] for n in _PRIORITY}
+    ordered.update(
+        (n, f) for n, f in _QUERIES.items() if n not in ordered
     )
-    register(
-        "tm_asof_snapshot", timemachine.asof_snapshot_query,
-        timemachine.ASOF_SNAPSHOT_SQL,
-    )
-    register(
-        "tm_row_history", timemachine.row_history_query,
-        timemachine.ROW_HISTORY_SQL,
-    )
-    register(
-        "tm_compaction", timemachine.compaction_query,
-        timemachine.COMPACTION_SQL,
-    )
-
-    # --- Batch query surface (TPC-H-style DataFrame layer) ---
-    try:
-        from .queries import temporal, tpch, tpch_ext
-
-        for name, fn, sql in (
-            tpch.REGISTRY + tpch_ext.REGISTRY + temporal.REGISTRY
-        ):
-            register(name, fn, sql)
-    except ImportError:
-        pass
-
-    # --- Training-data pipeline ops ---
-    try:
-        from .pipeline import (
-            curation,
-            dedup,
-            sessions,
-            similarity,
-            sketches,
-            text,
-        )
-
-        for mod in (curation, dedup, sessions, similarity, sketches, text):
-            for name, fn, sql in mod.REGISTRY:
-                register(name, fn, sql)
-    except ImportError:
-        pass
-
-    try:
-        from .sinks import avro as avro_sink_mod
-        from .sinks import console as console_sink_mod
-        from .sinks import count as count_sink_mod
-        from .sinks import kafka as kafka_sink_mod
-
-        for mod in (
-            count_sink_mod, console_sink_mod, kafka_sink_mod, avro_sink_mod
-        ):
-            for name, fn, sql in mod.REGISTRY:
-                register(name, fn, sql)
-    except ImportError:
-        pass
-
-    try:
-        from .streaming import job as streaming_job
-        from .streaming import registry as schema_registry
-        from .streaming import txn_state
-
-        for name, fn, sql in (
-            streaming_job.REGISTRY
-            + schema_registry.REGISTRY
-            + txn_state.REGISTRY
-        ):
-            register(name, fn, sql)
-    except ImportError:
-        pass
-
-    try:
-        from .pipeline import multimodal
-
-        for name, fn, sql in multimodal.REGISTRY:
-            register(name, fn, sql)
-    except ImportError:
-        pass
+    _QUERIES = ordered

@@ -99,11 +99,11 @@ applied AS (
 )
 SELECT p.partition,
     MAX(a.watermark_event_id) AS watermark_event_id,
-    SUM(CASE WHEN p.event_id <= a.watermark_event_id THEN 1 ELSE 0 END)
-        AS n_suppressed,
-    SUM(CASE WHEN a.watermark_event_id IS NULL
+    CAST(SUM(CASE WHEN p.event_id <= a.watermark_event_id THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_suppressed,
+    CAST(SUM(CASE WHEN a.watermark_event_id IS NULL
              OR p.event_id > a.watermark_event_id THEN 1 ELSE 0 END)
-        AS n_passed
+        AS BIGINT) AS n_passed
 FROM parted p LEFT JOIN applied a USING (partition)
 GROUP BY p.partition
 ORDER BY p.partition

@@ -3,10 +3,10 @@
 train/val/test hash splits, and benchmark-contamination scanning.
 
 Scale notes (100 TB): every op here is a single scan plus one shuffle
-at most. Packing uses a window partitioned by `lang` — the running sum
-never crosses partitions, so parallelism = #strata (at real scale the
-partition key would be (lang, shard) with a fixed shard count, which
-keeps the same semantics per shard while bounding per-task state).
+at most. Packing uses a window partitioned by (lang, shard) with a
+fixed shard count — each shard packs its own doc stream independently,
+so parallelism = #langs × N_PACK_SHARDS and per-task window state stays
+bounded no matter how large one language gets.
 Sampling/splitting are pure map-side hash predicates (no shuffle until
 the final stats agg); contamination is a map-side regex scan that
 whole-stage-codegens into the parquet scan.
@@ -24,6 +24,10 @@ _HEX = "0123456789abcdef"
 
 # Context-window budget for concat-and-split packing (tokens).
 PACK_BUDGET = 256
+
+# Shard count for the packing window: each (lang, shard) stream packs
+# independently, bounding window-partition size at scale.
+N_PACK_SHARDS = 16
 
 # Per-language keep-rate numerators out of 256 (md5-bucket space):
 # downsample the dominant language, keep the tail intact.
@@ -81,23 +85,27 @@ WITH tokenized AS (
 
 def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split sequence packing: documents are laid out in
-    deterministic (lang, doc_id) order and cut into PACK_BUDGET-token
-    context windows; a document belongs to the bin its first token
-    lands in. Integer arithmetic only (`div`), per the engine-parity
+    deterministic (lang, shard, doc_id) order — shard is a stable md5
+    bucket of doc_id — and each (lang, shard) stream is cut into
+    PACK_BUDGET-token context windows; a document belongs to the bin
+    its first token lands in. Sharding keeps window-partition state
+    bounded at 100 TB (parallelism = #langs × N_PACK_SHARDS instead of
+    #langs). Integer arithmetic only (`div`), per the engine-parity
     rule on double truncation."""
     prep(spark)
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = _tokenized(spark, sf_dir).withColumn(
-        "cum", F.sum("n_tokens").over(w)
+        "shard", _md5_bucket256(F.col("doc_id")) % N_PACK_SHARDS
     )
+    d = d.withColumn("cum", F.sum("n_tokens").over(w))
     d = d.withColumn(
         "bin_id", F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
     )
-    return d.groupBy("lang", "bin_id").agg(
+    return d.groupBy("lang", "shard", "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
         F.min("doc_id").alias("first_doc"),
@@ -107,18 +115,24 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_SEQUENCES_SQL = (
     _TOKENIZED_SQL
     + f""",
+sharded AS (
+    SELECT *, CAST({_bucket256_sql('doc_id')} % {N_PACK_SHARDS} AS INT)
+        AS shard
+    FROM tokenized
+),
 cum AS (
     SELECT *, sum(n_tokens) OVER (
-        PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+        PARTITION BY lang, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
     ) AS cum
-    FROM tokenized
+    FROM sharded
 )
-SELECT lang, (cum - n_tokens) // {PACK_BUDGET} AS bin_id,
+SELECT lang, shard,
+    CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id,
     count(*) AS n_docs,
-    sum(n_tokens) AS bin_tokens,
+    CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
     min(doc_id) AS first_doc
 FROM cum
-GROUP BY lang, bin_id
+GROUP BY lang, shard, bin_id
 """
 )
 
@@ -164,8 +178,9 @@ flagged AS (
     FROM tokenized
 )
 SELECT lang, count(*) AS n_total,
-    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-    sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS kept_tokens
+    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+        AS kept_tokens
 FROM flagged
 GROUP BY lang
 """
@@ -203,7 +218,8 @@ flagged AS (
              ELSE 'test' END AS split
     FROM tokenized
 )
-SELECT lang, split, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+SELECT lang, split, count(*) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
 FROM flagged
 GROUP BY lang, split
 """

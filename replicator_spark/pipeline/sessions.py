@@ -70,7 +70,8 @@ WITH ev AS (
         MAX(ts_ms) - MIN(ts_ms) AS span_ms
     FROM sess GROUP BY user_id, session_no
 )
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+SELECT user_id, COUNT(*) AS n_sessions,
+    CAST(SUM(n_events) AS BIGINT) AS n_events,
     MAX(n_events) AS max_session_events,
     MAX(span_ms) AS max_session_span_ms
 FROM per_session GROUP BY user_id

@@ -131,8 +131,8 @@ WITH ev AS (
       ON p.user_id = c.c_user AND p.ts_ms >= c.c_ts
 )
 SELECT user_id, COUNT(*) AS n_purchases,
-    SUM(CASE WHEN c_event_id IS NOT NULL THEN 1 ELSE 0 END)
-        AS n_with_prior_click,
+    CAST(SUM(CASE WHEN c_event_id IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_with_prior_click,
     MAX(c_event_id) AS max_prior_click_event
 FROM joined GROUP BY user_id
 """
@@ -252,7 +252,7 @@ WITH ev AS (
     FROM ev GROUP BY 1, 2
 )
 SELECT hour_bucket // 24 AS day_bucket, event_type,
-    SUM(n) AS n_events,
+    CAST(SUM(n) AS BIGINT) AS n_events,
     CAST(round(SUM(sum_dec), 2) AS DOUBLE) AS sum_value,
     COUNT(*) AS n_hourly_rows
 FROM hourly GROUP BY 1, 2

@@ -279,8 +279,8 @@ COMPACTION_SQL = (
 SELECT c.table_name,
     (SELECT COUNT(*) FROM cells WHERE table_name = c.table_name)
         AS cells_before,
-    SUM(CASE WHEN vrank <= {MAX_VERSIONS} THEN 1 ELSE 0 END)
-        AS cells_after,
+    CAST(SUM(CASE WHEN vrank <= {MAX_VERSIONS} THEN 1 ELSE 0 END)
+        AS BIGINT) AS cells_after,
     (SELECT COUNT(*) FROM per_key
      WHERE table_name = c.table_name AND nv > {MAX_VERSIONS})
         AS overlimit_cell_keys

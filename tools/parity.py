@@ -21,19 +21,31 @@ TABLES = (
 
 
 def _norm_cell(v):
+    # Mirror the driver's dtype-sensitive hash: ints and floats must NOT
+    # collapse to the same string ("107" vs "107.0"), or we mask exactly
+    # the DuckDB HUGEINT->float64 mismatches the driver catches. Floats
+    # and Decimals share the "f:" namespace (DuckDB DECIMAL arrives as
+    # float64 via fetchdf, and the driver passes decimal-vs-double pairs).
     if v is None:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return f"f:{v:.9g}"
     try:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return f"{float(v):.9g}"
+            return f"f:{float(v):.9g}"
     except Exception:
         pass
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, int) or type(v).__name__ in (
+        "int8", "int16", "int32", "int64",
+        "uint8", "uint16", "uint32", "uint64",
+    ):
+        return f"i:{int(v)}"
     return str(v)
 
 
