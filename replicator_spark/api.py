@@ -41,6 +41,7 @@ _PRIORITY = [
     "cdc_partitioners",
     "cdc_safe_watermark",
     "cdc_type_decode",
+    "cdc_json_decode",
     "cdc_payload_rowkey",
     "cdc_seeker_resume",
     "cdc_validation_sample",
@@ -55,6 +56,7 @@ _PRIORITY = [
     "sink_console",
     "sink_kafka_messages",
     "sink_avro_schemas",
+    "sink_avro_messages",
     # --- §2.6 schema registry ---
     "schema_ddl_replay",
     "schema_history_log",
@@ -156,6 +158,7 @@ def _load() -> None:
         diff,
         envelope,
         filters,
+        jsonb,
         partitioners,
         rowkey,
         seeker,
@@ -220,7 +223,7 @@ def _load() -> None:
              timemachine.COMPACTION_SQL)
 
     for mod in (
-        seeker, validation, bootstrap,
+        seeker, validation, bootstrap, jsonb,
         count_sink, console_sink, kafka_sink, avro_sink,
         schema_registry, streaming_job, txn_state,
         tpch, tpch_ext, temporal,

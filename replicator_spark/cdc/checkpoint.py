@@ -1,17 +1,27 @@
 """Safe-checkpoint watermark: gap-free GTID-set algebra.
 
-Reference: GtidSetAlgebra.getSafeCheckpoint
-(supplier/.../gtid/GtidSetAlgebra.java:21-63, gap-scan :149-175): from
-the set of checkpoints acked by all sink tasks, compute per server the
-largest gap-free transaction range — the low-watermark below which all
-work is durably applied — and persist it (ZK in the reference;
-Structured Streaming's offset/commit log plays that role here, see
-streaming/job.py).
+Reference: GtidSetAlgebra (supplier/.../gtid/GtidSetAlgebra.java) —
+checkpoints acked by sink tasks carry GTID-set fragments
+("serverUUID:start-end"); addGTIDSetToServersTransactionRangeMap
+(:107-134) parses them per server, and
+getMaxUninteruptedRangeStartingFromMinimalTransaction (:136-175) scans
+the sorted ranges from the minimum forward, stopping at the first hole
+— transactions past a hole are NOT safe even if acked (an interleaved
+checkpoint that never arrived means its work may not be applied). The
+safe watermark is the end of the first gap-free island.
 
-As a batch operator this is gaps-and-islands: within each server's
-acked set, the watermark is the end of the first contiguous island
-starting at the minimum id. Pure window arithmetic — distributed,
-no driver loop.
+The reference's scan compares consecutive range *upper limits* for
+`diff == 1`, which is exact only for single-transaction ranges; here
+the island test is the general range-union form — a gap exists iff the
+next range starts after prev_end + 1 — which reduces to the reference's
+behavior on its "n-n" checkpoints and extends it to multi-transaction
+ranges (the unit test the reference lacks, SURVEY §5).
+
+As a batch operator this is gaps-and-islands: parse → window-lag flag →
+cumulative island id → keep island 0. Pure window arithmetic over a
+(server, range) shuffle — distributed, no driver loop; at 100 TB the
+checkpoint stream is tiny relative to data, so this plan is dominated
+by the single exchange on server_uuid.
 """
 
 from __future__ import annotations
@@ -22,10 +32,72 @@ from pyspark.sql import functions as F
 from ..session import prep, read_table
 
 _N_SERVERS = 4
-_GAP_MOD = 97  # synthetic ack gaps: every 97th event is un-acked
+_GAP_MOD = 97  # synthetic ack gaps: every 97th checkpoint is un-acked
+_RANGE_W = 3  # transactions per checkpoint range (multi-txn ranges)
 
 
-def safe_watermark(acked: DataFrame, server_col: str, id_col: str) -> DataFrame:
+def gtid_safe_set(
+    frags: DataFrame, gtid_col: str = "gtid"
+) -> DataFrame:
+    """Per-server largest gap-free GTID range union.
+
+    `frags` carries acked GTID-set fragments ("uuid:start-end"), in any
+    order (out-of-order acks included). Returns per server the safe
+    checkpoint (end of the first gap-free island scanning up from the
+    minimal transaction), the number of ranges in it, and the collapsed
+    safe GTID-set string.
+    """
+    parsed = frags.select(
+        F.regexp_extract(gtid_col, "^([^:]+):", 1).alias("server_uuid"),
+        F.regexp_extract(gtid_col, ":(\\d+)-", 1)
+        .cast("long")
+        .alias("r_start"),
+        F.regexp_extract(gtid_col, "-(\\d+)$", 1)
+        .cast("long")
+        .alias("r_end"),
+    )
+    w = W.partitionBy("server_uuid").orderBy("r_start", "r_end")
+    flagged = parsed.withColumn(
+        "gap",
+        F.when(
+            F.col("r_start")
+            > F.lag("r_end").over(w) + 1,  # hole before this range
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("gap").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    safe = (
+        islands.where(F.col("island") == 0)
+        .groupBy("server_uuid")
+        .agg(
+            F.max("r_end").alias("safe_checkpoint"),
+            F.min("r_start").alias("set_start"),
+            F.count("*").alias("n_safe_ranges"),
+        )
+    )
+    return safe.select(
+        "server_uuid",
+        "safe_checkpoint",
+        "n_safe_ranges",
+        F.concat_ws(
+            "",
+            F.col("server_uuid"),
+            F.lit(":"),
+            F.col("set_start").cast("string"),
+            F.lit("-"),
+            F.col("safe_checkpoint").cast("string"),
+        ).alias("safe_gtid_set"),
+    )
+
+
+# Backward-compatible id-based form (streaming/job.py uses it): the
+# degenerate single-transaction-range case of the algebra above.
+def safe_watermark(
+    acked: DataFrame, server_col: str, id_col: str
+) -> DataFrame:
     """Largest gap-free prefix per server over acked transaction ids."""
     w = W.partitionBy(server_col).orderBy(id_col)
     ranked = acked.select(
@@ -44,34 +116,59 @@ def safe_watermark(acked: DataFrame, server_col: str, id_col: str) -> DataFrame:
 
 
 def watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simulated acked set: event_ids not divisible by 97, sharded over
-    4 servers — compute each server's gap-free watermark."""
+    """Simulated acked checkpoint stream: each acked event contributes
+    a GTID fragment "srv-XX:start-end" covering _RANGE_W transactions;
+    every 97th checkpoint is un-acked, leaving holes the watermark must
+    stop at. Input order is the (arbitrary) event order — out-of-order
+    acks by construction."""
     prep(spark)
     ev = read_table(spark, sf_dir, "events").select("event_id")
-    acked = ev.where((F.col("event_id") % _GAP_MOD) != 0).select(
-        (F.col("event_id") % _N_SERVERS).cast("int").alias("server_id"),
-        # dense per-server transaction sequence (the GTID txn number)
-        F.expr(f"event_id div {_N_SERVERS}").alias("txn_no"),
+    frags = ev.where((F.col("event_id") % _GAP_MOD) != 0).select(
+        F.concat_ws(
+            "",
+            F.lit("srv-"),
+            F.lpad((F.col("event_id") % _N_SERVERS).cast("string"), 2, "0"),
+            F.lit(":"),
+            (F.expr(f"event_id div {_N_SERVERS}") * _RANGE_W).cast("string"),
+            F.lit("-"),
+            (F.expr(f"event_id div {_N_SERVERS}") * _RANGE_W + _RANGE_W - 1)
+            .cast("string"),
+        ).alias("gtid")
     )
-    return safe_watermark(acked, "server_id", "txn_no")
+    return gtid_safe_set(frags).orderBy("server_uuid")
 
 
 WATERMARK_SQL = f"""
-WITH acked AS (
-    SELECT CAST(event_id % {_N_SERVERS} AS INT) AS server_id,
-           event_id // {_N_SERVERS} AS txn_no
+WITH frags AS (
+    SELECT 'srv-' || lpad(CAST(event_id % {_N_SERVERS} AS VARCHAR), 2, '0')
+        || ':' || CAST((event_id // {_N_SERVERS}) * {_RANGE_W} AS VARCHAR)
+        || '-' || CAST((event_id // {_N_SERVERS}) * {_RANGE_W}
+                       + {_RANGE_W} - 1 AS VARCHAR) AS gtid
     FROM events
     WHERE event_id % {_GAP_MOD} <> 0
-), ranked AS (
-    SELECT server_id, txn_no AS txn_id,
-        ROW_NUMBER() OVER (PARTITION BY server_id ORDER BY txn_no) - 1
-            AS rn,
-        MIN(txn_no) OVER (PARTITION BY server_id) AS min_id
-    FROM acked
+), parsed AS (
+    SELECT regexp_extract(gtid, '^([^:]+):', 1) AS server_uuid,
+        CAST(regexp_extract(gtid, ':(\\d+)-', 1) AS BIGINT) AS r_start,
+        CAST(regexp_extract(gtid, '-(\\d+)$', 1) AS BIGINT) AS r_end
+    FROM frags
+), flagged AS (
+    SELECT *, CASE WHEN r_start > LAG(r_end) OVER w + 1
+                   THEN 1 ELSE 0 END AS gap
+    FROM parsed
+    WINDOW w AS (PARTITION BY server_uuid ORDER BY r_start, r_end)
+), islands AS (
+    SELECT *, SUM(gap) OVER (
+        PARTITION BY server_uuid ORDER BY r_start, r_end
+        ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
 )
-SELECT server_id, MAX(txn_id) AS safe_checkpoint,
-       COUNT(*) AS acked_contiguous
-FROM ranked
-WHERE txn_id - min_id = rn
-GROUP BY server_id
+SELECT server_uuid,
+    MAX(r_end) AS safe_checkpoint,
+    COUNT(*) AS n_safe_ranges,
+    server_uuid || ':' || CAST(MIN(r_start) AS VARCHAR)
+        || '-' || CAST(MAX(r_end) AS VARCHAR) AS safe_gtid_set
+FROM islands
+WHERE island = 0
+GROUP BY server_uuid
+ORDER BY server_uuid
 """

@@ -26,10 +26,22 @@ from .envelope import CHANGE_FEED_SQL, change_feed
 # dialect subset both Spark and DuckDB RE2-style engines share).
 R_BEGIN = "^\\s*(begin)"
 R_COMMIT = "^\\s*(commit)"
+R_DDL_DEFINER = (
+    "^\\s*(alter|drop|create|rename|truncate|modify)\\s+(definer)\\s*="
+)
 R_DDL_TABLE = "^\\s*(alter|drop|create|rename|truncate|modify)\\s+(table)"
 R_DDL_TEMP = "^\\s*(create|drop)\\s+(temporary)\\s+(table)"
 R_DDL_VIEW = "^\\s*(alter|drop|create)\\s+(view)"
 R_ANALYZE = "^\\s*(analyze)\\s+(table)"
+R_RENAME = "^\\s*rename\\s+table"
+
+# Per-rename-pair pattern for the cross-schema RENAME guard
+# (AugmenterContext.RENAME_MULTISCHEMA_PATTERN, ActiveSchemaHelpers
+# .getShouldProcess:173-198): groups 1/3 carry the optional from/to
+# schema qualifiers.
+RENAME_PAIR = (
+    "(`?\\S+`?\\.)?(`?\\S+`?)\\s+TO\\s+(`?\\S+`?\\.)?(`?\\S+`?)\\s*,?"
+)
 
 
 def classify_ops_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,17 +64,69 @@ GROUP BY table_name, op
 
 
 def classify_sql(col):
-    """The DDL/BEGIN/COMMIT regex ladder as a column expression."""
+    """The DDL/BEGIN/COMMIT regex ladder as a column expression.
+
+    Precedence follows processQueryEvent (AugmenterContext.java:415-500):
+    BEGIN / COMMIT / DDL_DEFINER before DDL_TABLE (a `CREATE
+    DEFINER=...` statement must not fall through to the table branch).
+    """
     lowered = F.lower(col)
     return (
-        F.when(lowered.rlike(R_DDL_TEMP), F.lit("DDL_TEMPORARY_TABLE"))
+        F.when(lowered.rlike(R_BEGIN), F.lit("BEGIN"))
+        .when(lowered.rlike(R_COMMIT), F.lit("COMMIT"))
+        .when(lowered.rlike(R_DDL_DEFINER), F.lit("DDL_DEFINER"))
+        .when(lowered.rlike(R_DDL_TEMP), F.lit("DDL_TEMPORARY_TABLE"))
         .when(lowered.rlike(R_DDL_TABLE), F.lit("DDL_TABLE"))
         .when(lowered.rlike(R_DDL_VIEW), F.lit("DDL_VIEW"))
         .when(lowered.rlike(R_ANALYZE), F.lit("DDL_ANALYZE"))
-        .when(lowered.rlike(R_BEGIN), F.lit("BEGIN"))
-        .when(lowered.rlike(R_COMMIT), F.lit("COMMIT"))
         .otherwise(F.lit("UNKNOWN"))
     )
+
+
+def rename_should_process(col, replicated_schema: str):
+    """Cross-schema RENAME guard (ActiveSchemaHelpers.getShouldProcess
+    :173-198): a RENAME is processed only if every rename pair's from-
+    and to-schema qualifier, when present, equals the replicated schema
+    (which also enforces from==to). Pure codegen'd array expressions —
+    regexp_extract_all + filter, no UDF."""
+
+    def _no_foreign(group_idx: int):
+        schemas = F.regexp_extract_all(col, F.lit(RENAME_PAIR), F.lit(group_idx))
+        norm = F.transform(
+            schemas, lambda s: F.regexp_replace(s, "[`.]", "")
+        )
+        return (
+            F.size(
+                F.filter(
+                    norm,
+                    lambda s: (s != F.lit(""))
+                    & (s != F.lit(replicated_schema)),
+                )
+            )
+            == 0
+        )
+
+    return _no_foreign(1) & _no_foreign(3)
+
+
+_REPLICATED_SCHEMA = "mydb"
+
+_SQL_TEXT_CASE = """CASE user_id % 8
+     WHEN 0 THEN 'BEGIN'
+     WHEN 1 THEN 'COMMIT'
+     WHEN 2 THEN concat('ALTER TABLE ', table_name,
+                        ' ADD COLUMN c INT')
+     WHEN 3 THEN concat('CREATE TEMPORARY TABLE tmp_',
+                        table_name, ' (id INT)')
+     WHEN 4 THEN concat('CREATE DEFINER=`admin`@`%` TRIGGER trg_',
+                        table_name, ' BEFORE INSERT ON ', table_name,
+                        ' FOR EACH ROW SET @x = 1')
+     WHEN 5 THEN concat('RENAME TABLE `mydb`.`', table_name,
+                        '` TO `otherdb`.`', table_name, '`')
+     WHEN 6 THEN concat('RENAME TABLE `mydb`.`', table_name,
+                        '` TO `mydb`.`', table_name, '_old`')
+     ELSE concat('ANALYZE TABLE ', table_name)
+   END"""
 
 
 def query_classifier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,53 +134,66 @@ def query_classifier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The driver feed has no DDL text, so QUERY events synthesize a
     deterministic statement from their payload; what is checked is the
-    classifier ladder itself.
+    classifier ladder itself plus the cross-schema RENAME guard (a
+    rename into another schema classifies DDL_TABLE but is flagged
+    should_process=false, AugmenterContext.java:468-479).
     """
     feed = change_feed(spark, sf_dir)
     q = feed.where(F.col("op") == "QUERY").withColumn(
-        "sql_text",
-        F.expr(
-            """CASE user_id % 5
-                 WHEN 0 THEN 'BEGIN'
-                 WHEN 1 THEN 'COMMIT'
-                 WHEN 2 THEN concat('ALTER TABLE ', table_name,
-                                    ' ADD COLUMN c INT')
-                 WHEN 3 THEN concat('CREATE TEMPORARY TABLE tmp_',
-                                    table_name, ' (id INT)')
-                 ELSE concat('ANALYZE TABLE ', table_name)
-               END"""
-        ),
+        "sql_text", F.expr(_SQL_TEXT_CASE)
     )
-    return (
-        q.withColumn("sql_class", classify_sql(F.col("sql_text")))
-        .groupBy("sql_class")
-        .agg(F.count("*").alias("n"))
+    q = q.withColumn("sql_class", classify_sql(F.col("sql_text")))
+    q = q.withColumn(
+        "should_process",
+        F.when(
+            (F.col("sql_class") == "DDL_TABLE")
+            & F.lower(F.col("sql_text")).rlike(R_RENAME),
+            rename_should_process(F.col("sql_text"), _REPLICATED_SCHEMA),
+        ).otherwise(F.lit(True)),
+    )
+    return q.groupBy("sql_class", "should_process").agg(
+        F.count("*").alias("n")
     )
 
 
 QUERY_CLASSIFIER_SQL = f"""
 WITH feed AS ({CHANGE_FEED_SQL}),
 q AS (
-    SELECT *, CASE user_id % 5
-        WHEN 0 THEN 'BEGIN'
-        WHEN 1 THEN 'COMMIT'
-        WHEN 2 THEN concat('ALTER TABLE ', table_name, ' ADD COLUMN c INT')
-        WHEN 3 THEN concat('CREATE TEMPORARY TABLE tmp_', table_name,
-                           ' (id INT)')
-        ELSE concat('ANALYZE TABLE ', table_name)
-      END AS sql_text
+    SELECT *, {_SQL_TEXT_CASE} AS sql_text
     FROM feed WHERE op = 'QUERY'
+),
+classified AS (
+    SELECT *, CASE
+        WHEN regexp_matches(lower(sql_text), '{R_BEGIN}') THEN 'BEGIN'
+        WHEN regexp_matches(lower(sql_text), '{R_COMMIT}') THEN 'COMMIT'
+        WHEN regexp_matches(lower(sql_text), '{R_DDL_DEFINER}')
+            THEN 'DDL_DEFINER'
+        WHEN regexp_matches(lower(sql_text), '{R_DDL_TEMP}')
+            THEN 'DDL_TEMPORARY_TABLE'
+        WHEN regexp_matches(lower(sql_text), '{R_DDL_TABLE}') THEN 'DDL_TABLE'
+        WHEN regexp_matches(lower(sql_text), '{R_DDL_VIEW}') THEN 'DDL_VIEW'
+        WHEN regexp_matches(lower(sql_text), '{R_ANALYZE}') THEN 'DDL_ANALYZE'
+        ELSE 'UNKNOWN' END AS sql_class
+    FROM q
+),
+guarded AS (
+    SELECT *, CASE
+        WHEN sql_class = 'DDL_TABLE'
+             AND regexp_matches(lower(sql_text), '{R_RENAME}')
+        THEN len(list_filter(
+                 list_transform(
+                     regexp_extract_all(sql_text, '{RENAME_PAIR}', 1),
+                     s -> regexp_replace(s, '[`.]', '', 'g')),
+                 s -> s <> '' AND s <> '{_REPLICATED_SCHEMA}')) = 0
+             AND len(list_filter(
+                 list_transform(
+                     regexp_extract_all(sql_text, '{RENAME_PAIR}', 3),
+                     s -> regexp_replace(s, '[`.]', '', 'g')),
+                 s -> s <> '' AND s <> '{_REPLICATED_SCHEMA}')) = 0
+        ELSE TRUE END AS should_process
+    FROM classified
 )
-SELECT CASE
-    WHEN regexp_matches(lower(sql_text), '{R_DDL_TEMP}')
-        THEN 'DDL_TEMPORARY_TABLE'
-    WHEN regexp_matches(lower(sql_text), '{R_DDL_TABLE}') THEN 'DDL_TABLE'
-    WHEN regexp_matches(lower(sql_text), '{R_DDL_VIEW}') THEN 'DDL_VIEW'
-    WHEN regexp_matches(lower(sql_text), '{R_ANALYZE}') THEN 'DDL_ANALYZE'
-    WHEN regexp_matches(lower(sql_text), '{R_BEGIN}') THEN 'BEGIN'
-    WHEN regexp_matches(lower(sql_text), '{R_COMMIT}') THEN 'COMMIT'
-    ELSE 'UNKNOWN' END AS sql_class,
-    COUNT(*) AS n
-FROM q
-GROUP BY 1
+SELECT sql_class, should_process, COUNT(*) AS n
+FROM guarded
+GROUP BY 1, 2
 """

@@ -18,6 +18,7 @@ Decode rules ported (reference line cites):
 - SET bitmask → joined labels                       (:154-170)
 - DECIMAL → plain string                            (:215-218)
 - NULL → 'NULL' sentinel (AugmentedRow.java:13)
+- bytes → string by column collation                (:85-97)
 """
 
 from __future__ import annotations
@@ -92,6 +93,39 @@ def null_sentinel(col: Column) -> Column:
     return F.coalesce(col.cast("string"), F.lit("NULL"))
 
 
+# MySQL collation-name prefix → Java charset, mirroring the reference's
+# latin1-vs-UTF-8 branch (MysqlTypeDeserializer.java:85-97). Checked in
+# order; unknown collations fall through to UTF-8 (MySQL 8 default).
+_COLLATION_CHARSETS = (
+    ("latin1", "ISO-8859-1"),
+    ("ascii", "US-ASCII"),
+    ("utf8", "UTF-8"),
+)
+
+
+def string_by_collation(bytes_col: Column, collation_col: Column) -> Column:
+    """CHAR/VARCHAR/TEXT bytes → string using the charset implied by the
+    column's collation (e.g. 'latin1_swedish_ci' → ISO-8859-1,
+    'utf8mb4_general_ci' → UTF-8)."""
+    out = F.decode(bytes_col, "UTF-8")
+    for prefix, charset in reversed(_COLLATION_CHARSETS):
+        out = F.when(
+            collation_col.startswith(prefix), F.decode(bytes_col, charset)
+        ).otherwise(out)
+    return out
+
+
+def encode_by_collation(str_col: Column, collation_col: Column) -> Column:
+    """Inverse of string_by_collation (test fixture: produce the raw
+    bytes a binlog cell would carry for a given column collation)."""
+    out = F.encode(str_col, "UTF-8")
+    for prefix, charset in reversed(_COLLATION_CHARSETS):
+        out = F.when(
+            collation_col.startswith(prefix), F.encode(str_col, charset)
+        ).otherwise(out)
+    return out
+
+
 _ENUM_LABELS = ("animalia", "plantae")
 _SET_LABELS = ("read", "write", "admin")
 
@@ -101,6 +135,13 @@ def type_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     part = read_table(spark, sf_dir, "part")
     signed = (F.col("p_size") - F.lit(100)).cast("long")  # goes negative
+    collation = F.when(
+        F.col("p_partkey") % 2 == 0, F.lit("latin1_swedish_ci")
+    ).otherwise(F.lit("utf8mb4_general_ci"))
+    txt = F.concat(F.col("p_name"), F.lit(" é"))
+    part = part.withColumn("collation", collation).withColumn(
+        "raw_bytes", encode_by_collation(txt, F.col("collation"))
+    )
     return part.select(
         "p_partkey",
         unsigned_reinterpret(signed, 8).cast("long").alias("utiny"),
@@ -121,6 +162,14 @@ def type_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_sentinel(
             F.when(F.col("p_size") % 7 == 0, F.col("p_type"))
         ).alias("maybe_type"),
+        # Collation-aware string decode: round-trip through the charset
+        # the collation implies; byte length proves which encoding ran
+        # ('é' is 1 byte in latin1, 2 in UTF-8).
+        F.col("collation"),
+        string_by_collation(F.col("raw_bytes"), F.col("collation")).alias(
+            "text_decoded"
+        ),
+        F.length(F.col("raw_bytes")).cast("long").alias("raw_byte_len"),
     )
 
 
@@ -147,6 +196,12 @@ SELECT p_partkey,
         CASE WHEN (p_size % 8) & 4 <> 0 THEN 'admin' END) AS perms,
     CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
     COALESCE(CASE WHEN p_size % 7 = 0 THEN p_type END, 'NULL')
-        AS maybe_type
+        AS maybe_type,
+    CASE WHEN p_partkey % 2 = 0 THEN 'latin1_swedish_ci'
+         ELSE 'utf8mb4_general_ci' END AS collation,
+    p_name || ' é' AS text_decoded,
+    CAST(length(p_name) + 1
+         + CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 2 END
+         AS BIGINT) AS raw_byte_len
 FROM src
 """

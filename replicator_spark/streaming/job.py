@@ -60,7 +60,13 @@ def run_timemachine_stream(
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         cells = cells_from(organized_feed_from(change_feed_from(batch_df)))
-        cells.write.mode("append").partitionBy("table_name").parquet(out_dir)
+        # foreachBatch is at-least-once: write each epoch to its own
+        # deterministic subdir with overwrite, so a retried micro-batch
+        # replaces its previous (possibly partial) output instead of
+        # appending duplicate cells — idempotent without read-time dedup.
+        cells.write.mode("overwrite").partitionBy("table_name").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -115,3 +115,31 @@ def test_timemachine_cells_single_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tm_cells")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Union" not in plan
+
+
+def test_pack_sequences_window_is_sharded(spark, sf_dir):
+    """The packing cumsum must partition by (lang, shard), not lang
+    alone — otherwise window parallelism collapses to #languages at
+    scale (round-1 verdict scale-killer)."""
+    plan = _plan(spark, sf_dir, "curate_pack_sequences")
+    import re
+
+    m = re.search(r"Window .*partial_?sum?", plan) or re.search(
+        r"\(\d+\) Window\b.*", plan
+    )
+    # the window spec line carries its partition keys
+    win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert win_lines, plan
+    assert any("shard" in ln and "lang" in ln for ln in win_lines), win_lines
+
+
+def test_pack_sequences_distinct_shards(spark, sf_dir):
+    """Shard column actually spreads the data (parallelism = langs × shards)."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark import api
+
+    df = api.queries()["curate_pack_sequences"](spark, sf_dir)
+    n = df.select("lang", "shard").distinct().count()
+    langs = df.select("lang").distinct().count()
+    assert n > langs  # more window partitions than languages

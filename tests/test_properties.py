@@ -53,6 +53,8 @@ def test_txn_assembly_state_is_batch_split_invariant(data):
     class FakeState:
         def __init__(self):
             self._v = None
+            self.hasTimedOut = False
+            self.timeout_ts = None
 
         @property
         def exists(self):
@@ -65,15 +67,26 @@ def test_txn_assembly_state_is_batch_split_invariant(data):
         def update(self, v):
             self._v = v
 
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout_ts = ts
+
     def run(batch_list):
         state = FakeState()
-        last = None
         for ids_b, ts_b in batch_list:
             pdf = pd.DataFrame(
                 {"event_id": ids_b, "ts_ms": ts_b, "commit_ts_ms": ts_b}
             )
-            last = list(_assemble((7,), iter([pdf]), state))[-1]
-        return last.iloc[0].tolist()
+            emitted = list(_assemble((7,), iter([pdf]), state))
+            # data batches buffer, never emit (emit-on-close contract)
+            assert emitted == []
+        # watermark passes the txn boundary → timeout callback emits once
+        state.hasTimedOut = True
+        out = list(_assemble((7,), iter([]), state))
+        assert len(out) == 1 and not state.exists  # emitted and cleared
+        return out[0].iloc[0].tolist()
 
     assert run(batches) == run([(ids, ts)])
 
