@@ -51,6 +51,7 @@ _PRIORITY = [
     "tm_asof_snapshot",
     "tm_row_history",
     "tm_compaction",
+    "tm_scd2_intervals",
     # --- §2.8 other sinks ---
     "sink_count",
     "sink_console",
@@ -221,6 +222,8 @@ def _load() -> None:
              timemachine.ROW_HISTORY_SQL)
     register("tm_compaction", timemachine.compaction_query,
              timemachine.COMPACTION_SQL)
+    register("tm_scd2_intervals", timemachine.scd2_intervals_query,
+             timemachine.SCD2_INTERVALS_SQL)
 
     for mod in (
         seeker, validation, bootstrap, jsonb,

@@ -30,6 +30,12 @@ R_DDL_DEFINER = (
     "^\\s*(alter|drop|create|rename|truncate|modify)\\s+(definer)\\s*="
 )
 R_DDL_TABLE = "^\\s*(alter|drop|create|rename|truncate|modify)\\s+(table)"
+# target-table extraction: ddlTablePattern group 4
+# (AugmenterContext.java:76, backtick/schema strip :488-500)
+R_DDL_TABLE_TARGET = (
+    "(?i)^\\s*(alter|drop|create|rename|truncate|modify)\\s+(table)\\s+"
+    "(if (?:not )?exists\\s+)?(\\S+)"
+)
 R_DDL_TEMP = "^\\s*(create|drop)\\s+(temporary)\\s+(table)"
 R_DDL_VIEW = "^\\s*(alter|drop|create)\\s+(view)"
 R_ANALYZE = "^\\s*(analyze)\\s+(table)"
@@ -109,9 +115,20 @@ def rename_should_process(col, replicated_schema: str):
     return _no_foreign(1) & _no_foreign(3)
 
 
+def extract_target_table(col):
+    """DDL target-table name: pattern group 4, then strip backticks and
+    a schema qualifier (AugmenterContext.java:485-503). Empty when the
+    statement is not a table DDL."""
+    raw = F.regexp_extract(col, R_DDL_TABLE_TARGET, 4)
+    unquoted = F.regexp_replace(raw, "`", "")
+    return F.when(
+        unquoted.contains("."), F.substring_index(unquoted, ".", -1)
+    ).otherwise(unquoted)
+
+
 _REPLICATED_SCHEMA = "mydb"
 
-_SQL_TEXT_CASE = """CASE user_id % 8
+_SQL_TEXT_CASE = """CASE user_id % 10
      WHEN 0 THEN 'BEGIN'
      WHEN 1 THEN 'COMMIT'
      WHEN 2 THEN concat('ALTER TABLE ', table_name,
@@ -125,6 +142,10 @@ _SQL_TEXT_CASE = """CASE user_id % 8
                         '` TO `otherdb`.`', table_name, '`')
      WHEN 6 THEN concat('RENAME TABLE `mydb`.`', table_name,
                         '` TO `mydb`.`', table_name, '_old`')
+     WHEN 7 THEN concat('CREATE VIEW v_', table_name,
+                        ' AS SELECT 1')
+     WHEN 8 THEN concat('DROP TABLE IF EXISTS `mydb`.`',
+                        table_name, '`')
      ELSE concat('ANALYZE TABLE ', table_name)
    END"""
 
@@ -151,8 +172,14 @@ def query_classifier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             rename_should_process(F.col("sql_text"), _REPLICATED_SCHEMA),
         ).otherwise(F.lit(True)),
     )
+    q = q.withColumn(
+        "target_table", extract_target_table(F.col("sql_text"))
+    )
     return q.groupBy("sql_class", "should_process").agg(
-        F.count("*").alias("n")
+        F.count("*").alias("n"),
+        F.countDistinct(
+            F.when(F.col("target_table") != "", F.col("target_table"))
+        ).alias("n_target_tables"),
     )
 
 
@@ -173,7 +200,12 @@ classified AS (
         WHEN regexp_matches(lower(sql_text), '{R_DDL_TABLE}') THEN 'DDL_TABLE'
         WHEN regexp_matches(lower(sql_text), '{R_DDL_VIEW}') THEN 'DDL_VIEW'
         WHEN regexp_matches(lower(sql_text), '{R_ANALYZE}') THEN 'DDL_ANALYZE'
-        ELSE 'UNKNOWN' END AS sql_class
+        ELSE 'UNKNOWN' END AS sql_class,
+        regexp_extract(
+            regexp_replace(
+                regexp_extract(sql_text, '{R_DDL_TABLE_TARGET}', 4),
+                '`', '', 'g'),
+            '([^.]*)$', 1) AS target_table
     FROM q
 ),
 guarded AS (
@@ -193,7 +225,9 @@ guarded AS (
         ELSE TRUE END AS should_process
     FROM classified
 )
-SELECT sql_class, should_process, COUNT(*) AS n
+SELECT sql_class, should_process, COUNT(*) AS n,
+    COUNT(DISTINCT CASE WHEN target_table <> '' THEN target_table END)
+        AS n_target_tables
 FROM guarded
 GROUP BY 1, 2
 """

@@ -290,6 +290,61 @@ GROUP BY c.table_name
 )
 
 
+def scd2_intervals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 materialization of the change feed: each row version
+    becomes a validity interval [valid_from_us, valid_to_us) closed by
+    the next version of the same (table, rowkey); the open interval is
+    the current state unless it is a tombstone. The classic downstream
+    of a replicator ("give me dimension history as intervals") — the
+    interval view of the same history the time-machine stores as cells
+    (reference read path HBaseSnapshotter §1.4; this is its
+    batch-export twin).
+
+    Scale shape: ONE exchange on (table_name, rowkey) feeding a single
+    lead() window — the same partitioning the versioned store is
+    bucketed by, so on a partitioned store this is exchange-free."""
+    feed = organized_feed(spark, sf_dir).where(F.col("op") != "QUERY")
+    w = W.partitionBy("table_name", "rowkey").orderBy(
+        "version_us", "event_id"
+    )
+    iv = feed.select(
+        "table_name",
+        "rowkey",
+        "op",
+        F.coalesce(F.col("value_after").cast("string"),
+                   F.lit(NULL_SENTINEL)).alias("value"),
+        F.coalesce(F.col("props_after"), F.lit(NULL_SENTINEL)).alias(
+            "props"
+        ),
+        F.col("version_us").alias("valid_from_us"),
+        F.lead("version_us").over(w).alias("valid_to_us"),
+    )
+    return iv.withColumn(
+        "is_current",
+        F.col("valid_to_us").isNull() & (F.col("op") != "DELETE"),
+    )
+
+
+SCD2_INTERVALS_SQL = (
+    ORGANIZED_FEED_SQL
+    + f""",
+mutations AS (SELECT * FROM organized WHERE op <> 'QUERY'),
+iv AS (
+    SELECT table_name, rowkey, op,
+        COALESCE(CAST(value_after AS VARCHAR), '{NULL_SENTINEL}') AS value,
+        COALESCE(props_after, '{NULL_SENTINEL}') AS props,
+        version_us AS valid_from_us,
+        LEAD(version_us) OVER (
+            PARTITION BY table_name, rowkey
+            ORDER BY version_us, event_id) AS valid_to_us
+    FROM mutations
+)
+SELECT *, valid_to_us IS NULL AND op <> 'DELETE' AS is_current
+FROM iv
+"""
+)
+
+
 # max_by key: version_us*1e10 + event_id (scalar HUGEINT) orders
 # identically to Spark's struct(version_us, event_id) — event_id < 1e10.
 ASOF_SNAPSHOT_SQL = (

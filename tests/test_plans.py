@@ -143,3 +143,13 @@ def test_pack_sequences_distinct_shards(spark, sf_dir):
     n = df.select("lang", "shard").distinct().count()
     langs = df.select("lang").distinct().count()
     assert n > langs  # more window partitions than languages
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """SCD2 interval export: one keyed exchange feeding one window —
+    no self-join, no extra shuffle."""
+    plan = _plan(spark, sf_dir, "tm_scd2_intervals")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
