@@ -46,6 +46,8 @@ _PRIORITY = [
     "cdc_seeker_resume",
     "cdc_validation_sample",
     "source_bootstrap_snapshot",
+    "cdc_apply_upsert",
+    "cdc_snapshot_diff",
     # --- §2.8 time-machine sink + read path ---
     "tm_cells",
     "tm_asof_snapshot",
@@ -78,10 +80,12 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_clusters",
     "sim_cosine_topk",
     "sim_ivf_topk",
     "sim_lsh_buckets",
     "sim_norm_stats",
+    "emb_quantize_int8",
     "curate_stratified_sample",
     "curate_dataset_split",
     "curate_contamination",
@@ -90,6 +94,11 @@ _PRIORITY = [
     "text_langid",
     "text_fingerprint",
     "text_rolling_hash",
+    "text_repetition",
+    "text_pii_scrub",
+    "text_top_terms",
+    "text_inverted_index",
+    "text_tfidf",
     "sessionize_events",
     "sketch_kmv_distinct",
     "multimodal_features",
@@ -153,6 +162,7 @@ def _load() -> None:
     # Imports are intentionally loud: a broken module must fail the
     # whole registry, not silently shrink the driver's grading window.
     from .cdc import (
+        apply,
         checkpoint,
         classify,
         decode,
@@ -167,6 +177,8 @@ def _load() -> None:
         validation,
     )
     from .pipeline import (
+        cluster,
+        corpus,
         curation,
         dedup,
         multimodal,
@@ -174,6 +186,7 @@ def _load() -> None:
         similarity,
         sketches,
         text,
+        vectors,
     )
     from .queries import temporal, tpch, tpch_ext
     from .sinks import avro as avro_sink
@@ -226,11 +239,12 @@ def _load() -> None:
              timemachine.SCD2_INTERVALS_SQL)
 
     for mod in (
-        seeker, validation, bootstrap, jsonb,
+        seeker, validation, bootstrap, jsonb, apply,
         count_sink, console_sink, kafka_sink, avro_sink,
         schema_registry, streaming_job, txn_state,
         tpch, tpch_ext, temporal,
-        curation, dedup, sessions, similarity, sketches, text,
+        cluster, corpus, curation, dedup, sessions, similarity, sketches,
+        text, vectors,
         multimodal,
     ):
         for name, fn, sql in mod.REGISTRY:

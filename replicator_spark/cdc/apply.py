@@ -1,0 +1,176 @@
+"""Applier current-state materialization + snapshot diff.
+
+`cdc_apply_upsert` is the net effect of the reference's applier write
+path (HBaseApplier.java:166-196, the MySQL applier analog): apply the
+bootstrap-snapshot ∪ change-feed union to produce the CURRENT table
+state — last writer per row key wins, a trailing DELETE removes the
+row. In SQL terms it is `MERGE INTO current USING feed` collapsed to
+one batch expression.
+
+`cdc_snapshot_diff` is the inverse direction (the reference's data
+"validation service" compares source and target tables — SURVEY §2.8
+validation side-channel): diff two table images and re-derive the NET
+change feed (INSERT/UPDATE/DELETE per key) that transforms one into
+the other. Here: initial `customer` snapshot vs the post-feed applied
+state, so `diff ∘ apply = net(feed)` — a self-checking pair.
+
+Scale shape (100 TB):
+- apply: ONE combiner-backed exchange on the row key; every `max_by`
+  partial-aggregates map-side, so shuffled bytes are one row per key
+  per map partition, not the raw feed.
+- diff: full outer join on the row key — both sides hash-partition on
+  the same key; with a bucketed store this is exchange-free. No
+  broadcast (both sides are table-sized by design).
+
+NULL column images use the time-machine's 'NULL' sentinel: DuckDB's
+`arg_max` silently skips NULL values (verified), so both engines
+coalesce before the argmax and the sentinel IS the contract
+(HBaseApplierMutationGenerator.java:268-270 stores the same literal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+from ..sources.bootstrap import BOOTSTRAP_UNION_SQL, bootstrap_union
+
+NULL_SENTINEL = "NULL"
+
+# DuckDB ordering key: scalar composite (no struct max_by keys in
+# DuckDB). ts_ms*1e10 dominates; event_id (shifted non-negative —
+# snapshot events use -c_custkey) breaks ties identically to Spark's
+# struct(ts_ms, event_id). Valid while |event_id| < 1e8.
+_ORD_K = "CAST(ts_ms AS HUGEINT) * 10000000000 + (event_id + 100000000)"
+
+
+def applied_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current state per row key after replaying snapshot ∪ feed."""
+    prep(spark)
+    mut = bootstrap_union(spark, sf_dir).where(F.col("op") != "QUERY")
+    keyed = mut.select(
+        "user_id",
+        "op",
+        "ts_ms",
+        "event_id",
+        "source",
+        F.coalesce(F.col("value_after").cast("string"),
+                   F.lit(NULL_SENTINEL)).alias("value_s"),
+        F.coalesce(F.col("props_after"),
+                   F.lit(NULL_SENTINEL)).alias("props_s"),
+    )
+    ord_k = F.struct("ts_ms", "event_id")
+    return keyed.groupBy("user_id").agg(
+        F.max_by("op", ord_k).alias("last_op"),
+        F.max_by("value_s", ord_k).alias("value"),
+        F.max_by("props_s", ord_k).alias("props"),
+        F.max_by("source", ord_k).alias("last_source"),
+        F.max("ts_ms").alias("last_ts_ms"),
+        F.count("*").alias("n_mutations"),
+    )
+
+
+def apply_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE materialization: live rows only (trailing DELETE drops)."""
+    return applied_state(spark, sf_dir).where(F.col("last_op") != "DELETE")
+
+
+APPLIED_STATE_SQL = (
+    BOOTSTRAP_UNION_SQL
+    + f""",
+mut AS (SELECT * FROM unioned WHERE op <> 'QUERY'),
+keyed AS (
+    SELECT user_id, op, ts_ms, event_id, source,
+        COALESCE(CAST(value_after AS VARCHAR), '{NULL_SENTINEL}')
+            AS value_s,
+        COALESCE(props_after, '{NULL_SENTINEL}') AS props_s,
+        {_ORD_K} AS ord_k
+    FROM mut
+),
+state AS (
+    SELECT user_id,
+        arg_max(op, ord_k) AS last_op,
+        arg_max(value_s, ord_k) AS value,
+        arg_max(props_s, ord_k) AS props,
+        arg_max(source, ord_k) AS last_source,
+        MAX(ts_ms) AS last_ts_ms,
+        CAST(COUNT(*) AS BIGINT) AS n_mutations
+    FROM keyed GROUP BY user_id
+)
+"""
+)
+
+APPLY_UPSERT_SQL = (
+    APPLIED_STATE_SQL
+    + "SELECT * FROM state WHERE last_op <> 'DELETE'\n"
+)
+
+
+def snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net change feed between two table images (A = initial customer
+    snapshot, B = post-feed applied state): keys only in B → INSERT,
+    only in A → DELETE, changed images → UPDATE; identical rows are
+    silent. Full outer join, both sides keyed identically."""
+    prep(spark)
+    a = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_acctbal").cast("double").cast("string").alias("value_a"),
+        F.col("c_mktsegment").alias("props_a"),
+    )
+    b = applied_state(spark, sf_dir).where(
+        F.col("last_op") != "DELETE"
+    ).select(
+        "user_id",
+        F.col("value").alias("value_b"),
+        F.col("props").alias("props_b"),
+    )
+    j = a.join(b, "user_id", "full_outer")
+    diff_op = (
+        F.when(F.col("value_a").isNull(), F.lit("INSERT"))
+        .when(F.col("value_b").isNull(), F.lit("DELETE"))
+        .when(
+            (F.col("value_a") != F.col("value_b"))
+            | (F.col("props_a") != F.col("props_b")),
+            F.lit("UPDATE"),
+        )
+    )
+    return (
+        j.withColumn("diff_op", diff_op)
+        .where(F.col("diff_op").isNotNull())
+        .select("user_id", "diff_op", "value_a", "value_b",
+                "props_a", "props_b")
+    )
+
+
+SNAPSHOT_DIFF_SQL = (
+    APPLIED_STATE_SQL
+    + """,
+a AS (
+    SELECT c_custkey AS user_id,
+        CAST(CAST(c_acctbal AS DOUBLE) AS VARCHAR) AS value_a,
+        c_mktsegment AS props_a
+    FROM customer
+),
+b AS (
+    SELECT user_id, value AS value_b, props AS props_b
+    FROM state WHERE last_op <> 'DELETE'
+),
+j AS (
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        value_a, value_b, props_a, props_b,
+        CASE WHEN value_a IS NULL THEN 'INSERT'
+             WHEN value_b IS NULL THEN 'DELETE'
+             WHEN value_a <> value_b OR props_a <> props_b THEN 'UPDATE'
+        END AS diff_op
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+)
+SELECT user_id, diff_op, value_a, value_b, props_a, props_b
+FROM j WHERE diff_op IS NOT NULL
+"""
+)
+
+REGISTRY = [
+    ("cdc_apply_upsert", apply_upsert_query, APPLY_UPSERT_SQL),
+    ("cdc_snapshot_diff", snapshot_diff_query, SNAPSHOT_DIFF_SQL),
+]

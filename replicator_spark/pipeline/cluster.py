@@ -1,0 +1,116 @@
+"""Near-duplicate cluster assignment: connected components over the
+MinHash-LSH candidate-pair graph.
+
+The LSH stage (dedup.py) emits candidate PAIRS; a dedup pipeline needs
+per-document CLUSTER ids ("keep one doc per component"). This operator
+closes that gap: iterative min-label propagation until fixpoint, i.e.
+the classic distributed connected-components loop.
+
+Scale shape (100 TB):
+- Each iteration is one equi-join (labels ⋈ symmetric edges) plus one
+  combiner-backed min-groupBy — both hash-partitioned on doc_id, so AQE
+  reuses one exchange layout across iterations; edges are persisted
+  once (the expensive minhash subtree is NOT re-evaluated per round).
+- Rounds needed = graph diameter. LSH dup components are near-cliques
+  (duplicates share buckets pairwise), so diameter is 1-2 in practice;
+  the loop still guards with a fixpoint check and a hard cap. For
+  adversarial long-chain graphs swap the body for alternating
+  large-star/small-star (same join+groupBy primitives, O(log n)
+  rounds) — the driver loop shape is identical.
+- The per-round `.count()` is a scalar fixpoint probe, not a data
+  collect.
+
+Oracle: DuckDB recursive CTE computing min reachable label — exact
+same fixpoint, declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..session import prep, read_table
+from .dedup import _BANDED_SQL, _SIG_SQL, minhash_lsh_pairs
+
+MAX_ITERS = 20
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """nodes(doc_id), edges(doc_a, doc_b) → (doc_id, cluster_id) where
+    cluster_id = min doc_id of the component."""
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(MAX_ITERS):
+        prop = (
+            sym.join(labels, sym.doc_a == labels.doc_id)
+            .select(F.col("doc_b").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist() if labels.is_cached else None
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("connected_components: no fixpoint "
+                           f"after {MAX_ITERS} iterations")
+    return labels
+
+
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document with its near-dup cluster id + component size
+    (singletons cluster with themselves)."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    nodes = docs.select("doc_id")
+    edges = minhash_lsh_pairs(docs)
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count("*").over(W.partitionBy("label")).alias("n_members"),
+    )
+
+
+DEDUP_CLUSTERS_SQL = (
+    _SIG_SQL.replace("WITH toked", "WITH RECURSIVE toked", 1)
+    + f""", banded AS ({_BANDED_SQL}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(n, l) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n
+),
+labels AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n)
+SELECT doc_id, cluster_id,
+    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+FROM labels
+"""
+)
+
+REGISTRY = [
+    ("dedup_clusters", dedup_clusters_query, DEDUP_CLUSTERS_SQL),
+]

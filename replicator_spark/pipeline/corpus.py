@@ -1,0 +1,322 @@
+"""Corpus-level text operators: repetition quality filters, PII
+scrubbing, heavy-hitter terms, inverted index, TF-IDF.
+
+These are the cross-document half of the text-analysis surface
+(text.py holds the per-document map-only half). Scale shapes:
+
+- repetition: explode bigrams → combiner groupBy(doc_id, bigram) →
+  per-doc window. Both exchanges are keyed by doc_id (the second is a
+  subset re-sort, not a re-shuffle under AQE).
+- pii scrub: pure map-side regexp expressions, whole-stage codegen.
+- top terms: combiner groupBy(lang, term) then a window over the
+  aggregated (tiny) per-lang term counts.
+- inverted index: distinct (term, doc) → groupBy(term) with sorted,
+  CAPPED postings — the cap keeps a mega-term's posting row bounded
+  (the full list would be a skew cell at 100 TB).
+- tf-idf: tf groupBy(doc, term); document frequencies are
+  vocabulary-sized → BROADCAST joined back (no shuffle of the tf
+  side); corpus size N is a broadcast scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+from .text import ws_tokens
+
+# ---------------------------------------------------------------- repetition
+
+TOP_BIGRAM_MAX_FRAC = 0.18  # Gopher-style duplication gate
+
+
+def repetition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram repetition stats (Gopher-style duplication
+    filters): total/distinct bigrams, the dominant bigram and its
+    frequency fraction, and the pass/fail gate."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    n = F.size("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.get(F.col("toks"), i - 1), F.get(F.col("toks"), i)
+        ),
+    )
+    bg = toked.select("doc_id", F.explode(bigrams).alias("bigram"))
+    counts = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("bigram").asc()
+    )
+    per_doc = counts.select(
+        "doc_id", "bigram", "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cnt").over(W.partitionBy("doc_id")).alias("n_bigrams"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("n_distinct"),
+    ).where(F.col("rn") == 1)
+    top_frac = F.round(F.col("cnt").cast("double") / F.col("n_bigrams"), 6)
+    dup_frac = F.round(
+        1 - F.col("n_distinct").cast("double") / F.col("n_bigrams"), 6
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.col("n_distinct").alias("n_distinct_bigrams"),
+        F.col("bigram").alias("top_bigram"),
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        (top_frac <= TOP_BIGRAM_MAX_FRAC).alias("passes_repetition"),
+    )
+
+
+REPETITION_SQL = f"""
+WITH toked AS (
+    SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+), bg AS (
+    SELECT doc_id,
+        unnest(list_transform(
+            range(1, greatest(len(toks) - 1, 1) + 1),
+            i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+    FROM toked
+), counts AS (
+    SELECT doc_id, bigram, COUNT(*) AS cnt
+    FROM bg GROUP BY doc_id, bigram
+), per_doc AS (
+    SELECT doc_id, bigram, cnt,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY cnt DESC, bigram ASC) AS rn,
+        CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+        COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct
+    FROM counts
+)
+SELECT doc_id, n_bigrams, n_distinct AS n_distinct_bigrams,
+    bigram AS top_bigram,
+    round(CAST(cnt AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+    round(1 - CAST(n_distinct AS DOUBLE) / n_bigrams, 6)
+        AS dup_bigram_frac,
+    round(CAST(cnt AS DOUBLE) / n_bigrams, 6) <= {TOP_BIGRAM_MAX_FRAC}
+        AS passes_repetition
+FROM per_doc WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------- pii scrub
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IP_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+NUM_RE = "\\b\\d{8,}\\b"
+
+
+def _with_pii(docs: DataFrame) -> DataFrame:
+    """Fixture synthesis: the corpus carries no PII, so stamp a
+    deterministic email/IP/account-number tail onto 2 of every 3 docs
+    (doc_id-derived, reproducible in the oracle) before scrubbing."""
+    tail = F.concat(
+        F.lit(" contact u"), F.col("doc_id"), F.lit("@example.com ip 10."),
+        F.col("doc_id") % 256, F.lit(".0."), (F.col("doc_id") * 7) % 256,
+        F.lit(" acct "), F.col("doc_id") * 97 + 10_000_000,
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 != 0, F.concat(F.col("text"), tail))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def pii_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction: count then replace emails, IPv4s, long
+    account numbers; emits per-doc counts + digest of scrubbed text."""
+    prep(spark)
+    docs = _with_pii(read_table(spark, sf_dir, "documents"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            IP_RE, "<IP>",
+        ),
+        NUM_RE, "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(IP_RE)).alias("n_ips"),
+        F.regexp_count(F.col("text"), F.lit(NUM_RE)).alias("n_nums"),
+        F.md5(scrubbed).alias("scrubbed_digest"),
+    )
+
+
+_PII_TEXT_SQL = """
+SELECT doc_id,
+    CASE WHEN doc_id % 3 <> 0 THEN
+        text || ' contact u' || doc_id || '@example.com ip 10.'
+             || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+             || ' acct ' || (doc_id * 97 + 10000000)
+    ELSE text END AS text
+FROM documents
+"""
+
+PII_SCRUB_SQL = f"""
+WITH pii AS ({_PII_TEXT_SQL})
+SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+    CAST(len(regexp_extract_all(text, '{IP_RE}')) AS INT) AS n_ips,
+    CAST(len(regexp_extract_all(text, '{NUM_RE}')) AS INT) AS n_nums,
+    md5(regexp_replace(
+        regexp_replace(
+            regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+            '{IP_RE}', '<IP>', 'g'),
+        '{NUM_RE}', '<NUM>', 'g')) AS scrubbed_digest
+FROM pii
+"""
+
+# ---------------------------------------------------------------- top terms
+
+TOP_K_TERMS = 10
+
+
+def top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-K terms per language by corpus frequency
+    (deterministic tiebreak on the term)."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    counts = tok.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.select("lang", "term", "n",
+                      F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= TOP_K_TERMS)
+    )
+
+
+TOP_TERMS_SQL = f"""
+WITH tok AS (
+    SELECT lang,
+        unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+            AS term
+    FROM documents
+), counts AS (
+    SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY lang, term
+), ranked AS (
+    SELECT lang, term, n,
+        ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY n DESC, term ASC) AS rank
+    FROM counts
+)
+SELECT lang, term, n, rank FROM ranked WHERE rank <= {TOP_K_TERMS}
+"""
+
+# ------------------------------------------------------------ inverted index
+
+POSTINGS_CAP = 20
+
+
+def inverted_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists: term → document frequency + first K sorted doc
+    ids (capped so a stop-word's postings row stays bounded)."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    td = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    ).distinct()
+    return td.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP),
+            ",",
+        ).alias("postings"),
+    )
+
+
+INVERTED_INDEX_SQL = f"""
+WITH td AS (
+    SELECT DISTINCT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+            AS term
+    FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+    array_to_string(
+        (list(doc_id ORDER BY doc_id))[1:{POSTINGS_CAP}], ',') AS postings
+FROM td GROUP BY term
+"""
+
+# ------------------------------------------------------------------- tf-idf
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K characteristic terms per document by tf·ln(N/df). The df
+    table is vocabulary-sized → broadcast; N is a broadcast scalar —
+    the tf side (corpus-sized) is never re-shuffled for the join."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return scored.select(
+        "doc_id", "term", "tfidf", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= TFIDF_TOP_K)
+
+
+TFIDF_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+            AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, COUNT(*) AS df
+    FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, tf.term AS term,
+        round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+), ranked AS (
+    SELECT doc_id, term, tfidf,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+REGISTRY = [
+    ("text_repetition", repetition_query, REPETITION_SQL),
+    ("text_pii_scrub", pii_scrub_query, PII_SCRUB_SQL),
+    ("text_top_terms", top_terms_query, TOP_TERMS_SQL),
+    ("text_inverted_index", inverted_index_query, INVERTED_INDEX_SQL),
+    ("text_tfidf", tfidf_query, TFIDF_SQL),
+]

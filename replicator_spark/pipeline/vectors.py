@@ -1,0 +1,91 @@
+"""Vector/embedding storage operators: int8 scalar quantization.
+
+The standard ANN-index compression step (4× smaller than float32,
+~16× smaller than the float64 working form): per-vector symmetric
+scale = max|x|/127, q_i = round(x_i/scale) clamped to [-127, 127] by
+construction. Emits the quantization stats + reconstruction error per
+vector.
+
+Scale shape (100 TB): pure map-side array expressions — one scan, zero
+shuffles, whole-stage codegen. Rounding is floor(x/scale + 0.5) in
+BOTH engines (F.round/DuckDB round differ on .5 ties in sign handling;
+floor(+0.5) is tie-deterministic everywhere), and all reductions are
+sequential folds so the doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+
+_EPS = 1e-30  # all-zero-vector guard
+
+
+def quantize_int8_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    scale = (
+        F.greatest(
+            F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(_EPS)
+        )
+        / 127
+    )
+    scaled = emb.select("vec_id", "v", scale.alias("scale"))
+    qv = F.transform(
+        "v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
+    )
+    quant = scaled.select("vec_id", "v", "scale", qv.alias("qv"))
+    sq_err = F.zip_with(
+        "v", "qv",
+        lambda x, q: F.pow(x - q.cast("double") * F.col("scale"), 2),
+    )
+    mse = (
+        F.aggregate(sq_err, F.lit(0.0), lambda acc, e: acc + e)
+        / F.size("v")
+    )
+    return quant.select(
+        "vec_id",
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, q: acc + q
+        ).alias("q_sum"),
+        F.round(F.col("scale"), 9).alias("scale_r"),
+        F.round(mse, 12).alias("mse_r"),
+    )
+
+
+QUANTIZE_INT8_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scaled AS (
+    SELECT vec_id, v,
+        greatest(list_max(list_transform(v, x -> abs(x))), {_EPS}) / 127
+            AS scale
+    FROM emb
+), quant AS (
+    SELECT vec_id, v, scale,
+        list_transform(v, x -> floor(x / scale + 0.5)) AS qv
+    FROM scaled
+)
+SELECT vec_id,
+    CAST(list_min(qv) AS BIGINT) AS q_min,
+    CAST(list_max(qv) AS BIGINT) AS q_max,
+    CAST(list_sum(qv) AS BIGINT) AS q_sum,
+    round(scale, 9) AS scale_r,
+    round(list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(v) + 1),
+                           i -> pow(v[i] - qv[i] * scale, 2))),
+        (acc, e) -> acc + e) / len(v), 12) AS mse_r
+FROM quant
+"""
+
+REGISTRY = [
+    ("emb_quantize_int8", quantize_int8_query, QUANTIZE_INT8_SQL),
+]

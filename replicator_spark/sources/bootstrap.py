@@ -76,7 +76,9 @@ def bootstrap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BOOTSTRAP_SQL = f"""
+# Shared CTE prefix (feed → stream ∪ snapshot → `unioned`) — reused by
+# the MERGE materialization in cdc/apply.py.
+BOOTSTRAP_UNION_SQL = f"""
 WITH feed AS ({CHANGE_FEED_SQL}),
 stream AS (
     SELECT event_id, op, db, table_name, ts_ms, user_id, txn_xid,
@@ -93,6 +95,11 @@ snap AS (
     FROM customer, start
 ),
 unioned AS (SELECT * FROM snap UNION ALL SELECT * FROM stream)
+"""
+
+BOOTSTRAP_SQL = (
+    BOOTSTRAP_UNION_SQL
+    + """
 SELECT source, op, COUNT(*) AS n_events,
     MIN(ts_ms) AS min_ts_ms, MAX(ts_ms) AS max_ts_ms,
     COUNT(DISTINCT user_id) AS n_users
@@ -100,5 +107,6 @@ FROM unioned
 GROUP BY source, op
 ORDER BY source, op
 """
+)
 
 REGISTRY = [("source_bootstrap_snapshot", bootstrap_query, BOOTSTRAP_SQL)]
