@@ -69,6 +69,7 @@ _PRIORITY = [
     "stream_windowed_counts",
     "stream_dedup_exact",
     "stream_txn_assembly",
+    "stream_sessionize",
     # --- round-1 hash-fail fixes needing driver re-verification ---
     "tpch_q12",
     "temporal_asof_join",
@@ -197,6 +198,7 @@ def _load() -> None:
     from .sources import bootstrap
     from .streaming import job as streaming_job
     from .streaming import registry as schema_registry
+    from .streaming import sessionize as stream_sessionize
     from .streaming import txn_state
 
     register("cdc_change_feed", envelope.change_feed_query,
@@ -241,7 +243,7 @@ def _load() -> None:
     for mod in (
         seeker, validation, bootstrap, jsonb, apply,
         count_sink, console_sink, kafka_sink, avro_sink,
-        schema_registry, streaming_job, txn_state,
+        schema_registry, streaming_job, txn_state, stream_sessionize,
         tpch, tpch_ext, temporal,
         cluster, corpus, curation, dedup, sessions, similarity, sketches,
         text, vectors,

@@ -98,32 +98,32 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id → N_MINHASH minhashes, computed entirely narrow (no
     explode, no groupBy): shingles stay an array column; each shingle is
-    hashed with exactly TWO md5 calls (md5(s), md5('x'|s)) whose 32+32
-    hex chars are sliced into 8 disjoint 32-bit hash functions; the
-    per-doc minhash is `array_min` over each slice. Lexicographic min
-    over fixed-width hex == numeric min — portable to the SQL oracle.
-    At 100 TB this is a pure map stage: zero exchanges, 4× less hashing
-    than one-md5-per-seed.
+    hashed with exactly ONE md5 call whose 32 hex chars are sliced into
+    8 disjoint 16-bit hash functions; the per-doc minhash is
+    `array_min` over each slice. Lexicographic min over fixed-width hex
+    == numeric min — portable to the SQL oracle. 16 bits per slice is
+    enough for banding (2-row bands → 32-bit bucket keys); at 100 TB
+    this is a pure map stage: zero exchanges, 8× less hashing than
+    one-md5-per-seed (measured ~5% on the sf0.1 headliner vs the
+    two-md5 variant — the interpreted HOF lambda, not the hashing,
+    dominates at this scale; the hashing saving matters on real-size
+    documents).
     """
     sh = _with_shingles(docs)
     hashed = sh.select(
         "doc_id",
         F.transform("sh", lambda s: F.md5(s)).alias("m0"),
-        F.transform("sh", lambda s: F.md5(F.concat(F.lit("x"), s))).alias(
-            "m1"
-        ),
     )
     def _slice(off):
         # single-arg lambda on purpose: a 2-arg lambda would be taken by
         # F.transform as (element, index) and shadow the offset
-        return lambda x: F.substring(x, off, 8)
+        return lambda x: F.substring(x, off, 4)
 
     cols = []
     for s in range(N_MINHASH):
-        src = "m0" if s < N_MINHASH // 2 else "m1"
-        off = (s % (N_MINHASH // 2)) * 8 + 1
+        off = s * 4 + 1
         cols.append(
-            F.array_min(F.transform(F.col(src), _slice(off))).alias(f"h{s}")
+            F.array_min(F.transform(F.col("m0"), _slice(off))).alias(f"h{s}")
         )
     return hashed.select("doc_id", *cols)
 
@@ -197,10 +197,8 @@ list_filter(
 """
 
 _SIG_SLICES = ", ".join(
-    "list_min(list_transform(m{src}, x -> substr(x, {off}, 8))) AS h{s}".format(
-        src=0 if s < N_MINHASH // 2 else 1,
-        off=(s % (N_MINHASH // 2)) * 8 + 1,
-        s=s,
+    "list_min(list_transform(m0, x -> substr(x, {off}, 4))) AS h{s}".format(
+        off=s * 4 + 1, s=s
     )
     for s in range(N_MINHASH)
 )
@@ -213,9 +211,7 @@ WITH toked AS (
 ), shingled AS (
     SELECT doc_id, {_SHINGLES_SQL} AS sh FROM toked
 ), hashed AS (
-    SELECT doc_id,
-        list_transform(sh, s -> md5(s)) AS m0,
-        list_transform(sh, s -> md5('x' || s)) AS m1
+    SELECT doc_id, list_transform(sh, s -> md5(s)) AS m0
     FROM shingled
 ), sig AS (
     SELECT doc_id, {_SIG_SLICES} FROM hashed
