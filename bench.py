@@ -40,6 +40,8 @@ HEADLINE = [
     "sketch_kmv_distinct",
     "sim_ivf_topk",
     "dedup_ngram_jaccard",
+    "cdc_apply_upsert",
+    "text_tfidf",
 ]
 
 

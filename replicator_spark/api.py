@@ -70,6 +70,7 @@ _PRIORITY = [
     "stream_dedup_exact",
     "stream_txn_assembly",
     "stream_sessionize",
+    "stream_enrich",
     # --- round-1 hash-fail fixes needing driver re-verification ---
     "tpch_q12",
     "temporal_asof_join",
@@ -90,6 +91,9 @@ _PRIORITY = [
     "curate_stratified_sample",
     "curate_dataset_split",
     "curate_contamination",
+    "curate_ngram_decontam",
+    "curate_global_shuffle",
+    "stats_percentiles",
     "text_token_count",
     "text_quality",
     "text_langid",
@@ -189,13 +193,14 @@ def _load() -> None:
         text,
         vectors,
     )
-    from .queries import temporal, tpch, tpch_ext
+    from .queries import stats, temporal, tpch, tpch_ext
     from .sinks import avro as avro_sink
     from .sinks import console as console_sink
     from .sinks import count as count_sink
     from .sinks import kafka as kafka_sink
     from .sinks import timemachine
     from .sources import bootstrap
+    from .streaming import enrich as stream_enrich
     from .streaming import job as streaming_job
     from .streaming import registry as schema_registry
     from .streaming import sessionize as stream_sessionize
@@ -244,7 +249,8 @@ def _load() -> None:
         seeker, validation, bootstrap, jsonb, apply,
         count_sink, console_sink, kafka_sink, avro_sink,
         schema_registry, streaming_job, txn_state, stream_sessionize,
-        tpch, tpch_ext, temporal,
+        stream_enrich,
+        tpch, tpch_ext, temporal, stats,
         cluster, corpus, curation, dedup, sessions, similarity, sketches,
         text, vectors,
         multimodal,

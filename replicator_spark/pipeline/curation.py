@@ -262,6 +262,129 @@ FROM documents
 """
 
 
+# --------------------------------------------------- n-gram decontamination
+
+DECONTAM_K = 8  # token n-gram size (13 in the usual recipe; 8 fits fixtures)
+EVAL_EVERY = 50  # doc_id % EVAL_EVERY == 0 → the held-out "eval set"
+
+
+def _kgrams(toks: Column, k: int) -> Column:
+    """Word-level k-grams from a MATERIALIZED token-array attribute
+    (same cloning caveat as dedup._shingles)."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + j - 1) for j in range(k)]
+        ),
+    )
+
+
+def ngram_decontam_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination by n-gram overlap (the GPT-3/PaLM
+    recipe): flag every training doc sharing any 8-gram with a held-out
+    eval doc. Scale shape: the eval side is small by construction →
+    its distinct n-grams BROADCAST; the training side streams through
+    one scan + the broadcast hash join; the only exchange is the final
+    per-doc count agg."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_kgrams(F.col("toks"), DECONTAM_K))
+        ).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % EVAL_EVERY == 0
+    eval_grams = grams.where(is_eval).select(
+        F.col("doc_id").alias("eval_doc_id"), "gram"
+    )
+    train_grams = grams.where(~is_eval)
+    hits = train_grams.join(F.broadcast(eval_grams), "gram")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_shared_ngrams"),
+        F.countDistinct("eval_doc_id").alias("n_eval_docs_hit"),
+        F.min("eval_doc_id").alias("first_eval_doc"),
+    )
+
+
+_GRAMS_SQL = f"""
+WITH toked AS (
+    SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+), grams AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(toks) - {DECONTAM_K - 1}, 1) + 1),
+        i -> concat_ws(' ', {", ".join(f"toks[i+{j}]" for j in range(DECONTAM_K))}))))
+        AS gram
+    FROM toked
+)
+"""
+
+NGRAM_DECONTAM_SQL = (
+    _GRAMS_SQL
+    + f""",
+eval_grams AS (
+    SELECT doc_id AS eval_doc_id, gram FROM grams
+    WHERE doc_id % {EVAL_EVERY} = 0
+),
+train_grams AS (
+    SELECT doc_id, gram FROM grams WHERE doc_id % {EVAL_EVERY} <> 0
+)
+SELECT t.doc_id AS doc_id,
+    COUNT(DISTINCT t.gram) AS n_shared_ngrams,
+    COUNT(DISTINCT e.eval_doc_id) AS n_eval_docs_hit,
+    MIN(e.eval_doc_id) AS first_eval_doc
+FROM train_grams t JOIN eval_grams e ON t.gram = e.gram
+GROUP BY t.doc_id
+"""
+)
+
+# ------------------------------------------------------------ global shuffle
+
+N_SHUF_SHARDS = 16
+
+
+def global_shuffle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random permutation for training order:
+    md5-derived shard + md5-ordered position within the shard. The
+    global order is (shard, pos) — no single global sort: each shard
+    orders independently (parallelism = N_SHUF_SHARDS × whatever the
+    range-partitioner gives inside a shard), which is how you shuffle
+    100 TB without one worker seeing a total order."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        (_md5_bucket256(F.col("doc_id")) % N_SHUF_SHARDS).alias("shard"),
+        F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))).alias(
+            "ord_key"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+GLOBAL_SHUFFLE_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id,
+        {_bucket256_sql("doc_id")} % {N_SHUF_SHARDS} AS shard,
+        md5('ord:' || CAST(doc_id AS VARCHAR)) AS ord_key
+    FROM documents
+)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord_key, doc_id) AS pos
+FROM keyed
+"""
+
+
 REGISTRY = [
     ("curate_pack_sequences", pack_sequences_query, PACK_SEQUENCES_SQL),
     (
@@ -271,4 +394,6 @@ REGISTRY = [
     ),
     ("curate_dataset_split", dataset_split_query, DATASET_SPLIT_SQL),
     ("curate_contamination", contamination_query, CONTAMINATION_SQL),
+    ("curate_ngram_decontam", ngram_decontam_query, NGRAM_DECONTAM_SQL),
+    ("curate_global_shuffle", global_shuffle_query, GLOBAL_SHUFFLE_SQL),
 ]
