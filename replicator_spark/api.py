@@ -71,6 +71,7 @@ _PRIORITY = [
     "stream_txn_assembly",
     "stream_sessionize",
     "stream_enrich",
+    "stream_attribution_join",
     # --- round-1 hash-fail fixes needing driver re-verification ---
     "tpch_q12",
     "temporal_asof_join",
@@ -201,6 +202,7 @@ def _load() -> None:
     from .sinks import timemachine
     from .sources import bootstrap
     from .streaming import enrich as stream_enrich
+    from .streaming import joins as stream_joins
     from .streaming import job as streaming_job
     from .streaming import registry as schema_registry
     from .streaming import sessionize as stream_sessionize
@@ -249,7 +251,7 @@ def _load() -> None:
         seeker, validation, bootstrap, jsonb, apply,
         count_sink, console_sink, kafka_sink, avro_sink,
         schema_registry, streaming_job, txn_state, stream_sessionize,
-        stream_enrich,
+        stream_enrich, stream_joins,
         tpch, tpch_ext, temporal, stats,
         cluster, corpus, curation, dedup, sessions, similarity, sketches,
         text, vectors,

@@ -153,3 +153,37 @@ def test_scd2_single_exchange(spark, sf_dir):
 
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_decontam_broadcasts_eval_side(spark, sf_dir):
+    """The eval-set n-grams must broadcast (the stream side is the
+    100 TB train corpus; shuffling it for the join would be the
+    scale-killer)."""
+    plan = _plan(spark, sf_dir, "curate_ngram_decontam")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    """Document frequencies are vocabulary-sized: broadcast, so the tf
+    side is never re-shuffled for the join."""
+    plan = _plan(spark, sf_dir, "text_tfidf")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_apply_upsert_single_keyed_exchange(spark, sf_dir):
+    """The MERGE materialization is one combiner-backed groupBy — no
+    join of feed against state, no sort-merge machinery."""
+    plan = _plan(spark, sf_dir, "cdc_apply_upsert")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_max_by" in plan or "partial_maxby" in plan.replace("_", "")
+
+
+def test_snapshot_diff_no_broadcast_of_table_sides(spark, sf_dir):
+    """Both diff sides are table-sized by design: the full outer join
+    must be a shuffle join on the key, not a broadcast of either
+    image."""
+    plan = _plan(spark, sf_dir, "cdc_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
