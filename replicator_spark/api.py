@@ -95,6 +95,9 @@ _PRIORITY = [
     "curate_ngram_decontam",
     "curate_global_shuffle",
     "stats_percentiles",
+    "window_analytics",
+    "pivot_orders",
+    "events_json_extract",
     "text_token_count",
     "text_quality",
     "text_langid",
@@ -107,6 +110,7 @@ _PRIORITY = [
     "text_tfidf",
     "sessionize_events",
     "sketch_kmv_distinct",
+    "sketch_hll_distinct",
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
@@ -194,7 +198,7 @@ def _load() -> None:
         text,
         vectors,
     )
-    from .queries import stats, temporal, tpch, tpch_ext
+    from .queries import analytics, stats, temporal, tpch, tpch_ext
     from .sinks import avro as avro_sink
     from .sinks import console as console_sink
     from .sinks import count as count_sink
@@ -252,7 +256,7 @@ def _load() -> None:
         count_sink, console_sink, kafka_sink, avro_sink,
         schema_registry, streaming_job, txn_state, stream_sessionize,
         stream_enrich, stream_joins,
-        tpch, tpch_ext, temporal, stats,
+        tpch, tpch_ext, temporal, stats, analytics,
         cluster, corpus, curation, dedup, sessions, similarity, sketches,
         text, vectors,
         multimodal,

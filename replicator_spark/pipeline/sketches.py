@@ -91,4 +91,132 @@ SELECT event_type,
 FROM per_group
 """
 
-REGISTRY = [("sketch_kmv_distinct", kmv_query, KMV_SQL)]
+# --------------------------------------------------------------------- HLL
+#
+# HyperLogLog with a deterministic, engine-portable register
+# construction (Spark's approx_count_distinct is HLL++ but its sketch
+# isn't reproducible outside the JVM — same motivation as KMV above):
+#
+#   md5(x):  nibbles 1-2 → register index (m = 256 registers, b = 8)
+#            nibbles 3-12 → 40-bit pattern w; rho = 1-based position of
+#            the first 1-bit (41 if w = 0)
+#   M_j = max rho per register;  E = α·m² / Σ 2^(−M_j)  (empty → 2⁰)
+#   small-range correction: E ≤ 2.5m and V empty registers > 0
+#   → E = m·ln(m/V)   (Flajolet et al. 2007, the published algorithm)
+#
+# Σ 2^(−M_j) sums dyadic rationals spanning ≤ 49 bits — EXACT in
+# double in any summation order, so both engines agree bit-for-bit
+# before the display rounding.
+#
+# Scale: two combiner-backed groupBys — (group, register) max then
+# per-group sum over ≤ 256 rows; state per group is 256 bytes, the
+# mergeable-sketch bound that makes this the 100 TB cardinality path.
+
+HLL_B = 8
+HLL_M = 1 << HLL_B
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_W_HEX = 10  # nibbles 3..12 → 40-bit pattern
+
+
+def _hll_parts(col: Column) -> tuple[Column, Column]:
+    """(register index, rho) from md5 — portable string arithmetic."""
+    h = F.md5(col.cast("string"))
+    hexs = "0123456789abcdef"
+    idx = (
+        (F.instr(F.lit(hexs), F.substring(h, 1, 1)) - 1) * 16
+        + F.instr(F.lit(hexs), F.substring(h, 2, 1)) - 1
+    )
+    w = F.substring(h, 3, _W_HEX)
+    stripped = F.regexp_replace(w, "^0+", "")
+    zero_nibbles = F.lit(_W_HEX) - F.length(stripped)
+    v = F.instr(F.lit(hexs), F.substring(stripped, 1, 1)) - 1
+    lead = (
+        F.when(v >= 8, 0).when(v >= 4, 1).when(v >= 2, 2).otherwise(3)
+    )
+    rho = F.when(
+        F.length(stripped) == 0, F.lit(_W_HEX * 4 + 1)
+    ).otherwise(zero_nibbles * 4 + lead + 1)
+    return idx.cast("int"), rho.cast("int")
+
+
+def hll_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type: HLL estimate vs exact."""
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    idx, rho = _hll_parts(F.col("user_id"))
+    regs = (
+        ev.select("event_type", idx.alias("idx"), rho.alias("rho"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    per_group = regs.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s_used"),
+        F.count("*").alias("m_used"),
+    )
+    v_empty = F.lit(HLL_M) - F.col("m_used")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
+        F.col("s_used") + v_empty.cast("double")
+    )
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v_empty > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty),
+    ).otherwise(raw)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return per_group.select(
+        "event_type", F.round(est, 2).alias("hll_estimate")
+    ).join(F.broadcast(exact), "event_type")
+
+
+_IDX_SQL = (
+    "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+)
+_RHO_SQL = f"""CASE WHEN length(stripped) = 0 THEN {_W_HEX * 4 + 1}
+    ELSE ({_W_HEX} - length(stripped)) * 4
+         + CASE WHEN nv >= 8 THEN 0 WHEN nv >= 4 THEN 1
+                WHEN nv >= 2 THEN 2 ELSE 3 END + 1 END"""
+
+HLL_SQL = f"""
+WITH hashed AS (
+    SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+), parts AS (
+    SELECT event_type, {_IDX_SQL} AS idx,
+        regexp_replace(substr(h, 3, {_W_HEX}), '^0+', '') AS stripped
+    FROM hashed
+), scored AS (
+    SELECT event_type, idx,
+        strpos('0123456789abcdef', substr(stripped, 1, 1)) - 1 AS nv,
+        stripped
+    FROM parts
+), regs AS (
+    SELECT event_type, idx, MAX({_RHO_SQL}) AS m_j
+    FROM scored GROUP BY event_type, idx
+), per_group AS (
+    SELECT event_type,
+        SUM(pow(2.0, -m_j)) AS s_used,
+        COUNT(*) AS m_used
+    FROM regs GROUP BY event_type
+), est AS (
+    SELECT event_type,
+        CASE WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / (s_used + ({HLL_M} - m_used))
+                  <= {2.5 * HLL_M}
+              AND {HLL_M} - m_used > 0
+             THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - m_used))
+             ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / (s_used + ({HLL_M} - m_used))
+        END AS e
+    FROM per_group
+)
+SELECT est.event_type AS event_type, round(e, 2) AS hll_estimate,
+    exact_distinct
+FROM est JOIN (
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+    FROM events GROUP BY event_type
+) x ON est.event_type = x.event_type
+"""
+
+REGISTRY = [
+    ("sketch_kmv_distinct", kmv_query, KMV_SQL),
+    ("sketch_hll_distinct", hll_query, HLL_SQL),
+]
