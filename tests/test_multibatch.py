@@ -209,3 +209,24 @@ def test_sessionize_across_micro_batches(spark, sf_dir, chunked_dir, tmp_path):
     )
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_foreachbatch_replay_idempotent(spark, sf_dir, tmp_path):
+    """An at-least-once retry (full re-run over the same checkpointless
+    input) must leave the store byte-identical: epoch subdirs are
+    overwritten, not appended (the round-1 advice's duplicate-cell
+    scenario)."""
+    import os
+
+    from replicator_spark.streaming.job import run_timemachine_stream
+
+    out = str(tmp_path / "cells")
+    run_timemachine_stream(spark, sf_dir, out, str(tmp_path / "ck1"))
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    sum1 = first.agg({"version_us": "sum"}).collect()[0][0]
+    # replay with a FRESH checkpoint → same epochs re-fire → overwrite
+    run_timemachine_stream(spark, sf_dir, out, str(tmp_path / "ck2"))
+    second = spark.read.parquet(out)
+    assert second.count() == n1
+    assert second.agg({"version_us": "sum"}).collect()[0][0] == sum1

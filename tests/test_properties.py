@@ -191,3 +191,46 @@ def test_registry_replay_consistency(ops):
     assert schema is not None
     assert [f.name for f in schema.fields] == cols
     assert len(reg.history) == reg.version
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        max_size=14,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Spark min-label propagation == plain union-find on random small
+    graphs (nodes 0..11, self-loops and duplicates included)."""
+    from pyspark.sql import Row
+
+    from replicator_spark.pipeline.cluster import connected_components
+
+    nodes = list(range(12))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in nodes}
+    ndf = spark.createDataFrame([Row(doc_id=n) for n in nodes])
+    if edge_list:
+        edf = spark.createDataFrame(
+            [Row(doc_a=a, doc_b=b) for a, b in edge_list]
+        )
+    else:
+        edf = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["label"]
+        for r in connected_components(ndf, edf).collect()
+    }
+    assert got == expected
