@@ -1,0 +1,247 @@
+"""Event-sequence analytics: funnel conversion, cohort retention, and
+calendar gap-fill — the product-analytics query family a user of the
+reference's event stream (binlog events ≙ product events) runs daily.
+
+Scale shapes:
+- funnel: three keyed aggregations over the same user_id key; each
+  stage filters map-side BEFORE its shuffle (only 'view' rows shuffle
+  into stage 1, only 'click' rows into stage 2, ...), and stage joins
+  are on user_id — one partitioning reused, AQE coalesces. No windows,
+  no collect.
+- retention: one per-user min-date agg + one equi-join back on
+  user_id + one (cohort_day, offset) agg. All combiner-backed.
+- gap_fill: the calendar spine comes from a single-row min/max agg
+  (`sequence()` + explode — the spine is tiny: days x event-types),
+  then ONE broadcast-able left join against the daily agg; LOCF is a
+  per-type window over the spine (5 partitions x ~30 rows — the spine,
+  not the data, so partition-count doesn't matter at any SF).
+
+Timestamps: the driver's events.parquet stores INT64 nanos (read as
+long — see session.RUNTIME_CONFS); arithmetic stays in integer micros
+so cross-engine sums are exact. Double `value` sums go through
+DECIMAL(18,6) so they are associative (order-independent) in both
+engines, then round+cast to double for the hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+
+
+# ------------------------------------------------------------------ funnel
+
+
+def funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel: per user the FIRST view, the
+    first click strictly after it, the first purchase strictly after
+    that; one summary row of stage populations + mean stage delays.
+
+    Mirrors the reference's ordered-event semantics (events ordered by
+    commit timestamp, `AugmentedEventTransaction.java:6-60`) applied to
+    the classic conversion query.
+    """
+    prep(spark)
+    ev = _events_us(spark, sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_us") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_ts"), F.min("v_ts").alias("v_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_us") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"), F.min("c_ts").alias("c_ts"))
+    )
+    stats_v = v.agg(F.count("*").alias("n_view"))
+    stats_c = c.agg(
+        F.count("*").alias("n_click"),
+        F.round(F.avg(F.col("c_ts") - F.col("v_ts")) / 1000.0, 3).alias(
+            "avg_v2c_ms"
+        ),
+    )
+    stats_p = p.agg(
+        F.count("*").alias("n_purchase"),
+        F.round(F.avg(F.col("p_ts") - F.col("c_ts")) / 1000.0, 3).alias(
+            "avg_c2p_ms"
+        ),
+    )
+    return stats_v.crossJoin(stats_c).crossJoin(stats_p)
+
+
+FUNNEL_SQL = """
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+v AS (
+    SELECT user_id, MIN(ts_us) AS v_ts FROM ev
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts_us) AS c_ts, MIN(v.v_ts) AS v_ts
+    FROM ev e JOIN v USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts_us > v.v_ts
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts_us) AS p_ts, MIN(c.c_ts) AS c_ts
+    FROM ev e JOIN c USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts
+    GROUP BY e.user_id
+)
+SELECT
+    (SELECT COUNT(*) FROM v) AS n_view,
+    (SELECT COUNT(*) FROM c) AS n_click,
+    (SELECT round(AVG(c_ts - v_ts) / 1000.0, 3) FROM c) AS avg_v2c_ms,
+    (SELECT COUNT(*) FROM p) AS n_purchase,
+    (SELECT round(AVG(p_ts - c_ts) / 1000.0, 3) FROM p) AS avg_c2p_ms
+"""
+
+
+# --------------------------------------------------------------- retention
+
+
+def retention_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day; distinct
+    actives at day offsets 0..7 per cohort."""
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+RETENTION_SQL = """
+WITH ev AS (
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cohort AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+    datediff('day', c.cohort_day, e.day) AS day_offset,
+    COUNT(DISTINCT e.user_id) AS n_active
+FROM ev e JOIN cohort c USING (user_id)
+WHERE datediff('day', c.cohort_day, e.day) <= 7
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- gap fill
+
+
+def gap_fill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-event-type counts over a dense calendar spine
+    (min..max day x event type); missing days get n=0 and carry the
+    last observed daily amount forward (LOCF)."""
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("n_raw"),
+        F.round(F.sum("value"), 2).cast("double").alias("amount_raw"),
+    )
+    spine_days = (
+        ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    spine = spine_days.crossJoin(F.broadcast(types))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_raw", F.lit(0)).cast("long").alias("n"),
+            F.last("amount_raw", ignorenulls=True).over(w).alias("amount"),
+        )
+    )
+
+
+GAP_FILL_SQL = """
+WITH ev AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(value AS DECIMAL(18,6)) AS value
+    FROM events
+),
+daily AS (
+    SELECT event_type, day, COUNT(*) AS n_raw,
+        CAST(round(SUM(value), 2) AS DOUBLE) AS amount_raw
+    FROM ev GROUP BY 1, 2
+),
+bounds AS (
+    SELECT CAST(MIN(day) AS TIMESTAMP) AS d0,
+        CAST(MAX(day) AS TIMESTAMP) AS d1
+    FROM ev
+),
+spine AS (
+    SELECT t.event_type, CAST(gs.day_ts AS DATE) AS day
+    FROM (SELECT DISTINCT event_type FROM ev) t
+    CROSS JOIN (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day_ts
+        FROM bounds
+    ) gs
+)
+SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+    CAST(COALESCE(d.n_raw, 0) AS BIGINT) AS n,
+    LAST_VALUE(d.amount_raw IGNORE NULLS) OVER (
+        PARTITION BY s.event_type ORDER BY s.day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS amount
+FROM spine s LEFT JOIN daily d
+    ON s.event_type = d.event_type AND s.day = d.day
+"""
+
+
+REGISTRY = [
+    ("events_funnel", funnel_query, FUNNEL_SQL),
+    ("events_retention", retention_query, RETENTION_SQL),
+    ("ts_gap_fill", gap_fill_query, GAP_FILL_SQL),
+]
