@@ -191,6 +191,7 @@ def _load() -> None:
         corpus,
         curation,
         dedup,
+        matching,
         multimodal,
         sessions,
         similarity,
@@ -198,7 +199,16 @@ def _load() -> None:
         text,
         vectors,
     )
-    from .queries import analytics, funnel, stats, temporal, tpch, tpch_ext
+    from .queries import (
+        analytics,
+        funnel,
+        graph,
+        profiling,
+        stats,
+        temporal,
+        tpch,
+        tpch_ext,
+    )
     from .sinks import avro as avro_sink
     from .sinks import console as console_sink
     from .sinks import count as count_sink
@@ -256,8 +266,10 @@ def _load() -> None:
         count_sink, console_sink, kafka_sink, avro_sink,
         schema_registry, streaming_job, txn_state, stream_sessionize,
         stream_enrich, stream_joins,
-        tpch, tpch_ext, temporal, stats, analytics, funnel,
-        cluster, corpus, curation, dedup, sessions, similarity, sketches,
+        tpch, tpch_ext, temporal, stats, analytics, funnel, profiling,
+        graph,
+        cluster, corpus, curation, dedup, matching, sessions, similarity,
+        sketches,
         text, vectors,
         multimodal,
     ):

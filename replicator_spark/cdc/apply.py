@@ -170,7 +170,87 @@ FROM j WHERE diff_op IS NOT NULL
 """
 )
 
+# ------------------------------------------------- incremental aggregates
+
+
+def incremental_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of per-table aggregates from the
+    change feed alone: each event contributes a DELTA (+after for
+    INSERT, −before for DELETE, after−before for UPDATE) so the
+    maintained SUM/COUNT never re-reads the base table — the applier's
+    answer to "keep this dashboard aggregate current" without a 100 TB
+    rescan per refresh (the streaming twin is the same expression
+    under `foreachBatch`).
+
+    Scale shape: the delta weights are map-side CASE expressions; the
+    only exchange is one combiner-backed groupBy(table_name). Sum
+    deltas accumulate as DECIMAL so the maintained value is exact and
+    associative — incremental maintenance with float accumulation
+    drifts, decimal doesn't.
+    """
+    prep(spark)
+    from .envelope import change_feed
+
+    feed = change_feed(spark, sf_dir).where(F.col("op") != "QUERY")
+    dec = lambda c: F.coalesce(F.col(c).cast("decimal(18,6)"), F.lit(0))
+    row_w = (
+        F.when(F.col("op") == "INSERT", 1)
+        .when(F.col("op") == "DELETE", -1)
+        .otherwise(0)
+    )
+    val_w = (
+        F.when(F.col("op") == "INSERT", dec("value_after"))
+        .when(F.col("op") == "DELETE", -dec("value_before"))
+        .otherwise(dec("value_after") - dec("value_before"))
+    )
+    return feed.groupBy(
+        "table_name", (F.col("user_id") % 10).alias("user_bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("op") == "INSERT", 1).otherwise(0))
+        .cast("long")
+        .alias("n_ins"),
+        F.sum(F.when(F.col("op") == "UPDATE", 1).otherwise(0))
+        .cast("long")
+        .alias("n_upd"),
+        F.sum(F.when(F.col("op") == "DELETE", 1).otherwise(0))
+        .cast("long")
+        .alias("n_del"),
+        F.sum(row_w).cast("long").alias("delta_rows"),
+        F.round(F.sum(val_w), 2).cast("double").alias("delta_value"),
+    )
+
+
+from .envelope import CHANGE_FEED_SQL as _FEED_SQL  # noqa: E402
+
+INCREMENTAL_AGG_SQL = f"""
+WITH feed AS ({_FEED_SQL}),
+weighted AS (
+    SELECT table_name, user_id % 10 AS user_bucket, op,
+        CASE WHEN op = 'INSERT' THEN 1
+             WHEN op = 'DELETE' THEN -1 ELSE 0 END AS row_w,
+        CASE WHEN op = 'INSERT'
+                THEN COALESCE(CAST(value_after AS DECIMAL(18,6)), 0)
+             WHEN op = 'DELETE'
+                THEN -COALESCE(CAST(value_before AS DECIMAL(18,6)), 0)
+             ELSE COALESCE(CAST(value_after AS DECIMAL(18,6)), 0)
+                - COALESCE(CAST(value_before AS DECIMAL(18,6)), 0)
+        END AS val_w
+    FROM feed WHERE op <> 'QUERY'
+)
+SELECT table_name, user_bucket,
+    COUNT(*) AS n_events,
+    CAST(SUM(CASE WHEN op = 'INSERT' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+    CAST(SUM(CASE WHEN op = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+    CAST(SUM(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+    CAST(SUM(row_w) AS BIGINT) AS delta_rows,
+    CAST(round(SUM(val_w), 2) AS DOUBLE) AS delta_value
+FROM weighted GROUP BY table_name, user_bucket
+"""
+
+
 REGISTRY = [
     ("cdc_apply_upsert", apply_upsert_query, APPLY_UPSERT_SQL),
     ("cdc_snapshot_diff", snapshot_diff_query, SNAPSHOT_DIFF_SQL),
+    ("cdc_incremental_agg", incremental_agg_query, INCREMENTAL_AGG_SQL),
 ]

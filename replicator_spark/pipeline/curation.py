@@ -385,8 +385,66 @@ FROM keyed
 """
 
 
+# ------------------------------------------------------------- chunking
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG/context-window prep):
+    split each document into CHUNK_TOKENS-token windows every
+    CHUNK_STRIDE tokens. Entirely map-side (tokenize -> explode start
+    offsets -> slice): a narrow per-row transform with no shuffle at
+    any SF; downstream embedding jobs see ~n_tokens/stride rows per
+    doc. Chunk text is md5-digested so the operator's output stays
+    metadata-sized."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    exploded = toks.where(F.col("n") >= 1).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents
+),
+exploded AS (
+    SELECT doc_id, toks,
+        unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+    FROM toks
+    WHERE len(toks) >= 1
+)
+SELECT doc_id,
+    CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+    CAST(len(list_slice(toks, start + 1, start + {CHUNK_TOKENS})) AS INT)
+        AS n_chunk_tokens,
+    md5(array_to_string(list_slice(toks, start + 1, start + {CHUNK_TOKENS}),
+        ' ')) AS chunk_md5
+FROM exploded
+"""
+
+
 REGISTRY = [
     ("curate_pack_sequences", pack_sequences_query, PACK_SEQUENCES_SQL),
+    ("curate_chunk_documents", chunk_documents_query, CHUNK_DOCUMENTS_SQL),
     (
         "curate_stratified_sample",
         stratified_sample_query,

@@ -216,7 +216,125 @@ FROM est JOIN (
 ) x ON est.event_type = x.event_type
 """
 
+# ------------------------------------------------------------------- Bloom
+#
+# Bloom-filter membership with a deterministic, engine-portable
+# construction (Spark's built-in bloom_filter_agg/might_contain is the
+# production path, but its bit layout isn't reproducible outside the
+# JVM — same motivation as KMV/HLL above):
+#
+#   k = 4 hash functions; position_i(x) = first 3 nibbles of
+#   md5('b<i>:' || x)  → 0..4095  (m = 4096 bits)
+#   build: the SET of set-bit positions over the build side's distinct
+#   keys (orders.o_custkey) — ≤ m rows, broadcast-able by construction
+#   probe: a key "hits" iff all k of its positions are set
+#
+# Scale: the filter is ≤ m rows no matter how large the build side is
+# (the build is one distinct + one explode + one distinct, all
+# combiner-backed), and the probe side joins against a BROADCAST of
+# the bit set — a map-side membership test, which is the entire point
+# of a Bloom filter at 100 TB. False-positive rate at m=4096, k=4,
+# n≈1000 distinct keys ≈ 0.2%.
+
+BLOOM_K = 4
+BLOOM_M = 4096  # 3 nibbles
+_HEX16 = "0123456789abcdef"
+
+
+def _bloom_pos(col: Column, i: int) -> Column:
+    h = F.md5(F.concat(F.lit(f"b{i}:"), col.cast("string")))
+
+    def nib(j: int) -> Column:
+        return F.instr(F.lit(_HEX16), F.substring(h, j, 1)) - 1
+
+    return (nib(1) * 256 + nib(2) * 16 + nib(3)).cast("int")
+
+
+def bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Bloom filter over customers-with-orders, probe ALL
+    customers; one summary row incl. exact false-positive count."""
+    prep(spark)
+    build = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        build.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("k"), i) for i in range(BLOOM_K)]
+                )
+            ).alias("pos")
+        ).distinct()
+    )
+    probe = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    probe_pos = probe.select(
+        "k",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("k"), i) for i in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    nset = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("k")
+        .agg(F.count("*").alias("nset"))
+    )
+    hits = nset.where(F.col("nset") == BLOOM_K).select("k")
+    true_members = probe.join(build, "k", "semi")
+    false_pos = hits.join(build, "k", "anti")
+    return (
+        build.agg(F.count("*").alias("n_build"))
+        .crossJoin(bits.agg(F.count("*").alias("n_bits_set")))
+        .crossJoin(probe.agg(F.count("*").alias("n_probed")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .crossJoin(true_members.agg(F.count("*").alias("n_true")))
+        .crossJoin(false_pos.agg(F.count("*").alias("n_false_pos")))
+    )
+
+
+def _bloom_pos_sql(i: int, key: str) -> str:
+    h = f"md5('b{i}:' || CAST({key} AS VARCHAR))"
+    nib = (
+        lambda j, mult: f"(strpos('{_HEX16}', substr({h}, {j}, 1)) - 1)"
+        + (f" * {mult}" if mult > 1 else "")
+    )
+    return f"({nib(1, 256)} + {nib(2, 16)} + {nib(3, 1)})"
+
+
+_BUILD_POS = ", ".join(_bloom_pos_sql(i, "k") for i in range(BLOOM_K))
+
+BLOOM_SQL = f"""
+WITH build AS (SELECT DISTINCT o_custkey AS k FROM orders),
+bits AS (
+    SELECT DISTINCT unnest([{_BUILD_POS}]) AS pos FROM build
+),
+probe AS (SELECT c_custkey AS k FROM customer),
+probe_pos AS (
+    SELECT k, unnest([{_BUILD_POS}]) AS pos FROM probe
+),
+nset AS (
+    SELECT k, COUNT(*) AS nset FROM probe_pos
+    WHERE pos IN (SELECT pos FROM bits)
+    GROUP BY k
+),
+hits AS (SELECT k FROM nset WHERE nset = {BLOOM_K})
+SELECT
+    (SELECT COUNT(*) FROM build) AS n_build,
+    (SELECT COUNT(*) FROM bits) AS n_bits_set,
+    (SELECT COUNT(*) FROM probe) AS n_probed,
+    (SELECT COUNT(*) FROM hits) AS n_hits,
+    (SELECT COUNT(*) FROM probe WHERE k IN (SELECT k FROM build))
+        AS n_true,
+    (SELECT COUNT(*) FROM hits WHERE k NOT IN (SELECT k FROM build))
+        AS n_false_pos
+"""
+
+
 REGISTRY = [
     ("sketch_kmv_distinct", kmv_query, KMV_SQL),
     ("sketch_hll_distinct", hll_query, HLL_SQL),
+    ("sketch_bloom_filter", bloom_query, BLOOM_SQL),
 ]

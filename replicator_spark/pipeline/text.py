@@ -242,8 +242,55 @@ FROM documents
 """
 
 
+# ----------------------------------------------------------- normalization
+
+# Java-regex/RE2 common subset so the identical pattern runs in DuckDB.
+_PUNCT_RE = "[^a-z0-9 \\t\\n]"
+_WS_RE = "[ \\t\\n]+"
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for dedup keys: lowercase, strip
+    punctuation, collapse whitespace, trim. Pure codegen expression
+    chain (no UDF) — map-side at any SF."""
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, _PUNCT_RE, "")
+    collapsed = F.regexp_replace(stripped, _WS_RE, " ")
+    return F.trim(collapsed)
+
+
+def normalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("n_norm_chars"),
+        F.size(ws_tokens(norm)).alias("n_norm_tokens"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+# DuckDB regexp_replace only replaces the first match without the 'g'
+# option — Spark replaces all by default, hence the explicit flag.
+NORMALIZE_SQL = f"""
+WITH n AS (
+    SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '{_PUNCT_RE}', '',
+            'g'), '{_WS_RE}', ' ', 'g')) AS norm
+    FROM documents
+)
+SELECT doc_id, length(norm) AS n_norm_chars,
+    len(list_filter(string_split(norm, ' '), t -> t <> ''))
+        AS n_norm_tokens,
+    md5(norm) AS norm_md5
+FROM n
+"""
+
+
 REGISTRY = [
     ("text_token_count", token_count_query, TOKEN_COUNT_SQL),
+    ("text_normalize", normalize_query, NORMALIZE_SQL),
     ("text_quality", quality_query, QUALITY_SQL),
     ("text_langid", langid_query, LANGID_SQL),
     ("text_fingerprint", fingerprint_query, FINGERPRINT_SQL),

@@ -1,5 +1,7 @@
 """Semantic tests for the round-2 late additions: funnel ordering,
-retention cohort algebra, calendar gap-fill density/LOCF."""
+retention cohort algebra, calendar gap-fill density/LOCF, profiling,
+chunking, blocked matching, PageRank, Bloom membership, incremental
+aggregate maintenance."""
 
 from __future__ import annotations
 
@@ -103,3 +105,171 @@ def test_gap_fill_is_dense_and_locf(spark, sf_dir):
         .count()
     )
     assert leaked == 0
+
+
+def test_profile_covers_every_column_once(spark, sf_dir):
+    from replicator_spark.queries.profiling import (
+        _PROFILE_COLS,
+        profile_columns_query,
+    )
+
+    rows = profile_columns_query(spark, sf_dir).collect()
+    assert sorted(r["column_name"] for r in rows) == sorted(
+        c for c, _ in _PROFILE_COLS
+    )
+    flags = {r["column_name"]: r for r in rows}
+    assert flags["l_returnflag"]["n_distinct"] == 3
+    assert all(r["n_nulls"] == 0 for r in rows)
+    kinds = dict(_PROFILE_COLS)
+    for r in rows:
+        k = kinds[r["column_name"]]
+        lo, hi = r["min_value"], r["max_value"]
+        if k in ("num", "int"):
+            assert float(lo) <= float(hi)
+        else:
+            assert lo <= hi  # dates/strings order lexicographically
+
+
+def test_histogram_partitions_the_table(spark, sf_dir):
+    from replicator_spark.queries.profiling import histogram_query
+
+    rows = sorted(
+        histogram_query(spark, sf_dir).collect(), key=lambda r: r["bucket"]
+    )
+    n_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert sum(r["n"] for r in rows) == n_li  # buckets partition all rows
+    los = [r["bucket_lo"] for r in rows]
+    assert los == sorted(los)
+
+
+def test_corr_within_bounds(spark, sf_dir):
+    from replicator_spark.queries.profiling import corr_query
+
+    for r in corr_query(spark, sf_dir).collect():
+        assert -1.0 <= r["corr_xy"] <= 1.0
+        assert r["n_rows"] > 0
+
+
+def test_chunks_cover_every_token(spark, sf_dir):
+    """Chunk windows must tile each doc: first chunk starts at 0 and
+    consecutive starts advance by the stride, so (n_chunks-1)*stride
+    < n_tokens; the final chunk reaches the last token."""
+    from replicator_spark.pipeline.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents_query,
+    )
+    from replicator_spark.pipeline.text import ws_tokens
+
+    chunks = (
+        chunk_documents_query(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max(
+                F.col("chunk_idx") * CHUNK_STRIDE + F.col("n_chunk_tokens")
+            ).alias("covered"),
+        )
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_tokens")
+    )
+    joined = chunks.join(docs, "doc_id")
+    assert joined.where(F.col("covered") < F.col("n_tokens")).count() == 0
+    assert (
+        joined.where(
+            (F.col("n_chunks") - 1) * CHUNK_STRIDE >= F.col("n_tokens")
+        ).count()
+        == 0
+    )
+
+
+def test_entity_match_stays_in_block(spark, sf_dir):
+    from replicator_spark.pipeline.matching import (
+        MAX_EDIT_DISTANCE,
+        entity_match_query,
+    )
+
+    rows = entity_match_query(spark, sf_dir).collect()
+    assert rows, "sf data has near-duplicate part names"
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert r["name_a"].split(" ")[-1] == r["block"]
+        assert r["name_b"].split(" ")[-1] == r["block"]
+        assert 1 <= r["edit_dist"] <= MAX_EDIT_DISTANCE
+
+
+def test_pagerank_conserves_mass(spark, sf_dir):
+    """Every node here has out-edges (edges are mirrored), so total
+    rank mass is invariant: sum(rank) == n_nodes at every iteration."""
+    from replicator_spark.queries.graph import pagerank_query
+
+    rows = pagerank_query(spark, sf_dir).collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - len(rows)) < 1e-3 * len(rows)
+    assert all(r["rank"] >= 0.15 - 1e-9 for r in rows)
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    from replicator_spark.pipeline.sketches import bloom_query
+
+    r = bloom_query(spark, sf_dir).collect()[0]
+    assert r["n_hits"] == r["n_true"] + r["n_false_pos"]
+    assert r["n_hits"] >= r["n_true"]  # Bloom never misses a member
+    assert 0 < r["n_bits_set"] <= 4096
+
+
+def test_incremental_agg_telescopes(spark):
+    """On a lifecycle-consistent feed (INSERT -> UPDATE* -> DELETE?),
+    per-user value deltas telescope: sum(delta) == last after-image (0
+    if the last op is DELETE) — the invariant that makes incremental
+    view maintenance correct. (The sf fixture feed is deliberately NOT
+    lifecycle-consistent — ops are event-type-mapped — so this checks
+    the constructed case the applier contract describes.)"""
+    from replicator_spark.cdc.envelope import change_feed_from
+
+    base_ts = 1_704_067_200_000_000_000  # 2024-01-01 in ns
+    rows = [
+        # u1: insert, two updates
+        Row(event_id=1, ts=base_ts + 1_000_000_000, user_id=1,
+            event_type="signup", value=10.0, props="{}"),
+        Row(event_id=2, ts=base_ts + 2_000_000_000, user_id=1,
+            event_type="click", value=25.5, props="{}"),
+        Row(event_id=3, ts=base_ts + 3_000_000_000, user_id=1,
+            event_type="purchase", value=40.25, props="{}"),
+        # u2: insert, update, delete
+        Row(event_id=4, ts=base_ts + 1_000_000_000, user_id=2,
+            event_type="signup", value=7.0, props="{}"),
+        Row(event_id=5, ts=base_ts + 2_000_000_000, user_id=2,
+            event_type="click", value=9.5, props="{}"),
+        Row(event_id=6, ts=base_ts + 3_000_000_000, user_id=2,
+            event_type="error", value=9.5, props="{}"),
+    ]
+    feed = (
+        change_feed_from(spark.createDataFrame(rows))
+        .where(F.col("op") != "QUERY")
+        .select("user_id", "event_id", "op", "value_before", "value_after")
+    )
+    delta = F.when(
+        F.col("op") == "INSERT", F.coalesce("value_after", F.lit(0.0))
+    ).when(
+        F.col("op") == "DELETE", -F.coalesce("value_before", F.lit(0.0))
+    ).otherwise(
+        F.coalesce("value_after", F.lit(0.0))
+        - F.coalesce("value_before", F.lit(0.0))
+    )
+    per_user = (
+        feed.groupBy("user_id")
+        .agg(
+            F.sum(delta).alias("maintained"),
+            F.max_by(
+                F.when(
+                    F.col("op") == "DELETE", F.lit(0.0)
+                ).otherwise(F.coalesce("value_after", F.lit(0.0))),
+                "event_id",
+            ).alias("final_value"),
+        )
+        .collect()
+    )
+    for r in per_user:
+        assert abs(r["maintained"] - r["final_value"]) < 1e-6, r
