@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "cdc_apply_upsert",
     "text_tfidf",
+    "curate_chunk_documents",
+    "stats_corr",
 ]
 
 

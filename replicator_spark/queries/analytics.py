@@ -139,8 +139,122 @@ SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
 FROM ev GROUP BY event_type
 """
 
+# ------------------------------------------------------------ salted join
+
+N_SALTS = 8
+
+
+def salted_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof enrichment join, oracle-checked: events (big, keyed
+    by the 5-value — maximally skewed — event_type) joined to a tiny
+    per-type dimension through `utils.salted_join`, which spreads each
+    hot key over N_SALTS shuffle partitions. The RESULT is provably
+    identical to the plain key join (the oracle IS the plain join);
+    what salting changes is only the partition histogram — no 20%-of-
+    the-table reducer task at 100 TB. AQE's skew split covers
+    sort-merge joins; explicit salting is the portable fix when the
+    hot key is known ahead of time (same anti-hotspot idea as the
+    reference's salted HBase rowkeys, SURVEY §2.4)."""
+    prep(spark)
+    from ..utils import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.round(
+            F.avg(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("type_avg")
+    )
+    joined = salted_join(
+        ev, dim, on=["event_type"], n_salts=N_SALTS,
+        big_id_cols=["event_id"],
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(
+                (F.col("value") - F.col("type_avg")).cast("decimal(18,6)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("sum_centered"),
+    )
+
+
+SALTED_ENRICH_SQL = """
+WITH dim AS (
+    SELECT event_type,
+        round(CAST(AVG(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+            AS type_avg
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n,
+    CAST(round(SUM(CAST(e.value - d.type_avg AS DECIMAL(18,6))), 2)
+        AS DOUBLE) AS sum_centered
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+# ---------------------------------------------------------- market basket
+
+MIN_SUPPORT = 3
+
+
+def copurchase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs co-occurring in the same order (market-basket
+    co-occurrence). Per-order part sets are collected once
+    (combiner-backed groupBy on the already-clustered order key) and
+    pairs expand in-basket — the same single-evaluation pairing the
+    MinHash LSH buckets use, avoiding a fact-table self-join that
+    would scan and shuffle lineitem twice. Expansion is quadratic in
+    BASKET size (bounded, ~4 lines/order), never in table size."""
+    prep(spark)
+    lp = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = lp.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    """flatten(transform(parts, (x, i) ->
+                        transform(slice(parts, i + 2, size(parts) - i - 1),
+                                  y -> struct(x AS part_a, y AS part_b))))"""
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= MIN_SUPPORT)
+    )
+
+
+COPURCHASE_SQL = f"""
+WITH lp AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    COUNT(*) AS n_orders
+FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= {MIN_SUPPORT}
+"""
+
+
 REGISTRY = [
     ("window_analytics", window_analytics_query, WINDOW_ANALYTICS_SQL),
     ("pivot_orders", pivot_orders_query, PIVOT_ORDERS_SQL),
     ("events_json_extract", json_extract_query, JSON_EXTRACT_SQL),
+    ("join_salted_enrich", salted_enrich_query, SALTED_ENRICH_SQL),
+    ("basket_copurchase", copurchase_query, COPURCHASE_SQL),
 ]

@@ -60,9 +60,17 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
-    edges = _edges(spark, sf_dir)
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # Persist the loop-invariant relations: a fully lazy plan would
+    # re-derive the edges subtree (scan + join + distinct) once per
+    # iteration per consumer — 8+ scans of the fact table. With the
+    # cache, the plan is ONE edges computation + per-iteration
+    # join/agg over the in-memory relation (MEMORY_AND_DISK: spills
+    # instead of OOMing when the edge list outgrows executor memory).
+    edges = _edges(spark, sf_dir).persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().persist()
+    )
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(N_ITER):
         contrib = (

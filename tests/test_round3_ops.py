@@ -273,3 +273,38 @@ def test_incremental_agg_telescopes(spark):
     )
     for r in per_user:
         assert abs(r["maintained"] - r["final_value"]) < 1e-6, r
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must not change join semantics — only the partition
+    histogram."""
+    from replicator_spark.utils import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    salted = salted_join(
+        ev, dim, on=["event_type"], n_salts=8, big_id_cols=["event_id"]
+    )
+    plain = ev.join(dim, "event_type")
+    assert salted.count() == plain.count()
+    assert (
+        salted.select("event_id", "event_type").exceptAll(
+            plain.select("event_id", "event_type")
+        ).count()
+        == 0
+    )
+
+
+def test_copurchase_pairs_are_canonical(spark, sf_dir):
+    from replicator_spark.queries.analytics import (
+        MIN_SUPPORT,
+        copurchase_query,
+    )
+
+    rows = copurchase_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["n_orders"] >= MIN_SUPPORT
