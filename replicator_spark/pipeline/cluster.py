@@ -111,6 +111,70 @@ FROM labels
 """
 )
 
+def near_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL: LSH pairs → connected
+    components → keep exactly one canonical document per component
+    (the min doc_id — deterministic, no tiebreak ambiguity). This is
+    the operator a pretraining pipeline actually runs; the cluster
+    assignment above is its auditable intermediate. Returns the
+    surviving documents with their cluster id and how many near-dups
+    each one absorbed. Scale shape: everything up to the final join is
+    the cluster computation (see module docstring); the keep-filter is
+    one combiner-backed min-groupBy over (cluster_id) — cardinality =
+    #components — broadcast back against the labels."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    nodes = docs.select("doc_id")
+    labels = connected_components(nodes, minhash_lsh_pairs(docs))
+    keep = labels.groupBy("label").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_absorbed"),
+    )
+    return (
+        keep.join(
+            docs.select("doc_id", "lang", "n_chars"), "doc_id"
+        )
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "n_absorbed",
+            "lang",
+            "n_chars",
+        )
+    )
+
+
+NEAR_DEDUP_SQL = (
+    _SIG_SQL.replace("WITH toked", "WITH RECURSIVE toked", 1)
+    + f""", banded AS ({_BANDED_SQL}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(n, l) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n
+),
+labels AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n),
+keep AS (
+    SELECT cluster_id, MIN(doc_id) AS doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_absorbed
+    FROM labels GROUP BY cluster_id
+)
+SELECT k.doc_id, k.cluster_id, k.n_absorbed, d.lang, d.n_chars
+FROM keep k JOIN documents d ON k.doc_id = d.doc_id
+"""
+)
+
+
 REGISTRY = [
     ("dedup_clusters", dedup_clusters_query, DEDUP_CLUSTERS_SQL),
+    ("curate_near_dedup", near_dedup_query, NEAR_DEDUP_SQL),
 ]

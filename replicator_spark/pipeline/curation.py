@@ -442,6 +442,106 @@ FROM exploded
 """
 
 
+# --------------------------------------------------------- filter chain
+#
+# C4/Gopher-style composed quality-filter chain: every document is
+# scored against a set of NAMED rules and carries the list of rules it
+# failed ("reasons"), so downstream audits can ask "how much data did
+# rule X alone remove" — the operational difference between this and a
+# bare boolean gate (text.py quality_query). All rules are map-side
+# array/string expressions over one scan — at 100 TB this whole-stage
+# codegens into the parquet read, zero shuffles. The top-term scan is
+# O(tokens × distinct-tokens) per document — bounded by document
+# length, never by corpus size.
+
+QF_MIN_WORDS = 15
+QF_MAX_WORDS = 120
+QF_MIN_UNIQUE = 0.35
+QF_TOP_TERM_MAX = 0.12
+QF_MIN_AVG_LEN = 3.0
+
+
+def quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        toks.alias("toks"),
+        F.size(toks).alias("n_words"),
+    )
+    uniq_ratio = (
+        F.size(F.array_distinct("toks")).cast("double") / F.col("n_words")
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda t: F.size(F.filter("toks", lambda x: x == t)),
+        )
+    )
+    avg_len = (
+        F.aggregate(
+            "toks",
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t),
+        ).cast("double")
+        / F.col("n_words")
+    )
+    rules = F.array(
+        F.when(F.col("n_words") < QF_MIN_WORDS, F.lit("too_short")),
+        F.when(F.col("n_words") > QF_MAX_WORDS, F.lit("too_long")),
+        F.when(uniq_ratio < QF_MIN_UNIQUE, F.lit("low_unique")),
+        F.when(
+            top_cnt.cast("double") / F.col("n_words") > QF_TOP_TERM_MAX,
+            F.lit("top_term_heavy"),
+        ),
+        F.when(avg_len < QF_MIN_AVG_LEN, F.lit("short_words")),
+    )
+    reasons = F.array_sort(
+        F.filter(rules, lambda r: r.isNotNull())
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.array_join(reasons, ",").alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )
+
+
+QUALITY_FILTER_SQL = f"""
+WITH d AS (
+    SELECT doc_id, lang,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang, len(toks) AS n_words,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+        list_max(list_transform(list_distinct(toks),
+            t -> len(list_filter(toks, x -> x = t)))) AS top_cnt,
+        CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+            / len(toks) AS avg_len
+    FROM d
+), flagged AS (
+    SELECT doc_id, lang, n_words,
+        list_sort(list_filter([
+            CASE WHEN n_words < {QF_MIN_WORDS} THEN 'too_short' END,
+            CASE WHEN n_words > {QF_MAX_WORDS} THEN 'too_long' END,
+            CASE WHEN uniq_ratio < {QF_MIN_UNIQUE} THEN 'low_unique' END,
+            CASE WHEN CAST(top_cnt AS DOUBLE) / n_words > {QF_TOP_TERM_MAX}
+                 THEN 'top_term_heavy' END,
+            CASE WHEN avg_len < {QF_MIN_AVG_LEN} THEN 'short_words' END
+        ], r -> r IS NOT NULL)) AS reasons
+    FROM scored
+)
+SELECT doc_id, lang, n_words,
+    COALESCE(array_to_string(reasons, ','), '') AS reasons,
+    len(reasons) = 0 AS keep
+FROM flagged
+"""
+
+
 REGISTRY = [
     ("curate_pack_sequences", pack_sequences_query, PACK_SEQUENCES_SQL),
     ("curate_chunk_documents", chunk_documents_query, CHUNK_DOCUMENTS_SQL),
@@ -454,4 +554,5 @@ REGISTRY = [
     ("curate_contamination", contamination_query, CONTAMINATION_SQL),
     ("curate_ngram_decontam", ngram_decontam_query, NGRAM_DECONTAM_SQL),
     ("curate_global_shuffle", global_shuffle_query, GLOBAL_SHUFFLE_SQL),
+    ("curate_quality_filter", quality_filter_query, QUALITY_FILTER_SQL),
 ]

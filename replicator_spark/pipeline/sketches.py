@@ -333,8 +333,116 @@ SELECT
 """
 
 
+# --------------------------------------------------------------------- CMS
+#
+# Count-min sketch for heavy-hitter detection, deterministic and
+# engine-portable (same motivation as KMV/HLL/Bloom above — Spark's
+# count_min_sketch() exists but its binary layout isn't reproducible
+# in the oracle):
+#
+#   d = 4 hash rows; pos_i(x) = first 3 nibbles of md5('c<i>:'||x)
+#   mod w (w = 64 — deliberately small so collisions actually occur
+#   and the over-estimate property is exercised)
+#   sketch[i][pos] = Σ occurrences hashing there  (mergeable: cell sum)
+#   est(x) = min_i sketch[i][pos_i(x)]   — always ≥ true count
+#
+# Scale shape: the sketch is ONE combiner-backed groupBy over d·w ≤
+# 256 cells no matter the input size, broadcast to the probe side —
+# the probe is then a map-side lookup + min, the whole point of CMS
+# at 100 TB. Reporting rule: emit every item whose ESTIMATE ≥ T; the
+# one-sided error guarantees zero false negatives (every true heavy
+# hitter appears; collisions may add a few light items, visible here
+# as cms_est > exact_cnt).
+
+CMS_D = 4
+CMS_W = 64
+CMS_T = 80  # heavy-hitter report threshold (events per user)
+
+
+def _cms_pos(col: Column, i: int) -> Column:
+    h = F.md5(F.concat(F.lit(f"c{i}:"), col.cast("string")))
+
+    def nib(j: int) -> Column:
+        return F.instr(F.lit(_HEX16), F.substring(h, j, 1)) - 1
+
+    return ((nib(1) * 256 + nib(2) * 16 + nib(3)) % CMS_W).cast("int")
+
+
+def cms_heavy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter users by event count: CMS estimate vs exact."""
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k")
+    )
+    cells = (
+        ev.select(
+            F.posexplode(
+                F.array(*[_cms_pos(F.col("k"), i) for i in range(CMS_D)])
+            ).alias("row", "pos")
+        )
+        .groupBy("row", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = ev.groupBy("k").agg(F.count("*").alias("exact_cnt"))
+    probe = exact.select(
+        "k",
+        "exact_cnt",
+        F.posexplode(
+            F.array(*[_cms_pos(F.col("k"), i) for i in range(CMS_D)])
+        ).alias("row", "pos"),
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["row", "pos"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.where(F.col("cms_est") >= CMS_T).select(
+        F.col("k").alias("user_id"), "cms_est", "exact_cnt"
+    )
+
+
+def _cms_pos_sql(i: int, key: str) -> str:
+    h = f"md5('c{i}:' || CAST({key} AS VARCHAR))"
+    nib = (
+        lambda j, mult: f"(strpos('{_HEX16}', substr({h}, {j}, 1)) - 1)"
+        + (f" * {mult}" if mult > 1 else "")
+    )
+    return f"(({nib(1, 256)} + {nib(2, 16)} + {nib(3, 1)}) % {CMS_W})"
+
+
+_CMS_ROWS = ", ".join(_cms_pos_sql(i, "k") for i in range(CMS_D))
+
+_CMS_IDX = ", ".join(str(i) for i in range(CMS_D))
+
+CMS_SQL = f"""
+WITH ev AS (SELECT user_id AS k FROM events),
+positions AS (
+    SELECT k, unnest([{_CMS_IDX}]) AS row, unnest([{_CMS_ROWS}]) AS pos
+    FROM ev
+),
+cells AS (
+    SELECT row, pos, COUNT(*) AS cnt FROM positions GROUP BY row, pos
+),
+exact AS (SELECT k, COUNT(*) AS exact_cnt FROM ev GROUP BY k),
+probe AS (
+    SELECT k, exact_cnt, unnest([{_CMS_IDX}]) AS row,
+        unnest([{_CMS_ROWS}]) AS pos
+    FROM exact
+),
+est AS (
+    SELECT p.k, p.exact_cnt, MIN(c.cnt) AS cms_est
+    FROM probe p JOIN cells c ON p.row = c.row AND p.pos = c.pos
+    GROUP BY p.k, p.exact_cnt
+)
+SELECT k AS user_id, CAST(cms_est AS BIGINT) AS cms_est,
+    CAST(exact_cnt AS BIGINT) AS exact_cnt
+FROM est WHERE cms_est >= {CMS_T}
+"""
+
+
 REGISTRY = [
     ("sketch_kmv_distinct", kmv_query, KMV_SQL),
     ("sketch_hll_distinct", hll_query, HLL_SQL),
     ("sketch_bloom_filter", bloom_query, BLOOM_SQL),
+    ("sketch_cms_heavy", cms_heavy_query, CMS_SQL),
 ]

@@ -86,6 +86,65 @@ SELECT vec_id,
 FROM quant
 """
 
+# ------------------------------------------------------------- centroids
+#
+# Per-label embedding centroid (class prototype / cluster mean) — the
+# building block of k-means assignment, IVF coarse quantizers, and
+# label-prototype classifiers. Long form (label, dim, value) rather
+# than array form so the aggregation is an ordinary combiner-backed
+# groupBy on (label, dim): at 100 TB the posexplode is a narrow
+# map-side transform and the shuffle carries one partial sum per
+# (label, dim) per task — #labels × dim rows total, independent of
+# vector count. Sums are DECIMAL so every accumulation order yields
+# the identical result cross-engine (float64 addition is not
+# associative; decimal is exact).
+
+
+def centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return (
+        comp.groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(
+                F.col("x").cast("double").cast("decimal(28,10)")
+            ).alias("s"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            # floor(x*1e9 + 0.5)/1e9: tie-deterministic rounding on
+            # identical doubles (F.round/DuckDB round diverge on ties)
+            (
+                F.floor(
+                    F.col("s").cast("double") / F.col("n_vecs") * 1e9
+                    + F.lit(0.5)
+                )
+                / 1e9
+            ).alias("centroid"),
+        )
+    )
+
+
+CENTROIDS_SQL = """
+WITH comp AS (
+    SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        unnest(embedding) AS x
+    FROM embeddings
+)
+SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+    floor(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+          / COUNT(*) * 1e9
+          + 0.5) / 1e9 AS centroid
+FROM comp GROUP BY label, dim
+"""
+
 REGISTRY = [
     ("emb_quantize_int8", quantize_int8_query, QUANTIZE_INT8_SQL),
+    ("emb_centroids", centroids_query, CENTROIDS_SQL),
 ]

@@ -251,10 +251,87 @@ HAVING COUNT(*) >= {MIN_SUPPORT}
 """
 
 
+# ------------------------------------------------------------ anomalies
+
+ZS_LOOKBACK = 20  # rolling baseline: previous N events of the user
+ZS_MIN_N = 10  # baseline must have at least this many samples
+ZS_T = 3.0  # |z| threshold
+
+
+def anomaly_zscore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score outliers: each event scored against
+    the mean/std of the user's previous ZS_LOOKBACK event values (the
+    standard streaming-telemetry anomaly rule). One exchange on
+    user_id, one sorted window pass computing count/sum/sum-of-squares
+    together — mean and variance come from the same frame, no
+    self-join. Sums are DECIMAL (exact, order-independent) and the
+    variance is derived from identical doubles in both engines, so the
+    flagged set matches bit-for-bit. At 100 TB this is the shape you
+    want: cost is the sort within each user partition, and skewed
+    users are bounded by the frame (state = 3 numbers), not by
+    history length."""
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(-ZS_LOOKBACK, -1)
+    )
+    vd = F.col("value").cast("decimal(18,6)")
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(vd).over(w).cast("double").alias("s"),
+        F.sum(vd * vd).over(w).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    flagged = scored.where(F.col("n") >= ZS_MIN_N).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(mean, 6).alias("baseline_mean"),
+        F.round(z, 4).alias("z"),
+    )
+    return flagged.where(F.abs(F.col("z")) >= ZS_T)
+
+
+ANOMALY_ZSCORE_SQL = f"""
+WITH ev AS (
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events
+), scored AS (
+    SELECT event_id, user_id, value,
+        COUNT(*) OVER w AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))
+                 * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS ss
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN {ZS_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, value,
+    round(s / n, 6) AS baseline_mean,
+    round((value - s / n) / sqrt(ss / n - (s / n) * (s / n)), 4) AS z
+FROM scored
+WHERE n >= {ZS_MIN_N}
+  AND abs(round((value - s / n) / sqrt(ss / n - (s / n) * (s / n)), 4))
+      >= {ZS_T}
+"""
+
+
 REGISTRY = [
     ("window_analytics", window_analytics_query, WINDOW_ANALYTICS_SQL),
     ("pivot_orders", pivot_orders_query, PIVOT_ORDERS_SQL),
     ("events_json_extract", json_extract_query, JSON_EXTRACT_SQL),
     ("join_salted_enrich", salted_enrich_query, SALTED_ENRICH_SQL),
     ("basket_copurchase", copurchase_query, COPURCHASE_SQL),
+    ("anomaly_zscore", anomaly_zscore_query, ANOMALY_ZSCORE_SQL),
 ]

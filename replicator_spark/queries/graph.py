@@ -130,6 +130,118 @@ SELECT node, round(rank, 6) AS rank FROM r3
 """
 
 
+# ------------------------------------------------------------- triangles
+#
+# Triangle count + global clustering coefficient over the part
+# co-purchase graph (parts are adjacent iff they appear in ≥
+# TRI_SUPPORT common orders; the trade graph above is bipartite and
+# triangle-free by construction, so the unipartite projection is the
+# interesting graph). Edges are kept in canonical a<b orientation, so
+# each triangle is enumerated exactly once as a<b<c by two equi-joins
+# — never a cartesian. At 100 TB the standard refinement is to orient
+# each edge from lower- to higher-DEGREE endpoint (cuts the join
+# fan-out on hub nodes to O(m^1.5) work); id-orientation here keeps
+# the oracle identical while the join topology is the same.
+
+TRI_SUPPORT = 2
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(parts, (x, i) ->
+                    transform(slice(parts, i + 2, size(parts) - i - 1),
+                              y -> struct(x AS a, y AS b))))"""
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("s"))
+        .where(F.col("s") >= TRI_SUPPORT)
+        .select("a", "b")
+    )
+
+
+def triangles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    e = _copurchase_edges(spark, sf_dir).persist()
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    return (
+        deg.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+        .crossJoin(wedges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coef"),
+        )
+    )
+
+
+TRIANGLES_SQL = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {TRI_SUPPORT}
+),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
+      ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+    SELECT n, COUNT(*) AS d FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b FROM e
+    ) GROUP BY n
+),
+wed AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+    (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles,
+    n_wedges,
+    round(CASE WHEN n_wedges > 0
+               THEN 3.0 * (SELECT n_triangles FROM tri) / n_wedges
+               ELSE 0.0 END, 6) AS clustering_coef
+FROM wed
+"""
+
+
 REGISTRY = [
     ("graph_pagerank", pagerank_query, PAGERANK_SQL),
+    ("graph_triangles", triangles_query, TRIANGLES_SQL),
 ]
