@@ -201,6 +201,7 @@ def _load() -> None:
     )
     from .queries import (
         analytics,
+        dq,
         funnel,
         graph,
         profiling,
@@ -267,7 +268,7 @@ def _load() -> None:
         schema_registry, streaming_job, txn_state, stream_sessionize,
         stream_enrich, stream_joins,
         tpch, tpch_ext, temporal, stats, analytics, funnel, profiling,
-        graph,
+        graph, dq,
         cluster, corpus, curation, dedup, matching, sessions, similarity,
         sketches,
         text, vectors,

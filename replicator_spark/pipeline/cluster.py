@@ -174,7 +174,87 @@ FROM keep k JOIN documents d ON k.doc_id = d.doc_id
 )
 
 
+def e2e_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE declarative plan:
+    near-dedup (keep canonical doc per LSH component) ∩ quality-filter
+    pass → deterministic hash split → per-(split, lang) corpus stats.
+    This is the job a pretraining-data team actually schedules; every
+    stage is an operator verified on its own above, and Catalyst fuses
+    the composition (the documents scan is shared, the quality rules
+    stay map-side, the only shuffles are the dedup component loop and
+    the final stats agg). Survival accounting (n_docs vs the 500-doc
+    corpus) is the job's acceptance metric."""
+    prep(spark)
+    from .curation import (
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        _md5_bucket256,
+        quality_filter_query,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    labels = connected_components(
+        docs.select("doc_id"), minhash_lsh_pairs(docs)
+    )
+    canonical = labels.groupBy("label").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    quality_pass = (
+        quality_filter_query(spark, sf_dir)
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(canonical, "doc_id")
+        .join(quality_pass, "doc_id")
+    )
+    b = _md5_bucket256(F.col("doc_id"))
+    split = (
+        F.when(b < SPLIT_TRAIN_LT, "train")
+        .when(b < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        kept.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def _e2e_sql() -> str:
+    from .curation import (
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        QUALITY_FILTER_SQL,
+        _bucket256_sql,
+    )
+
+    return f"""
+WITH canon AS (SELECT doc_id FROM ({NEAR_DEDUP_SQL}) nd),
+qpass AS (SELECT doc_id FROM ({QUALITY_FILTER_SQL}) qf WHERE keep),
+kept AS (
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN canon USING (doc_id) JOIN qpass USING (doc_id)
+),
+assigned AS (
+    SELECT *,
+        CASE WHEN {_bucket256_sql('doc_id')} < {SPLIT_TRAIN_LT} THEN 'train'
+             WHEN {_bucket256_sql('doc_id')} < {SPLIT_VAL_LT} THEN 'val'
+             ELSE 'test' END AS split
+    FROM kept
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM assigned GROUP BY split, lang
+"""
+
+
 REGISTRY = [
     ("dedup_clusters", dedup_clusters_query, DEDUP_CLUSTERS_SQL),
     ("curate_near_dedup", near_dedup_query, NEAR_DEDUP_SQL),
+    ("curate_e2e_pipeline", e2e_pipeline_query, _e2e_sql()),
 ]

@@ -313,10 +313,105 @@ scored AS (
 SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
+# ---------------------------------------------------------------- PMI
+#
+# Pointwise mutual information of adjacent word pairs — the classic
+# collocation detector ("new york" scores high, "of the" scores low).
+# PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p from corpus counts.
+# Scale shape: bigram and unigram counts are two combiner-backed
+# groupBys over one exploded scan; the unigram table is
+# vocabulary-sized → broadcast twice onto the bigram counts (the
+# corpus-sized side never re-shuffles). Corpus totals are broadcast
+# scalars. Both engines compute ln over identical integer ratios, so
+# the doubles match bit-for-bit; display rounding is tie-proof floor.
+
+PMI_MIN_COUNT = 5  # bigram support threshold
+
+
+def pmi_bigrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    uni = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    bi = (
+        toked.select(
+            F.explode(
+                F.expr(
+                    """transform(slice(toks, 1, size(toks) - 1),
+                        (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"""
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_bi"))
+        .where(F.col("c_bi") >= PMI_MIN_COUNT)
+    )
+    n_bi = bi.agg(F.sum("c_bi").alias("n_bi"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.log(
+        (F.col("c_bi").cast("double") / F.col("n_bi"))
+        / (
+            (F.col("c1").cast("double") / F.col("n_uni"))
+            * (F.col("c2").cast("double") / F.col("n_uni"))
+        )
+    )
+    return scored.select(
+        "w1",
+        "w2",
+        "c_bi",
+        (F.floor(pmi * 1e6 + F.lit(0.5)) / 1e6).alias("pmi"),
+    )
+
+
+PMI_BIGRAMS_SQL = f"""
+WITH toked AS (
+    SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+), uni AS (
+    SELECT w, COUNT(*) AS c
+    FROM (SELECT unnest(toks) AS w FROM toked) GROUP BY w
+), n_uni AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+bi AS (
+    SELECT w1, w2, COUNT(*) AS c_bi FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i])) AS w1,
+               unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i + 1])) AS w2
+        FROM toked
+    ) GROUP BY w1, w2
+    HAVING COUNT(*) >= {PMI_MIN_COUNT}
+), n_bi AS (SELECT CAST(SUM(c_bi) AS BIGINT) AS n_bi FROM bi)
+SELECT w1, w2, CAST(c_bi AS BIGINT) AS c_bi,
+    floor(ln((CAST(c_bi AS DOUBLE) / n_bi)
+             / ((CAST(u1.c AS DOUBLE) / n_uni)
+                * (CAST(u2.c AS DOUBLE) / n_uni))) * 1e6 + 0.5) / 1e6
+        AS pmi
+FROM bi JOIN uni u1 ON bi.w1 = u1.w
+    JOIN uni u2 ON bi.w2 = u2.w, n_uni, n_bi
+"""
+
+
 REGISTRY = [
     ("text_repetition", repetition_query, REPETITION_SQL),
     ("text_pii_scrub", pii_scrub_query, PII_SCRUB_SQL),
     ("text_top_terms", top_terms_query, TOP_TERMS_SQL),
     ("text_inverted_index", inverted_index_query, INVERTED_INDEX_SQL),
     ("text_tfidf", tfidf_query, TFIDF_SQL),
+    ("text_pmi_bigrams", pmi_bigrams_query, PMI_BIGRAMS_SQL),
 ]

@@ -1,0 +1,170 @@
+"""Data-quality constraint checking (a Deequ/Great-Expectations-style
+"expectations" report): declared constraints over the warehouse tables
+— primary-key uniqueness, referential integrity, null and range rules
+— evaluated in one batch and emitted as an auditable one-row-per-rule
+report. This is the validation side-channel generalized from the
+reference's row-sampling throttle (SURVEY §2.8, `cdc/validation.py`)
+to schema-level invariants.
+
+Scale shapes (100 TB):
+- Uniqueness is `COUNT(*) - COUNT(DISTINCT key)` in a single
+  combiner-backed aggregate — never a groupBy-then-filter over the
+  key space (that would materialize a row per key).
+- Referential integrity is a LEFT ANTI join counted — the dimension
+  side (customer / orders keys) broadcasts when small; at dimension
+  scale it's one shuffled semi-join, the minimum possible.
+- Null/range rules are map-side conditional sums fused into each
+  table's single scan (one pass per table, all rules of that table
+  together).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+
+QTY_MIN, QTY_MAX = 1, 50
+
+
+def _report(name: str, checked, violations) -> DataFrame:
+    return checked.crossJoin(violations).select(
+        F.lit(name).alias("constraint"),
+        F.col("n_checked"),
+        F.col("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def dq_constraints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cust = read_table(spark, sf_dir, "customer")
+    events = read_table(spark, sf_dir, "events")
+
+    # single-scan aggregate rules, fused per table
+    o_agg = orders.agg(
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias(
+            "n_violations"
+        ),
+    )
+    li_agg = li.agg(
+        F.count("*").alias("n_checked"),
+        (
+            F.count("*")
+            - F.countDistinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("pk_dups"),
+        F.sum(
+            (
+                (F.col("l_quantity") < QTY_MIN)
+                | (F.col("l_quantity") > QTY_MAX)
+            ).cast("long")
+        ).alias("qty_out"),
+    )
+    c_agg = cust.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(F.col("c_name").isNull().cast("long")).alias("n_violations"),
+    )
+    e_agg = events.agg(
+        F.count("*").alias("n_checked"),
+        F.sum((F.col("value") < 0).cast("long")).alias("n_violations"),
+    )
+
+    # referential integrity: anti-join counts
+    o_orphans = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "anti",
+    ).agg(F.count("*").alias("n_violations"))
+    li_orphans = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "anti",
+    ).agg(F.count("*").alias("n_violations"))
+
+    o_n = orders.agg(F.count("*").alias("n_checked"))
+    li_n = li.agg(F.count("*").alias("n_checked"))
+
+    parts = [
+        _report(
+            "orders_pk_unique",
+            o_agg.select("n_checked"),
+            o_agg.select("n_violations"),
+        ),
+        _report(
+            "lineitem_pk_unique",
+            li_agg.select("n_checked"),
+            li_agg.select(F.col("pk_dups").alias("n_violations")),
+        ),
+        _report(
+            "lineitem_qty_range",
+            li_agg.select("n_checked"),
+            li_agg.select(F.col("qty_out").alias("n_violations")),
+        ),
+        _report("customer_name_not_null", c_agg.select("n_checked"),
+                c_agg.select("n_violations")),
+        _report("events_value_nonneg", e_agg.select("n_checked"),
+                e_agg.select("n_violations")),
+        _report("orders_custkey_fk", o_n, o_orphans),
+        _report("lineitem_orderkey_fk", li_n, li_orphans),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+DQ_CONSTRAINTS_SQL = f"""
+SELECT 'orders_pk_unique' AS constraint,
+    CAST(COUNT(*) AS BIGINT) AS n_checked,
+    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+    COUNT(*) = COUNT(DISTINCT o_orderkey) AS passed
+FROM orders
+UNION ALL
+SELECT 'lineitem_pk_unique',
+    CAST(COUNT(*) AS BIGINT),
+    CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+    COUNT(*) = COUNT(DISTINCT (l_orderkey, l_linenumber))
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_qty_range',
+    CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN l_quantity < {QTY_MIN} OR l_quantity > {QTY_MAX}
+                  THEN 1 ELSE 0 END) AS BIGINT),
+    SUM(CASE WHEN l_quantity < {QTY_MIN} OR l_quantity > {QTY_MAX}
+             THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'customer_name_not_null',
+    CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) = 0
+FROM customer
+UNION ALL
+SELECT 'events_value_nonneg',
+    CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+    SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
+FROM events
+UNION ALL
+SELECT 'orders_custkey_fk',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+    CAST(COUNT(*) AS BIGINT),
+    COUNT(*) = 0
+FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+    CAST(COUNT(*) AS BIGINT),
+    COUNT(*) = 0
+FROM lineitem l WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+"""
+
+REGISTRY = [
+    ("dq_constraints", dq_constraints_query, DQ_CONSTRAINTS_SQL),
+]

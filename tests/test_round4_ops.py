@@ -109,3 +109,112 @@ def test_near_dedup_keeps_one_doc_per_cluster(spark, sf_dir):
     assert sum(r["n_absorbed"] for r in kept) == total_docs
     for r in kept:
         assert r["doc_id"] == min(by_cluster[r["cluster_id"]])
+
+
+def test_dq_constraints_report_real_fixture_state(spark, sf_dir):
+    """The synthetic warehouse is referentially intact EXCEPT that
+    lineitem's (l_orderkey, l_linenumber) is not unique — the report
+    must catch exactly that and pass everything else."""
+    from replicator_spark.queries.dq import dq_constraints_query
+
+    rows = {r["constraint"]: r for r in dq_constraints_query(spark, sf_dir).collect()}
+    assert len(rows) == 7
+    for name, r in rows.items():
+        assert r["n_checked"] > 0, name
+        if name == "lineitem_pk_unique":
+            assert not r["passed"] and r["n_violations"] > 0
+        else:
+            assert r["passed"] and r["n_violations"] == 0, name
+
+
+def test_dq_constraints_catch_injected_violations(spark, tmp_path):
+    """Duplicate PK + orphan FK + out-of-range qty must be counted."""
+    import os
+
+    from replicator_spark.queries import dq as mod
+
+    base = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 99)], "o_orderkey long, o_custkey long"
+    ).write.parquet(os.path.join(base, "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 5.0), (1, 1, 500.0), (7, 1, 3.0)],
+        "l_orderkey long, l_linenumber long, l_quantity double",
+    ).write.parquet(os.path.join(base, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, "a"), (11, None)], "c_custkey long, c_name string"
+    ).write.parquet(os.path.join(base, "customer.parquet"))
+    spark.createDataFrame(
+        [(1, -1.0)], "event_id long, value double"
+    ).write.parquet(os.path.join(base, "events.parquet"))
+    rows = {r["constraint"]: r for r in mod.dq_constraints_query(spark, base).collect()}
+    assert rows["orders_pk_unique"]["n_violations"] == 1
+    assert rows["lineitem_pk_unique"]["n_violations"] == 1
+    assert rows["lineitem_qty_range"]["n_violations"] == 1
+    assert rows["customer_name_not_null"]["n_violations"] == 1
+    assert rows["events_value_nonneg"]["n_violations"] == 1
+    assert rows["orders_custkey_fk"]["n_violations"] == 1  # custkey 99
+    assert rows["lineitem_orderkey_fk"]["n_violations"] == 1  # orderkey 7
+
+
+def test_recall_at_k_bounds_and_consistency(spark, sf_dir):
+    from replicator_spark.pipeline.similarity import (
+        TOP_K,
+        recall_at_k_query,
+    )
+
+    rows = recall_at_k_query(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["n_hits"] <= TOP_K
+        assert abs(r["recall"] - r["n_hits"] / TOP_K) < 1e-12
+
+
+def test_pmi_matches_hand_computation(spark, sf_dir):
+    """Recompute one bigram's PMI from raw counts."""
+    import math
+
+    from replicator_spark.pipeline.corpus import (
+        PMI_MIN_COUNT,
+        pmi_bigrams_query,
+    )
+
+    rows = pmi_bigrams_query(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    toks = [d["text"].lower().split() for d in docs]
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    for ts in toks:
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    n_uni = sum(uni.values())
+    n_bi_kept = sum(c for c in bi.values() if c >= PMI_MIN_COUNT)
+    r = rows[0]
+    assert r["c_bi"] == bi[(r["w1"], r["w2"])]
+    expect = math.log(
+        (r["c_bi"] / n_bi_kept)
+        / ((uni[r["w1"]] / n_uni) * (uni[r["w2"]] / n_uni))
+    )
+    assert abs(r["pmi"] - expect) < 1e-5
+
+
+def test_e2e_pipeline_conserves_survivors(spark, sf_dir):
+    from replicator_spark.pipeline.cluster import (
+        e2e_pipeline_query,
+        near_dedup_query,
+    )
+    from replicator_spark.pipeline.curation import quality_filter_query
+
+    out = e2e_pipeline_query(spark, sf_dir).collect()
+    assert out
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    canon = {r["doc_id"] for r in near_dedup_query(spark, sf_dir).collect()}
+    qpass = {
+        r["doc_id"]
+        for r in quality_filter_query(spark, sf_dir).collect()
+        if r["keep"]
+    }
+    assert sum(r["n_docs"] for r in out) == len(canon & qpass)
