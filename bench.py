@@ -44,6 +44,8 @@ HEADLINE = [
     "text_tfidf",
     "curate_chunk_documents",
     "stats_corr",
+    "curate_e2e_pipeline",
+    "text_pmi_bigrams",
 ]
 
 

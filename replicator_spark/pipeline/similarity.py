@@ -340,8 +340,12 @@ def recall_at_k_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality metric: recall@k of the IVF search against the
     brute-force ground truth, per query — the number every ANN index
     deployment is judged by. Composes the two operators above into one
-    plan (Catalyst shares the embeddings scan); the comparison itself
-    is a tiny (|Q|·k rows) join. An IVF hit set can only miss truth
+    plan; the comparison itself is a tiny (|Q|·k rows) join. Note
+    Catalyst does NOT common-subexpression-eliminate the two
+    embeddings subtrees (they differ), so the scan runs once per
+    branch — in a production evaluation harness you'd persist() the
+    embeddings projection first; at benchmark scale the extra columnar
+    scans are noise next to the O(N·|Q|·dim) scoring. An IVF hit set can only miss truth
     items whose true neighbors live outside the probed cells, so
     recall < 1 exactly measures the quantizer's error."""
     prep(spark)
