@@ -196,6 +196,173 @@ FROM events
 GROUP BY event_type
 """
 
+TOPK_USERS = 3
+
+
+def stream_topk_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k as STREAM + SERVE: append-mode ranking inside a
+    stream is impossible (a window's rank isn't final until the window
+    closes), so the production pattern is a two-layer Lambda-free
+    split — the stream maintains per-(window, user) counts in the
+    state store and emits each finished window once at watermark
+    close; the top-k RANKING runs on read over the materialized agg
+    (tiny: #windows × #users rows, nothing like raw volume). This is
+    exactly how a 100 TB/day leaderboard is served; the raw stream is
+    never re-scanned."""
+    prep(spark)
+    base = tempfile.mkdtemp(prefix="tm_topk_")
+    out = os.path.join(base, "out")
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "ts_ts", F.timestamp_millis(F.expr("ts div 1000000"))
+    )
+    agg = (
+        stream.withWatermark("ts_ts", "1 hour")
+        .groupBy(F.window("ts_ts", "1 hour"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window as W
+
+    served = spark.read.parquet(out).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "user_id",
+        "n",
+    )
+    w = W.partitionBy("window_start_ms").orderBy(
+        F.col("n").desc(), F.col("user_id")
+    )
+    return (
+        served.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK_USERS)
+    )
+
+
+# Same emission rule as STREAM_WINDOWED_SQL: a window appears only
+# once the final watermark (max event time - 1h) passes its end.
+STREAM_TOPK_SQL = f"""
+WITH agg AS (
+    SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        user_id, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR
+        <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY window_start_ms ORDER BY n DESC, user_id) AS rank
+    FROM agg
+)
+SELECT window_start_ms, user_id, n, rank FROM ranked
+WHERE rank <= {TOPK_USERS}
+"""
+
+
+def stream_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE materialization: the streaming twin of
+    cdc_apply_upsert — every micro-batch folds its changes into a
+    current-state store via last-writer-wins (max version per key)
+    inside foreachBatch. Each epoch writes a deterministic delta
+    partition (idempotent on replay, same argument as the
+    time-machine sink above); the serving read collapses deltas with
+    one max_by pass. At scale the store is a partitioned table and
+    the collapse happens on the (pruned) read path or a periodic
+    compaction — both operators exist in sinks/timemachine.py."""
+    prep(spark)
+    base = tempfile.mkdtemp(prefix="tm_upsert_")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    stream = _events_stream(spark, sf_dir)
+    run_upsert_stream(stream, out, ckpt)
+    return collapse_upsert_store(spark, out)
+
+
+def run_upsert_stream(stream: DataFrame, out: str, ckpt: str) -> None:
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        feed = change_feed_from(batch_df).where(F.col("op") != "QUERY")
+        ord_k = F.struct("ts_ms", "event_id")
+        delta = feed.select(
+            "table_name",
+            "user_id",
+            "op",
+            "ts_ms",
+            "event_id",
+            F.coalesce(
+                F.col("value_after").cast("string"), F.lit("NULL")
+            ).alias("value_s"),
+        ).groupBy("table_name", "user_id").agg(
+            F.max_by("op", ord_k).alias("last_op"),
+            F.max_by("value_s", ord_k).alias("value"),
+            F.max("ts_ms").alias("last_ts_ms"),
+            F.max("event_id").alias("last_event_id"),
+            F.count("*").alias("n_changes"),
+        )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(out, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def collapse_upsert_store(spark: SparkSession, out: str) -> DataFrame:
+    store = spark.read.parquet(out)
+    collapse_k = F.struct("last_ts_ms", "last_event_id")
+    return (
+        store.groupBy("table_name", "user_id")
+        .agg(
+            F.max_by(F.struct("last_op", "value"), collapse_k).alias("m"),
+            F.max("last_ts_ms").alias("last_ts_ms"),
+            F.sum("n_changes").alias("n_changes"),
+        )
+        .select(
+            "table_name", "user_id",
+            F.col("m.last_op").alias("last_op"),
+            F.col("m.value").alias("value"),
+            "last_ts_ms", "n_changes",
+        )
+    )
+
+
+# Oracle: last-writer-wins over the batch change feed — streaming ==
+# batch MERGE. DuckDB arg_max takes a scalar order key: ts_ms
+# dominates, event_id breaks ties (valid while event_id < 1e10).
+_UPSERT_ORD = "CAST(ts_ms AS HUGEINT) * 10000000000 + event_id"
+
+STREAM_UPSERT_SQL = f"""
+WITH feed AS ({{change_feed}}),
+keyed AS (
+    SELECT table_name, user_id, op, ts_ms, event_id,
+        COALESCE(CAST(value_after AS VARCHAR), 'NULL') AS value_s
+    FROM feed WHERE op <> 'QUERY'
+)
+SELECT table_name, user_id,
+    arg_max(op, {_UPSERT_ORD}) AS last_op,
+    arg_max(value_s, {_UPSERT_ORD}) AS value,
+    MAX(ts_ms) AS last_ts_ms,
+    CAST(COUNT(*) AS BIGINT) AS n_changes
+FROM keyed GROUP BY table_name, user_id
+"""
+
+
+def _upsert_sql() -> str:
+    from ..cdc.envelope import CHANGE_FEED_SQL
+
+    return STREAM_UPSERT_SQL.format(change_feed=CHANGE_FEED_SQL)
+
+
 REGISTRY = [
     ("stream_timemachine", stream_timemachine_query, STREAM_TIMEMACHINE_SQL),
     (
@@ -204,4 +371,6 @@ REGISTRY = [
         STREAM_WINDOWED_SQL,
     ),
     ("stream_dedup_exact", stream_dedup_query, STREAM_DEDUP_SQL),
+    ("stream_topk_users", stream_topk_users_query, STREAM_TOPK_SQL),
+    ("stream_upsert", stream_upsert_query, _upsert_sql()),
 ]

@@ -230,3 +230,55 @@ def test_foreachbatch_replay_idempotent(spark, sf_dir, tmp_path):
     second = spark.read.parquet(out)
     assert second.count() == n1
     assert second.agg({"version_us": "sum"}).collect()[0][0] == sum1
+
+
+def test_upsert_merge_across_micro_batches(spark, sf_dir, chunked_dir, tmp_path):
+    """Last-writer-wins MERGE split over 3 epochs must collapse to the
+    exact single-batch applied state — the telescoping property of the
+    per-epoch argmax."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from replicator_spark.cdc.envelope import change_feed_from
+    from replicator_spark.streaming.job import (
+        EVENTS_SCHEMA,
+        collapse_upsert_store,
+        run_upsert_stream,
+    )
+
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_dir)
+    )
+    run_upsert_stream(stream, out, ckpt)
+    # 3 files → 3 epochs, each with its own delta partition
+    epochs = {d for d in os.listdir(out) if d.startswith("epoch=")}
+    assert len(epochs) == 3, epochs
+    streamed = collapse_upsert_store(spark, out)
+
+    batch_feed = change_feed_from(
+        spark.read.schema(EVENTS_SCHEMA).parquet(chunked_dir)
+    ).where(F.col("op") != "QUERY")
+    ord_k = F.struct("ts_ms", "event_id")
+    batch = (
+        batch_feed.select(
+            "table_name", "user_id", "op", "ts_ms", "event_id",
+            F.coalesce(
+                F.col("value_after").cast("string"), F.lit("NULL")
+            ).alias("value_s"),
+        )
+        .groupBy("table_name", "user_id")
+        .agg(
+            F.max_by("op", ord_k).alias("last_op"),
+            F.max_by("value_s", ord_k).alias("value"),
+            F.max("ts_ms").alias("last_ts_ms"),
+            F.count("*").alias("n_changes"),
+        )
+    )
+    cols = ["table_name", "user_id", "last_op", "value", "last_ts_ms", "n_changes"]
+    assert streamed.select(*cols).exceptAll(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).exceptAll(streamed.select(*cols)).count() == 0
