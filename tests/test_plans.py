@@ -187,3 +187,44 @@ def test_snapshot_diff_no_broadcast_of_table_sides(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cdc_snapshot_diff")
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "basket_copurchase", "graph_triangles", "text_pmi_bigrams",
+        "curate_e2e_pipeline", "sim_recall_at_k", "sketch_cms_heavy",
+    ],
+)
+def test_new_ops_no_cartesian(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_filter_is_map_only(spark, sf_dir):
+    """The filter chain must fuse into the scan: no exchange at all."""
+    plan = _plan(spark, sf_dir, "curate_quality_filter")
+    assert "Exchange" not in plan
+
+
+def test_anomaly_zscore_single_window_exchange(spark, sf_dir):
+    """count/sum/sum-of-squares share ONE window pass: exactly one
+    shuffle exchange (hashpartitioning on user_id)."""
+    plan = _plan(spark, sf_dir, "anomaly_zscore")
+    assert plan.count(") Exchange") == 1
+    assert plan.count(") Window") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_pmi_broadcasts_vocabulary_sides(spark, sf_dir):
+    """Unigram counts are vocabulary-sized: both joins onto the bigram
+    table must be broadcasts, never a shuffle of the bigram side."""
+    plan = _plan(spark, sf_dir, "text_pmi_bigrams")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_probe_joins_broadcast_sketch(spark, sf_dir):
+    """The d×w-cell sketch must broadcast to the probe side."""
+    plan = _plan(spark, sf_dir, "sketch_cms_heavy")
+    assert "BroadcastHashJoin" in plan
