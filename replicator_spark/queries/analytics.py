@@ -327,6 +327,67 @@ WHERE n >= {ZS_MIN_N}
 """
 
 
+# ---------------------------------------------------------------- EWMA
+
+EWMA_ALPHA = 0.2
+
+
+def ewma_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values —
+    the recursive filter s_i = α·x_i + (1-α)·s_{i-1} that window
+    frames cannot express (every output depends on the FULL prefix).
+    Expressed as an ordered collect + sequential F.aggregate fold:
+    JVM-side, one combiner-backed exchange on user_id, and the fold
+    order is pinned by array_sort on (ts_ms, event_id) so both engines
+    run the identical sequence of double ops — bit-for-bit equal.
+    State per user is its own history; for unbounded streams the
+    streaming twin keeps just s in a keyed state store. At 100 TB the
+    per-key collect is bounded by per-user history (and a production
+    variant folds per day then chains daily carries — same algebra,
+    telescoped)."""
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.expr("ts div 1000000").alias("ts_ms"),
+            F.col("event_id").alias("event_id"),
+            F.col("value").alias("v"),
+        ).alias("rec"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("rec")).alias("recs")
+    )
+    vals = F.transform("recs", lambda r: r["v"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x
+        + F.lit(1.0 - EWMA_ALPHA) * acc,
+    )
+    return per_user.select(
+        "user_id",
+        F.size("recs").alias("n_events"),
+        (F.floor(ewma * 1e6 + F.lit(0.5)) / 1e6).alias("ewma"),
+        F.element_at(vals, -1).alias("last_value"),
+    )
+
+
+EWMA_SQL = f"""
+WITH ordered AS (
+    SELECT user_id,
+        list(value ORDER BY epoch_ms(ts), event_id) AS vals
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+    CAST(len(vals) AS INTEGER) AS n_events,
+    floor(list_reduce(vals,
+        (acc, x) -> {EWMA_ALPHA} * x + {1.0 - EWMA_ALPHA} * acc)
+        * 1e6 + 0.5) / 1e6 AS ewma,
+    vals[-1] AS last_value
+FROM ordered
+"""
+
+
 REGISTRY = [
     ("window_analytics", window_analytics_query, WINDOW_ANALYTICS_SQL),
     ("pivot_orders", pivot_orders_query, PIVOT_ORDERS_SQL),
@@ -334,4 +395,5 @@ REGISTRY = [
     ("join_salted_enrich", salted_enrich_query, SALTED_ENRICH_SQL),
     ("basket_copurchase", copurchase_query, COPURCHASE_SQL),
     ("anomaly_zscore", anomaly_zscore_query, ANOMALY_ZSCORE_SQL),
+    ("ts_ewma", ewma_query, EWMA_SQL),
 ]

@@ -1,0 +1,150 @@
+"""Scale-up smoke: measure operator runtime at 1x vs Rx data volume.
+
+Builds an R-times replica of the star schema by unioning key-offset
+copies (each replica is internally join-consistent: every key column
+of a replica gets the same offset, so joins/groupings scale linearly
+in replica count and never cross replicas except through shared tiny
+dims). Then times a representative operator slate at both scales and
+prints one JSON line with per-query seconds and the tN/t1 ratio.
+
+A ratio near R (for scan-bound ops) or below R (for ops whose cost is
+dominated by fixed overhead at this size) is the pass signal; a ratio
+far ABOVE R flags superlinear behavior — a plan that would not survive
+the 100 TB target. Usage:
+
+    python tools/scale_smoke.py [R] [sf_dir]
+
+Writes nothing outside a temp dir; testdata is read-only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from replicator_spark.session import get_spark, prep  # noqa: E402
+
+KEY_OFFSET = 10_000_000  # per-replica key stride (clears all sf0.1 ids)
+TS_OFFSET_NS = 86_400 * 10**9  # one day per replica
+
+# (table, key columns to offset, optional ts column)
+OFFSETS = {
+    "events": (["event_id", "user_id"], "ts"),
+    "documents": (["doc_id"], None),
+    "embeddings": (["vec_id"], None),
+    "orders": (["o_orderkey", "o_custkey"], None),
+    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], None),
+    "customer": (["c_custkey"], None),
+    "supplier": (["s_suppkey"], None),
+    "part": (["p_partkey"], None),
+    "nation": ([], None),  # shared tiny dims: plain copies
+    "region": ([], None),
+}
+
+SLATE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q21",
+    "cdc_change_feed",
+    "cdc_apply_upsert",
+    "tm_asof_snapshot",
+    "dedup_minhash_lsh",
+    "sessionize_events",
+    "anomaly_zscore",
+    "text_tfidf",
+    "curate_e2e_pipeline",
+]
+
+
+def build_replica(spark, sf_dir: str, out_dir: str, r_factor: int) -> None:
+    for table, (keys, ts_col) in OFFSETS.items():
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        if not os.path.exists(src):
+            continue
+        df = spark.read.parquet(src)
+        parts = []
+        for r in range(r_factor):
+            p = df
+            for k in keys:
+                p = p.withColumn(k, F.col(k) + F.lit(r * KEY_OFFSET))
+            if ts_col is not None and r:
+                p = p.withColumn(
+                    ts_col, F.col(ts_col) + F.lit(r * TS_OFFSET_NS)
+                )
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # one flat file-set per table, mirroring the sf layout
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
+
+
+def time_slate(spark, queries, sf_dir: str) -> dict[str, float]:
+    times = {}
+    for name in SLATE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    r_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    prep(spark)
+    from replicator_spark import api
+
+    queries = api.queries()
+    base = tempfile.mkdtemp(prefix="scale_smoke_")
+    try:
+        build_replica(spark, sf_dir, base, r_factor)
+        # warm-up JIT/scan caches so 1x isn't charged the startup cost
+        time_slate(spark, queries, sf_dir)
+        t1 = time_slate(spark, queries, sf_dir)
+        tn = time_slate(spark, queries, base)
+        report = {
+            name: {
+                "t1_sec": t1[name],
+                f"t{r_factor}_sec": tn[name],
+                "ratio": round(tn[name] / max(t1[name], 1e-9), 2),
+            }
+            for name in SLATE
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_smoke",
+                    "r_factor": r_factor,
+                    "sf_dir": sf_dir,
+                    "queries": report,
+                    "superlinear": [
+                        n
+                        for n, v in report.items()
+                        if v["ratio"] > 1.5 * r_factor
+                    ],
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
