@@ -26,13 +26,16 @@ from pyspark.sql import types as T
 
 from ..cdc.envelope import change_feed_from
 from ..cdc.transactions import organized_feed_from
-from ..session import prep
+from ..session import normalize_events, prep, table_path
 from ..sinks.timemachine import TIMEMACHINE_CELLS_SQL, cells_from
 
+# Canonical (post-normalize_events) events schema: ts is INT64
+# epoch-nanos regardless of the physical parquet encoding. Fixtures
+# that write their own event files write this form.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+        T.StructField("ts", T.LongType()),  # epoch nanos (canonical)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -42,12 +45,20 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # file-stream sources need a directory; select the events file by glob
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    # File-stream sources need an explicit schema and a directory.
+    # Infer the schema from a one-off batch read of the same file so the
+    # stream survives the driver regenerating testdata with a different
+    # physical ts encoding (INT64-nanos vs TIMESTAMP µs — a long schema
+    # over a µs-timestamp column silently reads µs as "nanos", shifting
+    # every derived time by 1000×). normalize_events then canonicalizes
+    # ts to INT64 nanos exactly as the batch path does.
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    return normalize_events(stream)
 
 
 def run_timemachine_stream(

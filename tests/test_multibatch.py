@@ -18,8 +18,12 @@ def chunked_dir(spark, sf_dir, tmp_path_factory):
     """events split into 3 parquet files in event-time order (so the
     advancing watermark never classifies a later file as late data)."""
     base = str(tmp_path_factory.mktemp("chunks"))
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # nanosAsLong: ts is a raw long here, orderable as-is
+    from replicator_spark.session import normalize_events
+
+    ev = normalize_events(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    # post-normalize: ts is canonical epoch-nanos long, orderable as-is
     thirds = ev.select("ts").approxQuantile("ts", [0.34, 0.67], 0.001)
     lo, hi = thirds
     parts = [
@@ -121,7 +125,11 @@ def test_txn_assembly_across_micro_batches(spark, sf_dir, chunked_dir, tmp_path)
     # no duplicate emissions per txn
     assert got.groupBy("txn_xid").count().where("count > 1").count() == 0
     # batch expectation: all txns whose bucket closed before max ts
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from replicator_spark.session import normalize_events
+
+    ev = normalize_events(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
     feed = ev.select(
         "event_id",
         F.expr("ts div 1000000").alias("ts_ms"),
@@ -183,9 +191,11 @@ def test_sessionize_across_micro_batches(spark, sf_dir, chunked_dir, tmp_path):
     got = _stream_one_file_per_batch(
         spark, chunked_dir, build, str(tmp_path)
     )
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
-        "event_id", "user_id", F.expr("ts div 1000000").alias("ts_ms")
-    )
+    from replicator_spark.session import normalize_events
+
+    ev = normalize_events(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ).select("event_id", "user_id", F.expr("ts div 1000000").alias("ts_ms"))
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")

@@ -59,7 +59,11 @@ def test_retention_day0_equals_cohort_size(spark, sf_dir):
         r["cohort_day"]: r["n_active"]
         for r in ret.where(F.col("day_offset") == 0).collect()
     }
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    from replicator_spark.session import normalize_events
+
+    ev = normalize_events(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select(
         "user_id",
         F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day"),
     )

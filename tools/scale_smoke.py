@@ -70,6 +70,10 @@ def build_replica(spark, sf_dir: str, out_dir: str, r_factor: int) -> None:
         if not os.path.exists(src):
             continue
         df = spark.read.parquet(src)
+        if table == "events":
+            from replicator_spark.session import normalize_events
+
+            df = normalize_events(df)  # canonical INT64-nanos ts
         parts = []
         for r in range(r_factor):
             p = df
