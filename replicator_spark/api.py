@@ -191,6 +191,7 @@ def _load() -> None:
         corpus,
         curation,
         dedup,
+        lm,
         matching,
         multimodal,
         sessions,
@@ -269,8 +270,8 @@ def _load() -> None:
         stream_enrich, stream_joins,
         tpch, tpch_ext, temporal, stats, analytics, funnel, profiling,
         graph, dq,
-        cluster, corpus, curation, dedup, matching, sessions, similarity,
-        sketches,
+        cluster, corpus, curation, dedup, lm, matching, sessions,
+        similarity, sketches,
         text, vectors,
         multimodal,
     ):

@@ -542,6 +542,66 @@ FROM flagged
 """
 
 
+# ------------------------------------------------- weighted sampling
+
+SAMPLE_TOP_K = 100
+
+
+def weighted_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the A-ES /
+    exponential-sort reservoir construction): per-doc priority
+    -ln(u)/w with u an md5-derived uniform and w = n_chars; the K
+    lowest priorities are exactly a weighted sample without
+    replacement. Deterministic (no rand()) so engines and reruns
+    agree — the property a reproducible training-mix pipeline needs.
+
+    Scale shape: priority is one map-side expression; global bottom-K
+    is TakeOrdered (per-partition top-K then a K-sized driver merge) —
+    the distributed-reservoir pattern, never a full sort of the corpus.
+    """
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    # u in (0,1): first 8 md5 nibbles → 32-bit int; +0.5 both avoids
+    # u=0 and keeps the value exactly representable in a double.
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    pri = -F.log(u) / F.col("n_chars").cast("double")
+    w_rank = Window.orderBy(F.col("pri").asc(), F.col("doc_id"))
+    return (
+        docs.withColumn("pri", pri)
+        .withColumn("sample_rank", F.row_number().over(w_rank))
+        .where(F.col("sample_rank") <= SAMPLE_TOP_K)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.col("pri"), 9).alias("priority"),
+            "sample_rank",
+        )
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+        -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) + 0.5) / 4294967296.0)
+        / CAST(n_chars AS DOUBLE) AS pri
+    FROM documents
+), ranked AS (
+    SELECT doc_id, lang, n_chars, pri,
+        ROW_NUMBER() OVER (ORDER BY pri ASC, doc_id) AS sample_rank
+    FROM keyed QUALIFY sample_rank <= {SAMPLE_TOP_K}
+)
+SELECT doc_id, lang, n_chars, round(pri, 9) AS priority, sample_rank
+FROM ranked
+"""
+
+
 REGISTRY = [
     ("curate_pack_sequences", pack_sequences_query, PACK_SEQUENCES_SQL),
     ("curate_chunk_documents", chunk_documents_query, CHUNK_DOCUMENTS_SQL),
@@ -555,4 +615,5 @@ REGISTRY = [
     ("curate_ngram_decontam", ngram_decontam_query, NGRAM_DECONTAM_SQL),
     ("curate_global_shuffle", global_shuffle_query, GLOBAL_SHUFFLE_SQL),
     ("curate_quality_filter", quality_filter_query, QUALITY_FILTER_SQL),
+    ("curate_weighted_sample", weighted_sample_query, WEIGHTED_SAMPLE_SQL),
 ]

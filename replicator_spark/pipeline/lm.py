@@ -1,0 +1,285 @@
+"""Corpus language-model statistics: bigram-LM document scoring, Zipf
+rank-frequency slope, and cross-document duplicate-n-gram fraction.
+
+These are the corpus-statistics quality gates of a pretraining-data
+pipeline (the CCNet/KenLM recipe scores every document under a corpus
+LM and drops the tail; Zipf slope is the classic corpus-health
+diagnostic; duplicate-n-gram fraction is the near-dup *signal* that
+feeds curation thresholds, distinct from the pairwise dedup operators
+in dedup.py which *identify* the pairs).
+
+Reference scope note: the reference engine (mysql-time-machine
+replicator) has no text analytics — these extend the engine along the
+brief's LLM-pipeline axis, same contract as pipeline/text.py.
+
+Scale shapes (100 TB):
+- bigram LM: one scan → map-side bigram explode → two combiner-backed
+  aggs (bigram counts, prefix counts; both vocab²-bounded, i.e. TINY
+  relative to the corpus) → joined back; AQE broadcasts the count
+  tables, so the corpus side is never re-shuffled. The vocab-size
+  scalar crossJoins as a broadcast literal.
+- Zipf: the heavy part is one token-count agg (combiner-backed, vocab
+  output); ranking + regression run over the vocab-sized result, and
+  the final slope is a single-row reduction.
+- dup-frac: per-doc DISTINCT k-grams (map-side) → gram-count agg →
+  hash join back on gram → per-doc agg. The gram→count join is the
+  standard propose/verify shape: shuffles scale linearly with corpus
+  size, never quadratically.
+
+Float determinism across engines (Spark JVM vs DuckDB libm): every
+log() is rounded to 9 dp and summed as DECIMAL, so the only
+cross-engine risk is a log landing exactly on a 9-dp boundary ulp —
+negligible — and the sums themselves are order-exact. Final ratios are
+computed in doubles (correctly-rounded IEEE ops on identical inputs)
+and rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+from .text import ws_tokens
+
+# ------------------------------------------------------------- bigram LM
+
+
+def _toked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+
+
+_TOKED_SQL = """
+WITH toked AS (
+    SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+)
+"""
+
+
+def bigram_lm_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score each document under the corpus's own add-one-smoothed
+    bigram model: avg ln P(w_i | w_{i-1}), P = (c(w1,w2)+1) /
+    (c_prefix(w1)+V). Self-trained (no held-out split) — the curation
+    threshold consumer subtracts the corpus mean anyway."""
+    prep(spark)
+    toked = _toked(spark, sf_dir)
+    bigr = (
+        toked.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks)-2),"
+                    " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    vocab = toked.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("vsz")
+    )
+    bic = bigr.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
+    prec = bigr.groupBy("w1").agg(F.count("*").alias("c_w1"))
+    j = (
+        bigr.join(bic, ["w1", "w2"])
+        .join(prec, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (F.col("c_bi") + 1).cast("double") / (
+        F.col("c_w1") + F.col("vsz")
+    ).cast("double")
+    logp_dec = F.round(F.log(p), 9).cast("decimal(20,9)")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(logp_dec).alias("_slp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("_slp").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_logp"),
+        )
+    )
+
+
+BIGRAM_LM_SQL = (
+    _TOKED_SQL
+    + """, bi AS (
+    SELECT doc_id,
+        unnest(toks[1:len(toks)-1]) AS w1,
+        unnest(toks[2:len(toks)]) AS w2
+    FROM toked WHERE len(toks) >= 2
+), bic AS (SELECT w1, w2, COUNT(*) AS c_bi FROM bi GROUP BY w1, w2),
+prec AS (SELECT w1, COUNT(*) AS c_w1 FROM bi GROUP BY w1),
+v AS (
+    SELECT COUNT(DISTINCT w) AS vsz
+    FROM (SELECT unnest(toks) AS w FROM toked)
+)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+    round(
+        CAST(SUM(CAST(round(ln(
+            CAST(c_bi + 1 AS DOUBLE) / CAST(c_w1 + vsz AS DOUBLE)
+        ), 9) AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*),
+    6) AS avg_logp
+FROM bi b JOIN bic USING (w1, w2) JOIN prec USING (w1) CROSS JOIN v
+GROUP BY b.doc_id
+"""
+)
+
+# ------------------------------------------------------------ Zipf slope
+
+ZIPF_TOP_N = 100
+
+
+def zipf_slope_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(freq) over ln(rank) for the top-N
+    corpus tokens (Zipf's law predicts ≈ -1). The token-count agg is
+    the distributed part; the regression runs over the vocab-sized
+    ranked list with DECIMAL-exact sums."""
+    prep(spark)
+    uni = (
+        _toked(spark, sf_dir)
+        .select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_rank = W.orderBy(F.col("cnt").desc(), F.col("w"))
+    ranked = uni.select(
+        "w", "cnt", F.row_number().over(w_rank).alias("rank")
+    ).where(F.col("rank") <= ZIPF_TOP_N)
+    x = F.round(F.log(F.col("rank").cast("double")), 9).cast(
+        "decimal(12,9)"
+    )
+    y = F.round(F.log(F.col("cnt").cast("double")), 9).cast(
+        "decimal(12,9)"
+    )
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        F.col("n").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+    )
+
+
+ZIPF_SLOPE_SQL = (
+    _TOKED_SQL
+    + f""", uni AS (
+    SELECT w, COUNT(*) AS cnt
+    FROM (SELECT unnest(toks) AS w FROM toked) GROUP BY w
+), ranked AS (
+    SELECT w, cnt,
+        ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank
+    FROM uni QUALIFY rank <= {ZIPF_TOP_N}
+), terms AS (
+    SELECT
+        CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+        CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+    FROM ranked
+), sums AS (
+    SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM terms
+)
+SELECT n AS n_tokens,
+    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+    round((CAST(sy AS DOUBLE)
+           - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+        AS zipf_intercept
+FROM sums
+"""
+)
+
+# ------------------------------------- cross-document duplicate n-grams
+
+DUPFRAC_K = 8
+
+
+def dupfrac_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of distinct 8-grams that also occur in at
+    least one OTHER document — the duplicate-text signal curation
+    thresholds consume (dedup.py identifies the pairs; this scores the
+    contamination level per doc)."""
+    prep(spark)
+    from .curation import _kgrams
+
+    grams = _toked(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_kgrams(F.col("toks"), DUPFRAC_K))
+        ).alias("gram"),
+    )
+    gcnt = grams.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    return (
+        grams.join(gcnt, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+            ).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_grams"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+DUPFRAC_SQL = (
+    _TOKED_SQL
+    + f""", grams AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(toks) - {DUPFRAC_K - 1}, 1) + 1),
+        i -> concat_ws(' ',
+            {", ".join(f"toks[i+{j}]" for j in range(DUPFRAC_K))}))))
+        AS gram
+    FROM toked
+), gcnt AS (SELECT gram, COUNT(*) AS n_docs FROM grams GROUP BY gram)
+SELECT g.doc_id, COUNT(*) AS n_grams,
+    CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_shared,
+    round(CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS dup_frac
+FROM grams g JOIN gcnt USING (gram)
+GROUP BY g.doc_id
+"""
+)
+
+
+REGISTRY = [
+    ("text_bigram_lm", bigram_lm_query, BIGRAM_LM_SQL),
+    ("text_zipf_slope", zipf_slope_query, ZIPF_SLOPE_SQL),
+    ("dedup_dupfrac_ngrams", dupfrac_query, DUPFRAC_SQL),
+]

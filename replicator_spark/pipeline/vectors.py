@@ -144,7 +144,72 @@ SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
 FROM comp GROUP BY label, dim
 """
 
+# ------------------------------------------------- per-dimension stats
+#
+# The feature-health profile of an embedding column (dead dims, scale
+# drift, outliers) — what you check before training an ANN index or
+# whitening. Same posexplode→combiner shape as centroids: the shuffle
+# carries dim-count partial rows per task, independent of vector count.
+# Variance uses DECIMAL-exact sums; the final sqrt is IEEE
+# correctly-rounded in both engines, so round-6 output is stable.
+
+
+def dim_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    comp = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("xd")
+    )
+    # (15,10) keeps the product within both engines' 38-digit cap:
+    # (15,10)×(15,10) → (31,20) exact in Spark and DuckDB alike.
+    xdec = F.col("xd").cast("decimal(15,10)")
+    sums = comp.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(xdec).alias("sx"),
+        F.sum(xdec * xdec).alias("sxx"),
+        F.min("xd").alias("mn"),
+        F.max("xd").alias("mx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    var = (n * sxx - sx * sx) / (n * n)
+    return sums.select(
+        "dim",
+        "n",
+        F.round(sx / n, 6).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std"),
+        F.round("mn", 6).alias("min_x"),
+        F.round("mx", 6).alias("max_x"),
+    )
+
+
+DIM_STATS_SQL = """
+WITH comp AS (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS xd
+    FROM embeddings
+), sums AS (
+    SELECT dim, COUNT(*) AS n,
+        SUM(CAST(xd AS DECIMAL(15,10))) AS sx,
+        SUM(CAST(xd AS DECIMAL(15,10)) * CAST(xd AS DECIMAL(15,10)))
+            AS sxx,
+        MIN(xd) AS mn, MAX(xd) AS mx
+    FROM comp GROUP BY dim
+)
+SELECT dim, n,
+    round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+    round(sqrt(greatest(
+        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0)), 6) AS std,
+    round(mn, 6) AS min_x,
+    round(mx, 6) AS max_x
+FROM sums
+"""
+
 REGISTRY = [
     ("emb_quantize_int8", quantize_int8_query, QUANTIZE_INT8_SQL),
     ("emb_centroids", centroids_query, CENTROIDS_SQL),
+    ("emb_dim_stats", dim_stats_query, DIM_STATS_SQL),
 ]

@@ -1,0 +1,150 @@
+"""Round-3 operator additions: corpus LM statistics, weighted sampling,
+embedding dimension stats."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _write_docs(spark, base, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+
+
+def test_bigram_lm_scores_are_logprobs(spark, sf_dir):
+    from replicator_spark.pipeline.lm import bigram_lm_query
+
+    out = bigram_lm_query(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        # ln of a probability < 1 (add-one smoothing with V ≥ 2 keeps
+        # every conditional strictly below 1)
+        assert r["avg_logp"] < 0, r
+        assert r["n_bigrams"] >= 1
+
+
+def test_bigram_lm_prefers_frequent_bigrams(spark, tmp_path):
+    """A doc made of the corpus's dominant bigram must outscore a doc
+    made of a one-off bigram."""
+    from replicator_spark.pipeline.lm import bigram_lm_query
+
+    base = str(tmp_path)
+    common = "a b " * 20
+    _write_docs(
+        spark,
+        base,
+        [
+            (1, common.strip(), "en", "s", 10),
+            (2, common.strip(), "en", "s", 10),
+            (3, "x y", "en", "s", 10),
+        ],
+    )
+    scores = {
+        r["doc_id"]: r["avg_logp"]
+        for r in bigram_lm_query(spark, base).collect()
+    }
+    assert scores[1] == scores[2]
+    assert scores[1] > scores[3]
+
+
+def test_zipf_slope_negative(spark, sf_dir):
+    from replicator_spark.pipeline.lm import zipf_slope_query
+
+    (row,) = zipf_slope_query(spark, sf_dir).collect()
+    assert row["zipf_slope"] < 0  # frequency falls with rank
+    assert row["n_tokens"] >= 2
+
+
+def test_dupfrac_identical_and_unique_docs(spark, tmp_path):
+    from replicator_spark.pipeline.lm import dupfrac_query
+
+    base = str(tmp_path)
+    dup_text = " ".join(f"w{i}" for i in range(12))  # ≥ 8 tokens
+    uniq_text = " ".join(f"u{i}" for i in range(12))
+    _write_docs(
+        spark,
+        base,
+        [
+            (1, dup_text, "en", "s", 10),
+            (2, dup_text, "en", "s", 10),
+            (3, uniq_text, "en", "s", 10),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in dupfrac_query(spark, base).collect()}
+    assert rows[1]["dup_frac"] == 1.0
+    assert rows[2]["dup_frac"] == 1.0
+    assert rows[3]["dup_frac"] == 0.0
+
+
+def test_weighted_sample_shape_and_determinism(spark, sf_dir):
+    from replicator_spark.pipeline.curation import (
+        SAMPLE_TOP_K,
+        weighted_sample_query,
+    )
+
+    a = weighted_sample_query(spark, sf_dir).collect()
+    b = weighted_sample_query(spark, sf_dir).collect()
+    assert len(a) == min(
+        SAMPLE_TOP_K,
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count(),
+    )
+    assert sorted(r["sample_rank"] for r in a) == list(
+        range(1, len(a) + 1)
+    )
+    assert {r["doc_id"] for r in a} == {r["doc_id"] for r in b}
+    # priorities ascend with rank
+    by_rank = sorted(a, key=lambda r: r["sample_rank"])
+    pris = [r["priority"] for r in by_rank]
+    assert pris == sorted(pris)
+
+
+def test_weighted_sample_favors_heavy_docs(spark, tmp_path):
+    """With one doc 10^6× heavier than the rest, it must be sampled
+    (P(miss) ≈ 0 by construction of the exponential-sort keys)."""
+    from replicator_spark.pipeline.curation import weighted_sample_query
+
+    base = str(tmp_path)
+    rows = [(i, "t", "en", "s", 1) for i in range(1, 200)]
+    rows.append((999, "t", "en", "s", 1_000_000))
+    _write_docs(spark, base, rows)
+    got = weighted_sample_query(spark, base).collect()
+    assert any(r["doc_id"] == 999 for r in got)
+    heavy = [r for r in got if r["doc_id"] == 999][0]
+    assert heavy["sample_rank"] == 1  # ~1e6 lighter priority
+
+
+def test_emb_dim_stats_bounds(spark, sf_dir):
+    from replicator_spark.pipeline.vectors import dim_stats_query
+
+    rows = dim_stats_query(spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["std"] >= 0
+        assert r["min_x"] <= r["mean"] <= r["max_x"]
+        assert r["n"] > 0
+
+
+def test_new_ops_plans_have_no_python_udf(spark, sf_dir):
+    """All five round-3 additions stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython in the physical plan)."""
+    from replicator_spark.pipeline.curation import weighted_sample_query
+    from replicator_spark.pipeline.lm import (
+        bigram_lm_query,
+        dupfrac_query,
+        zipf_slope_query,
+    )
+    from replicator_spark.pipeline.vectors import dim_stats_query
+
+    for fn in (
+        bigram_lm_query,
+        zipf_slope_query,
+        dupfrac_query,
+        weighted_sample_query,
+        dim_stats_query,
+    ):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, fn.__name__
