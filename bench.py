@@ -46,6 +46,8 @@ HEADLINE = [
     "stats_corr",
     "curate_e2e_pipeline",
     "text_pmi_bigrams",
+    "text_bigram_lm",
+    "dedup_dupfrac_ngrams",
 ]
 
 

@@ -56,4 +56,153 @@ FROM events
 GROUP BY event_type
 """
 
-REGISTRY = [("stats_percentiles", percentiles_query, PERCENTILES_SQL)]
+# ------------------------------------------- chi-square independence
+#
+# Categorical-association test (is `lang` independent of `source`?) —
+# the data-audit query behind "is my training mix balanced per source".
+# Observed/expected counts are integers or integer ratios, so each
+# cell's (O-E)²/E is a deterministic double; contributions are rounded
+# to 9 dp and summed as DECIMAL so the cell order can't perturb the
+# statistic. Scale: one (lang, source) count agg; the contingency
+# table itself is tiny (|langs|×|sources|), everything after the agg
+# is broadcast-sized.
+
+
+def chisq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    row_t = obs.groupBy("lang").agg(F.sum("o").alias("row_n"))
+    col_t = obs.groupBy("source").agg(F.sum("o").alias("col_n"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("lang").alias("r"),
+        F.countDistinct("source").alias("c"),
+    )
+    cells = (
+        obs.join(row_t, "lang")
+        .join(col_t, "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (F.col("row_n") * F.col("col_n")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    contrib = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)
+        / e,
+        9,
+    ).cast("decimal(20,9)")
+    agg = cells.groupBy("n", "r", "c").agg(
+        F.sum(contrib).alias("_chi")
+    )
+    chi = F.col("_chi").cast("double")
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    v = F.sqrt(
+        chi
+        / (
+            F.col("n").cast("double")
+            * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+        )
+    )
+    return agg.select(
+        "n",
+        dof.alias("dof"),
+        F.round(chi, 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+CHISQ_SQL = """
+WITH obs AS (
+    SELECT lang, source, COUNT(*) AS o FROM documents
+    GROUP BY lang, source
+), row_t AS (SELECT lang, SUM(o) AS row_n FROM obs GROUP BY lang),
+col_t AS (SELECT source, SUM(o) AS col_n FROM obs GROUP BY source),
+tot AS (
+    SELECT SUM(o) AS n, COUNT(DISTINCT lang) AS r,
+        COUNT(DISTINCT source) AS c
+    FROM obs
+), cells AS (
+    SELECT o.o, row_n, col_n, n, r, c,
+        CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE) AS e
+    FROM obs o JOIN row_t USING (lang) JOIN col_t USING (source)
+    CROSS JOIN tot
+), agg AS (
+    SELECT CAST(n AS BIGINT) AS n, r, c,
+        SUM(CAST(round(
+            (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 9)
+        AS DECIMAL(20,9))) AS _chi
+    FROM cells GROUP BY n, r, c
+)
+SELECT n, (r - 1) * (c - 1) AS dof,
+    round(CAST(_chi AS DOUBLE), 6) AS chi2,
+    round(sqrt(CAST(_chi AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
+        AS cramers_v
+FROM agg
+"""
+
+# --------------------------------------------- equal-width histogram
+#
+# Distributed fixed-width histogram of n_chars per language. Bin
+# assignment is INTEGER arithmetic (floor((x-mn)·NB/(mx-mn+1))) so
+# both engines agree exactly with no float edge cases; the global
+# min/max come from a single-row agg that broadcasts. Scale: one scan
+# + one (lang, bin) combiner agg — the histogram pattern that works at
+# any corpus size.
+
+HIST_BINS = 10
+
+
+def histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", "n_chars"
+    )
+    rng = docs.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    span = F.col("mx") - F.col("mn") + 1
+    binned = docs.crossJoin(F.broadcast(rng)).select(
+        "lang",
+        F.floor(
+            (F.col("n_chars") - F.col("mn")) * HIST_BINS / span
+        ).alias("bin"),
+        F.col("mn"),
+        span.alias("span"),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # bin bounds are derivable from (mn, span); carry them so
+            # the result is self-describing
+            F.min(
+                F.col("mn") + F.floor(F.col("bin") * F.col("span") / HIST_BINS)
+            ).alias("bin_lo"),
+        )
+    )
+
+
+HISTOGRAM_SQL = f"""
+WITH rng AS (
+    SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
+), binned AS (
+    SELECT lang,
+        CAST(floor((n_chars - mn) * {HIST_BINS} / (mx - mn + 1))
+             AS BIGINT) AS bin,
+        mn, (mx - mn + 1) AS span
+    FROM documents CROSS JOIN rng
+)
+SELECT lang, bin, COUNT(*) AS n_docs,
+    MIN(mn + CAST(floor(bin * span / {HIST_BINS}) AS BIGINT)) AS bin_lo
+FROM binned
+GROUP BY lang, bin
+"""
+
+
+REGISTRY = [
+    ("stats_percentiles", percentiles_query, PERCENTILES_SQL),
+    ("stats_chisq_independence", chisq_query, CHISQ_SQL),
+    ("stats_histogram", histogram_query, HISTOGRAM_SQL),
+]

@@ -148,3 +148,33 @@ def test_new_ops_plans_have_no_python_udf(spark, sf_dir):
     ):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, fn.__name__
+
+
+def test_chisq_zero_on_independent_table(spark, tmp_path):
+    """A perfectly independent lang×source layout has chi2 == 0."""
+    from replicator_spark.queries.stats import chisq_query
+
+    base = str(tmp_path)
+    rows = []
+    i = 0
+    for lang in ("en", "de"):
+        for src in ("a", "b", "c"):
+            for _ in range(4):  # equal cell counts => independence
+                rows.append((i, "t", lang, src, 10))
+                i += 1
+    _write_docs(spark, base, rows)
+    (r,) = chisq_query(spark, base).collect()
+    assert r["chi2"] == 0.0
+    assert r["dof"] == 2
+    assert r["n"] == 24
+
+
+def test_histogram_partitions_counts(spark, sf_dir):
+    from replicator_spark.queries.stats import HIST_BINS, histogram_query
+
+    rows = histogram_query(spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in rows)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == n_docs
+    for r in rows:
+        assert 0 <= r["bin"] < HIST_BINS
