@@ -201,8 +201,70 @@ GROUP BY lang, bin
 """
 
 
+# ------------------------------------- equal-frequency (quantile) bins
+#
+# The feature-binning twin of the equal-width histogram: bucket
+# boundaries are the exact NB-quantiles, buckets get ~equal counts
+# (exactly equal up to ties). NOT implemented as a global ntile —
+# a global window is a single-partition sort and dies at scale.
+# Instead: one percentile agg produces NB-1 cutoffs (a 1-row broadcast)
+# and bucket assignment is a map-side comparison sum — same shape as
+# histogram_query, scan + combiner agg. Cross-engine safety: an
+# interpolated cutoff is either exactly a data value (both engines
+# return the element itself, no arithmetic) or strictly between two
+# integers (comparisons with integer n_chars can't straddle an ulp).
+
+EQF_BINS = 10
+
+
+def eqfreq_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select("n_chars")
+    cuts = docs.agg(
+        *[
+            F.percentile("n_chars", F.lit(i / EQF_BINS)).alias(f"c{i}")
+            for i in range(1, EQF_BINS)
+        ]
+    )
+    bucket = sum(
+        (F.col("n_chars") > F.col(f"c{i}")).cast("int")
+        for i in range(1, EQF_BINS)
+    )
+    return (
+        docs.crossJoin(F.broadcast(cuts))
+        .select("n_chars", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+    )
+
+
+_EQF_CUTS = ", ".join(
+    f"quantile_cont(n_chars, {i / EQF_BINS}) AS c{i}"
+    for i in range(1, EQF_BINS)
+)
+_EQF_BUCKET = " + ".join(
+    f"CAST(n_chars > c{i} AS INT)" for i in range(1, EQF_BINS)
+)
+
+EQFREQ_BINS_SQL = f"""
+WITH cuts AS (SELECT {_EQF_CUTS} FROM documents),
+binned AS (
+    SELECT n_chars, {_EQF_BUCKET} AS bucket
+    FROM documents CROSS JOIN cuts
+)
+SELECT bucket, COUNT(*) AS n_docs, MIN(n_chars) AS lo,
+    MAX(n_chars) AS hi
+FROM binned GROUP BY bucket
+"""
+
+
 REGISTRY = [
     ("stats_percentiles", percentiles_query, PERCENTILES_SQL),
     ("stats_chisq_independence", chisq_query, CHISQ_SQL),
     ("stats_histogram", histogram_query, HISTOGRAM_SQL),
+    ("stats_eqfreq_bins", eqfreq_bins_query, EQFREQ_BINS_SQL),
 ]

@@ -258,8 +258,66 @@ SELECT hour_bucket // 24 AS day_bucket, event_type,
 FROM hourly GROUP BY 1, 2
 """
 
+# --------------------------------------------------- sliding windows
+
+SLIDE_MS = 900_000  # 15 min slide
+WIN_MS = 3_600_000  # 1 h window → each event lands in 4 windows
+
+
+def sliding_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (hopping) time-window aggregation: 1-hour windows
+    every 15 minutes via Spark's native `window(size, slide)` — the
+    smoothing/monitoring view tumbling windows can't give. Spark
+    expands each event into size/slide window copies MAP-SIDE and the
+    agg is combiner-backed, so the shuffle carries per-(window, type)
+    partials — at 100 TB the cost is the 4× row expansion, never a
+    self-join. Sums go through DECIMAL for order-insensitivity."""
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        F.timestamp_millis(F.expr("ts div 1000000")).alias("ts_ts"),
+        "event_type",
+        "value",
+    )
+    agg = ev.groupBy(
+        F.window("ts_ts", f"{WIN_MS // 1000} seconds",
+                 f"{SLIDE_MS // 1000} seconds"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+# Oracle: expand each event into its size/slide hop windows explicitly.
+# Spark aligns hop windows to the epoch, so for event time t the member
+# window starts are (t//slide - j)*slide for j in 0..(size/slide - 1).
+SLIDING_WINDOW_SQL = f"""
+WITH ev AS (
+    SELECT epoch_ms(ts) AS ts_ms, event_type, value FROM events
+), hopped AS (
+    SELECT ((ts_ms // {SLIDE_MS}) - j) * {SLIDE_MS} AS window_start_ms,
+        event_type, value
+    FROM ev CROSS JOIN (
+        SELECT unnest(range({WIN_MS // SLIDE_MS})) AS j
+    )
+)
+SELECT window_start_ms, event_type, COUNT(*) AS n,
+    CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS sum_value
+FROM hopped GROUP BY 1, 2
+"""
+
 REGISTRY = [
     ("temporal_asof_join", asof_join_query, ASOF_JOIN_SQL),
     ("temporal_range_join", range_join_query, RANGE_JOIN_SQL),
     ("temporal_rollup", rollup_query, ROLLUP_SQL),
+    ("temporal_sliding_window", sliding_window_query, SLIDING_WINDOW_SQL),
 ]

@@ -178,3 +178,40 @@ def test_histogram_partitions_counts(spark, sf_dir):
     assert total == n_docs
     for r in rows:
         assert 0 <= r["bin"] < HIST_BINS
+
+
+def test_sliding_window_covers_each_event_4x(spark, sf_dir):
+    from replicator_spark.queries.temporal import (
+        SLIDE_MS,
+        WIN_MS,
+        sliding_window_query,
+    )
+
+    rows = sliding_window_query(spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    from replicator_spark.session import normalize_events
+
+    n_events = normalize_events(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).count()
+    assert total == n_events * (WIN_MS // SLIDE_MS)
+    starts = {r["window_start_ms"] for r in rows}
+    assert all(s % SLIDE_MS == 0 for s in starts)
+
+
+def test_eqfreq_bins_balanced(spark, sf_dir):
+    from replicator_spark.queries.stats import EQF_BINS, eqfreq_bins_query
+
+    rows = sorted(
+        eqfreq_bins_query(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # bucket value ranges are disjoint and ordered
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
+    # roughly equal counts (ties can skew individual buckets)
+    expect = n_docs / EQF_BINS
+    for r in rows:
+        assert r["n_docs"] <= expect * 2.5
