@@ -211,6 +211,7 @@ def _load() -> None:
         tpch,
         tpch_ext,
     )
+    from . import runner
     from .sinks import avro as avro_sink
     from .sinks import console as console_sink
     from .sinks import count as count_sink
@@ -274,6 +275,7 @@ def _load() -> None:
         similarity, sketches,
         text, vectors,
         multimodal,
+        runner,
     ):
         for name, fn, sql in mod.REGISTRY:
             register(name, fn, sql)

@@ -1,0 +1,217 @@
+"""Config-driven pipeline runner — the reference's user-facing API.
+
+The reference engine is not invoked operator-by-operator: a user hands
+it ONE yaml config and `Replicator.java:95-204` wires
+source → augmenter (filters/gates) → partitioner → applier from the
+config keys (shipped example: `config/config.yaml`). This module is
+that surface for the Spark engine: the same keys select among the
+already-verified operators and compose them into a single Catalyst
+plan (batch) or a foreachBatch stream (same code path — streaming ==
+batch by construction, as in streaming/job.py).
+
+Key mapping (reference key → effect here):
+- ``augmenter.filter.include`` / ``augmenter.filter.exclude.pattern``
+  → `cdc.filters.should_augment_table`
+  (ActiveSchemaHelpers shouldAugmentTable)
+- ``augmenter.table.merge`` → `cdc.filters.merge_table_name`
+  (TableNameMergePatternFilter)
+- ``augmenter.skip.query.events`` → drop op == 'QUERY'
+  (shouldAugment gate, AugmenterContext)
+- ``partitioner.type`` ∈ TRID|XXID|TABLE_NAME|RANDOM|NONE +
+  ``replicator.tasks`` → `cdc.partitioners.repartition_for`
+  (Replicator.java:179-191 destination-stream fan-out)
+- ``applier.type`` ∈ count|console|kafka|timemachine →
+  `sinks.{count,console,kafka,timemachine}` presentation
+
+Scale: the composition adds NOTHING beyond its operators — filters are
+map-side predicates fused into the feed scan, the partitioner is the
+one explicit exchange the reference also pays (and under
+``partitioner.type: NONE``-less configs Catalyst is free to elide it
+into the applier's own shuffle via AQE).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cdc.envelope import CHANGE_FEED_SQL, change_feed
+from .cdc.filters import MERGE_PATTERN, merge_table_name, should_augment_table
+from .cdc.partitioners import repartition_for
+from .session import prep
+
+DEFAULT_CONFIG: dict[str, Any] = {
+    "augmenter.filter.include": (),
+    "augmenter.filter.exclude.pattern": None,
+    "augmenter.table.merge": False,
+    "augmenter.skip.query.events": True,
+    "partitioner.type": "TRID",
+    "replicator.tasks": 8,
+    "applier.type": "count",
+}
+
+
+def build_feed(
+    spark: SparkSession, sf_dir: str, config: Mapping[str, Any]
+) -> DataFrame:
+    """source → augment-filters → partitioner, per config."""
+    cfg = {**DEFAULT_CONFIG, **config}
+    feed = change_feed(spark, sf_dir)
+    include = tuple(cfg["augmenter.filter.include"] or ())
+    excl = cfg["augmenter.filter.exclude.pattern"]
+    if include or excl:
+        feed = feed.where(
+            should_augment_table(
+                F.col("table_name"),
+                include=include or None,
+                exclude_pattern=excl,
+            )
+        )
+    if cfg["augmenter.skip.query.events"]:
+        feed = feed.where(F.col("op") != "QUERY")
+    if cfg["augmenter.table.merge"]:
+        feed = feed.withColumn(
+            "table_name", merge_table_name(F.col("table_name"))
+        )
+    return repartition_for(
+        feed, cfg["partitioner.type"], int(cfg["replicator.tasks"])
+    )
+
+
+def apply_sink(feed: DataFrame, config: Mapping[str, Any]) -> DataFrame:
+    """The applier presentation for the configured sink type."""
+    cfg = {**DEFAULT_CONFIG, **config}
+    kind = cfg["applier.type"]
+    if kind == "count":
+        from .sinks.count import count_sink
+
+        return count_sink(feed)
+    if kind == "console":
+        from .sinks.console import console_format
+
+        return console_format(feed)
+    if kind == "kafka":
+        from .sinks.kafka import kafka_messages
+
+        return kafka_messages(feed)
+    if kind == "timemachine":
+        # the applier chain includes the µs-timestamp organizer before
+        # the cell writer (RowTimestampOrganizer → HBaseTimeMachineWriter)
+        from .cdc.transactions import organized_feed_from
+        from .sinks.timemachine import cells_from
+
+        return cells_from(organized_feed_from(feed))
+    raise ValueError(f"unknown applier.type: {kind}")
+
+
+def run_batch(
+    spark: SparkSession, sf_dir: str, config: Mapping[str, Any]
+) -> DataFrame:
+    prep(spark)
+    return apply_sink(build_feed(spark, sf_dir, config), config)
+
+
+def run_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    config: Mapping[str, Any],
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """The same composition as a foreachBatch stream: each micro-batch
+    runs build_feed/apply_sink's transformation over the batch slice
+    and writes an idempotent per-epoch partition (streaming/job.py's
+    exactly-once argument)."""
+    import os
+
+    from .cdc.envelope import change_feed_from
+    from .streaming.job import _events_stream
+
+    prep(spark)
+    cfg = {**DEFAULT_CONFIG, **config}
+    stream = _events_stream(spark, sf_dir)
+
+    def one_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        feed = change_feed_from(batch_df)
+        include = tuple(cfg["augmenter.filter.include"] or ())
+        excl = cfg["augmenter.filter.exclude.pattern"]
+        if include or excl:
+            feed = feed.where(
+                should_augment_table(
+                    F.col("table_name"),
+                    include=include or None,
+                    exclude_pattern=excl,
+                )
+            )
+        if cfg["augmenter.skip.query.events"]:
+            feed = feed.where(F.col("op") != "QUERY")
+        if cfg["augmenter.table.merge"]:
+            feed = feed.withColumn(
+                "table_name", merge_table_name(F.col("table_name"))
+            )
+        feed = repartition_for(
+            feed, cfg["partitioner.type"], int(cfg["replicator.tasks"])
+        )
+        apply_sink(feed, cfg).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ------------------------------------------------ oracle-checked demo
+#
+# The registered entry runs a config that exercises every stage:
+# H1-2024 exclusion with a January whitelist, monthly table merge,
+# QUERY-event gate, TABLE_NAME partitioner, and a per-(table, op)
+# count applier (count sink keyed finer so the partitioner's routing
+# column survives into the checked output).
+
+DEMO_CONFIG: dict[str, Any] = {
+    "augmenter.filter.include": ("users_202401",),
+    "augmenter.filter.exclude.pattern": "users_2024(0[1-6])$",
+    "augmenter.table.merge": True,
+    "augmenter.skip.query.events": True,
+    "partitioner.type": "TABLE_NAME",
+    "replicator.tasks": 8,
+    "applier.type": "count",
+}
+
+
+def runner_pipeline_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    feed = build_feed(spark, sf_dir, DEMO_CONFIG)
+    return feed.groupBy("table_name", "op").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+RUNNER_PIPELINE_SQL = f"""
+WITH feed AS ({CHANGE_FEED_SQL}),
+kept AS (
+    SELECT * FROM feed
+    WHERE ((NOT regexp_matches(table_name, 'users_2024(0[1-6])$'))
+           OR table_name IN ('users_202401'))
+      AND op <> 'QUERY'
+),
+merged AS (
+    SELECT regexp_replace(table_name, '{MERGE_PATTERN}', '')
+        AS table_name, op
+    FROM kept
+)
+SELECT table_name, op, COUNT(*) AS n_events
+FROM merged GROUP BY 1, 2
+"""
+
+REGISTRY = [
+    ("runner_pipeline", runner_pipeline_query, RUNNER_PIPELINE_SQL),
+]

@@ -1,0 +1,89 @@
+"""Config-driven pipeline runner: the reference's yaml-config surface
+(source → augment filters → partitioner → applier) composed from the
+verified operators. Reference: Replicator.java:95-204, config.yaml."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from replicator_spark.runner import (
+    DEMO_CONFIG,
+    apply_sink,
+    build_feed,
+    run_batch,
+    run_stream,
+    runner_pipeline_query,
+)
+
+
+def test_filters_and_merge_applied(spark, sf_dir):
+    out = runner_pipeline_query(spark, sf_dir).collect()
+    tables = {r["table_name"] for r in out}
+    # merge strips the monthly suffix entirely
+    assert tables == {"users"}
+    # QUERY gate dropped the QUERY class
+    assert all(r["op"] != "QUERY" for r in out)
+
+
+def test_include_overrides_exclude(spark, sf_dir):
+    cfg = {**DEMO_CONFIG, "augmenter.table.merge": False}
+    feed = build_feed(spark, sf_dir, cfg)
+    months = {
+        r["table_name"]
+        for r in feed.select("table_name").distinct().collect()
+    }
+    # H1-2024 excluded... except the whitelisted January
+    assert "users_202401" in months
+    assert not any(
+        m.startswith("users_2024") and m[-2:] in
+        {"02", "03", "04", "05", "06"}
+        for m in months
+    )
+
+
+def test_partitioner_controls_exchange(spark, sf_dir):
+    n = 4
+    feed = build_feed(
+        spark, sf_dir,
+        {**DEMO_CONFIG, "partitioner.type": "XXID",
+         "replicator.tasks": n},
+    )
+    assert feed.rdd.getNumPartitions() == n
+
+
+@pytest.mark.parametrize("kind,cols", [
+    ("count", {"op", "n_events"}),
+    ("console", {"event_id", "line"}),
+    ("kafka", {"event_id", "topic", "partition", "key", "value"}),
+    ("timemachine", None),  # cells schema checked by its own tests
+])
+def test_all_applier_types_compose(spark, sf_dir, kind, cols):
+    df = run_batch(
+        spark, sf_dir, {**DEMO_CONFIG, "applier.type": kind}
+    )
+    assert df.count() > 0
+    if cols:
+        assert set(df.columns) == cols
+
+
+def test_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The streamed composition (foreachBatch per micro-batch) must
+    produce the same count-sink totals as the batch plan — the
+    streaming==batch guarantee the runner inherits from job.py."""
+    cfg = {**DEMO_CONFIG, "applier.type": "count"}
+    out = os.path.join(str(tmp_path), "out")
+    run_stream(
+        spark, sf_dir, cfg, out, os.path.join(str(tmp_path), "ckpt")
+    )
+    streamed = (
+        spark.read.parquet(out)
+        .groupBy("op")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+    batch = run_batch(spark, sf_dir, cfg)
+    a = {(r["op"], r["n_events"]) for r in streamed.collect()}
+    b = {(r["op"], r["n_events"]) for r in batch.collect()}
+    assert a == b
