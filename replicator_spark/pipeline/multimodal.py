@@ -232,8 +232,89 @@ FROM videos, LATERAL (
 """
 
 
+# ------------------------------------------------------ audio framing
+#
+# The speech-pipeline front end: slice a PCM byte stream into
+# overlapping fixed-length frames (the 25 ms window / 10 ms hop
+# pattern) and compute per-frame energy — the input to VAD, silence
+# trimming, and feature extraction. Real audio decode is stubbed like
+# the other modalities (payload bytes stand in for samples); the
+# Spark-side shape is real: Arrow-batched mapInPandas doing a
+# vectorized 1→N frame expansion, map-only, no shuffle. Energies are
+# integer sums of byte values, so the DuckDB oracle reproduces the
+# "decoder" exactly from the text's codepoints.
+
+AF_LEN = 64  # frame length in samples (bytes)
+AF_HOP = 32  # hop (50% overlap)
+
+AUDIO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, start_sample int, energy long, "
+    "rms double"
+)
+
+
+def audio_frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in it:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = np.frombuffer(bytes(payload), dtype=np.uint8)
+            n = len(data)
+            if n < AF_LEN:
+                continue
+            for i in range((n - AF_LEN) // AF_HOP + 1):
+                w = data[i * AF_HOP : i * AF_HOP + AF_LEN].astype(
+                    np.int64
+                )
+                e = int(w.sum())
+                rms = float((w * w).sum() / AF_LEN) ** 0.5
+                out.append(
+                    (int(doc_id), i, i * AF_HOP, e, round(rms, 6))
+                )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "frame_idx", "start_sample", "energy", "rms",
+            ],
+        )
+
+
+def multimodal_audio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    wavs = with_binary_payload(docs).where(
+        F.col("meta.fmt") == "wav"
+    ).select("doc_id", "payload")
+    return wavs.mapInPandas(audio_frames, AUDIO_FRAME_SCHEMA)
+
+
+MULTIMODAL_AUDIO_SQL = f"""
+WITH wavs AS (
+    SELECT doc_id, text, length(text) AS n FROM documents
+    WHERE (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 + 1 AS INT)] = 'wav'
+      AND length(text) >= {AF_LEN}
+), framed AS (
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        CAST(i * {AF_HOP} AS INT) AS start_sample,
+        list_transform(
+            string_split_regex(
+                substr(text, i * {AF_HOP} + 1, {AF_LEN}), ''),
+            c -> unicode(c)) AS w
+    FROM wavs, LATERAL (
+        SELECT unnest(range(0, (n - {AF_LEN}) // {AF_HOP} + 1)) AS i)
+)
+SELECT doc_id, frame_idx, start_sample,
+    CAST(list_sum(w) AS BIGINT) AS energy,
+    round(sqrt(CAST(list_sum(list_transform(w, x -> x * x)) AS DOUBLE)
+               / {AF_LEN}), 6) AS rms
+FROM framed
+"""
+
+
 REGISTRY = [
     ("multimodal_features", multimodal_features_query, MULTIMODAL_FEATURES_SQL),
     ("multimodal_resize", multimodal_resize_query, MULTIMODAL_RESIZE_SQL),
     ("multimodal_frame_sample", multimodal_frames_query, MULTIMODAL_FRAMES_SQL),
+    ("multimodal_audio_frames", multimodal_audio_query, MULTIMODAL_AUDIO_SQL),
 ]

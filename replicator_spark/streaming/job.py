@@ -169,6 +169,68 @@ HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR
     <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
 """
 
+SLIDE_SEC = 900  # 15 min hop
+WIN_SEC = 3600  # 1 h window
+
+
+def stream_sliding_counts_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked HOPPING-window aggregation (1 h window / 15 min
+    slide): the streaming twin of temporal_sliding_window. Spark
+    expands each event into its 4 member windows map-side; state is
+    one running aggregate per open (window, event_type); append mode
+    emits each window once when the watermark passes its end."""
+    prep(spark)
+    base = tempfile.mkdtemp(prefix="tm_slide_")
+    out = os.path.join(base, "out")
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "ts_ts", F.timestamp_millis(F.expr("ts div 1000000"))
+    )
+    agg = (
+        stream.withWatermark("ts_ts", "1 hour")
+        .groupBy(
+            F.window("ts_ts", f"{WIN_SEC} seconds", f"{SLIDE_SEC} seconds"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "event_type",
+        "n",
+    )
+
+
+# Oracle: hop expansion (as in temporal_sliding_window) + the append-
+# mode emission rule — a window appears once the final watermark
+# (max event time - 1h) passes its end.
+STREAM_SLIDING_SQL = f"""
+WITH ev AS (
+    SELECT epoch_ms(ts) AS ts_ms, event_type FROM events
+), hopped AS (
+    SELECT ((ts_ms // {SLIDE_SEC * 1000}) - j) * {SLIDE_SEC * 1000}
+        AS window_start_ms, event_type
+    FROM ev CROSS JOIN (
+        SELECT unnest(range({WIN_SEC // SLIDE_SEC})) AS j)
+)
+SELECT window_start_ms, event_type, COUNT(*) AS n
+FROM hopped
+GROUP BY 1, 2
+HAVING window_start_ms + {WIN_SEC * 1000}
+    <= (SELECT MAX(ts_ms) FROM ev) - {WIN_SEC * 1000}
+"""
+
+
 def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: dropDuplicates over the unbounded stream
     (state-store backed — the incremental analog of the batch dedup
@@ -382,6 +444,11 @@ REGISTRY = [
         STREAM_WINDOWED_SQL,
     ),
     ("stream_dedup_exact", stream_dedup_query, STREAM_DEDUP_SQL),
+    (
+        "stream_sliding_counts",
+        stream_sliding_counts_query,
+        STREAM_SLIDING_SQL,
+    ),
     ("stream_topk_users", stream_topk_users_query, STREAM_TOPK_SQL),
     ("stream_upsert", stream_upsert_query, _upsert_sql()),
 ]

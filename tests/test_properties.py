@@ -234,3 +234,70 @@ def test_connected_components_matches_union_find(spark, edge_list):
         for r in connected_components(ndf, edf).collect()
     }
     assert got == expected
+
+
+@st.composite
+def _gtid_ranges(draw):
+    """Random disjoint acked ranges per server, random ack order."""
+    servers = draw(
+        st.lists(
+            st.sampled_from(["A", "B", "C"]),
+            min_size=1, max_size=3, unique=True,
+        )
+    )
+    frags, model = [], {}
+    for s in servers:
+        # random subset of consecutive unit blocks of random widths
+        n_blocks = draw(st.integers(min_value=1, max_value=8))
+        widths = draw(
+            st.lists(
+                st.integers(min_value=1, max_value=5),
+                min_size=n_blocks, max_size=n_blocks,
+            )
+        )
+        present = draw(
+            st.lists(
+                st.booleans(), min_size=n_blocks, max_size=n_blocks
+            )
+        )
+        if not any(present):
+            present[0] = True
+        start = 0
+        ranges = []
+        for w, keep in zip(widths, present):
+            if keep:
+                ranges.append((start, start + w - 1))
+            start += w
+        frags += [f"{s}:{a}-{b}" for a, b in ranges]
+        # reference model: walk islands from the minimal range
+        safe_end = ranges[0][1]
+        n_safe = 1
+        for (pa, pb), (a, b) in zip(ranges, ranges[1:]):
+            if a > pb + 1:
+                break
+            safe_end = b
+            n_safe += 1
+        model[s] = (safe_end, n_safe)
+    order = draw(st.permutations(frags))
+    return list(order), model
+
+
+@given(_gtid_ranges())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_gtid_safe_set_matches_island_model(spark, data):
+    """GtidSetAlgebra property: for ANY ack arrival order, the safe
+    checkpoint is the end of the first gap-free island from the
+    minimal acked transaction — per server, independently."""
+    from replicator_spark.cdc.checkpoint import gtid_safe_set
+
+    frags, model = data
+    df = spark.createDataFrame([(g,) for g in frags], ["gtid"])
+    got = {
+        r["server_uuid"]: (r["safe_checkpoint"], r["n_safe_ranges"])
+        for r in gtid_safe_set(df).collect()
+    }
+    assert got == model

@@ -215,3 +215,25 @@ def test_eqfreq_bins_balanced(spark, sf_dir):
     expect = n_docs / EQF_BINS
     for r in rows:
         assert r["n_docs"] <= expect * 2.5
+
+
+def test_audio_frames_overlap_and_energy(spark, sf_dir):
+    from replicator_spark.pipeline.multimodal import (
+        AF_HOP,
+        AF_LEN,
+        multimodal_audio_query,
+    )
+
+    rows = multimodal_audio_query(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert r["start_sample"] == r["frame_idx"] * AF_HOP
+        assert r["energy"] >= 0
+        # rms of uint8 samples is bounded by the max byte value
+        assert 0 <= r["rms"] <= 255
+    # frames are contiguous 0..k per doc (50% overlap plan)
+    for frames in by_doc.values():
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(len(idxs)))
