@@ -228,3 +228,50 @@ def test_cms_probe_joins_broadcast_sketch(spark, sf_dir):
     """The d×w-cell sketch must broadcast to the probe side."""
     plan = _plan(spark, sf_dir, "sketch_cms_heavy")
     assert "BroadcastHashJoin" in plan
+
+
+def test_timemachine_store_partition_pruning(spark, sf_dir, tmp_path):
+    """The partitioned store must prune to ONE table partition when a
+    reader filters on table_name — the read-path half of the
+    one-HBase-table-per-source-table layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from replicator_spark.cdc.envelope import change_feed
+    from replicator_spark.cdc.transactions import organized_feed_from
+    from replicator_spark.sinks.timemachine import (
+        cells_from,
+        write_timemachine,
+    )
+
+    store = os.path.join(str(tmp_path), "store")
+    cells = cells_from(organized_feed_from(change_feed(spark, sf_dir)))
+    # sf0.001 events span one month → force multiple table partitions
+    # so the pruning assertion isn't vacuous
+    cells = cells.withColumn(
+        "table_name",
+        F.concat(F.lit("t"), (F.col("event_id") % 3).cast("string")),
+    )
+    write_timemachine(cells, store, mode="overwrite")
+
+    (one_table,) = (
+        spark.read.parquet(store)
+        .select("table_name")
+        .limit(1)
+        .collect()
+    )
+    pruned = spark.read.parquet(store).where(
+        F.col("table_name") == one_table["table_name"]
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the table_name equality must be a PARTITION filter (directory
+    # pruning), not a post-scan data filter
+    import re
+
+    (pf,) = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert "isnotnull(table_name" in pf
+    assert "table_name" in pf and "= " in pf, pf
+    # and it must not degrade into a row-level DataFilter
+    df_filters = re.findall(r"DataFilters: \[([^\]]*)\]", plan)
+    assert all("table_name" not in d for d in df_filters), df_filters
