@@ -48,6 +48,8 @@ HEADLINE = [
     "text_pmi_bigrams",
     "text_bigram_lm",
     "dedup_dupfrac_ngrams",
+    "runner_pipeline",
+    "temporal_sliding_window",
 ]
 
 
