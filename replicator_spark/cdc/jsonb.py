@@ -201,7 +201,10 @@ def _enc_value(v) -> tuple[int, bytes]:
             return T_INT16, struct.pack("<h", v)
         if -(2**31) <= v < 2**31:
             return T_INT32, struct.pack("<i", v)
-        return T_INT64, struct.pack("<q", v)
+        if v < 2**63:
+            return T_INT64, struct.pack("<q", v)
+        # [2^63, 2^64): MySQL stores these under the UINT64 tag
+        return T_UINT64, struct.pack("<Q", v)
     if isinstance(v, float):
         return T_DOUBLE, struct.pack("<d", v)
     if isinstance(v, str):

@@ -301,3 +301,72 @@ def test_gtid_safe_set_matches_island_model(spark, data):
         for r in gtid_safe_set(df).collect()
     }
     assert got == model
+
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=40),
+)
+
+_json_values = st.recursive(
+    _json_scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=6),
+        st.dictionaries(st.text(max_size=12), inner, max_size=6),
+    ),
+    max_leaves=20,
+)
+
+
+@given(_json_values)
+@settings(max_examples=200, deadline=None)
+def test_jsonb_roundtrip_matches_json_semantics(value):
+    """MySQL binary-JSON walk property (MysqlTypeDeserializer.java:
+    99-109 surface): encode→decode must be a semantic identity for
+    any JSON value — nesting, unicode + control-char escapes, the
+    signed/unsigned int tag split, and MySQL's length-then-bytes key
+    ordering (order-insensitive compare via parsed equality)."""
+    import json
+
+    from replicator_spark.cdc.jsonb import (
+        json_value_to_jsonb,
+        jsonb_to_json,
+    )
+
+    out = jsonb_to_json(json_value_to_jsonb(value))
+    assert json.loads(out) == value
+
+
+@given(
+    st.text(max_size=30),
+    st.sampled_from(
+        ["latin1_swedish_ci", "latin1_general_ci", "utf8mb4_general_ci",
+         "utf8_general_ci", "ascii_general_ci"]
+    ),
+)
+@settings(max_examples=30, deadline=None)
+def test_collation_decode_inverts_encode(spark, s, collation):
+    """bytes→string by collation (MysqlTypeDeserializer.java:85-97):
+    decoding the collation's own encoding is the identity for any
+    string the charset can represent."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark.cdc.decode import (
+        encode_by_collation,
+        string_by_collation,
+    )
+
+    if collation.startswith(("latin1", "ascii")):
+        # restrict to the charset's representable repertoire
+        limit = 128 if collation.startswith("ascii") else 256
+        s = "".join(ch for ch in s if ord(ch) < limit)
+    df = spark.createDataFrame([(s, collation)], "s string, coll string")
+    out = df.select(
+        string_by_collation(
+            encode_by_collation(F.col("s"), F.col("coll")), F.col("coll")
+        ).alias("rt")
+    ).collect()[0]["rt"]
+    assert out == s
