@@ -263,6 +263,8 @@ def _load() -> None:
              timemachine.COMPACTION_SQL)
     register("tm_scd2_intervals", timemachine.scd2_intervals_query,
              timemachine.SCD2_INTERVALS_SQL)
+    register("tm_retention", timemachine.retention_query,
+             timemachine.RETENTION_SQL)
 
     for mod in (
         seeker, validation, bootstrap, jsonb, apply,

@@ -374,3 +374,97 @@ FROM pivoted
 WHERE row_status <> 'D' AND (value IS NOT NULL OR props IS NOT NULL)
 """
 )
+
+
+# ------------------------------------------------- retention (K + TTL)
+#
+# The two HBase retention knobs together (HBaseSchemaManager.java:57-58
+# sets maxVersions; TTL is the column-family twin): a version survives
+# only if it is among the newest RETAIN_K for its cell AND not older
+# than the TTL floor. The floor here is derived deterministically from
+# the data (midpoint of the observed version range) so the oracle sees
+# the same cutoff. Scale shape: one scalar agg (broadcast) + the same
+# per-cell-key window compaction already uses; the audit agg is
+# combiner-backed per table.
+
+RETAIN_K = 2
+
+
+def retention_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_audit(timemachine_cells(spark, sf_dir))
+
+
+def retention_audit(cells: DataFrame) -> DataFrame:
+    # integer floor-div in BOTH engines — a double midpoint would
+    # round in DuckDB's CAST but truncate in Spark's
+    rng = cells.agg(
+        F.min("version_us").alias("mn"), F.max("version_us").alias("mx")
+    ).select(F.expr("(mn + mx) div 2").alias("ttl_floor_us"))
+    w = W.partitionBy("table_name", "rowkey", "column_name").orderBy(
+        F.col("version_us").desc(), F.col("event_id").desc()
+    )
+    flagged = (
+        cells.withColumn("vrank", F.row_number().over(w))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "table_name",
+            (F.col("vrank") > RETAIN_K).alias("evict_versions"),
+            (F.col("version_us") < F.col("ttl_floor_us")).alias(
+                "evict_age"
+            ),
+        )
+    )
+    return flagged.groupBy("table_name").agg(
+        F.count("*").alias("cells_total"),
+        F.sum(
+            F.when(
+                ~F.col("evict_versions") & ~F.col("evict_age"), 1
+            ).otherwise(0)
+        ).cast("long").alias("cells_kept"),
+        F.sum(
+            F.when(
+                F.col("evict_versions") & ~F.col("evict_age"), 1
+            ).otherwise(0)
+        ).cast("long").alias("evicted_by_versions"),
+        F.sum(
+            F.when(
+                ~F.col("evict_versions") & F.col("evict_age"), 1
+            ).otherwise(0)
+        ).cast("long").alias("evicted_by_age"),
+        F.sum(
+            F.when(
+                F.col("evict_versions") & F.col("evict_age"), 1
+            ).otherwise(0)
+        ).cast("long").alias("evicted_by_both"),
+    )
+
+
+RETENTION_SQL = (
+    "WITH cells AS ("
+    + TIMEMACHINE_CELLS_SQL
+    + f"""
+), rng AS (
+    SELECT (MIN(version_us) + MAX(version_us)) // 2 AS ttl_floor_us
+    FROM cells
+), flagged AS (
+    SELECT table_name,
+        ROW_NUMBER() OVER (
+            PARTITION BY table_name, rowkey, column_name
+            ORDER BY version_us DESC, event_id DESC) > {RETAIN_K}
+            AS evict_versions,
+        version_us < ttl_floor_us AS evict_age
+    FROM cells CROSS JOIN rng
+)
+SELECT table_name, COUNT(*) AS cells_total,
+    CAST(SUM(CASE WHEN NOT evict_versions AND NOT evict_age
+             THEN 1 ELSE 0 END) AS BIGINT) AS cells_kept,
+    CAST(SUM(CASE WHEN evict_versions AND NOT evict_age
+             THEN 1 ELSE 0 END) AS BIGINT) AS evicted_by_versions,
+    CAST(SUM(CASE WHEN NOT evict_versions AND evict_age
+             THEN 1 ELSE 0 END) AS BIGINT) AS evicted_by_age,
+    CAST(SUM(CASE WHEN evict_versions AND evict_age
+             THEN 1 ELSE 0 END) AS BIGINT) AS evicted_by_both
+FROM flagged
+GROUP BY table_name
+"""
+)

@@ -237,3 +237,28 @@ def test_audio_frames_overlap_and_energy(spark, sf_dir):
     for frames in by_doc.values():
         idxs = sorted(f["frame_idx"] for f in frames)
         assert idxs == list(range(len(idxs)))
+
+
+def test_retention_classifies_evictions(spark):
+    """K-versions + TTL retention: each cell version falls in exactly
+    one of kept / evicted_by_versions / evicted_by_age / both."""
+    from replicator_spark.sinks.timemachine import retention_audit
+
+    rows = []
+    for i, v in enumerate((100, 200, 300, 400)):  # c1: 2 kept, 2 both
+        rows.append((i, "t", "r1", "value", "x", v))
+    for i, v in enumerate((260, 270, 280)):  # c3: 2 kept, 1 by-versions
+        rows.append((10 + i, "t", "r3", "value", "x", v))
+    for i, v in enumerate((110, 120)):  # c4: 2 by-age
+        rows.append((20 + i, "t", "r4", "value", "x", v))
+    cells = spark.createDataFrame(
+        rows,
+        "event_id long, table_name string, rowkey string,"
+        " column_name string, cell_value string, version_us long",
+    )
+    (r,) = retention_audit(cells).collect()  # ttl floor = 250
+    assert r["cells_total"] == 9
+    assert r["cells_kept"] == 4
+    assert r["evicted_by_versions"] == 1
+    assert r["evicted_by_age"] == 2
+    assert r["evicted_by_both"] == 2
