@@ -249,8 +249,115 @@ FROM weighted GROUP BY table_name, user_bucket
 """
 
 
+# --------------------------------------- incremental view maintenance
+#
+# Delta-join maintenance: the materialized view V = state(user) JOIN
+# counts(user) is kept current WITHOUT recomputing from the full feed —
+# the base window's partial results merge with the delta window's:
+#   state:  argmax over (base_argmax UNION delta_argmax)  (associative)
+#   counts: base_counts + delta_counts                    (additive)
+# This is the algebra behind every "maintain the dashboard from the
+# CDC stream" job: at 100 TB the base partials are a compact table
+# (one row per key) and each delta batch touches only its own keys —
+# the full feed is scanned once ever. The oracle recomputes V from the
+# WHOLE feed; equality proves the maintenance algebra.
+
+def ivm_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cdc.envelope import change_feed
+
+    prep(spark)
+    feed = change_feed(spark, sf_dir).where(F.col("op") != "QUERY")
+    rng = feed.agg(
+        F.min("ts_ms").alias("mn"), F.max("ts_ms").alias("mx")
+    ).select(F.expr("(mn + mx) div 2").alias("cut"))
+    f = feed.crossJoin(F.broadcast(rng)).select(
+        "user_id",
+        "op",
+        "ts_ms",
+        "event_id",
+        (F.col("ts_ms") >= F.col("cut")).alias("is_delta"),
+        F.coalesce(
+            F.col("value_after").cast("string"), F.lit(NULL_SENTINEL)
+        ).alias("value_s"),
+    )
+    ord_k = F.struct("ts_ms", "event_id")
+
+    def window_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max_by("value_s", ord_k).alias("value_s"),
+            F.max_by("op", ord_k).alias("op"),
+            F.max("ts_ms").alias("ts_ms"),
+            F.max_by("event_id", ord_k).alias("event_id"),
+        )
+
+    base, delta = f.where(~F.col("is_delta")), f.where(F.col("is_delta"))
+    merged_state = (
+        window_state(base)
+        .unionByName(window_state(delta))
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value_s", ord_k).alias("value"),
+            F.max_by("op", ord_k).alias("last_op"),
+            F.max("ts_ms").alias("last_ts_ms"),
+        )
+    )
+
+    def window_counts(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("user_id").agg(F.count("*").alias(name))
+
+    merged_counts = (
+        window_counts(base, "n_base")
+        .join(window_counts(delta, "n_delta"), "user_id", "full")
+        .select(
+            "user_id",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+        )
+        .withColumn("n_changes", F.col("n_base") + F.col("n_delta"))
+    )
+    return merged_state.join(merged_counts, "user_id")
+
+
+# Oracle: the SAME view recomputed from the whole feed in one pass
+# (plus the cutoff-derived base/delta split so every column is
+# checkable). Equality between the delta-merge plan and this full
+# recompute is the IVM correctness property.
+_IVM_ORD = "CAST(ts_ms AS HUGEINT) * 10000000000 + event_id"
+
+IVM_JOIN_SQL = """
+WITH feed AS ({change_feed}),
+mut AS (SELECT * FROM feed WHERE op <> 'QUERY'),
+rng AS (SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS cut FROM mut),
+keyed AS (
+    SELECT user_id, op, ts_ms, event_id,
+        ts_ms >= cut AS is_delta,
+        COALESCE(CAST(value_after AS VARCHAR), '{null_s}') AS value_s
+    FROM mut CROSS JOIN rng
+)
+SELECT user_id,
+    arg_max(value_s, {ord}) AS value,
+    arg_max(op, {ord}) AS last_op,
+    MAX(ts_ms) AS last_ts_ms,
+    CAST(SUM(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+    CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_delta,
+    COUNT(*) AS n_changes
+FROM keyed
+GROUP BY user_id
+"""
+
+
+def _ivm_sql() -> str:
+    from ..cdc.envelope import CHANGE_FEED_SQL
+
+    return IVM_JOIN_SQL.format(
+        change_feed=CHANGE_FEED_SQL, null_s=NULL_SENTINEL, ord=_IVM_ORD
+    )
+
+
 REGISTRY = [
     ("cdc_apply_upsert", apply_upsert_query, APPLY_UPSERT_SQL),
     ("cdc_snapshot_diff", snapshot_diff_query, SNAPSHOT_DIFF_SQL),
     ("cdc_incremental_agg", incremental_agg_query, INCREMENTAL_AGG_SQL),
+    ("cdc_ivm_join", ivm_join_query, _ivm_sql()),
 ]

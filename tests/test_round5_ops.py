@@ -262,3 +262,32 @@ def test_retention_classifies_evictions(spark):
     assert r["evicted_by_versions"] == 1
     assert r["evicted_by_age"] == 2
     assert r["evicted_by_both"] == 2
+
+
+def test_ivm_join_merge_equals_full_recompute(spark, sf_dir):
+    """The delta-merge view must equal a single-pass recompute of the
+    same view from the whole feed (the IVM correctness property)."""
+    from replicator_spark.cdc.apply import NULL_SENTINEL, ivm_join_query
+    from replicator_spark.cdc.envelope import change_feed
+
+    got = {r["user_id"]: r.asDict() for r in
+           ivm_join_query(spark, sf_dir).collect()}
+    feed = change_feed(spark, sf_dir).where(F.col("op") != "QUERY")
+    ord_k = F.struct("ts_ms", "event_id")
+    full = feed.select(
+        "user_id", "op", "ts_ms", "event_id",
+        F.coalesce(F.col("value_after").cast("string"),
+                   F.lit(NULL_SENTINEL)).alias("value_s"),
+    ).groupBy("user_id").agg(
+        F.max_by("value_s", ord_k).alias("value"),
+        F.max_by("op", ord_k).alias("last_op"),
+        F.max("ts_ms").alias("last_ts_ms"),
+        F.count("*").alias("n_changes"),
+    )
+    for r in full.collect():
+        g = got[r["user_id"]]
+        assert g["value"] == r["value"]
+        assert g["last_op"] == r["last_op"]
+        assert g["last_ts_ms"] == r["last_ts_ms"]
+        assert g["n_changes"] == r["n_changes"]
+        assert g["n_base"] + g["n_delta"] == g["n_changes"]
