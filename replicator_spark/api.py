@@ -265,6 +265,8 @@ def _load() -> None:
              timemachine.SCD2_INTERVALS_SQL)
     register("tm_retention", timemachine.retention_query,
              timemachine.RETENTION_SQL)
+    register("tm_scd2_weighted", timemachine.scd2_weighted_query,
+             timemachine.SCD2_WEIGHTED_SQL)
 
     for mod in (
         seeker, validation, bootstrap, jsonb, apply,

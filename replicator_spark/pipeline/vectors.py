@@ -208,8 +208,85 @@ SELECT dim, n,
 FROM sums
 """
 
+# ------------------------------------------------- covariance matrix
+#
+# The d×d covariance of the embedding column — the input to PCA /
+# whitening / low-rank compression. Distributed shape: the outer
+# product expands MAP-SIDE per vector (upper triangle only, d(d+1)/2
+# struct entries) and the groupBy(di,dj) agg is combiner-backed, so
+# the shuffle carries one partial row per (di,dj) per task — d²-bounded,
+# independent of vector count. Products are DECIMAL-exact ((15,10)² →
+# (31,20), within both engines' 38-digit cap); only the final
+# (n·Sij − Si·Sj)/n² runs in doubles (correctly-rounded IEEE ops on
+# identical inputs).
+
+
+def covariance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(v, (xi, i) -> "
+                "transform(slice(v, i + 1, size(v) - i), (xj, j) -> "
+                "struct(i AS di, i + j AS dj, "
+                "CAST(xi AS DECIMAL(15,10)) * CAST(xj AS DECIMAL(15,10))"
+                " AS p))))"
+            )
+        ).alias("e")
+    ).select("e.di", "e.dj", "e.p")
+    sums = pairs.groupBy("di", "dj").agg(
+        F.count("*").alias("n"), F.sum("p").alias("spp")
+    )
+    comp = emb.select(
+        F.posexplode("v").alias("dim", "x")
+    ).groupBy("dim").agg(
+        F.sum(F.col("x").cast("decimal(15,10)")).alias("sx")
+    )
+    si = comp.select(F.col("dim").alias("di"), F.col("sx").alias("si"))
+    sj = comp.select(F.col("dim").alias("dj"), F.col("sx").alias("sj"))
+    j = sums.join(F.broadcast(si), "di").join(F.broadcast(sj), "dj")
+    n = F.col("n").cast("double")
+    cov = (
+        n * F.col("spp").cast("double")
+        - F.col("si").cast("double") * F.col("sj").cast("double")
+    ) / (n * n)
+    return j.select(
+        "di",
+        "dj",
+        "n",
+        # + 0.0 canonicalizes IEEE negative zero (round can yield -0.0)
+        (F.round(cov, 6) + F.lit(0.0)).alias("cov"),
+    )
+
+
+COVARIANCE_SQL = """
+WITH comp AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), pairs AS (
+    SELECT a.d AS di, b.d AS dj,
+        CAST(a.x AS DECIMAL(15,10)) * CAST(b.x AS DECIMAL(15,10)) AS p
+    FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.d <= b.d
+), sums AS (
+    SELECT di, dj, COUNT(*) AS n, SUM(p) AS spp
+    FROM pairs GROUP BY di, dj
+), dsums AS (
+    SELECT d, SUM(CAST(x AS DECIMAL(15,10))) AS sx FROM comp GROUP BY d
+)
+SELECT di, dj, n,
+    round((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+           - CAST(a.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) + 0.0 AS cov
+FROM sums JOIN dsums a ON a.d = di JOIN dsums b ON b.d = dj
+"""
+
 REGISTRY = [
     ("emb_quantize_int8", quantize_int8_query, QUANTIZE_INT8_SQL),
     ("emb_centroids", centroids_query, CENTROIDS_SQL),
     ("emb_dim_stats", dim_stats_query, DIM_STATS_SQL),
+    ("emb_covariance", covariance_query, COVARIANCE_SQL),
 ]

