@@ -384,10 +384,132 @@ GROUP BY t.query_id
 """
 
 
+# -------------------------------------------- label separability
+#
+# Embedding-quality eval: per label, how close its members sit to
+# their own centroid vs the nearest OTHER label's centroid (a
+# centroid-silhouette). The metric a training pipeline computes to
+# decide whether an embedding column is usable for stratification or
+# dedup blocking. Scale shape: centroids come from the combiner-backed
+# per-(label,dim) agg (d×|labels| rows) and BROADCAST; each vector is
+# scored map-side against all |labels| centroids — one scan, one
+# final per-label agg. Cosines use sequential-fold dots (deterministic)
+# rounded to 9 dp and summed as DECIMAL.
+
+
+def label_separability_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    from .vectors import centroids_query
+
+    cent = (
+        centroids_query(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "centroid"))
+                ),
+                lambda s: s["centroid"],
+            ).alias("c")
+        )
+        .select(F.col("label").alias("c_label"), "c")
+    )
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.round(
+            _dot(F.col("v"), F.col("c"))
+            / (_norm(F.col("v")) * _norm(F.col("c"))),
+            9,
+        ).alias("cos"),
+    )
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("c_label") == F.col("label"), F.col("cos"))
+        ).alias("own_cos"),
+        F.max(
+            F.when(F.col("c_label") != F.col("label"), F.col("cos"))
+        ).alias("other_cos"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(12,9)")  # noqa: E731
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(dec("own_cos")).alias("_so"),
+            F.sum(dec("other_cos")).alias("_sn"),
+            F.sum(
+                F.when(F.col("own_cos") > F.col("other_cos"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_separated"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                F.col("_so").cast("double") / F.col("n_vecs"), 6
+            ).alias("avg_own_cos"),
+            F.round(
+                F.col("_sn").cast("double") / F.col("n_vecs"), 6
+            ).alias("avg_other_cos"),
+            "n_separated",
+        )
+    )
+
+
+LABEL_SEPARABILITY_SQL = f"""
+WITH comp AS (
+    SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        unnest(embedding) AS x
+    FROM embeddings
+), cent_long AS (
+    SELECT label, dim,
+        floor(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10)))
+                   AS DOUBLE) / COUNT(*) * 1e9 + 0.5) / 1e9 AS centroid
+    FROM comp GROUP BY label, dim
+), cent AS (
+    SELECT label AS c_label,
+        list(centroid ORDER BY dim) AS c
+    FROM cent_long GROUP BY label
+), emb AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+), scored AS (
+    SELECT vec_id, label, c_label,
+        round({_dot_sql('v', 'c')}
+              / (sqrt({_dot_sql('v', 'v')})
+                 * sqrt({_dot_sql('c', 'c')})), 9) AS cos
+    FROM emb CROSS JOIN cent
+), per_vec AS (
+    SELECT vec_id, label,
+        MAX(CASE WHEN c_label = label THEN cos END) AS own_cos,
+        MAX(CASE WHEN c_label <> label THEN cos END) AS other_cos
+    FROM scored GROUP BY vec_id, label
+)
+SELECT label, COUNT(*) AS n_vecs,
+    round(CAST(SUM(CAST(own_cos AS DECIMAL(12,9))) AS DOUBLE)
+          / COUNT(*), 6) AS avg_own_cos,
+    round(CAST(SUM(CAST(other_cos AS DECIMAL(12,9))) AS DOUBLE)
+          / COUNT(*), 6) AS avg_other_cos,
+    CAST(SUM(CASE WHEN own_cos > other_cos THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_separated
+FROM per_vec
+GROUP BY label
+"""
+
+
 REGISTRY = [
     ("sim_cosine_topk", cosine_topk_query, COSINE_TOPK_SQL),
     ("sim_ivf_topk", ivf_topk_query, IVF_TOPK_SQL),
     ("sim_lsh_buckets", lsh_bucket_query, LSH_BUCKET_SQL),
     ("sim_norm_stats", norm_stats_query, NORM_STATS_SQL),
     ("sim_recall_at_k", recall_at_k_query, RECALL_AT_K_SQL),
+    ("sim_label_separability", label_separability_query,
+     LABEL_SEPARABILITY_SQL),
 ]

@@ -332,3 +332,34 @@ def test_scd2_weighted_rollup_is_duration_weighted(spark, sf_dir):
         assert r["n_intervals"] > 0
         assert r["total_us"] > 0
         assert r["tw_avg_value"] is not None
+
+
+def test_label_separability_on_orthogonal_clusters(spark, tmp_path):
+    """Two orthogonal clusters must be perfectly separated (every
+    vector closer to its own centroid)."""
+    import os
+
+    from replicator_spark.pipeline.similarity import (
+        label_separability_query,
+    )
+
+    rows = []
+    for i in range(20):
+        v = [0.0] * 64
+        v[i % 4] = 1.0  # label 0 lives in dims 0-3
+        rows.append((i, v, 0))
+    for i in range(20, 40):
+        v = [0.0] * 64
+        v[32 + i % 4] = 1.0  # label 1 lives in dims 32-35
+        rows.append((i, v, 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = {r["label"]: r for r in
+           label_separability_query(spark, str(tmp_path)).collect()}
+    for lbl in (0, 1):
+        r = out[lbl]
+        assert r["n_vecs"] == 20
+        assert r["n_separated"] == 20
+        assert r["avg_own_cos"] > r["avg_other_cos"]
+        assert abs(r["avg_other_cos"]) < 1e-9  # orthogonal
