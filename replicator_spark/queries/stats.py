@@ -262,9 +262,53 @@ FROM binned GROUP BY bucket
 """
 
 
+# ------------------------------------------- median absolute deviation
+#
+# The robust scale estimate (outlier-insensitive twin of stddev):
+# MAD = median(|x - median(x)|) per group. Two exact-percentile
+# passes; the group medians are a tiny broadcast between them. The
+# inner median is rounded to 9 dp before the subtraction so both
+# engines rank the SAME |x - med| values (an ulp difference in the
+# interpolated median could otherwise reorder ties).
+
+
+def mad_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    meds = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 9).alias("med")
+    )
+    dev = ev.join(F.broadcast(meds), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    return dev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.max("med"), 6).alias("median"),
+        F.round(F.percentile("d", F.lit(0.5)), 6).alias("mad"),
+    )
+
+
+MAD_SQL = """
+WITH meds AS (
+    SELECT event_type, round(quantile_cont(value, 0.5), 9) AS med
+    FROM events GROUP BY event_type
+), dev AS (
+    SELECT e.event_type, med, abs(value - med) AS d
+    FROM events e JOIN meds USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n,
+    round(MAX(med), 6) AS median,
+    round(quantile_cont(d, 0.5), 6) AS mad
+FROM dev GROUP BY event_type
+"""
+
+
 REGISTRY = [
     ("stats_percentiles", percentiles_query, PERCENTILES_SQL),
     ("stats_chisq_independence", chisq_query, CHISQ_SQL),
     ("stats_histogram", histogram_query, HISTOGRAM_SQL),
     ("stats_eqfreq_bins", eqfreq_bins_query, EQFREQ_BINS_SQL),
+    ("stats_mad", mad_query, MAD_SQL),
 ]

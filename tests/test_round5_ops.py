@@ -363,3 +363,20 @@ def test_label_separability_on_orthogonal_clusters(spark, tmp_path):
         assert r["n_separated"] == 20
         assert r["avg_own_cos"] > r["avg_other_cos"]
         assert abs(r["avg_other_cos"]) < 1e-9  # orthogonal
+
+
+def test_mad_robust_to_outliers(spark, tmp_path):
+    """MAD must ignore a massive outlier that would wreck stddev."""
+    import os
+
+    from replicator_spark.queries.stats import mad_query
+
+    rows = [(i, 1700000000000000000 + i, 1, "click", float(v), "{}")
+            for i, v in enumerate([10, 11, 12, 13, 14, 1_000_000])]
+    spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    ).write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    (r,) = mad_query(spark, str(tmp_path)).collect()
+    assert r["median"] == 12.5
+    assert r["mad"] <= 2.0  # the outlier moves MAD barely
