@@ -3,13 +3,29 @@
 for the driver's correctness gate.
 
 Registration ORDER matters: the driver grades the first N registered
-entries (N=50 in round 1). `_PRIORITY` therefore lists all SURVEY §2
-rows first (CDC core, sinks, schema registry, streaming), then the
-round-1 hash-fail fixes that need driver re-verification, then the
-LLM-pipeline operator families by grading value, with TPC-H — fully
-driver-verified green in round 1 — last. Any registered name missing
-from `_PRIORITY` is appended at the end (never silently dropped), and
-a name listed but not registered raises at load time.
+entries (N=50). `_PRIORITY` is therefore a ROTATION SCHEDULE: each
+round the first 50 slots hold operators that have never received a
+green driver CORRECTNESS row, and previously-verified operators move
+below the window (their green rows stay on record in
+CORRECTNESS_r{N}.json).
+
+Rotation map (which driver run produced each operator's green row):
+- round 1 (CORRECTNESS_r01.json): TPC-H q1-q22 (except q12: r03),
+  temporal_* / topk_per_group / agg_* / window_analytics families'
+  first 44 greens.
+- round 3 (CORRECTNESS_r03.json): all 40 SURVEY §2 CDC/sink/schema/
+  streaming rows, tpch_q12, temporal_asof_join, temporal_rollup,
+  curate_pack_sequences, and the 6-query dedup family (50/50 green).
+- round 4 window (this file's first 50): the SURVEY §2 stragglers
+  (tm_retention, cdc_incremental_agg, cdc_ivm_join, tm_scd2_weighted,
+  runner_pipeline) plus the never-yet-graded sim/emb/curate/text/
+  stats/sketch/multimodal families.
+- round 5 queue (entries 51+ up to the r03-green block): the 24
+  remaining never-graded ops plus anything added in round 4.
+
+Any registered name missing from `_PRIORITY` is appended at the end
+(never silently dropped), and a name listed but not registered raises
+at load time.
 """
 
 from __future__ import annotations
@@ -24,9 +40,93 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
-# Explicit grading order (see module docstring). Keep every §2 family
-# and every round-over-round fix inside the first 50 entries.
+# Explicit grading order (see module docstring): round-4 window first,
+# then the round-5 queue, then previously-driver-verified blocks.
 _PRIORITY = [
+    # ================= ROUND-4 GRADING WINDOW (50) =================
+    # --- SURVEY §2 rows still lacking a driver row (VERDICT r03 #1) ---
+    "tm_retention",
+    "cdc_incremental_agg",
+    "cdc_ivm_join",
+    "tm_scd2_weighted",
+    "runner_pipeline",
+    # --- similarity / embeddings ---
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_lsh_buckets",
+    "sim_norm_stats",
+    "sim_recall_at_k",
+    "sim_label_separability",
+    "emb_quantize_int8",
+    "emb_centroids",
+    "emb_dim_stats",
+    "emb_covariance",
+    # --- curation ---
+    "curate_stratified_sample",
+    "curate_dataset_split",
+    "curate_contamination",
+    "curate_ngram_decontam",
+    "curate_near_dedup",
+    "curate_e2e_pipeline",
+    "curate_chunk_documents",
+    "curate_quality_filter",
+    "curate_weighted_sample",
+    # --- text / corpus ---
+    "text_token_count",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_repetition",
+    "text_pii_scrub",
+    "text_top_terms",
+    "text_inverted_index",
+    "text_tfidf",
+    "text_pmi_bigrams",
+    "text_bigram_lm",
+    "text_zipf_slope",
+    "dedup_dupfrac_ngrams",
+    # --- stats ---
+    "stats_percentiles",
+    "stats_chisq_independence",
+    "stats_histogram",
+    "stats_eqfreq_bins",
+    "stats_mad",
+    "stats_corr",
+    # --- sketches ---
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy",
+    # --- multimodal ---
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_frames",
+    # ================ ROUND-5 QUEUE (never graded yet) ================
+    "window_analytics",
+    "pivot_orders",
+    "events_json_extract",
+    "sessionize_events",
+    "stream_sliding_counts",
+    "stream_topk_users",
+    "stream_upsert",
+    "temporal_sliding_window",
+    "join_salted_enrich",
+    "basket_copurchase",
+    "anomaly_zscore",
+    "ts_ewma",
+    "events_funnel",
+    "events_retention",
+    "ts_gap_fill",
+    "profile_columns",
+    "graph_pagerank",
+    "graph_triangles",
+    "dq_constraints",
+    "entity_match_blocked",
+    "text_rolling_hash",
+    "text_normalize",
+    "curate_global_shuffle",
+    "sketch_bloom_filter",
+    # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",
     "cdc_classify_ops",
@@ -72,54 +172,22 @@ _PRIORITY = [
     "stream_sessionize",
     "stream_enrich",
     "stream_attribution_join",
-    # --- round-1 hash-fail fixes needing driver re-verification ---
+    # --- r03-green fixes + dedup family ---
     "tpch_q12",
     "temporal_asof_join",
     "temporal_rollup",
     "curate_pack_sequences",
-    # --- LLM-pipeline ops ---
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_clusters",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sim_lsh_buckets",
-    "sim_norm_stats",
-    "emb_quantize_int8",
-    "curate_stratified_sample",
-    "curate_dataset_split",
-    "curate_contamination",
-    "curate_ngram_decontam",
-    "curate_global_shuffle",
-    "stats_percentiles",
-    "window_analytics",
-    "pivot_orders",
-    "events_json_extract",
-    "text_token_count",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_rolling_hash",
-    "text_repetition",
-    "text_pii_scrub",
-    "text_top_terms",
-    "text_inverted_index",
-    "text_tfidf",
-    "sessionize_events",
-    "sketch_kmv_distinct",
-    "sketch_hll_distinct",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # --- temporal / agg extensions (driver-green in round 1) ---
+    # ============= DRIVER-GREEN IN ROUND 1 (CORRECTNESS_r01) ==========
     "temporal_range_join",
     "topk_per_group",
     "agg_rollup_pricing",
     "agg_cube_orders",
-    # --- TPC-H (fully driver-green in round 1) ---
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

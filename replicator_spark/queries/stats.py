@@ -63,9 +63,12 @@ GROUP BY event_type
 # Observed/expected counts are integers or integer ratios, so each
 # cell's (O-E)²/E is a deterministic double; contributions are rounded
 # to 9 dp and summed as DECIMAL so the cell order can't perturb the
-# statistic. Scale: one (lang, source) count agg; the contingency
-# table itself is tiny (|langs|×|sources|), everything after the agg
-# is broadcast-sized.
+# statistic. The contingency grid is the FULL cross product of
+# observed langs × observed sources — absent cells (O=0) contribute
+# (0-E)²/E = E, which a sparse lang×source table needs for a true
+# chi-square (dropping them understates association). Scale: one
+# (lang, source) count agg; the grid itself is tiny
+# (|langs|×|sources|), everything after the agg is broadcast-sized.
 
 
 def chisq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,9 +82,12 @@ def chisq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("r"),
         F.countDistinct("source").alias("c"),
     )
+    # full r×c grid so O=0 cells are present (broadcast nested-loop of
+    # two tiny aggregates, not a shuffling cartesian)
+    grid = row_t.crossJoin(F.broadcast(col_t))
     cells = (
-        obs.join(row_t, "lang")
-        .join(col_t, "source")
+        grid.join(obs, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
         .crossJoin(F.broadcast(tot))
     )
     e = (F.col("row_n") * F.col("col_n")).cast("double") / F.col(
@@ -122,10 +128,12 @@ tot AS (
     SELECT SUM(o) AS n, COUNT(DISTINCT lang) AS r,
         COUNT(DISTINCT source) AS c
     FROM obs
+), grid AS (
+    SELECT lang, row_n, source, col_n FROM row_t CROSS JOIN col_t
 ), cells AS (
-    SELECT o.o, row_n, col_n, n, r, c,
+    SELECT COALESCE(o.o, 0) AS o, row_n, col_n, n, r, c,
         CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE) AS e
-    FROM obs o JOIN row_t USING (lang) JOIN col_t USING (source)
+    FROM grid g LEFT JOIN obs o USING (lang, source)
     CROSS JOIN tot
 ), agg AS (
     SELECT CAST(n AS BIGINT) AS n, r, c,
@@ -145,9 +153,13 @@ FROM agg
 # --------------------------------------------- equal-width histogram
 #
 # Distributed fixed-width histogram of n_chars per language. Bin
-# assignment is INTEGER arithmetic (floor((x-mn)·NB/(mx-mn+1))) so
-# both engines agree exactly with no float edge cases; the global
-# min/max come from a single-row agg that broadcasts. Scale: one scan
+# assignment is floor((x-mn)·NB/(mx-mn+1)) where `/` is DOUBLE
+# division in BOTH engines; the operands are small integers, so the
+# product stays far below 2^53 and every intermediate is an exactly
+# representable, correctly-rounded double — the two engines agree
+# bit-for-bit. (If this is ever reused on columns whose magnitude can
+# approach 2^53/NB, switch both sides to explicit integer floor-div.)
+# The global min/max come from a single-row agg that broadcasts. Scale: one scan
 # + one (lang, bin) combiner agg — the histogram pattern that works at
 # any corpus size.
 

@@ -53,12 +53,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
 }
 
 
-def build_feed(
-    spark: SparkSession, sf_dir: str, config: Mapping[str, Any]
-) -> DataFrame:
-    """source → augment-filters → partitioner, per config."""
-    cfg = {**DEFAULT_CONFIG, **config}
-    feed = change_feed(spark, sf_dir)
+def _augment(feed: DataFrame, cfg: Mapping[str, Any]) -> DataFrame:
+    """include/exclude gate → QUERY-event gate → table merge →
+    partitioner, per (already-defaulted) config. Shared by the batch
+    path and each streaming micro-batch so the two cannot drift."""
     include = tuple(cfg["augmenter.filter.include"] or ())
     excl = cfg["augmenter.filter.exclude.pattern"]
     if include or excl:
@@ -78,6 +76,14 @@ def build_feed(
     return repartition_for(
         feed, cfg["partitioner.type"], int(cfg["replicator.tasks"])
     )
+
+
+def build_feed(
+    spark: SparkSession, sf_dir: str, config: Mapping[str, Any]
+) -> DataFrame:
+    """source → augment-filters → partitioner, per config."""
+    cfg = {**DEFAULT_CONFIG, **config}
+    return _augment(change_feed(spark, sf_dir), cfg)
 
 
 def apply_sink(feed: DataFrame, config: Mapping[str, Any]) -> DataFrame:
@@ -134,26 +140,7 @@ def run_stream(
     stream = _events_stream(spark, sf_dir)
 
     def one_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        feed = change_feed_from(batch_df)
-        include = tuple(cfg["augmenter.filter.include"] or ())
-        excl = cfg["augmenter.filter.exclude.pattern"]
-        if include or excl:
-            feed = feed.where(
-                should_augment_table(
-                    F.col("table_name"),
-                    include=include or None,
-                    exclude_pattern=excl,
-                )
-            )
-        if cfg["augmenter.skip.query.events"]:
-            feed = feed.where(F.col("op") != "QUERY")
-        if cfg["augmenter.table.merge"]:
-            feed = feed.withColumn(
-                "table_name", merge_table_name(F.col("table_name"))
-            )
-        feed = repartition_for(
-            feed, cfg["partitioner.type"], int(cfg["replicator.tasks"])
-        )
+        feed = _augment(change_feed_from(batch_df), cfg)
         apply_sink(feed, cfg).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"epoch={epoch_id}")
         )
