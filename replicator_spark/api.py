@@ -102,6 +102,7 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "multimodal_audio_frames",
     # ================ ROUND-5 QUEUE (never graded yet) ================
+    "cdc_delay_gauge",
     "window_analytics",
     "pivot_orders",
     "events_json_extract",
@@ -248,6 +249,7 @@ def _load() -> None:
         envelope,
         filters,
         jsonb,
+        metrics,
         partitioners,
         rowkey,
         seeker,
@@ -316,6 +318,8 @@ def _load() -> None:
              partitioners.PARTITIONERS_SQL)
     register("cdc_safe_watermark", checkpoint.watermark_query,
              checkpoint.WATERMARK_SQL)
+    for _n, _f, _s in metrics.REGISTRY:
+        register(_n, _f, _s)
     register("cdc_type_decode", decode.type_decode_query,
              decode.TYPE_DECODE_SQL)
     register("cdc_payload_rowkey", rowkey.payload_rowkey_query,

@@ -31,9 +31,13 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..session import prep, read_table
-from .dedup import _BANDED_SQL, _SIG_SQL, minhash_lsh_pairs
+from .dedup import _BANDED_SQL, _PAIRS_SQL, _SIG_SQL, minhash_lsh_pairs
 
 MAX_ITERS = 20
+# rounds that run without a fixpoint probe: diameter-≤2 components (the
+# LSH case by construction) converge within two propagation rounds, so
+# the first probe that can possibly read 0 is the one after round 2
+PROBE_FREE_ROUNDS = 2
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -65,7 +69,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = enodes.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(MAX_ITERS):
+    for i in range(MAX_ITERS):
         prop = (
             sym.join(labels, sym.doc_a == labels.doc_id)
             .select(F.col("doc_b").alias("doc_id"), "label")
@@ -76,6 +80,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        # LSH dup components are near-cliques (diameter ≤2, and the
+        # mega-bucket star guard keeps even adversarial buckets at
+        # diameter 2), so the first PROBE_FREE_ROUNDS rounds always
+        # change labels — probing them is a wasted scalar job each.
+        # Run those rounds blind, then fixpoint-probe every round
+        # (long-chain graphs still terminate correctly, just with the
+        # per-round probe cost they genuinely need).
+        if i + 1 < PROBE_FREE_ROUNDS:
+            labels = new_labels
+            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -112,11 +126,7 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_CLUSTERS_SQL = (
     _SIG_SQL.replace("WITH toked", "WITH RECURSIVE toked", 1)
     + f""", banded AS ({_BANDED_SQL}),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
+{_PAIRS_SQL},
 edges AS (
     SELECT doc_a AS u, doc_b AS v FROM pairs
     UNION ALL
@@ -170,11 +180,7 @@ def near_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DEDUP_SQL = (
     _SIG_SQL.replace("WITH toked", "WITH RECURSIVE toked", 1)
     + f""", banded AS ({_BANDED_SQL}),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
+{_PAIRS_SQL},
 edges AS (
     SELECT doc_a AS u, doc_b AS v FROM pairs
     UNION ALL

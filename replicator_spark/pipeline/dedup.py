@@ -28,6 +28,11 @@ from .text import ws_tokens
 
 N_MINHASH = 8
 N_BANDS = 4  # 2 rows per band
+# Buckets above this size stop emitting the O(k²) clique and fall back
+# to a sorted O(k) chain (same connected components — see
+# minhash_lsh_pairs). 32 is ~3× the largest bucket observed on normal
+# corpora at sf0.1; only adversarial boilerplate crosses it.
+LSH_BUCKET_CAP = 32
 SHINGLE_K = 3
 
 
@@ -160,20 +165,35 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # scans and hashes it twice), and the only exchange is the combiner-
     # backed groupBy on (band, bucket). In-bucket pair expansion is the
     # same O(k²) the join would do, but k is the bucket size (tiny by
-    # LSH design); a skewed mega-bucket would hurt either topology.
+    # LSH design).
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    # Mega-bucket guard (anti-hotspot, the analog of the reference's
+    # salted row keys, HBaseRowKeyMapper.java:74-100): a bucket of k
+    # near-identical docs — boilerplate-heavy corpora produce k in the
+    # tens of thousands — would expand to k(k-1)/2 pairs inside ONE
+    # task and become the stage straggler. Buckets larger than
+    # LSH_BUCKET_CAP emit a sorted STAR (every id paired with the
+    # bucket's min id: k-1 pairs) instead of the clique: connected
+    # components are IDENTICAL (the star links exactly the same ids)
+    # and its diameter-2 shape keeps the label-propagation round count
+    # flat, so cluster-level dedup loses nothing; only the exhaustive
+    # pair listing is thinned, and a thinned pair can still surface
+    # via the other N_BANDS-1 bands.
+    all_pairs = """flatten(transform(ids, (x, i) ->
+        transform(slice(ids, i + 2, size(ids) - i - 1),
+                  y -> struct(x AS doc_a, y AS doc_b))))"""
+    star = """transform(slice(ids, 2, size(ids) - 1), y ->
+        struct(element_at(ids, 1) AS doc_a, y AS doc_b))"""
     pairs = (
         buckets.select(
             F.explode(
-                F.expr(
-                    """flatten(transform(ids, (x, i) ->
-                        transform(slice(ids, i + 2, size(ids) - i - 1),
-                                  y -> struct(x AS doc_a, y AS doc_b))))"""
-                )
+                F.when(
+                    F.size("ids") <= LSH_BUCKET_CAP, F.expr(all_pairs)
+                ).otherwise(F.expr(star))
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
@@ -223,12 +243,30 @@ _BANDED_SQL = " UNION ALL ".join(
     for b in range(N_BANDS)
 )
 
+# Bucket → pair expansion with the same LSH_BUCKET_CAP clique/star
+# rule as minhash_lsh_pairs (oversized buckets emit a sorted star).
+_PAIRS_SQL = f"""buckets AS (
+    SELECT band, bucket, list_sort(list(doc_id)) AS ids
+    FROM banded GROUP BY band, bucket HAVING count(*) > 1
+), expanded AS (
+    SELECT unnest(CASE WHEN len(ids) <= {LSH_BUCKET_CAP} THEN
+        flatten(list_transform(range(1, len(ids) + 1), i ->
+            list_transform(range(i + 1, len(ids) + 1), j ->
+                {{'doc_a': ids[i], 'doc_b': ids[j]}})))
+    ELSE
+        list_transform(range(2, len(ids) + 1), i ->
+            {{'doc_a': ids[1], 'doc_b': ids[i]}})
+    END) AS p
+    FROM buckets
+), pairs AS (
+    SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b FROM expanded
+)"""
+
 MINHASH_LSH_SQL = (
     _SIG_SQL
-    + f""", banded AS ({_BANDED_SQL})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    + f""", banded AS ({_BANDED_SQL}),
+{_PAIRS_SQL}
+SELECT doc_a, doc_b FROM pairs
 """
 )
 
@@ -261,11 +299,7 @@ def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_JACCARD_SQL = (
     _SIG_SQL
     + f""", banded AS ({_BANDED_SQL}),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-), sets AS (
+{_PAIRS_SQL}, sets AS (
     SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
     FROM (
         SELECT doc_id,

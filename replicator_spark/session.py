@@ -90,13 +90,34 @@ def normalize_events(df):
     """
     dtype = dict(df.dtypes).get("ts")
     if dtype in (None, "bigint", "long"):
+        # the driver's historical long encoding is epoch-nanos; keep
+        # the contract fixed rather than magnitude-sniffing, so tiny
+        # synthetic test values can't be mis-bucketed
         return df
-    cols = [
-        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts")
-        if c == "ts"
-        else F.col(c)
-        for c in df.columns
-    ]
+    if dtype.startswith("decimal"):
+        # preemptive armor for a DECIMAL ts encoding (the driver has
+        # already changed the physical encoding twice): unit is
+        # dispatched on magnitude per row — epoch seconds (<1e11,
+        # fractional µs/ns preserved), millis (<1e14), micros (<1e17),
+        # else nanos. Exact for 1973-2200; decimal×int products stay
+        # within precision 38 before the final long cast.
+        v = F.col("ts")
+        ns = (
+            F.when(v >= F.lit(10**17), v)
+            .when(v >= F.lit(10**14), v * 1000)
+            .when(v >= F.lit(10**11), v * 1000000)
+            .otherwise(v * 1000000000)
+        ).cast("long")
+    elif dtype.startswith("timestamp") or dtype == "date":
+        ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    else:
+        raise ValueError(
+            f"events.ts arrived as unsupported dtype {dtype!r}; "
+            "normalize_events knows long-nanos, timestamp, and decimal "
+            "encodings — extend it rather than letting a silent unit "
+            "shift through"
+        )
+    cols = [ns.alias("ts") if c == "ts" else F.col(c) for c in df.columns]
     return df.select(cols)
 
 

@@ -418,3 +418,36 @@ def test_ivf_results_consistent_with_bruteforce(spark, sf_dir):
         if key in bf:  # same pair scored by both → identical cosine
             assert abs(r["cosine"] - bf[key]) < 1e-9
         assert r["cosine"] <= bf_best[r["query_id"]] + 1e-9
+
+
+def test_delay_gauge_stops_at_ack_hole(spark):
+    """Replication-delay gauge: an un-acked checkpoint (event_id 97 →
+    srv 1, txn 24) leaves a hole; srv 1's safe watermark must stop at
+    txn 23 and report the committed-past-the-hole work as delay, while
+    hole-free servers report zero delay."""
+    from replicator_spark.cdc.metrics import delay_gauge
+
+    n = 200  # event_ids 0..199 → txns 0..49 on each of 4 servers
+    ev = spark.createDataFrame(
+        [(i, i * 1_000_000_000) for i in range(n)], "event_id long, ts long"
+    )
+    rows = {r["server_uuid"]: r for r in delay_gauge(ev).collect()}
+    assert set(rows) == {"srv-00", "srv-01", "srv-02", "srv-03"}
+    s1 = rows["srv-01"]
+    assert s1["safe_checkpoint"] == 23
+    assert s1["head_txn"] == 49
+    assert s1["delay_txns"] == 26
+    # head event of srv-01 is id 197 (ts 197e9), safe txn 23 is id 93
+    assert s1["delay_ms"] == (197 - 93) * 1000
+    # srv-02 has its own hole: un-acked id 194 → txn 48, so safe stops
+    # at 47 (event 190) while the head is txn 49 (event 198)
+    s2 = rows["srv-02"]
+    assert s2["safe_checkpoint"] == 47
+    assert s2["delay_txns"] == 2
+    assert s2["delay_ms"] == (198 - 190) * 1000
+    # srv-00's only un-acked id is 0 == its minimum, which sits BELOW
+    # the contiguous scan's starting point; no interior hole → no
+    # delay. srv-03 has no un-acked ids at all.
+    for srv in ("srv-00", "srv-03"):
+        assert rows[srv]["delay_txns"] == 0
+        assert rows[srv]["delay_ms"] == 0  # safe event IS the head event

@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 
 @pytest.fixture(scope="module")
 def dual_dirs(spark, sf_dir, tmp_path_factory):
-    """Two copies of the events table: ts as INT64 epoch-nanos and ts
-    as TIMESTAMP (µs), same logical instants."""
+    """Copies of the events table in every encoding the driver has
+    shipped or could plausibly ship next, same logical instants:
+    INT64 epoch-nanos, TIMESTAMP-µs, DECIMAL(20,6) epoch-seconds and
+    DECIMAL(20,0) epoch-micros (the preemptive round-4 armor)."""
     from replicator_spark.session import normalize_events
 
     import glob
@@ -38,12 +40,32 @@ def dual_dirs(spark, sf_dir, tmp_path_factory):
         shutil.copy(part, os.path.join(out_dir, "events.parquet"))
         shutil.rmtree(tmp)
 
+    dec_sec_dir = str(base / "dec_sec")
+    dec_us_dir = str(base / "dec_us")
     _write_flat(ev, nanos_dir)
     _write_flat(
         ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))),
         micros_dir,
     )
-    return nanos_dir, micros_dir
+    # µs-precision decimals: seconds with 6 fractional digits, and a
+    # plain integer-micros decimal (scale 0)
+    _write_flat(
+        ev.withColumn(
+            "ts",
+            (F.col("ts").cast("decimal(38,0)") / 1000)
+            .cast("decimal(20,0)")  # exact: ts is µs-aligned
+            .cast("decimal(26,6)") / 1000000,
+        ),
+        dec_sec_dir,
+    )
+    _write_flat(
+        ev.withColumn(
+            "ts",
+            (F.col("ts").cast("decimal(38,0)") / 1000).cast("decimal(20,0)"),
+        ),
+        dec_us_dir,
+    )
+    return nanos_dir, micros_dir, dec_sec_dir, dec_us_dir
 
 
 def _canon(df):
@@ -53,22 +75,21 @@ def _canon(df):
 def test_change_feed_identical_across_encodings(spark, dual_dirs):
     from replicator_spark.cdc.envelope import change_feed
 
-    nanos_dir, micros_dir = dual_dirs
-    assert _canon(change_feed(spark, nanos_dir)) == _canon(
-        change_feed(spark, micros_dir)
-    )
+    nanos_dir = dual_dirs[0]
+    want = _canon(change_feed(spark, nanos_dir))
+    for d in dual_dirs[1:]:
+        assert _canon(change_feed(spark, d)) == want, d
 
 
 def test_normalize_events_yields_long_nanos(spark, dual_dirs):
     from replicator_spark.session import read_table
 
-    nanos_dir, micros_dir = dual_dirs
     for d in dual_dirs:
         df = read_table(spark, d, "events")
         assert dict(df.dtypes)["ts"] == "bigint", d
-    a = _canon(read_table(spark, nanos_dir, "events"))
-    b = _canon(read_table(spark, micros_dir, "events"))
-    assert a == b
+    want = _canon(read_table(spark, dual_dirs[0], "events"))
+    for d in dual_dirs[1:]:
+        assert _canon(read_table(spark, d, "events")) == want, d
 
 
 def test_streaming_reader_identical_across_encodings(spark, dual_dirs):
@@ -91,4 +112,4 @@ def test_streaming_reader_identical_across_encodings(spark, dual_dirs):
         )
         q.awaitTermination()
         outs.append(_canon(spark.read.parquet(out)))
-    assert outs[0] == outs[1]
+    assert all(o == outs[0] for o in outs[1:])

@@ -12,7 +12,14 @@ dominated by fixed overhead at this size) is the pass signal; a ratio
 far ABOVE R flags superlinear behavior — a plan that would not survive
 the 100 TB target. Usage:
 
-    python tools/scale_smoke.py [R] [sf_dir]
+    python tools/scale_smoke.py [R] [sf_dir] [--fixed-users]
+
+--fixed-users keeps user_id UN-offset in the events replicas: user
+count stays constant while per-user history grows R× (the complement
+of the default mode, which grows users R× at constant history). This
+pins the per-key window-frame claim for user-keyed operators like
+anomaly_zscore: bounded rowsBetween frames must absorb R× history
+without a per-key blowup. The slate narrows to the user-keyed ops.
 
 Writes nothing outside a temp dir; testdata is read-only.
 """
@@ -55,12 +62,23 @@ SLATE = [
     "tpch_q21",
     "cdc_change_feed",
     "cdc_apply_upsert",
+    "cdc_delay_gauge",
     "tm_asof_snapshot",
     "dedup_minhash_lsh",
     "sessionize_events",
     "anomaly_zscore",
     "text_tfidf",
+    "stats_chisq_independence",
     "curate_e2e_pipeline",
+]
+
+# user-keyed operators whose scale risk is per-key frame growth, not
+# key-count growth — the --fixed-users slate
+FIXED_USER_SLATE = [
+    "cdc_change_feed",
+    "sessionize_events",
+    "anomaly_zscore",
+    "ts_ewma",
 ]
 
 
@@ -93,9 +111,9 @@ def build_replica(spark, sf_dir: str, out_dir: str, r_factor: int) -> None:
         )
 
 
-def time_slate(spark, queries, sf_dir: str) -> dict[str, float]:
+def time_slate(spark, queries, sf_dir: str, slate=None) -> dict[str, float]:
     times = {}
-    for name in SLATE:
+    for name in (slate or SLATE):
         fn = queries[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -104,12 +122,18 @@ def time_slate(spark, queries, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    r_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if a != "--fixed-users"]
+    fixed_users = "--fixed-users" in sys.argv[1:]
+    r_factor = int(args[0]) if len(args) > 0 else 10
     sf_dir = (
-        sys.argv[2]
-        if len(sys.argv) > 2
+        args[1]
+        if len(args) > 1
         else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    slate = FIXED_USER_SLATE if fixed_users else SLATE
+    if fixed_users:
+        # history grows R×, user population doesn't
+        OFFSETS["events"] = (["event_id"], "ts")
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     prep(spark)
@@ -120,21 +144,22 @@ def main() -> None:
     try:
         build_replica(spark, sf_dir, base, r_factor)
         # warm-up JIT/scan caches so 1x isn't charged the startup cost
-        time_slate(spark, queries, sf_dir)
-        t1 = time_slate(spark, queries, sf_dir)
-        tn = time_slate(spark, queries, base)
+        time_slate(spark, queries, sf_dir, slate)
+        t1 = time_slate(spark, queries, sf_dir, slate)
+        tn = time_slate(spark, queries, base, slate)
         report = {
             name: {
                 "t1_sec": t1[name],
                 f"t{r_factor}_sec": tn[name],
                 "ratio": round(tn[name] / max(t1[name], 1e-9), 2),
             }
-            for name in SLATE
+            for name in slate
         }
         print(
             json.dumps(
                 {
                     "metric": "scale_smoke",
+                    "mode": "fixed-users" if fixed_users else "grow-users",
                     "r_factor": r_factor,
                     "sf_dir": sf_dir,
                     "queries": report,
