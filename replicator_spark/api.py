@@ -127,6 +127,13 @@ _PRIORITY = [
     "text_normalize",
     "curate_global_shuffle",
     "sketch_bloom_filter",
+    # --- added in round 4 (never graded) ---
+    "curate_mixture_weights",
+    "curate_token_budget",
+    "text_oov_rate",
+    "text_bpe_pairs",
+    "sketch_quantile_grid",
+    "emb_pca_power",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",
@@ -263,6 +270,7 @@ def _load() -> None:
         dedup,
         lm,
         matching,
+        mixture,
         multimodal,
         sessions,
         similarity,
@@ -347,8 +355,8 @@ def _load() -> None:
         stream_enrich, stream_joins,
         tpch, tpch_ext, temporal, stats, analytics, funnel, profiling,
         graph, dq,
-        cluster, corpus, curation, dedup, lm, matching, sessions,
-        similarity, sketches,
+        cluster, corpus, curation, dedup, lm, matching, mixture,
+        sessions, similarity, sketches,
         text, vectors,
         multimodal,
         runner,

@@ -1,0 +1,323 @@
+"""Dataset-mixture design + tokenizer-adjacent corpus operators:
+temperature-scaled source mixing weights, token-budget selection,
+vocabulary OOV-rate, and first-round BPE pair induction.
+
+These close the "what do we actually train on" half of a pretraining
+pipeline: dedup/quality (dedup.py, curation.py) decide what survives;
+these decide how the survivors are SAMPLED (mixture weights, budget),
+and feed the tokenizer loop (vocab coverage, BPE merge statistics).
+
+Reference scope note: the reference engine (mysql-time-machine
+replicator) has no text analytics — these extend the engine along the
+brief's LLM-pipeline axis, same contract as pipeline/text.py.
+
+Scale shapes (100 TB):
+- mixture weights: ONE combiner-backed groupBy(source) — output is
+  source-cardinality (tiny); the normalization constant attaches as a
+  broadcast 1-row crossJoin. Nothing scales with corpus size past the
+  first agg.
+- token budget: one exchange on source feeding a cumulative-sum
+  window. A pathologically large single source serializes into one
+  task's sort; at that point flip to the two-pass variant (per-source
+  quality-threshold from a quantile sketch, then a map-side filter) —
+  same semantics minus exact boundary-doc ties, documented here so the
+  switch is a config, not a redesign.
+- OOV rate: vocab agg (combiner-backed, vocab-bounded output) → top-V
+  rank (window over the VOCAB table, not the corpus) → broadcast hash
+  join back against the exploded corpus → per-doc agg. Linear, one
+  corpus shuffle.
+- BPE pairs: map-side substring explode → one combiner-backed pair agg
+  (output bounded by |alphabet|², tiny) → top-k window over that
+  result only.
+
+Float determinism across engines: shares and weights follow the lm.py
+recipe — per-element doubles are correctly-rounded IEEE ops on
+identical inputs, every cross-row SUM of doubles is rounded to 9 dp
+and summed as DECIMAL (order-exact), and final ratios are rounded to
+6 dp. Token/pair counts are integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+from .text import ws_tokens
+
+# ------------------------------------------------ mixture weights
+
+# Temperature-scaled mixing (the multilingual-LM sampling recipe:
+# p_s^alpha renormalized; alpha<1 upsamples small sources). alpha=0.5
+# = sqrt scaling, chosen because IEEE sqrt is correctly rounded in
+# both engines (pow(x, 0.3) is not guaranteed identical across libms).
+MIX_ALPHA_NOTE = "alpha=0.5 (sqrt)"
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(ws_tokens(F.col("text"))).alias("n_tokens"),
+    )
+
+
+_DOC_TOKENS_SQL = """
+WITH doc_tokens AS (
+    SELECT doc_id, source, n_chars,
+        len(list_filter(string_split(text, ' '), t -> t <> ''))
+            AS n_tokens
+    FROM documents
+)
+"""
+
+
+def mixture_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for dataset mixing: raw token share
+    s_i = tokens_i / total, scaled share sqrt(s_i), renormalized so the
+    weights sum to 1. One row per source with the audit columns a
+    mixture config review needs (docs, tokens, raw vs sampled share).
+    """
+    prep(spark)
+    per_src = _doc_tokens(spark, sf_dir).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+    )
+    scaled = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "_sc",
+        F.round(
+            F.sqrt(
+                F.col("n_tokens").cast("double")
+                / F.col("tot_tokens").cast("double")
+            ),
+            9,
+        ).cast("decimal(20,9)"),
+    )
+    norm = scaled.agg(F.sum("_sc").alias("_z"))
+    return (
+        scaled.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("tot_tokens").cast("double"),
+                6,
+            ).alias("raw_share"),
+            F.round(
+                F.col("_sc").cast("double") / F.col("_z").cast("double"),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+MIXTURE_WEIGHTS_SQL = (
+    _DOC_TOKENS_SQL
+    + """, per_src AS (
+    SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM doc_tokens GROUP BY source
+), tot AS (SELECT SUM(n_tokens) AS tot_tokens FROM per_src),
+scaled AS (
+    SELECT *,
+        CAST(round(sqrt(CAST(n_tokens AS DOUBLE)
+                        / CAST(tot_tokens AS DOUBLE)), 9)
+             AS DECIMAL(20,9)) AS sc
+    FROM per_src, tot
+), norm AS (SELECT SUM(sc) AS z FROM scaled)
+SELECT source, n_docs, n_tokens,
+    round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
+        AS raw_share,
+    round(CAST(sc AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight
+FROM scaled, norm
+"""
+)
+
+# ------------------------------------------------ token budget
+
+# Per-source token budget: greedy quality-first selection until the
+# budget is spent. Proxy quality = n_chars (the driver corpus carries
+# no external score); ties broken by doc_id so selection is total.
+TOKEN_BUDGET = 1500
+
+
+def token_budget_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained selection: within each source, take documents
+    in (n_chars DESC, doc_id ASC) order while the running token total
+    stays within TOKEN_BUDGET. The greedy knapsack every "N-token
+    dataset" request turns into; integer-exact, so the boundary
+    document is unambiguous."""
+    prep(spark)
+    dt = _doc_tokens(spark, sf_dir)
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        dt.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+TOKEN_BUDGET_SQL = (
+    _DOC_TOKENS_SQL
+    + f""", cum AS (
+    SELECT doc_id, source, n_tokens,
+        CAST(SUM(n_tokens) OVER (
+            PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM doc_tokens
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+)
+
+# ------------------------------------------------ OOV rate
+
+VOCAB_TOP = 256
+
+
+def oov_rate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the top-VOCAB_TOP lowercased token
+    vocabulary (count DESC, token ASC — total order), then score every
+    document's out-of-vocabulary token rate. The tokenizer-eval loop's
+    first question ("how much of the corpus does vocab V explain").
+    The rank window runs over the vocab-sized count table, never the
+    corpus; the vocab joins back broadcast."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.withColumn(
+            "r",
+            F.row_number().over(
+                W.orderBy(F.col("c").desc(), F.col("tok").asc())
+            ),
+        )
+        .where(F.col("r") <= VOCAB_TOP)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+OOV_RATE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+            AS tok
+    FROM documents
+), counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r
+        FROM counts
+    ) WHERE r <= {VOCAB_TOP}
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+    CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_oov,
+    round(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+# ------------------------------------------------ BPE pair induction
+
+BPE_TOP = 32
+
+
+def bpe_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First merge round of byte-pair encoding: count every adjacent
+    character pair inside whitespace tokens (lowercased), rank the
+    top-BPE_TOP candidates. Iterating this (merge winner, re-count) is
+    the full BPE trainer; one round is the operator — the re-count loop
+    is driver-side orchestration of the same plan. Pair explode is
+    map-side; the agg output is |alphabet|²-bounded."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    ).where(
+        # Spark's sequence(1, 0) counts DOWN; single-char tokens must
+        # be excluded before the transform, exactly as the oracle does.
+        F.char_length("tok") >= 2
+    ).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("n").desc(), F.col("pair").asc())
+            ),
+        )
+        .where(F.col("rank") <= BPE_TOP)
+    )
+
+
+BPE_PAIRS_SQL = f"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              t -> t <> '')) AS tok
+    FROM documents
+), pairs AS (
+    SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                                 i -> substr(tok, i, 2))) AS pair
+    FROM toks WHERE length(tok) >= 2
+)
+SELECT pair, n, rank FROM (
+    SELECT pair, COUNT(*) AS n,
+        ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair ASC) AS rank
+    FROM pairs GROUP BY pair
+) WHERE rank <= {BPE_TOP}
+"""
+
+
+REGISTRY = [
+    ("curate_mixture_weights", mixture_weights_query, MIXTURE_WEIGHTS_SQL),
+    ("curate_token_budget", token_budget_query, TOKEN_BUDGET_SQL),
+    ("text_oov_rate", oov_rate_query, OOV_RATE_SQL),
+    ("text_bpe_pairs", bpe_pairs_query, BPE_PAIRS_SQL),
+]

@@ -17,7 +17,7 @@ shuffle carries only K values per group per task.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..session import prep, read_table
@@ -440,9 +440,136 @@ FROM est WHERE cms_est >= {CMS_T}
 """
 
 
+# ------------------------------------------------ quantile grid
+#
+# Mergeable fixed-grid quantile sketch: a 128-bin equi-width histogram
+# over the GLOBAL [min, max] of the value, then per-group quantile
+# estimates by linear interpolation inside the covering bin. This is
+# the 100 TB quantile path: exact percentiles (queries/stats.py) need
+# a per-group sort; this needs two combiner-backed aggs (bounds, bin
+# counts) with NB counters of constant-size mergeable state per group
+# — the same merge property KMV/HLL/CMS above rely on. Error is
+# bounded by one bin width of the value range (0.8% here).
+#
+# Determinism: bin index = floor((x − mn) · NB / (mx − mn)) on
+# identical doubles — correctly-rounded IEEE ops in both engines; the
+# interpolation arithmetic likewise, rounded to 6 dp for display.
+
+QG_NB = 128
+QG_QS = (0.5, 0.9, 0.99)
+
+
+def quantile_grid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-l_returnflag q50/q90/q99 of l_extendedprice, estimated from
+    the mergeable grid sketch (see block comment)."""
+    prep(spark)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    bounds = li.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        "flag",
+        "mn",
+        "mx",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("mn"))
+                    * QG_NB
+                    / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(QG_NB - 1),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("flag", "mn", "mx", "bin").agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = W.partitionBy("flag").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wn = W.partitionBy("flag")
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(wn))
+    )
+    qs = cum.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(q,) for q in QG_QS], "q double"
+            )
+        )
+    ).withColumn("target", F.col("q") * F.col("n"))
+    covering = (
+        qs.where(F.col("cum") >= F.col("target"))
+        .groupBy("flag", "q")
+        .agg(
+            F.min(
+                F.struct("bin", "cnt", "cum", "mn", "mx", "n")
+            ).alias("s")
+        )
+        .select("flag", "q", "s.*")
+    )
+    width = (F.col("mx") - F.col("mn")) / QG_NB
+    frac = (
+        F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt"))
+    ) / F.col("cnt")
+    return covering.select(
+        "flag",
+        "q",
+        "n",
+        F.round(
+            F.col("mn") + width * (F.col("bin") + frac), 6
+        ).alias("q_est"),
+    )
+
+
+QUANTILE_GRID_SQL = f"""
+WITH li AS (
+    SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem
+), bounds AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM li),
+binned AS (
+    SELECT flag, mn, mx,
+        CASE WHEN mx = mn THEN 0
+             ELSE CAST(least(floor((x - mn) * {QG_NB} / (mx - mn)),
+                             {QG_NB - 1}) AS INT) END AS bin
+    FROM li, bounds
+), hist AS (
+    SELECT flag, mn, mx, bin, COUNT(*) AS cnt
+    FROM binned GROUP BY flag, mn, mx, bin
+), cum AS (
+    SELECT *,
+        CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+    FROM hist
+), qs AS (
+    SELECT c.*, q.q, q.q * c.n AS target
+    FROM cum c, (VALUES {", ".join(f"({q})" for q in QG_QS)}) q(q)
+), covering AS (
+    SELECT flag, q, n, mn, mx,
+        min_by(bin, bin) AS bin, min_by(cnt, bin) AS cnt,
+        min_by(cum, bin) AS cum
+    FROM qs WHERE cum >= target
+    GROUP BY flag, q, n, mn, mx
+)
+SELECT flag, q, n,
+    round(mn + (mx - mn) / {QG_NB}
+          * (bin + (q * n - (cum - cnt)) / cnt), 6) AS q_est
+FROM covering
+"""
+
+
 REGISTRY = [
     ("sketch_kmv_distinct", kmv_query, KMV_SQL),
     ("sketch_hll_distinct", hll_query, HLL_SQL),
     ("sketch_bloom_filter", bloom_query, BLOOM_SQL),
     ("sketch_cms_heavy", cms_heavy_query, CMS_SQL),
+    ("sketch_quantile_grid", quantile_grid_query, QUANTILE_GRID_SQL),
 ]

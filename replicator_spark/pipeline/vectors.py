@@ -284,9 +284,63 @@ SELECT di, dj, n,
 FROM sums JOIN dsums a ON a.d = di JOIN dsums b ON b.d = dj
 """
 
+# ------------------------------------------------- top principal component
+#
+# Power iteration on the d×d covariance: the PCA/whitening step that
+# consumes emb_covariance above. Distributed shape is the textbook
+# one (same as Spark MLlib RowMatrix.computePrincipalComponents): the
+# 100 TB corpus reduces to a CONSTANT-SIZE d×d Gram/covariance via the
+# map-side outer-product agg, and the eigensolve runs driver-side on
+# that d² matrix — collecting it is not a driver-side data loop, it is
+# the O(d²) reduction output (d=64 → 2080 upper-triangle rows).
+#
+# Determinism: fixed start vector (1/√d, … ), fixed iteration count,
+# L2 normalization each step, sign fixed by making the largest-
+# |loading| coordinate positive. No RNG, no convergence-dependent
+# branching. 1024 iterations because the driver corpus's embedding
+# spectrum is near-flat (λ₂/λ₁ ≈ 0.987 ⇒ 0.987^1024 ≈ 2e-6 residual);
+# a 64×64 matvec ×1024 is microseconds of driver CPU. Iterative and
+# driver-side — genuinely non-SQL-expressible, so this registers
+# WITHOUT a DuckDB oracle (rows-only driver check); the unit test
+# instead asserts against numpy.linalg.eigh on the same matrix.
+
+PCA_ITERS = 1024
+
+
+def pca_power_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance: one row per
+    dimension with its loading, plus the shared top eigenvalue."""
+    import numpy as np
+
+    prep(spark)
+    tri = covariance_query(spark, sf_dir).select(
+        "di", "dj", "cov"
+    ).collect()  # d(d+1)/2 rows — constant-size reduction output
+    d = max(r["dj"] for r in tri) + 1
+    cov = np.zeros((d, d))
+    for r in tri:
+        cov[r["di"], r["dj"]] = r["cov"]
+        cov[r["dj"], r["di"]] = r["cov"]
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(PCA_ITERS):
+        v = cov @ v
+        v /= np.linalg.norm(v)
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    eigval = float(v @ cov @ v)
+    rows = [
+        (i, round(float(v[i]), 6), round(eigval, 6)) for i in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, eigenvalue double"
+    )
+
+
 REGISTRY = [
     ("emb_quantize_int8", quantize_int8_query, QUANTIZE_INT8_SQL),
     ("emb_centroids", centroids_query, CENTROIDS_SQL),
     ("emb_dim_stats", dim_stats_query, DIM_STATS_SQL),
     ("emb_covariance", covariance_query, COVARIANCE_SQL),
+    # no oracle: iterative eigensolve (see pca_power_query docstring)
+    ("emb_pca_power", pca_power_query, None),
 ]

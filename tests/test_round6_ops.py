@@ -1,0 +1,254 @@
+"""Sixth batch of operator additions (build round 4): dataset-mixture
+weights, token-budget selection, OOV rate, BPE pair induction, the
+mergeable quantile-grid sketch, and power-iteration PCA.
+
+Test files are numbered by addition batch, not by the driver's grading
+round."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_docs(spark, base, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+
+
+# ------------------------------------------------ mixture weights
+
+
+def test_mixture_weights_sum_to_one(spark, sf_dir):
+    from replicator_spark.pipeline.mixture import mixture_weights_query
+
+    rows = mixture_weights_query(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_mixture_weights_upsample_small_sources(spark, tmp_path):
+    """sqrt scaling must give the small source MORE than its raw share
+    and the big source LESS — that is the entire point of temperature
+    mixing."""
+    from replicator_spark.pipeline.mixture import mixture_weights_query
+
+    base = str(tmp_path)
+    _write_docs(
+        spark,
+        base,
+        [(1, "w " * 99, "en", "big", 10), (2, "w", "en", "small", 1)],
+    )
+    by_src = {
+        r["source"]: r for r in mixture_weights_query(spark, base).collect()
+    }
+    assert by_src["small"]["weight"] > by_src["small"]["raw_share"]
+    assert by_src["big"]["weight"] < by_src["big"]["raw_share"]
+    assert by_src["big"]["weight"] > by_src["small"]["weight"]
+
+
+# ------------------------------------------------ token budget
+
+
+def test_token_budget_respected_and_greedy(spark, tmp_path):
+    from replicator_spark.pipeline.mixture import (
+        TOKEN_BUDGET,
+        token_budget_query,
+    )
+
+    base = str(tmp_path)
+    # one source, docs of 600 tokens each: budget 1500 → exactly 2 kept,
+    # and they must be the two longest-n_chars ones
+    docs = [
+        (i, "t " * 600, "en", "s", 1000 - i) for i in range(1, 6)
+    ]
+    _write_docs(spark, base, docs)
+    kept = token_budget_query(spark, base).collect()
+    assert {r["doc_id"] for r in kept} == {1, 2}
+    assert all(r["cum_tokens"] <= TOKEN_BUDGET for r in kept)
+
+
+def test_token_budget_per_source_isolation(spark, sf_dir):
+    from replicator_spark.pipeline.mixture import (
+        TOKEN_BUDGET,
+        token_budget_query,
+    )
+
+    out = token_budget_query(spark, sf_dir)
+    mx = out.groupBy("source").agg(
+        F.max("cum_tokens").alias("m")
+    ).collect()
+    assert mx
+    assert all(r["m"] <= TOKEN_BUDGET for r in mx)
+
+
+# ------------------------------------------------ OOV rate
+
+
+def test_oov_rate_bounds_and_known_vocab(spark, tmp_path):
+    from replicator_spark.pipeline.mixture import oov_rate_query
+
+    base = str(tmp_path)
+    # "a" dominates the vocab; a doc of only rare singletons is 100% OOV
+    # once the 256-slot vocab is exhausted — build <256 distinct common
+    # tokens so the rare ones are all in-vocab instead: use the bound
+    # check on the real corpus and an exact check on a tiny one.
+    _write_docs(
+        spark,
+        base,
+        [(1, "a a a b", "en", "s", 7), (2, "a b", "en", "s", 3)],
+    )
+    rows = {r["doc_id"]: r for r in oov_rate_query(spark, base).collect()}
+    # only 2 distinct tokens, both within top-256 → zero OOV everywhere
+    assert rows[1]["oov_rate"] == 0.0
+    assert rows[1]["n_tokens"] == 4
+    assert rows[2]["oov_rate"] == 0.0
+
+
+def test_oov_rate_counts_out_of_vocab(spark, sf_dir):
+    from replicator_spark.pipeline.mixture import oov_rate_query
+
+    rows = oov_rate_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["oov_rate"] <= 1.0
+        assert r["n_oov"] <= r["n_tokens"]
+    # OOV can only exist once the corpus vocabulary overflows the
+    # 256-slot vocab (sf0.001's corpus has ~31 distinct tokens — all
+    # covered; sf0.01+ overflows)
+    from replicator_spark.pipeline.mixture import VOCAB_TOP
+    from replicator_spark.pipeline.text import ws_tokens
+    from replicator_spark.session import read_table
+
+    n_vocab = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("t"))
+        .distinct()
+        .count()
+    )
+    if n_vocab > VOCAB_TOP:
+        assert any(r["n_oov"] > 0 for r in rows)
+    else:
+        assert all(r["n_oov"] == 0 for r in rows)
+
+
+# ------------------------------------------------ BPE pairs
+
+
+def test_bpe_pairs_counts_adjacent_chars(spark, tmp_path):
+    from replicator_spark.pipeline.mixture import bpe_pairs_query
+
+    base = str(tmp_path)
+    _write_docs(
+        spark,
+        base,
+        [(1, "abab ab x", "en", "s", 9)],
+    )
+    rows = {r["pair"]: r for r in bpe_pairs_query(spark, base).collect()}
+    # "abab" → ab, ba, ab; "ab" → ab; "x" contributes nothing
+    assert rows["ab"]["n"] == 3
+    assert rows["ba"]["n"] == 1
+    assert rows["ab"]["rank"] == 1
+    assert "x" not in rows
+
+
+def test_bpe_pairs_topk_ordering(spark, sf_dir):
+    from replicator_spark.pipeline.mixture import BPE_TOP, bpe_pairs_query
+
+    rows = bpe_pairs_query(spark, sf_dir).orderBy("rank").collect()
+    assert 0 < len(rows) <= BPE_TOP
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(len(r["pair"]) == 2 for r in rows)
+
+
+# ------------------------------------------------ quantile grid
+
+
+def test_quantile_grid_brackets_exact_quantiles(spark, sf_dir):
+    """Sketch estimates must land within one bin width of the exact
+    per-group percentiles."""
+    import duckdb
+
+    from replicator_spark.pipeline.sketches import (
+        QG_NB,
+        quantile_grid_query,
+    )
+
+    est = {
+        (r["flag"], r["q"]): r["q_est"]
+        for r in quantile_grid_query(spark, sf_dir).collect()
+    }
+    assert len(est) == 9  # 3 flags × 3 quantiles
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    exact = duckdb.sql(
+        "SELECT l_returnflag f, "
+        " quantile_cont(l_extendedprice, 0.5) q50,"
+        " quantile_cont(l_extendedprice, 0.9) q90,"
+        " quantile_cont(l_extendedprice, 0.99) q99,"
+        " max(l_extendedprice) mx, min(l_extendedprice) mn"
+        f" FROM '{li}' GROUP BY 1"
+    ).fetchall()
+    for f_, q50, q90, q99, mx, mn in exact:
+        width = (mx - mn) / QG_NB * 1.5  # global range ≥ group range
+        assert abs(est[(f_, 0.5)] - q50) <= width * 2
+        assert abs(est[(f_, 0.9)] - q90) <= width * 2
+        assert abs(est[(f_, 0.99)] - q99) <= width * 2
+
+
+def test_quantile_grid_monotone(spark, sf_dir):
+    from replicator_spark.pipeline.sketches import quantile_grid_query
+
+    rows = quantile_grid_query(spark, sf_dir).collect()
+    by_flag: dict = {}
+    for r in rows:
+        by_flag.setdefault(r["flag"], {})[r["q"]] = r["q_est"]
+    for flag, qs in by_flag.items():
+        assert qs[0.5] <= qs[0.9] <= qs[0.99], (flag, qs)
+
+
+# ------------------------------------------------ PCA power iteration
+
+
+def test_pca_power_matches_numpy_eigh(spark, sf_dir):
+    np = pytest.importorskip("numpy")
+    from replicator_spark.pipeline.vectors import (
+        covariance_query,
+        pca_power_query,
+    )
+
+    out = (
+        pca_power_query(spark, sf_dir)
+        .orderBy("dim")
+        .collect()
+    )
+    v = np.array([r["loading"] for r in out])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    # reconstruct the same rounded covariance the operator consumed
+    tri = covariance_query(spark, sf_dir).collect()
+    d = len(out)
+    C = np.zeros((d, d))
+    for r in tri:
+        C[r["di"], r["dj"]] = r["cov"]
+        C[r["dj"], r["di"]] = r["cov"]
+    w, V = np.linalg.eigh(C)
+    top = V[:, -1]
+    if top[int(np.argmax(np.abs(top)))] < 0:
+        top = -top
+    # near-flat spectrum → compare up to the residual the iteration
+    # count guarantees (see PCA_ITERS comment)
+    assert abs(out[0]["eigenvalue"] - w[-1]) < 1e-4
+    assert float(np.max(np.abs(v - top))) < 5e-3
+
+
+def test_pca_power_deterministic(spark, sf_dir):
+    from replicator_spark.pipeline.vectors import pca_power_query
+
+    a = pca_power_query(spark, sf_dir).orderBy("dim").collect()
+    b = pca_power_query(spark, sf_dir).orderBy("dim").collect()
+    assert a == b
