@@ -50,6 +50,9 @@ HEADLINE = [
     "dedup_dupfrac_ngrams",
     "runner_pipeline",
     "temporal_sliding_window",
+    "tm_snapshot_delta",
+    "text_oov_rate",
+    "sketch_quantile_grid",
 ]
 
 

@@ -134,6 +134,8 @@ _PRIORITY = [
     "text_bpe_pairs",
     "sketch_quantile_grid",
     "emb_pca_power",
+    "tm_snapshot_delta",
+    "stats_ks_test",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",
@@ -347,6 +349,8 @@ def _load() -> None:
              timemachine.RETENTION_SQL)
     register("tm_scd2_weighted", timemachine.scd2_weighted_query,
              timemachine.SCD2_WEIGHTED_SQL)
+    register("tm_snapshot_delta", timemachine.snapshot_delta_query,
+             timemachine.SNAPSHOT_DELTA_SQL)
 
     for mod in (
         seeker, validation, bootstrap, jsonb, apply,

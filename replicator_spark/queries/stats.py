@@ -16,7 +16,7 @@ lose exactness; that trade-off is the operator's documented scale knob.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..session import prep, read_table
@@ -317,10 +317,105 @@ FROM dev GROUP BY event_type
 """
 
 
+# ------------------------------------------------ two-sample KS test
+#
+# Kolmogorov–Smirnov distance between two sources' document-length
+# distributions — the drift detector a crawl pipeline runs between
+# snapshots ("did the new crawl's length profile shift?"). Distributed
+# shape: one groupBy(x, group) count (combiner-backed; output bounded
+# by #distinct lengths), then cumulative windows over that COUNT table
+# (never the corpus), then a 1-row max. The ECDF convention at shared
+# x values: both ECDFs step BEFORE the comparison at each distinct x
+# (sup over right-continuous ECDF diffs is attained at step points,
+# and evaluating both post-step at every distinct x is exactly the
+# standard two-sample statistic).
+#
+# Determinism: cumulative counts are integers; each |F1−F2| is one
+# subtraction of two correctly-rounded divisions on identical doubles;
+# max is order-free. Rounded to 6 dp.
+
+KS_SRC_A = "src0"
+KS_SRC_B = "src1"
+
+
+def ks_test_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    two = docs.where(
+        F.col("source").isin(KS_SRC_A, KS_SRC_B)
+    ).select("source", F.col("n_chars").alias("x"))
+    counts = two.groupBy("x").agg(
+        F.sum(F.when(F.col("source") == KS_SRC_A, 1).otherwise(0))
+        .alias("c1"),
+        F.sum(F.when(F.col("source") == KS_SRC_B, 1).otherwise(0))
+        .alias("c2"),
+    )
+    wcum = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = counts.select(
+        "x",
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c2").over(wcum).alias("cum2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    d = F.abs(
+        F.col("cum1").cast("double") / F.col("n1").cast("double")
+        - F.col("cum2").cast("double") / F.col("n2").cast("double")
+    )
+    ne = (
+        F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+        / (F.col("n1") + F.col("n2")).cast("double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.round(F.max(d), 6).alias("ks_d"),
+            F.round(F.max(d * F.sqrt(ne)), 6).alias("ks_scaled"),
+        )
+    )
+
+
+KS_TEST_SQL = f"""
+WITH two AS (
+    SELECT source, n_chars AS x FROM documents
+    WHERE source IN ('{KS_SRC_A}', '{KS_SRC_B}')
+), counts AS (
+    SELECT x,
+        SUM(CASE WHEN source = '{KS_SRC_A}' THEN 1 ELSE 0 END) AS c1,
+        SUM(CASE WHEN source = '{KS_SRC_B}' THEN 1 ELSE 0 END) AS c2
+    FROM two GROUP BY x
+), cum AS (
+    SELECT x,
+        CAST(SUM(c1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS cum1,
+        CAST(SUM(c2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS cum2
+    FROM counts
+), tot AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+    FROM counts
+)
+SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+    round(MAX(abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6)
+        AS ks_d,
+    round(MAX(abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+              * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     / CAST(n1 + n2 AS DOUBLE))), 6) AS ks_scaled
+FROM cum, tot
+"""
+
+
 REGISTRY = [
     ("stats_percentiles", percentiles_query, PERCENTILES_SQL),
     ("stats_chisq_independence", chisq_query, CHISQ_SQL),
     ("stats_histogram", histogram_query, HISTOGRAM_SQL),
     ("stats_eqfreq_bins", eqfreq_bins_query, EQFREQ_BINS_SQL),
     ("stats_mad", mad_query, MAD_SQL),
+    ("stats_ks_test", ks_test_query, KS_TEST_SQL),
 ]

@@ -376,6 +376,136 @@ WHERE row_status <> 'D' AND (value IS NOT NULL OR props IS NOT NULL)
 )
 
 
+# ----------------------------------------------- snapshot delta
+#
+# "What changed between t1 and t2" — the HBase time-range-scan analog
+# (Scan.setTimeRange) and the audit query every replication consumer
+# eventually asks. Spark-first shape: ONE scan of the cells with two
+# CONDITIONAL max_by aggregates (state at t1, state at t2) instead of
+# materializing two snapshots and full-outer-joining them — the
+# two-snapshot join evaluates the cells subtree twice and adds a junk
+# third shuffle; this is the same two-stacked-aggs shape as
+# asof_snapshot, same single exchange. Both engines skip NULL ordering
+# keys in max_by, which is what scopes each aggregate to its cutoff.
+
+DELTA_T1_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
+
+
+def snapshot_delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (table, rowkey): ADDED / REMOVED / CHANGED between the state
+    as of DELTA_T1_US and as of SNAPSHOT_CUTOFF_US, with both value
+    images. Unchanged rows are dropped (the delta is the point)."""
+    cells = timemachine_cells(spark, sf_dir)
+    capped = cells.where(
+        F.col("version_us") <= F.lit(SNAPSHOT_CUTOFF_US)
+    )
+
+    def at(cutoff_us: int, alias: str) -> Column:
+        key = F.when(
+            F.col("version_us") <= F.lit(cutoff_us),
+            F.struct("version_us", "event_id"),
+        )
+        return F.max_by("cell_value", key).alias(alias)
+
+    latest = capped.groupBy("table_name", "rowkey", "column_name").agg(
+        at(DELTA_T1_US, "v1"), at(SNAPSHOT_CUTOFF_US, "v2")
+    )
+
+    def piv(col: str, src: str) -> Column:
+        return F.max(
+            F.when(F.col("column_name") == col, F.col(src))
+        ).alias(f"{col}_{src}")
+
+    pivoted = latest.groupBy("table_name", "rowkey").agg(
+        piv("value", "v1"), piv("props", "v1"), piv("row_status", "v1"),
+        piv("value", "v2"), piv("props", "v2"), piv("row_status", "v2"),
+    )
+
+    def alive(s: str) -> Column:
+        return (
+            F.col(f"row_status_{s}").isNotNull()
+            & (F.col(f"row_status_{s}") != "D")
+            & (
+                F.col(f"value_{s}").isNotNull()
+                | F.col(f"props_{s}").isNotNull()
+            )
+        )
+
+    changed = ~(
+        F.col("value_v1").eqNullSafe(F.col("value_v2"))
+    ) | ~(F.col("props_v1").eqNullSafe(F.col("props_v2")))
+    kind = (
+        F.when(alive("v2") & ~alive("v1"), "ADDED")
+        .when(alive("v1") & ~alive("v2"), "REMOVED")
+        .when(alive("v1") & alive("v2") & changed, "CHANGED")
+    )
+    return (
+        pivoted.withColumn("change_kind", kind)
+        .where(F.col("change_kind").isNotNull())
+        .select(
+            "table_name",
+            "rowkey",
+            "change_kind",
+            F.col("value_v1").alias("value_before"),
+            F.col("value_v2").alias("value_after"),
+            F.col("props_v1").alias("props_before"),
+            F.col("props_v2").alias("props_after"),
+        )
+    )
+
+
+SNAPSHOT_DELTA_SQL = (
+    "WITH cells AS ("
+    + TIMEMACHINE_CELLS_SQL
+    + f"""
+), capped AS (
+    SELECT * FROM cells WHERE version_us <= {SNAPSHOT_CUTOFF_US}
+), latest AS (
+    SELECT table_name, rowkey, column_name,
+        max_by(cell_value,
+               CASE WHEN version_us <= {DELTA_T1_US}
+                    THEN CAST(version_us AS HUGEINT) * 10000000000
+                         + event_id END) AS v1,
+        max_by(cell_value,
+               CAST(version_us AS HUGEINT) * 10000000000 + event_id)
+            AS v2
+    FROM capped
+    GROUP BY table_name, rowkey, column_name
+), pivoted AS (
+    SELECT table_name, rowkey,
+        MAX(CASE WHEN column_name = 'value' THEN v1 END) AS value_v1,
+        MAX(CASE WHEN column_name = 'props' THEN v1 END) AS props_v1,
+        MAX(CASE WHEN column_name = 'row_status' THEN v1 END)
+            AS row_status_v1,
+        MAX(CASE WHEN column_name = 'value' THEN v2 END) AS value_v2,
+        MAX(CASE WHEN column_name = 'props' THEN v2 END) AS props_v2,
+        MAX(CASE WHEN column_name = 'row_status' THEN v2 END)
+            AS row_status_v2
+    FROM latest
+    GROUP BY table_name, rowkey
+), flagged AS (
+    SELECT *,
+        (row_status_v1 IS NOT NULL AND row_status_v1 <> 'D'
+         AND (value_v1 IS NOT NULL OR props_v1 IS NOT NULL)) AS alive1,
+        (row_status_v2 IS NOT NULL AND row_status_v2 <> 'D'
+         AND (value_v2 IS NOT NULL OR props_v2 IS NOT NULL)) AS alive2
+    FROM pivoted
+)
+SELECT table_name, rowkey,
+    CASE WHEN alive2 AND NOT alive1 THEN 'ADDED'
+         WHEN alive1 AND NOT alive2 THEN 'REMOVED'
+         ELSE 'CHANGED' END AS change_kind,
+    value_v1 AS value_before, value_v2 AS value_after,
+    props_v1 AS props_before, props_v2 AS props_after
+FROM flagged
+WHERE (alive2 AND NOT alive1) OR (alive1 AND NOT alive2)
+   OR (alive1 AND alive2
+       AND (value_v1 IS DISTINCT FROM value_v2
+            OR props_v1 IS DISTINCT FROM props_v2))
+"""
+)
+
+
 # -------------------------------------- time-weighted interval rollup
 #
 # Aggregate OVER the SCD2 intervals: per table, the time-weighted

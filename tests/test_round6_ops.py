@@ -252,3 +252,105 @@ def test_pca_power_deterministic(spark, sf_dir):
     a = pca_power_query(spark, sf_dir).orderBy("dim").collect()
     b = pca_power_query(spark, sf_dir).orderBy("dim").collect()
     assert a == b
+
+
+# ------------------------------------------------ snapshot delta
+
+
+def test_snapshot_delta_kinds_consistent(spark, sf_dir):
+    from replicator_spark.sinks.timemachine import snapshot_delta_query
+
+    rows = snapshot_delta_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["change_kind"] in ("ADDED", "REMOVED", "CHANGED")
+        if r["change_kind"] == "ADDED":
+            # alive at t2 → must have a t2 image (a t1 image may still
+            # exist: deleted-before-t1 rows keep their old cells)
+            assert (
+                r["value_after"] is not None
+                or r["props_after"] is not None
+            )
+        if r["change_kind"] == "REMOVED":
+            assert (
+                r["value_before"] is not None
+                or r["props_before"] is not None
+            )
+        if r["change_kind"] == "CHANGED":
+            assert (
+                r["value_before"] != r["value_after"]
+                or r["props_before"] != r["props_after"]
+            )
+
+
+def test_snapshot_delta_matches_two_snapshots(spark, sf_dir):
+    """The one-scan conditional-aggregate delta must agree with the
+    naive two-snapshot full-outer-join on which keys changed."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark.sinks.timemachine import (
+        DELTA_T1_US,
+        asof_snapshot,
+        snapshot_delta_query,
+        timemachine_cells,
+    )
+
+    cells = timemachine_cells(spark, sf_dir)
+    s1 = asof_snapshot(cells, DELTA_T1_US).select(
+        "table_name", "rowkey",
+        F.col("value").alias("v1"), F.col("props").alias("p1"),
+    )
+    s2 = asof_snapshot(cells).select(
+        "table_name", "rowkey",
+        F.col("value").alias("v2"), F.col("props").alias("p2"),
+    )
+    j = s1.join(s2, ["table_name", "rowkey"], "full_outer")
+    naive = {
+        (r["table_name"], r["rowkey"])
+        for r in j.collect()
+        if not (
+            r["v1"] == r["v2"] and r["p1"] == r["p2"]
+        )
+    }
+    fast = {
+        (r["table_name"], r["rowkey"])
+        for r in snapshot_delta_query(spark, sf_dir).collect()
+    }
+    assert fast == naive
+
+
+# ------------------------------------------------ KS test
+
+
+def test_ks_test_bounds(spark, sf_dir):
+    from replicator_spark.queries.stats import ks_test_query
+
+    (row,) = ks_test_query(spark, sf_dir).collect()
+    assert 0.0 <= row["ks_d"] <= 1.0
+    assert row["n1"] > 0 and row["n2"] > 0
+    assert row["ks_scaled"] >= row["ks_d"] * 0  # finite, non-negative
+
+
+def test_ks_identical_distribution_is_zero(spark, tmp_path):
+    """Same sample under two labels → D = 0."""
+    from replicator_spark.queries.stats import ks_test_query
+
+    base = str(tmp_path)
+    rows = []
+    for i in range(50):
+        rows.append((i, "t", "en", "src0", 100 + (i % 7)))
+        rows.append((1000 + i, "t", "en", "src1", 100 + (i % 7)))
+    _write_docs(spark, base, rows)
+    (out,) = ks_test_query(spark, base).collect()
+    assert out["ks_d"] == 0.0
+
+
+def test_ks_disjoint_distribution_is_one(spark, tmp_path):
+    from replicator_spark.queries.stats import ks_test_query
+
+    base = str(tmp_path)
+    rows = [(i, "t", "en", "src0", 10) for i in range(20)]
+    rows += [(100 + i, "t", "en", "src1", 99999) for i in range(20)]
+    _write_docs(spark, base, rows)
+    (out,) = ks_test_query(spark, base).collect()
+    assert out["ks_d"] == 1.0

@@ -70,6 +70,15 @@ SLATE = [
     "text_tfidf",
     "stats_chisq_independence",
     "curate_e2e_pipeline",
+    # round-4 additions: mixture/tokenizer/sketch family + the
+    # window-rewritten dupfrac (its linearity claim changed plans)
+    "dedup_dupfrac_ngrams",
+    "curate_mixture_weights",
+    "curate_token_budget",
+    "text_oov_rate",
+    "text_bpe_pairs",
+    "sketch_quantile_grid",
+    "emb_pca_power",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
