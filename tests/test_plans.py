@@ -275,3 +275,53 @@ def test_timemachine_store_partition_pruning(spark, sf_dir, tmp_path):
     # and it must not degrade into a row-level DataFilter
     df_filters = re.findall(r"DataFilters: \[([^\]]*)\]", plan)
     assert all("table_name" not in d for d in df_filters), df_filters
+
+
+# ------------------------------------------------ round-4 additions
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "curate_mixture_weights", "curate_token_budget", "text_oov_rate",
+        "text_bpe_pairs", "sketch_quantile_grid", "tm_snapshot_delta",
+        "stats_ks_test", "dedup_dupfrac_ngrams",
+    ],
+)
+def test_round4_ops_no_cartesian(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_oov_vocab_joins_broadcast(spark, sf_dir):
+    """The 256-row vocab must broadcast back onto the exploded corpus;
+    shuffling the token stream for that join would be the scale bug."""
+    plan = _plan(spark, sf_dir, "text_oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dupfrac_single_gram_exchange(spark, sf_dir):
+    """The window rewrite's contract: the gram stream is shuffled ONCE
+    (window by gram), then once more for the per-doc agg — no third
+    exchange from an agg+join-back."""
+    plan = _plan(spark, sf_dir, "dedup_dupfrac_ngrams")
+    assert plan.count(") Window") == 1
+    # exchanges: gram window + doc agg (partial agg keeps it at 2)
+    assert plan.count(") Exchange") == 2
+
+
+def test_snapshot_delta_two_stacked_aggs(spark, sf_dir):
+    """One cells scan, conditional max_by: the delta must NOT contain a
+    join of two snapshot subtrees."""
+    plan = _plan(spark, sf_dir, "tm_snapshot_delta")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_grid_bounds_broadcast(spark, sf_dir):
+    """Global min/max attach as a 1-row broadcast; the value stream is
+    shuffled only for the (flag, bin) histogram agg."""
+    plan = _plan(spark, sf_dir, "sketch_quantile_grid")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bounds attach
