@@ -354,3 +354,126 @@ def test_ks_disjoint_distribution_is_one(spark, tmp_path):
     _write_docs(spark, base, rows)
     (out,) = ks_test_query(spark, base).collect()
     assert out["ks_d"] == 1.0
+
+
+# ------------------------------ randomized independent-model checks
+#
+# One deterministic random corpus (seed 0), each operator compared
+# against a pure-Python reference implementation — the same invariant
+# a hypothesis sweep would pin, at one Spark roundtrip per operator.
+
+
+def _random_corpus(n=200, seed=0):
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(n):
+        toks = [rng.choice(words) for _ in range(rng.randint(1, 30))]
+        text = " ".join(toks)
+        rows.append(
+            (i, text, "en", f"src{rng.randint(0, 4)}", len(text))
+        )
+    return rows
+
+
+def test_token_budget_matches_python_model(spark, tmp_path):
+    from replicator_spark.pipeline.mixture import (
+        TOKEN_BUDGET,
+        token_budget_query,
+    )
+
+    rows = _random_corpus()
+    base = str(tmp_path)
+    _write_docs(spark, base, rows)
+    # pure-Python greedy: per source, (n_chars DESC, doc_id ASC), keep
+    # while cumulative tokens <= budget
+    by_src: dict = {}
+    for doc_id, text, _l, src, n_chars in rows:
+        by_src.setdefault(src, []).append(
+            (doc_id, len(text.split()), n_chars)
+        )
+    expect = set()
+    for src, docs in by_src.items():
+        cum = 0
+        for doc_id, ntok, _nc in sorted(
+            docs, key=lambda d: (-d[2], d[0])
+        ):
+            cum += ntok
+            if cum > TOKEN_BUDGET:
+                break
+            expect.add(doc_id)
+    got = {
+        r["doc_id"] for r in token_budget_query(spark, base).collect()
+    }
+    assert got == expect
+
+
+def test_mixture_weights_match_python_model(spark, tmp_path):
+    import math
+
+    from replicator_spark.pipeline.mixture import mixture_weights_query
+
+    rows = _random_corpus()
+    base = str(tmp_path)
+    _write_docs(spark, base, rows)
+    tok: dict = {}
+    for _i, text, _l, src, _n in rows:
+        tok[src] = tok.get(src, 0) + len(text.split())
+    total = sum(tok.values())
+    sc = {s: round(math.sqrt(t / total), 9) for s, t in tok.items()}
+    z = sum(sc.values())
+    got = {
+        r["source"]: r
+        for r in mixture_weights_query(spark, base).collect()
+    }
+    assert set(got) == set(tok)
+    for s in tok:
+        assert got[s]["n_tokens"] == tok[s]
+        assert abs(got[s]["weight"] - sc[s] / z) < 1e-6
+
+
+def test_quantile_grid_matches_python_model(spark, tmp_path, sf_dir):
+    from replicator_spark.pipeline.sketches import (
+        QG_NB,
+        QG_QS,
+        quantile_grid_query,
+    )
+
+    import duckdb
+
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    vals = [
+        (f, x)
+        for f, x in duckdb.sql(
+            f"SELECT l_returnflag, l_extendedprice FROM '{li}'"
+        ).fetchall()
+    ]
+    mn = min(x for _f, x in vals)
+    mx = max(x for _f, x in vals)
+    hist: dict = {}
+    for f, x in vals:
+        b = min(int((x - mn) * QG_NB / (mx - mn)), QG_NB - 1)
+        hist.setdefault(f, {})
+        hist[f][b] = hist[f].get(b, 0) + 1
+    expect = {}
+    for f, bins in hist.items():
+        n = sum(bins.values())
+        for q in QG_QS:
+            target = q * n
+            cum = 0
+            for b in sorted(bins):
+                prev = cum
+                cum += bins[b]
+                if cum >= target:
+                    est = mn + (mx - mn) / QG_NB * (
+                        b + (target - prev) / bins[b]
+                    )
+                    expect[(f, q)] = round(est, 6)
+                    break
+    got = {
+        (r["flag"], r["q"]): r["q_est"]
+        for r in quantile_grid_query(spark, sf_dir).collect()
+    }
+    assert got == expect
