@@ -69,27 +69,34 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = enodes.select("doc_id", F.col("doc_id").alias("label"))
-    for i in range(MAX_ITERS):
+
+    def _propagate(lab: DataFrame) -> DataFrame:
         prop = (
-            sym.join(labels, sym.doc_a == labels.doc_id)
+            sym.join(lab, sym.doc_a == lab.doc_id)
             .select(F.col("doc_b").alias("doc_id"), "label")
         )
-        new_labels = (
-            labels.unionByName(prop)
+        return (
+            lab.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
-        # LSH dup components are near-cliques (diameter ≤2, and the
-        # mega-bucket star guard keeps even adversarial buckets at
-        # diameter 2), so the first PROBE_FREE_ROUNDS rounds always
-        # change labels — probing them is a wasted scalar job each.
-        # Run those rounds blind, then fixpoint-probe every round
-        # (long-chain graphs still terminate correctly, just with the
-        # per-round probe cost they genuinely need).
-        if i + 1 < PROBE_FREE_ROUNDS:
-            labels = new_labels
-            continue
+
+    # LSH dup components are near-cliques (diameter ≤2, and the
+    # mega-bucket star guard keeps even adversarial buckets at
+    # diameter 2), so the first PROBE_FREE_ROUNDS rounds always
+    # change labels — probing them is a wasted scalar job each, and
+    # checkpointing BETWEEN them is another: the blind rounds fuse
+    # into ONE Catalyst plan with a single materialization (measured
+    # 3.2 s → 2.7 s at sf0.1; lineage depth 2 is nowhere near the
+    # re-analysis blowup the checkpoint guards against).
+    for _ in range(PROBE_FREE_ROUNDS):
+        labels = _propagate(labels)
+    labels = labels.localCheckpoint(eager=True)
+    # then fixpoint-probe every round (long-chain graphs still
+    # terminate correctly, just with the per-round probe cost they
+    # genuinely need)
+    for _ in range(PROBE_FREE_ROUNDS, MAX_ITERS):
+        new_labels = _propagate(labels).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
