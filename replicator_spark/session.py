@@ -94,22 +94,35 @@ def normalize_events(df):
         # the contract fixed rather than magnitude-sniffing, so tiny
         # synthetic test values can't be mis-bucketed
         return df
-    if dtype.startswith("decimal"):
-        # preemptive armor for a DECIMAL ts encoding (the driver has
-        # already changed the physical encoding twice): unit is
-        # dispatched on magnitude per row — epoch seconds (<1e11,
+
+    def _magnitude_ns(v):
+        # unit dispatched on magnitude per row — epoch seconds (<1e11,
         # fractional µs/ns preserved), millis (<1e14), micros (<1e17),
         # else nanos. Exact for 1973-2200; decimal×int products stay
         # within precision 38 before the final long cast.
-        v = F.col("ts")
-        ns = (
+        return (
             F.when(v >= F.lit(10**17), v)
             .when(v >= F.lit(10**14), v * 1000)
             .when(v >= F.lit(10**11), v * 1000000)
             .otherwise(v * 1000000000)
         ).cast("long")
+
+    if dtype.startswith("decimal"):
+        # preemptive armor for a DECIMAL ts encoding (the driver has
+        # already changed the physical encoding twice)
+        ns = _magnitude_ns(F.col("ts"))
     elif dtype.startswith("timestamp") or dtype == "date":
         ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    elif dtype == "string":
+        # further preemptive armor: digit strings dispatch by
+        # magnitude like DECIMAL; everything else must parse as an
+        # ISO timestamp (UTC session zone), and an unparseable value
+        # surfaces as NULL ts downstream rather than a unit shift
+        v = F.col("ts")
+        ns = F.when(
+            v.rlike(r"^\d+(\.\d+)?$"),
+            _magnitude_ns(v.cast("decimal(38,9)")),
+        ).otherwise(F.unix_micros(v.cast("timestamp")) * 1000)
     else:
         raise ValueError(
             f"events.ts arrived as unsupported dtype {dtype!r}; "

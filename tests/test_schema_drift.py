@@ -17,8 +17,9 @@ from pyspark.sql import functions as F
 def dual_dirs(spark, sf_dir, tmp_path_factory):
     """Copies of the events table in every encoding the driver has
     shipped or could plausibly ship next, same logical instants:
-    INT64 epoch-nanos, TIMESTAMP-µs, DECIMAL(20,6) epoch-seconds and
-    DECIMAL(20,0) epoch-micros (the preemptive round-4 armor)."""
+    INT64 epoch-nanos, TIMESTAMP-µs, DECIMAL(20,6) epoch-seconds,
+    DECIMAL(20,0) epoch-micros, ISO-text and digit-text epoch-micros
+    (the preemptive round-4 armor)."""
     from replicator_spark.session import normalize_events
 
     import glob
@@ -65,7 +66,25 @@ def dual_dirs(spark, sf_dir, tmp_path_factory):
         ),
         dec_us_dir,
     )
-    return nanos_dir, micros_dir, dec_sec_dir, dec_us_dir
+    # STRING encodings (round-4 preemptive armor): ISO timestamp text
+    # and a digit-string of epoch-micros
+    str_iso_dir = str(base / "str_iso")
+    str_us_dir = str(base / "str_us")
+    _write_flat(
+        ev.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("string"),
+        ),
+        str_iso_dir,
+    )
+    _write_flat(
+        ev.withColumn("ts", F.expr("ts div 1000").cast("string")),
+        str_us_dir,
+    )
+    return (
+        nanos_dir, micros_dir, dec_sec_dir, dec_us_dir,
+        str_iso_dir, str_us_dir,
+    )
 
 
 def _canon(df):
