@@ -136,6 +136,7 @@ _PRIORITY = [
     "emb_pca_power",
     "tm_snapshot_delta",
     "stats_ks_test",
+    "stream_quantile_sketch",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

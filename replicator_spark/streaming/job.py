@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -436,6 +436,129 @@ def _upsert_sql() -> str:
     return STREAM_UPSERT_SQL.format(change_feed=CHANGE_FEED_SQL)
 
 
+# ------------------------------------------- streaming quantile sketch
+#
+# The mergeable fixed-grid quantile sketch (pipeline/sketches.py) run
+# AS A STREAM: per-day windows accumulate 128 bin counters in the
+# state store (constant-size mergeable state — the property that makes
+# the sketch streamable at all; an exact quantile would need the full
+# window buffered), append-emitted once the watermark passes, and the
+# quantile interpolation runs on the READ path over the emitted
+# sketch table (windows × 128 rows — tiny, the serve/store split the
+# topk leaderboard uses too). Unlike the batch sketch, bounds must be
+# fixed A PRIORI (a stream has no second pass): [0, SKQ_SPAN) with
+# overflow clamped into the last bin — the standard streaming-sketch
+# trade, documented rather than hidden.
+
+SKQ_NB = 128
+SKQ_SPAN = 1024.0  # events.value ∈ [0, ~561] across all SFs
+SKQ_QS = (0.5, 0.9, 0.99)
+
+
+def stream_quantile_sketch_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    base = tempfile.mkdtemp(prefix="tm_skq_")
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "ts_ts", F.timestamp_millis(F.expr("ts div 1000000"))
+    )
+    bin_col = F.least(
+        F.greatest(
+            F.floor(F.col("value") * SKQ_NB / F.lit(SKQ_SPAN)), F.lit(0)
+        ),
+        F.lit(SKQ_NB - 1),
+    ).cast("int")
+    agg = (
+        stream.withWatermark("ts_ts", "1 day")
+        .groupBy(F.window("ts_ts", "1 day"), bin_col.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = os.path.join(base, "out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = spark.read.parquet(out).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "bin",
+        "cnt",
+    )
+    # read-path interpolation over the emitted sketch (tiny)
+    wcum = W.partitionBy("window_start_ms").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wn = W.partitionBy("window_start_ms")
+    cum = sketch.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wn)
+    )
+    qs = cum.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(qq,) for qq in SKQ_QS], "q double")
+        )
+    ).withColumn("target", F.col("q") * F.col("n"))
+    covering = (
+        qs.where(F.col("cum") >= F.col("target"))
+        .groupBy("window_start_ms", "q")
+        .agg(F.min(F.struct("bin", "cnt", "cum", "n")).alias("s"))
+        .select("window_start_ms", "q", "s.*")
+    )
+    width = F.lit(SKQ_SPAN / SKQ_NB)
+    frac = (
+        F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt"))
+    ) / F.col("cnt")
+    return covering.select(
+        "window_start_ms",
+        "q",
+        "n",
+        F.round(width * (F.col("bin") + frac), 6).alias("q_est"),
+    )
+
+
+STREAM_QUANTILE_SQL = f"""
+WITH binned AS (
+    SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+        date_trunc('day', ts) AS day_ts,
+        ts,
+        CAST(least(greatest(floor(value * {SKQ_NB} / {SKQ_SPAN}), 0),
+                   {SKQ_NB - 1}) AS INT) AS bin
+    FROM events
+), emitted AS (
+    -- append-mode emission: a day window leaves the state store only
+    -- once the watermark (max event time - 1 day) passes its end
+    SELECT window_start_ms, bin, COUNT(*) AS cnt
+    FROM binned
+    GROUP BY window_start_ms, bin
+    HAVING MIN(day_ts) + INTERVAL 1 DAY
+        <= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+), cum AS (
+    SELECT *,
+        CAST(SUM(cnt) OVER (PARTITION BY window_start_ms ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        CAST(SUM(cnt) OVER (PARTITION BY window_start_ms) AS BIGINT) AS n
+    FROM emitted
+), qs AS (
+    SELECT c.*, q.q, q.q * c.n AS target
+    FROM cum c, (VALUES {", ".join(f"({qq})" for qq in SKQ_QS)}) q(q)
+), covering AS (
+    SELECT window_start_ms, q, n,
+        min_by(bin, bin) AS bin, min_by(cnt, bin) AS cnt,
+        min_by(cum, bin) AS cum
+    FROM qs WHERE cum >= target
+    GROUP BY window_start_ms, q, n
+)
+SELECT window_start_ms, q, n,
+    round({SKQ_SPAN / SKQ_NB} * (bin + (q * n - (cum - cnt)) / cnt), 6)
+        AS q_est
+FROM covering
+"""
+
+
 REGISTRY = [
     ("stream_timemachine", stream_timemachine_query, STREAM_TIMEMACHINE_SQL),
     (
@@ -451,4 +574,9 @@ REGISTRY = [
     ),
     ("stream_topk_users", stream_topk_users_query, STREAM_TOPK_SQL),
     ("stream_upsert", stream_upsert_query, _upsert_sql()),
+    (
+        "stream_quantile_sketch",
+        stream_quantile_sketch_query,
+        STREAM_QUANTILE_SQL,
+    ),
 ]

@@ -477,3 +477,43 @@ def test_quantile_grid_matches_python_model(spark, tmp_path, sf_dir):
         for r in quantile_grid_query(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+# ------------------------------------------------ streaming quantile sketch
+
+
+def test_stream_quantile_sketch_monotone_and_bracketed(spark, sf_dir):
+    """Per emitted window: q50 <= q90 <= q99, every estimate within one
+    bin width of the exact per-day quantile, and the trailing
+    (watermark-withheld) day absent."""
+    import duckdb
+
+    from replicator_spark.streaming.job import (
+        SKQ_NB,
+        SKQ_SPAN,
+        stream_quantile_sketch_query,
+    )
+
+    rows = stream_quantile_sketch_query(spark, sf_dir).collect()
+    assert rows
+    by_win: dict = {}
+    for r in rows:
+        by_win.setdefault(r["window_start_ms"], {})[r["q"]] = r["q_est"]
+    width = SKQ_SPAN / SKQ_NB
+    for win, qs in by_win.items():
+        assert qs[0.5] <= qs[0.9] <= qs[0.99], (win, qs)
+    ev = os.path.join(sf_dir, "events.parquet")
+    exact = duckdb.sql(
+        "SELECT epoch_ms(date_trunc('day', ts)) w,"
+        " quantile_cont(value, 0.5) q50, quantile_cont(value, 0.9) q90"
+        f" FROM '{ev}' GROUP BY 1"
+    ).fetchall()
+    exact_by_win = {w: (q50, q90) for w, q50, q90 in exact}
+    # emitted windows are a strict prefix: the last day is withheld
+    assert set(by_win) < set(exact_by_win)
+    for win, qs in by_win.items():
+        q50x, q90x = exact_by_win[win]
+        # grid target q·n vs quantile_cont's type-7 q·(n-1)+1 index can
+        # land the estimate in an adjacent bin at boundaries → 2 widths
+        assert abs(qs[0.5] - q50x) <= 2 * width
+        assert abs(qs[0.9] - q90x) <= 2 * width
