@@ -137,6 +137,7 @@ _PRIORITY = [
     "tm_snapshot_delta",
     "stats_ks_test",
     "stream_quantile_sketch",
+    "dedup_containment",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

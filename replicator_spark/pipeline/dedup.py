@@ -316,6 +316,77 @@ JOIN sets sb ON p.doc_b = sb.doc_id
 """
 )
 
+# ------------------------------------------- containment (asymmetric)
+
+# Jaccard is symmetric and misses near-SUBSET duplication — a short
+# page fully quoted inside a long one scores low Jaccard but has
+# containment(A in B) ≈ 1. Containment is the signal quote/boilerplate
+# dedup actually thresholds on (and the reason big-corpus pipelines
+# track it separately from the symmetric near-dup pass). Same
+# propose/verify shape as ngram_jaccard: LSH candidates only, then
+# |A∩B| scored against EACH side's size.
+CONTAINMENT_T = 0.5
+
+
+def containment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per LSH candidate pair: containment in both directions (share of
+    the smaller statement covered by the other), keeping pairs where
+    either direction crosses CONTAINMENT_T."""
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    sets = _with_shingles(docs).select(
+        "doc_id", F.array_distinct(F.col("sh")).alias("sh")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    c_ab = inter / F.size("sh_a")
+    c_ba = inter / F.size("sh_b")
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 6).alias("containment_a_in_b"),
+            F.round(c_ba, 6).alias("containment_b_in_a"),
+        )
+        .where(
+            (F.col("containment_a_in_b") >= CONTAINMENT_T)
+            | (F.col("containment_b_in_a") >= CONTAINMENT_T)
+        )
+    )
+
+
+CONTAINMENT_SQL = (
+    _SIG_SQL
+    + f""", banded AS ({_BANDED_SQL}),
+{_PAIRS_SQL}, sets AS (
+    SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
+    FROM (
+        SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        FROM documents)
+), scored AS (
+    SELECT p.doc_a, p.doc_b,
+        round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(sa.sh), 6) AS containment_a_in_b,
+        round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(sb.sh), 6) AS containment_b_in_a
+    FROM pairs p
+    JOIN sets sa ON p.doc_a = sa.doc_id
+    JOIN sets sb ON p.doc_b = sb.doc_id
+)
+SELECT * FROM scored
+WHERE containment_a_in_b >= {CONTAINMENT_T}
+   OR containment_b_in_a >= {CONTAINMENT_T}
+"""
+)
+
 SIMHASH_BITS = 32
 _HEX = "0123456789abcdef"
 
@@ -485,4 +556,5 @@ REGISTRY = [
     ("dedup_ngram_jaccard", ngram_jaccard_query, NGRAM_JACCARD_SQL),
     ("dedup_simhash", simhash_query, SIMHASH_SQL),
     ("dedup_embedding_cosine", embedding_near_dup_query, _emb_near_dup_sql()),
+    ("dedup_containment", containment_query, CONTAINMENT_SQL),
 ]

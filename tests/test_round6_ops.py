@@ -517,3 +517,44 @@ def test_stream_quantile_sketch_monotone_and_bracketed(spark, sf_dir):
         # land the estimate in an adjacent bin at boundaries → 2 widths
         assert abs(qs[0.5] - q50x) <= 2 * width
         assert abs(qs[0.9] - q90x) <= 2 * width
+
+
+# ------------------------------------------------ containment
+
+
+def test_containment_detects_subset_jaccard_misses(spark, tmp_path):
+    """A short doc fully embedded in a long one: containment(short in
+    long) = 1.0 while Jaccard is far below — the asymmetric signal."""
+    from replicator_spark.pipeline.dedup import (
+        containment_query,
+        ngram_jaccard_query,
+    )
+
+    base = str(tmp_path)
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long_ = short + " " + " ".join(f"tail{i}" for i in range(40))
+    _write_docs(
+        spark, base,
+        [(1, short, "en", "s", len(short)), (2, long_, "en", "s", len(long_))],
+    )
+    cont = containment_query(spark, base).collect()
+    assert cont, "LSH must propose the embedded pair"
+    (r,) = [x for x in cont if {x["doc_a"], x["doc_b"]} == {1, 2}]
+    small_side = (
+        r["containment_a_in_b"] if r["doc_a"] == 1
+        else r["containment_b_in_a"]
+    )
+    assert small_side == 1.0
+    jac = {
+        (x["doc_a"], x["doc_b"]): x["jaccard"]
+        for x in ngram_jaccard_query(spark, base).collect()
+    }
+    assert all(v < 0.5 for v in jac.values())
+
+
+def test_containment_bounds(spark, sf_dir):
+    from replicator_spark.pipeline.dedup import containment_query
+
+    for r in containment_query(spark, sf_dir).collect():
+        assert 0.0 <= r["containment_a_in_b"] <= 1.0
+        assert 0.0 <= r["containment_b_in_a"] <= 1.0
