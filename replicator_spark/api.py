@@ -138,6 +138,7 @@ _PRIORITY = [
     "stats_ks_test",
     "stream_quantile_sketch",
     "dedup_containment",
+    "emb_kmeans",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

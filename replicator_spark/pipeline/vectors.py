@@ -336,6 +336,132 @@ def pca_power_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- k-means (Lloyd's)
+#
+# The codebook trainer behind IVF coarse quantizers and PQ subspace
+# codebooks — the canonical iterative-ML workload. Distributed shape
+# per Lloyd iteration (the MLlib shape):
+#   assign: vectors ⋈ broadcast(K centroids) → argmin distance —
+#           map-side only, the corpus is never shuffled for assignment
+#   update: per-(cluster, dim) DECIMAL-exact component sums — one
+#           combiner-backed exchange whose output is K×d rows
+#           (constant), collected to the driver to rebuild the
+#           broadcast literal for the next round
+# So each iteration = 1 scan + 1 constant-output shuffle; the driver
+# holds only K×d numbers. 100 TB cost is ITERS linear passes.
+#
+# Determinism: init = the K vectors with the smallest md5(vec_id)
+# (deterministic pseudo-random, engine-independent); component sums in
+# DECIMAL(15,10) (order-exact); centroids rounded to 6 dp between
+# rounds so every distance compares identical doubles; fixed ITERS (no
+# data-dependent stopping). Iterative and driver-orchestrated —
+# genuinely non-SQL-expressible, so registered WITHOUT a DuckDB oracle
+# (rows-only driver check); the unit test replays the same algorithm
+# in pure numpy and matches exactly.
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """vec rows + cluster id of the nearest centroid (squared L2)."""
+    c_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(x) for x in c]).alias("c"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    dist = (
+        "aggregate(zip_with(v, t.c, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+    return (
+        emb.withColumn("t", F.explode(c_lit))
+        .withColumn("d2", F.expr(dist))
+        # min-struct argmin: (distance, cid) — ties break to lower cid
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "t.cid")).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", F.col("m.cid").alias("cid"),
+                F.col("m.d2").alias("d2"))
+    )
+
+
+def kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMEANS_K clusters over the embeddings after KMEANS_ITERS Lloyd
+    rounds: one row per cluster with size, inertia share, and centroid
+    norm (the audit view of a trained coarse quantizer)."""
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    seeds = (
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(KMEANS_K)
+        .select("v")
+        .collect()
+    )
+    cents = [[round(float(x), 6) for x in r["v"]] for r in seeds]
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign(emb, cents)
+        sums = (
+            assigned.select(
+                "cid", F.posexplode("v").alias("dim", "x")
+            )
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum(F.col("x").cast("decimal(15,10)")).alias("sx"),
+                F.count("*").alias("n"),
+            )
+            .collect()  # K×d rows — constant-size reduction output
+        )
+        by_cid: dict = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = (
+                float(r["sx"]),
+                r["n"],
+            )
+        new_cents = []
+        for i, old in enumerate(cents):
+            dims = by_cid.get(i)
+            if not dims:  # emptied cluster keeps its centroid
+                new_cents.append(old)
+                continue
+            new_cents.append(
+                [
+                    round(dims[d][0] / dims[d][1], 6)
+                    for d in range(len(old))
+                ]
+            )
+        cents = new_cents
+    final = _assign(emb, cents)
+    norm = [
+        round(sum(x * x for x in c) ** 0.5, 6) for c in cents
+    ]
+    norm_lit = F.array(*[F.lit(x) for x in norm])
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(
+                F.sum(F.round(F.col("d2"), 9).cast("decimal(20,9)"))
+                .cast("double"),
+                4,
+            ).alias("inertia"),
+        )
+        .withColumn(
+            "centroid_norm", F.element_at(norm_lit, F.col("cid") + 1)
+        )
+    )
+
+
 REGISTRY = [
     ("emb_quantize_int8", quantize_int8_query, QUANTIZE_INT8_SQL),
     ("emb_centroids", centroids_query, CENTROIDS_SQL),
@@ -343,4 +469,6 @@ REGISTRY = [
     ("emb_covariance", covariance_query, COVARIANCE_SQL),
     # no oracle: iterative eigensolve (see pca_power_query docstring)
     ("emb_pca_power", pca_power_query, None),
+    # no oracle: iterative Lloyd loop (see kmeans_query block comment)
+    ("emb_kmeans", kmeans_query, None),
 ]

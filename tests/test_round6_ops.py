@@ -558,3 +558,80 @@ def test_containment_bounds(spark, sf_dir):
     for r in containment_query(spark, sf_dir).collect():
         assert 0.0 <= r["containment_a_in_b"] <= 1.0
         assert 0.0 <= r["containment_b_in_a"] <= 1.0
+
+
+# ------------------------------------------------ k-means
+
+
+def _numpy_kmeans_replay(sf_dir):
+    """Exact replay of the operator's algorithm in pure numpy."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from replicator_spark.pipeline.vectors import KMEANS_ITERS, KMEANS_K
+
+    emb = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"'{os.path.join(sf_dir, 'embeddings.parquet')}' ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in emb]
+    X = np.array([r[1] for r in emb], dtype=np.float64)
+    seed_order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest(),
+    )[:KMEANS_K]
+    cents = np.round(X[seed_order], 6)
+    for _ in range(KMEANS_ITERS):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cid = d2.argmin(axis=1)  # ties → lower cid, same as min-struct
+        new = []
+        for k in range(KMEANS_K):
+            members = X[cid == k]
+            if len(members) == 0:
+                new.append(cents[k])
+            else:
+                # decimal-exact sums: components have ≤10 dp, so numpy
+                # float64 sums of the (15,10)-quantized values match
+                # the engine's decimal path after the 6 dp round
+                new.append(np.round(members.sum(0) / len(members), 6))
+        cents = np.array(new)
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cid = d2.argmin(axis=1)
+    return cid, cents
+
+
+def test_kmeans_matches_numpy_replay(spark, sf_dir):
+    pytest.importorskip("numpy")
+    import numpy as np
+
+    from replicator_spark.pipeline.vectors import kmeans_query
+
+    rows = kmeans_query(spark, sf_dir).collect()
+    cid, cents = _numpy_kmeans_replay(sf_dir)
+    want_sizes = {
+        k: int((cid == k).sum()) for k in set(cid.tolist())
+    }
+    got_sizes = {r["cid"]: r["n_members"] for r in rows}
+    assert got_sizes == want_sizes
+    for r in rows:
+        assert abs(
+            r["centroid_norm"]
+            - round(float(np.sqrt((cents[r["cid"]] ** 2).sum())), 4)
+        ) < 1e-3
+
+
+def test_kmeans_deterministic_and_partitions_all(spark, sf_dir):
+    from replicator_spark.pipeline.vectors import kmeans_query
+
+    a = sorted(tuple(r) for r in kmeans_query(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in kmeans_query(spark, sf_dir).collect())
+    assert a == b
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{os.path.join(sf_dir, 'embeddings.parquet')}'"
+    ).fetchone()[0]
+    # every vector lands in exactly one cluster
+    assert sum(x[1] for x in a) == n
