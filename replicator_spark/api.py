@@ -139,6 +139,7 @@ _PRIORITY = [
     "stream_quantile_sketch",
     "dedup_containment",
     "emb_kmeans",
+    "sim_pq_codes",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

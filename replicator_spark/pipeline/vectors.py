@@ -15,7 +15,7 @@ sequential folds so the doubles match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..session import prep, read_table
@@ -462,6 +462,146 @@ def kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- product quantization
+#
+# PQ: split each d-dim vector into PQ_M subvectors, k-means each
+# subspace to PQ_K codewords, store each vector as M small codes
+# (here M=8, K=16 → 8 nibbles = 4 bytes per vector, 64× smaller than
+# float64). THE vector-compression workhorse behind IVF-PQ indexes.
+#
+# Spark-first trick: all M subspace codebooks train SIMULTANEOUSLY in
+# one DataFrame — explode every vector into (vec_id, sub, subv) rows
+# and run the same Lloyd loop as emb_kmeans with (sub, cid) keyed
+# centroids. Each iteration is still 1 scan + 1 constant-output
+# (M·K·d/M = K·d rows) exchange; M never multiplies the job count.
+# Same determinism armor as emb_kmeans (md5-seeded init per subspace,
+# DECIMAL-exact sums, 6-dp rounding, fixed rounds). Iterative →
+# rows-only driver check + exact numpy replay test.
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codewords per subspace (4-bit codes)
+PQ_ITERS = 3
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), s -> struct(s AS sub,"
+                f" slice(v, s * (size(v) div {PQ_M}) + 1,"
+                f" size(v) div {PQ_M}) AS subv))"
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.sub", "e.subv")
+
+
+def _pq_assign(spark, subs: DataFrame, cents: dict) -> DataFrame:
+    """(vec_id, sub, subv) + nearest codeword id within its subspace.
+
+    Centroids attach as a BROADCAST M×K-row DataFrame joined on the
+    subspace id (not a literal array expression — a 128-struct literal
+    re-evaluates per row and blew the assignment up ~3×)."""
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(s, i, c) for (s, i), c in sorted(cents.items())],
+            "sub int, cid int, c array<double>",
+        )
+    )
+    dist = (
+        "aggregate(zip_with(subv, c, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+    return (
+        subs.join(cdf, "sub")
+        .withColumn("d2", F.expr(dist))
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("m"),
+            F.first("subv").alias("subv"),
+        )
+        .select(
+            "vec_id", "sub", "subv",
+            F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"),
+        )
+    )
+
+
+def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the PQ codebooks and encode every vector: per vector, the
+    M-nibble code (hex string) + total squared reconstruction error."""
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    subs = _pq_subvectors(emb)
+    seeds = (
+        subs.withColumn(
+            "h", F.md5(F.concat_ws(":", "sub", "vec_id"))
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("sub").orderBy("h")
+            ),
+        )
+        .where(F.col("r") <= PQ_K)
+        .select("sub", F.col("r").alias("cid"), "subv")
+        .collect()
+    )
+    cents = {
+        (r["sub"], r["cid"] - 1): [round(float(x), 6) for x in r["subv"]]
+        for r in seeds
+    }
+    for _ in range(PQ_ITERS):
+        assigned = _pq_assign(spark, subs, cents)
+        sums = (
+            assigned.select(
+                "sub", "cid", F.posexplode("subv").alias("dim", "x")
+            )
+            .groupBy("sub", "cid", "dim")
+            .agg(
+                F.sum(F.col("x").cast("decimal(15,10)")).alias("sx"),
+                F.count("*").alias("n"),
+            )
+            .collect()  # M×K×(d/M) = K×d rows — constant
+        )
+        acc: dict = {}
+        for r in sums:
+            acc.setdefault((r["sub"], r["cid"]), {})[r["dim"]] = (
+                float(r["sx"]),
+                r["n"],
+            )
+        for key, old in cents.items():
+            dims = acc.get(key)
+            if dims:
+                cents[key] = [
+                    round(dims[d][0] / dims[d][1], 6)
+                    for d in range(len(old))
+                ]
+    final = _pq_assign(spark, subs, cents)
+    return (
+        final.groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sub", "cid"))
+                    ),
+                    lambda t: F.lpad(F.hex(t.cid), 1, "0"),
+                ),
+            ).alias("pq_code"),
+            F.round(
+                F.sum(F.round(F.col("d2"), 9).cast("decimal(20,9)"))
+                .cast("double"),
+                6,
+            ).alias("recon_err"),
+        )
+    )
+
+
 REGISTRY = [
     ("emb_quantize_int8", quantize_int8_query, QUANTIZE_INT8_SQL),
     ("emb_centroids", centroids_query, CENTROIDS_SQL),
@@ -471,4 +611,6 @@ REGISTRY = [
     ("emb_pca_power", pca_power_query, None),
     # no oracle: iterative Lloyd loop (see kmeans_query block comment)
     ("emb_kmeans", kmeans_query, None),
+    # no oracle: iterative PQ trainer (see pq block comment)
+    ("sim_pq_codes", pq_codes_query, None),
 ]

@@ -635,3 +635,74 @@ def test_kmeans_deterministic_and_partitions_all(spark, sf_dir):
     ).fetchone()[0]
     # every vector lands in exactly one cluster
     assert sum(x[1] for x in a) == n
+
+
+# ------------------------------------------------ product quantization
+
+
+def test_pq_codes_match_numpy_replay(spark, sf_dir):
+    pytest.importorskip("numpy")
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from replicator_spark.pipeline.vectors import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        pq_codes_query,
+    )
+
+    emb = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"'{os.path.join(sf_dir, 'embeddings.parquet')}' ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in emb]
+    X = np.array([r[1] for r in emb], dtype=np.float64)
+    d_sub = X.shape[1] // PQ_M
+    codes = {}
+    errs = {}
+    for s in range(PQ_M):
+        Xs = X[:, s * d_sub : (s + 1) * d_sub]
+        order = sorted(
+            range(len(ids)),
+            key=lambda i: hashlib.md5(
+                f"{s}:{ids[i]}".encode()
+            ).hexdigest(),
+        )[:PQ_K]
+        cents = np.round(Xs[order], 6)
+        for _ in range(PQ_ITERS):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cid = d2.argmin(axis=1)
+            new = []
+            for k in range(PQ_K):
+                m = Xs[cid == k]
+                new.append(
+                    cents[k] if len(m) == 0
+                    else np.round(m.sum(0) / len(m), 6)
+                )
+            cents = np.array(new)
+        d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cid = d2.argmin(axis=1)
+        for i, v in enumerate(ids):
+            codes.setdefault(v, []).append(int(cid[i]))
+            errs[v] = errs.get(v, 0.0) + round(float(d2[i, cid[i]]), 9)
+    want = {
+        v: "".join(format(c, "X") for c in cs) for v, cs in codes.items()
+    }
+    got = {
+        r["vec_id"]: (r["pq_code"], r["recon_err"])
+        for r in pq_codes_query(spark, sf_dir).collect()
+    }
+    assert {v: g[0] for v, g in got.items()} == want
+    for v, (_, e) in got.items():
+        assert abs(e - errs[v]) < 1e-5
+
+
+def test_pq_codes_deterministic(spark, sf_dir):
+    from replicator_spark.pipeline.vectors import pq_codes_query
+
+    a = sorted(tuple(r) for r in pq_codes_query(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in pq_codes_query(spark, sf_dir).collect())
+    assert a == b
