@@ -140,6 +140,7 @@ _PRIORITY = [
     "dedup_containment",
     "emb_kmeans",
     "sim_pq_codes",
+    "stream_ewma",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",
@@ -303,6 +304,7 @@ def _load() -> None:
     from .sinks import timemachine
     from .sources import bootstrap
     from .streaming import enrich as stream_enrich
+    from .streaming import ewma_state as stream_ewma_state
     from .streaming import joins as stream_joins
     from .streaming import job as streaming_job
     from .streaming import registry as schema_registry
@@ -360,7 +362,7 @@ def _load() -> None:
         seeker, validation, bootstrap, jsonb, apply,
         count_sink, console_sink, kafka_sink, avro_sink,
         schema_registry, streaming_job, txn_state, stream_sessionize,
-        stream_enrich, stream_joins,
+        stream_enrich, stream_ewma_state, stream_joins,
         tpch, tpch_ext, temporal, stats, analytics, funnel, profiling,
         graph, dq,
         cluster, corpus, curation, dedup, lm, matching, mixture,

@@ -292,3 +292,37 @@ def test_upsert_merge_across_micro_batches(spark, sf_dir, chunked_dir, tmp_path)
     cols = ["table_name", "user_id", "last_op", "value", "last_ts_ms", "n_changes"]
     assert streamed.select(*cols).exceptAll(batch.select(*cols)).count() == 0
     assert batch.select(*cols).exceptAll(streamed.select(*cols)).count() == 0
+
+
+def test_ewma_state_across_micro_batches(spark, sf_dir, chunked_dir, tmp_path):
+    """The keyed EWMA state must make the fold batch-split invariant:
+    3 time-ordered micro-batches == the batch full-history fold."""
+    import os
+
+    from replicator_spark.queries.analytics import ewma_query
+    from replicator_spark.session import normalize_events
+    from replicator_spark.streaming.ewma_state import (
+        collapse_ewma_store,
+        run_ewma_stream,
+    )
+    from replicator_spark.streaming.job import EVENTS_SCHEMA
+
+    base = str(tmp_path)
+    out = os.path.join(base, "out")
+    stream = normalize_events(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_dir)
+    )
+    run_ewma_stream(stream, out, os.path.join(base, "ckpt"))
+    got = sorted(
+        tuple(r)
+        for r in collapse_ewma_store(spark, out).collect()
+    )
+    want = sorted(tuple(r) for r in ewma_query(spark, sf_dir).collect())
+    assert got == want
+    # and the store really did see multiple epochs (the premise)
+    epochs = {
+        r["epoch"] for r in spark.read.parquet(out).select("epoch").collect()
+    }
+    assert len(epochs) >= 3
