@@ -79,6 +79,16 @@ SLATE = [
     "text_bpe_pairs",
     "sketch_quantile_grid",
     "emb_pca_power",
+    # round-4 batch 2: iterative trainers + stateful streaming ops —
+    # their scale claims (constant driver state, constant per-key
+    # state-store rows) are exactly what the replica smoke checks
+    "emb_kmeans",
+    "sim_pq_codes",
+    "stream_ewma",
+    "stream_quantile_sketch",
+    "tm_snapshot_delta",
+    "dedup_containment",
+    "stats_ks_test",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
@@ -114,10 +124,23 @@ def build_replica(spark, sf_dir: str, out_dir: str, r_factor: int) -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        # one flat file-set per table, mirroring the sf layout
-        out.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"{table}.parquet")
-        )
+        if table == "events":
+            # the real testdata ships events.parquet as a single FILE,
+            # and the streaming reader's pathGlobFilter depends on that
+            # shape (a directory's part-files don't match the glob and
+            # the stream silently sees zero input) — mirror it exactly
+            import glob
+            import shutil
+
+            tmp = os.path.join(out_dir, "_tmp_events")
+            out.coalesce(1).write.mode("overwrite").parquet(tmp)
+            (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            shutil.move(part, os.path.join(out_dir, "events.parquet"))
+            shutil.rmtree(tmp)
+        else:
+            out.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{table}.parquet")
+            )
 
 
 def time_slate(spark, queries, sf_dir: str, slate=None) -> dict[str, float]:
