@@ -141,6 +141,7 @@ _PRIORITY = [
     "emb_kmeans",
     "sim_pq_codes",
     "stream_ewma",
+    "sim_adc_topk",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

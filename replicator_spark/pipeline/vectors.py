@@ -602,6 +602,122 @@ def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- ADC search over PQ codes
+#
+# The read path PQ exists for: top-k nearest neighbors computed in the
+# COMPRESSED domain via asymmetric distance computation — per query,
+# an M×K lookup table of (query subvector → codeword) distances, then
+# each database vector's approximate distance is M table lookups
+# summed, never touching the original floats. At 100 TB the scan reads
+# 4-byte codes instead of 512-byte vectors (the 64× I/O cut is the
+# entire point), the LUT (M·K doubles per query) broadcasts, and the
+# top-k is the standard per-query window over a linear scored scan.
+# Deterministic: LUT entries from the 6-dp codebooks, the M-term sum
+# runs in subspace order (sequential aggregate fold), ties break on
+# vec_id. Rows-only (inherits the iterative trainer); the unit test
+# replays the exact pipeline in numpy and matches the ranking.
+
+ADC_QUERIES = (0, 1, 2)  # deterministic probe vec_ids
+ADC_TOPK = 10
+
+
+def adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-ADC_TOPK neighbors for each probe vector,
+    scored entirely from PQ codes + per-query lookup tables."""
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    subs = _pq_subvectors(emb)
+    seeds = (
+        subs.withColumn("h", F.md5(F.concat_ws(":", "sub", "vec_id")))
+        .withColumn(
+            "r", F.row_number().over(W.partitionBy("sub").orderBy("h"))
+        )
+        .where(F.col("r") <= PQ_K)
+        .select("sub", F.col("r").alias("cid"), "subv")
+        .collect()
+    )
+    cents = {
+        (r["sub"], r["cid"] - 1): [round(float(x), 6) for x in r["subv"]]
+        for r in seeds
+    }
+    for _ in range(PQ_ITERS):
+        assigned = _pq_assign(spark, subs, cents)
+        sums = (
+            assigned.select(
+                "sub", "cid", F.posexplode("subv").alias("dim", "x")
+            )
+            .groupBy("sub", "cid", "dim")
+            .agg(
+                F.sum(F.col("x").cast("decimal(15,10)")).alias("sx"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        acc: dict = {}
+        for r in sums:
+            acc.setdefault((r["sub"], r["cid"]), {})[r["dim"]] = (
+                float(r["sx"]),
+                r["n"],
+            )
+        for key, old in cents.items():
+            dims = acc.get(key)
+            if dims:
+                cents[key] = [
+                    round(dims[d][0] / dims[d][1], 6)
+                    for d in range(len(old))
+                ]
+    codes = _pq_assign(spark, subs, cents).select("vec_id", "sub", "cid")
+    # per-query LUT: distance from the query's subvector to every
+    # codeword — Q·M·K rows, broadcast
+    probes = {
+        r["vec_id"]: [float(x) for x in r["v"]]
+        for r in emb.where(
+            F.col("vec_id").isin(*ADC_QUERIES)
+        ).collect()
+    }
+    d_sub = len(next(iter(probes.values()))) // PQ_M
+    lut_rows = []
+    for q, qv in sorted(probes.items()):
+        for (s, i), c in sorted(cents.items()):
+            qs = qv[s * d_sub : (s + 1) * d_sub]
+            d2 = sum((a - b) * (a - b) for a, b in zip(qs, c))
+            lut_rows.append((int(q), s, i, float(d2)))
+    lut = F.broadcast(
+        spark.createDataFrame(
+            lut_rows, "query_id long, sub int, cid int, d2 double"
+        )
+    )
+    scored = (
+        codes.join(lut, ["sub", "cid"])
+        # subspace-ordered sequential sum: deterministic double fold
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "d2"))),
+                    lambda t: t.d2,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_d2")
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= ADC_TOPK)
+        .select(
+            "query_id", "rank", "vec_id",
+            F.round(F.col("adc_d2"), 6).alias("adc_d2"),
+        )
+    )
+
+
 REGISTRY = [
     ("emb_quantize_int8", quantize_int8_query, QUANTIZE_INT8_SQL),
     ("emb_centroids", centroids_query, CENTROIDS_SQL),
@@ -613,4 +729,6 @@ REGISTRY = [
     ("emb_kmeans", kmeans_query, None),
     # no oracle: iterative PQ trainer (see pq block comment)
     ("sim_pq_codes", pq_codes_query, None),
+    # no oracle: searches over the iteratively trained codebooks
+    ("sim_adc_topk", adc_topk_query, None),
 ]

@@ -706,3 +706,85 @@ def test_pq_codes_deterministic(spark, sf_dir):
     a = sorted(tuple(r) for r in pq_codes_query(spark, sf_dir).collect())
     b = sorted(tuple(r) for r in pq_codes_query(spark, sf_dir).collect())
     assert a == b
+
+
+# ------------------------------------------------ ADC search
+
+
+def test_adc_topk_matches_numpy_replay(spark, sf_dir):
+    pytest.importorskip("numpy")
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from replicator_spark.pipeline.vectors import (
+        ADC_QUERIES,
+        ADC_TOPK,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        adc_topk_query,
+    )
+
+    emb = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"'{os.path.join(sf_dir, 'embeddings.parquet')}' ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in emb]
+    X = np.array([r[1] for r in emb], dtype=np.float64)
+    d_sub = X.shape[1] // PQ_M
+    cents = {}
+    codes = np.zeros((len(ids), PQ_M), dtype=int)
+    for s in range(PQ_M):
+        Xs = X[:, s * d_sub : (s + 1) * d_sub]
+        order = sorted(
+            range(len(ids)),
+            key=lambda i: hashlib.md5(
+                f"{s}:{ids[i]}".encode()
+            ).hexdigest(),
+        )[:PQ_K]
+        C = np.round(Xs[order], 6)
+        for _ in range(PQ_ITERS):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cid = d2.argmin(axis=1)
+            C = np.array(
+                [
+                    C[k] if (cid == k).sum() == 0
+                    else np.round(Xs[cid == k].sum(0) / (cid == k).sum(), 6)
+                    for k in range(PQ_K)
+                ]
+            )
+        d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+        cents[s] = C
+    idx = {v: i for i, v in enumerate(ids)}
+    want = {}
+    for q in ADC_QUERIES:
+        qv = X[idx[q]]
+        # sequential per-subspace fold, same order as the operator
+        adc = np.zeros(len(ids))
+        for s in range(PQ_M):
+            qs = qv[s * d_sub : (s + 1) * d_sub]
+            lut = ((cents[s] - qs) ** 2).sum(axis=1)
+            adc = adc + lut[codes[:, s]]
+        ranked = sorted(range(len(ids)), key=lambda i: (adc[i], ids[i]))
+        want[q] = [ids[i] for i in ranked[:ADC_TOPK]]
+    got: dict = {}
+    for r in adc_topk_query(spark, sf_dir).orderBy(
+        "query_id", "rank"
+    ).collect():
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert got == want
+
+
+def test_adc_topk_self_match(spark, sf_dir):
+    """Each probe's own code reconstructs to a small distance — the
+    probe must appear in its own top-k (sanity of the whole chain)."""
+    from replicator_spark.pipeline.vectors import adc_topk_query
+
+    by_q: dict = {}
+    for r in adc_topk_query(spark, sf_dir).collect():
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q, members in by_q.items():
+        assert q in members
