@@ -142,6 +142,14 @@ _PRIORITY = [
     "sim_pq_codes",
     "stream_ewma",
     "sim_adc_topk",
+    # --- added in round 4 session 2 (never graded) ---
+    "corpus_source_overlap",
+    "corpus_entropy_kl",
+    "stats_spearman",
+    "stats_auc",
+    "events_markov_transitions",
+    "sketch_theta_ops",
+    "stream_near_dedup",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",
@@ -276,6 +284,7 @@ def _load() -> None:
         corpus,
         curation,
         dedup,
+        diversity,
         lm,
         matching,
         mixture,
@@ -308,6 +317,7 @@ def _load() -> None:
     from .streaming import ewma_state as stream_ewma_state
     from .streaming import joins as stream_joins
     from .streaming import job as streaming_job
+    from .streaming import near_dedup as stream_near_dedup_mod
     from .streaming import registry as schema_registry
     from .streaming import sessionize as stream_sessionize
     from .streaming import txn_state
@@ -362,11 +372,12 @@ def _load() -> None:
     for mod in (
         seeker, validation, bootstrap, jsonb, apply,
         count_sink, console_sink, kafka_sink, avro_sink,
-        schema_registry, streaming_job, txn_state, stream_sessionize,
+        schema_registry, streaming_job, stream_near_dedup_mod, txn_state,
+        stream_sessionize,
         stream_enrich, stream_ewma_state, stream_joins,
         tpch, tpch_ext, temporal, stats, analytics, funnel, profiling,
         graph, dq,
-        cluster, corpus, curation, dedup, lm, matching, mixture,
+        cluster, corpus, curation, dedup, diversity, lm, matching, mixture,
         sessions, similarity, sketches,
         text, vectors,
         multimodal,

@@ -1,0 +1,220 @@
+"""Corpus diversity analytics: pairwise source overlap (exact shingle
+Jaccard) and per-source token-distribution entropy / KL divergence.
+
+These are the data-mix diagnostics of a pretraining pipeline: overlap
+answers "are two crawls/sources feeding me the same content?" (the
+corpus-level complement of the pairwise doc dedup in dedup.py), and
+entropy/KL answers "how diverse is each source's language, and how far
+does it drift from the corpus mix?" — the signals that set mixture
+weights (pipeline/mixture.py) and dedup aggressiveness.
+
+Reference scope note: the reference engine (mysql-time-machine
+replicator) has no corpus analytics — these extend the engine along
+the brief's LLM-pipeline axis, same contract as pipeline/text.py.
+
+Scale shapes (100 TB):
+- source overlap: explode → DISTINCT (source, shingle) is the only
+  corpus-sized exchange; after that everything is vocab- or
+  source-bounded. Pairs are emitted from each shingle's sorted
+  source-set (bounded by |sources| per shingle, NOT a corpus
+  self-join), then one tiny agg over |sources|² keys. The full pair
+  grid (including zero-overlap pairs) is a broadcast cross of the
+  per-source size table — |sources| rows.
+- entropy/KL: one token explode → combiner-backed (source, token)
+  count agg (vocab×|sources| output); the marginals are aggs OVER THAT
+  COUNT TABLE, not rescans of the corpus, and join back broadcast.
+
+Float determinism across engines: same armor as lm.py / stats.py —
+every log/ratio contribution is rounded to 9 dp and summed as DECIMAL
+(order-exact), final display ratios computed in doubles on identical
+inputs and rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+from .dedup import _with_shingles
+from .text import ws_tokens
+
+# ------------------------------------------------- pairwise source overlap
+
+
+def source_shingles(docs: DataFrame) -> DataFrame:
+    """DISTINCT (source, shingle) — the per-source shingle vocabulary."""
+    sh = _with_shingles(docs.select(F.col("source").alias("doc_id"), "text"))
+    return (
+        sh.select(F.col("doc_id").alias("source"), F.explode("sh").alias("g"))
+        .distinct()
+    )
+
+
+def source_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise source-to-source 3-gram-shingle Jaccard.
+
+    Emits ALL ordered pairs (s1 < s2), including zero-overlap ones, so
+    the result is the full |sources| choose 2 similarity matrix.
+    """
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    sh = source_shingles(docs)
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    # pairs from each shingle's sorted source set: |sources|-bounded per
+    # shingle, so the expansion is linear in the distinct table — never
+    # the corpus² self-join shape.
+    by_gram = sh.groupBy("g").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
+    pair = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ss"), i + 2, F.greatest(F.size("ss") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+            ),
+        )
+    )
+    inter = (
+        by_gram.select(F.explode(pair).alias("p"))
+        .select("p.s1", "p.s2")
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    a = sizes.select(F.col("source").alias("s1"), F.col("n_sh").alias("n1"))
+    b = sizes.select(F.col("source").alias("s2"), F.col("n_sh").alias("n2"))
+    grid = a.crossJoin(F.broadcast(b)).where(F.col("s1") < F.col("s2"))
+    out = grid.join(F.broadcast(inter), ["s1", "s2"], "left").withColumn(
+        "n_inter", F.coalesce(F.col("n_inter"), F.lit(0))
+    )
+    union = F.col("n1") + F.col("n2") - F.col("n_inter")
+    return out.select(
+        "s1",
+        "s2",
+        "n1",
+        "n2",
+        "n_inter",
+        union.alias("n_union"),
+        F.round(
+            F.col("n_inter").cast("double") / union.cast("double"), 6
+        ).alias("jaccard"),
+    )
+
+
+_SHINGLES_SQL = """
+list_filter(
+    list_transform(
+        range(1, greatest(len(toks) - 2, 1) + 1),
+        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+    s -> s IS NOT NULL)
+"""
+
+SOURCE_OVERLAP_SQL = f"""
+WITH toked AS (
+    SELECT source,
+        list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+), sh AS (
+    SELECT DISTINCT source, g
+    FROM toked, UNNEST({_SHINGLES_SQL}) AS u(g)
+), sizes AS (
+    SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source
+), inter AS (
+    SELECT x.source AS s1, y.source AS s2, COUNT(*) AS n_inter
+    FROM sh x JOIN sh y ON x.g = y.g AND x.source < y.source
+    GROUP BY x.source, y.source
+)
+SELECT a.source AS s1, b.source AS s2, a.n_sh AS n1, b.n_sh AS n2,
+    COALESCE(i.n_inter, 0) AS n_inter,
+    a.n_sh + b.n_sh - COALESCE(i.n_inter, 0) AS n_union,
+    round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+          / CAST(a.n_sh + b.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE), 6)
+        AS jaccard
+FROM sizes a JOIN sizes b ON a.source < b.source
+LEFT JOIN inter i ON i.s1 = a.source AND i.s2 = b.source
+"""
+
+# ------------------------------------------------- entropy / KL divergence
+
+
+def entropy_kl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram entropy H(s) = −Σ p·ln p and KL(s ‖ corpus).
+
+    p_{t|s} and p_t are ratios of exact integer counts evaluated as
+    double divisions (identical, correctly-rounded inputs in both
+    engines); each summand is rounded to 9 dp and summed as DECIMAL so
+    partition order can't perturb the statistic.
+    """
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("t")
+    )
+    st = tok.groupBy("source", "t").agg(F.count("*").alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    t_tot = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    n = st.agg(F.sum("c_st").alias("n"))
+    j = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(t_tot), "t")
+        .crossJoin(F.broadcast(n))
+    )
+    p_ts = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    p_t = F.col("c_t").cast("double") / F.col("n").cast("double")
+    ent_term = F.round(-p_ts * F.log(p_ts), 9).cast("decimal(20,9)")
+    kl_term = F.round(p_ts * (F.log(p_ts) - F.log(p_t)), 9).cast(
+        "decimal(20,9)"
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.round(F.sum(ent_term).cast("double"), 6).alias("entropy"),
+            F.round(F.sum(kl_term).cast("double"), 6).alias("kl_vs_corpus"),
+        )
+    )
+
+
+ENTROPY_KL_SQL = """
+WITH tok AS (
+    SELECT source, t
+    FROM documents,
+        UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        AS u(t)
+), st AS (
+    SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY source, t
+), s_tot AS (
+    SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source
+), t_tot AS (
+    SELECT t, SUM(c_st) AS c_t FROM st GROUP BY t
+), n AS (
+    SELECT SUM(c_st) AS n FROM st
+)
+SELECT st.source,
+    CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+    COUNT(*) AS vocab,
+    round(CAST(SUM(CAST(round(
+        -(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+        * ln(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)), 9)
+        AS DECIMAL(20,9))) AS DOUBLE), 6) AS entropy,
+    round(CAST(SUM(CAST(round(
+        (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+        * (ln(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+           - ln(CAST(c_t AS DOUBLE) / CAST(n.n AS DOUBLE))), 9)
+        AS DECIMAL(20,9))) AS DOUBLE), 6) AS kl_vs_corpus
+FROM st
+JOIN s_tot USING (source)
+JOIN t_tot USING (t)
+CROSS JOIN n
+GROUP BY st.source
+"""
+
+
+REGISTRY = [
+    ("corpus_source_overlap", source_overlap_query, SOURCE_OVERLAP_SQL),
+    ("corpus_entropy_kl", entropy_kl_query, ENTROPY_KL_SQL),
+]

@@ -566,10 +566,141 @@ FROM covering
 """
 
 
+# ------------------------------------------- theta-sketch set algebra
+#
+# KMV-with-membership set operations between two halves of the corpus
+# (sources src0..src9 = A vs src10..src19 = B) over distinct word
+# 3-gram shingles: estimated |A|, |B|, |A∪B|, |A∩B|, |A\B| from ONE
+# bounded sketch, plus the exact values for reference. This is the
+# theta-sketch construction (Dasgupta et al., "Theta-Sketch
+# Framework"): take the K smallest hashes of the UNION, θ = K-th min,
+# est_union = (K−1)/θ; every retained hash carries in-A/in-B flags, so
+# intersection/difference are the flagged fractions scaled by
+# est_union. Deterministic md5 hashing — engine-portable, same armor
+# as KMV above.
+#
+# Scale: the only corpus-sized exchange is the DISTINCT over
+# (shingle); the sketch itself is a bounded min-K agg (mergeable —
+# each partition contributes its own K-min, combiner keeps state at K
+# rows), and the flags ride along for free. The exact columns are the
+# test-scale cross-check; at 100 TB you'd drop them and keep only the
+# sketch path.
+
+
+def theta_ops_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    from .diversity import source_shingles
+
+    sh = source_shingles(docs)
+    grp = F.when(
+        F.substring("source", 4, 9).cast("int") < 10, F.lit("A")
+    ).otherwise(F.lit("B"))
+    flagged = (
+        sh.select(grp.alias("grp"), "g")
+        .distinct()
+        .groupBy("g")
+        .agg(
+            F.max(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("grp") == "B", 1).otherwise(0)).alias("in_b"),
+        )
+        .select(_h48(F.col("g")).alias("h"), "in_a", "in_b")
+    )
+    kmin = flagged.groupBy().agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct("h", "in_a", "in_b"))
+            ),
+            1,
+            K,
+        ).alias("s"),
+        F.sum("in_a").alias("exact_a"),
+        F.sum("in_b").alias("exact_b"),
+        F.count("*").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_inter"),
+    )
+    theta = F.element_at("s", K)["h"]
+    est_union = (F.lit(K - 1)) / theta
+    n_a = F.aggregate(
+        "s", F.lit(0), lambda acc, x: acc + x["in_a"]
+    ).cast("double")
+    n_b = F.aggregate(
+        "s", F.lit(0), lambda acc, x: acc + x["in_b"]
+    ).cast("double")
+    n_i = F.aggregate(
+        "s", F.lit(0), lambda acc, x: acc + x["in_a"] * x["in_b"]
+    ).cast("double")
+    kd = float(K)
+    return kmin.select(
+        F.round(est_union * n_a / kd, 2).alias("est_a"),
+        F.round(est_union * n_b / kd, 2).alias("est_b"),
+        F.round(est_union, 2).alias("est_union"),
+        F.round(est_union * n_i / kd, 2).alias("est_inter"),
+        F.round(est_union * (n_a - n_i) / kd, 2).alias("est_a_minus_b"),
+        F.col("exact_a").cast("bigint").alias("exact_a"),
+        F.col("exact_b").cast("bigint").alias("exact_b"),
+        "exact_union",
+        F.col("exact_inter").cast("bigint").alias("exact_inter"),
+    )
+
+
+_NIBBLE_SUM_G = " + ".join(
+    "(strpos('0123456789abcdef', substr(md5(g), "
+    f"{i}, 1)) - 1) * {16 ** (12 - i)}"
+    for i in range(1, 13)
+)
+
+THETA_OPS_SQL = f"""
+WITH toked AS (
+    SELECT source,
+        list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+), sh AS (
+    SELECT DISTINCT
+        CASE WHEN CAST(substr(source, 4) AS INT) < 10
+             THEN 'A' ELSE 'B' END AS grp,
+        g
+    FROM toked, UNNEST(list_filter(
+        list_transform(
+            range(1, greatest(len(toks) - 2, 1) + 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+        s -> s IS NOT NULL)) AS u(g)
+), flagged AS (
+    SELECT CAST({_NIBBLE_SUM_G} AS DOUBLE) / {HASH_SPACE} AS h,
+        MAX(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS in_a,
+        MAX(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS in_b
+    FROM sh GROUP BY g
+), kmin AS (
+    SELECT h, in_a, in_b FROM flagged ORDER BY h LIMIT {K}
+), sk AS (
+    SELECT MAX(h) AS theta,
+        CAST(SUM(in_a) AS DOUBLE) AS n_a,
+        CAST(SUM(in_b) AS DOUBLE) AS n_b,
+        CAST(SUM(in_a * in_b) AS DOUBLE) AS n_i
+    FROM kmin
+), ex AS (
+    SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a,
+        CAST(SUM(in_b) AS BIGINT) AS exact_b,
+        COUNT(*) AS exact_union,
+        CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter
+    FROM flagged
+)
+SELECT
+    round(({K} - 1) / theta * n_a / {K}, 2) AS est_a,
+    round(({K} - 1) / theta * n_b / {K}, 2) AS est_b,
+    round(({K} - 1) / theta, 2) AS est_union,
+    round(({K} - 1) / theta * n_i / {K}, 2) AS est_inter,
+    round(({K} - 1) / theta * (n_a - n_i) / {K}, 2) AS est_a_minus_b,
+    exact_a, exact_b, exact_union, exact_inter
+FROM sk CROSS JOIN ex
+"""
+
+
 REGISTRY = [
     ("sketch_kmv_distinct", kmv_query, KMV_SQL),
     ("sketch_hll_distinct", hll_query, HLL_SQL),
     ("sketch_bloom_filter", bloom_query, BLOOM_SQL),
     ("sketch_cms_heavy", cms_heavy_query, CMS_SQL),
     ("sketch_quantile_grid", quantile_grid_query, QUANTILE_GRID_SQL),
+    ("sketch_theta_ops", theta_ops_query, THETA_OPS_SQL),
 ]

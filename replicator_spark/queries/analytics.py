@@ -388,6 +388,65 @@ FROM ordered
 """
 
 
+# ------------------------------------------------- Markov transitions
+#
+# First-order event-type transition matrix over each user's time-
+# ordered event stream — the behavioral-model summary behind funnel
+# design and synthetic-session generation. One keyed window (lead) per
+# user, then a combiner-backed count over ≤ |event_types|² keys;
+# probabilities are integer-count ratios rounded to 6 dp (exact,
+# order-free). Ties on ts break by event_id, same convention as the
+# window suite.
+
+
+def markov_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).where(F.col("dst_type").isNotNull())
+    cnt = trans.groupBy("src_type", "dst_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    row_tot = cnt.groupBy("src_type").agg(F.sum("n_trans").alias("n_src"))
+    return (
+        cnt.join(F.broadcast(row_tot), "src_type")
+        .select(
+            "src_type",
+            "dst_type",
+            "n_trans",
+            F.round(
+                F.col("n_trans").cast("double") / F.col("n_src").cast("double"),
+                6,
+            ).alias("p"),
+        )
+    )
+
+
+MARKOV_TRANSITIONS_SQL = """
+WITH trans AS (
+    SELECT event_type AS src_type,
+        LEAD(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS dst_type
+    FROM events
+), cnt AS (
+    SELECT src_type, dst_type, COUNT(*) AS n_trans
+    FROM trans WHERE dst_type IS NOT NULL
+    GROUP BY src_type, dst_type
+), row_tot AS (
+    SELECT src_type, CAST(SUM(n_trans) AS BIGINT) AS n_src
+    FROM cnt GROUP BY src_type
+)
+SELECT src_type, dst_type, n_trans,
+    round(CAST(n_trans AS DOUBLE) / CAST(n_src AS DOUBLE), 6) AS p
+FROM cnt JOIN row_tot USING (src_type)
+"""
+
+
 REGISTRY = [
     ("window_analytics", window_analytics_query, WINDOW_ANALYTICS_SQL),
     ("pivot_orders", pivot_orders_query, PIVOT_ORDERS_SQL),
@@ -396,4 +455,6 @@ REGISTRY = [
     ("basket_copurchase", copurchase_query, COPURCHASE_SQL),
     ("anomaly_zscore", anomaly_zscore_query, ANOMALY_ZSCORE_SQL),
     ("ts_ewma", ewma_query, EWMA_SQL),
+    ("events_markov_transitions", markov_transitions_query,
+     MARKOV_TRANSITIONS_SQL),
 ]

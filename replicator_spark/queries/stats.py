@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..pipeline.text import ws_tokens
 from ..session import prep, read_table
 
 PS = (0.25, 0.5, 0.9, 0.99)
@@ -411,6 +412,177 @@ FROM cum, tot
 """
 
 
+# --------------------------------------- Spearman rank correlation
+#
+# Monotone-association check between document length in characters and
+# in tokens, per language — the robust cousin of stats_corr (Pearson),
+# and the standard screen for "is this quality signal redundant?".
+# Ties get AVERAGE ranks (rank() + (|ties|-1)/2), so every rank is a
+# multiple of 0.5: cast to DECIMAL(14,1), all five moment sums are
+# EXACT and order-free in DECIMAL, and the final Pearson-on-ranks
+# ratio is one double expression on identical inputs in both engines.
+#
+# Scale: the rank windows partition by lang — each language's rows
+# sort within its own partitions (skewed languages fall to AQE); the
+# moment agg is combiner-backed. No global sort, no corpus² anything.
+
+
+def spearman_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("x"),
+        F.size(ws_tokens(F.col("text"))).cast("double").alias("y"),
+    )
+    rx = (
+        F.rank().over(W.partitionBy("lang").orderBy("x"))
+        + (F.count("*").over(W.partitionBy("lang", "x")) - 1) / 2.0
+    )
+    ry = (
+        F.rank().over(W.partitionBy("lang").orderBy("y"))
+        + (F.count("*").over(W.partitionBy("lang", "y")) - 1) / 2.0
+    )
+    ranked = d.select(
+        "lang",
+        rx.cast("decimal(14,1)").alias("rx"),
+        ry.cast("decimal(14,1)").alias("ry"),
+    )
+    agg = ranked.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return agg.select("lang", "n", F.round(rho, 6).alias("spearman_rho"))
+
+
+SPEARMAN_SQL = """
+WITH d AS (
+    SELECT lang, CAST(n_chars AS DOUBLE) AS x,
+        CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+             AS DOUBLE) AS y
+    FROM documents
+), ranked AS (
+    SELECT lang,
+        CAST(rank() OVER (PARTITION BY lang ORDER BY x)
+             + (COUNT(*) OVER (PARTITION BY lang, x) - 1) / 2.0
+             AS DECIMAL(14,1)) AS rx,
+        CAST(rank() OVER (PARTITION BY lang ORDER BY y)
+             + (COUNT(*) OVER (PARTITION BY lang, y) - 1) / 2.0
+             AS DECIMAL(14,1)) AS ry
+    FROM d
+), agg AS (
+    SELECT lang, COUNT(*) AS n,
+        SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+        SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+    FROM ranked GROUP BY lang
+)
+SELECT lang, n,
+    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        AS spearman_rho
+FROM agg
+"""
+
+
+# ------------------------------------------------------- ROC AUC
+#
+# One-vs-rest AUC of `value` as a ranking score for each event type —
+# the classifier-free discrimination check (Mann–Whitney U): AUC =
+# (rank_sum_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) with average ranks
+# for ties, which handles tied scores exactly (0.5 credit per tie).
+#
+# Distributed shape: ranks come from a cumulative window over the
+# per-VALUE count table (|distinct values| rows, NOT the corpus; the
+# corpus-sized work is one combiner-backed groupBy). The single-
+# partition window over distinct values is the documented exactness
+# knob — at 100 TB you'd range-bin values first (same formula over
+# bins, error bounded by bin width) or range-partition the cumsum.
+# Ranks are multiples of 0.5 → DECIMAL sums are exact and order-free.
+
+
+def auc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    vc = ev.groupBy("value").agg(F.count("*").alias("m"))
+    below = F.coalesce(
+        F.sum("m").over(
+            W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    ranked = vc.select(
+        "value",
+        "m",
+        (below + (F.col("m") + 1) / 2.0).cast("decimal(16,1)").alias(
+            "avg_rank"
+        ),
+    )
+    etc = ev.groupBy("event_type", "value").agg(F.count("*").alias("c"))
+    j = etc.join(ranked, "value")
+    per = j.groupBy("event_type").agg(
+        F.sum("c").alias("n_pos"),
+        F.sum(
+            F.col("c").cast("decimal(10,0)") * F.col("avg_rank")
+        ).alias("rank_sum"),
+    )
+    tot = ev.agg(F.count("*").alias("n_total"))
+    out = per.crossJoin(F.broadcast(tot))
+    np_ = F.col("n_pos").cast("double")
+    nn = (F.col("n_total") - F.col("n_pos")).cast("double")
+    auc = (
+        F.col("rank_sum").cast("double") - np_ * (np_ + 1) / 2.0
+    ) / (np_ * nn)
+    return out.select(
+        "event_type",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.round(auc, 6).alias("auc"),
+    )
+
+
+AUC_SQL = """
+WITH vc AS (
+    SELECT value, COUNT(*) AS m FROM events GROUP BY value
+), ranked AS (
+    SELECT value, m,
+        CAST(COALESCE(SUM(m) OVER (ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (m + 1) / 2.0 AS DECIMAL(16,1)) AS avg_rank
+    FROM vc
+), etc AS (
+    SELECT event_type, value, COUNT(*) AS c
+    FROM events GROUP BY event_type, value
+), per AS (
+    SELECT event_type, SUM(c) AS n_pos,
+        SUM(CAST(c AS DECIMAL(10,0)) * avg_rank) AS rank_sum
+    FROM etc JOIN ranked USING (value) GROUP BY event_type
+), tot AS (
+    SELECT COUNT(*) AS n_total FROM events
+)
+SELECT event_type,
+    CAST(n_pos AS BIGINT) AS n_pos,
+    round((CAST(rank_sum AS DOUBLE)
+           - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1) / 2.0)
+          / (CAST(n_pos AS DOUBLE)
+             * CAST(n_total - n_pos AS DOUBLE)), 6) AS auc
+FROM per CROSS JOIN tot
+"""
+
+
 REGISTRY = [
     ("stats_percentiles", percentiles_query, PERCENTILES_SQL),
     ("stats_chisq_independence", chisq_query, CHISQ_SQL),
@@ -418,4 +590,6 @@ REGISTRY = [
     ("stats_eqfreq_bins", eqfreq_bins_query, EQFREQ_BINS_SQL),
     ("stats_mad", mad_query, MAD_SQL),
     ("stats_ks_test", ks_test_query, KS_TEST_SQL),
+    ("stats_spearman", spearman_query, SPEARMAN_SQL),
+    ("stats_auc", auc_query, AUC_SQL),
 ]

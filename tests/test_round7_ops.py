@@ -1,0 +1,330 @@
+"""Seventh batch of operator additions (build round 4): corpus
+diversity (source overlap, entropy/KL), Spearman rank correlation,
+Mann-Whitney ROC AUC, Markov event transitions, and theta-sketch set
+algebra.
+
+Test files are numbered by addition batch, not by the driver's grading
+round."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_docs(spark, base, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+
+
+def _write_events(spark, base, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    ).write.parquet(os.path.join(base, "events.parquet"))
+
+
+# ------------------------------------------------ source overlap
+
+
+def test_source_overlap_identical_and_disjoint(spark, tmp_path):
+    from replicator_spark.pipeline.diversity import source_overlap_query
+
+    base = str(tmp_path)
+    shared = "a b c d e f g h"
+    _write_docs(
+        spark,
+        base,
+        [
+            (1, shared, "en", "s1", 10),
+            (2, shared, "en", "s2", 10),
+            (3, "x y z w v u t q", "en", "s3", 10),
+        ],
+    )
+    rows = {
+        (r["s1"], r["s2"]): r
+        for r in source_overlap_query(spark, base).collect()
+    }
+    assert len(rows) == 3  # full pair grid, zero-overlap pairs included
+    assert rows[("s1", "s2")]["jaccard"] == 1.0
+    assert rows[("s1", "s3")]["jaccard"] == 0.0
+    assert rows[("s1", "s3")]["n_inter"] == 0
+    assert rows[("s2", "s3")]["n_union"] == (
+        rows[("s2", "s3")]["n1"] + rows[("s2", "s3")]["n2"]
+    )
+
+
+def test_source_overlap_symmetric_range(spark, sf_dir):
+    from replicator_spark.pipeline.diversity import source_overlap_query
+
+    rows = source_overlap_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["s1"] < r["s2"]  # each unordered pair exactly once
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["n_union"] == r["n1"] + r["n2"] - r["n_inter"]
+
+
+# ------------------------------------------------ entropy / KL
+
+
+def test_entropy_kl_uniform_vs_skewed(spark, tmp_path):
+    from replicator_spark.pipeline.diversity import entropy_kl_query
+
+    base = str(tmp_path)
+    _write_docs(
+        spark,
+        base,
+        [
+            # uniform over 4 tokens → entropy = ln 4
+            (1, "a b c d", "en", "uni", 7),
+            # degenerate single token → entropy = 0
+            (2, "a a a a", "en", "point", 7),
+        ],
+    )
+    by_src = {
+        r["source"]: r for r in entropy_kl_query(spark, base).collect()
+    }
+    assert abs(by_src["uni"]["entropy"] - math.log(4)) < 1e-6
+    assert by_src["point"]["entropy"] == 0.0
+    # KL is non-negative, and zero only when the source matches the mix
+    assert by_src["uni"]["kl_vs_corpus"] >= 0.0
+    assert by_src["point"]["kl_vs_corpus"] > 0.0
+    assert by_src["uni"]["vocab"] == 4
+    assert by_src["point"]["n_tokens"] == 4
+
+
+# ------------------------------------------------ Spearman
+
+
+def test_spearman_perfect_monotone(spark, tmp_path):
+    from replicator_spark.queries.stats import spearman_query
+
+    base = str(tmp_path)
+    # token count strictly increases with n_chars → rho = +1;
+    # "anti" lang reverses it → rho = −1
+    rows = []
+    for i in range(6):
+        rows.append((i, "w " * (i + 1), "mono", "s", i + 1))
+        rows.append((10 + i, "w " * (i + 1), "anti", "s", -(i + 1)))
+    _write_docs(spark, base, [(d, t.strip(), l, s, n) for d, t, l, s, n in rows])
+    by_lang = {r["lang"]: r for r in spearman_query(spark, base).collect()}
+    assert by_lang["mono"]["spearman_rho"] == 1.0
+    assert by_lang["anti"]["spearman_rho"] == -1.0
+
+
+def test_spearman_tie_handling_bounded(spark, sf_dir):
+    from replicator_spark.queries.stats import spearman_query
+
+    rows = spearman_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["spearman_rho"] <= 1.0
+
+
+# ------------------------------------------------ AUC
+
+
+def test_auc_separable_and_antiseparable(spark, tmp_path):
+    from replicator_spark.queries.stats import auc_query
+
+    base = str(tmp_path)
+    # "hi" events hold the top half of values → AUC 1; "lo" the bottom
+    evs = []
+    for i in range(10):
+        evs.append((i, i * 1_000_000, i, "hi", 100.0 + i, "{}"))
+        evs.append((100 + i, i * 1_000_000, i, "lo", float(i), "{}"))
+    _write_events(spark, base, evs)
+    by_type = {r["event_type"]: r for r in auc_query(spark, base).collect()}
+    assert by_type["hi"]["auc"] == 1.0
+    assert by_type["lo"]["auc"] == 0.0
+    assert by_type["hi"]["n_pos"] == 10
+
+
+def test_auc_ties_give_half_credit(spark, tmp_path):
+    from replicator_spark.queries.stats import auc_query
+
+    base = str(tmp_path)
+    # all values identical → every pair is a tie → AUC = 0.5 exactly
+    _write_events(
+        spark,
+        base,
+        [(i, 0, i, "a" if i % 2 else "b", 7.0, "{}") for i in range(8)],
+    )
+    for r in auc_query(spark, base).collect():
+        assert r["auc"] == 0.5
+
+
+# ------------------------------------------------ Markov transitions
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    from replicator_spark.queries.analytics import markov_transitions_query
+
+    rows = markov_transitions_query(spark, sf_dir).collect()
+    assert rows
+    by_src: dict[str, float] = {}
+    for r in rows:
+        by_src[r["src_type"]] = by_src.get(r["src_type"], 0.0) + r["p"]
+    for total in by_src.values():
+        assert abs(total - 1.0) < 1e-4  # each row sums to 1
+
+
+def test_markov_deterministic_chain(spark, tmp_path):
+    from replicator_spark.queries.analytics import markov_transitions_query
+
+    base = str(tmp_path)
+    # one user: a → b → a → b → a: P(b|a)=1 over 2 transitions,
+    # P(a|b)=1 over 2 transitions
+    _write_events(
+        spark,
+        base,
+        [
+            (i, i * 1_000_000_000, 1, "a" if i % 2 == 0 else "b", 0.0, "{}")
+            for i in range(5)
+        ],
+    )
+    rows = {
+        (r["src_type"], r["dst_type"]): r
+        for r in markov_transitions_query(spark, base).collect()
+    }
+    assert rows[("a", "b")]["n_trans"] == 2
+    assert rows[("a", "b")]["p"] == 1.0
+    assert rows[("b", "a")]["n_trans"] == 2
+    assert rows[("b", "a")]["p"] == 1.0
+    assert len(rows) == 2  # the final event has no successor
+
+
+# ------------------------------------------------ theta sketch ops
+
+
+def test_theta_ops_consistency(spark, sf_dir):
+    from replicator_spark.pipeline.sketches import theta_ops_query
+
+    r = theta_ops_query(spark, sf_dir).collect()[0]
+    # sketch algebra must be internally consistent
+    assert abs(
+        (r["est_a"] + r["est_b"] - r["est_inter"]) - r["est_union"]
+    ) < 0.1
+    # estimates within 3 standard errors (~1/sqrt(K−2) ≈ 13%) of exact
+    for est, exact in (
+        (r["est_union"], r["exact_union"]),
+        (r["est_a"], r["exact_a"]),
+        (r["est_b"], r["exact_b"]),
+    ):
+        if exact:
+            assert abs(est - exact) / exact < 0.4
+    assert r["exact_union"] <= r["exact_a"] + r["exact_b"]
+    assert r["exact_inter"] >= r["exact_a"] + r["exact_b"] - r["exact_union"] - 1
+
+
+# ------------------------------------------------ streaming near-dedup
+
+
+def test_stream_near_dedup_drops_later_copy(spark, tmp_path):
+    from replicator_spark.streaming.near_dedup import stream_near_dedup_query
+
+    base = str(tmp_path)
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    _write_docs(
+        spark,
+        base,
+        [
+            (1, dup, "en", "first", 10),
+            (2, dup, "en", "later", 10),  # exact copy, higher doc_id
+            (3, "one two three four five six seven eight", "en", "uniq", 10),
+        ],
+    )
+    by_src = {
+        r["source"]: r
+        for r in stream_near_dedup_query(spark, base).collect()
+    }
+    assert by_src["first"]["n_kept"] == 1
+    assert by_src["later"]["n_dropped"] == 1
+    assert by_src["uniq"]["n_kept"] == 1
+
+
+def test_stream_near_dedup_multibatch_matches_single(spark, sf_dir, tmp_path):
+    """The admission verdicts must be a pure function of the dataset:
+    splitting the stream into 3 doc_id-ordered micro-batches gives the
+    same per-source tally as the single-batch run."""
+    import glob
+    import shutil
+    import time
+
+    from replicator_spark.streaming.near_dedup import (
+        build_verdict_stream,
+        stream_near_dedup_query,
+    )
+
+    base = str(tmp_path)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    ids = [r[0] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    lo, hi = ids[n // 3], ids[2 * n // 3]
+    chunks_dir = os.path.join(base, "docs_dir")
+    os.makedirs(chunks_dir)
+    now = time.time()
+    for i, part in enumerate(
+        (
+            docs.where(F.col("doc_id") <= lo),
+            docs.where((F.col("doc_id") > lo) & (F.col("doc_id") <= hi)),
+            docs.where(F.col("doc_id") > hi),
+        )
+    ):
+        d = os.path.join(base, f"chunk{i}")
+        part.coalesce(1).write.parquet(d)
+        (f,) = glob.glob(os.path.join(d, "part-*.parquet"))
+        dst = os.path.join(chunks_dir, f"{i:03d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks_dir)
+    )
+    out_dir = os.path.join(base, "run")
+    q = (
+        build_verdict_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "out"))
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    verd = (
+        spark.read.parquet(os.path.join(out_dir, "out"))
+        .groupBy("doc_id")
+        .agg(F.min(F.col("admitted").cast("int")).alias("kept"))
+    )
+    multi = {
+        r["source"]: (r["n_kept"], r["n_dropped"])
+        for r in docs.select("doc_id", "source")
+        .join(verd, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            (F.count("*") - F.sum("kept")).cast("bigint").alias("n_dropped"),
+        )
+        .collect()
+    }
+    single = {
+        r["source"]: (r["n_kept"], r["n_dropped"])
+        for r in stream_near_dedup_query(spark, sf_dir).collect()
+    }
+    assert multi == single
+
+
+def test_theta_ops_exact_identities(spark, sf_dir):
+    from replicator_spark.pipeline.sketches import theta_ops_query
+
+    r = theta_ops_query(spark, sf_dir).collect()[0]
+    # inclusion-exclusion holds exactly on the exact columns
+    assert r["exact_union"] == r["exact_a"] + r["exact_b"] - r["exact_inter"]
