@@ -150,6 +150,9 @@ _PRIORITY = [
     "events_markov_transitions",
     "sketch_theta_ops",
     "stream_near_dedup",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    "source_orc_roundtrip",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",
@@ -313,6 +316,7 @@ def _load() -> None:
     from .sinks import kafka as kafka_sink
     from .sinks import timemachine
     from .sources import bootstrap
+    from .sources import formats as source_formats
     from .streaming import enrich as stream_enrich
     from .streaming import ewma_state as stream_ewma_state
     from .streaming import joins as stream_joins
@@ -370,7 +374,7 @@ def _load() -> None:
              timemachine.SNAPSHOT_DELTA_SQL)
 
     for mod in (
-        seeker, validation, bootstrap, jsonb, apply,
+        seeker, validation, bootstrap, source_formats, jsonb, apply,
         count_sink, console_sink, kafka_sink, avro_sink,
         schema_registry, streaming_job, stream_near_dedup_mod, txn_state,
         stream_sessionize,

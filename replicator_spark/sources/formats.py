@@ -1,0 +1,133 @@
+"""File-format connectors: distributed JSONL / CSV / ORC round-trips.
+
+The reference's I/O surface is fixed (binlog in; HBase/Kafka/console
+out — SURVEY.md §2.1/§2.8); a Spark-native engine gets the full
+DataFrameReader/Writer format matrix for free, but "we support CSV"
+is only true if it is TESTED — quoting, escaping, schema application,
+and type fidelity are exactly where CSV/JSON pipelines corrupt data
+silently. Each operator here writes the documents table through a
+format's distributed writer into a temp dir, reads it back through the
+matching reader, and emits a per-source content CHECKSUM summary; the
+oracle computes the same summary over the ORIGINAL table, so a parity
+pass proves the round trip was byte-lossless (any mangled character
+shifts the md5-derived checksum).
+
+Scale: both sides are plain distributed scans/writes (one task per
+split, no exchange until the final tiny agg); the checksum is the same
+md5-prefix integer used by the sketch family — map-side, codegen'd,
+engine-portable. The temp copy is test-scale plumbing; the operator
+under test is the format reader/writer pair itself.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import prep, read_table
+
+CHK_MOD = 1_000_000_007  # keep per-row checksums summable as exact BIGINTs
+
+
+def _chk(col: Column) -> Column:
+    """Deterministic per-row content checksum: md5's first 48 bits
+    mod a prime — portable to the SQL oracle via nibble arithmetic."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+        % CHK_MOD
+    )
+
+
+def _summary(docs: DataFrame) -> DataFrame:
+    """Per-source row count, char volume, and content checksum."""
+    row = F.concat_ws(
+        "\x01",
+        F.col("doc_id").cast("string"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("n_chars").cast("string"),
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(_chk(row)).cast("bigint").alias("content_chk"),
+    )
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix=f"fmt_{fmt}_")
+    out = os.path.join(base, f"docs_{fmt}")
+    w = docs.write.mode("overwrite").format(fmt)
+    r = spark.read.format(fmt).schema(docs.schema)
+    if fmt == "csv":
+        # the hostile-content options a production CSV interchange
+        # needs even though this corpus is benign: quote everything and
+        # keep whitespace on write (Spark's writer TRIMS by default),
+        # allow embedded newlines on read, and move the null sentinel
+        # off the empty string (the reader otherwise turns "" → NULL)
+        w = (
+            w.option("header", True)
+            .option("quoteAll", True)
+            .option("escape", '"')
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .option("nullValue", "\\N")
+        )
+        r = (
+            r.option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .option("nullValue", "\\N")
+        )
+    w.save(out)
+    return _summary(r.load(out))
+
+
+def jsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSON-lines → back: the log-shipping interchange."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+def csv_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → quoted CSV → back: the warehouse-export interchange."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+def orc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC → back: the columnar alternative to parquet."""
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+# Oracle: the SAME summary over the ORIGINAL table — a parity pass
+# means the format writer+reader preserved every byte of every row.
+_ROW = (
+    "CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang"
+    " || chr(1) || CAST(n_chars AS VARCHAR)"
+)
+_NIBBLE = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5({_ROW}), {i}, 1)) - 1)"
+    f" * {16 ** (12 - i)}"
+    for i in range(1, 13)
+)
+
+ROUNDTRIP_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+    CAST(SUM(({_NIBBLE}) % {CHK_MOD}) AS BIGINT) AS content_chk
+FROM documents
+GROUP BY source
+"""
+
+
+REGISTRY = [
+    ("source_jsonl_roundtrip", jsonl_roundtrip_query, ROUNDTRIP_SQL),
+    ("source_csv_roundtrip", csv_roundtrip_query, ROUNDTRIP_SQL),
+    ("source_orc_roundtrip", orc_roundtrip_query, ROUNDTRIP_SQL),
+]

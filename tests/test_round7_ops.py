@@ -328,3 +328,38 @@ def test_theta_ops_exact_identities(spark, sf_dir):
     r = theta_ops_query(spark, sf_dir).collect()[0]
     # inclusion-exclusion holds exactly on the exact columns
     assert r["exact_union"] == r["exact_a"] + r["exact_b"] - r["exact_inter"]
+
+
+# ------------------------------------------------ format round-trips
+
+HOSTILE_ROWS = [
+    (1, 'quote " inside', "en", "s1", 14),
+    (2, "comma, semicolon; pipe|", "en", "s1", 23),
+    (3, "embedded\nnewline and\ttab", "en", "s2", 24),
+    (4, "unicode: naïve café 中文 🚀", "zh", "s2", 24),
+    (5, "trailing space ", "en", "s3", 15),
+    (6, "", "en", "s3", 0),  # empty text
+    (7, "backslash \\ and \\n literal", "en", "s3", 26),
+]
+
+
+@pytest.mark.parametrize("fmt", ["json", "csv", "orc"])
+def test_format_roundtrip_hostile_content(spark, tmp_path, fmt):
+    """The checksum oracle at corpus scale only proves benign text
+    survives; this pins the hostile cases (quotes, delimiters,
+    newlines, unicode, empties) byte-for-byte per format."""
+    from replicator_spark.sources.formats import _roundtrip, _summary
+
+    base = str(tmp_path)
+    _write_docs(spark, base, HOSTILE_ROWS)
+    got = {
+        r["source"]: (r["n_docs"], r["sum_chars"], r["content_chk"])
+        for r in _roundtrip(spark, base, fmt).collect()
+    }
+    want = {
+        r["source"]: (r["n_docs"], r["sum_chars"], r["content_chk"])
+        for r in _summary(
+            spark.read.parquet(os.path.join(base, "documents.parquet"))
+        ).collect()
+    }
+    assert got == want
