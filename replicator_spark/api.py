@@ -153,6 +153,9 @@ _PRIORITY = [
     "source_jsonl_roundtrip",
     "source_csv_roundtrip",
     "source_orc_roundtrip",
+    "stats_gini",
+    "graph_assortativity",
+    "sim_knn_graph",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

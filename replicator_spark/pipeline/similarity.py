@@ -504,6 +504,88 @@ GROUP BY label
 """
 
 
+# ------------------------------------------------- mutual kNN graph
+#
+# The k-nearest-neighbor graph over the embedding table, MUTUAL
+# variant: an undirected edge (a, b) exists iff b is in a's top-k AND
+# a is in b's top-k. Mutual kNN is the standard graph substrate for
+# density-based clustering and manifold methods (its edges are robust
+# to hubness — a hub that lists everyone is filtered unless listed
+# back). Cosines are rounded to 6 dp BEFORE ranking with a cand_id
+# tiebreak, the same cross-engine tie armor as sim_cosine_topk.
+#
+# Scale: exact all-pairs via ONE broadcast of the (id, vector) table
+# against itself — BroadcastNestedLoop, never a shuffling cartesian —
+# valid while the table fits a broadcast (it's the oracle-exact
+# baseline). At 100 TB the same mutual filter runs over IVF-bucketed
+# candidates (sim_ivf_topk's shape) — the directed-edge self-join and
+# mutual filter below are unchanged, only the candidate generator
+# swaps. The directed edge list is n·k rows, so the mutual self-join
+# is k-bounded per node, never quadratic.
+
+
+def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    scored = (
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    directed = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine")
+    )
+    fwd = directed.where(F.col("query_id") < F.col("cand_id")).select(
+        F.col("query_id").alias("a"), F.col("cand_id").alias("b"), "cosine"
+    )
+    rev = directed.where(F.col("query_id") > F.col("cand_id")).select(
+        F.col("cand_id").alias("a"), F.col("query_id").alias("b")
+    )
+    return fwd.join(rev, ["a", "b"]).select("a", "b", "cosine")
+
+
+KNN_GRAPH_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round(
+            (0.0 + {_dot_sql("q.v", "c.v")})
+            / (sqrt(0.0 + {_dot_sql("q.v", "q.v")})
+               * sqrt(0.0 + {_dot_sql("c.v", "c.v")})), 6) AS cosine
+    FROM emb c CROSS JOIN emb q
+    WHERE c.vec_id <> q.vec_id
+), directed AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM scored)
+    WHERE rank <= {TOP_K}
+)
+SELECT f.query_id AS a, f.cand_id AS b, f.cosine
+FROM directed f JOIN directed r
+  ON r.query_id = f.cand_id AND r.cand_id = f.query_id
+WHERE f.query_id < f.cand_id
+"""
+
+
 REGISTRY = [
     ("sim_cosine_topk", cosine_topk_query, COSINE_TOPK_SQL),
     ("sim_ivf_topk", ivf_topk_query, IVF_TOPK_SQL),
@@ -512,4 +594,5 @@ REGISTRY = [
     ("sim_recall_at_k", recall_at_k_query, RECALL_AT_K_SQL),
     ("sim_label_separability", label_separability_query,
      LABEL_SEPARABILITY_SQL),
+    ("sim_knn_graph", knn_graph_query, KNN_GRAPH_SQL),
 ]

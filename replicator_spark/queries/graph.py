@@ -209,6 +209,97 @@ def triangles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ degree assortativity
+#
+# Degree-degree Pearson correlation over the symmetrized co-purchase
+# edge list — do high-degree products co-occur with other high-degree
+# products (r > 0, hub-clustered catalog) or with the long tail
+# (r < 0, hub-and-spoke)? This is the degree-degree variant of Newman's
+# assortativity (plain degrees, not remaining degrees — documented
+# choice, deterministic either way).
+#
+# Shape: the degree table is node-sized (tiny next to edges), joined
+# twice onto the directed edge list — AQE broadcasts it — then one
+# combiner-backed moment agg. Degrees are integers, so the five moment
+# sums are DECIMAL-exact and order-free; the final ratio is one double
+# expression on identical inputs in both engines.
+
+
+def assortativity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    e = _copurchase_edges(spark, sf_dir)
+    # symmetrize: each undirected edge contributes both (a,b) and (b,a),
+    # so every endpoint appears once per incidence (the standard sum
+    # over edge ENDS)
+    both = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = (
+        both.groupBy("a")
+        .agg(F.count("*").alias("d"))
+        .select(F.col("a").alias("n"), "d")
+    )
+    dx = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    dy = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    j = both.join(F.broadcast(dx), "a").join(F.broadcast(dy), "b")
+    agg = j.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("da").cast("decimal(20,0)")).alias("sx"),
+        F.sum(F.col("db").cast("decimal(20,0)")).alias("sy"),
+        F.sum(
+            F.col("da").cast("decimal(20,0)") * F.col("db").cast("decimal(18,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("da").cast("decimal(20,0)") * F.col("da").cast("decimal(18,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("db").cast("decimal(20,0)") * F.col("db").cast("decimal(18,0)")
+        ).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = (md * sxy - sx * sy) / F.sqrt(
+        (md * sxx - sx * sx) * (md * syy - sy * sy)
+    )
+    return agg.select(
+        F.col("m").alias("n_edge_ends"),
+        F.round(r, 6).alias("assortativity"),
+    )
+
+
+ASSORTATIVITY_SQL = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {TRI_SUPPORT}
+),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT a AS n, COUNT(*) AS d FROM sym GROUP BY a),
+j AS (
+    SELECT CAST(dx.d AS DECIMAL(20,0)) AS da,
+           CAST(dy.d AS DECIMAL(20,0)) AS db
+    FROM sym JOIN deg dx ON sym.a = dx.n JOIN deg dy ON sym.b = dy.n
+),
+agg AS (
+    SELECT COUNT(*) AS m, SUM(da) AS sx, SUM(db) AS sy,
+        SUM(da * db) AS sxy, SUM(da * da) AS sxx, SUM(db * db) AS syy
+    FROM j
+)
+SELECT CAST(m AS BIGINT) AS n_edge_ends,
+    round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        AS assortativity
+FROM agg
+"""
+
+
 TRIANGLES_SQL = f"""
 WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
@@ -244,4 +335,5 @@ FROM wed
 REGISTRY = [
     ("graph_pagerank", pagerank_query, PAGERANK_SQL),
     ("graph_triangles", triangles_query, TRIANGLES_SQL),
+    ("graph_assortativity", assortativity_query, ASSORTATIVITY_SQL),
 ]

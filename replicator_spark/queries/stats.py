@@ -583,6 +583,75 @@ FROM per CROSS JOIN tot
 """
 
 
+# ------------------------------------------------ Gini coefficient
+#
+# Per-source Gini of document lengths — the inequality summary a
+# data-mix review reads next to entropy: is a source's token volume
+# spread across its documents or concentrated in a few giants?
+# G = (2·Σ rᵢxᵢ)/(n·Σx) − (n+1)/n over ascending-sorted x with
+# row_number ranks; swapping ranks among tied x leaves Σ rᵢxᵢ
+# unchanged, so the doc_id tiebreak makes both engines identical
+# WITHOUT affecting the statistic. Ranks and lengths are integers —
+# the rank-weighted sum is DECIMAL-exact and order-free.
+#
+# Scale: one per-source sort (the rank window, partitioned by source;
+# skewed sources fall to AQE) + one combiner-backed moment agg.
+
+
+def gini_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select("source", "n_chars")
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy("n_chars", F.monotonically_increasing_id())
+    )
+    # monotonically_increasing_id is partition-dependent — but ties in
+    # n_chars make rank assignment irrelevant to Σ r·x (see header), so
+    # the statistic stays deterministic; doc_id would also do, n_chars
+    # + row id avoids carrying an extra column through the sort
+    ranked = docs.select(
+        "source",
+        F.col("n_chars").cast("decimal(18,0)").alias("x"),
+        rn.cast("decimal(18,0)").alias("r"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("r") * F.col("x")).alias("srx"),
+    )
+    nd = F.col("n").cast("double")
+    g = (
+        2.0 * F.col("srx").cast("double") / (nd * F.col("sx").cast("double"))
+        - (nd + 1.0) / nd
+    )
+    return agg.select(
+        "source",
+        "n",
+        F.col("sx").cast("bigint").alias("total_chars"),
+        F.round(g, 6).alias("gini"),
+    )
+
+
+GINI_SQL = """
+WITH ranked AS (
+    SELECT source,
+        CAST(n_chars AS DECIMAL(18,0)) AS x,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id)
+             AS DECIMAL(18,0)) AS r
+    FROM documents
+), agg AS (
+    SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(r * x) AS srx
+    FROM ranked GROUP BY source
+)
+SELECT source, n,
+    CAST(sx AS BIGINT) AS total_chars,
+    round(2.0 * CAST(srx AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+          - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+
 REGISTRY = [
     ("stats_percentiles", percentiles_query, PERCENTILES_SQL),
     ("stats_chisq_independence", chisq_query, CHISQ_SQL),
@@ -592,4 +661,5 @@ REGISTRY = [
     ("stats_ks_test", ks_test_query, KS_TEST_SQL),
     ("stats_spearman", spearman_query, SPEARMAN_SQL),
     ("stats_auc", auc_query, AUC_SQL),
+    ("stats_gini", gini_query, GINI_SQL),
 ]

@@ -330,6 +330,85 @@ def test_theta_ops_exact_identities(spark, sf_dir):
     assert r["exact_union"] == r["exact_a"] + r["exact_b"] - r["exact_inter"]
 
 
+# ------------------------------------------------ Gini coefficient
+
+
+def test_gini_equal_and_concentrated(spark, tmp_path):
+    from replicator_spark.queries.stats import gini_query
+
+    base = str(tmp_path)
+    rows = []
+    # "flat": every doc the same length → G = 0
+    for i in range(10):
+        rows.append((i, "w", "en", "flat", 100))
+    # "conc": one giant, nine tiny → G near (n-1)/n · (1 - small corr)
+    rows.append((100, "w", "en", "conc", 10000))
+    for i in range(9):
+        rows.append((101 + i, "w", "en", "conc", 1))
+    _write_docs(spark, base, rows)
+    by_src = {r["source"]: r for r in gini_query(spark, base).collect()}
+    assert by_src["flat"]["gini"] == 0.0
+    assert by_src["conc"]["gini"] > 0.85
+    assert by_src["conc"]["total_chars"] == 10009
+
+
+def test_gini_bounded_on_corpus(spark, sf_dir):
+    from replicator_spark.queries.stats import gini_query
+
+    for r in gini_query(spark, sf_dir).collect():
+        assert 0.0 <= r["gini"] < 1.0
+
+
+# ------------------------------------------------ assortativity
+
+
+def test_assortativity_bounded(spark, sf_dir):
+    from replicator_spark.queries.graph import assortativity_query
+
+    r = assortativity_query(spark, sf_dir).collect()[0]
+    assert r["n_edge_ends"] > 0
+    assert r["n_edge_ends"] % 2 == 0  # both directions of each edge
+    assert -1.0 <= r["assortativity"] <= 1.0
+
+
+# ------------------------------------------------ mutual kNN graph
+
+
+def test_knn_graph_mutual_and_canonical(spark, sf_dir):
+    from replicator_spark.pipeline.similarity import (
+        TOP_K,
+        cosine_topk_query,
+        knn_graph_query,
+    )
+
+    edges = knn_graph_query(spark, sf_dir).collect()
+    assert edges
+    seen = set()
+    deg: dict[int, int] = {}
+    for e in edges:
+        assert e["a"] < e["b"]  # canonical orientation, each edge once
+        assert (e["a"], e["b"]) not in seen
+        seen.add((e["a"], e["b"]))
+        assert -1.0 <= e["cosine"] <= 1.0
+        deg[e["a"]] = deg.get(e["a"], 0) + 1
+        deg[e["b"]] = deg.get(e["b"], 0) + 1
+    # mutual-kNN degree is bounded by k on BOTH endpoints
+    assert max(deg.values()) <= TOP_K
+    # mutuality spot-check against the directed top-k of the query set:
+    # every graph edge whose endpoint is a query vector must appear in
+    # that vector's directed top-k list
+    directed = {
+        (r["query_id"], r["cand_id"])
+        for r in cosine_topk_query(spark, sf_dir).collect()
+    }
+    qids = {q for q, _ in directed}
+    for a, b in seen:
+        if a in qids:
+            assert (a, b) in directed
+        if b in qids:
+            assert (b, a) in directed
+
+
 # ------------------------------------------------ format round-trips
 
 HOSTILE_ROWS = [

@@ -89,6 +89,18 @@ SLATE = [
     "tm_snapshot_delta",
     "dedup_containment",
     "stats_ks_test",
+    # round-4 batch 3: diversity/rank-stats/admission-gate family —
+    # their claimed shapes (vocab-bounded pair expansion, per-lang
+    # rank windows, distinct-value cumsum, bounded per-bucket state)
+    # are what the replica smoke checks
+    "corpus_source_overlap",
+    "corpus_entropy_kl",
+    "stats_spearman",
+    "stats_auc",
+    "events_markov_transitions",
+    "sketch_theta_ops",
+    "stream_near_dedup",
+    "source_csv_roundtrip",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
