@@ -156,6 +156,9 @@ _PRIORITY = [
     "stats_gini",
     "graph_assortativity",
     "sim_knn_graph",
+    "events_rfm_segments",
+    "text_hashing_vectorizer",
+    "graph_kcore",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

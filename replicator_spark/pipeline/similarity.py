@@ -506,42 +506,57 @@ GROUP BY label
 
 # ------------------------------------------------- mutual kNN graph
 #
-# The k-nearest-neighbor graph over the embedding table, MUTUAL
-# variant: an undirected edge (a, b) exists iff b is in a's top-k AND
-# a is in b's top-k. Mutual kNN is the standard graph substrate for
-# density-based clustering and manifold methods (its edges are robust
-# to hubness — a hub that lists everyone is filtered unless listed
-# back). Cosines are rounded to 6 dp BEFORE ranking with a cand_id
-# tiebreak, the same cross-engine tie armor as sim_cosine_topk.
+# The k-nearest-neighbor graph over the embedding table, MUTUAL and
+# CELL-RESTRICTED: an undirected edge (a, b) exists iff a and b share
+# an IVF cell (the label coarse partition — same quantizer as
+# sim_ivf_topk) AND each is in the other's within-cell top-k. Mutual
+# kNN is the standard graph substrate for density-based clustering and
+# manifold methods (robust to hubness: a hub that lists everyone is
+# filtered unless listed back); the cell restriction is what makes the
+# graph BUILDABLE at scale — candidate generation is an equi-join on
+# the cell id (one shuffle, cell-sized work per node), never the n²
+# cross product a brute-force graph needs. Recall is bounded by the
+# quantizer exactly as in IVF search; more probes = more edges, the
+# documented knob.
 #
-# Scale: exact all-pairs via ONE broadcast of the (id, vector) table
-# against itself — BroadcastNestedLoop, never a shuffling cartesian —
-# valid while the table fits a broadcast (it's the oracle-exact
-# baseline). At 100 TB the same mutual filter runs over IVF-bucketed
-# candidates (sim_ivf_topk's shape) — the directed-edge self-join and
-# mutual filter below are unchanged, only the candidate generator
-# swaps. The directed edge list is n·k rows, so the mutual self-join
-# is k-bounded per node, never quadratic.
+# Cost shape: vectors are L2-normalized ONCE (narrow), so each
+# candidate pair costs a single sequential dot product — identical
+# fold order in both engines — rounded to 6 dp BEFORE ranking with a
+# cand_id tiebreak (sim_cosine_topk's tie armor). The directed edge
+# list is n·k rows, so the mutual self-join is k-bounded per node.
 
 
 def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
+        "vec_id", _as_double(F.col("embedding")).alias("v"), "label"
     )
-    q = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # norm in its own projection: referencing _norm inside the
+    # transform lambda would re-evaluate it per ELEMENT (64× the work —
+    # the same inline-expression trap dedup._shingles documents)
+    normed = emb.select(
+        "vec_id", "label", "v", _norm(F.col("v")).alias("nv")
+    )
+    unit = normed.select(
+        "vec_id",
+        "label",
+        F.transform("v", lambda x: x / F.col("nv")).alias("u"),
+    )
+    q = unit.select(
+        F.col("vec_id").alias("query_id"),
+        "label",
+        F.col("u").alias("qu"),
+    )
     scored = (
-        emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
-        .crossJoin(F.broadcast(q))
+        unit.select(
+            F.col("vec_id").alias("cand_id"), "label", F.col("u").alias("cu")
+        )
+        .join(q, "label")
         .where(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-                6,
-            ).alias("cosine"),
+            F.round(_dot(F.col("qu"), F.col("cu")), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -563,14 +578,17 @@ def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_GRAPH_SQL = f"""
 WITH emb AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+), normed AS (
+    SELECT vec_id, label, v, sqrt(0.0 + {_dot_sql("v", "v")}) AS nv
+    FROM emb
+), unit AS (
+    SELECT vec_id, label, list_transform(v, x -> x / nv) AS u
+    FROM normed
 ), scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        round(
-            (0.0 + {_dot_sql("q.v", "c.v")})
-            / (sqrt(0.0 + {_dot_sql("q.v", "q.v")})
-               * sqrt(0.0 + {_dot_sql("c.v", "c.v")})), 6) AS cosine
-    FROM emb c CROSS JOIN emb q
+        round(0.0 + {_dot_sql("q.u", "c.u")}, 6) AS cosine
+    FROM unit c JOIN unit q USING (label)
     WHERE c.vec_id <> q.vec_id
 ), directed AS (
     SELECT * FROM (

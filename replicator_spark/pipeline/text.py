@@ -8,7 +8,7 @@ the final stats aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..session import prep, read_table
@@ -288,6 +288,66 @@ FROM n
 """
 
 
+# --------------------------------------------- feature hashing (16-dim)
+#
+# The hashing-trick bag-of-words vectorizer: each token maps to
+# dim = md5's first nibble (HASH_DIMS = 16 buckets, collisions by
+# design — the memory/feature trade the hashing trick makes), value =
+# token count. Emitted in long format (doc_id, dim, cnt) — the sparse
+# representation a downstream trainer consumes — plus the per-doc L2
+# norm for cosine-ready scaling. Fully map-side until one
+# combiner-backed groupBy(doc_id, dim); no vocabulary table at all,
+# which is the operator's scale story: unlike TF-IDF there is NOTHING
+# corpus-global to build or broadcast, so it runs at 100 TB as a pure
+# linear scan.
+#
+# Determinism: counts are integers; the norm is sqrt of an integer sum
+# (one correctly-rounded op on identical inputs), rounded to 6 dp.
+
+HASH_DIMS = 16
+_HEXS = "0123456789abcdef"
+
+
+def hashing_vectorizer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("t")
+    )
+    dim = F.instr(F.lit(_HEXS), F.substring(F.md5("t"), 1, 1)) - 1
+    cnt = tok.groupBy("doc_id", dim.alias("dim")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.partitionBy("doc_id")
+    return cnt.select(
+        "doc_id",
+        "dim",
+        "cnt",
+        F.round(
+            F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).over(w)), 6
+        ).alias("l2_norm"),
+    )
+
+
+HASHING_VECTORIZER_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, t
+    FROM documents,
+        UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        AS u(t)
+), cnt AS (
+    SELECT doc_id,
+        strpos('{_HEXS}', substr(md5(t), 1, 1)) - 1 AS dim,
+        COUNT(*) AS cnt
+    FROM tok GROUP BY 1, 2
+)
+SELECT doc_id, dim, cnt,
+    round(sqrt(CAST(SUM(cnt * cnt) OVER (PARTITION BY doc_id)
+                    AS DOUBLE)), 6) AS l2_norm
+FROM cnt
+"""
+
+
 REGISTRY = [
     ("text_token_count", token_count_query, TOKEN_COUNT_SQL),
     ("text_normalize", normalize_query, NORMALIZE_SQL),
@@ -295,4 +355,6 @@ REGISTRY = [
     ("text_langid", langid_query, LANGID_SQL),
     ("text_fingerprint", fingerprint_query, FINGERPRINT_SQL),
     ("text_rolling_hash", rolling_hash_query, ROLLING_HASH_SQL),
+    ("text_hashing_vectorizer", hashing_vectorizer_query,
+     HASHING_VECTORIZER_SQL),
 ]

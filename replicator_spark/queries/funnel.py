@@ -240,8 +240,95 @@ FROM spine s LEFT JOIN daily d
 """
 
 
+# --------------------------------------------------- RFM segmentation
+#
+# Recency / Frequency / Monetary user segmentation — the classic
+# behavioral cohorting a product-analytics surface must provide. Each
+# user's three metrics are split HIGH/LOW at the population MEDIAN
+# (exact interpolated percentile, rounded to 9 dp before the
+# comparison so an ulp can't flip a boundary user between engines —
+# the same armor as stats_mad), giving 8 deterministic segments.
+# Cutoff-based binning, NOT ntile: ntile's tie placement depends on
+# sort order and would be engine-divergent.
+#
+# Scale: one combiner-backed per-user agg (corpus-sized exchange), a
+# 3-value cutoff row computed from the SMALL per-user table and
+# broadcast back, and a tiny segment count. No global sort.
+
+
+def rfm_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = _events_us(spark, sf_dir)
+    # money as a DECIMAL sum of 6-dp-rounded values: a plain double sum
+    # is partition-order-dependent, and one ulp on a user sitting at
+    # the median cutoff would flip their segment between engines
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts_us").alias("last_us"),
+        F.count("*").alias("freq"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).alias(
+            "money"
+        ),
+    )
+    # recency relative to the corpus max — smaller gap = more recent
+    tot = per_user.agg(F.max("last_us").alias("now_us"))
+    pu = per_user.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        (F.col("now_us") - F.col("last_us")).alias("rec_gap_us"),
+        "freq",
+        F.col("money").cast("double").alias("money"),
+    )
+    cuts = pu.agg(
+        F.round(F.percentile("rec_gap_us", F.lit(0.5)), 9).alias("c_rec"),
+        F.round(F.percentile("freq", F.lit(0.5)), 9).alias("c_freq"),
+        F.round(F.percentile("money", F.lit(0.5)), 9).alias("c_money"),
+    )
+    coded = pu.crossJoin(F.broadcast(cuts)).select(
+        F.concat(
+            # recency: small gap (≤ median) is the HIGH state
+            F.when(F.col("rec_gap_us") <= F.col("c_rec"), "R").otherwise("r"),
+            F.when(F.col("freq") > F.col("c_freq"), "F").otherwise("f"),
+            F.when(F.col("money") > F.col("c_money"), "M").otherwise("m"),
+        ).alias("segment"),
+        "money",
+    )
+    return coded.groupBy("segment").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("money"), 6).alias("avg_monetary"),
+    )
+
+
+RFM_SQL = """
+WITH pu0 AS (
+    SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+        COUNT(*) AS freq,
+        SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS money
+    FROM events GROUP BY user_id
+), pu AS (
+    SELECT user_id,
+        (SELECT MAX(last_us) FROM pu0) - last_us AS rec_gap_us,
+        freq, CAST(money AS DOUBLE) AS money
+    FROM pu0
+), cuts AS (
+    SELECT round(quantile_cont(rec_gap_us, 0.5), 9) AS c_rec,
+        round(quantile_cont(freq, 0.5), 9) AS c_freq,
+        round(quantile_cont(money, 0.5), 9) AS c_money
+    FROM pu
+), coded AS (
+    SELECT (CASE WHEN rec_gap_us <= c_rec THEN 'R' ELSE 'r' END)
+        || (CASE WHEN freq > c_freq THEN 'F' ELSE 'f' END)
+        || (CASE WHEN money > c_money THEN 'M' ELSE 'm' END) AS segment,
+        money
+    FROM pu CROSS JOIN cuts
+)
+SELECT segment, COUNT(*) AS n_users,
+    round(AVG(money), 6) AS avg_monetary
+FROM coded GROUP BY segment
+"""
+
+
 REGISTRY = [
     ("events_funnel", funnel_query, FUNNEL_SQL),
     ("events_retention", retention_query, RETENTION_SQL),
     ("ts_gap_fill", gap_fill_query, GAP_FILL_SQL),
+    ("events_rfm_segments", rfm_segments_query, RFM_SQL),
 ]

@@ -332,8 +332,91 @@ FROM wed
 """
 
 
+# ------------------------------------------------ k-core peeling
+#
+# Bounded-round k-core decomposition of the co-purchase graph: each
+# round removes every node whose degree in the SURVIVING subgraph is
+# < KCORE_K. After enough rounds the survivors are exactly the k-core;
+# a FIXED round count (KCORE_ROUNDS) keeps the whole computation one
+# deterministic lazy plan mirrored by unrolled SQL CTEs — the same
+# fixed-iteration contract as PageRank above. The emitted per-round
+# survivor trajectory is itself the diagnostic (how fast the periphery
+# peels); production would loop to fixpoint with a count-delta stop,
+# an operational knob, not a plan change.
+#
+# Scale per round: two node⨝edge equi-joins (node side is the small
+# one — broadcast via AQE) + one combiner-backed degree agg. The edge
+# list is persisted once; rounds never rescan the fact table.
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def kcore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    e = _copurchase_edges(spark, sf_dir).persist()
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    alive = sym.select(F.col("a").alias("n")).distinct()
+    out = [
+        alive.agg(F.count("*").alias("n_alive")).select(
+            F.lit(0).alias("round"), "n_alive"
+        )
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        surv = sym.join(
+            alive.select(F.col("n").alias("a")), "a"
+        ).join(alive.select(F.col("n").alias("b")), "b")
+        alive = (
+            surv.groupBy("a")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= KCORE_K)
+            .select(F.col("a").alias("n"))
+        )
+        out.append(
+            alive.agg(F.count("*").alias("n_alive")).select(
+                F.lit(i).alias("round"), "n_alive"
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def _kcore_round_sql(prev: str, cur_e: str, cur_a: str) -> str:
+    return f"""{cur_e} AS (
+    SELECT s.a, s.b FROM sym s
+    JOIN {prev} x ON s.a = x.n JOIN {prev} y ON s.b = y.n
+),
+{cur_a} AS (
+    SELECT a AS n FROM {cur_e} GROUP BY a HAVING COUNT(*) >= {KCORE_K}
+)"""
+
+
+KCORE_SQL = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {TRI_SUPPORT}
+),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+a0 AS (SELECT DISTINCT a AS n FROM sym),
+{_kcore_round_sql("a0", "e1", "a1")},
+{_kcore_round_sql("a1", "e2", "a2")},
+{_kcore_round_sql("a2", "e3", "a3")}
+SELECT 0 AS round, CAST(COUNT(*) AS BIGINT) AS n_alive FROM a0
+UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT) FROM a1
+UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM a2
+UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM a3
+"""
+
+
 REGISTRY = [
     ("graph_pagerank", pagerank_query, PAGERANK_SQL),
     ("graph_triangles", triangles_query, TRIANGLES_SQL),
     ("graph_assortativity", assortativity_query, ASSORTATIVITY_SQL),
+    ("graph_kcore", kcore_query, KCORE_SQL),
 ]

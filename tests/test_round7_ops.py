@@ -375,11 +375,10 @@ def test_assortativity_bounded(spark, sf_dir):
 
 
 def test_knn_graph_mutual_and_canonical(spark, sf_dir):
-    from replicator_spark.pipeline.similarity import (
-        TOP_K,
-        cosine_topk_query,
-        knn_graph_query,
-    )
+    import math
+
+    from replicator_spark.pipeline.similarity import TOP_K, knn_graph_query
+    from replicator_spark.session import read_table
 
     edges = knn_graph_query(spark, sf_dir).collect()
     assert edges
@@ -394,19 +393,133 @@ def test_knn_graph_mutual_and_canonical(spark, sf_dir):
         deg[e["b"]] = deg.get(e["b"], 0) + 1
     # mutual-kNN degree is bounded by k on BOTH endpoints
     assert max(deg.values()) <= TOP_K
-    # mutuality spot-check against the directed top-k of the query set:
-    # every graph edge whose endpoint is a query vector must appear in
-    # that vector's directed top-k list
-    directed = {
-        (r["query_id"], r["cand_id"])
-        for r in cosine_topk_query(spark, sf_dir).collect()
+    # cell restriction: every edge joins two vectors of the same label,
+    # and the reported cosine matches a direct recompute
+    rows = read_table(spark, sf_dir, "embeddings").collect()
+    lab = {r["vec_id"]: r["label"] for r in rows}
+    vec = {r["vec_id"]: r["embedding"] for r in rows}
+
+    def cos(x, y):
+        d = sum(a * b for a, b in zip(x, y))
+        return d / (
+            math.sqrt(sum(a * a for a in x)) * math.sqrt(sum(b * b for b in y))
+        )
+
+    for a, b in list(seen)[:25]:
+        assert lab[a] == lab[b]
+    for e in edges[:10]:
+        assert abs(e["cosine"] - cos(vec[e["a"]], vec[e["b"]])) < 1e-5
+
+
+# ------------------------------------------------ RFM segmentation
+
+
+def test_rfm_segments_partition_users(spark, sf_dir):
+    from replicator_spark.queries.funnel import rfm_segments_query
+    from replicator_spark.session import read_table
+
+    rows = rfm_segments_query(spark, sf_dir).collect()
+    assert rows
+    segs = {r["segment"] for r in rows}
+    assert segs <= {
+        a + b + c for a in "Rr" for b in "Ff" for c in "Mm"
     }
-    qids = {q for q, _ in directed}
-    for a, b in seen:
-        if a in qids:
-            assert (a, b) in directed
-        if b in qids:
-            assert (b, a) in directed
+    n_users = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users  # exact partition
+
+
+def test_rfm_known_split(spark, tmp_path):
+    from replicator_spark.queries.funnel import rfm_segments_query
+
+    base = str(tmp_path)
+    # 2 users: user 1 recent+frequent+big spender, user 2 the opposite
+    evs = [
+        (1, 10**15, 1, "view", 100.0, "{}"),
+        (2, 2 * 10**15, 1, "view", 100.0, "{}"),
+        (3, 3 * 10**15, 1, "view", 100.0, "{}"),
+        (4, 10**15, 2, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, base, evs)
+    by_seg = {r["segment"]: r for r in rfm_segments_query(spark, base).collect()}
+    assert by_seg["RFM"]["n_users"] == 1
+    assert by_seg["rfm"]["n_users"] == 1
+
+
+# ------------------------------------------------ hashing vectorizer
+
+
+def test_hashing_vectorizer_counts_and_norm(spark, tmp_path):
+    from replicator_spark.pipeline.text import (
+        HASH_DIMS,
+        hashing_vectorizer_query,
+    )
+
+    base = str(tmp_path)
+    _write_docs(spark, base, [(1, "a a a b", "en", "s", 7)])
+    rows = hashing_vectorizer_query(spark, base).collect()
+    # 'a' and 'b' land in (at most) two dims; counts must total 4
+    assert sum(r["cnt"] for r in rows) == 4
+    assert all(0 <= r["dim"] < HASH_DIMS for r in rows)
+    if len(rows) == 2:
+        # norm = sqrt(3² + 1²) on both rows
+        import math
+
+        for r in rows:
+            assert abs(r["l2_norm"] - math.sqrt(10)) < 1e-6
+
+
+def test_hashing_vectorizer_dims_bounded(spark, sf_dir):
+    from replicator_spark.pipeline.text import (
+        HASH_DIMS,
+        hashing_vectorizer_query,
+    )
+
+    df = hashing_vectorizer_query(spark, sf_dir)
+    assert df.groupBy("doc_id").count().agg({"count": "max"}).collect()[0][
+        0
+    ] <= HASH_DIMS
+
+
+# ------------------------------------------------ k-core peel
+
+
+def test_kcore_monotone_shrink(spark, sf_dir):
+    from replicator_spark.queries.graph import kcore_query
+
+    rows = {r["round"]: r["n_alive"] for r in kcore_query(spark, sf_dir).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    # peeling is monotone: survivors never grow
+    assert rows[0] >= rows[1] >= rows[2] >= rows[3]
+
+
+def test_kcore_star_collapses(spark, tmp_path):
+    """A star graph has no 3-core: leaves (degree 1) peel in round 1,
+    leaving the hub alone (degree 0), which peels in round 2."""
+    from replicator_spark.queries.graph import kcore_query
+
+    base = str(tmp_path)
+    # lineitem shaped so parts {0..5} form a star around part 0: each
+    # order pairs part 0 with one leaf, twice over (TRI_SUPPORT = 2)
+    rows = []
+    oid = 0
+    for leaf in range(1, 6):
+        for _ in range(2):
+            rows.append((oid, 0, 1))
+            rows.append((oid, leaf, 1))
+            oid += 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long"
+    ).write.parquet(os.path.join(base, "lineitem.parquet"))
+    out = {r["round"]: r["n_alive"] for r in kcore_query(spark, base).collect()}
+    assert out[0] == 6  # hub + 5 leaves
+    assert out[1] == 1  # hub survives round 1 (degree 5 >= 3)
+    assert out[2] == 0  # alone now, degree 0 -> peels
+    assert out[3] == 0
 
 
 # ------------------------------------------------ format round-trips
