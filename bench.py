@@ -53,6 +53,11 @@ HEADLINE = [
     "tm_snapshot_delta",
     "text_oov_rate",
     "sketch_quantile_grid",
+    # round-4 batch-3/4 headliners
+    "corpus_source_overlap",
+    "stream_near_dedup",
+    "sim_knn_graph",
+    "cdc_net_effect_compact",
 ]
 
 

@@ -159,6 +159,7 @@ _PRIORITY = [
     "events_rfm_segments",
     "text_hashing_vectorizer",
     "graph_kcore",
+    "cdc_net_effect_compact",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

@@ -355,9 +355,108 @@ def _ivm_sql() -> str:
     )
 
 
+# ------------------------------------------------ net-effect compaction
+#
+# Collapse each row key's mutation RUN into its single net mutation —
+# the applier-side batching optimization the reference performs before
+# flushing (HBaseApplier.java:166-196 keeps only the latest image per
+# key per flush; a MySQL applier batches the same way): within one
+# batch, INSERT→…→DELETE nets to NOTHING, INSERT→…→UPDATE nets to one
+# INSERT (final image), UPDATE/DELETE→…→DELETE nets to one DELETE, and
+# anything else nets to one UPDATE with the final image. The collapsed
+# feed applies to the target in one write per key — identical final
+# state, a fraction of the write amplification.
+#
+# Derivation needs only first-op + last-op + last image per key: one
+# combiner-backed min_by/max_by agg on the row key (the same exchange
+# shape as cdc_apply_upsert — shuffled bytes are one row per key per
+# map partition at 100 TB).
+
+
+def net_effect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    # feed only — the bootstrap snapshot is not a mutation run
+    from .envelope import change_feed
+
+    feed = change_feed(spark, sf_dir).where(
+        F.col("op").isin("INSERT", "UPDATE", "DELETE")
+    )
+    keyed = feed.select(
+        "user_id",
+        "op",
+        "ts_ms",
+        "event_id",
+        F.coalesce(F.col("value_after").cast("string"),
+                   F.lit(NULL_SENTINEL)).alias("value_s"),
+    )
+    ord_k = F.struct("ts_ms", "event_id")
+    runs = keyed.groupBy("user_id").agg(
+        F.min_by("op", ord_k).alias("first_op"),
+        F.max_by("op", ord_k).alias("last_op"),
+        F.max_by("value_s", ord_k).alias("value"),
+        F.max("ts_ms").alias("last_ts_ms"),
+        F.count("*").alias("n_collapsed"),
+    )
+    net = (
+        F.when(
+            (F.col("first_op") == "INSERT") & (F.col("last_op") == "DELETE"),
+            F.lit(None).cast("string"),  # net no-op: never existed
+        )
+        .when(F.col("last_op") == "DELETE", F.lit("DELETE"))
+        .when(F.col("first_op") == "INSERT", F.lit("INSERT"))
+        .otherwise(F.lit("UPDATE"))
+    )
+    return (
+        runs.withColumn("net_op", net)
+        .where(F.col("net_op").isNotNull())
+        .select(
+            "user_id",
+            "net_op",
+            F.when(F.col("net_op") == "DELETE", F.lit(NULL_SENTINEL))
+            .otherwise(F.col("value"))
+            .alias("value"),
+            "last_ts_ms",
+            "n_collapsed",
+        )
+    )
+
+
+NET_EFFECT_SQL = (
+    f"""
+WITH feed AS ({_FEED_SQL}),
+mut AS (
+    SELECT user_id, op, ts_ms, event_id,
+        COALESCE(CAST(value_after AS VARCHAR), '{NULL_SENTINEL}')
+            AS value_s,
+        {_ORD_K} AS ord_k
+    FROM feed WHERE op IN ('INSERT', 'UPDATE', 'DELETE')
+),
+runs AS (
+    SELECT user_id,
+        arg_min(op, ord_k) AS first_op,
+        arg_max(op, ord_k) AS last_op,
+        arg_max(value_s, ord_k) AS value,
+        MAX(ts_ms) AS last_ts_ms,
+        CAST(COUNT(*) AS BIGINT) AS n_collapsed
+    FROM mut GROUP BY user_id
+)
+SELECT user_id,
+    CASE WHEN last_op = 'DELETE' THEN 'DELETE'
+         WHEN first_op = 'INSERT' THEN 'INSERT'
+         ELSE 'UPDATE' END AS net_op,
+    CASE WHEN last_op = 'DELETE' THEN '{NULL_SENTINEL}'
+         ELSE value END AS value,
+    last_ts_ms, n_collapsed
+FROM runs
+WHERE NOT (first_op = 'INSERT' AND last_op = 'DELETE')
+"""
+)
+
+
 REGISTRY = [
     ("cdc_apply_upsert", apply_upsert_query, APPLY_UPSERT_SQL),
     ("cdc_snapshot_diff", snapshot_diff_query, SNAPSHOT_DIFF_SQL),
     ("cdc_incremental_agg", incremental_agg_query, INCREMENTAL_AGG_SQL),
     ("cdc_ivm_join", ivm_join_query, _ivm_sql()),
+    ("cdc_net_effect_compact", net_effect_query, NET_EFFECT_SQL),
 ]

@@ -36,18 +36,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import prep, read_table
-from .dedup import _with_shingles
 from .text import ws_tokens
 
 # ------------------------------------------------- pairwise source overlap
 
 
 def source_shingles(docs: DataFrame) -> DataFrame:
-    """DISTINCT (source, shingle) — the per-source shingle vocabulary."""
-    sh = _with_shingles(docs.select(F.col("source").alias("doc_id"), "text"))
-    return (
-        sh.select(F.col("doc_id").alias("source"), F.explode("sh").alias("g"))
-        .distinct()
+    """(source, shingle) incidence rows — NOT deduplicated: every
+    consumer aggregates with set/max semantics (collect_set, max of an
+    indicator), which dedup map-side inside the combiner, so a
+    separate DISTINCT exchange would only add a second corpus-sized
+    shuffle for nothing.
+
+    Shingles are built with arrays_zip over three shifted slices and
+    exploded as the zipped array — NOT by exploding the lambda-built
+    shingle array (dedup._shingles): a higher-order-function subtree
+    under a Generate node is evaluated INTERPRETED and dominated the
+    sf0.1 headliner at ~9 s where this native collection form runs the
+    identical explode in 0.4 s (25×). Semantics are unchanged —
+    arrays_zip NULL-pads the short slices and concat_ws drops NULLs,
+    reproducing _shingles' partial shingles for < 3-token docs —
+    so the SQL oracle is shared verbatim. (_shingles stays the right
+    tool for the NARROW minhash path, where the array is consumed by
+    array_min without a Generate.)"""
+    toked = docs.select(
+        "source", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    n = F.size("toks")
+    zipped = F.arrays_zip(
+        F.slice("toks", 1, F.greatest(n - 2, F.lit(1))),
+        F.slice("toks", 2, F.greatest(n - 2, F.lit(1))),
+        F.slice("toks", 3, F.greatest(n - 2, F.lit(1))),
+    )
+    return toked.select("source", F.explode(zipped).alias("z")).select(
+        "source",
+        F.concat_ws(
+            " ", F.col("z.0"), F.col("z.1"), F.col("z.2")
+        ).alias("g"),
     )
 
 
@@ -60,13 +85,21 @@ def source_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = read_table(spark, sf_dir, "documents")
     sh = source_shingles(docs)
-    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
-    # pairs from each shingle's sorted source set: |sources|-bounded per
-    # shingle, so the expansion is linear in the distinct table — never
-    # the corpus² self-join shape.
+    # ONE corpus-sized exchange: collect_set dedups sources per gram in
+    # the combiner. Everything downstream — per-source sizes included —
+    # derives from this vocab-sized table, so the corpus is scanned and
+    # shuffled exactly once.
     by_gram = sh.groupBy("g").agg(
         F.array_sort(F.collect_set("source")).alias("ss")
     )
+    sizes = (
+        by_gram.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    # pairs from each shingle's sorted source set: |sources|-bounded per
+    # shingle, so the expansion is linear in the gram table — never the
+    # corpus² self-join shape.
     pair = F.flatten(
         F.transform(
             F.col("ss"),

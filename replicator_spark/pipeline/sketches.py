@@ -596,9 +596,10 @@ def theta_ops_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = F.when(
         F.substring("source", 4, 9).cast("int") < 10, F.lit("A")
     ).otherwise(F.lit("B"))
+    # no DISTINCT: the max-of-indicator agg dedups in the combiner
+    # (source_shingles' contract), one corpus exchange total
     flagged = (
         sh.select(grp.alias("grp"), "g")
-        .distinct()
         .groupBy("g")
         .agg(
             F.max(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("in_a"),

@@ -522,6 +522,108 @@ def test_kcore_star_collapses(spark, tmp_path):
     assert out[3] == 0
 
 
+# ------------------------------------ invariants of the rank statistics
+
+
+def test_auc_invariant_under_monotone_transform(spark, tmp_path):
+    """AUC depends only on the RANKING of scores: squaring every
+    (positive) value must not change any per-type AUC."""
+    from replicator_spark.queries.funnel import _events_us  # noqa: F401
+    from replicator_spark.queries.stats import auc_query
+
+    base_a, base_b = str(tmp_path / "a"), str(tmp_path / "b")
+    evs = [
+        (i, i * 10**9, i % 7, ["x", "y", "z"][i % 3], float((i * 37) % 101) + 1.0, "{}")
+        for i in range(120)
+    ]
+    _write_events(spark, base_a, evs)
+    _write_events(
+        spark, base_b, [(e, t, u, ty, v * v, p) for e, t, u, ty, v, p in evs]
+    )
+    a = {r["event_type"]: r["auc"] for r in auc_query(spark, base_a).collect()}
+    b = {r["event_type"]: r["auc"] for r in auc_query(spark, base_b).collect()}
+    assert a == b
+
+
+def test_spearman_invariant_under_monotone_transform(spark, tmp_path):
+    """Spearman is a rank statistic: cubing n_chars (strictly monotone
+    on positives) must leave every per-lang rho unchanged."""
+    from replicator_spark.queries.stats import spearman_query
+
+    base_a, base_b = str(tmp_path / "a"), str(tmp_path / "b")
+    rows = [
+        (i, "w " * ((i * 13) % 29 + 1), ["en", "fr"][i % 2], "s", (i * 7) % 31 + 1)
+        for i in range(80)
+    ]
+    _write_docs(spark, base_a, [(d, t.strip(), l, s, n) for d, t, l, s, n in rows])
+    _write_docs(
+        spark, base_b, [(d, t.strip(), l, s, n**3) for d, t, l, s, n in rows]
+    )
+    a = {r["lang"]: r["spearman_rho"] for r in spearman_query(spark, base_a).collect()}
+    b = {r["lang"]: r["spearman_rho"] for r in spearman_query(spark, base_b).collect()}
+    assert a == b
+
+
+def test_gini_scale_invariant(spark, tmp_path):
+    """Gini is scale-free: multiplying every length by 7 must not move
+    the coefficient."""
+    from replicator_spark.queries.stats import gini_query
+
+    base_a, base_b = str(tmp_path / "a"), str(tmp_path / "b")
+    rows = [(i, "w", "en", "s", (i * 11) % 97 + 1) for i in range(60)]
+    _write_docs(spark, base_a, rows)
+    _write_docs(spark, base_b, [(d, t, l, s, n * 7) for d, t, l, s, n in rows])
+    ga = gini_query(spark, base_a).collect()[0]["gini"]
+    gb = gini_query(spark, base_b).collect()[0]["gini"]
+    assert ga == gb
+
+
+# ------------------------------------------------ net-effect compaction
+
+
+def test_net_effect_matches_python_model(spark, sf_dir):
+    """Re-derive every key's net mutation with a plain-Python replay of
+    the feed and require exact agreement — the collapse rule is the
+    operator's whole contract."""
+    from replicator_spark.cdc.apply import NULL_SENTINEL, net_effect_query
+    from replicator_spark.cdc.envelope import change_feed
+
+    feed = [
+        r.asDict()
+        for r in change_feed(spark, sf_dir)
+        .where(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+        .collect()
+    ]
+    runs: dict[int, list] = {}
+    for r in sorted(feed, key=lambda r: (r["ts_ms"], r["event_id"])):
+        runs.setdefault(r["user_id"], []).append(r)
+    model = {}
+    for uid, rs in runs.items():
+        first, last = rs[0]["op"], rs[-1]["op"]
+        if first == "INSERT" and last == "DELETE":
+            continue  # net no-op
+        net = (
+            "DELETE"
+            if last == "DELETE"
+            else "INSERT" if first == "INSERT" else "UPDATE"
+        )
+        v = (
+            NULL_SENTINEL
+            if net == "DELETE"
+            else (
+                str(rs[-1]["value_after"])
+                if rs[-1]["value_after"] is not None
+                else NULL_SENTINEL
+            )
+        )
+        model[uid] = (net, v, len(rs))
+    got = {
+        r["user_id"]: (r["net_op"], r["value"], r["n_collapsed"])
+        for r in net_effect_query(spark, sf_dir).collect()
+    }
+    assert got == model
+
+
 # ------------------------------------------------ format round-trips
 
 HOSTILE_ROWS = [
