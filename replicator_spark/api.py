@@ -160,6 +160,9 @@ _PRIORITY = [
     "text_hashing_vectorizer",
     "graph_kcore",
     "cdc_net_effect_compact",
+    "curate_bloom_decontam",
+    "emb_matryoshka_fidelity",
+    "dq_benford_digits",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

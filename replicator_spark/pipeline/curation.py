@@ -345,6 +345,126 @@ GROUP BY t.doc_id
 """
 )
 
+# ------------------------------------------------- Bloom decontamination
+#
+# The AT-SCALE variant of curate_ngram_decontam: instead of
+# broadcasting the eval set's distinct n-grams (which grows with the
+# eval corpus), build a CONSTANT-SIZE Bloom filter over them
+# (sketches.py's deterministic md5 construction, m=4096, k=4) and
+# membership-test every training gram against the broadcast bit set —
+# the map-side decontam probe whose broadcast is ≤ m rows no matter
+# how many benchmarks are held out. The operator reports bloom-flagged
+# vs exact-flagged doc counts side by side, so the false-positive cost
+# of the constant-size filter is part of the output contract (Bloom
+# has no false NEGATIVES — every exact hit is flagged — so decontam
+# soundness is preserved; FPs only over-remove).
+
+
+def bloom_decontam_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketches import BLOOM_K, _bloom_pos
+
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_kgrams(F.col("toks"), DECONTAM_K))
+        ).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % EVAL_EVERY == 0
+    eval_g = grams.where(is_eval).select("gram").distinct()
+    pos_arr = F.array(
+        *[_bloom_pos(F.col("gram"), i) for i in range(BLOOM_K)]
+    )
+    bits = eval_g.select(F.explode(pos_arr).alias("pos")).distinct()
+    train = grams.where(~is_eval)
+    probe = train.select("doc_id", "gram", F.explode(pos_arr).alias("pos"))
+    gram_hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("nset"))
+        .where(F.col("nset") == BLOOM_K)
+    )
+    bloom_docs = gram_hits.select("doc_id").distinct()
+    exact_docs = (
+        train.join(F.broadcast(eval_g), "gram", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train_docs = train.select("doc_id").distinct()
+    fp = bloom_docs.join(exact_docs, "doc_id", "anti")
+    out = (
+        train_docs.agg(F.count("*").alias("n_train_docs"))
+        .crossJoin(
+            F.broadcast(exact_docs.agg(F.count("*").alias("n_exact_flagged")))
+        )
+        .crossJoin(
+            F.broadcast(bloom_docs.agg(F.count("*").alias("n_bloom_flagged")))
+        )
+        .crossJoin(F.broadcast(fp.agg(F.count("*").alias("n_false_pos"))))
+    )
+    return out.select(
+        "n_train_docs",
+        "n_exact_flagged",
+        "n_bloom_flagged",
+        "n_false_pos",
+        F.round(
+            F.col("n_false_pos").cast("double")
+            / F.col("n_train_docs").cast("double"),
+            6,
+        ).alias("fp_doc_rate"),
+    )
+
+
+def _bloom_decontam_sql() -> str:
+    from .sketches import BLOOM_K, _bloom_pos_sql
+
+    pos_list = ", ".join(_bloom_pos_sql(i, "gram") for i in range(BLOOM_K))
+    return (
+        _GRAMS_SQL
+        + f""",
+eval_g AS (
+    SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_EVERY} = 0
+),
+bits AS (
+    SELECT DISTINCT pos FROM eval_g, UNNEST([{pos_list}]) AS u(pos)
+),
+train AS (
+    SELECT doc_id, gram FROM grams WHERE doc_id % {EVAL_EVERY} <> 0
+),
+probe AS (
+    SELECT doc_id, gram, pos FROM train, UNNEST([{pos_list}]) AS u(pos)
+),
+gram_hits AS (
+    SELECT doc_id, gram
+    FROM probe JOIN bits USING (pos)
+    GROUP BY doc_id, gram HAVING COUNT(*) = {BLOOM_K}
+),
+bloom_docs AS (SELECT DISTINCT doc_id FROM gram_hits),
+exact_docs AS (
+    SELECT DISTINCT t.doc_id FROM train t
+    WHERE t.gram IN (SELECT gram FROM eval_g)
+),
+counts AS (
+    SELECT
+        (SELECT COUNT(DISTINCT doc_id) FROM train) AS n_train_docs,
+        (SELECT COUNT(*) FROM exact_docs) AS n_exact_flagged,
+        (SELECT COUNT(*) FROM bloom_docs) AS n_bloom_flagged,
+        (SELECT COUNT(*) FROM bloom_docs b
+         WHERE b.doc_id NOT IN (SELECT doc_id FROM exact_docs))
+            AS n_false_pos
+)
+SELECT n_train_docs, n_exact_flagged, n_bloom_flagged, n_false_pos,
+    round(CAST(n_false_pos AS DOUBLE) / CAST(n_train_docs AS DOUBLE), 6)
+        AS fp_doc_rate
+FROM counts
+"""
+    )
+
+
 # ------------------------------------------------------------ global shuffle
 
 N_SHUF_SHARDS = 16
@@ -613,6 +733,7 @@ REGISTRY = [
     ("curate_dataset_split", dataset_split_query, DATASET_SPLIT_SQL),
     ("curate_contamination", contamination_query, CONTAMINATION_SQL),
     ("curate_ngram_decontam", ngram_decontam_query, NGRAM_DECONTAM_SQL),
+    ("curate_bloom_decontam", bloom_decontam_query, _bloom_decontam_sql()),
     ("curate_global_shuffle", global_shuffle_query, GLOBAL_SHUFFLE_SQL),
     ("curate_quality_filter", quality_filter_query, QUALITY_FILTER_SQL),
     ("curate_weighted_sample", weighted_sample_query, WEIGHTED_SAMPLE_SQL),

@@ -604,6 +604,110 @@ WHERE f.query_id < f.cand_id
 """
 
 
+# ------------------------------------------ Matryoshka truncation fidelity
+#
+# How much cosine structure survives truncating embeddings to a prefix
+# of their dimensions (the Matryoshka/MRL deployment question: serve
+# 16 of 64 dims and save 4× memory — what does it cost?). For each
+# query (vec_id < N_QUERIES) against its same-cell candidates, cosine
+# is computed at the full 64 dims and at renormalized prefixes 32/16/8;
+# the report is the mean/max |Δcosine| per truncation budget. Each
+# |Δ| is rounded to 9 dp and summed as DECIMAL (lm.py's armor), so the
+# mean is order-free; all dots are sequential folds, identical in both
+# engines.
+#
+# Scale: candidates come from the IVF cell equi-join (the knn-graph
+# shape); every per-pair expression is map-side, and the output is
+# |budgets| rows from one combiner agg.
+
+MATRYOSHKA_DIMS = (32, 16, 8)
+
+
+def _dot_prefix(a: Column, b: Column, d: int) -> Column:
+    return _dot(F.slice(a, 1, d), F.slice(b, 1, d))
+
+
+def matryoshka_fidelity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"), "label"
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "label", F.col("v").alias("qv")
+    )
+    pairs = emb.join(F.broadcast(q), "label").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    full = _dot(F.col("qv"), F.col("v")) / (
+        _norm(F.col("qv")) * _norm(F.col("v"))
+    )
+    rows = []
+    for d in MATRYOSHKA_DIMS:
+        trunc = _dot_prefix(F.col("qv"), F.col("v"), d) / (
+            F.sqrt(_dot_prefix(F.col("qv"), F.col("qv"), d))
+            * F.sqrt(_dot_prefix(F.col("v"), F.col("v"), d))
+        )
+        delta = F.round(F.abs(full - trunc), 9)
+        rows.append(
+            pairs.select(
+                F.lit(d).alias("dim"),
+                delta.cast("decimal(20,9)").alias("delta"),
+            )
+        )
+    deltas = rows[0]
+    for r in rows[1:]:
+        deltas = deltas.unionByName(r)
+    return deltas.groupBy("dim").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum("delta").cast("double") / F.count("*"), 6
+        ).alias("mean_abs_delta"),
+        F.round(F.max("delta").cast("double"), 6).alias("max_abs_delta"),
+    )
+
+
+def _trunc_cos_sql(d: int) -> str:
+    dot = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> q.qv[i] * e.v[i]), (x, y) -> x + y)"
+    )
+    qq = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> q.qv[i] * q.qv[i]), (x, y) -> x + y)"
+    )
+    cc = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> e.v[i] * e.v[i]), (x, y) -> x + y)"
+    )
+    return f"(0.0 + {dot}) / (sqrt(0.0 + {qq}) * sqrt(0.0 + {cc}))"
+
+
+_MAT_BRANCH = " UNION ALL ".join(
+    f"""
+SELECT {d} AS dim,
+    CAST(round(abs(
+        (0.0 + {_dot_sql("q.qv", "e.v")})
+        / (sqrt(0.0 + {_dot_sql("q.qv", "q.qv")})
+           * sqrt(0.0 + {_dot_sql("e.v", "e.v")}))
+        - {_trunc_cos_sql(d)}), 9) AS DECIMAL(20,9)) AS delta
+FROM emb e JOIN q USING (label) WHERE e.vec_id <> q.query_id"""
+    for d in MATRYOSHKA_DIMS
+)
+
+MATRYOSHKA_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, label, v AS qv FROM emb
+    WHERE vec_id < {N_QUERIES}
+), deltas AS ({_MAT_BRANCH})
+SELECT dim, COUNT(*) AS n_pairs,
+    round(CAST(SUM(delta) AS DOUBLE) / COUNT(*), 6) AS mean_abs_delta,
+    round(CAST(MAX(delta) AS DOUBLE), 6) AS max_abs_delta
+FROM deltas GROUP BY dim
+"""
+
+
 REGISTRY = [
     ("sim_cosine_topk", cosine_topk_query, COSINE_TOPK_SQL),
     ("sim_ivf_topk", ivf_topk_query, IVF_TOPK_SQL),
@@ -613,4 +717,6 @@ REGISTRY = [
     ("sim_label_separability", label_separability_query,
      LABEL_SEPARABILITY_SQL),
     ("sim_knn_graph", knn_graph_query, KNN_GRAPH_SQL),
+    ("emb_matryoshka_fidelity", matryoshka_fidelity_query,
+     MATRYOSHKA_SQL),
 ]

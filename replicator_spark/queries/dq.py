@@ -165,6 +165,66 @@ FROM lineitem l WHERE NOT EXISTS (
     SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
 """
 
+# ------------------------------------------------ Benford digit audit
+#
+# First-significant-digit distribution of order totals vs Benford's
+# law — the classic forensic data-quality screen for fabricated or
+# truncated monetary columns. The digit is extracted ARITHMETICALLY
+# (first char of the exact integer cents, round(x·100) — prices carry
+# 2 decimals), never via float log10, whose boundary ulps could
+# misclassify a 10^k-adjacent value differently per engine. Expected
+# shares are log10(1 + 1/d) rounded to 6 dp; observed shares are
+# integer-count ratios. One combiner-backed 9-key agg — trivially
+# 100 TB-safe.
+#
+# (TPC-H's uniform price generator is NOT Benford-distributed — the
+# value of the audit is the deviation column itself, which the tests
+# pin as stable.)
+
+
+def benford_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    cnt = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = cnt.agg(F.sum("n").alias("total"))
+    benford_p = F.round(
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6
+    )
+    obs = F.round(F.col("n").cast("double") / F.col("total").cast("double"), 6)
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            obs.alias("obs_p"),
+            benford_p.alias("benford_p"),
+            F.round(F.abs(obs - benford_p), 6).alias("abs_dev"),
+        )
+    )
+
+
+BENFORD_SQL = """
+WITH cnt AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INT) AS digit,
+        COUNT(*) AS n
+    FROM orders GROUP BY 1
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt)
+SELECT digit, n,
+    round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_p,
+    round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p,
+    round(abs(round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6)
+              - round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)), 6)
+        AS abs_dev
+FROM cnt CROSS JOIN tot
+"""
+
+
 REGISTRY = [
     ("dq_constraints", dq_constraints_query, DQ_CONSTRAINTS_SQL),
+    ("dq_benford_digits", benford_query, BENFORD_SQL),
 ]

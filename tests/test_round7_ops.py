@@ -578,6 +578,65 @@ def test_gini_scale_invariant(spark, tmp_path):
     assert ga == gb
 
 
+# ------------------------------------------------ Bloom decontamination
+
+
+def test_bloom_decontam_no_false_negatives(spark, sf_dir):
+    """Bloom membership has no false negatives: every exactly-flagged
+    doc must be bloom-flagged, and the overcount must be exactly the
+    false positives."""
+    from replicator_spark.pipeline.curation import bloom_decontam_query
+
+    r = bloom_decontam_query(spark, sf_dir).collect()[0]
+    assert r["n_bloom_flagged"] >= r["n_exact_flagged"]
+    assert r["n_bloom_flagged"] == r["n_exact_flagged"] + r["n_false_pos"]
+    assert 0.0 <= r["fp_doc_rate"] <= 1.0
+    assert r["n_train_docs"] > 0
+
+
+# ------------------------------------------------ Matryoshka fidelity
+
+
+def test_matryoshka_delta_grows_as_dims_shrink(spark, sf_dir):
+    from replicator_spark.pipeline.similarity import (
+        MATRYOSHKA_DIMS,
+        matryoshka_fidelity_query,
+    )
+
+    rows = {
+        r["dim"]: r for r in matryoshka_fidelity_query(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == sorted(MATRYOSHKA_DIMS)
+    # all budgets score the same pair set
+    assert len({r["n_pairs"] for r in rows.values()}) == 1
+    # truncating harder must lose at least as much cosine structure
+    assert (
+        rows[8]["mean_abs_delta"]
+        >= rows[16]["mean_abs_delta"]
+        >= rows[32]["mean_abs_delta"]
+        >= 0.0
+    )
+    for r in rows.values():
+        assert r["max_abs_delta"] >= r["mean_abs_delta"]
+
+
+# ------------------------------------------------ Benford audit
+
+
+def test_benford_shares_and_digits(spark, sf_dir):
+    from replicator_spark.queries.dq import benford_query
+
+    rows = benford_query(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["obs_p"] for r in rows) - 1.0) < 1e-4
+    # Benford expectations are a fixed distribution summing to 1
+    import math
+
+    for r in rows:
+        assert abs(r["benford_p"] - round(math.log10(1 + 1 / r["digit"]), 6)) < 1e-9
+        assert abs(r["abs_dev"] - round(abs(r["obs_p"] - r["benford_p"]), 6)) < 1e-9
+
+
 # ------------------------------------------------ net-effect compaction
 
 
