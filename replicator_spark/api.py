@@ -163,6 +163,7 @@ _PRIORITY = [
     "curate_bloom_decontam",
     "emb_matryoshka_fidelity",
     "dq_benford_digits",
+    "text_bpe_train",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

@@ -315,9 +315,99 @@ SELECT pair, n, rank FROM (
 """
 
 
+# ------------------------------------------------- full BPE trainer
+#
+# The complete byte-pair-encoding merge LOOP (text_bpe_pairs above is
+# one round): maintain the word-frequency table with each word as a
+# symbol sequence; each round counts adjacent symbol pairs weighted by
+# word frequency, merges the winning pair (count desc, then
+# lexicographic — fully deterministic) greedily left-to-right in every
+# word, and repeats. Output is the learned merge table, rank-ordered —
+# the artifact a tokenizer ships.
+#
+# Spark-first shape (the kmeans/PQ pattern): all heavy state lives in
+# the VOCAB-BOUNDED word table (never the corpus — one corpus scan
+# builds it); the per-round reduction to a single winning pair is a
+# constant-size driver-side collect, exactly like the k-means centroid
+# update, and the merge rewrite is a narrow fold over the word table.
+# localCheckpoint truncates lineage per round (cluster.py's lesson:
+# nested round plans re-analyze superlinearly). Genuinely iterative →
+# registered rows-only (no SQL oracle), with an exact pure-Python
+# replay test as the correctness pin.
+
+N_BPE_MERGES = 8
+
+
+def _merge_pair(l: str, r: str):  # noqa: E741 - l/r mirror BPE papers
+    merged = l + r
+    return F.aggregate(
+        F.col("syms"),
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(l))
+            & (x == F.lit(r)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.expr(
+                "transform(sequence(1, char_length(w)),"
+                " i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(1, N_BPE_MERGES + 1):
+        n = F.size("syms")
+        pair_rows = (
+            words.where(n >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, n - 1), F.slice("syms", 2, n - 1)
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.0").alias("l"), F.col("p.1").alias("r"))
+            .agg(F.sum("freq").alias("total"))
+            .orderBy(F.col("total").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pair_rows:
+            break
+        win = pair_rows[0]
+        merges.append(
+            (rank, win["l"], win["r"], win["l"] + win["r"], int(win["total"]))
+        )
+        words = words.select(
+            "freq", _merge_pair(win["l"], win["r"]).alias("syms")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string,"
+        " merged string, weighted_count long"
+    )
+
+
 REGISTRY = [
     ("curate_mixture_weights", mixture_weights_query, MIXTURE_WEIGHTS_SQL),
     ("curate_token_budget", token_budget_query, TOKEN_BUDGET_SQL),
     ("text_oov_rate", oov_rate_query, OOV_RATE_SQL),
     ("text_bpe_pairs", bpe_pairs_query, BPE_PAIRS_SQL),
+    ("text_bpe_train", bpe_train_query, None),
 ]

@@ -637,6 +637,84 @@ def test_benford_shares_and_digits(spark, sf_dir):
         assert abs(r["abs_dev"] - round(abs(r["obs_p"] - r["benford_p"]), 6)) < 1e-9
 
 
+# ------------------------------------------------ BPE trainer
+
+
+def _bpe_replay(word_freqs: dict, n_merges: int):
+    """Reference BPE (Sennrich et al.): greedy left-to-right merge of
+    the (count desc, lexicographic asc) winning pair each round."""
+    words = [(list(w), f) for w, f in sorted(word_freqs.items())]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for syms, f in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), total = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, l + r, total))
+        new_words = []
+        for syms, f in words:
+            acc: list = []
+            for x in syms:
+                if acc and acc[-1] == l and x == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(x)
+            new_words.append((acc, f))
+        words = new_words
+    return merges
+
+
+def test_bpe_train_matches_python_replay(spark, sf_dir):
+    from replicator_spark.pipeline.mixture import (
+        N_BPE_MERGES,
+        bpe_train_query,
+    )
+    from replicator_spark.pipeline.text import ws_tokens
+    from replicator_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    freqs: dict = {}
+    for r in docs.select(
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("w")
+    ).collect():
+        freqs[r["w"]] = freqs.get(r["w"], 0) + 1
+    want = _bpe_replay(freqs, N_BPE_MERGES)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"],
+         r["weighted_count"])
+        for r in bpe_train_query(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_bpe_train_overlapping_run_is_greedy(spark, tmp_path):
+    """'aaaa' with merge (a,a) must tokenize greedily to [aa, aa] —
+    the left-to-right rule, not an overlap double-count."""
+    from replicator_spark.pipeline.mixture import bpe_train_query
+
+    base = str(tmp_path)
+    _write_docs(spark, base, [(1, "aaaa aaaa baaa", "en", "s", 14)])
+    rows = {
+        r["merge_rank"]: r
+        for r in bpe_train_query(spark, base).collect()
+    }
+    # round 1: (a,a) appears 3+3+3? No - weighted by word freq:
+    # 'aaaa' freq 2 contributes 3 adjacencies each, 'baaa' 2 -> 8
+    assert rows[1]["merged"] == "aa"
+    assert rows[1]["weighted_count"] == 8
+    # round 2: words are [aa,aa]x2 and [b,aa,a]... greedy fold of baaa
+    # = [b, aa, a] so pairs: (aa,aa)x2, (b,aa)x1, (aa,a)x1
+    assert rows[2]["left"] == "aa" and rows[2]["right"] == "aa"
+    assert rows[2]["weighted_count"] == 2
+
+
 # ------------------------------------------------ net-effect compaction
 
 

@@ -101,6 +101,21 @@ SLATE = [
     "sketch_theta_ops",
     "stream_near_dedup",
     "source_csv_roundtrip",
+    # round-4 batch 4-6: segmentation/graph/featurizer/decontam ops —
+    # the claims under test are the median-cutoff broadcast (rfm), the
+    # per-round survivor joins (kcore), the cell-bounded pair scoring
+    # (knn graph, matryoshka), the constant-size bloom broadcast, and
+    # the no-global-state featurizer
+    "events_rfm_segments",
+    "text_hashing_vectorizer",
+    "graph_kcore",
+    "sim_knn_graph",
+    "cdc_net_effect_compact",
+    "curate_bloom_decontam",
+    "emb_matryoshka_fidelity",
+    "dq_benford_digits",
+    "stats_gini",
+    "graph_assortativity",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
