@@ -373,14 +373,9 @@ def _ivm_sql() -> str:
 # map partition at 100 TB).
 
 
-def net_effect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prep(spark)
-    # feed only — the bootstrap snapshot is not a mutation run
-    from .envelope import change_feed
-
-    feed = change_feed(spark, sf_dir).where(
-        F.col("op").isin("INSERT", "UPDATE", "DELETE")
-    )
+def net_effect_from(feed: DataFrame) -> DataFrame:
+    """Collapse a change feed (user_id, op, ts_ms, event_id,
+    value_after) to net mutations — the property-testable core."""
     keyed = feed.select(
         "user_id",
         "op",
@@ -417,6 +412,18 @@ def net_effect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value"),
             "last_ts_ms",
             "n_collapsed",
+        )
+    )
+
+
+def net_effect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    # feed only — the bootstrap snapshot is not a mutation run
+    from .envelope import change_feed
+
+    return net_effect_from(
+        change_feed(spark, sf_dir).where(
+            F.col("op").isin("INSERT", "UPDATE", "DELETE")
         )
     )
 

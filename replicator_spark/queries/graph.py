@@ -366,11 +366,16 @@ def kcore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv = sym.join(
             alive.select(F.col("n").alias("a")), "a"
         ).join(alive.select(F.col("n").alias("b")), "b")
+        # localCheckpoint per round: the survivor-count branches below
+        # are separate plan trees — without truncation round i's branch
+        # re-runs every earlier peel (cluster.py's lineage lesson;
+        # measured 11.8 s → 6 s at sf0.1)
         alive = (
             surv.groupBy("a")
             .agg(F.count("*").alias("d"))
             .where(F.col("d") >= KCORE_K)
             .select(F.col("a").alias("n"))
+            .localCheckpoint()
         )
         out.append(
             alive.agg(F.count("*").alias("n_alive")).select(

@@ -94,6 +94,68 @@ def test_txn_assembly_state_is_batch_split_invariant(data):
 @given(
     st.lists(
         st.tuples(
+            st.integers(min_value=1, max_value=5),          # user key
+            st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+            st.one_of(st.none(), st.floats(
+                allow_nan=False, allow_infinity=False,
+                min_value=-1e6, max_value=1e6)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_net_effect_collapse_matches_model(spark, muts):
+    """For ANY per-key mutation run, the collapsed feed must equal the
+    first-op/last-op rule: INSERT→…→DELETE vanishes, last DELETE wins,
+    leading INSERT keeps INSERT, everything else nets to UPDATE with
+    the final image."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from replicator_spark.cdc.apply import NULL_SENTINEL, net_effect_from
+
+    rows = [
+        (uid, op, 1000 + i, i, val)
+        for i, (uid, op, val) in enumerate(muts)
+    ]
+    feed = spark.createDataFrame(
+        rows,
+        "user_id long, op string, ts_ms long, event_id long,"
+        " value_after double",
+    )
+    def _v(s):
+        # Spark and Python format doubles differently ('1E-5' vs
+        # '1e-05'); the contract is the VALUE, not the rendering
+        return s if s == NULL_SENTINEL else float(s)
+
+    got = {
+        r["user_id"]: (r["net_op"], _v(r["value"]), r["n_collapsed"])
+        for r in net_effect_from(feed).collect()
+    }
+    runs: dict[int, list] = {}
+    for uid, op, ts, eid, val in rows:
+        runs.setdefault(uid, []).append((ts, eid, op, val))
+    model = {}
+    for uid, rs in runs.items():
+        rs.sort()
+        first, last = rs[0][2], rs[-1][2]
+        if first == "INSERT" and last == "DELETE":
+            continue
+        net = (
+            "DELETE" if last == "DELETE"
+            else "INSERT" if first == "INSERT" else "UPDATE"
+        )
+        v = (
+            NULL_SENTINEL if net == "DELETE"
+            else (rs[-1][3] if rs[-1][3] is not None else NULL_SENTINEL)
+        )
+        model[uid] = (net, v, len(rs))
+    assert got == model
+
+
+@given(
+    st.lists(
+        st.tuples(
             st.integers(min_value=0, max_value=200),   # commit second
             st.integers(min_value=1, max_value=60),    # changes to one row
         ),
