@@ -164,6 +164,9 @@ _PRIORITY = [
     "emb_matryoshka_fidelity",
     "dq_benford_digits",
     "text_bpe_train",
+    "stats_welch_ttest",
+    "ts_autocorrelation",
+    "dedup_threshold_sweep",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

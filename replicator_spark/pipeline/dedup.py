@@ -550,6 +550,113 @@ WHERE round((0.0 + {_dot_sql("ea.v", "eb.v")})
 """
 
 
+# ------------------------------------------------ threshold sweep
+#
+# Threshold-sensitivity curve for embedding near-dedup: over the SAME
+# LSH-blocked candidate pairs as dedup_embedding_cosine, count pairs
+# and distinct docs flagged at each cosine cutoff in a grid — the
+# curve a curation owner reads before picking the production
+# threshold (too low = over-merging, too high = dup leakage). One
+# candidate scoring pass; the grid is a tiny conditional agg over it,
+# so the sweep costs the same as a single-threshold run at 100 TB.
+
+SWEEP_THRESHOLDS = (0.20, 0.25, 0.30, 0.35, 0.40, 0.45)
+
+
+def threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _as_double, _dot, _norm, lsh_bucket_expr
+
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.select(
+        "vec_id", lsh_bucket_expr(F.col("v")).alias("bucket")
+    )
+    buckets = (
+        bucketed.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(ids, (x, i) ->
+                    transform(slice(ids, i + 2, size(ids) - i - 1),
+                              y -> struct(x AS vec_a, y AS vec_b))))"""
+            )
+        ).alias("p")
+    ).select("p.vec_a", "p.vec_b")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    scored = (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    grid = [
+        scored.where(F.col("cosine") >= t).agg(
+            F.lit(t).alias("threshold"),
+            F.count("*").alias("n_pairs"),
+            F.countDistinct(
+                F.greatest("vec_a", "vec_b")
+            ).alias("n_docs_dropped"),
+        )
+        for t in SWEEP_THRESHOLDS
+    ]
+    out = grid[0]
+    for g in grid[1:]:
+        out = out.unionByName(g)
+    # countDistinct(greatest) = keep-lowest-id policy: at threshold t
+    # every pair drops its higher id; distinct count = docs removed
+    return out.select(
+        F.round("threshold", 2).alias("threshold"),
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_docs_dropped", F.lit(0)).alias("n_docs_dropped"),
+    )
+
+
+def _threshold_sweep_sql() -> str:
+    from .similarity import _BUCKET_SQL, _dot_sql
+
+    branches = " UNION ALL ".join(
+        f"""
+SELECT round({t}, 2) AS threshold,
+    COUNT(*) AS n_pairs,
+    COUNT(DISTINCT greatest(vec_a, vec_b)) AS n_docs_dropped
+FROM scored WHERE cosine >= {t}"""
+        for t in SWEEP_THRESHOLDS
+    )
+    return f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bucketed AS (
+    SELECT vec_id, {_BUCKET_SQL} AS bucket FROM emb
+), pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), scored AS (
+    SELECT vec_a, vec_b,
+        round((0.0 + {_dot_sql("ea.v", "eb.v")})
+            / (sqrt(0.0 + {_dot_sql("ea.v", "ea.v")})
+               * sqrt(0.0 + {_dot_sql("eb.v", "eb.v")})), 6) AS cosine
+    FROM pairs
+    JOIN emb ea ON vec_a = ea.vec_id
+    JOIN emb eb ON vec_b = eb.vec_id
+)
+{branches}
+"""
+
+
 REGISTRY = [
     ("dedup_exact", exact_dedup_query, EXACT_DEDUP_SQL),
     ("dedup_minhash_lsh", minhash_lsh_query, MINHASH_LSH_SQL),
@@ -557,4 +664,5 @@ REGISTRY = [
     ("dedup_simhash", simhash_query, SIMHASH_SQL),
     ("dedup_embedding_cosine", embedding_near_dup_query, _emb_near_dup_sql()),
     ("dedup_containment", containment_query, CONTAINMENT_SQL),
+    ("dedup_threshold_sweep", threshold_sweep_query, _threshold_sweep_sql()),
 ]

@@ -652,6 +652,97 @@ FROM agg
 """
 
 
+# ------------------------------------------------ Welch's t-test
+#
+# Two-sample Welch t (unequal variances) between two sources' document
+# lengths — the mean-shift companion to stats_ks_test's full-
+# distribution drift check, with the Welch–Satterthwaite effective
+# degrees of freedom. Lengths are integers, so all five moment sums
+# are exact BIGINT/DECIMAL and order-free; t and df are single double
+# expressions on identical inputs, rounded to 6 dp.
+#
+# Scale: one combiner-backed two-group agg over the filtered scan —
+# nothing else.
+
+T_SRC_A = "src0"
+T_SRC_B = "src1"
+
+
+def welch_ttest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("source").isin(T_SRC_A, T_SRC_B)
+    )
+    g = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("n_chars").cast("decimal(20,0)")).alias("s"),
+        F.sum(
+            F.col("n_chars").cast("decimal(20,0)")
+            * F.col("n_chars").cast("decimal(18,0)")
+        ).alias("ss"),
+    )
+    a = g.where(F.col("source") == T_SRC_A).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    b = g.where(F.col("source") == T_SRC_B).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    va = (F.col("ssa").cast("double") - na * ma * ma) / (na - 1)
+    vb = (F.col("ssb").cast("double") - nb * mb * mb) / (nb - 1)
+    se2a, se2b = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(se2a + se2b)
+    df = (se2a + se2b) * (se2a + se2b) / (
+        se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)
+    )
+    return j.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+    )
+
+
+WELCH_TTEST_SQL = f"""
+WITH g AS (
+    SELECT source, COUNT(*) AS n,
+        SUM(CAST(n_chars AS DECIMAL(20,0))) AS s,
+        SUM(CAST(n_chars AS DECIMAL(20,0))
+            * CAST(n_chars AS DECIMAL(18,0))) AS ss
+    FROM documents WHERE source IN ('{T_SRC_A}', '{T_SRC_B}')
+    GROUP BY source
+), a AS (SELECT n AS na, s AS sa, ss AS ssa FROM g WHERE source = '{T_SRC_A}'),
+b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM g WHERE source = '{T_SRC_B}'),
+j AS (
+    SELECT na, nb,
+        CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+        CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        (CAST(ssa AS DOUBLE) - CAST(na AS DOUBLE)
+            * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+            * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+            / (CAST(na AS DOUBLE) - 1) AS va,
+        (CAST(ssb AS DOUBLE) - CAST(nb AS DOUBLE)
+            * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+            * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+            / (CAST(nb AS DOUBLE) - 1) AS vb
+    FROM a CROSS JOIN b
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+    round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+    round((ma - mb) / sqrt(va / nad + vb / nbd), 6) AS t_stat,
+    round((va / nad + vb / nbd) * (va / nad + vb / nbd)
+          / ((va / nad) * (va / nad) / (nad - 1)
+             + (vb / nbd) * (vb / nbd) / (nbd - 1)), 6) AS welch_df
+FROM j
+"""
+
+
 REGISTRY = [
     ("stats_percentiles", percentiles_query, PERCENTILES_SQL),
     ("stats_chisq_independence", chisq_query, CHISQ_SQL),
@@ -662,4 +753,5 @@ REGISTRY = [
     ("stats_spearman", spearman_query, SPEARMAN_SQL),
     ("stats_auc", auc_query, AUC_SQL),
     ("stats_gini", gini_query, GINI_SQL),
+    ("stats_welch_ttest", welch_ttest_query, WELCH_TTEST_SQL),
 ]

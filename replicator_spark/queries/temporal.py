@@ -315,9 +315,104 @@ SELECT window_start_ms, event_type, COUNT(*) AS n,
 FROM hopped GROUP BY 1, 2
 """
 
+# ------------------------------------------------ autocorrelation
+#
+# Lag-k autocorrelation (k = 1..ACF_MAX_LAG) of the daily event-count
+# series — the seasonality probe behind capacity planning and anomaly
+# thresholds (a strong lag-7 says weekly cycle). Standard ACF:
+# r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², missing trailing terms
+# excluded. The day series is one combiner-backed count agg over the
+# corpus; every later step runs on the |days|-sized table (the lead
+# window's single partition IS that tiny table, not the corpus).
+# Determinism: each cross-term is rounded to 9 dp and summed as
+# DECIMAL — partition order can't perturb the ratio.
+
+ACF_MAX_LAG = 7
+
+
+def autocorr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("ts div 1000000 div 86400000").alias("day")
+    ).agg(F.count("*").alias("n"))
+    mean = daily.agg(F.avg(F.col("n").cast("double")).alias("mu"))
+    x = daily.crossJoin(F.broadcast(mean)).select(
+        "day", (F.col("n").cast("double") - F.col("mu")).alias("x")
+    )
+    w = W.orderBy("day")
+    leads = x.select(
+        "x",
+        *[
+            F.lead("x", k).over(w).alias(f"x{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(24,9)")  # noqa: E731
+    aggs = [F.count("*").alias("n_days"), F.sum(dec(F.col("x") * F.col("x"))).alias("den")]
+    for k in range(1, ACF_MAX_LAG + 1):
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(f"x{k}").isNotNull(),
+                    dec(F.col("x") * F.col(f"x{k}")),
+                )
+            ).alias(f"num{k}")
+        )
+    g = leads.agg(*aggs)
+    return g.select(
+        "n_days",
+        *[
+            F.round(
+                F.col(f"num{k}").cast("double") / F.col("den").cast("double"),
+                6,
+            ).alias(f"acf_lag{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+
+
+_ACF_NUMS = ",\n    ".join(
+    f"""SUM(CASE WHEN x{k} IS NOT NULL THEN
+        CAST(round(x * x{k}, 9) AS DECIMAL(24,9)) END) AS num{k}"""
+    for k in range(1, ACF_MAX_LAG + 1)
+)
+_ACF_LEADS = ",\n    ".join(
+    f"LEAD(x, {k}) OVER (ORDER BY day) AS x{k}"
+    for k in range(1, ACF_MAX_LAG + 1)
+)
+_ACF_OUT = ",\n    ".join(
+    f"round(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf_lag{k}"
+    for k in range(1, ACF_MAX_LAG + 1)
+)
+
+AUTOCORR_SQL = f"""
+WITH daily AS (
+    SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS n
+    FROM events GROUP BY 1
+), mean AS (SELECT AVG(CAST(n AS DOUBLE)) AS mu FROM daily),
+x AS (
+    SELECT day, CAST(n AS DOUBLE) - mu AS x FROM daily CROSS JOIN mean
+), leads AS (
+    SELECT x,
+    {_ACF_LEADS}
+    FROM x
+), g AS (
+    SELECT COUNT(*) AS n_days,
+        SUM(CAST(round(x * x, 9) AS DECIMAL(24,9))) AS den,
+    {_ACF_NUMS}
+    FROM leads
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+    {_ACF_OUT}
+FROM g
+"""
+
+
 REGISTRY = [
     ("temporal_asof_join", asof_join_query, ASOF_JOIN_SQL),
     ("temporal_range_join", range_join_query, RANGE_JOIN_SQL),
     ("temporal_rollup", rollup_query, ROLLUP_SQL),
     ("temporal_sliding_window", sliding_window_query, SLIDING_WINDOW_SQL),
+    ("ts_autocorrelation", autocorr_query, AUTOCORR_SQL),
 ]

@@ -637,6 +637,85 @@ def test_benford_shares_and_digits(spark, sf_dir):
         assert abs(r["abs_dev"] - round(abs(r["obs_p"] - r["benford_p"]), 6)) < 1e-9
 
 
+# ------------------------------------------------ Welch t-test
+
+
+def test_welch_ttest_zero_for_identical_groups(spark, tmp_path):
+    from replicator_spark.queries.stats import welch_ttest_query
+
+    base = str(tmp_path)
+    rows = []
+    for i in range(12):
+        ln = 50 + (i % 4) * 10
+        rows.append((i, "w", "en", "src0", ln))
+        rows.append((100 + i, "w", "en", "src1", ln))  # mirror lengths
+    _write_docs(spark, base, rows)
+    r = welch_ttest_query(spark, base).collect()[0]
+    assert r["t_stat"] == 0.0
+    assert r["mean_a"] == r["mean_b"]
+    assert r["n_a"] == r["n_b"] == 12
+
+
+def test_welch_ttest_detects_shift(spark, tmp_path):
+    from replicator_spark.queries.stats import welch_ttest_query
+
+    base = str(tmp_path)
+    rows = [(i, "w", "en", "src0", 100 + (i % 3)) for i in range(10)]
+    rows += [(50 + i, "w", "en", "src1", 200 + (i % 3)) for i in range(10)]
+    _write_docs(spark, base, rows)
+    r = welch_ttest_query(spark, base).collect()[0]
+    assert r["t_stat"] < -50  # enormous, clean separation
+    assert 0 < r["welch_df"] <= 18.001
+
+
+# ------------------------------------------------ autocorrelation
+
+
+def test_autocorrelation_period_two_series(spark, tmp_path):
+    """A strict high/low alternating daily series has acf_lag1 ≈ −1
+    and acf_lag2 ≈ +1 (up to the missing-tail normalization)."""
+    from replicator_spark.queries.temporal import autocorr_query
+
+    base = str(tmp_path)
+    evs = []
+    eid = 0
+    day_ns = 86400 * 10**9
+    for d in range(14):
+        for _ in range(30 if d % 2 == 0 else 10):
+            evs.append((eid, d * day_ns, eid % 5, "view", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, base, evs)
+    r = autocorr_query(spark, base).collect()[0]
+    assert r["n_days"] == 14
+    assert r["acf_lag1"] < -0.7
+    assert r["acf_lag2"] > 0.7
+    assert r["acf_lag1"] < r["acf_lag2"]
+
+
+# ------------------------------------------------ threshold sweep
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    """Raising the cutoff can only shrink the flagged set, and docs
+    dropped never exceed pairs."""
+    from replicator_spark.pipeline.dedup import (
+        SWEEP_THRESHOLDS,
+        threshold_sweep_query,
+    )
+
+    rows = {
+        r["threshold"]: r
+        for r in threshold_sweep_query(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == sorted(round(t, 2) for t in SWEEP_THRESHOLDS)
+    ordered = [rows[round(t, 2)] for t in sorted(SWEEP_THRESHOLDS)]
+    for lo, hi in zip(ordered, ordered[1:]):
+        assert lo["n_pairs"] >= hi["n_pairs"]
+        assert lo["n_docs_dropped"] >= hi["n_docs_dropped"]
+    for r in ordered:
+        assert r["n_docs_dropped"] <= r["n_pairs"] or r["n_pairs"] == 0
+
+
 # ------------------------------------------------ BPE trainer
 
 
