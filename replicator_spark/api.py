@@ -167,6 +167,7 @@ _PRIORITY = [
     "stats_welch_ttest",
     "ts_autocorrelation",
     "dedup_threshold_sweep",
+    "stream_scd2_intervals",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",
@@ -336,6 +337,7 @@ def _load() -> None:
     from .streaming import joins as stream_joins
     from .streaming import job as streaming_job
     from .streaming import near_dedup as stream_near_dedup_mod
+    from .streaming import scd2_state as stream_scd2_mod
     from .streaming import registry as schema_registry
     from .streaming import sessionize as stream_sessionize
     from .streaming import txn_state
@@ -390,8 +392,8 @@ def _load() -> None:
     for mod in (
         seeker, validation, bootstrap, source_formats, jsonb, apply,
         count_sink, console_sink, kafka_sink, avro_sink,
-        schema_registry, streaming_job, stream_near_dedup_mod, txn_state,
-        stream_sessionize,
+        schema_registry, streaming_job, stream_near_dedup_mod,
+        stream_scd2_mod, txn_state, stream_sessionize,
         stream_enrich, stream_ewma_state, stream_joins,
         tpch, tpch_ext, temporal, stats, analytics, funnel, profiling,
         graph, dq,

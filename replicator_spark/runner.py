@@ -50,6 +50,11 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "partitioner.type": "TRID",
     "replicator.tasks": 8,
     "applier.type": "count",
+    # write-batching: collapse each row key's mutation run to its net
+    # mutation before the applier (HBaseApplier.java:166-196 keeps only
+    # the latest image per key per flush — this is that optimization as
+    # a config toggle; OFF by default to preserve full history sinks)
+    "applier.collapse": False,
 }
 
 
@@ -90,6 +95,22 @@ def apply_sink(feed: DataFrame, config: Mapping[str, Any]) -> DataFrame:
     """The applier presentation for the configured sink type."""
     cfg = {**DEFAULT_CONFIG, **config}
     kind = cfg["applier.type"]
+    if cfg["applier.collapse"]:
+        # write-batching: only the count applier consumes the net feed
+        # — the time-machine's point is FULL version history, and the
+        # kafka/console presentations carry per-event txn metadata the
+        # collapse legitimately destroys (a net mutation spans txns)
+        if kind != "count":
+            raise ValueError(
+                "applier.collapse supports only applier.type=count; "
+                f"{kind} needs the uncollapsed feed"
+            )
+        from .cdc.apply import net_effect_from
+
+        collapsed = net_effect_from(
+            feed.where(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+        )
+        feed = collapsed.select(F.col("net_op").alias("op"))
     if kind == "count":
         from .sinks.count import count_sink
 

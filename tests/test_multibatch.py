@@ -326,3 +326,56 @@ def test_ewma_state_across_micro_batches(spark, sf_dir, chunked_dir, tmp_path):
         r["epoch"] for r in spark.read.parquet(out).select("epoch").collect()
     }
     assert len(epochs) >= 3
+
+
+def test_scd2_intervals_across_micro_batches(spark, sf_dir, chunked_dir, tmp_path):
+    """An interval whose open and close straddle a micro-batch boundary
+    must still emit exactly once with the correct bounds: 3 time-ordered
+    micro-batches == the batch LEAD-window derivation (closed rows)."""
+    import os
+
+    import duckdb
+
+    from replicator_spark.session import normalize_events
+    from replicator_spark.streaming.job import EVENTS_SCHEMA
+    from replicator_spark.streaming.scd2_state import build_scd2_stream
+
+    base = str(tmp_path)
+    stream = normalize_events(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_dir)
+    )
+    q = (
+        build_scd2_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(base, "out"))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(base, "out")).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'events.parquet')}'"
+    )
+    want = sorted(
+        (int(u), float(v), int(f), int(t))
+        for u, v, f, t in con.execute(
+            """
+            SELECT user_id, value, epoch_ms(ts),
+                LEAD(epoch_ms(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+            FROM events
+            QUALIFY LEAD(epoch_ms(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+            """
+        ).fetchall()
+    )
+    assert got == want

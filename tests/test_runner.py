@@ -87,3 +87,43 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
     a = {(r["op"], r["n_events"]) for r in streamed.collect()}
     b = {(r["op"], r["n_events"]) for r in batch.collect()}
     assert a == b
+
+
+def test_applier_collapse_nets_the_feed(spark, sf_dir):
+    """applier.collapse=True routes the count applier through net-effect
+    compaction: per-op counts must equal the net feed's op counts, and
+    must shrink (or hold) vs the raw feed."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from replicator_spark.cdc.apply import net_effect_query
+    from replicator_spark.runner import run_batch
+
+    raw = {
+        r["op"]: r["n_events"]
+        for r in run_batch(spark, sf_dir, {"applier.type": "count"}).collect()
+    }
+    collapsed = {
+        r["op"]: r["n_events"]
+        for r in run_batch(
+            spark, sf_dir, {"applier.type": "count", "applier.collapse": True}
+        ).collect()
+    }
+    want = {
+        r["net_op"]: r["cnt"]
+        for r in net_effect_query(spark, sf_dir)
+        .groupBy("net_op")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert collapsed == want
+    assert sum(collapsed.values()) <= sum(
+        v for k, v in raw.items() if k in ("INSERT", "UPDATE", "DELETE")
+    )
+    # sinks that need per-event txn metadata refuse the collapsed feed
+    with pytest.raises(ValueError, match="collapse"):
+        run_batch(
+            spark,
+            sf_dir,
+            {"applier.type": "timemachine", "applier.collapse": True},
+        )
