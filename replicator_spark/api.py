@@ -21,7 +21,14 @@ Rotation map (which driver run produced each operator's green row):
   runner_pipeline) plus the never-yet-graded sim/emb/curate/text/
   stats/sketch/multimodal families.
 - round 5 queue (entries 51+ up to the r03-green block): the 24
-  remaining never-graded ops plus anything added in round 4.
+  remaining never-graded ops, the round-4 in-session additions
+  (cdc_delay_gauge..sim_adc_topk), and the round-4 session-2 batch
+  (corpus diversity, rank stats, Markov, theta sketch, streaming
+  near-dedup/SCD2, format round-trips, Gini/assortativity/kNN-graph,
+  RFM/hashing-vectorizer/k-core, net-effect, Bloom decontam,
+  Matryoshka, Benford, BPE trainer, Welch t, autocorrelation,
+  threshold sweep, recall curve) — rotate these into the round-5
+  window's first 50, swapping out the r04-graded block.
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -168,6 +175,7 @@ _PRIORITY = [
     "ts_autocorrelation",
     "dedup_threshold_sweep",
     "stream_scd2_intervals",
+    "sim_recall_curve",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

@@ -708,6 +708,80 @@ FROM deltas GROUP BY dim
 """
 
 
+# ------------------------------------------------- recall@k curve
+#
+# sim_recall_at_k reports recall at one k; deployments tune nprobe by
+# reading the CURVE — recall@1/@3/@5 from the SAME two ranked lists
+# (a truth hit at rank ≤ k counts iff the ANN also surfaced it within
+# its own top k). One extra tiny join over the rank-annotated outputs;
+# the grid expansion is |Q|·|K_GRID| rows, with zero-hit cells kept by
+# a left join against the full query×k grid.
+
+RECALL_K_GRID = (1, 3, 5)
+
+
+def recall_curve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    truth = cosine_topk_query(spark, sf_dir).select(
+        "query_id", "cand_id", F.col("rank").alias("t_rank")
+    )
+    approx = ivf_topk_query(spark, sf_dir).select(
+        "query_id", "cand_id", F.col("rank").alias("a_rank")
+    )
+    both = truth.join(approx, ["query_id", "cand_id"])
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in RECALL_K_GRID])
+    ).alias("k")
+    hits = (
+        both.select("query_id", "t_rank", "a_rank", ks)
+        .where((F.col("t_rank") <= F.col("k")) & (F.col("a_rank") <= F.col("k")))
+        .groupBy("query_id", "k")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    grid = (
+        truth.select("query_id")
+        .distinct()
+        .select("query_id", ks)
+    )
+    return (
+        grid.join(hits, ["query_id", "k"], "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .select(
+            "query_id",
+            "k",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("k").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+_K_LIST = ", ".join(str(k) for k in RECALL_K_GRID)
+
+RECALL_CURVE_SQL = f"""
+WITH truth AS (
+    SELECT query_id, cand_id, rank AS t_rank FROM ({COSINE_TOPK_SQL}) t
+), approx AS (
+    SELECT query_id, cand_id, rank AS a_rank FROM ({IVF_TOPK_SQL}) a
+), hits AS (
+    SELECT t.query_id, k, COUNT(*) AS n_hits
+    FROM truth t JOIN approx a USING (query_id, cand_id),
+        UNNEST([{_K_LIST}]) AS u(k)
+    WHERE t.t_rank <= k AND a.a_rank <= k
+    GROUP BY t.query_id, k
+), grid AS (
+    SELECT DISTINCT query_id, k
+    FROM truth, UNNEST([{_K_LIST}]) AS u(k)
+)
+SELECT g.query_id, g.k,
+    COALESCE(h.n_hits, 0) AS n_hits,
+    round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(g.k AS DOUBLE), 6)
+        AS recall
+FROM grid g LEFT JOIN hits h ON g.query_id = h.query_id AND g.k = h.k
+"""
+
+
 REGISTRY = [
     ("sim_cosine_topk", cosine_topk_query, COSINE_TOPK_SQL),
     ("sim_ivf_topk", ivf_topk_query, IVF_TOPK_SQL),
@@ -719,4 +793,5 @@ REGISTRY = [
     ("sim_knn_graph", knn_graph_query, KNN_GRAPH_SQL),
     ("emb_matryoshka_fidelity", matryoshka_fidelity_query,
      MATRYOSHKA_SQL),
+    ("sim_recall_curve", recall_curve_query, RECALL_CURVE_SQL),
 ]

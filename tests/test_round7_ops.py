@@ -716,6 +716,35 @@ def test_threshold_sweep_monotone(spark, sf_dir):
         assert r["n_docs_dropped"] <= r["n_pairs"] or r["n_pairs"] == 0
 
 
+# ------------------------------------------------ recall curve
+
+
+def test_recall_curve_consistent_with_recall_at_k(spark, sf_dir):
+    from replicator_spark.pipeline.similarity import (
+        RECALL_K_GRID,
+        TOP_K,
+        recall_at_k_query,
+        recall_curve_query,
+    )
+
+    curve = {
+        (r["query_id"], r["k"]): r
+        for r in recall_curve_query(spark, sf_dir).collect()
+    }
+    n_queries = len({q for q, _ in curve})
+    assert len(curve) == n_queries * len(RECALL_K_GRID)
+    for (q, k), r in curve.items():
+        assert 0 <= r["n_hits"] <= k
+        assert r["recall"] == round(r["n_hits"] / k, 6)
+    # at k = TOP_K the curve must agree with the single-k operator
+    at_k = {
+        r["query_id"]: r["n_hits"]
+        for r in recall_at_k_query(spark, sf_dir).collect()
+    }
+    for q, hits in at_k.items():
+        assert curve[(q, TOP_K)]["n_hits"] == hits
+
+
 # ------------------------------------------------ BPE trainer
 
 
