@@ -325,3 +325,54 @@ def test_quantile_grid_bounds_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sketch_quantile_grid")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row bounds attach
+
+
+def test_source_overlap_single_corpus_exchange(spark, sf_dir):
+    """The shingle incidence must feed ONE groupBy(g) exchange — no
+    DISTINCT pre-shuffle, no lambda HOF under the Generate node (the
+    interpreted-evaluation trap the arrays_zip form exists to avoid)."""
+    plan = _plan(spark, sf_dir, "corpus_source_overlap")
+    assert "arrays_zip" in plan
+    assert "Generate" in plan
+    # the dropped DISTINCT must stay dropped: no exchange keyed on the
+    # raw (source, g) incidence — dedup happens inside the collect_set
+    # combiner on the groupBy(g) exchange (per-source sizes still agg
+    # on source alone, over the vocab-sized gram table)
+    import re
+
+    assert not re.search(r"hashpartitioning\(source#\d+, g#", plan)
+
+
+def test_knn_graph_is_cell_equijoin(spark, sf_dir):
+    """Candidates must come from the label equi-join; a cartesian or
+    nested-loop over the full table is exactly what the cell
+    restriction exists to avoid."""
+    plan = _plan(spark, sf_dir, "sim_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_decontam_broadcasts_bits(spark, sf_dir):
+    """The probe side must membership-test against a BROADCAST of the
+    constant-size bit set — shuffling train grams against it would
+    defeat the operator's point."""
+    plan = _plan(spark, sf_dir, "curate_bloom_decontam")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_rfm_cutoffs_broadcast_back(spark, sf_dir):
+    """The 3-value cutoff row joins back as a broadcast, never a
+    shuffle of the per-user table against a 1-row relation."""
+    plan = _plan(spark, sf_dir, "events_rfm_segments")
+    assert "BroadcastExchange" in plan
+
+
+def test_net_effect_single_keyed_exchange(spark, sf_dir):
+    """min_by/max_by must partial-aggregate map-side: one exchange on
+    the row key, combiner-backed."""
+    plan = _plan(spark, sf_dir, "cdc_net_effect_compact")
+    assert "min_by" in plan
+    # two-phase aggregate (partial map-side + final) around exactly
+    # one key exchange
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange (") == 1
