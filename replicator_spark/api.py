@@ -176,6 +176,7 @@ _PRIORITY = [
     "dedup_threshold_sweep",
     "stream_scd2_intervals",
     "sim_recall_curve",
+    "multimodal_phash_dedup",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

@@ -312,9 +312,137 @@ FROM framed
 """
 
 
+# ------------------------------------------------ perceptual-hash dedup
+#
+# The multimodal bridge into the dedup family: a difference-hash
+# (dHash) over the decoded byte grid — the classic perceptual
+# image-dedup signature (64 bits: does cell (r,c) outshine its right
+# neighbor on an 8×8 walk of a 9-wide grid) — bucketed by its first 16
+# bits for sub-quadratic candidate generation, verified by exact
+# Hamming distance. The hash is computed in the Arrow-batched
+# mapInPandas worker over the (stub-)decoded bytes — the REAL
+# deployment swaps decode_stub for a resize+grayscale decode and
+# nothing else changes; the deterministic stub is what lets plain SQL
+# reproduce the bits for the oracle.
+#
+# Scale: hashing is map-only; the bucket groupBy is the single
+# exchange; in-bucket pair expansion is O(k²) on LSH-small buckets and
+# the Hamming verify runs only on candidates (propose/dispose, the
+# dedup.py contract).
+
+PHASH_GRID = 8  # 8×8 bits from a 9-column walk
+PHASH_BUCKET_BITS = 16
+PHASH_MAX_HAMMING = 16
+
+PHASH_SCHEMA = "doc_id long, dhash string, bucket string"
+
+
+def _dhash_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            n = len(data)
+            if n == 0:
+                continue
+            bits = "".join(
+                "1"
+                if data[(r * (PHASH_GRID + 1) + c) % n]
+                > data[(r * (PHASH_GRID + 1) + c + 1) % n]
+                else "0"
+                for r in range(PHASH_GRID)
+                for c in range(PHASH_GRID)
+            )
+            out.append((int(doc_id), bits, bits[:PHASH_BUCKET_BITS]))
+        yield pd.DataFrame(out, columns=["doc_id", "dhash", "bucket"])
+
+
+_HAMMING = (
+    "aggregate(sequence(1, {n}), 0, (acc, i) -> acc + "
+    "if(substring({a}, i, 1) = substring({b}, i, 1), 0, 1))"
+)
+
+
+def multimodal_phash_dedup_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    hashed = with_binary_payload(docs).mapInPandas(
+        _dhash_rows, PHASH_SCHEMA
+    )
+    buckets = (
+        hashed.groupBy("bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "dhash"))
+            ).alias("ids")
+        )
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(ids, (x, i) ->
+                    transform(slice(ids, i + 2, size(ids) - i - 1),
+                              y -> struct(x.doc_id AS doc_a,
+                                          y.doc_id AS doc_b,
+                                          x.dhash AS ha,
+                                          y.dhash AS hb))))"""
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.ha", "p.hb")
+    ham = F.expr(
+        _HAMMING.format(n=PHASH_GRID * PHASH_GRID, a="ha", b="hb")
+    )
+    return (
+        pairs.withColumn("hamming", ham)
+        .where(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _phash_bits_sql() -> str:
+    cells = []
+    for r in range(PHASH_GRID):
+        for c in range(PHASH_GRID):
+            i = r * (PHASH_GRID + 1) + c
+            cells.append(
+                f"CASE WHEN unicode(substr(text, ({i} % n) + 1, 1))"
+                f" > unicode(substr(text, ({i + 1} % n) + 1, 1))"
+                " THEN '1' ELSE '0' END"
+            )
+    return " || ".join(cells)
+
+
+def _phash_dedup_sql() -> str:
+    ham = (
+        f"list_reduce(list_transform(range(1, {PHASH_GRID**2 + 1}), "
+        "i -> CASE WHEN substr(a.dhash, i, 1) = substr(b.dhash, i, 1) "
+        "THEN 0 ELSE 1 END), (x, y) -> x + y)"
+    )
+    return f"""
+WITH hashed AS (
+    SELECT doc_id, {_phash_bits_sql()} AS dhash
+    FROM (SELECT doc_id, text, length(text) AS n FROM documents
+          WHERE length(text) > 0)
+), bucketed AS (
+    SELECT doc_id, dhash, substr(dhash, 1, {PHASH_BUCKET_BITS}) AS bucket
+    FROM hashed
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    {ham} AS hamming
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE {ham} <= {PHASH_MAX_HAMMING}
+"""
+
+
 REGISTRY = [
     ("multimodal_features", multimodal_features_query, MULTIMODAL_FEATURES_SQL),
     ("multimodal_resize", multimodal_resize_query, MULTIMODAL_RESIZE_SQL),
     ("multimodal_frame_sample", multimodal_frames_query, MULTIMODAL_FRAMES_SQL),
     ("multimodal_audio_frames", multimodal_audio_query, MULTIMODAL_AUDIO_SQL),
+    ("multimodal_phash_dedup", multimodal_phash_dedup_query,
+     _phash_dedup_sql()),
 ]

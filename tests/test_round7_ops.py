@@ -716,6 +716,44 @@ def test_threshold_sweep_monotone(spark, sf_dir):
         assert r["n_docs_dropped"] <= r["n_pairs"] or r["n_pairs"] == 0
 
 
+# ------------------------------------------------ perceptual-hash dedup
+
+
+def test_phash_identical_payloads_pair_at_zero(spark, tmp_path):
+    from replicator_spark.pipeline.multimodal import (
+        multimodal_phash_dedup_query,
+    )
+
+    base = str(tmp_path)
+    same = "pattern one two three four five six seven eight nine"
+    _write_docs(
+        spark,
+        base,
+        [
+            (1, same, "en", "s", 52),
+            (2, same, "en", "s", 52),  # identical bytes → hamming 0
+            (3, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo", "en",
+             "s", 47),
+        ],
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in multimodal_phash_dedup_query(spark, base).collect()
+    }
+    assert rows.get((1, 2)) == 0
+
+
+def test_phash_hamming_bounds(spark, sf_dir):
+    from replicator_spark.pipeline.multimodal import (
+        PHASH_MAX_HAMMING,
+        multimodal_phash_dedup_query,
+    )
+
+    for r in multimodal_phash_dedup_query(spark, sf_dir).collect():
+        assert 0 <= r["hamming"] <= PHASH_MAX_HAMMING
+        assert r["doc_a"] < r["doc_b"]
+
+
 # ------------------------------------------------ recall curve
 
 
