@@ -177,6 +177,7 @@ _PRIORITY = [
     "stream_scd2_intervals",
     "sim_recall_curve",
     "multimodal_phash_dedup",
+    "ts_profile_topk",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

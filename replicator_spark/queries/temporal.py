@@ -409,10 +409,168 @@ FROM g
 """
 
 
+# --------------------------------------- time-series similarity search
+#
+# Top-k similar users by BEHAVIORAL PROFILE: each user's daily event
+# counts over the first TS_DIM days become a dense vector,
+# z-normalized per user (shape matters, not volume — the classic
+# normalization of time-series similarity search, cf. the distributed
+# top-k similarity literature the survey corpus retrieves: EDBT'19
+# streaming TS similarity, EDBT'20 incremental top-k), then exact
+# Euclidean top-k against the query users. This is the similarity
+# family (pipeline/similarity.py) applied to a DERIVED modality — the
+# vectors come out of an aggregation, not a table column.
+#
+# Scale: profile build is one combiner-backed (user, day) agg + a
+# narrow densify/normalize; the query side (|Q| vectors) broadcasts;
+# distances are map-side sequential folds (identical order in both
+# engines, rounded to 6 dp before ranking with a cand tiebreak). At
+# corpus scale you'd coarse-quantize profiles exactly like the IVF
+# path — the candidate generator swaps, nothing else.
+
+TS_DIM = 16
+TS_TOPK = 5
+TS_N_QUERIES = 8
+
+
+def _profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    start = ev.agg(
+        F.min(F.expr("ts div 1000000 div 86400000")).alias("d0")
+    )
+    daily = (
+        ev.crossJoin(F.broadcast(start))
+        .select(
+            "user_id",
+            (F.expr("ts div 1000000 div 86400000") - F.col("d0")).alias("di"),
+        )
+        .where(F.col("di") < TS_DIM)
+        .groupBy("user_id", "di")
+        .agg(F.count("*").alias("n"))
+    )
+    dense = daily.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("di"), F.col("n")))
+        ).alias("m")
+    )
+    v = F.transform(
+        F.sequence(F.lit(0), F.lit(TS_DIM - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("long")), F.lit(0)
+        ).cast("double"),
+    )
+    withv = dense.select("user_id", v.alias("v"))
+    mu = F.aggregate("v", F.lit(0.0), lambda a, x: a + x) / TS_DIM
+    mat = withv.select("user_id", "v", mu.alias("mu"))
+    var = (
+        F.aggregate(
+            "v",
+            F.lit(0.0),
+            lambda a, x: a + (x - F.col("mu")) * (x - F.col("mu")),
+        )
+        / TS_DIM
+    )
+    mat2 = mat.select("user_id", "v", "mu", F.sqrt(var).alias("sd"))
+    z = F.transform(
+        "v",
+        lambda x: F.when(
+            F.col("sd") > 0, (x - F.col("mu")) / F.col("sd")
+        ).otherwise(F.lit(0.0)),
+    )
+    return mat2.select("user_id", z.alias("z"))
+
+
+def ts_profile_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    prof = _profiles(spark, sf_dir)
+    q = prof.where(F.col("user_id") < TS_N_QUERIES).select(
+        F.col("user_id").alias("query_user"), F.col("z").alias("qz")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("qz"), F.col("z"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        prof.crossJoin(F.broadcast(q))
+        .where(F.col("user_id") != F.col("query_user"))
+        .select(
+            "query_user",
+            F.col("user_id").alias("cand_user"),
+            F.round(dist, 6).alias("dist"),
+        )
+    )
+    w = W.partitionBy("query_user").orderBy(
+        F.col("dist").asc(), F.col("cand_user")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TS_TOPK)
+        .select("query_user", "rank", "cand_user", "dist")
+    )
+
+
+_TS_FOLD = (
+    "list_reduce(list_transform(range(1, {d} + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+TS_PROFILE_TOPK_SQL = f"""
+WITH ev AS (
+    SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+), start AS (SELECT MIN(day) AS d0 FROM ev),
+daily AS (
+    SELECT user_id, day - d0 AS di, COUNT(*) AS n
+    FROM ev CROSS JOIN start
+    WHERE day - d0 < {TS_DIM}
+    GROUP BY user_id, day - d0
+), densem AS (
+    SELECT user_id, MAP(list(di), list(n)) AS m
+    FROM daily GROUP BY user_id
+), dense AS (
+    SELECT user_id,
+        list_transform(range(0, {TS_DIM}),
+            i -> CAST(COALESCE(m[i][1], 0) AS DOUBLE)) AS v
+    FROM densem
+), stats AS (
+    SELECT user_id, v,
+        list_reduce(v, (x, y) -> x + y) / {TS_DIM} AS mu
+    FROM dense
+), stats2 AS (
+    SELECT user_id, v, mu,
+        sqrt(list_reduce(list_transform(v, x -> (x - mu) * (x - mu)),
+                         (x, y) -> x + y) / {TS_DIM}) AS sd
+    FROM stats
+), prof AS (
+    SELECT user_id,
+        list_transform(v, x -> CASE WHEN sd > 0 THEN (x - mu) / sd
+                                    ELSE 0.0 END) AS z
+    FROM stats2
+), q AS (
+    SELECT user_id AS query_user, z AS qz FROM prof
+    WHERE user_id < {TS_N_QUERIES}
+), scored AS (
+    SELECT q.query_user, p.user_id AS cand_user,
+        round(sqrt(0.0 + {_TS_FOLD.format(d=TS_DIM, a="q.qz", b="p.z")}), 6)
+            AS dist
+    FROM prof p CROSS JOIN q
+    WHERE p.user_id <> q.query_user
+)
+SELECT query_user, rank, cand_user, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_user ORDER BY dist ASC, cand_user) AS rank
+    FROM scored)
+WHERE rank <= {TS_TOPK}
+"""
+
+
 REGISTRY = [
     ("temporal_asof_join", asof_join_query, ASOF_JOIN_SQL),
     ("temporal_range_join", range_join_query, RANGE_JOIN_SQL),
     ("temporal_rollup", rollup_query, ROLLUP_SQL),
     ("temporal_sliding_window", sliding_window_query, SLIDING_WINDOW_SQL),
     ("ts_autocorrelation", autocorr_query, AUTOCORR_SQL),
+    ("ts_profile_topk", ts_profile_topk_query, TS_PROFILE_TOPK_SQL),
 ]

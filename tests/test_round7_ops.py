@@ -716,6 +716,57 @@ def test_threshold_sweep_monotone(spark, sf_dir):
         assert r["n_docs_dropped"] <= r["n_pairs"] or r["n_pairs"] == 0
 
 
+# ------------------------------------------------ TS profile top-k
+
+
+def test_ts_profile_identical_shapes_at_zero(spark, tmp_path):
+    """Two users with PROPORTIONAL daily activity (one is 3x the
+    other's volume) must z-normalize to identical profiles — distance
+    0 — while a flat user stays distant: similarity is shape, not
+    volume."""
+    from replicator_spark.queries.temporal import ts_profile_topk_query
+
+    base = str(tmp_path)
+    day_ns = 86400 * 10**9
+    evs = []
+    eid = 0
+    pattern = [1, 5, 2, 8, 3, 9, 1, 4]
+    for d, burst in enumerate(pattern):
+        for _ in range(burst):  # user 0: the pattern
+            evs.append((eid, d * day_ns, 0, "view", 1.0, "{}")); eid += 1
+        for _ in range(burst * 3):  # user 1: same shape, 3x volume
+            evs.append((eid, d * day_ns, 1, "view", 1.0, "{}")); eid += 1
+        for _ in range(4):  # user 2: flat
+            evs.append((eid, d * day_ns, 2, "view", 1.0, "{}")); eid += 1
+    _write_events(spark, base, evs)
+    rows = {
+        (r["query_user"], r["cand_user"]): r
+        for r in ts_profile_topk_query(spark, base).collect()
+    }
+    assert rows[(0, 1)]["dist"] == 0.0
+    assert rows[(0, 1)]["rank"] == 1
+    assert rows[(0, 2)]["dist"] > 1.0
+
+
+def test_ts_profile_topk_shape(spark, sf_dir):
+    from replicator_spark.queries.temporal import (
+        TS_N_QUERIES,
+        TS_TOPK,
+        ts_profile_topk_query,
+    )
+
+    rows = ts_profile_topk_query(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r["query_user"], []).append(r)
+    assert len(per_q) <= TS_N_QUERIES
+    for q, rs in per_q.items():
+        assert len(rs) == TS_TOPK
+        ranked = sorted(rs, key=lambda r: r["rank"])
+        dists = [r["dist"] for r in ranked]
+        assert dists == sorted(dists)  # rank follows distance
+
+
 # ------------------------------------------------ perceptual-hash dedup
 
 
