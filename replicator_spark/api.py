@@ -178,6 +178,8 @@ _PRIORITY = [
     "sim_recall_curve",
     "multimodal_phash_dedup",
     "ts_profile_topk",
+    "emb_cell_balance",
+    "ts_seasonality",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

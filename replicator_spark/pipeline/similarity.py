@@ -782,6 +782,78 @@ FROM grid g LEFT JOIN hits h ON g.query_id = h.query_id AND g.k = h.k
 """
 
 
+# ------------------------------------------------- IVF cell balance
+#
+# The load diagnostic behind every IVF/cell-restricted operator here
+# (sim_ivf_topk, sim_knn_graph, emb_matryoshka_fidelity): per-cell
+# population, the max/mean load factor (the straggler multiplier a
+# skewed quantizer inflicts on the fine search), and the Gini of cell
+# sizes (tie-invariant rank-weighted DECIMAL sums, stats_gini's
+# armor). When this report goes bad you retrain the coarse quantizer —
+# it is the operational dial for the documented cell-count knob.
+# Cost: one count agg over the assignment column + sub-agg over
+# |cells| rows.
+
+
+def cell_balance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    cells = emb.groupBy("label").agg(F.count("*").alias("sz"))
+    rn = F.row_number().over(W.orderBy("sz", "label"))
+    ranked = cells.select(
+        F.col("sz").cast("decimal(18,0)").alias("x"),
+        rn.cast("decimal(18,0)").alias("r"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("r") * F.col("x")).alias("srx"),
+        F.max("x").alias("mx"),
+    )
+    nd = F.col("n_cells").cast("double")
+    mean = F.col("sx").cast("double") / nd
+    gini = (
+        2.0 * F.col("srx").cast("double")
+        / (nd * F.col("sx").cast("double"))
+        - (nd + 1.0) / nd
+    )
+    return agg.select(
+        "n_cells",
+        F.col("sx").cast("bigint").alias("n_vectors"),
+        F.col("mx").cast("bigint").alias("max_cell"),
+        F.round(mean, 6).alias("mean_cell"),
+        F.round(F.col("mx").cast("double") / mean, 6).alias("load_factor"),
+        F.round(gini, 6).alias("size_gini"),
+    )
+
+
+CELL_BALANCE_SQL = """
+WITH cells AS (
+    SELECT label, COUNT(*) AS sz FROM embeddings GROUP BY label
+), ranked AS (
+    SELECT CAST(sz AS DECIMAL(18,0)) AS x,
+        CAST(ROW_NUMBER() OVER (ORDER BY sz, label) AS DECIMAL(18,0)) AS r
+    FROM cells
+), agg AS (
+    SELECT COUNT(*) AS n_cells, SUM(x) AS sx, SUM(r * x) AS srx,
+        MAX(x) AS mx
+    FROM ranked
+)
+SELECT CAST(n_cells AS BIGINT) AS n_cells,
+    CAST(sx AS BIGINT) AS n_vectors,
+    CAST(mx AS BIGINT) AS max_cell,
+    round(CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE), 6) AS mean_cell,
+    round(CAST(mx AS DOUBLE)
+          / (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE)), 6)
+        AS load_factor,
+    round(2.0 * CAST(srx AS DOUBLE)
+          / (CAST(n_cells AS DOUBLE) * CAST(sx AS DOUBLE))
+          - (CAST(n_cells AS DOUBLE) + 1.0) / CAST(n_cells AS DOUBLE), 6)
+        AS size_gini
+FROM agg
+"""
+
+
 REGISTRY = [
     ("sim_cosine_topk", cosine_topk_query, COSINE_TOPK_SQL),
     ("sim_ivf_topk", ivf_topk_query, IVF_TOPK_SQL),
@@ -794,4 +866,5 @@ REGISTRY = [
     ("emb_matryoshka_fidelity", matryoshka_fidelity_query,
      MATRYOSHKA_SQL),
     ("sim_recall_curve", recall_curve_query, RECALL_CURVE_SQL),
+    ("emb_cell_balance", cell_balance_query, CELL_BALANCE_SQL),
 ]

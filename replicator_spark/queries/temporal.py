@@ -566,6 +566,96 @@ WHERE rank <= {TS_TOPK}
 """
 
 
+# --------------------------------------------- weekly seasonality
+#
+# Classical seasonal-means decomposition of the daily event series:
+# per-weekday-slot means (slot = day index mod 7 — the synthetic
+# calendar's week) and the fraction of daily variance the seasonal
+# component explains, R² = 1 − SS_resid/SS_total. The companion to
+# ts_autocorrelation: ACF says "is there a weekly cycle", this says
+# "how much of the volume it explains" — the capacity-planning number.
+#
+# Shapes: the corpus-sized work is ONE daily count agg; means,
+# residuals, and R² all run over the |days|-sized table with
+# 9-dp-rounded DECIMAL sums (order-free), means rounded to 9 dp before
+# the residual subtraction so both engines subtract identical doubles.
+
+SEASON_PERIOD = 7
+
+
+def seasonality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("ts div 1000000 div 86400000").alias("day")
+    ).agg(F.count("*").alias("n"))
+    slotted = daily.select(
+        (F.col("day") % SEASON_PERIOD).alias("slot"),
+        F.col("n").cast("double").alias("x"),
+    )
+    slot_means = slotted.groupBy("slot").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg("x"), 9).alias("slot_mean"),
+    )
+    grand = slotted.agg(F.round(F.avg("x"), 9).alias("mu"))
+    dec = lambda c: F.round(c, 9).cast("decimal(24,9)")  # noqa: E731
+    joined = (
+        slotted.join(F.broadcast(slot_means), "slot")
+        .crossJoin(F.broadcast(grand))
+    )
+    ss = joined.agg(
+        F.sum(
+            dec((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")))
+        ).alias("ss_tot"),
+        F.sum(
+            dec(
+                (F.col("x") - F.col("slot_mean"))
+                * (F.col("x") - F.col("slot_mean"))
+            )
+        ).alias("ss_res"),
+    )
+    r2 = F.when(
+        F.col("ss_tot") > 0,
+        F.lit(1.0)
+        - F.col("ss_res").cast("double") / F.col("ss_tot").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        slot_means.crossJoin(F.broadcast(ss.select(r2.alias("seasonal_r2"))))
+        .select(
+            "slot",
+            "n_days",
+            F.round("slot_mean", 6).alias("slot_mean"),
+            F.round("seasonal_r2", 6).alias("seasonal_r2"),
+        )
+    )
+
+
+SEASONALITY_SQL = f"""
+WITH daily AS (
+    SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS n
+    FROM events GROUP BY 1
+), slotted AS (
+    SELECT day % {SEASON_PERIOD} AS slot, CAST(n AS DOUBLE) AS x FROM daily
+), slot_means AS (
+    SELECT slot, COUNT(*) AS n_days, round(AVG(x), 9) AS slot_mean
+    FROM slotted GROUP BY slot
+), grand AS (SELECT round(AVG(x), 9) AS mu FROM slotted),
+ss AS (
+    SELECT
+        SUM(CAST(round((x - mu) * (x - mu), 9) AS DECIMAL(24,9))) AS ss_tot,
+        SUM(CAST(round((x - slot_mean) * (x - slot_mean), 9)
+                 AS DECIMAL(24,9))) AS ss_res
+    FROM slotted JOIN slot_means USING (slot) CROSS JOIN grand
+)
+SELECT slot, CAST(n_days AS BIGINT) AS n_days,
+    round(slot_mean, 6) AS slot_mean,
+    round(CASE WHEN ss_tot > 0
+               THEN 1.0 - CAST(ss_res AS DOUBLE) / CAST(ss_tot AS DOUBLE)
+               ELSE 0.0 END, 6) AS seasonal_r2
+FROM slot_means CROSS JOIN ss
+"""
+
+
 REGISTRY = [
     ("temporal_asof_join", asof_join_query, ASOF_JOIN_SQL),
     ("temporal_range_join", range_join_query, RANGE_JOIN_SQL),
@@ -573,4 +663,5 @@ REGISTRY = [
     ("temporal_sliding_window", sliding_window_query, SLIDING_WINDOW_SQL),
     ("ts_autocorrelation", autocorr_query, AUTOCORR_SQL),
     ("ts_profile_topk", ts_profile_topk_query, TS_PROFILE_TOPK_SQL),
+    ("ts_seasonality", seasonality_query, SEASONALITY_SQL),
 ]

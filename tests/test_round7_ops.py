@@ -716,6 +716,57 @@ def test_threshold_sweep_monotone(spark, sf_dir):
         assert r["n_docs_dropped"] <= r["n_pairs"] or r["n_pairs"] == 0
 
 
+# ------------------------------------------------ cell balance
+
+
+def test_cell_balance_identities(spark, sf_dir):
+    from replicator_spark.pipeline.similarity import cell_balance_query
+    from replicator_spark.session import read_table
+
+    r = cell_balance_query(spark, sf_dir).collect()[0]
+    emb = read_table(spark, sf_dir, "embeddings")
+    assert r["n_vectors"] == emb.count()
+    assert r["n_cells"] == emb.select("label").distinct().count()
+    assert r["load_factor"] >= 1.0
+    assert 0.0 <= r["size_gini"] < 1.0
+    assert r["max_cell"] >= r["mean_cell"]
+
+
+# ------------------------------------------------ seasonality
+
+
+def test_seasonality_pure_weekly_signal(spark, tmp_path):
+    """A series that is a pure function of day-mod-7 must be fully
+    explained by the seasonal means: R² = 1."""
+    from replicator_spark.queries.temporal import seasonality_query
+
+    base = str(tmp_path)
+    day_ns = 86400 * 10**9
+    evs = []
+    eid = 0
+    for d in range(28):
+        for _ in range((d % 7) * 5 + 3):
+            evs.append((eid, d * day_ns, eid % 4, "view", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, base, evs)
+    rows = seasonality_query(spark, base).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["seasonal_r2"] == 1.0
+        assert r["n_days"] == 4
+        # slot s was generated with exactly s*5+3 events every week
+        assert r["slot_mean"] == r["slot"] * 5 + 3
+
+
+def test_seasonality_r2_bounded(spark, sf_dir):
+    from replicator_spark.queries.temporal import seasonality_query
+
+    rows = seasonality_query(spark, sf_dir).collect()
+    r2 = {r["seasonal_r2"] for r in rows}
+    assert len(r2) == 1  # one corpus-level statistic repeated per slot
+    assert 0.0 <= r2.pop() <= 1.0
+
+
 # ------------------------------------------------ TS profile top-k
 
 
