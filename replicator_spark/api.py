@@ -180,6 +180,8 @@ _PRIORITY = [
     "ts_profile_topk",
     "emb_cell_balance",
     "ts_seasonality",
+    "events_top_paths",
+    "stream_jsonl_sink",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

@@ -447,6 +447,75 @@ FROM cnt JOIN row_tot USING (src_type)
 """
 
 
+# ---------------------------------------------------- top event paths
+#
+# The most-traveled length-3 behavioral paths (event-type trigrams per
+# user's time-ordered stream) — the product-analytics "top user
+# journeys" report, and the sequence-level complement of the Markov
+# matrix (which only sees single transitions; a path distribution
+# exposes higher-order structure the first-order chain misses). Two
+# leads in ONE window pass, a combiner-backed count over ≤ |types|³
+# keys, global top-N on that tiny table. Ties on ts break by event_id
+# (the shared convention), the rank ties break lexicographically.
+
+TOP_PATHS_N = 15
+
+
+def top_paths_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    cnt = paths.groupBy("e1", "e2", "e3").agg(F.count("*").alias("n"))
+    tot = cnt.agg(F.sum("n").alias("total"))
+    ranked = cnt.crossJoin(F.broadcast(tot)).withColumn(
+        "rank",
+        F.row_number().over(
+            W.orderBy(
+                F.col("n").desc(),
+                F.col("e1"),
+                F.col("e2"),
+                F.col("e3"),
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= TOP_PATHS_N).select(
+        "rank",
+        F.concat_ws(">", "e1", "e2", "e3").alias("path"),
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("total").cast("double"), 6
+        ).alias("share"),
+    )
+
+
+TOP_PATHS_SQL = f"""
+WITH paths AS (
+    SELECT event_type AS e1,
+        LEAD(event_type, 1) OVER w AS e2,
+        LEAD(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), cnt AS (
+    SELECT e1, e2, e3, COUNT(*) AS n
+    FROM paths WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3) AS rank
+    FROM cnt CROSS JOIN tot
+)
+SELECT rank, e1 || '>' || e2 || '>' || e3 AS path, n,
+    round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+FROM ranked WHERE rank <= {TOP_PATHS_N}
+"""
+
+
 REGISTRY = [
     ("window_analytics", window_analytics_query, WINDOW_ANALYTICS_SQL),
     ("pivot_orders", pivot_orders_query, PIVOT_ORDERS_SQL),
@@ -457,4 +526,5 @@ REGISTRY = [
     ("ts_ewma", ewma_query, EWMA_SQL),
     ("events_markov_transitions", markov_transitions_query,
      MARKOV_TRANSITIONS_SQL),
+    ("events_top_paths", top_paths_query, TOP_PATHS_SQL),
 ]

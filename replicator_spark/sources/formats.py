@@ -126,8 +126,72 @@ GROUP BY source
 """
 
 
+# ------------------------------------------------ streaming JSONL sink
+#
+# The streaming half of the format matrix: the event stream written
+# through writeStream.format("json") — the log-shipping sink a CDC
+# fan-out actually runs — then read back with an explicit schema and
+# summarized with exact per-type checksums against the source table.
+# A parity pass proves the STREAMING writer round-trips values
+# losslessly (JSON shortest-repr doubles re-parse bit-exact) across
+# however many micro-batch files the trigger produced. The checksums
+# are integer/DECIMAL sums — order-free, so file count can't matter.
+
+CHK_TS_MOD = 1_000_000_007
+
+
+def stream_jsonl_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..streaming.job import _events_stream
+
+    prep(spark)
+    base = _tf.mkdtemp(prefix="stream_jsonl_")
+    out = os.path.join(base, "out")
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000000").alias("ts_ms"),
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("json")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double,"
+        " ts_ms long"
+    ).json(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        F.sum(F.col("ts_ms") % CHK_TS_MOD).cast("bigint").alias("sum_ts_mod"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+        .cast("decimal(24,6)")
+        .alias("value_sum"),
+    )
+
+
+STREAM_JSONL_SINK_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events,
+    CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+    CAST(SUM(epoch_ms(ts) % {CHK_TS_MOD}) AS BIGINT) AS sum_ts_mod,
+    CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DECIMAL(24,6))
+        AS value_sum
+FROM events
+GROUP BY event_type
+"""
+
+
 REGISTRY = [
     ("source_jsonl_roundtrip", jsonl_roundtrip_query, ROUNDTRIP_SQL),
     ("source_csv_roundtrip", csv_roundtrip_query, ROUNDTRIP_SQL),
     ("source_orc_roundtrip", orc_roundtrip_query, ROUNDTRIP_SQL),
+    ("stream_jsonl_sink", stream_jsonl_sink_query, STREAM_JSONL_SINK_SQL),
 ]

@@ -716,6 +716,86 @@ def test_threshold_sweep_monotone(spark, sf_dir):
         assert r["n_docs_dropped"] <= r["n_pairs"] or r["n_pairs"] == 0
 
 
+# ------------------------------------------------ top paths
+
+
+def test_top_paths_known_sequence(spark, tmp_path):
+    from replicator_spark.queries.analytics import top_paths_query
+
+    base = str(tmp_path)
+    # one user repeating a>b>c: paths a>b>c, b>c>a, c>a>b cycle
+    seq = ["a", "b", "c"] * 4
+    _write_events(
+        spark,
+        base,
+        [(i, i * 10**9, 1, t, 0.0, "{}") for i, t in enumerate(seq)],
+    )
+    rows = {r["path"]: r for r in top_paths_query(spark, base).collect()}
+    assert rows["a>b>c"]["n"] == 4
+    assert rows["b>c>a"]["n"] == 3
+    assert rows["c>a>b"]["n"] == 3
+    assert rows["a>b>c"]["rank"] == 1
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_top_paths_ranked_and_bounded(spark, sf_dir):
+    from replicator_spark.queries.analytics import (
+        TOP_PATHS_N,
+        top_paths_query,
+    )
+
+    rows = sorted(
+        top_paths_query(spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    assert 0 < len(rows) <= TOP_PATHS_N
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+# ------------------------------------------------ streaming JSONL sink
+
+
+def test_stream_jsonl_sink_checksums_match_source(spark, sf_dir):
+    """The streaming JSON writer must round-trip every value exactly:
+    checksums over the re-read files equal checksums over the source
+    table directly."""
+    from pyspark.sql import functions as F2
+
+    from replicator_spark.session import read_table
+    from replicator_spark.sources.formats import (
+        CHK_TS_MOD,
+        stream_jsonl_sink_query,
+    )
+
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["sum_event_id"], r["sum_ts_mod"],
+            str(r["value_sum"]),
+        )
+        for r in stream_jsonl_sink_query(spark, sf_dir).collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    want = {
+        r["event_type"]: (
+            r["n_events"], r["sum_event_id"], r["sum_ts_mod"],
+            str(r["value_sum"]),
+        )
+        for r in ev.groupBy("event_type")
+        .agg(
+            F2.count("*").alias("n_events"),
+            F2.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F2.sum(F2.expr("ts div 1000000") % CHK_TS_MOD)
+            .cast("bigint")
+            .alias("sum_ts_mod"),
+            F2.sum(F2.round(F2.col("value"), 6).cast("decimal(18,6)"))
+            .cast("decimal(24,6)")
+            .alias("value_sum"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 # ------------------------------------------------ cell balance
 
 
