@@ -182,6 +182,8 @@ _PRIORITY = [
     "ts_seasonality",
     "events_top_paths",
     "stream_jsonl_sink",
+    "cdc_order_audit",
+    "events_interarrival",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

@@ -117,6 +117,66 @@ SELECT 'srv-' || lpad(CAST(s.srv AS VARCHAR), 2, '0') AS server_uuid,
 FROM safe_ts s JOIN head h ON h.srv = s.srv
 """
 
+# ------------------------------------------------ ordering audit
+#
+# The binlog-order sanity check: the reference's whole pipeline
+# assumes events arrive in commit order (BinlogEventProducer's
+# ordered-queue contract, SURVEY §2.2) — this audits that assumption
+# on the actual feed. Per event-type stream: walking events in
+# event_id order (the binlog position analog), count adjacent
+# TIMESTAMP INVERSIONS (ts strictly less than its predecessor) and
+# the worst backwards jump. A nonzero row is the signal to distrust
+# every watermark downstream. One keyed window pass + a tiny agg.
+
+
+def order_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = W.partitionBy("event_type").orderBy("event_id")
+    lagged = ev.select(
+        "event_type",
+        "ts_us",
+        F.lag("ts_us").over(w).alias("prev_us"),
+    ).where(F.col("prev_us").isNotNull())
+    inv = F.when(F.col("ts_us") < F.col("prev_us"), 1).otherwise(0)
+    back = F.when(
+        F.col("ts_us") < F.col("prev_us"),
+        F.col("prev_us") - F.col("ts_us"),
+    ).otherwise(F.lit(0))
+    return lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_steps"),
+        F.sum(inv).cast("bigint").alias("n_inversions"),
+        F.max(back).cast("bigint").alias("max_backstep_us"),
+        F.round(
+            F.sum(inv).cast("double") / F.count("*"), 6
+        ).alias("inversion_rate"),
+    )
+
+
+ORDER_AUDIT_SQL = """
+WITH lagged AS (
+    SELECT event_type, epoch_us(ts) AS ts_us,
+        LAG(epoch_us(ts)) OVER (
+            PARTITION BY event_type ORDER BY event_id) AS prev_us
+    FROM events
+)
+SELECT event_type, COUNT(*) AS n_steps,
+    CAST(SUM(CASE WHEN ts_us < prev_us THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_inversions,
+    CAST(MAX(CASE WHEN ts_us < prev_us THEN prev_us - ts_us
+                  ELSE 0 END) AS BIGINT) AS max_backstep_us,
+    round(CAST(SUM(CASE WHEN ts_us < prev_us THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*), 6) AS inversion_rate
+FROM lagged WHERE prev_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
 REGISTRY = [
     ("cdc_delay_gauge", delay_gauge_query, DELAY_GAUGE_SQL),
+    ("cdc_order_audit", order_audit_query, ORDER_AUDIT_SQL),
 ]

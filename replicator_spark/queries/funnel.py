@@ -326,9 +326,62 @@ FROM coded GROUP BY segment
 """
 
 
+# ------------------------------------------- inter-arrival gap stats
+#
+# The distribution of per-user inter-event gaps — the number that
+# CALIBRATES the sessionization timeout (sessionize_events picks a gap
+# threshold; this op shows where the threshold sits in the actual gap
+# distribution — the knee between within-session and between-session
+# gaps). Gaps are exact integer microseconds; `F.percentile` is the
+# exact interpolated order statistic, identical to quantile_cont.
+# One keyed window (lag per user) + one global exact-percentile agg —
+# the percentile's single-group sort runs over gaps, the documented
+# exactness knob (sketch_quantile_grid is the mergeable alternative).
+
+
+def interarrival_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    ev = _events_us(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    g = F.col("gap_us").cast("double")
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg(g) / 1e6, 6).alias("mean_gap_s"),
+        *[
+            F.round(F.percentile(g, F.lit(p)) / 1e6, 6).alias(
+                f"p{int(p * 100)}_gap_s"
+            )
+            for p in (0.25, 0.5, 0.9, 0.99)
+        ],
+    )
+
+
+INTERARRIVAL_SQL = """
+WITH gaps AS (
+    SELECT CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        AS DOUBLE) AS g
+    FROM events
+)
+SELECT COUNT(*) AS n_gaps,
+    round(AVG(g) / 1e6, 6) AS mean_gap_s,
+    round(quantile_cont(g, 0.25) / 1e6, 6) AS p25_gap_s,
+    round(quantile_cont(g, 0.5) / 1e6, 6) AS p50_gap_s,
+    round(quantile_cont(g, 0.9) / 1e6, 6) AS p90_gap_s,
+    round(quantile_cont(g, 0.99) / 1e6, 6) AS p99_gap_s
+FROM gaps WHERE g IS NOT NULL
+"""
+
+
 REGISTRY = [
     ("events_funnel", funnel_query, FUNNEL_SQL),
     ("events_retention", retention_query, RETENTION_SQL),
     ("ts_gap_fill", gap_fill_query, GAP_FILL_SQL),
     ("events_rfm_segments", rfm_segments_query, RFM_SQL),
+    ("events_interarrival", interarrival_query, INTERARRIVAL_SQL),
 ]

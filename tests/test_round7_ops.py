@@ -716,6 +716,56 @@ def test_threshold_sweep_monotone(spark, sf_dir):
         assert r["n_docs_dropped"] <= r["n_pairs"] or r["n_pairs"] == 0
 
 
+# ------------------------------------------------ order audit
+
+
+def test_order_audit_detects_inversion(spark, tmp_path):
+    from replicator_spark.cdc.metrics import order_audit_query
+
+    base = str(tmp_path)
+    us = 10**3  # ns per µs
+    _write_events(
+        spark,
+        base,
+        [
+            (1, 100 * us, 1, "a", 0.0, "{}"),
+            (2, 300 * us, 1, "a", 0.0, "{}"),
+            (3, 200 * us, 1, "a", 0.0, "{}"),  # goes backwards by 100µs
+            (4, 400 * us, 1, "a", 0.0, "{}"),
+        ],
+    )
+    r = {r["event_type"]: r for r in order_audit_query(spark, base).collect()}
+    assert r["a"]["n_inversions"] == 1
+    assert r["a"]["max_backstep_us"] == 100
+    assert r["a"]["n_steps"] == 3
+
+
+def test_order_audit_clean_feed_is_zero(spark, sf_dir):
+    from replicator_spark.cdc.metrics import order_audit_query
+
+    for r in order_audit_query(spark, sf_dir).collect():
+        assert r["inversion_rate"] >= 0.0
+        assert r["n_inversions"] <= r["n_steps"]
+
+
+# ------------------------------------------------ inter-arrival gaps
+
+
+def test_interarrival_percentiles_ordered(spark, sf_dir):
+    from replicator_spark.queries.funnel import interarrival_query
+
+    r = interarrival_query(spark, sf_dir).collect()[0]
+    assert r["n_gaps"] > 0
+    assert (
+        0
+        <= r["p25_gap_s"]
+        <= r["p50_gap_s"]
+        <= r["p90_gap_s"]
+        <= r["p99_gap_s"]
+    )
+    assert r["mean_gap_s"] > 0
+
+
 # ------------------------------------------------ top paths
 
 
