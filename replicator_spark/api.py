@@ -184,6 +184,8 @@ _PRIORITY = [
     "stream_jsonl_sink",
     "cdc_order_audit",
     "events_interarrival",
+    "tm_version_depth",
+    "events_peak_concurrency",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",
@@ -404,6 +406,8 @@ def _load() -> None:
              timemachine.SCD2_WEIGHTED_SQL)
     register("tm_snapshot_delta", timemachine.snapshot_delta_query,
              timemachine.SNAPSHOT_DELTA_SQL)
+    register("tm_version_depth", timemachine.version_depth_query,
+             timemachine.VERSION_DEPTH_SQL)
 
     for mod in (
         seeker, validation, bootstrap, source_formats, jsonb, apply,

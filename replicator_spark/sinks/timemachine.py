@@ -674,3 +674,62 @@ FROM flagged
 GROUP BY table_name
 """
 )
+
+
+# ---------------------------------------------- version-depth histogram
+#
+# How deep is the history? Distribution of versions-per-cell-key
+# ((table, rowkey, column) → version count) — the capacity/compaction
+# planning view of the store (the reference sizes maxVersions against
+# exactly this distribution, HBaseSchemaManager.java:57-58: this is
+# the report you read BEFORE picking maxVersions; tm_retention audits
+# AFTER). Two combiner-backed aggs: per-key count (corpus-sized
+# exchange) then the tiny (table, depth) histogram; shares are
+# integer-count ratios.
+
+
+def version_depth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = timemachine_cells(spark, sf_dir)  # organized_feed preps
+    per_key = cells.groupBy("table_name", "rowkey", "column_name").agg(
+        F.count("*").alias("depth")
+    )
+    hist = per_key.groupBy("table_name", "depth").agg(
+        F.count("*").alias("n_keys")
+    )
+    tot = hist.groupBy("table_name").agg(
+        F.sum("n_keys").alias("table_keys")
+    )
+    return (
+        hist.join(F.broadcast(tot), "table_name")
+        .select(
+            "table_name",
+            "depth",
+            "n_keys",
+            F.round(
+                F.col("n_keys").cast("double")
+                / F.col("table_keys").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+VERSION_DEPTH_SQL = (
+    "WITH cells AS ("
+    + TIMEMACHINE_CELLS_SQL
+    + """
+), per_key AS (
+    SELECT table_name, rowkey, column_name, COUNT(*) AS depth
+    FROM cells GROUP BY table_name, rowkey, column_name
+), hist AS (
+    SELECT table_name, depth, COUNT(*) AS n_keys
+    FROM per_key GROUP BY table_name, depth
+), tot AS (
+    SELECT table_name, CAST(SUM(n_keys) AS BIGINT) AS table_keys
+    FROM hist GROUP BY table_name
+)
+SELECT h.table_name, depth, n_keys,
+    round(CAST(n_keys AS DOUBLE) / CAST(table_keys AS DOUBLE), 6) AS share
+FROM hist h JOIN tot USING (table_name)
+"""
+)

@@ -716,6 +716,55 @@ def test_threshold_sweep_monotone(spark, sf_dir):
         assert r["n_docs_dropped"] <= r["n_pairs"] or r["n_pairs"] == 0
 
 
+# ------------------------------------------------ version depth
+
+
+def test_version_depth_shares_sum_to_one(spark, sf_dir):
+    from replicator_spark.sinks.timemachine import version_depth_query
+
+    rows = version_depth_query(spark, sf_dir).collect()
+    assert rows
+    per_table: dict[str, float] = {}
+    for r in rows:
+        assert r["depth"] >= 1
+        per_table[r["table_name"]] = (
+            per_table.get(r["table_name"], 0.0) + r["share"]
+        )
+    for share in per_table.values():
+        assert abs(share - 1.0) < 1e-4
+
+
+# ------------------------------------------------ peak concurrency
+
+
+def test_peak_concurrency_overlapping_sessions(spark, tmp_path):
+    from replicator_spark.pipeline.sessions import peak_concurrency_query
+
+    base = str(tmp_path)
+    m = 60 * 1000 * 10**6  # minute in ns
+    evs = [
+        # three users online in overlapping windows: u1 0-10min,
+        # u2 5-15min, u3 12-20min → peak 2 (u1+u2, then u2+u3)
+        (1, 0 * m, 1, "view", 0.0, "{}"),
+        (2, 10 * m, 1, "view", 0.0, "{}"),
+        (3, 5 * m, 2, "view", 0.0, "{}"),
+        (4, 15 * m, 2, "view", 0.0, "{}"),
+        (5, 12 * m, 3, "view", 0.0, "{}"),
+        (6, 20 * m, 3, "view", 0.0, "{}"),
+    ]
+    _write_events(spark, base, evs)
+    r = peak_concurrency_query(spark, base).collect()[0]
+    assert r["n_sessions"] == 3
+    assert r["peak_concurrent"] == 2
+
+
+def test_peak_concurrency_bounds(spark, sf_dir):
+    from replicator_spark.pipeline.sessions import peak_concurrency_query
+
+    r = peak_concurrency_query(spark, sf_dir).collect()[0]
+    assert 1 <= r["peak_concurrent"] <= r["n_sessions"]
+
+
 # ------------------------------------------------ order audit
 
 
