@@ -186,6 +186,7 @@ _PRIORITY = [
     "events_interarrival",
     "tm_version_depth",
     "events_peak_concurrency",
+    "curate_dataset_card",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",

@@ -465,6 +465,91 @@ FROM counts
     )
 
 
+# ------------------------------------------------------------ dataset card
+#
+# The one-row DATASET CARD: the headline numbers a training-data
+# release publishes — volume (docs, tokens, chars), diversity (vocab,
+# languages, sources), shape (mean/median doc length), and the exact
+# duplicate rate (1 − distinct texts / docs). One corpus scan feeds
+# the count aggregates; vocabulary is the only second exchange
+# (explode → distinct count, vocab-bounded output) and joins back as
+# a broadcast 1-row relation. Every number is an exact integer or an
+# integer ratio rounded to 6 dp.
+
+
+def dataset_card_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.size(ws_tokens(F.lower(F.col("text"))))
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        F.round(F.percentile(toks.cast("double"), F.lit(0.5)), 6).alias(
+            "median_doc_tokens"
+        ),
+    )
+    vocab = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("t"))
+        .agg(F.countDistinct("t").alias("vocab"))
+    )
+    j = base.crossJoin(F.broadcast(vocab))
+    return j.select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "vocab",
+        "n_langs",
+        "n_sources",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("mean_doc_tokens"),
+        "median_doc_tokens",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct_texts").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("exact_dup_rate"),
+    )
+
+
+DATASET_CARD_SQL = """
+WITH toked AS (
+    SELECT *, len(list_filter(string_split(lower(text), ' '),
+                              t -> t <> '')) AS n_toks
+    FROM documents
+), base AS (
+    SELECT COUNT(*) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        COUNT(DISTINCT lang) AS n_langs,
+        COUNT(DISTINCT source) AS n_sources,
+        COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+        round(quantile_cont(CAST(n_toks AS DOUBLE), 0.5), 6)
+            AS median_doc_tokens
+    FROM toked
+), vocab AS (
+    SELECT COUNT(DISTINCT t) AS vocab
+    FROM documents,
+        UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        AS u(t)
+)
+SELECT n_docs, n_tokens, n_chars, CAST(vocab AS BIGINT) AS vocab,
+    n_langs, n_sources,
+    round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        AS mean_doc_tokens,
+    median_doc_tokens,
+    round(1.0 - CAST(n_distinct_texts AS DOUBLE)
+          / CAST(n_docs AS DOUBLE), 6) AS exact_dup_rate
+FROM base CROSS JOIN vocab
+"""
+
+
 # ------------------------------------------------------------ global shuffle
 
 N_SHUF_SHARDS = 16
@@ -734,6 +819,7 @@ REGISTRY = [
     ("curate_contamination", contamination_query, CONTAMINATION_SQL),
     ("curate_ngram_decontam", ngram_decontam_query, NGRAM_DECONTAM_SQL),
     ("curate_bloom_decontam", bloom_decontam_query, _bloom_decontam_sql()),
+    ("curate_dataset_card", dataset_card_query, DATASET_CARD_SQL),
     ("curate_global_shuffle", global_shuffle_query, GLOBAL_SHUFFLE_SQL),
     ("curate_quality_filter", quality_filter_query, QUALITY_FILTER_SQL),
     ("curate_weighted_sample", weighted_sample_query, WEIGHTED_SAMPLE_SQL),

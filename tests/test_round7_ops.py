@@ -716,6 +716,34 @@ def test_threshold_sweep_monotone(spark, sf_dir):
         assert r["n_docs_dropped"] <= r["n_pairs"] or r["n_pairs"] == 0
 
 
+# ------------------------------------------------ dataset card
+
+
+def test_dataset_card_known_corpus(spark, tmp_path):
+    from replicator_spark.pipeline.curation import dataset_card_query
+
+    base = str(tmp_path)
+    dup = "alpha beta gamma"
+    _write_docs(
+        spark,
+        base,
+        [
+            (1, dup, "en", "s1", 16),
+            (2, dup, "en", "s1", 16),  # exact duplicate
+            (3, "delta epsilon", "fr", "s2", 13),
+            (4, "alpha zeta", "en", "s2", 10),
+        ],
+    )
+    r = dataset_card_query(spark, base).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["n_tokens"] == 3 + 3 + 2 + 2
+    assert r["vocab"] == 6  # alpha beta gamma delta epsilon zeta
+    assert r["n_langs"] == 2 and r["n_sources"] == 2
+    assert r["exact_dup_rate"] == 0.25  # 3 distinct of 4
+    assert r["mean_doc_tokens"] == 2.5
+    assert r["median_doc_tokens"] == 2.5
+
+
 # ------------------------------------------------ version depth
 
 
