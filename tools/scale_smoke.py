@@ -116,6 +116,27 @@ SLATE = [
     "dq_benford_digits",
     "stats_gini",
     "graph_assortativity",
+    # round-4 final batch: capstones and audits — the claims under
+    # test are the sweep-line over session boundaries (not raw
+    # events), the two-exchange dataset card, the |days|-table
+    # time-series stats, the one-window path/markov leads, the
+    # streaming sink write path, and the per-cell-key depth agg
+    "curate_dataset_card",
+    "events_peak_concurrency",
+    "events_interarrival",
+    "events_top_paths",
+    "cdc_order_audit",
+    "tm_version_depth",
+    "ts_autocorrelation",
+    "ts_seasonality",
+    "ts_profile_topk",
+    "multimodal_phash_dedup",
+    "stream_jsonl_sink",
+    "stream_scd2_intervals",
+    "sim_recall_curve",
+    "stats_welch_ttest",
+    "dedup_threshold_sweep",
+    "text_bpe_train",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
