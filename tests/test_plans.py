@@ -344,12 +344,21 @@ def test_source_overlap_single_corpus_exchange(spark, sf_dir):
 
 
 def test_knn_graph_is_cell_equijoin(spark, sf_dir):
-    """Candidates must come from the label equi-join; a cartesian or
-    nested-loop over the full table is exactly what the cell
-    restriction exists to avoid."""
+    """Candidates must come from the hyperplane-cell equi-join; a
+    cartesian or nested-loop over the full table is exactly what the
+    cell restriction exists to avoid. The quantizer bit-width h is
+    resolved before plan build (scalar count), so the plan itself has
+    no nested loop at all."""
     plan = _plan(spark, sf_dir, "sim_knn_graph")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate pair generation itself must be a hash/sort EQUI-join
+    # on the derived cell id, never a nested loop
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
 
 
 def test_bloom_decontam_broadcasts_bits(spark, sf_dir):

@@ -393,11 +393,35 @@ def test_knn_graph_mutual_and_canonical(spark, sf_dir):
         deg[e["b"]] = deg.get(e["b"], 0) + 1
     # mutual-kNN degree is bounded by k on BOTH endpoints
     assert max(deg.values()) <= TOP_K
-    # cell restriction: every edge joins two vectors of the same label,
-    # and the reported cosine matches a direct recompute
+    # cell restriction: every edge joins two vectors of the SAME
+    # corpus-scaled hyperplane cell (quantizer recomputed here in pure
+    # Python), and the reported cosine matches a direct recompute
+    from replicator_spark.pipeline.similarity import (
+        _KNN_PLANES,
+        KNN_MAX_PLANES,
+        KNN_TARGET_CELL,
+    )
+
     rows = read_table(spark, sf_dir, "embeddings").collect()
-    lab = {r["vec_id"]: r["label"] for r in rows}
     vec = {r["vec_id"]: r["embedding"] for r in rows}
+    n = len(rows)
+    h = max(
+        1,
+        sum(n > (KNN_TARGET_CELL << j) for j in range(KNN_MAX_PLANES)),
+    )
+
+    def cell(x):
+        c = 0
+        for p in range(h):
+            proj = 0.0
+            for xi, wi in zip(x, _KNN_PLANES[p]):
+                proj += float(xi) * wi
+            if proj > 0:
+                c += 1 << p
+        return c
+
+    for a, b in list(seen)[:25]:
+        assert cell(vec[a]) == cell(vec[b])
 
     def cos(x, y):
         d = sum(a * b for a, b in zip(x, y))
@@ -405,8 +429,6 @@ def test_knn_graph_mutual_and_canonical(spark, sf_dir):
             math.sqrt(sum(a * a for a in x)) * math.sqrt(sum(b * b for b in y))
         )
 
-    for a, b in list(seen)[:25]:
-        assert lab[a] == lab[b]
     for e in edges[:10]:
         assert abs(e["cosine"] - cos(vec[e["a"]], vec[e["b"]])) < 1e-5
 
