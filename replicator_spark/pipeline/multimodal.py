@@ -333,22 +333,27 @@ FROM framed
 PHASH_GRID = 8  # 8×8 bits from a 9-column walk
 PHASH_BUCKET_BITS = 16
 PHASH_MAX_HAMMING = 16
+PHASH_BUCKET_CAP = 32  # mega-bucket star guard (dedup.LSH_BUCKET_CAP analog)
 
 PHASH_SCHEMA = "doc_id long, dhash string, bucket string"
 
 
 def _dhash_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Bits are computed over Unicode CODE POINTS of the decoded payload
+    # (ord of each char, char length n) — NOT raw UTF-8 bytes — so the
+    # hash agrees with the oracle's unicode()/length() semantics for
+    # any text, not just ASCII (round-4 advice item).
     for pdf in it:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            data = bytes(payload)
-            n = len(data)
+            chars = bytes(payload).decode("utf-8")
+            n = len(chars)
             if n == 0:
                 continue
             bits = "".join(
                 "1"
-                if data[(r * (PHASH_GRID + 1) + c) % n]
-                > data[(r * (PHASH_GRID + 1) + c + 1) % n]
+                if ord(chars[(r * (PHASH_GRID + 1) + c) % n])
+                > ord(chars[(r * (PHASH_GRID + 1) + c + 1) % n])
                 else "0"
                 for r in range(PHASH_GRID)
                 for c in range(PHASH_GRID)
@@ -380,16 +385,28 @@ def multimodal_phash_dedup_query(
         )
         .filter(F.size("ids") > 1)
     )
+    # Mega-bucket guard (dedup.py's LSH_BUCKET_CAP rule): a Hamming
+    # bucket of k near-identical images would expand to k(k-1)/2 pairs
+    # inside ONE task. Oversized buckets emit a sorted STAR (every id
+    # paired with the bucket min): O(k) pairs, identical connected
+    # components for cluster-level dedup, and the star center shares
+    # the bucket prefix so the Hamming filter still applies per edge.
+    all_pairs = """flatten(transform(ids, (x, i) ->
+        transform(slice(ids, i + 2, size(ids) - i - 1),
+                  y -> struct(x.doc_id AS doc_a,
+                              y.doc_id AS doc_b,
+                              x.dhash AS ha,
+                              y.dhash AS hb))))"""
+    star = """transform(slice(ids, 2, size(ids) - 1), y ->
+        struct(element_at(ids, 1).doc_id AS doc_a,
+               y.doc_id AS doc_b,
+               element_at(ids, 1).dhash AS ha,
+               y.dhash AS hb))"""
     pairs = buckets.select(
         F.explode(
-            F.expr(
-                """flatten(transform(ids, (x, i) ->
-                    transform(slice(ids, i + 2, size(ids) - i - 1),
-                              y -> struct(x.doc_id AS doc_a,
-                                          y.doc_id AS doc_b,
-                                          x.dhash AS ha,
-                                          y.dhash AS hb))))"""
-            )
+            F.when(
+                F.size("ids") <= PHASH_BUCKET_CAP, F.expr(all_pairs)
+            ).otherwise(F.expr(star))
         ).alias("p")
     ).select("p.doc_a", "p.doc_b", "p.ha", "p.hb")
     ham = F.expr(
@@ -416,9 +433,10 @@ def _phash_bits_sql() -> str:
 
 
 def _phash_dedup_sql() -> str:
+    # Same clique/star PHASH_BUCKET_CAP rule as the Spark side.
     ham = (
         f"list_reduce(list_transform(range(1, {PHASH_GRID**2 + 1}), "
-        "i -> CASE WHEN substr(a.dhash, i, 1) = substr(b.dhash, i, 1) "
+        "i -> CASE WHEN substr(p.ha, i, 1) = substr(p.hb, i, 1) "
         "THEN 0 ELSE 1 END), (x, y) -> x + y)"
     )
     return f"""
@@ -429,11 +447,25 @@ WITH hashed AS (
 ), bucketed AS (
     SELECT doc_id, dhash, substr(dhash, 1, {PHASH_BUCKET_BITS}) AS bucket
     FROM hashed
+), buckets AS (
+    SELECT bucket,
+        list_sort(list({{'doc_id': doc_id, 'dhash': dhash}})) AS ids
+    FROM bucketed GROUP BY bucket HAVING count(*) > 1
+), expanded AS (
+    SELECT unnest(CASE WHEN len(ids) <= {PHASH_BUCKET_CAP} THEN
+        flatten(list_transform(range(1, len(ids) + 1), i ->
+            list_transform(range(i + 1, len(ids) + 1), j ->
+                {{'doc_a': ids[i].doc_id, 'doc_b': ids[j].doc_id,
+                  'ha': ids[i].dhash, 'hb': ids[j].dhash}})))
+    ELSE
+        list_transform(range(2, len(ids) + 1), i ->
+            {{'doc_a': ids[1].doc_id, 'doc_b': ids[i].doc_id,
+              'ha': ids[1].dhash, 'hb': ids[i].dhash}})
+    END) AS p
+    FROM buckets
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    {ham} AS hamming
-FROM bucketed a JOIN bucketed b
-  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, {ham} AS hamming
+FROM expanded
 WHERE {ham} <= {PHASH_MAX_HAMMING}
 """
 
