@@ -137,12 +137,16 @@ def source_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# `s <> ''` guard: for a ZERO-token document, concat_ws over all-NULL
+# toks[i] yields '' (which IS NOT NULL) — without the guard the oracle
+# would emit one empty shingle where Spark's arrays_zip path emits no
+# rows (round-4 advice item)
 _SHINGLES_SQL = """
 list_filter(
     list_transform(
         range(1, greatest(len(toks) - 2, 1) + 1),
         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
-    s -> s IS NOT NULL)
+    s -> s IS NOT NULL AND s <> '')
 """
 
 SOURCE_OVERLAP_SQL = f"""

@@ -69,14 +69,18 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         # needs even though this corpus is benign: quote everything and
         # keep whitespace on write (Spark's writer TRIMS by default),
         # allow embedded newlines on read, and move the null sentinel
-        # off the empty string (the reader otherwise turns "" → NULL)
+        # off the empty string (the reader otherwise turns "" → NULL).
+        # The sentinel is \x01-prefixed so no printable document text
+        # can collide with it (a field literally equal to a plain "\\N"
+        # sentinel would read back as NULL — round-4 advice item)
+        null_tok = "\x01N\x01"
         w = (
             w.option("header", True)
             .option("quoteAll", True)
             .option("escape", '"')
             .option("ignoreLeadingWhiteSpace", False)
             .option("ignoreTrailingWhiteSpace", False)
-            .option("nullValue", "\\N")
+            .option("nullValue", null_tok)
         )
         r = (
             r.option("header", True)
@@ -84,7 +88,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
             .option("escape", '"')
             .option("ignoreLeadingWhiteSpace", False)
             .option("ignoreTrailingWhiteSpace", False)
-            .option("nullValue", "\\N")
+            .option("nullValue", null_tok)
         )
     w.save(out)
     return _summary(r.load(out))

@@ -48,11 +48,16 @@ def _close_intervals(
     cur, since = state.get if state.exists else (None, None)
     rows = []
     batch = pd.concat(list(pdfs))
-    batch = batch.sort_values(["ts_ms", "event_id"])
+    # sort on FULL-precision ts (ns) + event_id — the oracle's LEAD
+    # ordering; ms truncation happens only on the emitted columns, so
+    # two same-user events inside one millisecond still close in the
+    # same order as the batch derivation (round-4 advice item)
+    batch = batch.sort_values(["ts_ns", "event_id"])
     for r in batch.itertuples(index=False):
+        ts_ms = int(r.ts_ns) // 1_000_000
         if since is not None:
-            rows.append((user_id, cur, since, int(r.ts_ms)))
-        cur, since = float(r.value), int(r.ts_ms)
+            rows.append((user_id, cur, since, ts_ms))
+        cur, since = float(r.value), ts_ms
     if since is not None:
         state.update((cur, since))
     yield pd.DataFrame(
@@ -65,7 +70,7 @@ def build_scd2_stream(stream: DataFrame) -> DataFrame:
     multibatch determinism test)."""
     raw = stream.select(
         "user_id",
-        F.expr("ts div 1000000").alias("ts_ms"),
+        F.col("ts").alias("ts_ns"),
         "event_id",
         "value",
     )
