@@ -404,10 +404,80 @@ def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_merged_cond(ix: str) -> str:
+    """SQL for 'position {ix} starts a greedy merge of (l, r)'.
+
+    Mirrors _merge_pair's left fold in closed positional form: an
+    occurrence (syms[i]=l, syms[i+1]=r) is merged iff l <> r (adjacent
+    occurrences cannot overlap, the fold takes them all) OR — the
+    l = r case, a run of identical symbols the fold pairs off from the
+    left — the count of consecutive l's immediately before i (K) is
+    even. K = i - 1 - (last position before i whose symbol isn't l)."""
+    k = (
+        f"({ix}) - 1 - coalesce(list_max(list_filter("
+        f"range(1, {ix}), j -> syms[j] <> w.l)), 0)"
+    )
+    return (
+        f"(({ix}) < len(syms) AND syms[{ix}] = w.l"
+        f" AND syms[({ix}) + 1] = w.r"
+        f" AND (w.l <> w.r OR ({k}) % 2 = 0))"
+    )
+
+
+def _bpe_train_sql() -> str:
+    """Unrolled-CTE twin of bpe_train_query (round-4 verdict item #2):
+    N_BPE_MERGES chained rounds of pair-count → deterministic argmax
+    (total DESC, l, r — binary collation in both engines) → greedy
+    merge rewrite. The merge is the positional closed form of the
+    Spark fold (see _bpe_merged_cond), evaluated over the SAME
+    integer-exact freq sums, so every round's winner and rewritten
+    vocab are identical in both engines and the op gets a FULL
+    value-hash driver row, not rows-only."""
+    merge_expr = f"""flatten(list_transform(range(1, len(syms) + 1), i ->
+        CASE WHEN {_bpe_merged_cond('i')} THEN [w.l || w.r]
+             WHEN i > 1 AND {_bpe_merged_cond('i - 1')} THEN []
+             ELSE [syms[i]] END))"""
+    blocks = []
+    prev = "words0"
+    for k in range(1, N_BPE_MERGES + 1):
+        blocks.append(f"""prs{k} AS (
+    SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS total
+    FROM {prev}, UNNEST(range(1, len(syms))) AS t(i)
+    WHERE len(syms) >= 2
+    GROUP BY 1, 2
+), win{k} AS (
+    SELECT {k} AS merge_rank, l, r, CAST(total AS BIGINT) AS total
+    FROM prs{k} ORDER BY total DESC, l, r LIMIT 1
+), words{k} AS MATERIALIZED (
+    SELECT freq, {merge_expr} AS syms
+    FROM {prev} CROSS JOIN win{k} w
+)""")
+        prev = f"words{k}"
+    wins = " UNION ALL ".join(
+        f"SELECT * FROM win{k}" for k in range(1, N_BPE_MERGES + 1)
+    )
+    return f"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              t -> t <> '')) AS w
+    FROM documents
+), words0 AS MATERIALIZED (
+    SELECT COUNT(*) AS freq,
+        list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))
+            AS syms
+    FROM toks GROUP BY w
+), {", ".join(blocks)}
+SELECT merge_rank, l AS "left", r AS "right", l || r AS merged,
+    total AS weighted_count
+FROM ({wins})
+"""
+
+
 REGISTRY = [
     ("curate_mixture_weights", mixture_weights_query, MIXTURE_WEIGHTS_SQL),
     ("curate_token_budget", token_budget_query, TOKEN_BUDGET_SQL),
     ("text_oov_rate", oov_rate_query, OOV_RATE_SQL),
     ("text_bpe_pairs", bpe_pairs_query, BPE_PAIRS_SQL),
-    ("text_bpe_train", bpe_train_query, None),
+    # unrolled-CTE oracle: same merge rounds (see _bpe_train_sql)
+    ("text_bpe_train", bpe_train_query, _bpe_train_sql()),
 ]

@@ -15,6 +15,8 @@ sequential folds so the doubles match bit-for-bit.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -294,46 +296,154 @@ FROM sums JOIN dsums a ON a.d = di JOIN dsums b ON b.d = dj
 # that d² matrix — collecting it is not a driver-side data loop, it is
 # the O(d²) reduction output (d=64 → 2080 upper-triangle rows).
 #
-# Determinism: fixed start vector (1/√d, … ), fixed iteration count,
-# L2 normalization each step, sign fixed by making the largest-
-# |loading| coordinate positive. No RNG, no convergence-dependent
-# branching. 1024 iterations because the driver corpus's embedding
-# spectrum is near-flat (λ₂/λ₁ ≈ 0.987 ⇒ 0.987^1024 ≈ 2e-6 residual);
-# a 64×64 matvec ×1024 is microseconds of driver CPU. Iterative and
-# driver-side — genuinely non-SQL-expressible, so this registers
-# WITHOUT a DuckDB oracle (rows-only driver check); the unit test
-# instead asserts against numpy.linalg.eigh on the same matrix.
+# Determinism: fixed start vector (1/√d = 0.125 — dyadic, exact),
+# fixed squaring count, max-abs matrix normalization each squaring,
+# sign fixed by making the largest-|loading| coordinate positive. No
+# RNG, no convergence-dependent branching. PCA_SQUARINGS = 10 repeated
+# squarings compute the direction of C^1024·v₀ — the SAME subspace
+# convergence as 1024 classic power steps (the driver corpus's
+# embedding spectrum is near-flat: λ₂/λ₁ ≈ 0.987 ⇒ 0.987^1024 ≈ 2e-6
+# residual) — but in 10 dense 64×64×64 matmuls instead of 1024
+# data-dependent sequential matvecs, which is what makes the step
+# count small enough to mirror in SQL.
+#
+# ORACLE-EXACT (round-4 verdict item #2): the driver math is plain
+# Python SEQUENTIAL folds — every matmul/matvec cell accumulates
+# k = 0..d-1 in order starting from 0.0 over the 6-dp-rounded
+# covariance the already-green emb_covariance oracle reproduces
+# bit-for-bit, and each squaring divides by the max-|entry| (an
+# order-free exact reduction). The DuckDB twin unrolls the 10
+# squarings as chained CTEs over (i, row) tables — a vectorized
+# 4096-row self-join per squaring, symmetric so dot(row_i, row_j)
+# IS cell (i,j) — replaying the identical left folds (list_reduce;
+# 0.0 + x == x exactly). Every intermediate double is bit-identical
+# in both engines, so the op gets a FULL value-hash driver row, not
+# rows-only. The unit test still cross-checks the converged direction
+# against numpy.linalg.eigh.
 
-PCA_ITERS = 1024
+PCA_SQUARINGS = 10  # C^(2^10): ≡ 1024 power-iteration steps
 
 
 def pca_power_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding covariance: one row per
     dimension with its loading, plus the shared top eigenvalue."""
-    import numpy as np
+    import math
 
     prep(spark)
     tri = covariance_query(spark, sf_dir).select(
         "di", "dj", "cov"
     ).collect()  # d(d+1)/2 rows — constant-size reduction output
     d = max(r["dj"] for r in tri) + 1
-    cov = np.zeros((d, d))
+    cov = [[0.0] * d for _ in range(d)]
     for r in tri:
-        cov[r["di"], r["dj"]] = r["cov"]
-        cov[r["dj"], r["di"]] = r["cov"]
-    v = np.full(d, 1.0 / np.sqrt(d))
-    for _ in range(PCA_ITERS):
-        v = cov @ v
-        v /= np.linalg.norm(v)
-    if v[int(np.argmax(np.abs(v)))] < 0:
-        v = -v
-    eigval = float(v @ cov @ v)
+        cov[r["di"]][r["dj"]] = r["cov"]
+        cov[r["dj"]][r["di"]] = r["cov"]
+
+    def dot(a, b):
+        acc = 0.0
+        for k in range(d):  # sequential — mirrors list_reduce
+            acc += a[k] * b[k]
+        return acc
+
+    m = cov
+    for _ in range(PCA_SQUARINGS):
+        # m is symmetric, so cell (i,j) of m·m is dot(row_i, row_j)
+        sq = [[dot(m[i], m[j]) for j in range(d)] for i in range(d)]
+        mx = max(abs(x) for row in sq for x in row)  # order-free max
+        m = [[x / mx for x in row] for row in sq]
+    # v = normalize(m · v0), v0 = 0.125 const (drops out of direction)
+    w = [dot(m[i], [0.125] * d) for i in range(d)]
+    nrm = math.sqrt(dot(w, w))
+    v = [x / nrm for x in w]
+    # sign fix: first coordinate of max |loading| made positive
+    av = [abs(x) for x in v]
+    if v[av.index(max(av))] < 0:
+        v = [-x for x in v]
+    # Rayleigh quotient against the ORIGINAL covariance
+    eigval = dot(v, [dot(cov[i], v) for i in range(d)])
     rows = [
-        (i, round(float(v[i]), 6), round(eigval, 6)) for i in range(d)
+        (i, round(v[i], 6) + 0.0, round(eigval, 6) + 0.0) for i in range(d)
     ]
     return spark.createDataFrame(
         rows, "dim int, loading double, eigenvalue double"
     )
+
+
+def _pca_power_sql() -> str:
+    """Unrolled-CTE twin of pca_power_query: same cov (the green
+    emb_covariance SQL), same squaring chain, same sequential folds."""
+    d = 64  # embedding dim (the pipeline-wide constant)
+    # dot(row_a, row_b) as the sequential left fold both engines share
+    dotf = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        "k -> {a}[k] * {b}[k]), (x, y) -> x + y)"
+    )
+    sq_ctes = []
+    prev = "m0"
+    for s in range(1, PCA_SQUARINGS + 1):
+        cur = f"m{s}"
+        sq_ctes.append(f"""sq{s} AS MATERIALIZED (
+    SELECT a.i AS i, list({dotf.format(a='a.row', b='b.row')}
+                          ORDER BY b.i) AS row
+    FROM {prev} a, {prev} b GROUP BY a.i
+), mx{s} AS (
+    SELECT MAX(list_aggregate(list_transform(row, x -> abs(x)), 'max'))
+        AS mx FROM sq{s}
+), {cur} AS MATERIALIZED (
+    SELECT i, list_transform(row, x -> x / mx) AS row
+    FROM sq{s}, mx{s}
+)""")
+        prev = cur
+    return f"""
+WITH comp AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), cpairs AS (
+    SELECT a.d AS di, b.d AS dj,
+        CAST(a.x AS DECIMAL(15,10)) * CAST(b.x AS DECIMAL(15,10)) AS p
+    FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.d <= b.d
+), csums AS (
+    SELECT di, dj, COUNT(*) AS n, SUM(p) AS spp
+    FROM cpairs GROUP BY di, dj
+), dsums AS (
+    SELECT d, SUM(CAST(x AS DECIMAL(15,10))) AS sx FROM comp GROUP BY d
+), covtri AS (
+    SELECT di, dj,
+        round((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+               - CAST(a.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) + 0.0 AS cov
+    FROM csums JOIN dsums a ON a.d = di JOIN dsums b ON b.d = dj
+), covfull AS (
+    SELECT di, dj, cov FROM covtri
+    UNION ALL
+    SELECT dj, di, cov FROM covtri WHERE di <> dj
+), m0 AS MATERIALIZED (
+    SELECT di AS i, list(cov ORDER BY dj) AS row
+    FROM covfull GROUP BY di
+), {", ".join(sq_ctes)}, wv AS MATERIALIZED (
+    SELECT i, {dotf.format(
+        a='row', b=f"list_transform(range(1, {d + 1}), q -> 0.125)")} AS w
+    FROM {prev}
+), vn AS (
+    SELECT list(w / nrm ORDER BY i) AS v
+    FROM wv, (
+        SELECT sqrt({dotf.format(a='wl', b='wl')}) AS nrm
+        FROM (SELECT list(w ORDER BY i) AS wl FROM wv))
+), fin AS MATERIALIZED (
+    SELECT CASE WHEN v[list_position(av, list_aggregate(av, 'max'))] < 0
+                THEN list_transform(v, x -> -x) ELSE v END AS v
+    FROM (SELECT v, list_transform(v, x -> abs(x)) AS av FROM vn)
+), cu AS (
+    SELECT m0.i AS i, {dotf.format(a='m0.row', b='fin.v')} AS u
+    FROM m0, fin
+), ray AS (
+    SELECT v, round({dotf.format(a='v', b='ul')}, 6) + 0.0 AS eigenvalue
+    FROM fin, (SELECT list(u ORDER BY i) AS ul FROM cu)
+)
+SELECT i - 1 AS dim, round(v[i], 6) + 0.0 AS loading, eigenvalue
+FROM ray, UNNEST(range(1, {d + 1})) AS t(i)
+"""
 
 
 # ------------------------------------------------- k-means (Lloyd's)
@@ -354,10 +464,19 @@ def pca_power_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (deterministic pseudo-random, engine-independent); component sums in
 # DECIMAL(15,10) (order-exact); centroids rounded to 6 dp between
 # rounds so every distance compares identical doubles; fixed ITERS (no
-# data-dependent stopping). Iterative and driver-orchestrated —
-# genuinely non-SQL-expressible, so registered WITHOUT a DuckDB oracle
-# (rows-only driver check); the unit test replays the same algorithm
-# in pure numpy and matches exactly.
+# data-dependent stopping).
+#
+# ORACLE-EXACT (round-4 verdict item #2): because every per-round
+# artifact is either an order-free exact reduction (DECIMAL sums,
+# counts) or a sequential double fold (the distance zip_with/aggregate
+# == DuckDB list_reduce), the WHOLE fixed-round loop unrolls into
+# KMEANS_ITERS chained CTE blocks (_kmeans_sql) — assignment via a
+# ROW_NUMBER argmin with the same (d2, cid) tie order as F.min(struct),
+# centroid updates via round(CAST(sx AS DOUBLE)/n, 6) on the identical
+# decimal sums, empty clusters kept via COALESCE with the previous
+# round. Every centroid double is bit-identical in both engines, so
+# the op gets a FULL value-hash driver row, not rows-only. The unit
+# test still replays the algorithm in numpy as an independent pin.
 
 KMEANS_K = 8
 KMEANS_ITERS = 5
@@ -443,7 +562,9 @@ def kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = new_cents
     final = _assign(emb, cents)
     norm = [
-        round(sum(x * x for x in c) ** 0.5, 6) for c in cents
+        # math.sqrt (IEEE correctly-rounded, = SQL sqrt) — not ** 0.5,
+        # whose libm pow is not guaranteed identical cross-engine
+        round(_math.sqrt(sum(x * x for x in c)), 6) for c in cents
     ]
     norm_lit = F.array(*[F.lit(x) for x in norm])
     return (
@@ -460,6 +581,73 @@ def kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_norm", F.element_at(norm_lit, F.col("cid") + 1)
         )
     )
+
+
+_KM_DIST = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (x, y) -> x + y)"
+)
+
+
+def _kmeans_sql() -> str:
+    """Unrolled-CTE twin of kmeans_query: md5 seeds, KMEANS_ITERS
+    Lloyd rounds of argmin-assign + DECIMAL-exact centroid update."""
+    blocks = []
+    prev = "cents0"
+    for r in range(1, KMEANS_ITERS + 1):
+        blocks.append(f"""asg{r} AS MATERIALIZED (
+    SELECT vec_id, v, cid, d2 FROM (
+        SELECT e.vec_id, e.v, c.cid,
+            {_KM_DIST.format(v='e.v', c='c.c')} AS d2,
+            ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {_KM_DIST.format(v='e.v', c='c.c')}, c.cid
+            ) AS rn
+        FROM emb e CROSS JOIN {prev} c)
+    WHERE rn = 1
+), sums{r} AS (
+    SELECT cid, i AS dim,
+        SUM(CAST(v[i] AS DECIMAL(15,10))) AS sx, COUNT(*) AS n
+    FROM asg{r}, UNNEST(range(1, 65)) AS t(i)
+    GROUP BY cid, i
+), newc{r} AS (
+    SELECT cid, list(round(CAST(sx AS DOUBLE) / n, 6) ORDER BY dim) AS c
+    FROM sums{r} GROUP BY cid
+), cents{r} AS MATERIALIZED (
+    SELECT p.cid, COALESCE(nc.c, p.c) AS c
+    FROM {prev} p LEFT JOIN newc{r} nc USING (cid)
+)""")
+        prev = f"cents{r}"
+    return f"""
+WITH emb AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents0 AS MATERIALIZED (
+    SELECT rn - 1 AS cid, list_transform(v, x -> round(x, 6)) AS c
+    FROM (
+        SELECT v, ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+        FROM emb)
+    WHERE rn <= {KMEANS_K}
+), {", ".join(blocks)}, asgF AS (
+    SELECT vec_id, cid, d2 FROM (
+        SELECT e.vec_id, c.cid,
+            {_KM_DIST.format(v='e.v', c='c.c')} AS d2,
+            ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {_KM_DIST.format(v='e.v', c='c.c')}, c.cid
+            ) AS rn
+        FROM emb e CROSS JOIN {prev} c)
+    WHERE rn = 1
+)
+SELECT a.cid,
+    COUNT(*) AS n_members,
+    round(CAST(SUM(CAST(round(d2, 9) AS DECIMAL(20,9))) AS DOUBLE), 4)
+        AS inertia,
+    MIN(round(sqrt(list_reduce(list_transform(c.c, x -> x * x),
+                               (x, y) -> x + y)), 6)) AS centroid_norm
+FROM asgF a JOIN {prev} c USING (cid)
+GROUP BY a.cid
+"""
 
 
 # ------------------------------------------- product quantization
@@ -602,6 +790,132 @@ def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_DSUB = 64 // PQ_M  # 8 dims per subspace
+
+_PQ_DIST = (
+    f"list_reduce(list_transform(range(1, {_PQ_DSUB + 1}), "
+    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (x, y) -> x + y)"
+)
+
+
+def _pq_cents_ctes() -> tuple[str, str]:
+    """Shared CTE prefix training the PQ codebooks exactly as
+    pq_codes_query/adc_topk_query do (md5 seeds per subspace,
+    PQ_ITERS Lloyd rounds, DECIMAL-exact updates, 6-dp rounding).
+    Returns (cte_sql, final_cents_name)."""
+    blocks = []
+    prev = "pc0"
+    for r in range(1, PQ_ITERS + 1):
+        blocks.append(f"""pasg{r} AS MATERIALIZED (
+    SELECT vec_id, sub, subv, cid, d2 FROM (
+        SELECT s.vec_id, s.sub, s.subv, c.cid,
+            {_PQ_DIST.format(v='s.subv', c='c.c')} AS d2,
+            ROW_NUMBER() OVER (
+                PARTITION BY s.vec_id, s.sub
+                ORDER BY {_PQ_DIST.format(v='s.subv', c='c.c')}, c.cid
+            ) AS rn
+        FROM subs s JOIN {prev} c USING (sub))
+    WHERE rn = 1
+), psums{r} AS (
+    SELECT sub, cid, i AS dim,
+        SUM(CAST(subv[i] AS DECIMAL(15,10))) AS sx, COUNT(*) AS n
+    FROM pasg{r}, UNNEST(range(1, {_PQ_DSUB + 1})) AS t(i)
+    GROUP BY sub, cid, i
+), pnewc{r} AS (
+    SELECT sub, cid,
+        list(round(CAST(sx AS DOUBLE) / n, 6) ORDER BY dim) AS c
+    FROM psums{r} GROUP BY sub, cid
+), pc{r} AS MATERIALIZED (
+    SELECT p.sub, p.cid, COALESCE(nc.c, p.c) AS c
+    FROM {prev} p LEFT JOIN pnewc{r} nc USING (sub, cid)
+)""")
+        prev = f"pc{r}"
+    ctes = f"""emb AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), subs AS MATERIALIZED (
+    SELECT vec_id, t.sub,
+        v[t.sub * {_PQ_DSUB} + 1 : t.sub * {_PQ_DSUB} + {_PQ_DSUB}] AS subv
+    FROM emb, UNNEST(range(0, {PQ_M})) AS t(sub)
+), pc0 AS MATERIALIZED (
+    SELECT sub, rn - 1 AS cid, list_transform(subv, x -> round(x, 6)) AS c
+    FROM (
+        SELECT sub, subv, ROW_NUMBER() OVER (
+            PARTITION BY sub
+            ORDER BY md5(CAST(sub AS VARCHAR) || ':'
+                         || CAST(vec_id AS VARCHAR))) AS rn
+        FROM subs)
+    WHERE rn <= {PQ_K}
+), {", ".join(blocks)}"""
+    return ctes, prev
+
+
+def _pq_codes_sql() -> str:
+    """Unrolled-CTE twin of pq_codes_query (see the ORACLE-EXACT note
+    on the kmeans block — the same argument applies per subspace)."""
+    ctes, cents = _pq_cents_ctes()
+    return f"""
+WITH {ctes}, fasg AS (
+    SELECT vec_id, sub, cid, d2 FROM (
+        SELECT s.vec_id, s.sub, c.cid,
+            {_PQ_DIST.format(v='s.subv', c='c.c')} AS d2,
+            ROW_NUMBER() OVER (
+                PARTITION BY s.vec_id, s.sub
+                ORDER BY {_PQ_DIST.format(v='s.subv', c='c.c')}, c.cid
+            ) AS rn
+        FROM subs s JOIN {cents} c USING (sub))
+    WHERE rn = 1
+)
+SELECT vec_id,
+    string_agg(hex(cid), '' ORDER BY sub) AS pq_code,
+    round(CAST(SUM(CAST(round(d2, 9) AS DECIMAL(20,9))) AS DOUBLE), 6)
+        AS recon_err
+FROM fasg GROUP BY vec_id
+"""
+
+
+def _adc_topk_sql() -> str:
+    """Unrolled-CTE twin of adc_topk_query: the same trained codebooks
+    (shared CTE prefix), the LUT as a queries × codewords cross join,
+    and the ADC sum as the identical subspace-ordered left fold."""
+    ctes, cents = _pq_cents_ctes()
+    probe_list = ", ".join(str(q) for q in ADC_QUERIES)
+    return f"""
+WITH {ctes}, fasg AS (
+    SELECT vec_id, sub, cid FROM (
+        SELECT s.vec_id, s.sub, c.cid,
+            ROW_NUMBER() OVER (
+                PARTITION BY s.vec_id, s.sub
+                ORDER BY {_PQ_DIST.format(v='s.subv', c='c.c')}, c.cid
+            ) AS rn
+        FROM subs s JOIN {cents} c USING (sub))
+    WHERE rn = 1
+), probes AS (
+    SELECT vec_id AS query_id, v FROM emb WHERE vec_id IN ({probe_list})
+), lut AS (
+    SELECT p.query_id, c.sub, c.cid,
+        list_reduce(list_transform(range(1, {_PQ_DSUB + 1}),
+            i -> (p.v[c.sub * {_PQ_DSUB} + i] - c.c[i])
+               * (p.v[c.sub * {_PQ_DSUB} + i] - c.c[i])),
+            (x, y) -> x + y) AS d2
+    FROM probes p CROSS JOIN {cents} c
+), scored AS (
+    SELECT f.query_id, f.vec_id,
+        list_reduce(f.ds, (x, y) -> x + y) AS adc_d2
+    FROM (
+        SELECT l.query_id, f.vec_id, list(l.d2 ORDER BY f.sub) AS ds
+        FROM fasg f JOIN lut l USING (sub, cid)
+        GROUP BY l.query_id, f.vec_id) f
+)
+SELECT query_id, rank, vec_id, round(adc_d2, 6) AS adc_d2
+FROM (
+    SELECT query_id, vec_id, adc_d2,
+        ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rank
+    FROM scored)
+WHERE rank <= {ADC_TOPK}
+"""
+
+
 # ------------------------------------- ADC search over PQ codes
 #
 # The read path PQ exists for: top-k nearest neighbors computed in the
@@ -723,12 +1037,12 @@ REGISTRY = [
     ("emb_centroids", centroids_query, CENTROIDS_SQL),
     ("emb_dim_stats", dim_stats_query, DIM_STATS_SQL),
     ("emb_covariance", covariance_query, COVARIANCE_SQL),
-    # no oracle: iterative eigensolve (see pca_power_query docstring)
-    ("emb_pca_power", pca_power_query, None),
-    # no oracle: iterative Lloyd loop (see kmeans_query block comment)
-    ("emb_kmeans", kmeans_query, None),
-    # no oracle: iterative PQ trainer (see pq block comment)
-    ("sim_pq_codes", pq_codes_query, None),
-    # no oracle: searches over the iteratively trained codebooks
-    ("sim_adc_topk", adc_topk_query, None),
+    # recursive-CTE oracle: same sequential folds (see block comment)
+    ("emb_pca_power", pca_power_query, _pca_power_sql()),
+    # unrolled-CTE oracle: same Lloyd rounds (see block comment)
+    ("emb_kmeans", kmeans_query, _kmeans_sql()),
+    # unrolled-CTE oracle: same per-subspace Lloyd rounds
+    ("sim_pq_codes", pq_codes_query, _pq_codes_sql()),
+    # unrolled-CTE oracle: same codebooks + LUT + subspace-order fold
+    ("sim_adc_topk", adc_topk_query, _adc_topk_sql()),
 ]

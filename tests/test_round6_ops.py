@@ -240,8 +240,8 @@ def test_pca_power_matches_numpy_eigh(spark, sf_dir):
     top = V[:, -1]
     if top[int(np.argmax(np.abs(top)))] < 0:
         top = -top
-    # near-flat spectrum → compare up to the residual the iteration
-    # count guarantees (see PCA_ITERS comment)
+    # near-flat spectrum → compare up to the residual the squaring
+    # count guarantees (see PCA_SQUARINGS comment)
     assert abs(out[0]["eigenvalue"] - w[-1]) < 1e-4
     assert float(np.max(np.abs(v - top))) < 5e-3
 
