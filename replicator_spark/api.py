@@ -16,19 +16,23 @@ Rotation map (which driver run produced each operator's green row):
 - round 3 (CORRECTNESS_r03.json): all 40 SURVEY §2 CDC/sink/schema/
   streaming rows, tpch_q12, temporal_asof_join, temporal_rollup,
   curate_pack_sequences, and the 6-query dedup family (50/50 green).
-- round 4 window (this file's first 50): the SURVEY §2 stragglers
+- round 4 (CORRECTNESS_r04.json): the SURVEY §2 stragglers
   (tm_retention, cdc_incremental_agg, cdc_ivm_join, tm_scd2_weighted,
   runner_pipeline) plus the never-yet-graded sim/emb/curate/text/
-  stats/sketch/multimodal families.
-- round 5 queue (entries 51+ up to the r03-green block): the 24
-  remaining never-graded ops, the round-4 in-session additions
-  (cdc_delay_gauge..sim_adc_topk), and the round-4 session-2 batch
-  (corpus diversity, rank stats, Markov, theta sketch, streaming
-  near-dedup/SCD2, format round-trips, Gini/assortativity/kNN-graph,
-  RFM/hashing-vectorizer/k-core, net-effect, Bloom decontam,
-  Matryoshka, Benford, BPE trainer, Welch t, autocorrelation,
-  threshold sweep, recall curve) — rotate these into the round-5
-  window's first 50, swapping out the r04-graded block.
+  stats/sketch/multimodal families (50/50 green).
+- round 5 window (this file's first 50): the never-graded queue head
+  (cdc_delay_gauge .. sketch_bloom_filter), the 14 round-4 session-1
+  additions (curate_mixture_weights .. sim_adc_topk — including the
+  five iterative trainers, which gained full unrolled-CTE oracles
+  this round), and the 11 highest-value session-2 ops named by the
+  round-4 verdict (net-effect compaction, order audit, version
+  depth, streaming near-dedup + SCD2, the FIXED sim_knn_graph, the
+  graph family, and the rank stats).
+- round 6 queue (entries 51-76): the 26 remaining never-graded
+  session-2 ops (corpus diversity, Markov, theta sketch, format
+  round-trips, RFM, hashing vectorizer, Bloom decontam, Matryoshka,
+  Benford, BPE trainer, Welch t, autocorrelation, threshold sweep,
+  recall curve, phash dedup, ts/events tails, dataset card).
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -47,68 +51,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
-# Explicit grading order (see module docstring): round-4 window first,
-# then the round-5 queue, then previously-driver-verified blocks.
+# Explicit grading order (see module docstring): round-5 window first,
+# then the round-6 queue, then previously-driver-verified blocks.
 _PRIORITY = [
-    # ================= ROUND-4 GRADING WINDOW (50) =================
-    # --- SURVEY §2 rows still lacking a driver row (VERDICT r03 #1) ---
-    "tm_retention",
-    "cdc_incremental_agg",
-    "cdc_ivm_join",
-    "tm_scd2_weighted",
-    "runner_pipeline",
-    # --- similarity / embeddings ---
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sim_lsh_buckets",
-    "sim_norm_stats",
-    "sim_recall_at_k",
-    "sim_label_separability",
-    "emb_quantize_int8",
-    "emb_centroids",
-    "emb_dim_stats",
-    "emb_covariance",
-    # --- curation ---
-    "curate_stratified_sample",
-    "curate_dataset_split",
-    "curate_contamination",
-    "curate_ngram_decontam",
-    "curate_near_dedup",
-    "curate_e2e_pipeline",
-    "curate_chunk_documents",
-    "curate_quality_filter",
-    "curate_weighted_sample",
-    # --- text / corpus ---
-    "text_token_count",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_repetition",
-    "text_pii_scrub",
-    "text_top_terms",
-    "text_inverted_index",
-    "text_tfidf",
-    "text_pmi_bigrams",
-    "text_bigram_lm",
-    "text_zipf_slope",
-    "dedup_dupfrac_ngrams",
-    # --- stats ---
-    "stats_percentiles",
-    "stats_chisq_independence",
-    "stats_histogram",
-    "stats_eqfreq_bins",
-    "stats_mad",
-    "stats_corr",
-    # --- sketches ---
-    "sketch_kmv_distinct",
-    "sketch_hll_distinct",
-    "sketch_cms_heavy",
-    # --- multimodal ---
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio_frames",
-    # ================ ROUND-5 QUEUE (never graded yet) ================
+    # ================= ROUND-5 GRADING WINDOW (50) =================
+    # --- never-graded queue head (carried from the round-4 queue) ---
     "cdc_delay_gauge",
     "window_analytics",
     "pivot_orders",
@@ -134,7 +81,8 @@ _PRIORITY = [
     "text_normalize",
     "curate_global_shuffle",
     "sketch_bloom_filter",
-    # --- added in round 4 (never graded) ---
+    # --- round-4 session-1 additions (incl. the five iterative
+    #     trainers, newly oracled with unrolled-CTE SQL this round) ---
     "curate_mixture_weights",
     "curate_token_budget",
     "text_oov_rate",
@@ -149,24 +97,28 @@ _PRIORITY = [
     "sim_pq_codes",
     "stream_ewma",
     "sim_adc_topk",
-    # --- added in round 4 session 2 (never graded) ---
-    "corpus_source_overlap",
-    "corpus_entropy_kl",
+    # --- round-4 verdict's highest-value session-2 picks ---
+    "cdc_net_effect_compact",
+    "cdc_order_audit",
+    "tm_version_depth",
+    "stream_near_dedup",
+    "stream_scd2_intervals",
+    "sim_knn_graph",
+    "graph_assortativity",
+    "graph_kcore",
     "stats_spearman",
     "stats_auc",
+    "stats_gini",
+    # ================ ROUND-6 QUEUE (never graded yet) ================
+    "corpus_source_overlap",
+    "corpus_entropy_kl",
     "events_markov_transitions",
     "sketch_theta_ops",
-    "stream_near_dedup",
     "source_jsonl_roundtrip",
     "source_csv_roundtrip",
     "source_orc_roundtrip",
-    "stats_gini",
-    "graph_assortativity",
-    "sim_knn_graph",
     "events_rfm_segments",
     "text_hashing_vectorizer",
-    "graph_kcore",
-    "cdc_net_effect_compact",
     "curate_bloom_decontam",
     "emb_matryoshka_fidelity",
     "dq_benford_digits",
@@ -174,7 +126,6 @@ _PRIORITY = [
     "stats_welch_ttest",
     "ts_autocorrelation",
     "dedup_threshold_sweep",
-    "stream_scd2_intervals",
     "sim_recall_curve",
     "multimodal_phash_dedup",
     "ts_profile_topk",
@@ -182,11 +133,60 @@ _PRIORITY = [
     "ts_seasonality",
     "events_top_paths",
     "stream_jsonl_sink",
-    "cdc_order_audit",
     "events_interarrival",
-    "tm_version_depth",
     "events_peak_concurrency",
     "curate_dataset_card",
+    # ============= DRIVER-GREEN IN ROUND 4 (CORRECTNESS_r04) ==========
+    "tm_retention",
+    "cdc_incremental_agg",
+    "cdc_ivm_join",
+    "tm_scd2_weighted",
+    "runner_pipeline",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_lsh_buckets",
+    "sim_norm_stats",
+    "sim_recall_at_k",
+    "sim_label_separability",
+    "emb_quantize_int8",
+    "emb_centroids",
+    "emb_dim_stats",
+    "emb_covariance",
+    "curate_stratified_sample",
+    "curate_dataset_split",
+    "curate_contamination",
+    "curate_ngram_decontam",
+    "curate_near_dedup",
+    "curate_e2e_pipeline",
+    "curate_chunk_documents",
+    "curate_quality_filter",
+    "curate_weighted_sample",
+    "text_token_count",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_repetition",
+    "text_pii_scrub",
+    "text_top_terms",
+    "text_inverted_index",
+    "text_tfidf",
+    "text_pmi_bigrams",
+    "text_bigram_lm",
+    "text_zipf_slope",
+    "dedup_dupfrac_ngrams",
+    "stats_percentiles",
+    "stats_chisq_independence",
+    "stats_histogram",
+    "stats_eqfreq_bins",
+    "stats_mad",
+    "stats_corr",
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_frames",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
     # --- §2.3-2.9 CDC core ---
     "cdc_change_feed",
