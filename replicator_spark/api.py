@@ -28,11 +28,12 @@ Rotation map (which driver run produced each operator's green row):
   round-4 verdict (net-effect compaction, order audit, version
   depth, streaming near-dedup + SCD2, the FIXED sim_knn_graph, the
   graph family, and the rank stats).
-- round 6 queue (entries 51-76): the 26 remaining never-graded
+- round 6 queue (entries 51-77): the 26 remaining never-graded
   session-2 ops (corpus diversity, Markov, theta sketch, format
   round-trips, RFM, hashing vectorizer, Bloom decontam, Matryoshka,
   Benford, BPE trainer, Welch t, autocorrelation, threshold sweep,
-  recall curve, phash dedup, ts/events tails, dataset card).
+  recall curve, phash dedup, ts/events tails, dataset card) plus the
+  round-5 addition text_bpe_encode.
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -136,6 +137,8 @@ _PRIORITY = [
     "events_interarrival",
     "events_peak_concurrency",
     "curate_dataset_card",
+    # --- added in round 5 (never graded) ---
+    "text_bpe_encode",
     # ============= DRIVER-GREEN IN ROUND 4 (CORRECTNESS_r04) ==========
     "tm_retention",
     "cdc_incremental_agg",

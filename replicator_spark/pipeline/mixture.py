@@ -331,9 +331,14 @@ SELECT pair, n, rank FROM (
 # constant-size driver-side collect, exactly like the k-means centroid
 # update, and the merge rewrite is a narrow fold over the word table.
 # localCheckpoint truncates lineage per round (cluster.py's lesson:
-# nested round plans re-analyze superlinearly). Genuinely iterative →
-# registered rows-only (no SQL oracle), with an exact pure-Python
-# replay test as the correctness pin.
+# nested round plans re-analyze superlinearly).
+#
+# ORACLE-EXACT (round-4 verdict item #2): the fixed-round loop unrolls
+# into N_BPE_MERGES chained CTE rounds (_bpe_train_sql) — the per-round
+# winner is a deterministic integer argmax and the greedy merge rewrite
+# has a positional closed form equal to the fold (_bpe_merged_cond,
+# pinned by tests/test_bpe_oracle.py), so the op gets a FULL value-hash
+# driver row; the pure-Python replay test stays as an independent pin.
 
 N_BPE_MERGES = 8
 
@@ -354,14 +359,14 @@ def _merge_pair(l: str, r: str):  # noqa: E741 - l/r mirror BPE papers
     )
 
 
-def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prep(spark)
-    docs = read_table(spark, sf_dir, "documents")
-    words = (
+def _bpe_words(docs: DataFrame) -> DataFrame:
+    """Vocab-bounded word table: (w, freq, syms = chars of w)."""
+    return (
         docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
         .select(
+            "w",
             "freq",
             F.expr(
                 "transform(sequence(1, char_length(w)),"
@@ -370,6 +375,11 @@ def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+def _bpe_train(words: DataFrame):
+    """Run the N_BPE_MERGES merge rounds over the word table; returns
+    (final word table, merge list) — shared by trainer and encoder."""
     merges = []
     for rank in range(1, N_BPE_MERGES + 1):
         n = F.size("syms")
@@ -396,11 +406,61 @@ def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rank, win["l"], win["r"], win["l"] + win["r"], int(win["total"]))
         )
         words = words.select(
-            "freq", _merge_pair(win["l"], win["r"]).alias("syms")
+            "w", "freq", _merge_pair(win["l"], win["r"]).alias("syms")
         ).localCheckpoint()
+    return words, merges
+
+
+def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    _, merges = _bpe_train(_bpe_words(docs))
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string,"
         " merged string, weighted_count long"
+    )
+
+
+# ------------------------------------------------- BPE encoder stats
+#
+# Apply the trained merge table to the corpus — the tokenizer
+# DEPLOYMENT step every token-budget plan needs: after training,
+# how many BPE tokens does each source actually cost? The encode
+# itself never touches the corpus per merge round: the word table is
+# the vocab (each unique word's final symbol sequence IS its
+# encoding), so corpus cost is one scan + a vocab-bounded broadcast
+# join of word → token count. Output is per-source words / chars /
+# BPE tokens and the chars-per-token compression ratio — the number a
+# mixture plan converts into sampling budgets.
+
+
+def bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    trained, _ = _bpe_train(_bpe_words(docs))
+    sized = trained.select("w", F.size("syms").alias("n_sym"))
+    tokd = docs.select(
+        "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    return (
+        tokd.join(F.broadcast(sized), "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("n_bpe_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
     )
 
 
@@ -424,15 +484,12 @@ def _bpe_merged_cond(ix: str) -> str:
     )
 
 
-def _bpe_train_sql() -> str:
-    """Unrolled-CTE twin of bpe_train_query (round-4 verdict item #2):
-    N_BPE_MERGES chained rounds of pair-count → deterministic argmax
-    (total DESC, l, r — binary collation in both engines) → greedy
-    merge rewrite. The merge is the positional closed form of the
-    Spark fold (see _bpe_merged_cond), evaluated over the SAME
-    integer-exact freq sums, so every round's winner and rewritten
-    vocab are identical in both engines and the op gets a FULL
-    value-hash driver row, not rows-only."""
+def _bpe_rounds_ctes() -> tuple[str, str]:
+    """Shared CTE prefix for the BPE oracles: the word table (carrying
+    the word itself) + N_BPE_MERGES chained rounds of pair-count →
+    deterministic argmax (total DESC, l, r — binary collation in both
+    engines) → greedy merge rewrite (_bpe_merged_cond). Returns
+    (cte_sql, final_words_name)."""
     merge_expr = f"""flatten(list_transform(range(1, len(syms) + 1), i ->
         CASE WHEN {_bpe_merged_cond('i')} THEN [w.l || w.r]
              WHEN i > 1 AND {_bpe_merged_cond('i - 1')} THEN []
@@ -449,27 +506,61 @@ def _bpe_train_sql() -> str:
     SELECT {k} AS merge_rank, l, r, CAST(total AS BIGINT) AS total
     FROM prs{k} ORDER BY total DESC, l, r LIMIT 1
 ), words{k} AS MATERIALIZED (
-    SELECT freq, {merge_expr} AS syms
+    SELECT wd, freq, {merge_expr} AS syms
     FROM {prev} CROSS JOIN win{k} w
 )""")
         prev = f"words{k}"
-    wins = " UNION ALL ".join(
-        f"SELECT * FROM win{k}" for k in range(1, N_BPE_MERGES + 1)
-    )
-    return f"""
-WITH toks AS (
+    ctes = f"""toks AS (
     SELECT unnest(list_filter(string_split(lower(text), ' '),
                               t -> t <> '')) AS w
     FROM documents
 ), words0 AS MATERIALIZED (
-    SELECT COUNT(*) AS freq,
+    SELECT w AS wd, COUNT(*) AS freq,
         list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))
             AS syms
     FROM toks GROUP BY w
-), {", ".join(blocks)}
+), {", ".join(blocks)}"""
+    return ctes, prev
+
+
+def _bpe_train_sql() -> str:
+    """Unrolled-CTE twin of bpe_train_query (round-4 verdict item #2):
+    every round's winner and rewritten vocab are identical in both
+    engines (integer-exact freq sums + the closed-form merge pinned by
+    tests/test_bpe_oracle.py), so the op gets a FULL value-hash driver
+    row, not rows-only."""
+    ctes, _ = _bpe_rounds_ctes()
+    wins = " UNION ALL ".join(
+        f"SELECT * FROM win{k}" for k in range(1, N_BPE_MERGES + 1)
+    )
+    return f"""
+WITH {ctes}
 SELECT merge_rank, l AS "left", r AS "right", l || r AS merged,
     total AS weighted_count
 FROM ({wins})
+"""
+
+
+def _bpe_encode_sql() -> str:
+    """Unrolled-CTE twin of bpe_encode_query: the same trained vocab
+    (shared rounds), then one corpus scan joined word → symbol count."""
+    ctes, final = _bpe_rounds_ctes()
+    return f"""
+WITH {ctes}, sized AS (
+    SELECT wd, len(syms) AS n_sym FROM {final}
+), tokd AS (
+    SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS w
+    FROM documents
+)
+SELECT source,
+    COUNT(*) AS n_words,
+    CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+    CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+    round(CAST(SUM(length(w)) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE), 6)
+        AS chars_per_token
+FROM tokd JOIN sized ON tokd.w = sized.wd
+GROUP BY source
 """
 
 
@@ -480,4 +571,6 @@ REGISTRY = [
     ("text_bpe_pairs", bpe_pairs_query, BPE_PAIRS_SQL),
     # unrolled-CTE oracle: same merge rounds (see _bpe_train_sql)
     ("text_bpe_train", bpe_train_query, _bpe_train_sql()),
+    # same trained vocab + one corpus scan (see _bpe_encode_sql)
+    ("text_bpe_encode", bpe_encode_query, _bpe_encode_sql()),
 ]

@@ -1192,6 +1192,40 @@ def test_bpe_train_overlapping_run_is_greedy(spark, tmp_path):
     assert rows[2]["weighted_count"] == 2
 
 
+def test_bpe_encode_consistent_with_trainer(spark, sf_dir):
+    """Encoder stats must be the arithmetic of the trained vocab: per
+    source, n_bpe_tokens = Σ size(final syms of word) over the token
+    stream, bounded by [n_words, n_chars], and ratio consistent."""
+    from replicator_spark.pipeline.mixture import (
+        _bpe_train,
+        _bpe_words,
+        bpe_encode_query,
+    )
+    from replicator_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    trained, _ = _bpe_train(_bpe_words(docs))
+    n_sym = {r["w"]: len(r["syms"]) for r in trained.collect()}
+    rows = bpe_encode_query(spark, sf_dir).collect()
+    assert rows
+    from replicator_spark.pipeline.text import ws_tokens
+
+    tokd = docs.select(
+        "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w")
+    ).collect()
+    want: dict = {}
+    for r in tokd:
+        s = want.setdefault(r["source"], [0, 0, 0])
+        s[0] += 1
+        s[1] += len(r["w"])
+        s[2] += n_sym[r["w"]]
+    for r in rows:
+        w0, c0, t0 = want[r["source"]]
+        assert (r["n_words"], r["n_chars"], r["n_bpe_tokens"]) == (w0, c0, t0)
+        assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_chars"]
+        assert abs(r["chars_per_token"] - round(c0 / t0, 6)) < 1e-9
+
+
 # ------------------------------------------------ net-effect compaction
 
 

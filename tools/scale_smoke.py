@@ -137,6 +137,8 @@ SLATE = [
     "stats_welch_ttest",
     "dedup_threshold_sweep",
     "text_bpe_train",
+    # round-5 additions: encoder stats (vocab-bounded broadcast join)
+    "text_bpe_encode",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
