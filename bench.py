@@ -58,6 +58,14 @@ HEADLINE = [
     "stream_near_dedup",
     "sim_knn_graph",
     "cdc_net_effect_compact",
+    # round-5 headliners: the newly-oracled iterative trainers, the
+    # streaming SCD2 state op, and the tokenizer/semantic-dedup adds
+    "emb_kmeans",
+    "sim_pq_codes",
+    "graph_kcore",
+    "stream_scd2_intervals",
+    "text_bpe_encode",
+    "dedup_semantic_cells",
 ]
 
 

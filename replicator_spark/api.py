@@ -28,12 +28,12 @@ Rotation map (which driver run produced each operator's green row):
   round-4 verdict (net-effect compaction, order audit, version
   depth, streaming near-dedup + SCD2, the FIXED sim_knn_graph, the
   graph family, and the rank stats).
-- round 6 queue (entries 51-77): the 26 remaining never-graded
+- round 6 queue (entries 51-78): the 26 remaining never-graded
   session-2 ops (corpus diversity, Markov, theta sketch, format
   round-trips, RFM, hashing vectorizer, Bloom decontam, Matryoshka,
   Benford, BPE trainer, Welch t, autocorrelation, threshold sweep,
   recall curve, phash dedup, ts/events tails, dataset card) plus the
-  round-5 addition text_bpe_encode.
+  round-5 additions text_bpe_encode and dedup_semantic_cells.
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -139,6 +139,7 @@ _PRIORITY = [
     "curate_dataset_card",
     # --- added in round 5 (never graded) ---
     "text_bpe_encode",
+    "dedup_semantic_cells",
     # ============= DRIVER-GREEN IN ROUND 4 (CORRECTNESS_r04) ==========
     "tm_retention",
     "cdc_incremental_agg",

@@ -657,6 +657,100 @@ WITH emb AS (
 """
 
 
+# ------------------------------------------- SemDeDup-style cell dedup
+#
+# Semantic deduplication in the SemDeDup shape (Abbas et al. 2023,
+# arXiv:2303.09540): partition the embedding space into quantizer
+# cells, then within each cell drop every vector whose cosine to a
+# LOWER-id cellmate reaches the threshold (min-id representative —
+# the repo's canonical keep rule, dedup_clusters' convention). Cells
+# come from the corpus-scaled hyperplane quantizer sim_knn_graph
+# introduced (cell count ≈ n / KNN_TARGET_CELL from one scalar
+# count), so within-cell pair work stays LINEAR in corpus size at any
+# scale — the property that makes SemDeDup runnable at 100 TB where a
+# global pairwise cosine is n². Emits the full per-vector decision
+# (cell, kept, dup_of) so downstream curation can join the verdicts.
+#
+# The threshold sits at the similarity tail for the near-orthogonal
+# synthetic corpus (see EMB_NEAR_DUP_THRESHOLD's note); real corpora
+# run ~0.95+.
+
+SEMDEDUP_THRESHOLD = 0.30
+
+
+def semantic_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _as_double, _dot, _knn_cell, _knn_h, _norm
+
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    # sanctioned constant-size reduction (see knn_graph_query)
+    h = _knn_h(emb.count())
+    celled = emb.select(
+        "vec_id", "v", _knn_cell(F.col("v"), h).alias("cell")
+    )
+    normed = celled.select(
+        "vec_id", "cell", "v", _norm(F.col("v")).alias("nv")
+    )
+    unit = normed.select(
+        "vec_id", "cell",
+        F.transform("v", lambda x: x / F.col("nv")).alias("u"),
+    )
+    lower = unit.select(
+        F.col("vec_id").alias("cand_id"), "cell", F.col("u").alias("cu")
+    )
+    dup = (
+        unit.join(lower, "cell")
+        .where(F.col("cand_id") < F.col("vec_id"))
+        .where(
+            F.round(_dot(F.col("u"), F.col("cu")), 6)
+            >= F.lit(SEMDEDUP_THRESHOLD)
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cand_id").alias("dup_of"))
+    )
+    return (
+        celled.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )
+
+
+def _semantic_cells_sql() -> str:
+    from .similarity import _KNN_CELL_SQL, _KNN_H_SQL, _dot_sql
+
+    return f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), hh AS (
+    SELECT {_KNN_H_SQL} AS h FROM (SELECT COUNT(*) AS n_total FROM emb)
+), celled AS MATERIALIZED (
+    SELECT vec_id, v, {_KNN_CELL_SQL} AS cell
+    FROM emb CROSS JOIN hh
+), normed AS (
+    SELECT vec_id, cell, v, sqrt(0.0 + {_dot_sql("v", "v")}) AS nv
+    FROM celled
+), unit AS MATERIALIZED (
+    SELECT vec_id, cell, list_transform(v, x -> x / nv) AS u
+    FROM normed
+), dup AS (
+    SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+    FROM unit a JOIN unit b USING (cell)
+    WHERE b.vec_id < a.vec_id
+      AND round(0.0 + {_dot_sql("a.u", "b.u")}, 6)
+          >= {SEMDEDUP_THRESHOLD}
+    GROUP BY a.vec_id
+)
+SELECT c.vec_id, c.cell, dup_of IS NULL AS kept, dup_of
+FROM celled c LEFT JOIN dup USING (vec_id)
+"""
+
+
 REGISTRY = [
     ("dedup_exact", exact_dedup_query, EXACT_DEDUP_SQL),
     ("dedup_minhash_lsh", minhash_lsh_query, MINHASH_LSH_SQL),
@@ -665,4 +759,6 @@ REGISTRY = [
     ("dedup_embedding_cosine", embedding_near_dup_query, _emb_near_dup_sql()),
     ("dedup_containment", containment_query, CONTAINMENT_SQL),
     ("dedup_threshold_sweep", threshold_sweep_query, _threshold_sweep_sql()),
+    # SemDeDup-style within-cell semantic dedup (corpus-scaled cells)
+    ("dedup_semantic_cells", semantic_cells_query, _semantic_cells_sql()),
 ]

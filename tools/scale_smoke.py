@@ -138,7 +138,9 @@ SLATE = [
     "dedup_threshold_sweep",
     "text_bpe_train",
     # round-5 additions: encoder stats (vocab-bounded broadcast join)
+    # + SemDeDup cell dedup (the corpus-scaled-quantizer linearity claim)
     "text_bpe_encode",
+    "dedup_semantic_cells",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
