@@ -807,6 +807,71 @@ FROM ranked
 """
 
 
+# ---------------------------------------- cell-balanced sampling
+#
+# The embedding-space analog of curate_stratified_sample: strata are
+# SEMANTIC CELLS (the corpus-scaled hyperplane quantizer shared with
+# sim_knn_graph / dedup_semantic_cells) instead of metadata columns,
+# and up to CELL_SAMPLE_K vectors are kept per cell by deterministic
+# md5 priority — cluster-balanced data selection, the standard
+# diversity-preserving counter to density skew (a dominant mode in
+# embedding space otherwise dominates any uniform sample). Cost shape:
+# one scan for the cell id (map-side), one window partitioned by cell
+# — and because cell count scales with the corpus, per-cell window
+# state stays ~KNN_TARGET_CELL rows at any scale.
+
+CELL_SAMPLE_K = 32
+
+
+def cell_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _as_double, _knn_cell, _knn_h
+
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    # sanctioned constant-size reduction (see knn_graph_query)
+    h = _knn_h(emb.count())
+    celled = emb.select(
+        "vec_id", _knn_cell(F.col("v"), h).alias("cell")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        celled.withColumn("rank_in_cell", F.row_number().over(w))
+        .withColumn(
+            "cell_size", F.count("*").over(Window.partitionBy("cell"))
+        )
+        .where(F.col("rank_in_cell") <= CELL_SAMPLE_K)
+        .select("vec_id", "cell", "rank_in_cell", "cell_size")
+    )
+
+
+def _cell_sample_sql() -> str:
+    from .similarity import _KNN_CELL_SQL, _KNN_H_SQL
+
+    return f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), hh AS (
+    SELECT {_KNN_H_SQL} AS h FROM (SELECT COUNT(*) AS n_total FROM emb)
+), celled AS (
+    SELECT vec_id, {_KNN_CELL_SQL} AS cell
+    FROM emb CROSS JOIN hh
+)
+SELECT vec_id, cell, rank_in_cell, cell_size FROM (
+    SELECT vec_id, cell,
+        ROW_NUMBER() OVER (
+            PARTITION BY cell
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        ) AS rank_in_cell,
+        COUNT(*) OVER (PARTITION BY cell) AS cell_size
+    FROM celled)
+WHERE rank_in_cell <= {CELL_SAMPLE_K}
+"""
+
+
 REGISTRY = [
     ("curate_pack_sequences", pack_sequences_query, PACK_SEQUENCES_SQL),
     ("curate_chunk_documents", chunk_documents_query, CHUNK_DOCUMENTS_SQL),
@@ -823,4 +888,6 @@ REGISTRY = [
     ("curate_global_shuffle", global_shuffle_query, GLOBAL_SHUFFLE_SQL),
     ("curate_quality_filter", quality_filter_query, QUALITY_FILTER_SQL),
     ("curate_weighted_sample", weighted_sample_query, WEIGHTED_SAMPLE_SQL),
+    # cell-balanced embedding-space sampling (corpus-scaled cells)
+    ("curate_cell_sample", cell_sample_query, _cell_sample_sql()),
 ]

@@ -341,8 +341,8 @@ def pca_power_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def dot(a, b):
         acc = 0.0
-        for k in range(d):  # sequential — mirrors list_reduce
-            acc += a[k] * b[k]
+        for x, y in zip(a, b):  # sequential — mirrors list_reduce
+            acc += x * y
         return acc
 
     m = cov

@@ -361,6 +361,29 @@ def test_knn_graph_is_cell_equijoin(spark, sf_dir):
     )
 
 
+def test_semantic_cells_is_cell_equijoin(spark, sf_dir):
+    """SemDeDup candidate generation must be the same hash/sort
+    equi-join on the derived cell id as the kNN graph — never a
+    cartesian over the embedding table."""
+    plan = _plan(spark, sf_dir, "dedup_semantic_cells")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_bpe_encode_broadcasts_vocab(spark, sf_dir):
+    """The corpus-side token stream must join the vocab-bounded
+    word→token-count table as a BROADCAST — shuffling the corpus
+    against a vocab-sized relation would defeat the encode's one-scan
+    contract."""
+    plan = _plan(spark, sf_dir, "text_bpe_encode")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_bloom_decontam_broadcasts_bits(spark, sf_dir):
     """The probe side must membership-test against a BROADCAST of the
     constant-size bit set — shuffling train grams against it would

@@ -1376,3 +1376,60 @@ def test_semantic_cells_matches_python_replay(spark, sf_dir):
         assert r["kept"] == (want[r["vec_id"]] is None)
     # the threshold actually fires on this corpus (non-trivial op)
     assert any(w is not None for w in want.values())
+
+
+# ------------------------------------------------ cell-balanced sample
+
+
+def test_cell_sample_matches_python_replay(spark, sf_dir):
+    """Per cell: exactly the CELL_SAMPLE_K smallest md5(vec_id) ids are
+    kept, ranks are consecutive from 1, and cell_size matches the
+    quantizer recomputed in pure Python."""
+    import hashlib
+
+    from replicator_spark.pipeline.curation import (
+        CELL_SAMPLE_K,
+        cell_sample_query,
+    )
+    from replicator_spark.pipeline.similarity import (
+        _KNN_PLANES,
+        KNN_MAX_PLANES,
+        KNN_TARGET_CELL,
+    )
+    from replicator_spark.session import read_table
+
+    rows = read_table(spark, sf_dir, "embeddings").collect()
+    vec = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    n = len(vec)
+    h = max(
+        1, sum(n > (KNN_TARGET_CELL << j) for j in range(KNN_MAX_PLANES))
+    )
+
+    def cell(x):
+        c = 0
+        for p in range(h):
+            proj = 0.0
+            for xi, wi in zip(x, _KNN_PLANES[p]):
+                proj += xi * wi
+            if proj > 0:
+                c += 1 << p
+        return c
+
+    by_cell: dict = {}
+    for vid, x in vec.items():
+        by_cell.setdefault(cell(x), []).append(vid)
+    want: dict = {}
+    for c, ids in by_cell.items():
+        order = sorted(
+            ids,
+            key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+        )
+        for rank, vid in enumerate(order[:CELL_SAMPLE_K], 1):
+            want[vid] = (c, rank, len(ids))
+
+    got = cell_sample_query(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert (r["cell"], r["rank_in_cell"], r["cell_size"]) == want[
+            r["vec_id"]
+        ], r["vec_id"]

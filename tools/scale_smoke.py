@@ -141,6 +141,7 @@ SLATE = [
     # + SemDeDup cell dedup (the corpus-scaled-quantizer linearity claim)
     "text_bpe_encode",
     "dedup_semantic_cells",
+    "curate_cell_sample",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
