@@ -49,3 +49,58 @@ def test_merge_closed_form_matches_fold(spark, syms, l, r):
     ).fetchone()[0]
     con.close()
     assert list(sql_out) == list(spark_out), (syms, l, r)
+
+
+# -------------------------------------------- property-based closure
+
+
+def _py_fold_merge(syms, l, r):
+    """The Spark fold's exact semantics in plain Python."""
+    acc = []
+    for x in syms:
+        if acc and acc[-1] == l and x == r:
+            acc[-1] = l + r
+        else:
+            acc.append(x)
+    return acc
+
+
+def test_merge_closed_form_property():
+    """Hypothesis sweep: for random symbol sequences over a tiny
+    alphabet (maximizing runs and prefix collisions) and every
+    occurring adjacent pair, the SQL closed form equals the fold."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from replicator_spark.pipeline.mixture import _bpe_merged_cond
+
+    merge_expr = f"""flatten(list_transform(range(1, len(syms) + 1), i ->
+        CASE WHEN {_bpe_merged_cond('i')} THEN [w.l || w.r]
+             WHEN i > 1 AND {_bpe_merged_cond('i - 1')} THEN []
+             ELSE [syms[i]] END))"""
+    con = duckdb.connect()
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.lists(
+            st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(syms):
+        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        for l, r in pairs or {("a", "a")}:
+            want = _py_fold_merge(syms, l, r)
+            got = con.execute(
+                f"""WITH words AS (SELECT ? ::VARCHAR[] AS syms),
+                win AS (SELECT ? AS l, ? AS r)
+                SELECT {merge_expr} FROM words CROSS JOIN win w""",
+                [syms, l, r],
+            ).fetchone()[0]
+            assert list(got) == want, (syms, l, r)
+
+    try:
+        check()
+    finally:
+        con.close()
