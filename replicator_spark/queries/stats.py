@@ -743,6 +743,178 @@ FROM j
 """
 
 
+# --------------------------------------- Poisson bootstrap CI
+#
+# The SCALABLE bootstrap: instead of materializing B resamples of a
+# 100 TB table (impossible), each row draws an independent Poisson(1)
+# weight per replicate — the standard streaming/Poisson bootstrap
+# approximation to multinomial resampling, whose replicate sums are
+# plain weighted aggregates. ONE scan computes all B replicate
+# (Σ w·x, Σ w) pairs as map-side combiner aggregates; the final
+# reduction is a single row. The bootstrap SE and a trimmed
+# percentile envelope of the B replicate means come from a 16-element
+# sorted array — constant-size driver-free math.
+#
+# Determinism (both engines bit-identical): weights derive from md5 of
+# the row key — two md5s per row yield 16 four-hex-digit slices, each
+# an exact 16-bit integer u; the Poisson(1) inverse CDF is the integer
+# threshold table _BOOT_T (floor(CDF_k · 65536), computed ONCE in
+# Python — no float parity surface), so w = |{k : u >= T_k}| is pure
+# integer comparison. Replicate sums are DECIMAL-exact (order-free);
+# only the final mean/SE math runs in doubles via sequential folds.
+
+import math as _math  # noqa: E402
+
+BOOT_B = 16  # replicates
+
+# Poisson(1) CDF thresholds scaled to 16 bits — integer literals, so
+# the per-row draw is pure integer comparison in both engines
+_BOOT_T = []
+_cdf = 0.0
+_e1 = _math.exp(-1.0)
+_fact = 1
+for _k in range(7):
+    if _k > 0:
+        _fact *= _k
+    _cdf += _e1 / _fact
+    _BOOT_T.append(int(_cdf * 65536))
+
+
+def _u16(md5col, slot: int):
+    """16-bit integer from hex chars [slot*4, slot*4+4) of an md5."""
+    hexd = "0123456789abcdef"
+    total = None
+    for c in range(4):
+        digit = (
+            F.instr(F.lit(hexd), F.substring(md5col, slot * 4 + c + 1, 1))
+            - 1
+        )
+        total = digit if total is None else total * 16 + digit
+    return total
+
+
+def _poisson_w(u):
+    """Poisson(1) draw from a 16-bit uniform via integer thresholds."""
+    w = F.lit(7)
+    for k in range(len(_BOOT_T) - 1, -1, -1):
+        w = F.when(u < F.lit(_BOOT_T[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").alias("x")
+    )
+    key = F.concat_ws(
+        ":", F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    h = [F.md5(F.concat(key, F.lit(f":{g}"))) for g in range(2)]
+    xdec = F.col("x").cast("decimal(15,10)")
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(xdec).alias("sx"),
+    ]
+    for b in range(BOOT_B):
+        w = _poisson_w(_u16(h[b // 8], b % 8))
+        aggs.append(F.sum(xdec * w).alias(f"s{b}"))
+        aggs.append(F.sum(w.cast("long")).alias(f"c{b}"))
+    one = li.agg(*aggs)
+    means = F.array(
+        *[
+            F.col(f"s{b}").cast("double") / F.col(f"c{b}").cast("double")
+            for b in range(BOOT_B)
+        ]
+    )
+    srt = F.array_sort(means)
+    mm = (
+        F.aggregate(srt, F.lit(0.0), lambda a, x: a + x) / BOOT_B
+    )
+    with_arr = one.select(
+        "n", "sx", srt.alias("ms"), mm.alias("mm")
+    )
+    se = F.sqrt(
+        F.aggregate(
+            F.col("ms"),
+            F.lit(0.0),
+            lambda a, x: a + (x - F.col("mm")) * (x - F.col("mm")),
+        )
+        / F.lit(BOOT_B - 1)
+    )
+    return with_arr.select(
+        "n",
+        F.round(
+            F.col("sx").cast("double") / F.col("n").cast("double"), 6
+        ).alias("point_mean"),
+        F.round(se, 9).alias("boot_se"),
+        F.round(F.element_at("ms", 2), 6).alias("ci_lo"),
+        F.round(F.element_at("ms", BOOT_B - 1), 6).alias("ci_hi"),
+        F.lit(BOOT_B).alias("b_replicates"),
+    )
+
+
+def _bootstrap_ci_sql() -> str:
+    hexd = "0123456789abcdef"
+
+    def u16(g: int, slot: int) -> str:
+        parts = []
+        for c in range(4):
+            d = (
+                f"(strpos('{hexd}', substr(h{g}, {slot * 4 + c + 1}, 1))"
+                " - 1)"
+            )
+            parts.append(f"{d} * {16 ** (3 - c)}")
+        return "(" + " + ".join(parts) + ")"
+
+    def pois(u: str) -> str:
+        w = "7"
+        for k in range(len(_BOOT_T) - 1, -1, -1):
+            w = f"CASE WHEN {u} < {_BOOT_T[k]} THEN {k} ELSE {w} END"
+        return f"({w})"
+
+    rep_aggs = []
+    for b in range(BOOT_B):
+        w = pois(u16(b // 8, b % 8))
+        rep_aggs.append(
+            f"SUM(xdec * {w}) AS s{b}, CAST(SUM({w}) AS BIGINT) AS c{b}"
+        )
+    means = ", ".join(
+        f"CAST(s{b} AS DOUBLE) / CAST(c{b} AS DOUBLE)"
+        for b in range(BOOT_B)
+    )
+    return f"""
+WITH keyed AS (
+    SELECT CAST(l_quantity AS DECIMAL(15,10)) AS xdec,
+        md5(CAST(l_orderkey AS VARCHAR) || ':'
+            || CAST(l_linenumber AS VARCHAR) || ':0') AS h0,
+        md5(CAST(l_orderkey AS VARCHAR) || ':'
+            || CAST(l_linenumber AS VARCHAR) || ':1') AS h1
+    FROM lineitem
+), agged AS (
+    SELECT COUNT(*) AS n, SUM(xdec) AS sx,
+        {", ".join(rep_aggs)}
+    FROM keyed
+), arr AS (
+    SELECT n, sx, list_sort([{means}]) AS ms FROM agged
+), mm AS (
+    SELECT n, sx, ms,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ms),
+                    (a, x) -> a + x) / {BOOT_B} AS mm
+    FROM arr
+)
+SELECT CAST(n AS BIGINT) AS n,
+    round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS point_mean,
+    round(sqrt(list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ms, x -> (x - mm) * (x - mm))),
+        (a, x) -> a + x) / {BOOT_B - 1}), 9) AS boot_se,
+    round(ms[2], 6) AS ci_lo,
+    round(ms[{BOOT_B - 1}], 6) AS ci_hi,
+    {BOOT_B} AS b_replicates
+FROM mm
+"""
+
+
 REGISTRY = [
     ("stats_percentiles", percentiles_query, PERCENTILES_SQL),
     ("stats_chisq_independence", chisq_query, CHISQ_SQL),
@@ -754,4 +926,6 @@ REGISTRY = [
     ("stats_auc", auc_query, AUC_SQL),
     ("stats_gini", gini_query, GINI_SQL),
     ("stats_welch_ttest", welch_ttest_query, WELCH_TTEST_SQL),
+    # one-scan Poisson bootstrap (deterministic md5-seeded weights)
+    ("stats_bootstrap_ci", bootstrap_ci_query, _bootstrap_ci_sql()),
 ]

@@ -1433,3 +1433,64 @@ def test_cell_sample_matches_python_replay(spark, sf_dir):
         assert (r["cell"], r["rank_in_cell"], r["cell_size"]) == want[
             r["vec_id"]
         ], r["vec_id"]
+
+
+# ------------------------------------------------ Poisson bootstrap
+
+
+def test_bootstrap_ci_matches_python_replay(spark, sf_dir):
+    """Full pure-Python replay: md5-sliced 16-bit uniforms, integer
+    Poisson thresholds, Decimal-exact replicate sums — every output
+    column must match exactly."""
+    import hashlib
+    import math as m
+    from decimal import Decimal
+
+    from replicator_spark.queries.stats import (
+        _BOOT_T,
+        BOOT_B,
+        bootstrap_ci_query,
+    )
+    from replicator_spark.session import read_table
+
+    rows = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).collect()
+    n = len(rows)
+    sx = Decimal(0)
+    s = [Decimal(0)] * BOOT_B
+    c = [0] * BOOT_B
+    q = Decimal("0.0000000001")
+    for r in rows:
+        xdec = Decimal(r["l_quantity"]).quantize(q)
+        sx += xdec
+        key = f"{r['l_orderkey']}:{r['l_linenumber']}"
+        h = [
+            hashlib.md5(f"{key}:{g}".encode()).hexdigest() for g in range(2)
+        ]
+        for b in range(BOOT_B):
+            u = int(h[b // 8][(b % 8) * 4 : (b % 8) * 4 + 4], 16)
+            w = 7
+            for k in range(len(_BOOT_T) - 1, -1, -1):
+                if u < _BOOT_T[k]:
+                    w = k
+            s[b] += xdec * w
+            c[b] += w
+    means = sorted(float(s[b]) / c[b] for b in range(BOOT_B))
+    mm = 0.0
+    for x in means:
+        mm += x
+    mm /= BOOT_B
+    acc = 0.0
+    for x in means:
+        acc += (x - mm) * (x - mm)
+    se = m.sqrt(acc / (BOOT_B - 1))
+
+    got = bootstrap_ci_query(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert got["point_mean"] == round(float(sx) / n, 6)
+    assert got["boot_se"] == round(se, 9)
+    assert got["ci_lo"] == round(means[1], 6)
+    assert got["ci_hi"] == round(means[BOOT_B - 2], 6)
+    assert got["b_replicates"] == BOOT_B
+    assert got["ci_lo"] <= got["point_mean"] <= got["ci_hi"]

@@ -142,6 +142,7 @@ SLATE = [
     "text_bpe_encode",
     "dedup_semantic_cells",
     "curate_cell_sample",
+    "stats_bootstrap_ci",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
