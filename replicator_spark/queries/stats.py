@@ -781,16 +781,12 @@ for _k in range(7):
 
 
 def _u16(md5col, slot: int):
-    """16-bit integer from hex chars [slot*4, slot*4+4) of an md5."""
-    hexd = "0123456789abcdef"
-    total = None
-    for c in range(4):
-        digit = (
-            F.instr(F.lit(hexd), F.substring(md5col, slot * 4 + c + 1, 1))
-            - 1
-        )
-        total = digit if total is None else total * 16 + digit
-    return total
+    """16-bit integer from hex chars [slot*4, slot*4+4) of an md5 —
+    one base-16 conv per slice (the oracle parses digit-by-digit with
+    strpos; both are exact integer parses of the same 4 chars)."""
+    return F.conv(
+        F.substring(md5col, slot * 4 + 1, 4), 16, 10
+    ).cast("int")
 
 
 def _poisson_w(u):
@@ -809,17 +805,42 @@ def bootstrap_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.concat_ws(
         ":", F.col("l_orderkey"), F.col("l_linenumber")
     )
-    h = [F.md5(F.concat(key, F.lit(f":{g}"))) for g in range(2)]
-    xdec = F.col("x").cast("decimal(15,10)")
+    # materialize hashes → uniforms → weights in CHAINED PROJECTIONS
+    # (one whole-stage-codegen pass): aggregate expressions get no
+    # common-subexpression elimination across buffers, so inlining the
+    # md5/u16 trees into the 32 SUM arms re-evaluates each md5
+    # hundreds of times per row (measured 10× the runtime)
+    hashed = li.select(
+        F.col("x").cast("decimal(15,10)").alias("xdec"),
+        *[
+            F.md5(F.concat(key, F.lit(f":{g}"))).alias(f"h{g}")
+            for g in range(2)
+        ],
+    )
+    us = hashed.select(
+        "xdec",
+        *[
+            _u16(F.col(f"h{b // 8}"), b % 8).alias(f"u{b}")
+            for b in range(BOOT_B)
+        ],
+    )
+    ws = us.select(
+        "xdec",
+        *[
+            _poisson_w(F.col(f"u{b}")).alias(f"w{b}")
+            for b in range(BOOT_B)
+        ],
+    )
     aggs = [
         F.count("*").alias("n"),
-        F.sum(xdec).alias("sx"),
+        F.sum("xdec").alias("sx"),
     ]
     for b in range(BOOT_B):
-        w = _poisson_w(_u16(h[b // 8], b % 8))
-        aggs.append(F.sum(xdec * w).alias(f"s{b}"))
-        aggs.append(F.sum(w.cast("long")).alias(f"c{b}"))
-    one = li.agg(*aggs)
+        aggs.append(
+            F.sum(F.col("xdec") * F.col(f"w{b}")).alias(f"s{b}")
+        )
+        aggs.append(F.sum(F.col(f"w{b}").cast("long")).alias(f"c{b}"))
+    one = ws.agg(*aggs)
     means = F.array(
         *[
             F.col(f"s{b}").cast("double") / F.col(f"c{b}").cast("double")
