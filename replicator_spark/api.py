@@ -28,13 +28,13 @@ Rotation map (which driver run produced each operator's green row):
   round-4 verdict (net-effect compaction, order audit, version
   depth, streaming near-dedup + SCD2, the FIXED sim_knn_graph, the
   graph family, and the rank stats).
-- round 6 queue (entries 51-80): the 26 remaining never-graded
+- round 6 queue (entries 51-81): the 26 remaining never-graded
   session-2 ops (corpus diversity, Markov, theta sketch, format
   round-trips, RFM, hashing vectorizer, Bloom decontam, Matryoshka,
   Benford, BPE trainer, Welch t, autocorrelation, threshold sweep,
   recall curve, phash dedup, ts/events tails, dataset card) plus the
   round-5 additions text_bpe_encode, dedup_semantic_cells,
-  curate_cell_sample, and stats_bootstrap_ci.
+  curate_cell_sample, stats_bootstrap_ci, and ts_changepoint.
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -143,6 +143,7 @@ _PRIORITY = [
     "dedup_semantic_cells",
     "curate_cell_sample",
     "stats_bootstrap_ci",
+    "ts_changepoint",
     # ============= DRIVER-GREEN IN ROUND 4 (CORRECTNESS_r04) ==========
     "tm_retention",
     "cdc_incremental_agg",

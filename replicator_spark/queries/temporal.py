@@ -656,6 +656,178 @@ FROM slot_means CROSS JOIN ss
 """
 
 
+# --------------------------------------------- CUSUM changepoint
+#
+# Two-sided CUSUM level-shift detection on the daily event-count
+# series — the monitoring question ts_seasonality/ts_autocorrelation
+# don't answer: WHEN did the volume regime change? The textbook CUSUM
+# recurrence S_t = max(0, S_{t−1} + z_t − slack) is a prefix-dependent
+# scan, but it has a WINDOW-FUNCTION closed form: with P_t the prefix
+# sum of (z_t − slack), S_t = P_t − min(0, min_{j≤t} P_j) — one
+# ordered running SUM + one running MIN, no fold. Both statistics run
+# on the |days|-sized table; the only corpus-sized work is the daily
+# count agg.
+#
+# Determinism armor: z-scores are 9-dp-rounded and cast DECIMAL(24,9),
+# so the running sums/mins are EXACT (order-free) — identical S_t in
+# both engines regardless of window-aggregation internals (segment
+# trees need not add in sequential order; decimals make that moot) —
+# and the argmax day uses a (S DESC, day ASC) row_number, earliest
+# day on ties.
+
+CUSUM_SLACK = "0.5"  # drift allowance, in sd units
+CUSUM_THRESHOLD = 5.0  # decision threshold, in sd units
+
+
+def changepoint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("ts div 1000000 div 86400000").alias("day")
+    ).agg(F.count("*").alias("n"))
+    xdec = F.col("n").cast("double").cast("decimal(24,9)")
+    stats = daily.agg(
+        F.count("*").alias("n_days"),
+        F.sum(xdec).alias("sx"),
+        F.sum(xdec * xdec).alias("sxx"),
+    )
+    nd = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    var = (nd * sxx - sx * sx) / (nd * nd)
+    stats = stats.select(
+        "n_days",
+        F.round(sx / nd, 9).alias("mu"),
+        F.round(
+            F.greatest(F.sqrt(F.greatest(var, F.lit(0.0))), F.lit(1e-9)), 9
+        ).alias("sd"),
+    )
+    z = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n_days",
+        "mu",
+        "sd",
+        F.round(
+            (F.col("n").cast("double") - F.col("mu")) / F.col("sd")
+            - F.lit(float(CUSUM_SLACK)),
+            9,
+        )
+        .cast("decimal(24,9)")
+        .alias("zu"),
+        F.round(
+            (F.col("mu") - F.col("n").cast("double")) / F.col("sd")
+            - F.lit(float(CUSUM_SLACK)),
+            9,
+        )
+        .cast("decimal(24,9)")
+        .alias("zd"),
+    )
+    wrun = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    prefixed = z.select(
+        "day",
+        "n_days",
+        "mu",
+        "sd",
+        F.sum("zu").over(wrun).alias("pu"),
+        F.sum("zd").over(wrun).alias("pd"),
+    )
+    zero = F.lit(0).cast("decimal(24,9)")
+    cur = prefixed.select(
+        "day",
+        "n_days",
+        "mu",
+        "sd",
+        (
+            F.col("pu") - F.least(zero, F.min("pu").over(wrun))
+        ).alias("su"),
+        (
+            F.col("pd") - F.least(zero, F.min("pd").over(wrun))
+        ).alias("sd_cusum"),
+    )
+    wu = W.orderBy(F.col("su").desc(), F.col("day").asc())
+    wd = W.orderBy(F.col("sd_cusum").desc(), F.col("day").asc())
+    best = (
+        cur.withColumn("ru", F.row_number().over(wu))
+        .withColumn("rd", F.row_number().over(wd))
+    )
+    up = best.where(F.col("ru") == 1).select(
+        "n_days",
+        F.round("mu", 6).alias("mean_daily"),
+        F.round("sd", 6).alias("sd_daily"),
+        F.col("day").alias("up_day"),
+        F.round(F.col("su").cast("double"), 6).alias("up_cusum"),
+    )
+    down = best.where(F.col("rd") == 1).select(
+        F.col("day").alias("down_day"),
+        F.round(F.col("sd_cusum").cast("double"), 6).alias("down_cusum"),
+    )
+    return up.crossJoin(F.broadcast(down)).select(
+        "n_days",
+        "mean_daily",
+        "sd_daily",
+        "up_day",
+        "up_cusum",
+        "down_day",
+        "down_cusum",
+        (
+            (F.col("up_cusum") >= CUSUM_THRESHOLD)
+            | (F.col("down_cusum") >= CUSUM_THRESHOLD)
+        ).alias("shift_detected"),
+    )
+
+
+CHANGEPOINT_SQL = f"""
+WITH daily AS (
+    SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS n
+    FROM events GROUP BY 1
+), stats AS (
+    SELECT COUNT(*) AS n_days,
+        round(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 9) AS mu,
+        round(greatest(sqrt(greatest(
+            (COUNT(*) * CAST(SUM(xd * xd) AS DOUBLE)
+             - CAST(SUM(xd) AS DOUBLE) * CAST(SUM(xd) AS DOUBLE))
+            / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)), 0.0)), 1e-9), 9)
+            AS sd
+    FROM (SELECT CAST(CAST(n AS DOUBLE) AS DECIMAL(24,9)) AS xd
+          FROM daily)
+), z AS (
+    SELECT day, n_days, mu, sd,
+        CAST(round((CAST(n AS DOUBLE) - mu) / sd - {CUSUM_SLACK}, 9)
+             AS DECIMAL(24,9)) AS zu,
+        CAST(round((mu - CAST(n AS DOUBLE)) / sd - {CUSUM_SLACK}, 9)
+             AS DECIMAL(24,9)) AS zd
+    FROM daily CROSS JOIN stats
+), prefixed AS (
+    SELECT day, n_days, mu, sd,
+        SUM(zu) OVER w AS pu,
+        SUM(zd) OVER w AS pd
+    FROM z
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+), runs AS (
+    SELECT day, n_days, mu, sd,
+        pu - least(CAST(0 AS DECIMAL(24,9)), MIN(pu) OVER w) AS su,
+        pd - least(CAST(0 AS DECIMAL(24,9)), MIN(pd) OVER w) AS sd_cusum
+    FROM prefixed
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+), ranked AS (
+    SELECT *,
+        ROW_NUMBER() OVER (ORDER BY su DESC, day ASC) AS ru,
+        ROW_NUMBER() OVER (ORDER BY sd_cusum DESC, day ASC) AS rd
+    FROM runs
+)
+SELECT u.n_days, round(u.mu, 6) AS mean_daily, round(u.sd, 6) AS sd_daily,
+    u.day AS up_day, round(CAST(u.su AS DOUBLE), 6) AS up_cusum,
+    d.day AS down_day, round(CAST(d.sd_cusum AS DOUBLE), 6) AS down_cusum,
+    (round(CAST(u.su AS DOUBLE), 6) >= {CUSUM_THRESHOLD}
+     OR round(CAST(d.sd_cusum AS DOUBLE), 6) >= {CUSUM_THRESHOLD})
+        AS shift_detected
+FROM (SELECT * FROM ranked WHERE ru = 1) u
+CROSS JOIN (SELECT * FROM ranked WHERE rd = 1) d
+"""
+
+
 REGISTRY = [
     ("temporal_asof_join", asof_join_query, ASOF_JOIN_SQL),
     ("temporal_range_join", range_join_query, RANGE_JOIN_SQL),
@@ -664,4 +836,6 @@ REGISTRY = [
     ("ts_autocorrelation", autocorr_query, AUTOCORR_SQL),
     ("ts_profile_topk", ts_profile_topk_query, TS_PROFILE_TOPK_SQL),
     ("ts_seasonality", seasonality_query, SEASONALITY_SQL),
+    # two-sided CUSUM level-shift detection (window closed form)
+    ("ts_changepoint", changepoint_query, CHANGEPOINT_SQL),
 ]

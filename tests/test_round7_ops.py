@@ -1494,3 +1494,47 @@ def test_bootstrap_ci_matches_python_replay(spark, sf_dir):
     assert got["ci_hi"] == round(means[BOOT_B - 2], 6)
     assert got["b_replicates"] == BOOT_B
     assert got["ci_lo"] <= got["point_mean"] <= got["ci_hi"]
+
+
+# ------------------------------------------------ CUSUM changepoint
+
+
+def test_changepoint_detects_level_shift(spark, tmp_path):
+    from replicator_spark.queries.temporal import changepoint_query
+
+    base = str(tmp_path)
+    day_ns = 86_400 * 10**9
+    evs, eid = [], 0
+    # asymmetric regimes (20 low, 10 high): the mean sits nearer the
+    # low regime, so the UP statistic dominates the DOWN one (a
+    # symmetric split makes them exactly equal)
+    for d in range(30):
+        per_day = 10 if d < 20 else 40
+        for i in range(per_day):
+            evs.append((eid, d * day_ns + i * 10**9, i, "a", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, base, evs)
+    r = changepoint_query(spark, base).collect()[0]
+    assert r["n_days"] == 30
+    assert bool(r["shift_detected"]) is True
+    # evidence for the UP shift accumulates through the elevated
+    # regime — peak lands on its last day
+    assert r["up_day"] == 29
+    assert r["up_cusum"] > r["down_cusum"]
+
+
+def test_changepoint_flat_series_is_quiet(spark, tmp_path):
+    from replicator_spark.queries.temporal import changepoint_query
+
+    base = str(tmp_path)
+    day_ns = 86_400 * 10**9
+    evs, eid = [], 0
+    for d in range(20):
+        for i in range(10):  # perfectly constant daily volume
+            evs.append((eid, d * day_ns + i * 10**9, i, "a", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, base, evs)
+    r = changepoint_query(spark, base).collect()[0]
+    assert bool(r["shift_detected"]) is False
+    assert r["up_cusum"] == 0.0
+    assert r["down_cusum"] == 0.0

@@ -143,6 +143,7 @@ SLATE = [
     "dedup_semantic_cells",
     "curate_cell_sample",
     "stats_bootstrap_ci",
+    "ts_changepoint",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
