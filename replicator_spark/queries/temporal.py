@@ -674,6 +674,14 @@ FROM slot_means CROSS JOIN ss
 # trees need not add in sequential order; decimals make that moot) —
 # and the argmax day uses a (S DESC, day ASC) row_number, earliest
 # day on ties.
+#
+# The argmax day is where EVIDENCE peaks (for a sustained shift that
+# is just the series end), not where the regime changed; the standard
+# CUSUM changepoint ESTIMATE is the last day the statistic sat at 0
+# before the peak (shift onset = the next day). Both are reported:
+# up_day/down_day (peak) and up_change_day/down_change_day (estimate,
+# coalesced to the first day when S never touched 0 before the peak).
+# S is DECIMAL-exact, so `S = 0` is a clean equality in both engines.
 
 CUSUM_SLACK = "0.5"  # drift allowance, in sd units
 CUSUM_THRESHOLD = 5.0  # decision threshold, in sd units
@@ -761,13 +769,46 @@ def changepoint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").alias("down_day"),
         F.round(F.col("sd_cusum").cast("double"), 6).alias("down_cusum"),
     )
-    return up.crossJoin(F.broadcast(down)).select(
+    peaks = up.crossJoin(F.broadcast(down))
+    # changepoint estimate: last S=0 day strictly before the peak
+    # (one more pass over the |days|-sized frame — corpus untouched)
+    zero_d = F.lit(0).cast("decimal(24,9)")
+    est = (
+        cur.crossJoin(
+            F.broadcast(peaks.select("up_day", "down_day"))
+        )
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("su") == zero_d)
+                        & (F.col("day") < F.col("up_day")),
+                        F.col("day"),
+                    )
+                ),
+                F.min("day"),
+            ).alias("up_change_day"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("sd_cusum") == zero_d)
+                        & (F.col("day") < F.col("down_day")),
+                        F.col("day"),
+                    )
+                ),
+                F.min("day"),
+            ).alias("down_change_day"),
+        )
+    )
+    return peaks.crossJoin(F.broadcast(est)).select(
         "n_days",
         "mean_daily",
         "sd_daily",
         "up_day",
+        "up_change_day",
         "up_cusum",
         "down_day",
+        "down_change_day",
         "down_cusum",
         (
             (F.col("up_cusum") >= CUSUM_THRESHOLD)
@@ -804,7 +845,7 @@ WITH daily AS (
     FROM z
     WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
                  AND CURRENT ROW)
-), runs AS (
+), runs AS MATERIALIZED (
     SELECT day, n_days, mu, sd,
         pu - least(CAST(0 AS DECIMAL(24,9)), MIN(pu) OVER w) AS su,
         pd - least(CAST(0 AS DECIMAL(24,9)), MIN(pd) OVER w) AS sd_cusum
@@ -816,15 +857,29 @@ WITH daily AS (
         ROW_NUMBER() OVER (ORDER BY su DESC, day ASC) AS ru,
         ROW_NUMBER() OVER (ORDER BY sd_cusum DESC, day ASC) AS rd
     FROM runs
+), peaks AS (
+    SELECT u.n_days, u.mu, u.sd,
+        u.day AS up_day, u.su AS up_su,
+        d.day AS down_day, d.sd_cusum AS down_sd
+    FROM (SELECT * FROM ranked WHERE ru = 1) u
+    CROSS JOIN (SELECT * FROM ranked WHERE rd = 1) d
+), est AS (
+    SELECT
+        COALESCE(MAX(CASE WHEN r.su = 0 AND r.day < p.up_day
+                          THEN r.day END), MIN(r.day)) AS up_change_day,
+        COALESCE(MAX(CASE WHEN r.sd_cusum = 0 AND r.day < p.down_day
+                          THEN r.day END), MIN(r.day)) AS down_change_day
+    FROM runs r CROSS JOIN peaks p
 )
-SELECT u.n_days, round(u.mu, 6) AS mean_daily, round(u.sd, 6) AS sd_daily,
-    u.day AS up_day, round(CAST(u.su AS DOUBLE), 6) AS up_cusum,
-    d.day AS down_day, round(CAST(d.sd_cusum AS DOUBLE), 6) AS down_cusum,
-    (round(CAST(u.su AS DOUBLE), 6) >= {CUSUM_THRESHOLD}
-     OR round(CAST(d.sd_cusum AS DOUBLE), 6) >= {CUSUM_THRESHOLD})
+SELECT p.n_days, round(p.mu, 6) AS mean_daily, round(p.sd, 6) AS sd_daily,
+    p.up_day, e.up_change_day,
+    round(CAST(p.up_su AS DOUBLE), 6) AS up_cusum,
+    p.down_day, e.down_change_day,
+    round(CAST(p.down_sd AS DOUBLE), 6) AS down_cusum,
+    (round(CAST(p.up_su AS DOUBLE), 6) >= {CUSUM_THRESHOLD}
+     OR round(CAST(p.down_sd AS DOUBLE), 6) >= {CUSUM_THRESHOLD})
         AS shift_detected
-FROM (SELECT * FROM ranked WHERE ru = 1) u
-CROSS JOIN (SELECT * FROM ranked WHERE rd = 1) d
+FROM peaks p CROSS JOIN est e
 """
 
 

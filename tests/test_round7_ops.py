@@ -1521,6 +1521,9 @@ def test_changepoint_detects_level_shift(spark, tmp_path):
     # regime — peak lands on its last day
     assert r["up_day"] == 29
     assert r["up_cusum"] > r["down_cusum"]
+    # the CHANGEPOINT estimate (last S=0 day before the peak) lands
+    # on the day before the injected shift at day 20
+    assert r["up_change_day"] == 19
 
 
 def test_changepoint_flat_series_is_quiet(spark, tmp_path):
