@@ -506,8 +506,12 @@ def _bpe_rounds_ctes() -> tuple[str, str]:
     SELECT {k} AS merge_rank, l, r, CAST(total AS BIGINT) AS total
     FROM prs{k} ORDER BY total DESC, l, r LIMIT 1
 ), words{k} AS MATERIALIZED (
-    SELECT wd, freq, {merge_expr} AS syms
-    FROM {prev} CROSS JOIN win{k} w
+    -- LEFT JOIN ON TRUE, not CROSS JOIN: if no adjacent pair exists
+    -- anywhere (win{k} empty), keep the vocab unchanged — mirroring
+    -- the Spark trainer's early `break` — instead of wiping it
+    SELECT wd, freq,
+        CASE WHEN w.l IS NULL THEN syms ELSE {merge_expr} END AS syms
+    FROM {prev} LEFT JOIN win{k} w ON TRUE
 )""")
         prev = f"words{k}"
     ctes = f"""toks AS (
