@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..session import prep, read_table
+from ..utils import round_half_away
 
 _EPS = 1e-30  # all-zero-vector guard
 
@@ -362,7 +363,8 @@ def pca_power_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rayleigh quotient against the ORIGINAL covariance
     eigval = dot(v, [dot(cov[i], v) for i in range(d)])
     rows = [
-        (i, round(v[i], 6) + 0.0, round(eigval, 6) + 0.0) for i in range(d)
+        (i, round_half_away(v[i], 6), round_half_away(eigval, 6))
+        for i in range(d)
     ]
     return spark.createDataFrame(
         rows, "dim int, loading double, eigenvalue double"
@@ -520,6 +522,11 @@ def kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    # the trainer drives KMEANS_ITERS+1 jobs over this frame (seeds +
+    # one per Lloyd round); persist so the parquet scan + cast runs
+    # once, not per round (at cluster scale: checkpoint the working
+    # set). Unpersisted before the final lazily-returned plan.
+    emb = emb.persist()
     seeds = (
         emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
@@ -527,7 +534,7 @@ def kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v")
         .collect()
     )
-    cents = [[round(float(x), 6) for x in r["v"]] for r in seeds]
+    cents = [[round_half_away(float(x), 6) for x in r["v"]] for r in seeds]
     for _ in range(KMEANS_ITERS):
         assigned = _assign(emb, cents)
         sums = (
@@ -555,16 +562,19 @@ def kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             new_cents.append(
                 [
-                    round(dims[d][0] / dims[d][1], 6)
+                    round_half_away(dims[d][0] / dims[d][1], 6)
                     for d in range(len(old))
                 ]
             )
         cents = new_cents
+    # training jobs are done; the returned plan recomputes its one
+    # final pass from parquet rather than pinning executor memory
+    emb.unpersist()
     final = _assign(emb, cents)
     norm = [
         # math.sqrt (IEEE correctly-rounded, = SQL sqrt) — not ** 0.5,
         # whose libm pow is not guaranteed identical cross-engine
-        round(_math.sqrt(sum(x * x for x in c)), 6) for c in cents
+        round_half_away(_math.sqrt(sum(x * x for x in c)), 6) for c in cents
     ]
     norm_lit = F.array(*[F.lit(x) for x in norm])
     return (
@@ -723,7 +733,9 @@ def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    subs = _pq_subvectors(emb)
+    # persist-across-Lloyd-rounds (same pattern as kmeans_query):
+    # the subvector frame feeds the seed job + PQ_ITERS update jobs
+    subs = _pq_subvectors(emb).persist()
     seeds = (
         subs.withColumn(
             "h", F.md5(F.concat_ws(":", "sub", "vec_id"))
@@ -739,7 +751,9 @@ def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     cents = {
-        (r["sub"], r["cid"] - 1): [round(float(x), 6) for x in r["subv"]]
+        (r["sub"], r["cid"] - 1): [
+            round_half_away(float(x), 6) for x in r["subv"]
+        ]
         for r in seeds
     }
     for _ in range(PQ_ITERS):
@@ -765,9 +779,10 @@ def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             dims = acc.get(key)
             if dims:
                 cents[key] = [
-                    round(dims[d][0] / dims[d][1], 6)
+                    round_half_away(dims[d][0] / dims[d][1], 6)
                     for d in range(len(old))
                 ]
+    subs.unpersist()  # final encode pass recomputes from parquet
     final = _pq_assign(spark, subs, cents)
     return (
         final.groupBy("vec_id")
@@ -943,7 +958,8 @@ def adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    subs = _pq_subvectors(emb)
+    # persist-across-Lloyd-rounds (same pattern as kmeans_query)
+    subs = _pq_subvectors(emb).persist()
     seeds = (
         subs.withColumn("h", F.md5(F.concat_ws(":", "sub", "vec_id")))
         .withColumn(
@@ -954,7 +970,9 @@ def adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     cents = {
-        (r["sub"], r["cid"] - 1): [round(float(x), 6) for x in r["subv"]]
+        (r["sub"], r["cid"] - 1): [
+            round_half_away(float(x), 6) for x in r["subv"]
+        ]
         for r in seeds
     }
     for _ in range(PQ_ITERS):
@@ -980,9 +998,10 @@ def adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             dims = acc.get(key)
             if dims:
                 cents[key] = [
-                    round(dims[d][0] / dims[d][1], 6)
+                    round_half_away(dims[d][0] / dims[d][1], 6)
                     for d in range(len(old))
                 ]
+    subs.unpersist()  # final encode pass recomputes from parquet
     codes = _pq_assign(spark, subs, cents).select("vec_id", "sub", "cid")
     # per-query LUT: distance from the query's subvector to every
     # codeword — Q·M·K rows, broadcast

@@ -17,7 +17,22 @@ is identical to the plain key join.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import Column, DataFrame
+
+
+def round_half_away(x: float, n: int) -> float:
+    """round(double, n) with ties away from zero — the semantics of
+    Spark F.round AND DuckDB round(). Python's builtin round() is
+    half-EVEN, which disagrees on exact dyadic ties (e.g. 2^-7 =
+    0.0078125 at 6 dp: Python → 0.007812, Spark/DuckDB → 0.007813);
+    float32-sourced embeddings are all dyadic, so driver-side seeds /
+    centroid reductions that are later value-hashed against an oracle
+    must round half-away. Decimal(x) is the EXACT binary value, so
+    quantize(..., ROUND_HALF_UP) is exact decimal rounding of it."""
+    q = Decimal(1).scaleb(-n)
+    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP)) + 0.0
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
