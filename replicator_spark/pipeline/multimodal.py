@@ -388,9 +388,14 @@ def multimodal_phash_dedup_query(
     # Mega-bucket guard (dedup.py's LSH_BUCKET_CAP rule): a Hamming
     # bucket of k near-identical images would expand to k(k-1)/2 pairs
     # inside ONE task. Oversized buckets emit a sorted STAR (every id
-    # paired with the bucket min): O(k) pairs, identical connected
-    # components for cluster-level dedup, and the star center shares
-    # the bucket prefix so the Hamming filter still applies per edge.
+    # paired with the bucket min): O(k) pairs. Because the Hamming
+    # filter runs per EDGE after expansion, the star is an
+    # APPROXIMATION: two docs within PHASH_MAX_HAMMING of each other
+    # but both farther than that from the bucket-min lose their
+    # connecting edge, so star components are a REFINEMENT (possible
+    # splits, never merges) of the full clique expansion's — the same
+    # recall-for-bound trade-off LSH_BUCKET_CAP makes. The oracle
+    # applies the identical rule, so engine parity is exact.
     all_pairs = """flatten(transform(ids, (x, i) ->
         transform(slice(ids, i + 2, size(ids) - i - 1),
                   y -> struct(x.doc_id AS doc_a,
