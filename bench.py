@@ -119,6 +119,42 @@ def main() -> None:
         stages["curate_e2e_pipeline/downstream"] = round(
             max(timings["curate_e2e_pipeline"] - best_cc, 0.0), 3
         )
+    # Structured-Streaming fixed overhead: a minimal availableNow
+    # pass-through (readStream → parquet sink + checkpoint → drain)
+    # with no operator logic. The stream_* headliners each pay roughly
+    # this setup/teardown cost, so round-over-round drift in their
+    # OPERATOR cost is timings[name] - stream_overhead.
+    stream_overhead = float("inf")
+    import shutil
+    import tempfile
+
+    for _ in range(reps):
+        base = tempfile.mkdtemp(prefix="bench_stream_ovh_")
+        try:
+            start = time.perf_counter()
+            schema = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).schema
+            q = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "documents.parquet")
+                .parquet(sf_dir)
+                .select("doc_id")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", os.path.join(base, "out"))
+                .option(
+                    "checkpointLocation", os.path.join(base, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            stream_overhead = min(
+                stream_overhead, time.perf_counter() - start
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
     out = {
         "metric": "headline_total",
         "value": total,
@@ -128,6 +164,7 @@ def main() -> None:
     }
     if stages:
         out["stages"] = stages
+    out["stream_overhead"] = round(stream_overhead, 3)
     print(json.dumps(out))
     spark.stop()
 
