@@ -485,7 +485,15 @@ KMEANS_ITERS = 5
 
 
 def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """vec rows + cluster id of the nearest centroid (squared L2)."""
+    """vec rows + cluster id of the nearest centroid (squared L2).
+
+    Fully map-side: the K centroids are a constant-folded literal and
+    the argmin is array_min over per-centroid (d2, cid) structs —
+    struct ordering gives the same (distance, then lower cid) tie
+    order as the previous F.min(F.struct(...)) formulation, WITHOUT
+    its explode + groupBy(vec_id), which shuffled the whole corpus
+    once per Lloyd round (n×K rows through an exchange; at 100 TB
+    that shuffle, not the distance math, was the plan's cost)."""
     c_lit = F.array(
         *[
             F.struct(
@@ -495,21 +503,26 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
             for i, c in enumerate(cents)
         ]
     )
-    dist = (
-        "aggregate(zip_with(v, t.c, (x, y) -> (x - y) * (x - y)),"
-        " CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
-    )
-    return (
-        emb.withColumn("t", F.explode(c_lit))
-        .withColumn("d2", F.expr(dist))
-        # min-struct argmin: (distance, cid) — ties break to lower cid
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct("d2", "t.cid")).alias("m"),
-            F.first("v").alias("v"),
+    best = F.array_min(
+        F.transform(
+            c_lit,
+            lambda t: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"), t["c"], lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d2"),
+                t["cid"].alias("cid"),
+            ),
         )
-        .select("vec_id", "v", F.col("m.cid").alias("cid"),
-                F.col("m.d2").alias("d2"))
+    )
+    return emb.select(
+        "vec_id",
+        "v",
+        best["cid"].alias("cid"),
+        best["d2"].alias("d2"),
     )
 
 
@@ -697,31 +710,47 @@ def _pq_subvectors(emb: DataFrame) -> DataFrame:
 def _pq_assign(spark, subs: DataFrame, cents: dict) -> DataFrame:
     """(vec_id, sub, subv) + nearest codeword id within its subspace.
 
-    Centroids attach as a BROADCAST M×K-row DataFrame joined on the
-    subspace id (not a literal array expression — a 128-struct literal
-    re-evaluates per row and blew the assignment up ~3×)."""
+    Centroids attach as a BROADCAST M-row DataFrame joined on the
+    subspace id, one row per subspace carrying its WHOLE codebook as
+    an array<struct<cid, c>> column (not a literal array expression —
+    a 128-struct literal re-evaluates per row and blew the assignment
+    up ~3×; broadcast-join data pays the cost once). The argmin is
+    map-side array_min over per-codeword (d2, cid) structs — the same
+    (distance, lower cid) tie order as F.min(F.struct(...)), without
+    the old K-fold row expansion + groupBy(vec_id, sub) that shuffled
+    n×M×K rows per Lloyd round."""
+    books: dict = {}
+    for (s, i), c in sorted(cents.items()):
+        books.setdefault(s, []).append((i, c))
     cdf = F.broadcast(
         spark.createDataFrame(
-            [(s, i, c) for (s, i), c in sorted(cents.items())],
-            "sub int, cid int, c array<double>",
+            [(s, rows) for s, rows in sorted(books.items())],
+            "sub int, book array<struct<cid int, c array<double>>>",
         )
     )
-    dist = (
-        "aggregate(zip_with(subv, c, (x, y) -> (x - y) * (x - y)),"
-        " CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
+    best = F.array_min(
+        F.transform(
+            F.col("book"),
+            lambda t: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("subv"),
+                        t["c"],
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d2"),
+                t["cid"].alias("cid"),
+            ),
+        )
     )
-    return (
-        subs.join(cdf, "sub")
-        .withColumn("d2", F.expr(dist))
-        .groupBy("vec_id", "sub")
-        .agg(
-            F.min(F.struct("d2", "cid")).alias("m"),
-            F.first("subv").alias("subv"),
-        )
-        .select(
-            "vec_id", "sub", "subv",
-            F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"),
-        )
+    return subs.join(cdf, "sub").select(
+        "vec_id",
+        "sub",
+        "subv",
+        best["cid"].alias("cid"),
+        best["d2"].alias("d2"),
     )
 
 
