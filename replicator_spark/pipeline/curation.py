@@ -872,6 +872,129 @@ WHERE rank_in_cell <= {CELL_SAMPLE_K}
 """
 
 
+# ---------------------------------------- k-center coreset selection
+#
+# Greedy farthest-point traversal over the embeddings — the classic
+# 2-approximation k-center CORESET selector (pick the point farthest
+# from everything already picked): the "maximally diverse subset"
+# primitive a curation pipeline uses to seed labeling batches, probe
+# sets, and diversity-balanced eval slices. Output: the KCENTER_K
+# picks in pick order with the coverage radius each pick closed
+# (radius = that round's max-min distance; monotonically
+# non-increasing — the classic coreset quality curve).
+#
+# Scale shape: KCENTER_K linear passes, each a map-side min-distance
+# projection against ≤K broadcast centroid literals + ONE top-1
+# reduction (orderBy-limit(1) compiles to TakeOrderedAndProject:
+# per-partition top-1 then a constant-size driver merge — no global
+# sort). Driver state = K vectors. Same iterative-trainer contract as
+# emb_kmeans (constant-size exchanges, fixed rounds).
+#
+# Determinism: centers are actual table rows (no arithmetic on them),
+# distances are the shared sequential fold on identical doubles, seed
+# = min md5(vec_id) (the kmeans seed rule), argmax ties break to the
+# smallest vec_id. Both engines therefore pick IDENTICAL rows; the
+# only rounding is 6 dp on the REPORTED radius, after all decisions.
+
+KCENTER_K = 6
+
+_KC_DIST = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (x, y) -> x + y)"
+)
+
+
+def coreset_kcenter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).persist()  # KCENTER_K scans: seed + one top-1 pass per pick
+    seed = (
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .select("vec_id", "v")
+        .collect()[0]
+    )
+    centers = [(int(seed["vec_id"]), [float(x) for x in seed["v"]])]
+    rows = [(0, centers[0][0], None)]
+    for rank in range(1, KCENTER_K):
+        c_lit = F.array(
+            *[F.array(*[F.lit(x) for x in c]) for _, c in centers]
+        )
+        dmin = F.array_min(
+            F.transform(
+                c_lit,
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        F.col("v"), c, lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ),
+            )
+        )
+        pick = (
+            emb.select("vec_id", "v", dmin.alias("dmin"))
+            .orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append(
+            (int(pick["vec_id"]), [float(x) for x in pick["v"]])
+        )
+        rows.append((rank, int(pick["vec_id"]), float(pick["dmin"])))
+    emb.unpersist()
+    from ..utils import round_half_away
+
+    out = [
+        (r, vid, None if d is None else round_half_away(d, 6))
+        for r, vid, d in rows
+    ]
+    return spark.createDataFrame(
+        out, "pick_rank int, vec_id bigint, radius double"
+    )
+
+
+def _kcenter_sql() -> str:
+    """Unrolled-CTE twin: center j is re-derived inside SQL (argmax of
+    the least distance to the j already-chosen 1-row center CTEs), so
+    the oracle is fully independent of the Spark run."""
+    dist = _KC_DIST
+    blocks = [
+        """c0 AS (
+    SELECT vec_id, v FROM emb
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+)"""
+    ]
+    for j in range(1, KCENTER_K):
+        terms = " , ".join(
+            dist.format(v="e.v", c=f"c{i}.v") for i in range(j)
+        )
+        froms = " CROSS JOIN ".join(f"c{i}" for i in range(j))
+        blocks.append(f"""c{j} AS (
+    SELECT vec_id, v, dmin FROM (
+        SELECT e.vec_id, e.v, least({terms}) AS dmin
+        FROM emb e CROSS JOIN {froms}
+    ) ORDER BY dmin DESC, vec_id ASC LIMIT 1
+)""")
+    selects = ["SELECT 0 AS pick_rank, vec_id, "
+               "CAST(NULL AS DOUBLE) AS radius FROM c0"]
+    for j in range(1, KCENTER_K):
+        selects.append(
+            f"SELECT {j}, vec_id, round(dmin, 6) FROM c{j}"
+        )
+    return (
+        "WITH emb AS MATERIALIZED (\n"
+        "    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings\n), "
+        + ",\n".join(blocks)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
 REGISTRY = [
     ("curate_pack_sequences", pack_sequences_query, PACK_SEQUENCES_SQL),
     ("curate_chunk_documents", chunk_documents_query, CHUNK_DOCUMENTS_SQL),
@@ -890,4 +1013,6 @@ REGISTRY = [
     ("curate_weighted_sample", weighted_sample_query, WEIGHTED_SAMPLE_SQL),
     # cell-balanced embedding-space sampling (corpus-scaled cells)
     ("curate_cell_sample", cell_sample_query, _cell_sample_sql()),
+    # greedy k-center coreset (farthest-point traversal)
+    ("curate_coreset_kcenter", coreset_kcenter_query, _kcenter_sql()),
 ]

@@ -949,6 +949,162 @@ SELECT CAST(n_cells AS BIGINT) AS n_cells,
 FROM agg
 """
 
+# ------------------------------------------- kNN label probe (classifier)
+#
+# The standard embedding-quality eval: leave-one-out k-nearest-neighbor
+# classification of the `label` column (the "kNN probe" reported with
+# every embedding model release). For each vector, its CLF_K nearest
+# cell-mates by cosine vote on the label (majority; ties break to the
+# SMALLEST label — deterministic in both engines); per true label we
+# report coverage and accuracy.
+#
+# Scale shape: rides the same corpus-scaled hyperplane quantizer as
+# sim_knn_graph (`_knn_cell`/`_knn_h` — cell count grows with n, so
+# per-cell candidate work is constant); scoring is one cell equi-join,
+# voting is a k-bounded groupBy per query, and the output is
+# label-count rows. Same recall trade-off as every IVF/LSH probe:
+# neighbors outside the cell are not candidates (documented knob =
+# KNN_TARGET_CELL).
+#
+# Determinism armor (shared with sim_knn_graph): cosine rounded to
+# 6 dp BEFORE the rank window, cand_id tiebreak, integer vote counts.
+
+CLF_K = 5
+
+
+def knn_classifier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    h = _knn_h(emb.count())  # one scalar count, as in knn_graph_query
+    celled = emb.select(
+        "vec_id", "label", "v", _knn_cell(F.col("v"), h).alias("cell")
+    )
+    normed = celled.select(
+        "vec_id", "label", "cell", "v", _norm(F.col("v")).alias("nv")
+    )
+    unit = normed.select(
+        "vec_id",
+        "label",
+        "cell",
+        F.transform("v", lambda x: x / F.col("nv")).alias("u"),
+    )
+    q = unit.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        "cell",
+        F.col("u").alias("qu"),
+    )
+    scored = (
+        unit.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            "cell",
+            F.col("u").alias("cu"),
+        )
+        .join(q, "cell")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "cand_id",
+            "cand_label",
+            F.round(_dot(F.col("qu"), F.col("cu")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    neigh = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= CLF_K
+    )
+    votes = neigh.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    # argmax votes, tie -> smallest label: min of (-n_votes, label)
+    pred = (
+        votes.groupBy("query_id", "true_label")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_votes")).alias("neg"),
+                    F.col("cand_label").alias("lbl"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "query_id", "true_label", F.col("m.lbl").alias("pred_label")
+        )
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_classified"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_classified",
+            "n_correct",
+            F.round(
+                F.col("n_correct") / F.col("n_classified").cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+
+
+KNN_CLASSIFIER_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+), hh AS (
+    SELECT {_KNN_H_SQL} AS h FROM (SELECT COUNT(*) AS n_total FROM emb)
+), celled AS (
+    SELECT vec_id, label, v, {_KNN_CELL_SQL} AS cell
+    FROM emb CROSS JOIN hh
+), normed AS (
+    SELECT vec_id, label, cell, v,
+        sqrt(0.0 + {_dot_sql("v", "v")}) AS nv
+    FROM celled
+), unit AS MATERIALIZED (
+    SELECT vec_id, label, cell, list_transform(v, x -> x / nv) AS u
+    FROM normed
+), scored AS (
+    SELECT q.vec_id AS query_id, q.label AS true_label,
+        c.vec_id AS cand_id, c.label AS cand_label,
+        round(0.0 + {_dot_sql("q.u", "c.u")}, 6) AS cosine
+    FROM unit c JOIN unit q USING (cell)
+    WHERE c.vec_id <> q.vec_id
+), neigh AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM scored)
+    WHERE rank <= {CLF_K}
+), votes AS (
+    SELECT query_id, true_label, cand_label, COUNT(*) AS n_votes
+    FROM neigh GROUP BY 1, 2, 3
+), pred AS (
+    SELECT query_id, true_label, cand_label AS pred_label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY n_votes DESC, cand_label ASC) AS rn
+        FROM votes)
+    WHERE rn = 1
+)
+SELECT true_label AS label,
+    CAST(COUNT(*) AS BIGINT) AS n_classified,
+    CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_correct,
+    round(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM pred GROUP BY true_label
+"""
+
 
 REGISTRY = [
     ("sim_cosine_topk", cosine_topk_query, COSINE_TOPK_SQL),
@@ -963,4 +1119,6 @@ REGISTRY = [
      MATRYOSHKA_SQL),
     ("sim_recall_curve", recall_curve_query, RECALL_CURVE_SQL),
     ("emb_cell_balance", cell_balance_query, CELL_BALANCE_SQL),
+    # leave-one-out kNN label probe over the corpus-scaled cells
+    ("sim_knn_classifier", knn_classifier_query, KNN_CLASSIFIER_SQL),
 ]

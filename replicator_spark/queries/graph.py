@@ -419,9 +419,114 @@ UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM a3
 """
 
 
+# ------------------------------------------- label propagation (LPA)
+#
+# Synchronous label-propagation community detection over the
+# co-purchase graph — the missing member of the graph family
+# (pagerank = centrality, triangles = clustering, kcore = density,
+# LPA = COMMUNITIES). Init: every node labels itself; each round every
+# node adopts the most frequent label among its neighbors (ties break
+# to the SMALLEST label — the determinism armor plain LPA lacks);
+# LPA_ROUNDS fixed rounds, no data-dependent stopping.
+#
+# Scale shape per round: one equi-join edges⨝labels on the neighbor
+# endpoint + one (node, label) combiner-backed count + one per-node
+# argmax — the Pregel superstep as DataFrame ops, same as pagerank's.
+# Labels are one row per node (edges >> nodes at 100 TB); the edge
+# list keeps a stable partitioning across rounds and is persisted.
+#
+# Determinism: integer vote counts (order-free), integer labels,
+# min-struct argmax with the exact tie order ROW_NUMBER (c DESC,
+# label ASC) uses in the oracle — bit-identical rounds.
+
+LPA_ROUNDS = 3
+
+
+def label_propagation_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    e = _copurchase_edges(spark, sf_dir).persist()
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.groupBy("a")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("neg"),
+                        F.col("label").alias("lbl"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("a").alias("node"), F.col("m.lbl").alias("label")
+            )
+        )
+    comm = labels.select("node", F.col("label").alias("community"))
+    sizes = comm.groupBy("community").agg(
+        F.count("*").alias("community_size")
+    )
+    return comm.join(sizes, "community").select(
+        "node", "community", "community_size"
+    )
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+    SELECT a AS node, label FROM (
+        SELECT a, label, ROW_NUMBER() OVER (
+            PARTITION BY a ORDER BY c DESC, label ASC) AS rn
+        FROM (
+            SELECT s.a, l.label, COUNT(*) AS c
+            FROM sym s JOIN {prev} l ON s.b = l.node
+            GROUP BY s.a, l.label
+        )
+    ) WHERE rn = 1
+)"""
+
+
+LABEL_PROPAGATION_SQL = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {TRI_SUPPORT}
+),
+sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+{_lpa_round_sql("l0", "l1")},
+{_lpa_round_sql("l1", "l2")},
+{_lpa_round_sql("l2", "l3")},
+comm AS MATERIALIZED (
+    SELECT node, label AS community FROM l3
+)
+SELECT c.node, c.community, s.community_size
+FROM comm c JOIN (
+    SELECT community, CAST(COUNT(*) AS BIGINT) AS community_size
+    FROM comm GROUP BY community
+) s USING (community)
+"""
+
+
 REGISTRY = [
     ("graph_pagerank", pagerank_query, PAGERANK_SQL),
     ("graph_triangles", triangles_query, TRIANGLES_SQL),
     ("graph_assortativity", assortativity_query, ASSORTATIVITY_SQL),
     ("graph_kcore", kcore_query, KCORE_SQL),
+    # synchronous LPA communities (fixed rounds, min-label ties)
+    ("graph_label_propagation", label_propagation_query,
+     LABEL_PROPAGATION_SQL),
 ]
