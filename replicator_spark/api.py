@@ -39,6 +39,12 @@ Rotation map (which driver run produced each operator's green row):
   206/206 driver-verified. The 19 spare slots backfill the most
   §2-critical CDC/sink/schema ops (last graded in r3) as regression
   re-pins, per the round-5 verdict's instruction.
+- round 7 queue (entries 51-56): the six round-6 additions
+  (sim_knn_classifier, graph_label_propagation,
+  curate_coreset_kcenter, corpus_vocab_growth, sim_ivfadc_topk,
+  ts_trend_ols) — placed directly
+  after the window so they rotate in next round without displacing
+  it.
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -116,6 +122,13 @@ _PRIORITY = [
     "sink_avro_messages",
     "schema_ddl_replay",
     "stream_timemachine",
+    # ========= ROUND-7 QUEUE (added in round 6, never graded) =========
+    "sim_knn_classifier",
+    "graph_label_propagation",
+    "curate_coreset_kcenter",
+    "corpus_vocab_growth",
+    "sim_ivfadc_topk",
+    "ts_trend_ols",
     # ========== DRIVER-GREEN IN ROUND 5 (CORRECTNESS_r05) ==========
     # --- never-graded queue head (carried from the round-4 queue) ---
     "cdc_delay_gauge",

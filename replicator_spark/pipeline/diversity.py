@@ -32,7 +32,7 @@ inputs and rounded to 6 dp.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..session import prep, read_table
@@ -251,7 +251,136 @@ GROUP BY st.source
 """
 
 
+# ------------------------------------------- vocabulary growth (Heaps)
+#
+# The corpus-scaling diagnostic: cumulative distinct vocabulary vs
+# cumulative tokens in ingestion (doc_id) order, reported at decile
+# boundaries — the empirical Heaps-law curve. A curation pipeline
+# reads it two ways: a flattening curve says new data is mostly
+# repeats (dedup harder / stop crawling this source), a straight
+# log-log line says the corpus is still discovering language. The
+# type-token ratio per decile is the same signal normalized.
+#
+# Scale shape: one token explode feeding TWO vocab/doc-bounded aggs —
+# each token's FIRST document (min doc_id, a combiner-backed groupBy
+# over the vocab) and per-doc token counts. Deciles come from NTILE
+# over the doc table (doc-count rows), and the cumulative curve is a
+# 10-row window. Nothing corpus-sized is ever sorted or joined; the
+# explode is the only big exchange.
+#
+# Determinism: all counts are integers; NTILE(10) ORDER BY doc_id is
+# identical in Spark and DuckDB (first n%10 buckets take the extra
+# row); the only double is the final ttr ratio on identical ints.
+
+N_GROWTH_BUCKETS = 10
+
+
+def vocab_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    )
+    dec = docs.select(
+        "doc_id",
+        F.ntile(N_GROWTH_BUCKETS)
+        .over(W.orderBy("doc_id"))
+        .alias("decile"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    first_doc = toks.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+    by_dec = (
+        dec.join(per_doc, "doc_id", "left")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("n_toks", F.lit(0))).alias("n_tokens"),
+        )
+    )
+    new_vocab = (
+        first_doc.join(dec, "doc_id")
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_new"))
+    )
+    wcum = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        by_dec.join(new_vocab, "decile", "left")
+        .select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "decile",
+            F.sum("n_docs").over(wcum).alias("docs_cum"),
+            F.sum("n_tokens").over(wcum).alias("tokens_cum"),
+            F.sum("n_new").over(wcum).alias("vocab_cum"),
+        )
+        .select(
+            "decile",
+            F.col("docs_cum").cast("long").alias("docs_cum"),
+            F.col("tokens_cum").cast("long").alias("tokens_cum"),
+            F.col("vocab_cum").cast("long").alias("vocab_cum"),
+            F.round(
+                F.col("vocab_cum")
+                / F.col("tokens_cum").cast("double"),
+                6,
+            ).alias("ttr"),
+        )
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, lower(text) AS text FROM documents
+), toks AS MATERIALIZED (
+    SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+    FROM docs
+), dec AS MATERIALIZED (
+    SELECT doc_id, NTILE({N_GROWTH_BUCKETS}) OVER (ORDER BY doc_id)
+        AS decile
+    FROM docs
+), per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id
+), first_doc AS (
+    SELECT tok, MIN(doc_id) AS doc_id FROM toks GROUP BY tok
+), by_dec AS (
+    SELECT d.decile, COUNT(*) AS n_docs,
+        SUM(COALESCE(p.n_toks, 0)) AS n_tokens
+    FROM dec d LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.decile
+), new_vocab AS (
+    SELECT d.decile, COUNT(*) AS n_new
+    FROM first_doc f JOIN dec d USING (doc_id)
+    GROUP BY d.decile
+), cum AS (
+    SELECT b.decile,
+        SUM(b.n_docs) OVER w AS docs_cum,
+        SUM(b.n_tokens) OVER w AS tokens_cum,
+        SUM(COALESCE(v.n_new, 0)) OVER w AS vocab_cum
+    FROM by_dec b LEFT JOIN new_vocab v USING (decile)
+    WINDOW w AS (ORDER BY b.decile ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT decile,
+    CAST(docs_cum AS BIGINT) AS docs_cum,
+    CAST(tokens_cum AS BIGINT) AS tokens_cum,
+    CAST(vocab_cum AS BIGINT) AS vocab_cum,
+    round(CAST(vocab_cum AS DOUBLE) / CAST(tokens_cum AS DOUBLE), 6)
+        AS ttr
+FROM cum
+"""
+
+
 REGISTRY = [
     ("corpus_source_overlap", source_overlap_query, SOURCE_OVERLAP_SQL),
     ("corpus_entropy_kl", entropy_kl_query, ENTROPY_KL_SQL),
+    # Heaps-law vocabulary growth curve (decile cumulative vocab)
+    ("corpus_vocab_growth", vocab_growth_query, VOCAB_GROWTH_SQL),
 ]

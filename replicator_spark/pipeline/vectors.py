@@ -754,17 +754,11 @@ def _pq_assign(spark, subs: DataFrame, cents: dict) -> DataFrame:
     )
 
 
-def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the PQ codebooks and encode every vector: per vector, the
-    M-nibble code (hex string) + total squared reconstruction error."""
-    prep(spark)
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    # persist-across-Lloyd-rounds (same pattern as kmeans_query):
-    # the subvector frame feeds the seed job + PQ_ITERS update jobs
-    subs = _pq_subvectors(emb).persist()
+def _pq_train(spark, subs: DataFrame) -> dict:
+    """Shared PQ codebook trainer (pq_codes / adc_topk / ivfadc):
+    md5-seeded K picks per subspace, PQ_ITERS Lloyd rounds with
+    DECIMAL-exact update sums, 6-dp half-away centroid rounding.
+    Caller persists `subs`; driver state is the M*K codebook dict."""
     seeds = (
         subs.withColumn(
             "h", F.md5(F.concat_ws(":", "sub", "vec_id"))
@@ -796,7 +790,7 @@ def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("x").cast("decimal(15,10)")).alias("sx"),
                 F.count("*").alias("n"),
             )
-            .collect()  # M×K×(d/M) = K×d rows — constant
+            .collect()  # M*K*(d/M) = K*d rows — constant
         )
         acc: dict = {}
         for r in sums:
@@ -811,6 +805,21 @@ def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                     round_half_away(dims[d][0] / dims[d][1], 6)
                     for d in range(len(old))
                 ]
+    return cents
+
+
+def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the PQ codebooks and encode every vector: per vector, the
+    M-nibble code (hex string) + total squared reconstruction error."""
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # persist-across-Lloyd-rounds (same pattern as kmeans_query):
+    # the subvector frame feeds the seed job + PQ_ITERS update jobs
+    subs = _pq_subvectors(emb).persist()
+    cents = _pq_train(spark, subs)
     subs.unpersist()  # final encode pass recomputes from parquet
     final = _pq_assign(spark, subs, cents)
     return (
@@ -989,47 +998,7 @@ def adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist-across-Lloyd-rounds (same pattern as kmeans_query)
     subs = _pq_subvectors(emb).persist()
-    seeds = (
-        subs.withColumn("h", F.md5(F.concat_ws(":", "sub", "vec_id")))
-        .withColumn(
-            "r", F.row_number().over(W.partitionBy("sub").orderBy("h"))
-        )
-        .where(F.col("r") <= PQ_K)
-        .select("sub", F.col("r").alias("cid"), "subv")
-        .collect()
-    )
-    cents = {
-        (r["sub"], r["cid"] - 1): [
-            round_half_away(float(x), 6) for x in r["subv"]
-        ]
-        for r in seeds
-    }
-    for _ in range(PQ_ITERS):
-        assigned = _pq_assign(spark, subs, cents)
-        sums = (
-            assigned.select(
-                "sub", "cid", F.posexplode("subv").alias("dim", "x")
-            )
-            .groupBy("sub", "cid", "dim")
-            .agg(
-                F.sum(F.col("x").cast("decimal(15,10)")).alias("sx"),
-                F.count("*").alias("n"),
-            )
-            .collect()
-        )
-        acc: dict = {}
-        for r in sums:
-            acc.setdefault((r["sub"], r["cid"]), {})[r["dim"]] = (
-                float(r["sx"]),
-                r["n"],
-            )
-        for key, old in cents.items():
-            dims = acc.get(key)
-            if dims:
-                cents[key] = [
-                    round_half_away(dims[d][0] / dims[d][1], 6)
-                    for d in range(len(old))
-                ]
+    cents = _pq_train(spark, subs)
     subs.unpersist()  # final encode pass recomputes from parquet
     codes = _pq_assign(spark, subs, cents).select("vec_id", "sub", "cid")
     # per-query LUT: distance from the query's subvector to every
@@ -1080,6 +1049,152 @@ def adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- IVF + ADC (the full ANN read path)
+#
+# The production FAISS-shaped pipeline in one operator: a coarse
+# quantizer prunes the candidate set (only the query's cell is
+# scanned), then PQ/ADC scores the survivors in the compressed domain.
+# This composes the two scale mechanisms the repo already verifies
+# separately — the corpus-scaled hyperplane cells (sim_knn_graph's
+# quantizer: cell count grows with n, per-cell population constant)
+# and the ADC lookup-table scoring (sim_adc_topk) — into the actual
+# serving plan: at 100 TB the scan touches 1/#cells of the codes
+# (partition-prunable if codes are written partitioned by cell), reads
+# 4-byte codes instead of 512-byte vectors, and the per-query work is
+# LUT-build (M·K doubles, broadcast) + candidates-in-cell lookups.
+#
+# Determinism: inherits the trainer's (md5 seeds, DECIMAL updates,
+# 6-dp half-away codebooks), the cell id's (integer threshold chain +
+# pre-evaluated plane literals), and the ADC fold's (subspace-ordered
+# sequential sum, vec_id ties). Oracle: the shared unrolled-CTE
+# codebooks + the shared cell SQL, joined on (sub, cid, cell).
+
+from .similarity import _KNN_CELL_SQL, _KNN_H_SQL, _knn_cell, _knn_h
+
+
+def ivfadc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    h = _knn_h(emb.count())  # one scalar count (footer metadata)
+    celled = emb.select(
+        "vec_id", "v", _knn_cell(F.col("v"), h).alias("cell")
+    )
+    subs = _pq_subvectors(emb).persist()
+    cents = _pq_train(spark, subs)
+    subs.unpersist()
+    codes = _pq_assign(spark, subs, cents).select(
+        "vec_id", "sub", "cid"
+    ).join(celled.select("vec_id", "cell"), "vec_id")
+    probes = {
+        int(r["vec_id"]): ([float(x) for x in r["v"]], int(r["cell"]))
+        for r in celled.where(
+            F.col("vec_id").isin(*ADC_QUERIES)
+        ).collect()
+    }
+    d_sub = _PQ_DSUB
+    lut_rows = []
+    for q, (qv, qcell) in sorted(probes.items()):
+        for (s, i), c in sorted(cents.items()):
+            qs = qv[s * d_sub : (s + 1) * d_sub]
+            d2 = sum((a - b) * (a - b) for a, b in zip(qs, c))
+            lut_rows.append((q, qcell, s, i, float(d2)))
+    lut = F.broadcast(
+        spark.createDataFrame(
+            lut_rows,
+            "query_id long, qcell int, sub int, cid int, d2 double",
+        )
+    )
+    scored = (
+        codes.join(
+            lut,
+            (codes.sub == lut.sub)
+            & (codes.cid == lut.cid)
+            & (codes.cell == lut.qcell),  # IVF prune: cell-mates only
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(codes.sub, lut.d2))
+                    ),
+                    lambda t: t.d2,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_d2")
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= ADC_TOPK)
+        .select(
+            "query_id", "rank", "vec_id",
+            F.round(F.col("adc_d2"), 6).alias("adc_d2"),
+        )
+    )
+
+
+def _ivfadc_topk_sql() -> str:
+    """Oracle: the shared unrolled codebooks (_pq_cents_ctes) + the
+    shared corpus-scaled cell SQL, candidates restricted to the
+    query's cell before the same subspace-ordered ADC fold."""
+    ctes, cents = _pq_cents_ctes()
+    probe_list = ", ".join(str(q) for q in ADC_QUERIES)
+    return f"""
+WITH {ctes}, hh AS (
+    SELECT {_KNN_H_SQL} AS h FROM (SELECT COUNT(*) AS n_total FROM emb)
+), celled AS MATERIALIZED (
+    SELECT vec_id, {_KNN_CELL_SQL} AS cell FROM emb CROSS JOIN hh
+), fasg AS (
+    SELECT vec_id, sub, cid FROM (
+        SELECT s.vec_id, s.sub, c.cid,
+            ROW_NUMBER() OVER (
+                PARTITION BY s.vec_id, s.sub
+                ORDER BY {_PQ_DIST.format(v='s.subv', c='c.c')}, c.cid
+            ) AS rn
+        FROM subs s JOIN {cents} c USING (sub))
+    WHERE rn = 1
+), fasgc AS (
+    SELECT f.vec_id, f.sub, f.cid, cl.cell
+    FROM fasg f JOIN celled cl USING (vec_id)
+), probes AS (
+    SELECT e.vec_id AS query_id, e.v, cl.cell AS qcell
+    FROM emb e JOIN celled cl USING (vec_id)
+    WHERE e.vec_id IN ({probe_list})
+), lut AS (
+    SELECT p.query_id, p.qcell, c.sub, c.cid,
+        list_reduce(list_transform(range(1, {_PQ_DSUB + 1}),
+            i -> (p.v[c.sub * {_PQ_DSUB} + i] - c.c[i])
+               * (p.v[c.sub * {_PQ_DSUB} + i] - c.c[i])),
+            (x, y) -> x + y) AS d2
+    FROM probes p CROSS JOIN {cents} c
+), scored AS (
+    SELECT f.query_id, f.vec_id,
+        list_reduce(f.ds, (x, y) -> x + y) AS adc_d2
+    FROM (
+        SELECT l.query_id, f.vec_id, list(l.d2 ORDER BY f.sub) AS ds
+        FROM fasgc f
+        JOIN lut l ON f.sub = l.sub AND f.cid = l.cid
+                  AND f.cell = l.qcell
+        GROUP BY l.query_id, f.vec_id) f
+)
+SELECT query_id, rank, vec_id, round(adc_d2, 6) AS adc_d2
+FROM (
+    SELECT query_id, vec_id, adc_d2,
+        ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rank
+    FROM scored)
+WHERE rank <= {ADC_TOPK}
+"""
+
+
 REGISTRY = [
     ("emb_quantize_int8", quantize_int8_query, QUANTIZE_INT8_SQL),
     ("emb_centroids", centroids_query, CENTROIDS_SQL),
@@ -1093,4 +1208,6 @@ REGISTRY = [
     ("sim_pq_codes", pq_codes_query, _pq_codes_sql()),
     # unrolled-CTE oracle: same codebooks + LUT + subspace-order fold
     ("sim_adc_topk", adc_topk_query, _adc_topk_sql()),
+    # IVF cell prune + ADC scoring (the full ANN serving plan)
+    ("sim_ivfadc_topk", ivfadc_topk_query, _ivfadc_topk_sql()),
 ]

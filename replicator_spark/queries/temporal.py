@@ -883,6 +883,115 @@ FROM peaks p CROSS JOIN est e
 """
 
 
+# --------------------------------------------- per-type OLS trend
+#
+# Least-squares daily-volume trend per event type: slope (events/day),
+# intercept at the corpus's first day, and fit quality r² — the
+# monitoring complement of ts_changepoint (that op asks WHEN the
+# regime changed; this one asks which event types are secularly
+# growing or decaying and how linear that drift is). stats_corr is the
+# same algebra over lineitem COLUMNS; this is the time-series variant
+# over the |days|-sized daily count table.
+#
+# Scale shape: corpus work is ONE (event_type, day) count agg; the
+# regression runs over that days-sized table with INTEGER moment sums
+# (x = day offset, y = count — both ints, so sx/sxx/sxy/syy are exact
+# in any accumulation order, no DECIMAL armor needed). The global
+# first day attaches as a broadcast scalar.
+
+_TREND_DAY = "ts div 1000000 div 86400000"
+
+
+def trend_ols_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr(_TREND_DAY).alias("day")
+    ).agg(F.count("*").alias("y"))
+    d0 = daily.agg(F.min("day").alias("day0"))
+    m = (
+        daily.crossJoin(F.broadcast(d0))
+        .select(
+            "event_type",
+            (F.col("day") - F.col("day0")).alias("x"),
+            "y",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = F.when(varx_n > 0, cov_n / varx_n).otherwise(F.lit(0.0))
+    r2 = F.when(
+        (varx_n > 0) & (vary_n > 0),
+        (cov_n * cov_n) / (varx_n * vary_n),
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+TREND_OLS_SQL = """
+WITH daily AS (
+    SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        COUNT(*) AS y
+    FROM events GROUP BY 1, 2
+), d0 AS (SELECT MIN(day) AS day0 FROM daily),
+m AS (
+    SELECT event_type,
+        COUNT(*) AS n_days,
+        SUM(day - day0) AS sx,
+        SUM(y) AS sy,
+        SUM((day - day0) * (day - day0)) AS sxx,
+        SUM(y * y) AS syy,
+        SUM((day - day0) * y) AS sxy
+    FROM daily CROSS JOIN d0
+    GROUP BY event_type
+)
+SELECT event_type,
+    CAST(n_days AS BIGINT) AS n_days,
+    round(CASE WHEN nn * sxxd - sxd * sxd > 0
+               THEN (nn * sxyd - sxd * syd) / (nn * sxxd - sxd * sxd)
+               ELSE 0.0 END, 6) AS slope_per_day,
+    round((syd - (CASE WHEN nn * sxxd - sxd * sxd > 0
+                       THEN (nn * sxyd - sxd * syd)
+                            / (nn * sxxd - sxd * sxd)
+                       ELSE 0.0 END) * sxd) / nn, 6) AS intercept,
+    round(CASE WHEN nn * sxxd - sxd * sxd > 0
+                AND nn * syyd - syd * syd > 0
+               THEN (nn * sxyd - sxd * syd) * (nn * sxyd - sxd * syd)
+                    / ((nn * sxxd - sxd * sxd)
+                       * (nn * syyd - syd * syd))
+               ELSE 0.0 END, 6) AS r2
+FROM (
+    SELECT event_type, n_days,
+        CAST(n_days AS DOUBLE) AS nn,
+        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        CAST(sxy AS DOUBLE) AS sxyd
+    FROM m
+)
+"""
+
+
 REGISTRY = [
     ("temporal_asof_join", asof_join_query, ASOF_JOIN_SQL),
     ("temporal_range_join", range_join_query, RANGE_JOIN_SQL),
@@ -893,4 +1002,6 @@ REGISTRY = [
     ("ts_seasonality", seasonality_query, SEASONALITY_SQL),
     # two-sided CUSUM level-shift detection (window closed form)
     ("ts_changepoint", changepoint_query, CHANGEPOINT_SQL),
+    # per-type OLS daily-volume trend (integer-exact moments)
+    ("ts_trend_ols", trend_ols_query, TREND_OLS_SQL),
 ]

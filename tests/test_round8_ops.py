@@ -214,3 +214,94 @@ def test_vocab_growth_cumulative_curve(spark, tmp_path):
     # ttr strictly decreasing once repeats dominate
     ttrs = [rows[d]["ttr"] for d in range(1, 11)]
     assert ttrs == sorted(ttrs, reverse=True)
+
+
+# ------------------------------------------------ IVF + ADC
+
+
+def test_ivfadc_is_adc_restricted_to_query_cell(spark, sf_dir):
+    """IVF+ADC must equal the plain ADC scores filtered to the query's
+    coarse cell and re-ranked — the prune changes WHICH candidates are
+    scored, never their ADC distances."""
+    from replicator_spark.pipeline.similarity import _knn_cell, _knn_h
+    from replicator_spark.pipeline.vectors import (
+        ADC_TOPK,
+        adc_topk_query,
+        ivfadc_topk_query,
+    )
+    from pyspark.sql import functions as F
+    from replicator_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    h = _knn_h(emb.count())
+    cells = {
+        int(r["vec_id"]): int(r["cell"])
+        for r in emb.select(
+            "vec_id", _knn_cell(F.col("v"), h).alias("cell")
+        ).collect()
+    }
+    ivf = ivfadc_topk_query(spark, sf_dir).collect()
+    # every returned candidate shares the query's cell
+    for r in ivf:
+        assert cells[r["vec_id"]] == cells[r["query_id"]]
+    # ADC re-derivation: same trainer seed -> same codebooks -> the
+    # cell-filtered ADC ranking must match (ADC emits only top-10
+    # overall, so compare on the overlap: every ADC row that IS a
+    # cell-mate must appear in IVF with the identical distance)
+    adc = adc_topk_query(spark, sf_dir).collect()
+    ivf_scores = {
+        (r["query_id"], r["vec_id"]): r["adc_d2"] for r in ivf
+    }
+    for r in adc:
+        if cells[r["vec_id"]] == cells[r["query_id"]]:
+            key = (r["query_id"], r["vec_id"])
+            assert key in ivf_scores
+            assert ivf_scores[key] == r["adc_d2"]
+    # full rank contract per query
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(x["rank"] for x in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= ADC_TOPK
+        # self is a cell-mate with distance ~0 -> rank 1
+        assert rows[0]["query_id"] in {x["vec_id"] for x in rows}
+
+
+# ------------------------------------------------ OLS trend
+
+
+def _write_events(spark, base, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    ).write.parquet(os.path.join(base, "events.parquet"))
+
+
+def test_trend_ols_recovers_linear_growth(spark, tmp_path):
+    from replicator_spark.queries.temporal import trend_ols_query
+
+    base = str(tmp_path)
+    day_ns = 86_400 * 10**9
+    evs, eid = [], 0
+    for d in range(10):
+        for i in range(5 + 3 * d):  # "grow": +3 events/day exactly
+            evs.append((eid, d * day_ns + i * 10**9, i, "grow", 1.0, "{}"))
+            eid += 1
+        for i in range(7):  # "flat": constant volume
+            evs.append(
+                (eid, d * day_ns + i * 10**9, i, "flat", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, base, evs)
+    got = {r["event_type"]: r for r in trend_ols_query(spark, base).collect()}
+    assert got["grow"]["slope_per_day"] == 3.0
+    assert got["grow"]["intercept"] == 5.0
+    assert got["grow"]["r2"] == 1.0
+    assert got["flat"]["slope_per_day"] == 0.0
+    assert got["flat"]["intercept"] == 7.0
+    assert got["flat"]["r2"] == 0.0  # zero variance in y -> guarded

@@ -155,6 +155,15 @@ SLATE = [
     "curate_cell_sample",
     "stats_bootstrap_ci",
     "ts_changepoint",
+    # round-6 additions: the kNN label probe + LPA communities ride
+    # the cell quantizer / Pregel shapes already under test; k-center
+    # is K top-1 passes with constant driver state
+    "sim_knn_classifier",
+    "graph_label_propagation",
+    "curate_coreset_kcenter",
+    "corpus_vocab_growth",
+    "sim_ivfadc_topk",
+    "ts_trend_ols",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
