@@ -12,6 +12,7 @@ cut the ±30% single-run variance observed in round 1.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -66,6 +67,14 @@ HEADLINE = [
     "stream_scd2_intervals",
     "text_bpe_encode",
     "dedup_semantic_cells",
+    # round-6 additions: on the slate from their first graded round so
+    # drift is visible from day one (round-6 verdict item 6)
+    "sim_knn_classifier",
+    "graph_label_propagation",
+    "curate_coreset_kcenter",
+    "corpus_vocab_growth",
+    "sim_ivfadc_topk",
+    "ts_trend_ols",
 ]
 
 
@@ -164,7 +173,10 @@ def main() -> None:
     }
     if stages:
         out["stages"] = stages
-    out["stream_overhead"] = round(stream_overhead, 3)
+    # reps=0 leaves the sentinel inf in place; json.dumps would emit
+    # the non-standard token `Infinity`, so only report a real sample.
+    if math.isfinite(stream_overhead):
+        out["stream_overhead"] = round(stream_overhead, 3)
     print(json.dumps(out))
     spark.stop()
 

@@ -39,12 +39,22 @@ Rotation map (which driver run produced each operator's green row):
   206/206 driver-verified. The 19 spare slots backfill the most
   §2-critical CDC/sink/schema ops (last graded in r3) as regression
   re-pins, per the round-5 verdict's instruction.
-- round 7 queue (entries 51-56): the six round-6 additions
+- round 7 window (this file's first 50): the 7 operators without a
+  green row — `stream_jsonl_sink` (the only-ever red row; its value
+  checksum was rebuilt this round as an engine-identical integer
+  micro-unit fold) and the six round-6 additions
   (sim_knn_classifier, graph_label_propagation,
-  curate_coreset_kcenter, corpus_vocab_growth, sim_ivfadc_topk,
-  ts_trend_ols) — placed directly
-  after the window so they rotate in next round without displacing
-  it.
+  curate_coreset_kcenter, corpus_vocab_growth [global NTILE →
+  percentile-cutoff broadcast this round], sim_ivfadc_topk,
+  ts_trend_ols [moment sums → DECIMAL(38,0) this round]) — a green
+  run reaches 212/212 driver-verified. The 43 spare slots are
+  oldest-evidence freshness re-pins: the 25 operators whose only
+  green row is round 1 (TPC-H q1-q11/q13-q22, topk_per_group,
+  agg_rollup_pricing, agg_cube_orders, temporal_range_join) and 18
+  §2-critical r3-green rows that round 6's re-pin pass did not
+  cover (CDC apply/seek/validate/bootstrap/diff, tm history/
+  compaction/SCD2, the four sinks, schema history+compat, and the
+  windowed/dedup/txn streams).
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -67,8 +77,62 @@ _ORACLES: dict[str, str] = {}
 # (final 31 never-graded + 19 §2-critical re-pins), then
 # previously-driver-verified blocks.
 _PRIORITY = [
-    # ============== ROUND-6 GRADING WINDOW (31 + 19) ==============
-    # --- the FINAL 31 never-graded operators ---
+    # ============== ROUND-7 GRADING WINDOW (7 + 43) ==============
+    # --- the red row (checksum rebuilt this round) + the six
+    #     round-6 additions (never graded) ---
+    "stream_jsonl_sink",
+    "sim_knn_classifier",
+    "graph_label_propagation",
+    "curate_coreset_kcenter",
+    "corpus_vocab_growth",
+    "sim_ivfadc_topk",
+    "ts_trend_ols",
+    # --- 25 oldest-evidence re-pins: green only in round 1 ---
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "topk_per_group",
+    "agg_rollup_pricing",
+    "agg_cube_orders",
+    "temporal_range_join",
+    # --- 18 §2-critical r3-green rows round 6's re-pins skipped ---
+    "cdc_payload_rowkey",
+    "cdc_seeker_resume",
+    "cdc_validation_sample",
+    "source_bootstrap_snapshot",
+    "cdc_apply_upsert",
+    "cdc_snapshot_diff",
+    "tm_row_history",
+    "tm_compaction",
+    "tm_scd2_intervals",
+    "sink_count",
+    "sink_console",
+    "sink_kafka_messages",
+    "sink_avro_schemas",
+    "schema_history_log",
+    "schema_compat_check",
+    "stream_windowed_counts",
+    "stream_dedup_exact",
+    "stream_txn_assembly",
+    # ========= BELOW THE WINDOW: driver-green r6 (r6 window) =========
     "corpus_source_overlap",
     "corpus_entropy_kl",
     "events_markov_transitions",
@@ -91,7 +155,6 @@ _PRIORITY = [
     "emb_cell_balance",
     "ts_seasonality",
     "events_top_paths",
-    "stream_jsonl_sink",
     "events_interarrival",
     "events_peak_concurrency",
     "curate_dataset_card",
@@ -122,13 +185,6 @@ _PRIORITY = [
     "sink_avro_messages",
     "schema_ddl_replay",
     "stream_timemachine",
-    # ========= ROUND-7 QUEUE (added in round 6, never graded) =========
-    "sim_knn_classifier",
-    "graph_label_propagation",
-    "curate_coreset_kcenter",
-    "corpus_vocab_growth",
-    "sim_ivfadc_topk",
-    "ts_trend_ols",
     # ========== DRIVER-GREEN IN ROUND 5 (CORRECTNESS_r05) ==========
     # --- never-graded queue head (carried from the round-4 queue) ---
     "cdc_delay_gauge",
@@ -236,29 +292,8 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "multimodal_audio_frames",
     # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
-    # --- §2.3-2.9 CDC core ---
-    "cdc_payload_rowkey",
-    "cdc_seeker_resume",
-    "cdc_validation_sample",
-    "source_bootstrap_snapshot",
-    "cdc_apply_upsert",
-    "cdc_snapshot_diff",
-    # --- §2.8 time-machine sink + read path ---
-    "tm_row_history",
-    "tm_compaction",
-    "tm_scd2_intervals",
-    # --- §2.8 other sinks ---
-    "sink_count",
-    "sink_console",
-    "sink_kafka_messages",
-    "sink_avro_schemas",
-    # --- §2.6 schema registry ---
-    "schema_history_log",
-    "schema_compat_check",
-    # --- §2.5 streaming ---
-    "stream_windowed_counts",
-    "stream_dedup_exact",
-    "stream_txn_assembly",
+    # (the §2-critical r3 rows moved into the round-7 window above;
+    #  these are the r3 greens whose evidence r6/r7 didn't re-pin)
     "stream_sessionize",
     "stream_enrich",
     "stream_attribution_join",
@@ -273,32 +308,6 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_clusters",
-    # ============= DRIVER-GREEN IN ROUND 1 (CORRECTNESS_r01) ==========
-    "temporal_range_join",
-    "topk_per_group",
-    "agg_rollup_pricing",
-    "agg_cube_orders",
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
 ]
 
 

@@ -892,8 +892,10 @@ WHERE rank_in_cell <= {CELL_SAMPLE_K}
 #
 # Determinism: centers are actual table rows (no arithmetic on them),
 # distances are the shared sequential fold on identical doubles, seed
-# = min md5(vec_id) (the kmeans seed rule), argmax ties break to the
-# smallest vec_id. Both engines therefore pick IDENTICAL rows; the
+# = min (md5(vec_id), vec_id) — same md5-hash spirit as the kmeans
+# seed but with an explicit vec_id tiebreak the kmeans rule doesn't
+# carry (md5 collisions are absent here either way), and argmax ties
+# break to the smallest vec_id. Both engines pick IDENTICAL rows; the
 # only rounding is 6 dp on the REPORTED radius, after all decisions.
 
 KCENTER_K = 6

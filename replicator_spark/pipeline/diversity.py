@@ -263,14 +263,20 @@ GROUP BY st.source
 #
 # Scale shape: one token explode feeding TWO vocab/doc-bounded aggs —
 # each token's FIRST document (min doc_id, a combiner-backed groupBy
-# over the vocab) and per-doc token counts. Deciles come from NTILE
-# over the doc table (doc-count rows), and the cumulative curve is a
-# 10-row window. Nothing corpus-sized is ever sorted or joined; the
-# explode is the only big exchange.
+# over the vocab) and per-doc token counts. Deciles are NOT a global
+# NTILE (an un-partitioned window is a single-partition sort over
+# every document — the anti-pattern queries/stats.py's eqf-bins
+# documents refusing): one percentile aggregate produces the 9
+# doc_id cutoffs as a 1-row broadcast, and decile assignment is a
+# map-side comparison sum. The cumulative curve is a 10-row window.
+# Nothing corpus-sized is ever sorted; the explode is the only big
+# exchange.
 #
-# Determinism: all counts are integers; NTILE(10) ORDER BY doc_id is
-# identical in Spark and DuckDB (first n%10 buckets take the extra
-# row); the only double is the final ttr ratio on identical ints.
+# Determinism: all counts are integers; the interpolated doc_id
+# cutoffs are either exactly a data value (both engines return the
+# element itself) or strictly between two integers, so integer
+# doc_id comparisons can't straddle an ulp (the eqf-bins argument);
+# the only double is the final ttr ratio on identical ints.
 
 N_GROWTH_BUCKETS = 10
 
@@ -283,11 +289,20 @@ def vocab_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
     )
-    dec = docs.select(
-        "doc_id",
-        F.ntile(N_GROWTH_BUCKETS)
-        .over(W.orderBy("doc_id"))
-        .alias("decile"),
+    cuts = docs.agg(
+        *[
+            F.percentile(
+                "doc_id", F.lit(i / N_GROWTH_BUCKETS)
+            ).alias(f"c{i}")
+            for i in range(1, N_GROWTH_BUCKETS)
+        ]
+    )
+    decile = F.lit(1) + sum(
+        (F.col("doc_id") > F.col(f"c{i}")).cast("int")
+        for i in range(1, N_GROWTH_BUCKETS)
+    )
+    dec = docs.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", decile.alias("decile")
     )
     per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
     first_doc = toks.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
@@ -335,6 +350,14 @@ def vocab_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROWTH_CUTS = ", ".join(
+    f"quantile_cont(doc_id, {i / N_GROWTH_BUCKETS!r}) AS c{i}"
+    for i in range(1, N_GROWTH_BUCKETS)
+)
+_GROWTH_DECILE = "1 + " + " + ".join(
+    f"CAST(doc_id > c{i} AS INT)" for i in range(1, N_GROWTH_BUCKETS)
+)
+
 VOCAB_GROWTH_SQL = f"""
 WITH docs AS (
     SELECT doc_id, lower(text) AS text FROM documents
@@ -342,10 +365,11 @@ WITH docs AS (
     SELECT doc_id,
         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
     FROM docs
+), cuts AS (
+    SELECT {_GROWTH_CUTS} FROM docs
 ), dec AS MATERIALIZED (
-    SELECT doc_id, NTILE({N_GROWTH_BUCKETS}) OVER (ORDER BY doc_id)
-        AS decile
-    FROM docs
+    SELECT doc_id, {_GROWTH_DECILE} AS decile
+    FROM docs CROSS JOIN cuts
 ), per_doc AS (
     SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id
 ), first_doc AS (

@@ -895,9 +895,12 @@ FROM peaks p CROSS JOIN est e
 #
 # Scale shape: corpus work is ONE (event_type, day) count agg; the
 # regression runs over that days-sized table with INTEGER moment sums
-# (x = day offset, y = count — both ints, so sx/sxx/sxy/syy are exact
-# in any accumulation order, no DECIMAL armor needed). The global
-# first day attaches as a broadcast scalar.
+# (x = day offset, y = count — both ints, exact in any accumulation
+# order). The squared/cross moments are carried in DECIMAL(38,0):
+# Spark's long SUM(y*y) would silently wrap once a per-day count
+# passes ~3e9, while DuckDB promotes BIGINT sums to HUGEINT — the
+# decimal armor keeps both engines exact to the same 38-digit width.
+# The global first day attaches as a broadcast scalar.
 
 _TREND_DAY = "ts div 1000000 div 86400000"
 
@@ -921,9 +924,18 @@ def trend_ols_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_days"),
             F.sum("x").alias("sx"),
             F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(
+                F.col("x").cast("decimal(19,0)")
+                * F.col("x").cast("decimal(19,0)")
+            ).alias("sxx"),
+            F.sum(
+                F.col("y").cast("decimal(19,0)")
+                * F.col("y").cast("decimal(19,0)")
+            ).alias("syy"),
+            F.sum(
+                F.col("x").cast("decimal(19,0)")
+                * F.col("y").cast("decimal(19,0)")
+            ).alias("sxy"),
         )
     )
     n = F.col("n_days").cast("double")

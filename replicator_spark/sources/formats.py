@@ -139,7 +139,17 @@ GROUP BY source
 # A parity pass proves the STREAMING writer round-trips values
 # losslessly (JSON shortest-repr doubles re-parse bit-exact) across
 # however many micro-batch files the trigger produced. The checksums
-# are integer/DECIMAL sums — order-free, so file count can't matter.
+# are pure-integer sums — order-free, so file count can't matter.
+#
+# The value checksum is an integer MICRO-UNIT fold computed with
+# identical IEEE double ops in both engines: floor(value*1e6 + 0.5)
+# is a double multiply + add + floor — bit-identical everywhere —
+# whereas round(value, 6)/DECIMAL casts go through each engine's own
+# decimal-conversion path (Spark: shortest-repr BigDecimal HALF_UP;
+# DuckDB: scaled float-space rounding), which disagree for values
+# within an ulp of a 5e-7 boundary (the round-6 driver red row).
+# floor(x) on an exactly-integral double < 2^53 casts losslessly to
+# BIGINT in both engines (values are bounded ~1e3, so x*1e6 ~ 1e9).
 
 CHK_TS_MOD = 1_000_000_007
 
@@ -176,9 +186,9 @@ def stream_jsonl_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("event_id").cast("bigint").alias("sum_event_id"),
         F.sum(F.col("ts_ms") % CHK_TS_MOD).cast("bigint").alias("sum_ts_mod"),
-        F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
-        .cast("decimal(24,6)")
-        .alias("value_sum"),
+        F.sum(F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)))
+        .cast("bigint")
+        .alias("value_usum"),
     )
 
 
@@ -186,8 +196,8 @@ STREAM_JSONL_SINK_SQL = f"""
 SELECT event_type, COUNT(*) AS n_events,
     CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
     CAST(SUM(epoch_ms(ts) % {CHK_TS_MOD}) AS BIGINT) AS sum_ts_mod,
-    CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DECIMAL(24,6))
-        AS value_sum
+    CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS value_usum
 FROM events
 GROUP BY event_type
 """

@@ -919,7 +919,7 @@ def test_stream_jsonl_sink_checksums_match_source(spark, sf_dir):
     got = {
         r["event_type"]: (
             r["n_events"], r["sum_event_id"], r["sum_ts_mod"],
-            str(r["value_sum"]),
+            r["value_usum"],
         )
         for r in stream_jsonl_sink_query(spark, sf_dir).collect()
     }
@@ -927,7 +927,7 @@ def test_stream_jsonl_sink_checksums_match_source(spark, sf_dir):
     want = {
         r["event_type"]: (
             r["n_events"], r["sum_event_id"], r["sum_ts_mod"],
-            str(r["value_sum"]),
+            r["value_usum"],
         )
         for r in ev.groupBy("event_type")
         .agg(
@@ -936,9 +936,11 @@ def test_stream_jsonl_sink_checksums_match_source(spark, sf_dir):
             F2.sum(F2.expr("ts div 1000000") % CHK_TS_MOD)
             .cast("bigint")
             .alias("sum_ts_mod"),
-            F2.sum(F2.round(F2.col("value"), 6).cast("decimal(18,6)"))
-            .cast("decimal(24,6)")
-            .alias("value_sum"),
+            F2.sum(
+                F2.floor(F2.col("value") * F2.lit(1000000.0) + F2.lit(0.5))
+            )
+            .cast("bigint")
+            .alias("value_usum"),
         )
         .collect()
     }
