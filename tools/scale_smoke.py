@@ -13,6 +13,11 @@ far ABOVE R flags superlinear behavior — a plan that would not survive
 the 100 TB target. Usage:
 
     python tools/scale_smoke.py [R] [sf_dir] [--fixed-users|--fixed-dups]
+                                [--only=name1,name2,...]
+
+--only restricts the slate to the named operators (after any
+--fixed-* slate narrowing) — for smoking newly-added ops without
+re-running the whole slate.
 
 --fixed-users keeps user_id UN-offset in the events replicas: user
 count stays constant while per-user history grows R× (the complement
@@ -264,6 +269,13 @@ def main() -> None:
         OFFSETS["events"] = (["event_id"], "ts")
     elif fixed_dups:
         slate = FIXED_DUPS_SLATE
+    only = [a for a in sys.argv[1:] if a.startswith("--only=")]
+    if only:
+        wanted = set(only[-1].split("=", 1)[1].split(","))
+        unknown = wanted - set(slate)
+        if unknown:
+            raise SystemExit(f"--only names not on the slate: {unknown}")
+        slate = [n for n in slate if n in wanted]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     prep(spark)
