@@ -75,6 +75,14 @@ HEADLINE = [
     "corpus_vocab_growth",
     "sim_ivfadc_topk",
     "ts_trend_ols",
+    # round-7 additions, same first-round-on-slate rule
+    "dedup_substring_spans",
+    "curate_dsir_weights",
+    "curate_ccnet_buckets",
+    "sketch_ams_f2",
+    "sim_mmr_select",
+    "stats_ols_multi",
+    "cdc_metrics_report",
 ]
 
 

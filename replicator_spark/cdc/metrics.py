@@ -176,7 +176,103 @@ GROUP BY event_type
 """
 
 
+# ------------------------------------------- metrics registry report
+#
+# The reference serves its metric registry through pluggable
+# Console/JMX/Graphite/Prometheus transports
+# (mysql-replicator-commons/.../metrics/Metrics.java:1-137); on Spark
+# the cluster manager owns transport, so the engine analog is the
+# CONSOLE REPORTER'S PAYLOAD: one (metric, mtype, value) table in the
+# reference's dotted namespace, assembled from the measured series —
+# the supplier/applier event counters (Metrics counter rows) and the
+# coordinator delay/watermark gauges (Replicator.java:84,265). This
+# is the row a scrape would export; emitting it to any transport is
+# a sink choice, not an operator.
+#
+# Scale: one per-type count agg over the feed plus the delay gauge's
+# bounded per-server reduction; the report itself is metric-count
+# rows. All values are integers.
+
+
+def metrics_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    total = ev.agg(F.count("*").alias("v")).select(
+        F.lit("replicator.supplier.events.total").alias("metric"),
+        F.lit("counter").alias("mtype"),
+        F.col("v").cast("bigint").alias("value"),
+    )
+    per_type = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("v"))
+        .select(
+            F.concat(
+                F.lit("replicator.applier.events."),
+                F.col("event_type"),
+            ).alias("metric"),
+            F.lit("counter").alias("mtype"),
+            F.col("v").cast("bigint").alias("value"),
+        )
+    )
+    dg = delay_gauge(ev.select("event_id", "ts")).agg(
+        F.max("delay_txns").alias("txns_max"),
+        F.max("delay_ms").alias("ms_max"),
+        F.min("safe_checkpoint").alias("safe_min"),
+    )
+    gauges = dg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("replicator.coordinator.delay.txns.max")
+                    .alias("metric"),
+                    F.col("txns_max").cast("bigint").alias("value"),
+                ),
+                F.struct(
+                    F.lit("replicator.coordinator.delay.ms.max")
+                    .alias("metric"),
+                    F.col("ms_max").cast("bigint").alias("value"),
+                ),
+                F.struct(
+                    F.lit("replicator.coordinator.safe.txn.min")
+                    .alias("metric"),
+                    F.col("safe_min").cast("bigint").alias("value"),
+                ),
+            )
+        ).alias("m")
+    ).select(
+        F.col("m.metric").alias("metric"),
+        F.lit("gauge").alias("mtype"),
+        F.col("m.value").alias("value"),
+    )
+    return total.unionByName(per_type).unionByName(gauges)
+
+
+METRICS_REPORT_SQL = f"""
+WITH dg AS (
+    SELECT * FROM ({DELAY_GAUGE_SQL})
+)
+SELECT 'replicator.supplier.events.total' AS metric,
+    'counter' AS mtype, CAST(COUNT(*) AS BIGINT) AS value
+FROM events
+UNION ALL
+SELECT 'replicator.applier.events.' || event_type, 'counter',
+    CAST(COUNT(*) AS BIGINT)
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'replicator.coordinator.delay.txns.max', 'gauge',
+    CAST(MAX(delay_txns) AS BIGINT) FROM dg
+UNION ALL
+SELECT 'replicator.coordinator.delay.ms.max', 'gauge',
+    CAST(MAX(delay_ms) AS BIGINT) FROM dg
+UNION ALL
+SELECT 'replicator.coordinator.safe.txn.min', 'gauge',
+    CAST(MIN(safe_checkpoint) AS BIGINT) FROM dg
+"""
+
+
 REGISTRY = [
     ("cdc_delay_gauge", delay_gauge_query, DELAY_GAUGE_SQL),
     ("cdc_order_audit", order_audit_query, ORDER_AUDIT_SQL),
+    # the Metrics.java console-reporter payload as a table
+    ("cdc_metrics_report", metrics_report_query, METRICS_REPORT_SQL),
 ]

@@ -997,6 +997,138 @@ def _kcenter_sql() -> str:
     )
 
 
+# ------------------------------- DSIR hashed importance resampling
+#
+# Data Selection with Importance Resampling (Xie et al. 2023): score
+# every raw document by how target-like its hashed n-gram feature
+# distribution is — log importance weight Σ_b k_b·(ln p̂_target(b) −
+# ln p̂_raw(b)) over B=256 md5 unigram buckets, add-half smoothing.
+# Target here = the English subset (selecting for English-like text
+# from the mixed-language crawl); raw = the whole corpus. The
+# per-token average is the resampling score a DSIR pass would
+# Gumbel-top-k over.
+#
+# Scale shape: one token explode feeds (a) two B-bounded bucket
+# aggs (256-row outputs → broadcast) and (b) the per-(doc, bucket)
+# combiner agg; the scoring join is map-side against the 256-row
+# broadcast, then one per-doc agg. Nothing corpus-sized shuffles
+# except the explode itself.
+#
+# Determinism: bucket counts are integers; each bucket's log-ratio is
+# ln on identical doubles (int + 0.5 / int + 128.0 — all exactly
+# representable), rounded to 9 dp into DECIMAL(20,9); the per-doc
+# sum is the decimal k×logratio fold from lm.py's bigram scorer —
+# order-exact in any accumulation order.
+
+DSIR_B = 256
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode("toks").alias("tok"),
+    ).withColumn("bucket", _md5_bucket256(F.col("tok")))
+    raw = toks.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = (
+        toks.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = toks.agg(
+        F.count("*").alias("r_tot"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("t_tot"),
+    )
+    ratios = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + F.lit(0.5))
+                    / (F.col("t_tot") + F.lit(float(DSIR_B) / 2))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(0.5))
+                    / (F.col("r_tot") + F.lit(float(DSIR_B) / 2))
+                ),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("logratio"),
+        )
+    )
+    db = toks.groupBy("doc_id", "lang", "bucket").agg(
+        F.count("*").alias("k")
+    )
+    return (
+        db.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("k").alias("n_toks"),
+            F.sum(
+                F.col("k").cast("decimal(10,0)") * F.col("logratio")
+            ).alias("_lw"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            F.round(F.col("_lw").cast("double"), 6).alias("dsir_logw"),
+            F.round(
+                F.col("_lw").cast("double") / F.col("n_toks"), 6
+            ).alias("dsir_avg"),
+        )
+    )
+
+
+DSIR_WEIGHTS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, {_bucket256_sql('tok')} AS bucket
+    FROM (
+        SELECT doc_id, lang,
+            unnest(list_filter(string_split(lower(text), ' '),
+                   t -> t <> '')) AS tok
+        FROM documents
+    )
+), raw AS (SELECT bucket, COUNT(*) AS cr FROM toks GROUP BY bucket),
+tgt AS (
+    SELECT bucket, COUNT(*) AS ct FROM toks
+    WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+), tot AS (
+    SELECT COUNT(*) AS r_tot,
+        SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+            AS t_tot
+    FROM toks
+), ratios AS (
+    SELECT bucket,
+        CAST(round(
+            ln((COALESCE(ct, 0) + 0.5) / (t_tot + {DSIR_B / 2!r}))
+            - ln((cr + 0.5) / (r_tot + {DSIR_B / 2!r})), 9)
+            AS DECIMAL(20,9)) AS logratio
+    FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+), db AS (
+    SELECT doc_id, lang, bucket, COUNT(*) AS k
+    FROM toks GROUP BY doc_id, lang, bucket
+)
+SELECT doc_id, lang, CAST(SUM(k) AS BIGINT) AS n_toks,
+    round(CAST(SUM(CAST(k AS DECIMAL(10,0)) * logratio) AS DOUBLE), 6)
+        AS dsir_logw,
+    round(CAST(SUM(CAST(k AS DECIMAL(10,0)) * logratio) AS DOUBLE)
+          / SUM(k), 6) AS dsir_avg
+FROM db JOIN ratios USING (bucket)
+GROUP BY doc_id, lang
+"""
+
+
 REGISTRY = [
     ("curate_pack_sequences", pack_sequences_query, PACK_SEQUENCES_SQL),
     ("curate_chunk_documents", chunk_documents_query, CHUNK_DOCUMENTS_SQL),
@@ -1017,4 +1149,6 @@ REGISTRY = [
     ("curate_cell_sample", cell_sample_query, _cell_sample_sql()),
     # greedy k-center coreset (farthest-point traversal)
     ("curate_coreset_kcenter", coreset_kcenter_query, _kcenter_sql()),
+    # DSIR hashed-n-gram importance weights (target = English docs)
+    ("curate_dsir_weights", dsir_weights_query, DSIR_WEIGHTS_SQL),
 ]

@@ -751,6 +751,155 @@ FROM celled c LEFT JOIN dup USING (vec_id)
 """
 
 
+# ------------------------------------- exact substring-span dedup
+#
+# Substring-level exact dedup (the Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" ExactSubstr recipe,
+# re-expressed relationally): any W-token window whose exact token
+# sequence occurs ≥2 times ANYWHERE in the corpus (other docs or a
+# repeat within the same doc) marks its token span as duplicated;
+# overlapping marked spans merge, and each doc reports its merged
+# spans and duplicated-token fraction — the per-doc cut list a
+# substring-dedup pass would apply. The suffix-array construction the
+# paper uses is replaced by the relational equivalent: positional
+# W-gram matching (every duplicated substring of length ≥ W contains
+# a duplicated W-gram, and merged W-gram spans reconstruct exactly
+# the maximal duplicated regions).
+#
+# Scale shape: positional W-gram explode (linear) → occurrence count
+# as ONE window keyed by gram (the dupfrac single-shuffle trick —
+# count-in-place instead of agg + join back, which would shuffle the
+# expensive gram strings twice) → survivors shuffle ONCE by doc_id
+# for the span merge, where per-doc window state is bounded by doc
+# length. Nothing quadratic, no global sort.
+#
+# Determinism: all integers; span-merge windows order by pos, which
+# is unique per doc.
+
+SPAN_W = 8
+
+
+def substring_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .curation import _kgrams
+
+    prep(spark)
+    toked = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
+        )
+        .where(F.size("toks") >= SPAN_W)
+    )
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(_kgrams(F.col("toks"), SPAN_W)).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    occ = grams.withColumn(
+        "n_occ", F.count("*").over(W.partitionBy("gram"))
+    )
+    spans = occ.where(F.col("n_occ") >= 2).select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + SPAN_W - 1).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_cum = (
+        W.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    isl = spans.withColumn(
+        "brk",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    ).withColumn("isl", F.sum("brk").over(w_cum))
+    merged = isl.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("me") - F.col("ms") + 1).alias("dup_tokens"),
+    )
+    return (
+        toked.select("doc_id", F.size("toks").alias("n_toks"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_toks"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+SUBSTRING_SPANS_SQL = f"""
+WITH toked AS (
+    SELECT * FROM (
+        SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), t -> t <> '')
+                AS toks
+        FROM documents
+    ) WHERE len(toks) >= {SPAN_W}
+), pg AS (
+    SELECT doc_id, toks,
+        unnest(range(1, len(toks) - {SPAN_W - 1} + 1)) AS pos
+    FROM toked
+), grams AS (
+    SELECT doc_id, pos,
+        concat_ws(' ',
+            {", ".join(f"toks[pos+{j}]" for j in range(SPAN_W))})
+        AS gram
+    FROM pg
+), occ AS (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS n_occ
+    FROM grams
+), spans AS (
+    SELECT doc_id, pos AS s, pos + {SPAN_W - 1} AS e
+    FROM occ WHERE n_occ >= 2
+), isl AS (
+    SELECT doc_id, s, e,
+        CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            -1) THEN 1 ELSE 0 END AS brk
+    FROM spans
+), isl2 AS (
+    SELECT doc_id, s, e,
+        SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS UNBOUNDED PRECEDING) AS isl
+    FROM isl
+), merged AS (
+    SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+    FROM isl2 GROUP BY doc_id, isl
+), per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_spans,
+        SUM(me - ms + 1) AS dup_tokens
+    FROM merged GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks) AS n_toks,
+    CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+    CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+    round(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / len(t.toks), 6)
+        AS dup_frac
+FROM toked t LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 REGISTRY = [
     ("dedup_exact", exact_dedup_query, EXACT_DEDUP_SQL),
     ("dedup_minhash_lsh", minhash_lsh_query, MINHASH_LSH_SQL),
@@ -761,4 +910,6 @@ REGISTRY = [
     ("dedup_threshold_sweep", threshold_sweep_query, _threshold_sweep_sql()),
     # SemDeDup-style within-cell semantic dedup (corpus-scaled cells)
     ("dedup_semantic_cells", semantic_cells_query, _semantic_cells_sql()),
+    # ExactSubstr-style duplicated-span merge (Lee et al. 2022)
+    ("dedup_substring_spans", substring_spans_query, SUBSTRING_SPANS_SQL),
 ]

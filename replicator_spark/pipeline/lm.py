@@ -299,8 +299,94 @@ GROUP BY g.doc_id
 )
 
 
+# --------------------------------------- CCNet-style LM-score buckets
+#
+# The CCNet recipe (Wenzek et al. 2020): score every document under a
+# corpus LM and split EACH LANGUAGE into head/middle/tail perplexity
+# tertiles — head feeds pretraining, tail gets dropped, middle is the
+# judgment call. Re-expressed on the self-trained bigram scorer above:
+# per-language tertile cutoffs of avg ln P come from ONE grouped
+# percentile aggregate (a languages×2 broadcast — same cutoff-
+# broadcast shape as stats.py's eqf-bins, never a global sort), and
+# bucket assignment is a map-side comparison sum. Higher avg_logp =
+# lower perplexity = head.
+#
+# Determinism: the per-doc scores are the 6-dp-rounded doubles the
+# green text_bigram_lm op already pins cross-engine; grouped
+# quantile_cont on an identical multiset is identical; bucket
+# comparisons reuse the eqf-bins cutoff-safety argument; per-bucket
+# mean goes through a DECIMAL(18,6) sum (order-exact).
+
+CCNET_BUCKET_NAMES = {2: "head", 1: "middle", 0: "tail"}
+
+
+def ccnet_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    scored = bigram_lm_query(spark, sf_dir)
+    langd = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    sl = scored.join(langd, "doc_id")
+    cuts = sl.groupBy("lang").agg(
+        F.percentile("avg_logp", F.lit(1 / 3)).alias("c1"),
+        F.percentile("avg_logp", F.lit(2 / 3)).alias("c2"),
+    )
+    nb = (F.col("avg_logp") > F.col("c1")).cast("int") + (
+        F.col("avg_logp") > F.col("c2")
+    ).cast("int")
+    bucket = (
+        F.when(nb == 2, F.lit("head"))
+        .when(nb == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        sl.join(F.broadcast(cuts), "lang")
+        .select("lang", "n_bigrams", "avg_logp", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("avg_logp").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_logp"),
+        )
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH scored AS (
+    SELECT * FROM ({BIGRAM_LM_SQL}) s
+), sl AS (
+    SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logp
+    FROM scored s JOIN documents d USING (doc_id)
+), cuts AS (
+    SELECT lang, quantile_cont(avg_logp, {1 / 3!r}) AS c1,
+        quantile_cont(avg_logp, {2 / 3!r}) AS c2
+    FROM sl GROUP BY lang
+), bucketed AS (
+    SELECT sl.lang, n_bigrams, avg_logp,
+        CAST(avg_logp > c1 AS INT) + CAST(avg_logp > c2 AS INT) AS nb
+    FROM sl JOIN cuts USING (lang)
+)
+SELECT lang,
+    CASE nb WHEN 2 THEN 'head' WHEN 1 THEN 'middle'
+        ELSE 'tail' END AS bucket,
+    COUNT(*) AS n_docs,
+    CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+    round(CAST(SUM(CAST(avg_logp AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*), 6) AS mean_logp
+FROM bucketed GROUP BY lang, nb
+"""
+
+
 REGISTRY = [
     ("text_bigram_lm", bigram_lm_query, BIGRAM_LM_SQL),
     ("text_zipf_slope", zipf_slope_query, ZIPF_SLOPE_SQL),
     ("dedup_dupfrac_ngrams", dupfrac_query, DUPFRAC_SQL),
+    # CCNet head/middle/tail LM-score tertiles per language
+    ("curate_ccnet_buckets", ccnet_buckets_query, CCNET_BUCKETS_SQL),
 ]

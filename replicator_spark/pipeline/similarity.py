@@ -1106,6 +1106,155 @@ FROM pred GROUP BY true_label
 """
 
 
+# ------------------------------- maximal marginal relevance (MMR)
+#
+# The standard retrieval-diversification selector (Carbonell &
+# Goldstein 1998): greedily pick K items maximizing
+# λ·cos(v, q) − (1−λ)·max_{s∈selected} cos(v, s) — relevance traded
+# against redundancy. Query q = the md5-seed row (the k-center seed
+# rule, WITH the vec_id tiebreak); the seed itself is excluded from
+# candidacy. The training-data reading: "give me K passages about q
+# that don't repeat each other" — the diversity-aware counterpart of
+# plain cosine top-k above.
+#
+# Scale shape: the k-center iterative-trainer contract — each of the
+# K rounds is ONE map-side pass (relevance + max-sim against ≤K
+# broadcast literal vectors, engine-side folds) ending in a
+# TakeOrderedAndProject top-1; driver state = K vectors. The oracle
+# unrolls the K rounds as chained CTEs re-deriving every pick
+# independently (the _kcenter_sql construction).
+#
+# Determinism: every cosine is the shared sequential fold on
+# identical doubles; scores combine them with identical IEEE
+# multiply/subtract; argmax ties break to the smallest vec_id; the
+# REPORTED rel/score round half-away after all decisions.
+
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)})"
+        f" * sqrt({_dot_sql(b, b)}))"
+    )
+
+
+def mmr_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .persist()  # MMR_K + 1 scans: seed + one top-1 pass per pick
+    )
+    seed = (
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .select("vec_id", "v")
+        .collect()[0]
+    )
+    q_lit = F.array(*[F.lit(float(x)) for x in seed["v"]])
+
+    def _cos(a: Column, b: Column) -> Column:
+        return _dot(a, b) / (_norm(a) * _norm(b))
+
+    rel = _cos(F.col("v"), q_lit)
+    selected: list[tuple[int, list[float]]] = []
+    rows = []
+    for rank in range(MMR_K):
+        if selected:
+            sel_lit = F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in sv])
+                    for _, sv in selected
+                ]
+            )
+            maxsim = F.array_max(
+                F.transform(sel_lit, lambda c: _cos(F.col("v"), c))
+            )
+            score = (
+                F.lit(MMR_LAMBDA) * rel
+                - F.lit(1 - MMR_LAMBDA) * maxsim
+            )
+        else:
+            score = F.lit(MMR_LAMBDA) * rel
+        excluded = [int(seed["vec_id"])] + [vid for vid, _ in selected]
+        pick = (
+            emb.where(~F.col("vec_id").isin(excluded))
+            .select(
+                "vec_id", "v", rel.alias("rel"), score.alias("score")
+            )
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(
+            (int(pick["vec_id"]), [float(x) for x in pick["v"]])
+        )
+        rows.append(
+            (rank, int(pick["vec_id"]), float(pick["rel"]),
+             float(pick["score"]))
+        )
+    emb.unpersist()
+    from ..utils import round_half_away
+
+    out = [
+        (r, vid, round_half_away(rl, 6), round_half_away(sc, 6))
+        for r, vid, rl, sc in rows
+    ]
+    return spark.createDataFrame(
+        out, "pick_rank int, vec_id bigint, rel double, score double"
+    )
+
+
+def _mmr_sql() -> str:
+    """Unrolled-CTE twin of the MMR loop: pick j re-derives the argmax
+    of λ·rel − (1−λ)·max-sim against the j 1-row pick CTEs."""
+    lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
+    blocks = [
+        """q AS (
+    SELECT vec_id, v FROM emb
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+)"""
+    ]
+    for j in range(MMR_K):
+        rel = _cos_sql("e.v", "q.v")
+        if j:
+            sims = ", ".join(
+                _cos_sql("e.v", f"s{i}.v") for i in range(j)
+            )
+            score = f"{lam!r} * ({rel}) - {mu!r} * greatest({sims})"
+            froms = " CROSS JOIN ".join(
+                ["q"] + [f"s{i}" for i in range(j)]
+            )
+            excl = ", ".join(["q.vec_id"] + [f"s{i}.vec_id" for i in range(j)])
+        else:
+            score = f"{lam!r} * ({rel})"
+            froms = "q"
+            excl = "q.vec_id"
+        blocks.append(f"""s{j} AS (
+    SELECT vec_id, v, rel, score FROM (
+        SELECT e.vec_id, e.v, {rel} AS rel, {score} AS score
+        FROM emb e CROSS JOIN {froms}
+        WHERE e.vec_id NOT IN ({excl})
+    ) ORDER BY score DESC, vec_id ASC LIMIT 1
+)""")
+    selects = [
+        f"SELECT {j} AS pick_rank, vec_id, round(rel, 6) AS rel,"
+        f" round(score, 6) AS score FROM s{j}"
+        for j in range(MMR_K)
+    ]
+    return (
+        "WITH emb AS MATERIALIZED (\n"
+        "    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings\n), "
+        + ",\n".join(blocks)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
 REGISTRY = [
     ("sim_cosine_topk", cosine_topk_query, COSINE_TOPK_SQL),
     ("sim_ivf_topk", ivf_topk_query, IVF_TOPK_SQL),
@@ -1121,4 +1270,6 @@ REGISTRY = [
     ("emb_cell_balance", cell_balance_query, CELL_BALANCE_SQL),
     # leave-one-out kNN label probe over the corpus-scaled cells
     ("sim_knn_classifier", knn_classifier_query, KNN_CLASSIFIER_SQL),
+    # greedy maximal-marginal-relevance diverse top-K (unrolled oracle)
+    ("sim_mmr_select", mmr_select_query, _mmr_sql()),
 ]

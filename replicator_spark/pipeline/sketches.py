@@ -697,6 +697,129 @@ FROM sk CROSS JOIN ex
 """
 
 
+# --------------------------------------------- AMS second-moment (F2)
+#
+# The Alon–Matias–Szegedy tug-of-war sketch for the second frequency
+# moment F2 = Σ_k c_k² of the per-user event counts — the classic
+# self-join-size / skew estimator (AMS 1996; reference engine has no
+# sketches, this extends along the brief's sketch axis like KMV/HLL
+# above). R independent rows each hold S_r = Σ_k ξ_r(k)·c_k with
+# four-wise-independent signs ξ ∈ {±1}; each S_r² is an unbiased F2
+# estimate and the median of the R squares is the robust estimator.
+# The exact F2 rides along as the test-scale cross-check.
+#
+# Scale: ONE user-count agg (combiner-backed) is the only corpus
+# exchange; the sign explode multiplies the USER table (not events)
+# by R, and each row's S_r is another combiner agg down to R rows.
+# The median runs over R=9 rows (bounded window — audit-compliant).
+# Moments are carried in DECIMAL(38,0): at target scale S_r ~ N and
+# S_r² overflows int64 (same armor as ts_trend_ols).
+#
+# Determinism: signs come from md5(r || ':' || user_id) nibble parity
+# (engine-portable); everything is integer/decimal until the final
+# relative-error double on identical inputs.
+
+AMS_ROWS = 9
+
+
+def ams_f2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    expl = freq.select(
+        "user_id",
+        F.col("c").cast("decimal(19,0)").alias("c"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(AMS_ROWS - 1))
+        ).alias("r"),
+    )
+    nib = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("r").cast("string"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("int")
+    sgn = (F.lit(1) - F.lit(2) * (nib % 2)).cast("decimal(2,0)")
+    rows = expl.groupBy("r").agg(
+        F.sum(sgn * F.col("c")).alias("s")
+    )
+    ests = rows.select(
+        "r", (F.col("s") * F.col("s")).cast("decimal(38,0)").alias("est")
+    )
+    w_med = W.orderBy("est", "r")
+    med = (
+        ests.select(
+            "est", F.row_number().over(w_med).alias("rn")
+        )
+        .where(F.col("rn") == (AMS_ROWS + 1) // 2)
+        .select(F.col("est").alias("ams_med"))
+    )
+    exact = freq.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(
+            F.col("c").cast("decimal(19,0)")
+            * F.col("c").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("exact_f2"),
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        "n_keys",
+        "exact_f2",
+        "ams_med",
+        F.round(
+            F.abs(
+                F.col("ams_med").cast("double")
+                - F.col("exact_f2").cast("double")
+            )
+            / F.col("exact_f2").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+AMS_F2_SQL = f"""
+WITH freq AS (
+    SELECT user_id, CAST(COUNT(*) AS DECIMAL(19,0)) AS c
+    FROM events GROUP BY user_id
+), expl AS (
+    SELECT user_id, c, unnest(range(0, {AMS_ROWS})) AS r FROM freq
+), signed AS (
+    SELECT r, c,
+        CAST(1 - 2 * ((strpos('0123456789abcdef',
+            substr(md5(concat(r, ':', user_id)), 1, 1)) - 1) % 2)
+            AS DECIMAL(2,0)) AS sgn
+    FROM expl
+), rows_ AS (
+    SELECT r, SUM(sgn * c) AS s FROM signed GROUP BY r
+), ests AS (
+    SELECT r, CAST(s * s AS DECIMAL(38,0)) AS est FROM rows_
+), med AS (
+    SELECT est AS ams_med FROM (
+        SELECT est, ROW_NUMBER() OVER (ORDER BY est, r) AS rn
+        FROM ests
+    ) WHERE rn = {(AMS_ROWS + 1) // 2}
+), ex AS (
+    SELECT COUNT(*) AS n_keys,
+        CAST(SUM(c * c) AS DECIMAL(38,0)) AS exact_f2
+    FROM freq
+)
+SELECT n_keys, exact_f2, ams_med,
+    round(abs(CAST(ams_med AS DOUBLE) - CAST(exact_f2 AS DOUBLE))
+          / CAST(exact_f2 AS DOUBLE), 6) AS rel_err
+FROM ex CROSS JOIN med
+"""
+
+
 REGISTRY = [
     ("sketch_kmv_distinct", kmv_query, KMV_SQL),
     ("sketch_hll_distinct", hll_query, HLL_SQL),
@@ -704,4 +827,6 @@ REGISTRY = [
     ("sketch_cms_heavy", cms_heavy_query, CMS_SQL),
     ("sketch_quantile_grid", quantile_grid_query, QUANTILE_GRID_SQL),
     ("sketch_theta_ops", theta_ops_query, THETA_OPS_SQL),
+    # AMS tug-of-war second-moment estimate over per-user counts
+    ("sketch_ams_f2", ams_f2_query, AMS_F2_SQL),
 ]

@@ -16,7 +16,7 @@ lose exactness; that trade-off is the operator's documented scale knob.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..pipeline.text import ws_tokens
@@ -936,6 +936,135 @@ FROM mm
 """
 
 
+# ------------------------------- two-feature OLS (normal equations)
+#
+# Multivariate linear regression by closed-form normal equations:
+# predict n_chars from (token count, distinct-token count) per
+# document — the 2-feature extension of stats_corr's single-feature
+# algebra, the "which cheap features explain length" screen a quality
+# model starts from. One scan computes the ten integer moment sums
+# (DECIMAL(38,0)-exact in any order, the ts_trend_ols armor); the
+# 3×3 system solves by Cramer's rule on the moments.
+#
+# Cross-engine: the Cramer determinants and r² are evaluated from ONE
+# shared SQL formula string — Spark parses it with F.expr, DuckDB
+# verbatim — so both engines execute the identical IEEE expression
+# tree on identical moment doubles.
+
+_OLS3_DET = (
+    "(nn * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+_OLS3_DET0 = (
+    "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y))"
+)
+_OLS3_DET1 = (
+    "(nn * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2))"
+)
+_OLS3_DET2 = (
+    "(nn * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2))"
+)
+_OLS3_B0 = f"({_OLS3_DET0} / {_OLS3_DET})"
+_OLS3_B1 = f"({_OLS3_DET1} / {_OLS3_DET})"
+_OLS3_B2 = f"({_OLS3_DET2} / {_OLS3_DET})"
+_OLS3_R2 = (
+    f"(1.0 - (syy - {_OLS3_B0} * sy - {_OLS3_B1} * s1y"
+    f" - {_OLS3_B2} * s2y) / (syy - sy * sy / nn))"
+)
+
+
+def ols_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("y"),
+        ws_tokens(F.lower(F.col("text"))).alias("toks"),
+    ).select(
+        "y",
+        F.size("toks").alias("x1"),
+        F.size(F.array_distinct("toks")).alias("x2"),
+    )
+
+    def dsum(expr: str) -> Column:
+        a, b = expr.split("*")
+        return F.sum(
+            F.col(a.strip()).cast("decimal(19,0)")
+            * F.col(b.strip()).cast("decimal(19,0)")
+        )
+
+    m = docs.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("rs1"),
+        F.sum("x2").alias("rs2"),
+        F.sum("y").alias("rsy"),
+        dsum("x1 * x1").alias("rs11"),
+        dsum("x1 * x2").alias("rs12"),
+        dsum("x2 * x2").alias("rs22"),
+        dsum("x1 * y").alias("rs1y"),
+        dsum("x2 * y").alias("rs2y"),
+        dsum("y * y").alias("rsyy"),
+    ).select(
+        "n",
+        F.col("n").cast("double").alias("nn"),
+        F.col("rs1").cast("double").alias("s1"),
+        F.col("rs2").cast("double").alias("s2"),
+        F.col("rsy").cast("double").alias("sy"),
+        F.col("rs11").cast("double").alias("s11"),
+        F.col("rs12").cast("double").alias("s12"),
+        F.col("rs22").cast("double").alias("s22"),
+        F.col("rs1y").cast("double").alias("s1y"),
+        F.col("rs2y").cast("double").alias("s2y"),
+        F.col("rsyy").cast("double").alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.expr(_OLS3_B0), 6).alias("b0"),
+        F.round(F.expr(_OLS3_B1), 6).alias("b1_tokens"),
+        F.round(F.expr(_OLS3_B2), 6).alias("b2_distinct"),
+        F.round(F.expr(_OLS3_R2), 6).alias("r2"),
+    )
+
+
+OLS_MULTI_SQL = f"""
+WITH feats AS (
+    SELECT n_chars AS y, len(toks) AS x1, len(list_distinct(toks)) AS x2
+    FROM (
+        SELECT n_chars,
+            list_filter(string_split(lower(text), ' '), t -> t <> '')
+                AS toks
+        FROM documents
+    )
+), m AS (
+    SELECT COUNT(*) AS n,
+        CAST(COUNT(*) AS DOUBLE) AS nn,
+        CAST(SUM(x1) AS DOUBLE) AS s1,
+        CAST(SUM(x2) AS DOUBLE) AS s2,
+        CAST(SUM(y) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0)))
+             AS DOUBLE) AS s11,
+        CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0)))
+             AS DOUBLE) AS s12,
+        CAST(SUM(CAST(x2 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0)))
+             AS DOUBLE) AS s22,
+        CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+             AS DOUBLE) AS s1y,
+        CAST(SUM(CAST(x2 AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+             AS DOUBLE) AS s2y,
+        CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+             AS DOUBLE) AS syy
+    FROM feats
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+    round({_OLS3_B0}, 6) AS b0,
+    round({_OLS3_B1}, 6) AS b1_tokens,
+    round({_OLS3_B2}, 6) AS b2_distinct,
+    round({_OLS3_R2}, 6) AS r2
+FROM m
+"""
+
+
 REGISTRY = [
     ("stats_percentiles", percentiles_query, PERCENTILES_SQL),
     ("stats_chisq_independence", chisq_query, CHISQ_SQL),
@@ -949,4 +1078,6 @@ REGISTRY = [
     ("stats_welch_ttest", welch_ttest_query, WELCH_TTEST_SQL),
     # one-scan Poisson bootstrap (deterministic md5-seeded weights)
     ("stats_bootstrap_ci", bootstrap_ci_query, _bootstrap_ci_sql()),
+    # 2-feature OLS via Cramer on decimal-exact moments
+    ("stats_ols_multi", ols_multi_query, OLS_MULTI_SQL),
 ]

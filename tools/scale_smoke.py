@@ -169,6 +169,15 @@ SLATE = [
     "corpus_vocab_growth",
     "sim_ivfadc_topk",
     "ts_trend_ols",
+    # round-7 additions: positional-gram span merge (two linear
+    # shuffles), DSIR/CCNet broadcast-scored docs, AMS sign explode
+    "dedup_substring_spans",
+    "curate_dsir_weights",
+    "curate_ccnet_buckets",
+    "sketch_ams_f2",
+    "sim_mmr_select",
+    "stats_ols_multi",
+    "cdc_metrics_report",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
