@@ -83,6 +83,9 @@ HEADLINE = [
     "sim_mmr_select",
     "stats_ols_multi",
     "cdc_metrics_report",
+    "emb_outlier_mahal",
+    "corpus_dispersion_dp",
+    "curate_dsir_sample",
 ]
 
 

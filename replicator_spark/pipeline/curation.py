@@ -1129,6 +1129,70 @@ GROUP BY doc_id, lang
 """
 
 
+# ------------------------------- DSIR Gumbel-top-k selection
+#
+# The SELECTION half of DSIR (Xie et al. 2023, §2): sampling K docs
+# without replacement with probability ∝ exp(score) is exactly
+# top-K by (score + Gumbel noise) — the Gumbel-top-k trick. Score =
+# the per-token average log importance ratio from
+# curate_dsir_weights; the Gumbel variate is md5-derived (the
+# weighted_sample uniform construction), so the draw is deterministic
+# and reproducible — the property a versioned training-mix needs.
+#
+# Scale shape: the weights op's linear plan + one map-side key
+# expression + a global top-K that rides Spark's rank-limit pushdown
+# (per-partition top-K, K-sized final window) — the distributed-
+# reservoir shape, never a full sort.
+
+DSIR_SAMPLE_K = 100
+
+
+def dsir_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    wts = dsir_weights_query(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.col("dsir_avg") + (-F.log(-F.log(u)))
+    w_rank = Window.orderBy(F.col("key").desc(), F.col("doc_id"))
+    return (
+        wts.withColumn("key", key)
+        .withColumn("sample_rank", F.row_number().over(w_rank))
+        .where(F.col("sample_rank") <= DSIR_SAMPLE_K)
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            "dsir_avg",
+            F.round(F.col("key"), 6).alias("gumbel_key"),
+            "sample_rank",
+        )
+    )
+
+
+def _dsir_sample_sql() -> str:
+    return f"""
+WITH wts AS (
+    SELECT * FROM ({DSIR_WEIGHTS_SQL})
+), keyed AS (
+    SELECT doc_id, lang, n_toks, dsir_avg,
+        dsir_avg + (-ln(-ln(
+            (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0)))
+            AS key
+    FROM wts
+)
+SELECT doc_id, lang, n_toks, dsir_avg,
+    round(key, 6) AS gumbel_key, sample_rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY key DESC, doc_id)
+        AS sample_rank
+    FROM keyed
+) WHERE sample_rank <= {DSIR_SAMPLE_K}
+"""
+
+
 REGISTRY = [
     ("curate_pack_sequences", pack_sequences_query, PACK_SEQUENCES_SQL),
     ("curate_chunk_documents", chunk_documents_query, CHUNK_DOCUMENTS_SQL),
@@ -1151,4 +1215,6 @@ REGISTRY = [
     ("curate_coreset_kcenter", coreset_kcenter_query, _kcenter_sql()),
     # DSIR hashed-n-gram importance weights (target = English docs)
     ("curate_dsir_weights", dsir_weights_query, DSIR_WEIGHTS_SQL),
+    # DSIR Gumbel-top-k deterministic resample over those weights
+    ("curate_dsir_sample", dsir_sample_query, _dsir_sample_sql()),
 ]

@@ -402,9 +402,105 @@ FROM cum
 """
 
 
+# ----------------------------- dispersion (deviation of proportions)
+#
+# Gries' DP (2008): for each high-frequency term, how unevenly is it
+# spread across sources relative to source sizes? DP_t = ½·Σ_s
+# |f_ts/F_t − w_s| with w_s the source's token share — 0 = perfectly
+# proportional, →1 = concentrated in one source. The corpus-health
+# complement of corpus_entropy_kl: KL asks "do sources use different
+# vocabulary overall", DP asks "WHICH terms are source-locked"
+# (boilerplate, templates, source-specific artifacts — prime dedup/
+# filter targets).
+#
+# Scale shape: the token explode feeds three combiner-backed aggs
+# (per-source totals — source-count rows; term totals — vocab rows;
+# (term, source) counts — vocab×sources rows); the DP evaluation
+# itself runs only on the top-DP_TOP_TERMS × sources grid (the term
+# rank rides Spark's rank-limit pushdown over the vocab-sized agg).
+#
+# Determinism: counts are integers; shares are IEEE divisions on
+# identical ints; each |share − w_s| rounds to 9 dp into
+# DECIMAL(12,9) so the per-term sum over sources is order-exact.
+
+DP_TOP_TERMS = 50
+
+
+def dispersion_dp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    toks = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    src = toks.groupBy("source").agg(F.count("*").alias("s_tot"))
+    tot = src.agg(F.sum("s_tot").alias("t_tot"))
+    tc = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    w_rank = W.orderBy(F.col("cnt").desc(), F.col("tok"))
+    top = (
+        tc.withColumn("r", F.row_number().over(w_rank))
+        .where(F.col("r") <= DP_TOP_TERMS)
+        .select("tok", "cnt")
+    )
+    fts = toks.groupBy("tok", "source").agg(F.count("*").alias("f"))
+    grid = (
+        top.crossJoin(F.broadcast(src))
+        .join(fts, ["tok", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    share = F.coalesce("f", F.lit(0)).cast("double") / F.col(
+        "cnt"
+    ).cast("double")
+    w_s = F.col("s_tot").cast("double") / F.col("t_tot").cast("double")
+    d = F.round(F.abs(share - w_s), 9).cast("decimal(12,9)")
+    return (
+        grid.groupBy("tok", "cnt")
+        .agg(
+            F.round(
+                F.lit(0.5) * F.sum(d).cast("double"), 6
+            ).alias("dp")
+        )
+        .select(F.col("tok").alias("term"), "cnt", "dp")
+    )
+
+
+DISPERSION_DP_SQL = f"""
+WITH toks AS (
+    SELECT source,
+        unnest(list_filter(string_split(lower(text), ' '),
+               t -> t <> '')) AS tok
+    FROM documents
+), src AS (
+    SELECT source, COUNT(*) AS s_tot FROM toks GROUP BY source
+), tot AS (SELECT CAST(SUM(s_tot) AS BIGINT) AS t_tot FROM src),
+tc AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+top AS (
+    SELECT tok, cnt FROM (
+        SELECT tok, cnt,
+            ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS r
+        FROM tc
+    ) WHERE r <= {DP_TOP_TERMS}
+), fts AS (
+    SELECT tok, source, COUNT(*) AS f FROM toks GROUP BY tok, source
+), grid AS (
+    SELECT t.tok, t.cnt, s.source, s.s_tot, f.f
+    FROM top t CROSS JOIN src s
+    LEFT JOIN fts f ON f.tok = t.tok AND f.source = s.source
+)
+SELECT tok AS term, cnt,
+    round(0.5 * CAST(SUM(CAST(round(abs(
+        CAST(COALESCE(f, 0) AS DOUBLE) / CAST(cnt AS DOUBLE)
+        - CAST(s_tot AS DOUBLE) / CAST(t_tot AS DOUBLE)), 9)
+        AS DECIMAL(12,9))) AS DOUBLE), 6) AS dp
+FROM grid CROSS JOIN tot
+GROUP BY tok, cnt
+"""
+
+
 REGISTRY = [
     ("corpus_source_overlap", source_overlap_query, SOURCE_OVERLAP_SQL),
     ("corpus_entropy_kl", entropy_kl_query, ENTROPY_KL_SQL),
     # Heaps-law vocabulary growth curve (decile cumulative vocab)
     ("corpus_vocab_growth", vocab_growth_query, VOCAB_GROWTH_SQL),
+    # Gries' DP term dispersion across sources (top terms)
+    ("corpus_dispersion_dp", dispersion_dp_query, DISPERSION_DP_SQL),
 ]

@@ -1195,6 +1195,104 @@ WHERE rank <= {ADC_TOPK}
 """
 
 
+# ----------------------- diagonal-Mahalanobis embedding outliers
+#
+# Per-vector outlier score under the corpus's own per-dimension
+# Gaussian: Σ_i (x_i − μ_i)² / σ_i² — the diagonal Mahalanobis
+# distance, the standard cheap anomaly screen over an embedding
+# column (corrupt encodes, wrong-model vectors, adversarial points
+# surface at the top). Reports the top OUTLIER_K scores.
+#
+# Scale shape: the per-dim μ/σ² come from dim_stats' DECIMAL(15,10)
+# component sums (a 64-row table → broadcast); the scoring pass is
+# the same posexplode + broadcast join + per-vector agg — linear, two
+# combiner-backed exchanges; the final top-K rank runs over the
+# per-vector score table with Spark's rank-limit pushdown.
+#
+# Determinism: μ and σ² are rounded to 9 dp BEFORE the residual
+# arithmetic (the stats_mad armor — an ulp difference in the moments
+# could otherwise reorder ties); each per-dim term rounds to 9 dp
+# into DECIMAL(20,9) so the per-vector sum is order-exact.
+
+OUTLIER_K = 20
+
+
+def outlier_mahal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "dim", F.col("x").cast("double").alias("xd"))
+    xdec = F.col("xd").cast("decimal(15,10)")
+    stats = comp.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(xdec).alias("sx"),
+        F.sum(xdec * xdec).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    mstats = stats.select(
+        "dim",
+        F.round(sx / n, 9).alias("mu"),
+        F.round((n * sxx - sx * sx) / (n * n), 9).alias("vv"),
+    )
+    term = F.round(
+        (F.col("xd") - F.col("mu"))
+        * (F.col("xd") - F.col("mu"))
+        / F.col("vv"),
+        9,
+    ).cast("decimal(20,9)")
+    scored = (
+        comp.join(F.broadcast(mstats), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(term).alias("s"))
+        .select(
+            "vec_id",
+            F.round(F.col("s").cast("double"), 6).alias("mahal_sq"),
+        )
+    )
+    w = W.orderBy(F.col("mahal_sq").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= OUTLIER_K)
+        .select("rank", "vec_id", "mahal_sq")
+    )
+
+
+OUTLIER_MAHAL_SQL = f"""
+WITH comp AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS xd
+    FROM embeddings
+), stats AS (
+    SELECT dim, COUNT(*) AS n,
+        SUM(CAST(xd AS DECIMAL(15,10))) AS sx,
+        SUM(CAST(xd AS DECIMAL(15,10)) * CAST(xd AS DECIMAL(15,10)))
+            AS sxx
+    FROM comp GROUP BY dim
+), mstats AS (
+    SELECT dim,
+        round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mu,
+        round((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS vv
+    FROM stats
+), scored AS (
+    SELECT vec_id,
+        round(CAST(SUM(CAST(round((xd - mu) * (xd - mu) / vv, 9)
+            AS DECIMAL(20,9))) AS DOUBLE), 6) AS mahal_sq
+    FROM comp JOIN mstats USING (dim)
+    GROUP BY vec_id
+)
+SELECT rank, vec_id, mahal_sq FROM (
+    SELECT vec_id, mahal_sq,
+        ROW_NUMBER() OVER (ORDER BY mahal_sq DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= {OUTLIER_K}
+"""
+
+
 REGISTRY = [
     ("emb_quantize_int8", quantize_int8_query, QUANTIZE_INT8_SQL),
     ("emb_centroids", centroids_query, CENTROIDS_SQL),
@@ -1210,4 +1308,6 @@ REGISTRY = [
     ("sim_adc_topk", adc_topk_query, _adc_topk_sql()),
     # IVF cell prune + ADC scoring (the full ANN serving plan)
     ("sim_ivfadc_topk", ivfadc_topk_query, _ivfadc_topk_sql()),
+    # diagonal-Mahalanobis top-K embedding outliers
+    ("emb_outlier_mahal", outlier_mahal_query, OUTLIER_MAHAL_SQL),
 ]

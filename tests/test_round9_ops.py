@@ -381,3 +381,122 @@ def test_metrics_report_namespace_and_totals(spark, sf_dir):
     ):
         assert rows[g]["mtype"] == "gauge"
         assert rows[g]["value"] >= 0
+
+
+# -------------------------------------- Mahalanobis outlier scores
+
+
+def test_outlier_mahal_flags_planted_outlier(spark, tmp_path):
+    """A vector far outside the per-dim distribution must take rank 1
+    with a much larger score than the inliers."""
+    import os
+    import random
+
+    base = str(tmp_path)
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)], "en"))
+    rows.append((999, [50.0] * 64, "en"))  # planted outlier
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(os.path.join(base, "embeddings.parquet"))
+    from replicator_spark.pipeline.vectors import outlier_mahal_query
+
+    got = outlier_mahal_query(spark, base).collect()
+    assert got[0]["rank"] == 1 and got[0]["vec_id"] == 999
+    others = [r["mahal_sq"] for r in got if r["vec_id"] != 999]
+    assert got[0]["mahal_sq"] > 10 * max(others)
+
+
+def test_outlier_mahal_topk_shape(spark, sf_dir):
+    from replicator_spark.pipeline.vectors import (
+        OUTLIER_K,
+        outlier_mahal_query,
+    )
+
+    rows = outlier_mahal_query(spark, sf_dir).collect()
+    assert len(rows) == OUTLIER_K
+    assert [r["rank"] for r in rows] == list(range(1, OUTLIER_K + 1))
+    scores = [r["mahal_sq"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0 for s in scores)
+
+
+# --------------------------------------------- DP term dispersion
+
+
+def test_dispersion_dp_separates_even_from_locked(spark, tmp_path):
+    """A term spread proportionally across sources scores near 0; a
+    term locked to one source scores near 1 - w_source."""
+    import os
+
+    base = str(tmp_path)
+    docs = []
+    did = 0
+    # 4 sources, equal sizes; 'common' everywhere, 'locked' only in s0
+    for s in range(4):
+        for d in range(5):
+            toks = ["common"] * 10
+            if s == 0:
+                toks += ["locked"] * 10
+            else:
+                toks += ["filler%d_%d" % (s, d)] * 10
+            docs.append(
+                (did, " ".join(toks), "en", f"src{s}", len(toks))
+            )
+            did += 1
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+    from replicator_spark.pipeline.diversity import dispersion_dp_query
+
+    rows = {r["term"]: r for r in dispersion_dp_query(spark, base).collect()}
+    assert rows["common"]["dp"] < 0.05
+    assert rows["locked"]["dp"] > 0.5
+
+
+# --------------------------------------------- DSIR Gumbel sample
+
+
+def test_dsir_sample_is_deterministic_topk(spark, sf_dir):
+    from replicator_spark.pipeline.curation import (
+        DSIR_SAMPLE_K,
+        dsir_sample_query,
+    )
+
+    a = dsir_sample_query(spark, sf_dir).collect()
+    b = dsir_sample_query(spark, sf_dir).collect()
+    assert a == b
+    assert len(a) == DSIR_SAMPLE_K
+    keys = [r["gumbel_key"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+    assert len({r["doc_id"] for r in a}) == DSIR_SAMPLE_K
+
+
+def test_dsir_sample_prefers_target_like_docs(spark, tmp_path):
+    """On a corpus larger than the sample size, importance resampling
+    must overrepresent target-language (en) docs relative to their
+    corpus share (sf0.001 has fewer docs than K, so build one)."""
+    from replicator_spark.pipeline.curation import (
+        DSIR_SAMPLE_K,
+        dsir_sample_query,
+    )
+
+    base = str(tmp_path)
+    docs = []
+    for i in range(300):
+        if i % 2 == 0:
+            text = f"alpha beta gamma delta epsilon tok{i}"
+            lang = "en"
+        else:
+            text = f"zulu yankee xray whisky victor tok{i}"
+            lang = "de"
+        docs.append((i, text, lang, "s", 10))
+    _write_docs(spark, base, docs)
+    rows = dsir_sample_query(spark, base).collect()
+    assert len(rows) == DSIR_SAMPLE_K
+    en_frac = sum(1 for r in rows if r["lang"] == "en") / len(rows)
+    assert en_frac > 0.5  # corpus share is exactly 0.5

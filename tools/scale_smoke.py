@@ -178,6 +178,9 @@ SLATE = [
     "sim_mmr_select",
     "stats_ols_multi",
     "cdc_metrics_report",
+    "emb_outlier_mahal",
+    "corpus_dispersion_dp",
+    "curate_dsir_sample",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
