@@ -86,6 +86,8 @@ HEADLINE = [
     "emb_outlier_mahal",
     "corpus_dispersion_dp",
     "curate_dsir_sample",
+    "text_token_entropy",
+    "events_wow_growth",
 ]
 
 

@@ -348,6 +348,85 @@ FROM cnt
 """
 
 
+# -------------------------------------- per-doc token entropy
+#
+# Shannon entropy of each document's token distribution, raw and
+# normalized by ln(vocab): H = ln n − (Σ_t k_t·ln k_t)/n. Low
+# normalized entropy = repetitive/templated text (the boilerplate
+# signal text_repetition approximates with bigram ratios, here made
+# exact); H_norm ≈ 1 = maximally varied. A standard cheap quality
+# gate next to text_quality's rule ratios.
+#
+# Scale shape: token explode → per-(doc, token) combiner count →
+# per-doc agg. Two linear exchanges, nothing global.
+#
+# Determinism: counts are integers; each ln(k) rounds to 9 dp into
+# DECIMAL(20,9) and multiplies a DECIMAL(10,0) count (the lm.py
+# bigram-fold armor) so the per-doc sum is order-exact; ln(n)/ln(V)
+# are IEEE on identical ints.
+
+
+def token_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    tk = docs.select(
+        "doc_id", F.explode("toks").alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count("*").alias("k"))
+    klnk = F.col("k").cast("decimal(10,0)") * F.round(
+        F.log(F.col("k").cast("double")), 9
+    ).cast("decimal(20,9)")
+    per_doc = tk.groupBy("doc_id").agg(
+        F.sum("k").alias("n_toks"),
+        F.count("*").alias("n_types"),
+        F.sum(klnk).alias("_sk"),
+    )
+    h = F.log(F.col("n_toks").cast("double")) - F.col("_sk").cast(
+        "double"
+    ) / F.col("n_toks").cast("double")
+    hnorm = F.when(F.col("n_types") >= 2, h / F.log(
+        F.col("n_types").cast("double")
+    )).otherwise(F.lit(0.0))
+    return per_doc.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(h, 6).alias("entropy"),
+        F.round(hnorm, 6).alias("entropy_norm"),
+    )
+
+
+TOKEN_ENTROPY_SQL = """
+WITH toked AS (
+    SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+), tk AS (
+    SELECT doc_id, tok, COUNT(*) AS k
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM toked)
+    GROUP BY doc_id, tok
+), per_doc AS (
+    SELECT doc_id,
+        CAST(SUM(k) AS BIGINT) AS n_toks,
+        COUNT(*) AS n_types,
+        SUM(CAST(k AS DECIMAL(10,0))
+            * CAST(round(ln(CAST(k AS DOUBLE)), 9) AS DECIMAL(20,9)))
+            AS sk
+    FROM tk GROUP BY doc_id
+)
+SELECT doc_id, n_toks, n_types,
+    round(ln(CAST(n_toks AS DOUBLE))
+          - CAST(sk AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS entropy,
+    round(CASE WHEN n_types >= 2 THEN
+        (ln(CAST(n_toks AS DOUBLE))
+         - CAST(sk AS DOUBLE) / CAST(n_toks AS DOUBLE))
+        / ln(CAST(n_types AS DOUBLE))
+        ELSE 0.0 END, 6) AS entropy_norm
+FROM per_doc
+"""
+
+
 REGISTRY = [
     ("text_token_count", token_count_query, TOKEN_COUNT_SQL),
     ("text_normalize", normalize_query, NORMALIZE_SQL),
@@ -357,4 +436,6 @@ REGISTRY = [
     ("text_rolling_hash", rolling_hash_query, ROLLING_HASH_SQL),
     ("text_hashing_vectorizer", hashing_vectorizer_query,
      HASHING_VECTORIZER_SQL),
+    # exact per-doc token entropy (raw + vocab-normalized)
+    ("text_token_entropy", token_entropy_query, TOKEN_ENTROPY_SQL),
 ]

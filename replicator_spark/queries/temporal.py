@@ -1004,6 +1004,64 @@ FROM (
 """
 
 
+# ------------------------------------ week-over-week volume growth
+#
+# The operational complement of ts_trend_ols: instead of one fitted
+# slope per type, the discrete week-over-week growth series a volume
+# dashboard plots and alerts on. Weeks are epoch-day floor-division
+# buckets (integer, engine-identical); growth = (n − prev)/prev.
+# Weeks with zero events simply don't appear — the LAG is over
+# OBSERVED weeks (ts_gap_fill is the calendar-densifying op).
+#
+# Scale shape: one (event_type, week) count agg (combiner-backed);
+# the LAG window runs over that |weeks|-sized table, partitioned by
+# type. All integers until the final ratio.
+
+_WOW_WEEK = "ts div 1000000 div 86400000 div 7"
+
+
+def wow_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.expr(_WOW_WEEK).alias("week")
+    ).agg(F.count("*").alias("n_events"))
+    w = W.partitionBy("event_type").orderBy("week")
+    lagged = weekly.withColumn(
+        "prev_events", F.lag("n_events").over(w)
+    ).where(F.col("prev_events").isNotNull())
+    return lagged.select(
+        "event_type",
+        F.col("week").cast("long").alias("week"),
+        "n_events",
+        "prev_events",
+        F.round(
+            (F.col("n_events") - F.col("prev_events")).cast("double")
+            / F.col("prev_events"),
+            6,
+        ).alias("wow_growth"),
+    )
+
+
+WOW_GROWTH_SQL = """
+WITH weekly AS (
+    SELECT event_type, epoch_ms(ts) // 86400000 // 7 AS week,
+        COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+), lagged AS (
+    SELECT event_type, week, n_events,
+        LAG(n_events) OVER (PARTITION BY event_type ORDER BY week)
+            AS prev_events
+    FROM weekly
+)
+SELECT event_type, CAST(week AS BIGINT) AS week, n_events,
+    prev_events,
+    round(CAST(n_events - prev_events AS DOUBLE) / prev_events, 6)
+        AS wow_growth
+FROM lagged WHERE prev_events IS NOT NULL
+"""
+
+
 REGISTRY = [
     ("temporal_asof_join", asof_join_query, ASOF_JOIN_SQL),
     ("temporal_range_join", range_join_query, RANGE_JOIN_SQL),
@@ -1016,4 +1074,6 @@ REGISTRY = [
     ("ts_changepoint", changepoint_query, CHANGEPOINT_SQL),
     # per-type OLS daily-volume trend (integer-exact moments)
     ("ts_trend_ols", trend_ols_query, TREND_OLS_SQL),
+    # discrete week-over-week growth over observed weeks
+    ("events_wow_growth", wow_growth_query, WOW_GROWTH_SQL),
 ]

@@ -500,3 +500,58 @@ def test_dsir_sample_prefers_target_like_docs(spark, tmp_path):
     assert len(rows) == DSIR_SAMPLE_K
     en_frac = sum(1 for r in rows if r["lang"] == "en") / len(rows)
     assert en_frac > 0.5  # corpus share is exactly 0.5
+
+
+# ----------------------------------------------- token entropy
+
+
+def test_token_entropy_extremes(spark, tmp_path):
+    """All-same-token doc → entropy 0; all-distinct doc → normalized
+    entropy 1 (H = ln n = ln V)."""
+    import math
+
+    base = str(tmp_path)
+    docs = [
+        (0, "a a a a a a a a", "en", "s", 10),
+        (1, "b c d e f g h i", "en", "s", 10),
+        (2, "x x y y", "en", "s", 10),
+    ]
+    _write_docs(spark, base, docs)
+    from replicator_spark.pipeline.text import token_entropy_query
+
+    rows = {
+        r["doc_id"]: r for r in token_entropy_query(spark, base).collect()
+    }
+    assert rows[0]["entropy"] == 0.0 and rows[0]["entropy_norm"] == 0.0
+    assert abs(rows[1]["entropy"] - math.log(8)) < 1e-5
+    assert abs(rows[1]["entropy_norm"] - 1.0) < 1e-5
+    # 2 types, uniform → H = ln 2, norm = 1
+    assert abs(rows[2]["entropy"] - math.log(2)) < 1e-5
+    assert rows[2]["n_toks"] == 4 and rows[2]["n_types"] == 2
+
+
+# ------------------------------------------- week-over-week growth
+
+
+def test_wow_growth_matches_weekly_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from replicator_spark.queries.temporal import (
+        _WOW_WEEK,
+        wow_growth_query,
+    )
+    from replicator_spark.session import read_table
+
+    got = wow_growth_query(spark, sf_dir).collect()
+    assert got, "expected at least one week-over-week row"
+    weekly = {
+        (r["event_type"], r["week"]): r["n"]
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.expr(_WOW_WEEK).alias("week"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in got:
+        assert weekly[(r["event_type"], r["week"])] == r["n_events"]
+        want = (r["n_events"] - r["prev_events"]) / r["prev_events"]
+        assert abs(r["wow_growth"] - want) < 1e-5

@@ -181,6 +181,8 @@ SLATE = [
     "emb_outlier_mahal",
     "corpus_dispersion_dp",
     "curate_dsir_sample",
+    "text_token_entropy",
+    "events_wow_growth",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
