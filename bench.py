@@ -88,6 +88,8 @@ HEADLINE = [
     "curate_dsir_sample",
     "text_token_entropy",
     "events_wow_growth",
+    "sim_nprobe_sweep",
+    "text_code_detect",
 ]
 
 

@@ -308,8 +308,11 @@ GROUP BY g.doc_id
 # per-language tertile cutoffs of avg ln P come from ONE grouped
 # percentile aggregate (a languages×2 broadcast — same cutoff-
 # broadcast shape as stats.py's eqf-bins, never a global sort), and
-# bucket assignment is a map-side comparison sum. Higher avg_logp =
-# lower perplexity = head.
+# bucket assignment is a map-side comparison sum. Exact percentile
+# buffers one language's doc scores in its reducer — at true 100 TB
+# you'd swap in approx_percentile (same plan shape, mergeable
+# sketch); exact is kept here for the bit-matching oracle. Higher
+# avg_logp = lower perplexity = head.
 #
 # Determinism: the per-doc scores are the 6-dp-rounded doubles the
 # green text_bigram_lm op already pins cross-engine; grouped

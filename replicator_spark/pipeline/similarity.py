@@ -1106,6 +1106,183 @@ FROM pred GROUP BY true_label
 """
 
 
+# ----------------------------------- IVF nprobe recall/cost sweep
+#
+# The serving-knob calibration curve every IVF deployment is tuned
+# from: recall@K and candidate count as a function of HOW MANY coarse
+# cells each query probes (nprobe 1..4). sim_recall_curve sweeps K at
+# fixed nprobe; this sweeps nprobe at fixed K — together they span
+# the ANN quality/cost surface. Ground truth is the brute-force top-K.
+#
+# Scale shape: one candidate scoring pass bounded by the LARGEST
+# nprobe in the grid (queries × their top-4 cells broadcast, fine
+# scan equi-joined on the cell id — the ivf_topk shape); the four
+# per-nprobe top-K windows run over that one scored set via a
+# 4-way grid explode, so the sweep costs ONE pass, not four. Truth
+# is the brute pass (test-scale cross-check; at 100 TB you'd sample
+# queries).
+#
+# Determinism: the shared sequential-fold cosine, 6-dp rounded
+# before ranking; all ties break on ids.
+
+NPROBE_GRID = (1, 2, 3, 4)
+
+
+def nprobe_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"), "label"
+    )
+    cents = _centroids(emb)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "label",
+        (
+            _dot(F.col("qv"), F.col("centroid"))
+            / (_norm(F.col("qv")) * _norm(F.col("centroid")))
+        ).alias("c_cos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("label")
+    )
+    probes = (
+        qc.withColumn("cell_rank", F.row_number().over(wq))
+        .where(F.col("cell_rank") <= max(NPROBE_GRID))
+        .select("query_id", "qv", "label", "cell_rank")
+    )
+    scored = (
+        emb.join(F.broadcast(probes), "label")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            "cell_rank",
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (_norm(F.col("qv")) * _norm(F.col("v"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    ps = F.explode(
+        F.array(*[F.lit(p) for p in NPROBE_GRID])
+    ).alias("nprobe")
+    grid = scored.select("query_id", "cand_id", "cell_rank", "cosine", ps
+                         ).where(F.col("cell_rank") <= F.col("nprobe"))
+    wp = W.partitionBy("query_id", "nprobe").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    approx = (
+        grid.withColumn("a_rank", F.row_number().over(wp))
+        .withColumn(
+            "n_cands",
+            F.count("*").over(W.partitionBy("query_id", "nprobe")),
+        )
+        .where(F.col("a_rank") <= TOP_K)
+    )
+    truth = cosine_topk_query(spark, sf_dir).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    return (
+        approx.join(truth, ["query_id", "cand_id"], "left")
+        .groupBy("query_id", "nprobe")
+        .agg(
+            F.max("n_cands").cast("long").alias("n_cands"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "nprobe",
+            "n_cands",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.lit(float(TOP_K)), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _nprobe_sweep_sql() -> str:
+    grid_list = ", ".join(str(p) for p in NPROBE_GRID)
+    return f"""
+WITH emb AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+    FROM embeddings
+), dims AS (
+    SELECT label, i AS dim, v[i] AS x
+    FROM emb, (SELECT unnest(range(1, {DIM + 1})) AS i)
+), per_dim AS (
+    SELECT label, dim, round(AVG(x), 6) AS m
+    FROM dims GROUP BY label, dim
+), cents AS (
+    SELECT label, list(m ORDER BY dim) AS centroid
+    FROM per_dim GROUP BY label
+), q AS (
+    SELECT vec_id AS query_id, v AS qv FROM emb
+    WHERE vec_id < {N_QUERIES}
+), qc AS (
+    SELECT query_id, qv, label,
+        {_dot_sql('qv', 'centroid')}
+        / (sqrt({_dot_sql('qv', 'qv')})
+           * sqrt({_dot_sql('centroid', 'centroid')})) AS c_cos
+    FROM q CROSS JOIN cents
+), probes AS (
+    SELECT query_id, qv, label, cell_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY c_cos DESC, label)
+            AS cell_rank
+        FROM qc
+    ) WHERE cell_rank <= {max(NPROBE_GRID)}
+), scored AS MATERIALIZED (
+    SELECT query_id, e.vec_id AS cand_id, cell_rank,
+        round({_dot_sql('qv', 'e.v')}
+            / (sqrt({_dot_sql('qv', 'qv')})
+               * sqrt({_dot_sql('e.v', 'e.v')})), 6) AS cosine
+    FROM emb e JOIN probes p USING (label)
+    WHERE e.vec_id <> p.query_id
+), grid AS (
+    SELECT query_id, cand_id, cell_rank, cosine, nprobe
+    FROM scored, (SELECT unnest([{grid_list}]) AS nprobe)
+    WHERE cell_rank <= nprobe
+), approx AS (
+    SELECT * FROM (
+        SELECT query_id, cand_id, cosine, nprobe,
+            ROW_NUMBER() OVER (PARTITION BY query_id, nprobe
+                ORDER BY cosine DESC, cand_id) AS a_rank,
+            COUNT(*) OVER (PARTITION BY query_id, nprobe) AS n_cands
+        FROM grid
+    ) WHERE a_rank <= {TOP_K}
+), allsc AS (
+    SELECT e.vec_id AS cand_id, q.query_id,
+        round({_dot_sql('q.qv', 'e.v')}
+            / (sqrt({_dot_sql('q.qv', 'q.qv')})
+               * sqrt({_dot_sql('e.v', 'e.v')})), 6) AS cosine
+    FROM emb e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+), truth AS (
+    SELECT query_id, cand_id, 1 AS hit FROM (
+        SELECT query_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id) AS t_rank
+        FROM allsc
+    ) WHERE t_rank <= {TOP_K}
+)
+SELECT a.query_id, a.nprobe,
+    CAST(MAX(a.n_cands) AS BIGINT) AS n_cands,
+    CAST(SUM(COALESCE(t.hit, 0)) AS BIGINT) AS n_hits,
+    round(CAST(SUM(COALESCE(t.hit, 0)) AS DOUBLE) / {float(TOP_K)!r}, 6)
+        AS recall_at_k
+FROM approx a LEFT JOIN truth t USING (query_id, cand_id)
+GROUP BY a.query_id, a.nprobe
+"""
+
+
 # ------------------------------- maximal marginal relevance (MMR)
 #
 # The standard retrieval-diversification selector (Carbonell &
@@ -1272,4 +1449,6 @@ REGISTRY = [
     ("sim_knn_classifier", knn_classifier_query, KNN_CLASSIFIER_SQL),
     # greedy maximal-marginal-relevance diverse top-K (unrolled oracle)
     ("sim_mmr_select", mmr_select_query, _mmr_sql()),
+    # IVF nprobe recall/cost calibration sweep (one scoring pass)
+    ("sim_nprobe_sweep", nprobe_sweep_query, _nprobe_sweep_sql()),
 ]

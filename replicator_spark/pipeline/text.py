@@ -427,6 +427,98 @@ FROM per_doc
 """
 
 
+# -------------------------------------- code-vs-prose detection
+#
+# The code-fence screen a mixed crawl needs before language-ID or
+# LM scoring: code-ish symbol density ({};()=[]<> etc.), programming
+# keyword hits, and digit density, combined into one score — the
+# cheap heuristic layer (a trained classifier would sit behind the
+# same feature columns). Pure map-side: one scan, no exchange beyond
+# whatever the caller aggregates.
+#
+# Determinism: symbol counts use length-difference arithmetic (no
+# regex dialect), keyword hits are exact token membership, and the
+# score combines integer-derived ratios with identical literal
+# arithmetic in both engines.
+
+CODE_SYMBOLS = "{}();=[]<>"
+CODE_KEYWORDS = (
+    "def", "return", "import", "function", "var", "class",
+    "if", "else", "for", "while", "int", "void", "public", "static",
+)
+CODE_SCORE_THRESHOLD = 0.08
+
+
+def code_detect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    sym_count = None
+    for ch in CODE_SYMBOLS:
+        c = F.length("text") - F.length(
+            F.replace(F.col("text"), F.lit(ch), F.lit(""))
+        )
+        sym_count = c if sym_count is None else sym_count + c
+    kw_arr = F.array(*[F.lit(k) for k in CODE_KEYWORDS])
+    kw_count = F.size(
+        F.filter(F.col("toks"), lambda t: F.array_contains(kw_arr, t))
+    )
+    n_chars = F.length("text")
+    n_toks = F.size("toks")
+    sym_ratio = sym_count.cast("double") / n_chars.cast("double")
+    kw_ratio = F.when(
+        n_toks > 0, kw_count.cast("double") / n_toks.cast("double")
+    ).otherwise(F.lit(0.0))
+    score = F.round(sym_ratio * F.lit(5.0) + kw_ratio * F.lit(2.0), 6)
+    return docs.where(n_chars > 0).select(
+        "doc_id",
+        sym_count.cast("long").alias("sym_count"),
+        kw_count.cast("long").alias("kw_count"),
+        F.round(sym_ratio, 6).alias("sym_ratio"),
+        score.alias("code_score"),
+        (score > F.lit(CODE_SCORE_THRESHOLD)).alias("is_code"),
+    )
+
+
+_SYM_COUNT_SQL = " + ".join(
+    f"(length(text) - length(replace(text, '{ch}', '')))"
+    for ch in CODE_SYMBOLS
+    if ch != "'"
+)
+_KW_LIST_SQL = ", ".join(f"'{k}'" for k in CODE_KEYWORDS)
+
+CODE_DETECT_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text,
+        list_filter(string_split(lower(text), ' '), t -> t <> '')
+            AS toks,
+        {_SYM_COUNT_SQL} AS sym_count
+    FROM documents WHERE length(text) > 0
+), feats AS (
+    SELECT doc_id, sym_count,
+        len(list_filter(toks,
+            t -> list_contains([{_KW_LIST_SQL}], t))) AS kw_count,
+        CAST(sym_count AS DOUBLE) / CAST(length(text) AS DOUBLE)
+            AS sym_ratio,
+        CASE WHEN len(toks) > 0 THEN
+            CAST(len(list_filter(toks,
+                t -> list_contains([{_KW_LIST_SQL}], t))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE)
+        ELSE 0.0 END AS kw_ratio
+    FROM d
+)
+SELECT doc_id,
+    CAST(sym_count AS BIGINT) AS sym_count,
+    CAST(kw_count AS BIGINT) AS kw_count,
+    round(sym_ratio, 6) AS sym_ratio,
+    round(sym_ratio * 5.0 + kw_ratio * 2.0, 6) AS code_score,
+    round(sym_ratio * 5.0 + kw_ratio * 2.0, 6)
+        > {CODE_SCORE_THRESHOLD} AS is_code
+FROM feats
+"""
+
+
 REGISTRY = [
     ("text_token_count", token_count_query, TOKEN_COUNT_SQL),
     ("text_normalize", normalize_query, NORMALIZE_SQL),
@@ -438,4 +530,6 @@ REGISTRY = [
      HASHING_VECTORIZER_SQL),
     # exact per-doc token entropy (raw + vocab-normalized)
     ("text_token_entropy", token_entropy_query, TOKEN_ENTROPY_SQL),
+    # code-vs-prose heuristic screen (symbols + keywords, map-side)
+    ("text_code_detect", code_detect_query, CODE_DETECT_SQL),
 ]

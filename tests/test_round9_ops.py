@@ -1,6 +1,8 @@
 """Behavioral tests for the round-7 additions: exact substring-span
-dedup, DSIR importance weights, CCNet LM-score buckets, and the AMS
-F2 sketch."""
+dedup, DSIR importance weights + Gumbel-top-k sample, CCNet LM-score
+buckets, the AMS F2 sketch, MMR diverse selection, two-feature OLS,
+the metrics-registry report, Mahalanobis embedding outliers, DP term
+dispersion, per-doc token entropy, and week-over-week growth."""
 
 from __future__ import annotations
 
@@ -555,3 +557,87 @@ def test_wow_growth_matches_weekly_counts(spark, sf_dir):
         assert weekly[(r["event_type"], r["week"])] == r["n_events"]
         want = (r["n_events"] - r["prev_events"]) / r["prev_events"]
         assert abs(r["wow_growth"] - want) < 1e-5
+
+
+# --------------------------------------------- IVF nprobe sweep
+
+
+def test_nprobe_sweep_monotone_and_bounded(spark, sf_dir):
+    """Recall and candidate count must be non-decreasing in nprobe for
+    each query, recall in [0, 1], and nprobe spans the grid."""
+    from replicator_spark.pipeline.similarity import (
+        NPROBE_GRID,
+        nprobe_sweep_query,
+    )
+
+    rows = nprobe_sweep_query(spark, sf_dir).collect()
+    per_q: dict[int, dict[int, object]] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], {})[r["nprobe"]] = r
+    assert per_q, "expected at least one query"
+    for q, by_p in per_q.items():
+        assert sorted(by_p) == list(NPROBE_GRID)
+        recalls = [by_p[p]["recall_at_k"] for p in NPROBE_GRID]
+        cands = [by_p[p]["n_cands"] for p in NPROBE_GRID]
+        assert recalls == sorted(recalls)
+        assert cands == sorted(cands)
+        assert all(0.0 <= r <= 1.0 for r in recalls)
+
+
+def test_nprobe_full_probe_matches_ivf_recall(spark, sf_dir):
+    """At the grid's nprobe=N_PROBE point the sweep's hit count must
+    equal recall of the existing ivf_topk operator (same probes, same
+    truth) — the two ops must tell one consistent story."""
+    from replicator_spark.pipeline.similarity import (
+        N_PROBE,
+        NPROBE_GRID,
+        TOP_K,
+        cosine_topk_query,
+        ivf_topk_query,
+        nprobe_sweep_query,
+    )
+
+    if N_PROBE not in NPROBE_GRID:
+        return
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in cosine_topk_query(spark, sf_dir).collect()
+    }
+    ivf_hits: dict[int, int] = {}
+    for r in ivf_topk_query(spark, sf_dir).collect():
+        if r["rank"] <= TOP_K and (r["query_id"], r["cand_id"]) in truth:
+            ivf_hits[r["query_id"]] = ivf_hits.get(r["query_id"], 0) + 1
+    sweep = {
+        r["query_id"]: r["n_hits"]
+        for r in nprobe_sweep_query(spark, sf_dir).collect()
+        if r["nprobe"] == N_PROBE
+    }
+    for q, n in sweep.items():
+        assert ivf_hits.get(q, 0) == n
+
+
+# --------------------------------------------- code detection
+
+
+def test_code_detect_flags_code_not_prose(spark, tmp_path):
+    from replicator_spark.pipeline.text import code_detect_query
+
+    base = str(tmp_path)
+    code = (
+        "def main(); { int x = 1; if (x) { return x; } } "
+        "import sys; class Foo { void bar(); }"
+    )
+    prose = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the quiet green field all afternoon"
+    )
+    docs = [
+        (0, code, "en", "s", len(code)),
+        (1, prose, "en", "s", len(prose)),
+    ]
+    _write_docs(spark, base, docs)
+    rows = {r["doc_id"]: r for r in code_detect_query(spark, base).collect()}
+    assert rows[0]["is_code"] and not rows[1]["is_code"]
+    assert rows[0]["code_score"] > rows[1]["code_score"]
+    assert rows[1]["sym_count"] == 0 and rows[1]["kw_count"] == 0
+    assert rows[0]["kw_count"] >= 6  # def/int/if/return/import/class/void

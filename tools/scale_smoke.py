@@ -183,6 +183,8 @@ SLATE = [
     "curate_dsir_sample",
     "text_token_entropy",
     "events_wow_growth",
+    "sim_nprobe_sweep",
+    "text_code_detect",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
