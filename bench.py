@@ -90,6 +90,9 @@ HEADLINE = [
     "events_wow_growth",
     "sim_nprobe_sweep",
     "text_code_detect",
+    "text_readability",
+    "events_entropy_rate",
+    "sim_pq_distortion",
 ]
 
 

@@ -427,6 +427,73 @@ FROM per_doc
 """
 
 
+# ------------------------------------------ readability (Flesch)
+#
+# The Flesch reading-ease heuristic: 206.835 − 1.015·(words/sentence)
+# − 84.6·(syllables/word), with syllables approximated by maximal
+# vowel-run counts ([aeiouy]+) — the standard cheap proxy every
+# readability library uses — and sentences by terminal-punctuation
+# runs (min 1). A grade-level screen for instruction-tuning corpora
+# ("too academic / too simplistic for the mix"). Pure map-side.
+#
+# Determinism: both engines count the SAME greedy regex runs
+# ([aeiouy]+ and [.!?]+ have no dialect-sensitive syntax); the score
+# combines integer counts with identical literal arithmetic.
+
+
+def readability_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    n_words = F.size("toks")
+    n_sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")),
+        F.lit(1),
+    )
+    score = F.round(
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6)
+        * (n_syll.cast("double") / n_words.cast("double")),
+        6,
+    )
+    return docs.where(n_words > 0).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        score.alias("flesch"),
+    )
+
+
+READABILITY_SQL = """
+WITH d AS (
+    SELECT doc_id,
+        len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+            AS n_words,
+        greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+            AS n_sents,
+        greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+            AS n_syll
+    FROM documents
+)
+SELECT doc_id,
+    CAST(n_words AS BIGINT) AS n_words,
+    CAST(n_sents AS BIGINT) AS n_sentences,
+    CAST(n_syll AS BIGINT) AS n_syllables,
+    round(206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+          - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)),
+          6) AS flesch
+FROM d WHERE n_words > 0
+"""
+
+
 # -------------------------------------- code-vs-prose detection
 #
 # The code-fence screen a mixed crawl needs before language-ID or
@@ -532,4 +599,6 @@ REGISTRY = [
     ("text_token_entropy", token_entropy_query, TOKEN_ENTROPY_SQL),
     # code-vs-prose heuristic screen (symbols + keywords, map-side)
     ("text_code_detect", code_detect_query, CODE_DETECT_SQL),
+    # Flesch reading-ease (vowel-run syllable proxy, map-side)
+    ("text_readability", readability_query, READABILITY_SQL),
 ]

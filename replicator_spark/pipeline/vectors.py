@@ -1195,6 +1195,70 @@ WHERE rank <= {ADC_TOPK}
 """
 
 
+# ------------------------------- PQ per-subspace distortion audit
+#
+# The codebook-quality dial behind every PQ deployment: per SUBSPACE,
+# the mean/max squared reconstruction error and how many of the K
+# codewords are actually used. pq_codes reports per-VECTOR error;
+# this slices the same assignment by subspace — an uneven profile
+# says the split is misaligned with the embedding's variance
+# structure (rotate or re-split), dead codewords say K is oversized
+# (or a subspace collapsed). The M/K sizing report.
+#
+# Scale: the PQ trainer's contract (constant-size exchanges per
+# Lloyd round) + one M-row final agg. Determinism: the shared
+# assignment folds; the mean goes through the round-9-dp DECIMAL
+# sum; max is over identical doubles.
+
+
+def pq_distortion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    subs = _pq_subvectors(emb).persist()
+    cents = _pq_train(spark, subs)
+    subs.unpersist()  # final assign recomputes from parquet (lazy)
+    final = _pq_assign(spark, subs, cents)
+    return final.groupBy("sub").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.countDistinct("cid").cast("long").alias("n_codes_used"),
+        F.round(
+            F.sum(
+                F.round(F.col("d2"), 9).cast("decimal(20,9)")
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_d2"),
+        F.round(F.max("d2"), 6).alias("max_d2"),
+    )
+
+
+def _pq_distortion_sql() -> str:
+    ctes, cents = _pq_cents_ctes()
+    return f"""
+WITH {ctes}, fasg AS (
+    SELECT vec_id, sub, cid, d2 FROM (
+        SELECT s.vec_id, s.sub, c.cid,
+            {_PQ_DIST.format(v='s.subv', c='c.c')} AS d2,
+            ROW_NUMBER() OVER (
+                PARTITION BY s.vec_id, s.sub
+                ORDER BY {_PQ_DIST.format(v='s.subv', c='c.c')}, c.cid
+            ) AS rn
+        FROM subs s JOIN {cents} c USING (sub))
+    WHERE rn = 1
+)
+SELECT sub,
+    CAST(COUNT(*) AS BIGINT) AS n_vecs,
+    CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_codes_used,
+    round(CAST(SUM(CAST(round(d2, 9) AS DECIMAL(20,9))) AS DOUBLE)
+          / COUNT(*), 6) AS mean_d2,
+    round(MAX(d2), 6) AS max_d2
+FROM fasg GROUP BY sub
+"""
+
+
 # ----------------------- diagonal-Mahalanobis embedding outliers
 #
 # Per-vector outlier score under the corpus's own per-dimension
@@ -1310,4 +1374,6 @@ REGISTRY = [
     ("sim_ivfadc_topk", ivfadc_topk_query, _ivfadc_topk_sql()),
     # diagonal-Mahalanobis top-K embedding outliers
     ("emb_outlier_mahal", outlier_mahal_query, OUTLIER_MAHAL_SQL),
+    # per-subspace PQ distortion + codeword-utilization audit
+    ("sim_pq_distortion", pq_distortion_query, _pq_distortion_sql()),
 ]

@@ -516,6 +516,108 @@ FROM ranked WHERE rank <= {TOP_PATHS_N}
 """
 
 
+# ------------------------------------------ Markov entropy rate
+#
+# The information-theoretic summary of the transition matrix above:
+# per-state conditional entropy H(dst | src = s) = −Σ_d p_sd ln p_sd
+# and its stationary-weighted contribution π_s·H_s (π estimated as
+# the empirical source-state share). Σ contributions = the chain's
+# entropy rate — how predictable the NEXT event is given the current
+# one, the sequence-level predictability dial (the Markov matrix
+# shows the probabilities; this scores them). Algebra:
+# π_s·H_s = −(Σ_d n_sd·ln p_sd)/N, so the whole table reduces with
+# ONE decimal n×ln(p) fold (the lm.py armor) — order-exact.
+#
+# Scale: the same one-window lead pass as the transition matrix,
+# then |types|²-bounded aggregation.
+
+
+def entropy_rate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).where(F.col("dst_type").isNotNull())
+    cnt = trans.groupBy("src_type", "dst_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    row_tot = cnt.groupBy("src_type").agg(
+        F.sum("n_trans").alias("n_src")
+    )
+    tot = cnt.agg(F.sum("n_trans").alias("n_all"))
+    nlnp = F.col("n_trans").cast("decimal(19,0)") * F.round(
+        F.log(
+            F.col("n_trans").cast("double")
+            / F.col("n_src").cast("double")
+        ),
+        9,
+    ).cast("decimal(20,9)")
+    per_src = (
+        cnt.join(F.broadcast(row_tot), "src_type")
+        .groupBy("src_type", "n_src")
+        .agg(F.sum(nlnp).alias("_s"))
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "src_type",
+            F.col("n_src").cast("long").alias("n_src"),
+            F.round(
+                F.col("n_src").cast("double")
+                / F.col("n_all").cast("double"),
+                6,
+            ).alias("pi"),
+            F.round(
+                -F.col("_s").cast("double")
+                / F.col("n_src").cast("double"),
+                6,
+            ).alias("h_cond"),
+            F.round(
+                -F.col("_s").cast("double")
+                / F.col("n_all").cast("double"),
+                6,
+            ).alias("rate_contrib"),
+        )
+    )
+
+
+ENTROPY_RATE_SQL = """
+WITH trans AS (
+    SELECT event_type AS src_type,
+        LEAD(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS dst_type
+    FROM events
+), cnt AS (
+    SELECT src_type, dst_type, COUNT(*) AS n_trans
+    FROM trans WHERE dst_type IS NOT NULL
+    GROUP BY src_type, dst_type
+), row_tot AS (
+    SELECT src_type, CAST(SUM(n_trans) AS BIGINT) AS n_src
+    FROM cnt GROUP BY src_type
+), tot AS (
+    SELECT CAST(SUM(n_trans) AS BIGINT) AS n_all FROM cnt
+), per_src AS (
+    SELECT src_type, n_src,
+        SUM(CAST(n_trans AS DECIMAL(19,0))
+            * CAST(round(ln(CAST(n_trans AS DOUBLE)
+                           / CAST(n_src AS DOUBLE)), 9)
+                   AS DECIMAL(20,9))) AS s
+    FROM cnt JOIN row_tot USING (src_type)
+    GROUP BY src_type, n_src
+)
+SELECT src_type, n_src,
+    round(CAST(n_src AS DOUBLE) / CAST(n_all AS DOUBLE), 6) AS pi,
+    round(-CAST(s AS DOUBLE) / CAST(n_src AS DOUBLE), 6) AS h_cond,
+    round(-CAST(s AS DOUBLE) / CAST(n_all AS DOUBLE), 6)
+        AS rate_contrib
+FROM per_src CROSS JOIN tot
+"""
+
+
 REGISTRY = [
     ("window_analytics", window_analytics_query, WINDOW_ANALYTICS_SQL),
     ("pivot_orders", pivot_orders_query, PIVOT_ORDERS_SQL),
@@ -527,4 +629,6 @@ REGISTRY = [
     ("events_markov_transitions", markov_transitions_query,
      MARKOV_TRANSITIONS_SQL),
     ("events_top_paths", top_paths_query, TOP_PATHS_SQL),
+    # Markov-chain entropy rate (per-state conditional entropies)
+    ("events_entropy_rate", entropy_rate_query, ENTROPY_RATE_SQL),
 ]
