@@ -93,6 +93,9 @@ HEADLINE = [
     "text_readability",
     "events_entropy_rate",
     "sim_pq_distortion",
+    "ts_theil_sen",
+    "emb_silhouette",
+    "graph_modularity",
 ]
 
 

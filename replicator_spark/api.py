@@ -55,14 +55,15 @@ Rotation map (which driver run produced each operator's green row):
   cover (CDC apply/seek/validate/bootstrap/diff, tm history/
   compaction/SCD2, the four sinks, schema history+compat, and the
   windowed/dedup/txn streams).
-- round 8 queue (entries 51-67): the seventeen round-7 additions
+- round 8 queue (entries 51-70): the twenty round-7 additions
   (dedup_substring_spans, curate_dsir_weights, curate_ccnet_buckets,
   sketch_ams_f2, sim_mmr_select, stats_ols_multi,
   cdc_metrics_report, emb_outlier_mahal, corpus_dispersion_dp,
   curate_dsir_sample, text_token_entropy, events_wow_growth,
   sim_nprobe_sweep, text_code_detect, text_readability,
-  events_entropy_rate, sim_pq_distortion) — placed directly after
-  the window so they rotate in next round without displacing it.
+  events_entropy_rate, sim_pq_distortion, ts_theil_sen,
+  emb_silhouette, graph_modularity) — placed directly after the
+  window so they rotate in next round without displacing it.
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -160,6 +161,9 @@ _PRIORITY = [
     "text_readability",
     "events_entropy_rate",
     "sim_pq_distortion",
+    "ts_theil_sen",
+    "emb_silhouette",
+    "graph_modularity",
     # ========= BELOW THE WINDOW: driver-green r6 (r6 window) =========
     "corpus_source_overlap",
     "corpus_entropy_kl",

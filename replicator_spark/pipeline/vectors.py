@@ -526,20 +526,11 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     )
 
 
-def kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMEANS_K clusters over the embeddings after KMEANS_ITERS Lloyd
-    rounds: one row per cluster with size, inertia share, and centroid
-    norm (the audit view of a trained coarse quantizer)."""
-    prep(spark)
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    # the trainer drives KMEANS_ITERS+1 jobs over this frame (seeds +
-    # one per Lloyd round); persist so the parquet scan + cast runs
-    # once, not per round (at cluster scale: checkpoint the working
-    # set). Unpersisted before the final lazily-returned plan.
-    emb = emb.persist()
+def _km_train(emb: DataFrame) -> list[list[float]]:
+    """Run the md5-seeded KMEANS_ITERS Lloyd loop over a persisted
+    (vec_id, v) frame and return the trained centroids. Shared by
+    kmeans_query and silhouette_query so both audit the SAME
+    codebook."""
     seeds = (
         emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
@@ -580,6 +571,27 @@ def kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         cents = new_cents
+    return cents
+
+
+def _km_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMEANS_K clusters over the embeddings after KMEANS_ITERS Lloyd
+    rounds: one row per cluster with size, inertia share, and centroid
+    norm (the audit view of a trained coarse quantizer)."""
+    prep(spark)
+    # the trainer drives KMEANS_ITERS+1 jobs over this frame (seeds +
+    # one per Lloyd round); persist so the parquet scan + cast runs
+    # once, not per round (at cluster scale: checkpoint the working
+    # set). Unpersisted before the final lazily-returned plan.
+    emb = _km_corpus(spark, sf_dir).persist()
+    cents = _km_train(emb)
     # training jobs are done; the returned plan recomputes its one
     # final pass from parquet rather than pinning executor memory
     emb.unpersist()
@@ -612,9 +624,11 @@ _KM_DIST = (
 )
 
 
-def _kmeans_sql() -> str:
-    """Unrolled-CTE twin of kmeans_query: md5 seeds, KMEANS_ITERS
-    Lloyd rounds of argmin-assign + DECIMAL-exact centroid update."""
+def _km_cents_ctes() -> tuple[str, str]:
+    """The unrolled k-means training CTE chain (md5 seeds,
+    KMEANS_ITERS Lloyd rounds of argmin-assign + DECIMAL-exact
+    centroid update); returns (ctes, final-centroid CTE name).
+    Shared by the kmeans and silhouette oracles."""
     blocks = []
     prev = "cents0"
     for r in range(1, KMEANS_ITERS + 1):
@@ -641,8 +655,7 @@ def _kmeans_sql() -> str:
     FROM {prev} p LEFT JOIN newc{r} nc USING (cid)
 )""")
         prev = f"cents{r}"
-    return f"""
-WITH emb AS MATERIALIZED (
+    ctes = f"""emb AS MATERIALIZED (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), cents0 AS MATERIALIZED (
     SELECT rn - 1 AS cid, list_transform(v, x -> round(x, 6)) AS c
@@ -651,7 +664,16 @@ WITH emb AS MATERIALIZED (
             ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
         FROM emb)
     WHERE rn <= {KMEANS_K}
-), {", ".join(blocks)}, asgF AS (
+), {", ".join(blocks)}"""
+    return ctes, prev
+
+
+def _kmeans_sql() -> str:
+    """Unrolled-CTE twin of kmeans_query over the shared training
+    chain."""
+    ctes, prev = _km_cents_ctes()
+    return f"""
+WITH {ctes}, asgF AS (
     SELECT vec_id, cid, d2 FROM (
         SELECT e.vec_id, c.cid,
             {_KM_DIST.format(v='e.v', c='c.c')} AS d2,
@@ -670,6 +692,124 @@ SELECT a.cid,
                                (x, y) -> x + y)), 6)) AS centroid_norm
 FROM asgF a JOIN {prev} c USING (cid)
 GROUP BY a.cid
+"""
+
+
+# --------------------------------- simplified silhouette audit
+#
+# Cluster-quality score for the trained k-means codebook: per vector,
+# a = distance to its own (nearest) centroid and b = distance to the
+# SECOND-nearest centroid; s = (b − a)/b ∈ [0, 1] (the simplified /
+# medoid-free silhouette — the full silhouette's pairwise a would be
+# quadratic in members; against centroids it stays one map-side
+# pass). Per cluster: mean/min s and the share of members within
+# SIL_BOUNDARY of the decision boundary — the "is K right / which
+# clusters bleed into each other" dial that inertia alone can't show.
+#
+# Scale: the same broadcast-literal centroid scan as _assign (zero
+# exchanges beyond the K-row final agg). Determinism: a and b come
+# from the shared fold; s is one identical IEEE expression; mean via
+# the round-9-dp DECIMAL sum.
+
+SIL_BOUNDARY = 0.1  # s below this = near the decision boundary
+
+
+def _assign2(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Like _assign but also returns the SECOND-nearest centroid's
+    squared distance (array_sort over (d2, cid) structs — same tie
+    order as the argmin)."""
+    c_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(x) for x in c]).alias("c"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    dists = F.array_sort(
+        F.transform(
+            c_lit,
+            lambda t: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"), t["c"], lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d2"),
+                t["cid"].alias("cid"),
+            ),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        dists[0]["cid"].alias("cid"),
+        dists[0]["d2"].alias("d2"),
+        dists[1]["d2"].alias("d2b"),
+    )
+
+
+def silhouette_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = _km_corpus(spark, sf_dir).persist()
+    cents = _km_train(emb)
+    emb.unpersist()
+    asg = _assign2(emb, cents)
+    a = F.sqrt(F.col("d2"))
+    b = F.sqrt(F.col("d2b"))
+    s = F.when(b > 0, (b - a) / b).otherwise(F.lit(0.0))
+    per_vec = asg.select("cid", s.alias("s"))
+    n = F.count("*")
+    return per_vec.groupBy("cid").agg(
+        n.cast("long").alias("n_members"),
+        F.round(
+            F.sum(F.round(F.col("s"), 9).cast("decimal(20,9)"))
+            .cast("double")
+            / n,
+            6,
+        ).alias("mean_sil"),
+        F.min(F.round(F.col("s"), 6)).alias("min_sil"),
+        F.round(
+            F.sum(
+                F.when(F.col("s") < SIL_BOUNDARY, 1).otherwise(0)
+            ).cast("double")
+            / n,
+            6,
+        ).alias("boundary_frac"),
+    )
+
+
+def _silhouette_sql() -> str:
+    ctes, prev = _km_cents_ctes()
+    return f"""
+WITH {ctes}, asgS AS (
+    SELECT vec_id, cid, d2, rn FROM (
+        SELECT e.vec_id, c.cid,
+            {_KM_DIST.format(v='e.v', c='c.c')} AS d2,
+            ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {_KM_DIST.format(v='e.v', c='c.c')}, c.cid
+            ) AS rn
+        FROM emb e CROSS JOIN {prev} c)
+    WHERE rn <= 2
+), sil AS (
+    SELECT a1.cid,
+        CASE WHEN sqrt(a2.d2) > 0
+             THEN (sqrt(a2.d2) - sqrt(a1.d2)) / sqrt(a2.d2)
+             ELSE 0.0 END AS s
+    FROM asgS a1 JOIN asgS a2
+      ON a1.vec_id = a2.vec_id AND a2.rn = 2
+    WHERE a1.rn = 1
+)
+SELECT cid,
+    CAST(COUNT(*) AS BIGINT) AS n_members,
+    round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(20,9))) AS DOUBLE)
+          / COUNT(*), 6) AS mean_sil,
+    MIN(round(s, 6)) AS min_sil,
+    round(CAST(SUM(CASE WHEN s < {SIL_BOUNDARY} THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*), 6) AS boundary_frac
+FROM sil GROUP BY cid
 """
 
 
@@ -1376,4 +1516,6 @@ REGISTRY = [
     ("emb_outlier_mahal", outlier_mahal_query, OUTLIER_MAHAL_SQL),
     # per-subspace PQ distortion + codeword-utilization audit
     ("sim_pq_distortion", pq_distortion_query, _pq_distortion_sql()),
+    # simplified silhouette (second-nearest-centroid margin) audit
+    ("emb_silhouette", silhouette_query, _silhouette_sql()),
 ]

@@ -442,14 +442,11 @@ UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM a3
 LPA_ROUNDS = 3
 
 
-def label_propagation_query(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    prep(spark)
-    e = _copurchase_edges(spark, sf_dir).persist()
-    sym = e.unionAll(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+def _lpa_labels(sym: DataFrame) -> DataFrame:
+    """LPA_ROUNDS synchronous label-propagation supersteps over the
+    symmetric edge list; returns (node, label). Shared by the
+    community query and the modularity audit so both score the SAME
+    partition."""
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -473,7 +470,20 @@ def label_propagation_query(
                 F.col("a").alias("node"), F.col("m.lbl").alias("label")
             )
         )
-    comm = labels.select("node", F.col("label").alias("community"))
+    return labels
+
+
+def label_propagation_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    e = _copurchase_edges(spark, sf_dir).persist()
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    comm = _lpa_labels(sym).select(
+        "node", F.col("label").alias("community")
+    )
     sizes = comm.groupBy("community").agg(
         F.count("*").alias("community_size")
     )
@@ -496,9 +506,12 @@ def _lpa_round_sql(prev: str, cur: str) -> str:
 )"""
 
 
-LABEL_PROPAGATION_SQL = f"""
+# shared LPA CTE chain (edges → symmetric list → 3 supersteps →
+# communities); both the community listing and the modularity audit
+# select from it
+_LPA_PREFIX_SQL = f"""
 WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e AS (
+e AS MATERIALIZED (
     SELECT a.l_partkey AS a, b.l_partkey AS b
     FROM lp a JOIN lp b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -512,12 +525,121 @@ l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
 {_lpa_round_sql("l2", "l3")},
 comm AS MATERIALIZED (
     SELECT node, label AS community FROM l3
-)
+)"""
+
+LABEL_PROPAGATION_SQL = f"""{_LPA_PREFIX_SQL}
 SELECT c.node, c.community, s.community_size
 FROM comm c JOIN (
     SELECT community, CAST(COUNT(*) AS BIGINT) AS community_size
     FROM comm GROUP BY community
 ) s USING (community)
+"""
+
+
+# ------------------------------------------ community modularity
+#
+# Newman modularity decomposition of the LPA partition: per
+# community c, Q_c = L_c/m − (D_c/2m)² where L_c = intra-community
+# edges, D_c = total degree of its nodes, m = edges. Σ Q_c is the
+# chain's modularity — the "are these communities real structure or
+# noise" score (Q ≈ 0: no better than random; Q ≳ 0.3: strong).
+# Scores the partition graph_label_propagation emits.
+#
+# Scale: two equi-joins of the edge list against the (node,
+# community) map — linear in edges, shuffled on node keys — then
+# |communities|-bounded aggregation; m is a 1-row broadcast.
+# Determinism: every input to the Q formula is an exact integer;
+# the double expression is written identically in both engines.
+
+
+def modularity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    e = _copurchase_edges(spark, sf_dir).persist()
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    comm = (
+        _lpa_labels(sym)
+        .select("node", F.col("label").alias("community"))
+        .persist()  # reused by the degree and both endpoint joins
+    )
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count("*").alias("degree"))
+        .withColumnRenamed("a", "node")
+    )
+    m = e.agg(F.count("*").alias("m_edges"))
+    dc = (
+        comm.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("degree").alias("degree_sum"),
+        )
+    )
+    ca = comm.select(
+        F.col("node").alias("a"), F.col("community").alias("ca")
+    )
+    cb = comm.select(
+        F.col("node").alias("b"), F.col("community").alias("cb")
+    )
+    lc = (
+        e.join(ca, "a")
+        .join(cb, "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy("ca")
+        .agg(F.count("*").alias("intra_edges"))
+        .withColumnRenamed("ca", "community")
+    )
+    intra = F.coalesce(F.col("intra_edges"), F.lit(0))
+    dfrac = F.col("degree_sum").cast("double") / (
+        F.lit(2) * F.col("m_edges")
+    )
+    return (
+        dc.join(lc, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            intra.cast("long").alias("intra_edges"),
+            (
+                F.round(
+                    intra.cast("double") / F.col("m_edges")
+                    - dfrac * dfrac,
+                    6,
+                )
+                + F.lit(0.0)  # −0.0 → +0.0 (cross-engine canon)
+            ).alias("q_contrib"),
+        )
+    )
+
+
+MODULARITY_SQL = f"""{_LPA_PREFIX_SQL},
+deg AS (SELECT a AS node, COUNT(*) AS degree FROM sym GROUP BY a),
+m AS (SELECT COUNT(*) AS m_edges FROM e),
+dc AS (
+    SELECT c.community, COUNT(*) AS n_nodes,
+        SUM(d.degree) AS degree_sum
+    FROM comm c JOIN deg d USING (node)
+    GROUP BY c.community
+),
+lc AS (
+    SELECT ca.community, COUNT(*) AS intra_edges
+    FROM e JOIN comm ca ON e.a = ca.node
+           JOIN comm cb ON e.b = cb.node
+    WHERE ca.community = cb.community
+    GROUP BY ca.community
+)
+SELECT d.community,
+    CAST(d.n_nodes AS BIGINT) AS n_nodes,
+    CAST(d.degree_sum AS BIGINT) AS degree_sum,
+    CAST(COALESCE(l.intra_edges, 0) AS BIGINT) AS intra_edges,
+    round(CAST(COALESCE(l.intra_edges, 0) AS DOUBLE) / m_edges
+          - (CAST(d.degree_sum AS DOUBLE) / (2 * m_edges))
+            * (CAST(d.degree_sum AS DOUBLE) / (2 * m_edges)),
+          6) + 0.0 AS q_contrib
+FROM dc d LEFT JOIN lc l USING (community) CROSS JOIN m
 """
 
 
@@ -529,4 +651,6 @@ REGISTRY = [
     # synchronous LPA communities (fixed rounds, min-label ties)
     ("graph_label_propagation", label_propagation_query,
      LABEL_PROPAGATION_SQL),
+    # Newman modularity decomposition of the LPA partition
+    ("graph_modularity", modularity_query, MODULARITY_SQL),
 ]

@@ -1062,6 +1062,156 @@ FROM lagged WHERE prev_events IS NOT NULL
 """
 
 
+# ------------------------------------ Theil–Sen robust trend slope
+#
+# The robust complement of ts_trend_ols: the median of all pairwise
+# slopes (y_j − y_i)/(x_j − x_i) over the per-type daily-count
+# series, plus the matching median-residual intercept. Breakdown
+# point ~29% — a burst day that drags the OLS line barely moves
+# this one; the OLS-vs-Theil-Sen gap is the outlier alarm.
+#
+# Scale: the pair join is over the (type, day) DAILY table, which is
+# bounded by types × span-days regardless of event volume — days²
+# pairs per type is thousands of rows, not corpus-sized; the only
+# corpus-scaled stage is the daily count agg (map-side combine).
+# Determinism: slopes are ratios of exact integers (identical IEEE
+# division both engines); the median avoids interpolation-formula
+# drift by explicitly averaging the two middle elements under a
+# total (slope, x1, x2) order — AVG over ≤2 doubles is the same
+# sum/2 in both engines. Residuals use the 6-dp-rounded slope so
+# both engines fold identical inputs.
+
+# middle ranks (1-indexed): Spark SQL spells integer division `div`,
+# DuckDB spells it `//` — same floor semantics on positive ints
+_TS_K1 = "(n_pairs + 1) div 2"  # lower-middle rank (Spark)
+_TS_K2 = "n_pairs div 2 + 1"  # upper-middle rank (Spark)
+
+
+def theil_sen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    d0 = ev.agg(
+        F.min(F.expr(_TREND_DAY)).alias("day0")
+    )
+    daily = (
+        ev.groupBy("event_type", F.expr(_TREND_DAY).alias("day"))
+        .agg(F.count("*").alias("y"))
+        .crossJoin(F.broadcast(d0))
+        .select(
+            "event_type", (F.col("day") - F.col("day0")).alias("x"), "y"
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+    wp = W.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number()
+        .over(wp.orderBy("slope", "x1", "x2"))
+        .alias("rn"),
+        F.count("*").over(wp).alias("n_pairs"),
+    )
+    med = (
+        ranked.where(
+            (F.col("rn") == F.expr(_TS_K1))
+            | (F.col("rn") == F.expr(_TS_K2))
+        )
+        .groupBy("event_type", "n_pairs")
+        .agg(F.round(F.avg("slope"), 6).alias("ts_slope"))
+    )
+    resid = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_pairs",
+        "ts_slope",
+        (
+            F.col("y").cast("double")
+            - F.col("ts_slope") * F.col("x").cast("double")
+        ).alias("r"),
+    )
+    wr = W.partitionBy("event_type")
+    rranked = resid.select(
+        "event_type",
+        "n_pairs",
+        "ts_slope",
+        "r",
+        F.row_number().over(wr.orderBy("r")).alias("rn"),
+        F.count("*").over(wr).alias("n_days"),
+    )
+    k1 = "(n_days + 1) div 2"
+    k2 = "n_days div 2 + 1"
+    return (
+        rranked.where(
+            (F.col("rn") == F.expr(k1)) | (F.col("rn") == F.expr(k2))
+        )
+        .groupBy("event_type", "n_days", "n_pairs", "ts_slope")
+        .agg(F.round(F.avg("r"), 6).alias("ts_intercept"))
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "ts_slope",
+            "ts_intercept",
+        )
+    )
+
+
+THEIL_SEN_SQL = f"""
+WITH d0 AS (
+    SELECT MIN(epoch_ms(ts) // 86400000) AS day0 FROM events
+), daily AS MATERIALIZED (
+    SELECT event_type, epoch_ms(ts) // 86400000 - day0 AS x,
+        COUNT(*) AS y
+    FROM events CROSS JOIN d0 GROUP BY 1, 2
+), pairs AS (
+    SELECT a.event_type, a.x AS x1, b.x AS x2,
+        CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.x < b.x
+), ranked AS (
+    SELECT event_type, slope,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY slope, x1, x2) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+    FROM pairs
+), med AS (
+    SELECT event_type, n_pairs, round(AVG(slope), 6) AS ts_slope
+    FROM ranked
+    WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
+    GROUP BY event_type, n_pairs
+), resid AS (
+    SELECT d.event_type, m.n_pairs, m.ts_slope,
+        CAST(d.y AS DOUBLE) - m.ts_slope * CAST(d.x AS DOUBLE) AS r
+    FROM daily d JOIN med m USING (event_type)
+), rranked AS (
+    SELECT event_type, n_pairs, ts_slope, r,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n_days
+    FROM resid
+)
+SELECT event_type,
+    CAST(n_days AS BIGINT) AS n_days,
+    CAST(n_pairs AS BIGINT) AS n_pairs,
+    ts_slope,
+    round(AVG(r), 6) AS ts_intercept
+FROM rranked
+WHERE rn = (n_days + 1) // 2 OR rn = n_days // 2 + 1
+GROUP BY event_type, n_days, n_pairs, ts_slope
+"""
+
+
 REGISTRY = [
     ("temporal_asof_join", asof_join_query, ASOF_JOIN_SQL),
     ("temporal_range_join", range_join_query, RANGE_JOIN_SQL),
@@ -1076,4 +1226,6 @@ REGISTRY = [
     ("ts_trend_ols", trend_ols_query, TREND_OLS_SQL),
     # discrete week-over-week growth over observed weeks
     ("events_wow_growth", wow_growth_query, WOW_GROWTH_SQL),
+    # Theil–Sen median-of-pairwise-slopes robust trend
+    ("ts_theil_sen", theil_sen_query, THEIL_SEN_SQL),
 ]

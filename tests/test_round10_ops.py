@@ -157,3 +157,134 @@ def test_pq_distortion_shape_and_bounds(spark, sf_dir):
     for r in got:
         assert 1 <= r["n_codes_used"] <= PQ_K
         assert 0.0 <= r["mean_d2"] <= r["max_d2"] + 1e-12
+
+
+# ------------------------------------ Theil–Sen robust trend slope
+
+
+def test_theil_sen_robust_to_outlier_day(spark, tmp_path):
+    """Daily counts follow 10 + 2·day except one burst day; the
+    median-of-pairwise-slopes stays at the true 2.0/day while OLS
+    would be dragged."""
+    import datetime
+    from replicator_spark.queries.temporal import theil_sen_query
+
+    base = str(tmp_path)
+    rows = []
+    eid = 0
+    for d in range(8):
+        n = 10 + 2 * d if d != 4 else 500  # burst on day 4
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    1,
+                    "A",
+                    datetime.datetime(2024, 1, 1 + d, 0, 0, i % 60, i),
+                    1.0,
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    ).write.parquet(os.path.join(base, "events.parquet"))
+    r = theil_sen_query(spark, base).collect()[0]
+    assert r["n_days"] == 8
+    assert r["n_pairs"] == 28
+    assert abs(r["ts_slope"] - 2.0) < 1e-9
+
+
+def test_theil_sen_agrees_with_ols_on_clean_series(spark, sf_dir):
+    """On the real events table the two slope estimates should be the
+    same order of magnitude (no synthetic bursts)."""
+    from replicator_spark.queries.temporal import (
+        theil_sen_query,
+        trend_ols_query,
+    )
+
+    ts = {
+        r["event_type"]: r["ts_slope"]
+        for r in theil_sen_query(spark, sf_dir).collect()
+    }
+    ols = {
+        r["event_type"]: r["slope_per_day"]
+        for r in trend_ols_query(spark, sf_dir).collect()
+    }
+    assert set(ts) == set(ols)
+    for k in ts:
+        assert abs(ts[k] - ols[k]) < max(5.0, abs(ols[k]))
+
+
+# --------------------------------- simplified silhouette audit
+
+
+def test_silhouette_shape_and_bounds(spark, sf_dir):
+    from replicator_spark.pipeline.vectors import (
+        KMEANS_K,
+        silhouette_query,
+    )
+
+    got = silhouette_query(spark, sf_dir).collect()
+    assert 1 <= len(got) <= KMEANS_K
+    for r in got:
+        assert 0.0 <= r["mean_sil"] <= 1.0
+        assert r["min_sil"] <= r["mean_sil"] + 1e-12
+        assert 0.0 <= r["boundary_frac"] <= 1.0
+
+
+def test_silhouette_members_match_kmeans(spark, sf_dir):
+    """Both audits score the same codebook: member counts per cluster
+    must agree with emb_kmeans."""
+    from replicator_spark.pipeline.vectors import (
+        kmeans_query,
+        silhouette_query,
+    )
+
+    sil = {
+        r["cid"]: r["n_members"]
+        for r in silhouette_query(spark, sf_dir).collect()
+    }
+    km = {
+        r["cid"]: r["n_members"]
+        for r in kmeans_query(spark, sf_dir).collect()
+    }
+    assert sil == km
+
+
+# ------------------------------------------ community modularity
+
+
+def test_modularity_invariants(spark, sf_dir):
+    """Degree sums total 2m, intra edges total ≤ m, and ΣQ_c lands in
+    (−1, 1]."""
+    from replicator_spark.queries.graph import modularity_query
+
+    got = modularity_query(spark, sf_dir).collect()
+    assert len(got) >= 2
+    deg_total = sum(r["degree_sum"] for r in got)
+    intra_total = sum(r["intra_edges"] for r in got)
+    assert deg_total % 2 == 0
+    m = deg_total // 2
+    assert intra_total <= m
+    q = sum(r["q_contrib"] for r in got)
+    assert -1.0 < q <= 1.0
+
+
+def test_modularity_matches_lpa_partition(spark, sf_dir):
+    """The modularity rows cover exactly the LPA communities with the
+    same node counts."""
+    from replicator_spark.queries.graph import (
+        label_propagation_query,
+        modularity_query,
+    )
+
+    mod = {
+        r["community"]: r["n_nodes"]
+        for r in modularity_query(spark, sf_dir).collect()
+    }
+    lpa = {}
+    for r in label_propagation_query(spark, sf_dir).collect():
+        lpa[r["community"]] = r["community_size"]
+    assert mod == lpa
