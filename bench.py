@@ -96,6 +96,11 @@ HEADLINE = [
     "ts_theil_sen",
     "emb_silhouette",
     "graph_modularity",
+    "events_pareto_share",
+    "graph_link_prediction",
+    "text_mattr_diversity",
+    "sim_hamming_recall",
+    "tm_timetravel_counts",
 ]
 
 

@@ -55,15 +55,17 @@ Rotation map (which driver run produced each operator's green row):
   cover (CDC apply/seek/validate/bootstrap/diff, tm history/
   compaction/SCD2, the four sinks, schema history+compat, and the
   windowed/dedup/txn streams).
-- round 8 queue (entries 51-70): the twenty round-7 additions
+- round 8 queue (entries 51-75): the twenty-five round-7 additions
   (dedup_substring_spans, curate_dsir_weights, curate_ccnet_buckets,
   sketch_ams_f2, sim_mmr_select, stats_ols_multi,
   cdc_metrics_report, emb_outlier_mahal, corpus_dispersion_dp,
   curate_dsir_sample, text_token_entropy, events_wow_growth,
   sim_nprobe_sweep, text_code_detect, text_readability,
   events_entropy_rate, sim_pq_distortion, ts_theil_sen,
-  emb_silhouette, graph_modularity) — placed directly after the
-  window so they rotate in next round without displacing it.
+  emb_silhouette, graph_modularity, events_pareto_share,
+  graph_link_prediction, text_mattr_diversity, sim_hamming_recall,
+  tm_timetravel_counts) — placed directly after the window so they
+  rotate in next round without displacing it.
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -164,6 +166,11 @@ _PRIORITY = [
     "ts_theil_sen",
     "emb_silhouette",
     "graph_modularity",
+    "events_pareto_share",
+    "graph_link_prediction",
+    "text_mattr_diversity",
+    "sim_hamming_recall",
+    "tm_timetravel_counts",
     # ========= BELOW THE WINDOW: driver-green r6 (r6 window) =========
     "corpus_source_overlap",
     "corpus_entropy_kl",
@@ -479,6 +486,8 @@ def _load() -> None:
              timemachine.SNAPSHOT_DELTA_SQL)
     register("tm_version_depth", timemachine.version_depth_query,
              timemachine.VERSION_DEPTH_SQL)
+    register("tm_timetravel_counts", timemachine.timetravel_counts_query,
+             timemachine.TIMETRAVEL_COUNTS_SQL)
 
     for mod in (
         seeker, validation, bootstrap, source_formats, jsonb, apply,

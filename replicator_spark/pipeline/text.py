@@ -586,6 +586,111 @@ FROM feats
 """
 
 
+# ----------------------------------------- MATTR lexical diversity
+#
+# Moving-Average Type-Token Ratio (Covington & McFall): plain TTR
+# (distinct/total tokens) collapses as documents grow, so quality
+# pipelines use the window-normalized variant — the mean TTR over
+# every sliding MATTR_W-token window. Low MATTR = template/boiler-
+# plate churn even when the global TTR looks healthy; documents
+# shorter than the window fall back to plain TTR over one window.
+#
+# Scale: entirely map-side — each document's windows come from a
+# transform over ITS OWN token array (no explode, no shuffle); the
+# output is one row per document. Window work is O(n_tokens × W)
+# per doc, W constant. Determinism: each window ratio folds as
+# integer NANO-units — floor(distinct/w · 1e9 + 0.5) is the same
+# IEEE divide/multiply/add/floor in both engines — so the per-doc
+# sum is an exact BIGINT; final values rounded to 6 dp.
+
+MATTR_W = 25
+
+
+def mattr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    n = F.size(F.col("toks"))
+    win = F.when(n > MATTR_W, n - MATTR_W + 1).otherwise(F.lit(1))
+    wlen = F.least(n, F.lit(MATTR_W))
+    ratios = F.transform(
+        F.sequence(F.lit(1), F.col("n_windows")),
+        lambda i: F.floor(
+            F.size(
+                F.array_distinct(F.slice(F.col("toks"), i, MATTR_W))
+            ).cast("double")
+            / F.col("w_len").cast("double")
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ),
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            "toks",
+            n.alias("n_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_types"),
+            win.alias("n_windows"),
+            wlen.alias("w_len"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ttr"),
+            F.round(
+                F.aggregate(
+                    ratios,
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.lit(1e9)
+                / F.col("n_windows").cast("double"),
+                6,
+            ).alias("mattr"),
+        )
+    )
+
+
+MATTR_SQL = f"""
+WITH toked AS (
+    SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), t -> t <> '')
+            AS toks
+    FROM documents
+), base AS (
+    SELECT doc_id, toks, len(toks) AS n_tokens,
+        len(list_distinct(toks)) AS n_types,
+        CASE WHEN len(toks) > {MATTR_W}
+             THEN len(toks) - {MATTR_W} + 1 ELSE 1 END AS n_windows,
+        LEAST(len(toks), {MATTR_W}) AS w_len
+    FROM toked WHERE len(toks) >= 1
+)
+SELECT doc_id,
+    CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(n_types AS BIGINT) AS n_types,
+    CAST(n_windows AS BIGINT) AS n_windows,
+    round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        AS ttr,
+    round(CAST(list_reduce(
+            list_transform(range(1, n_windows + 1),
+                i -> CAST(floor(
+                    CAST(len(list_distinct(toks[i:i + {MATTR_W} - 1]))
+                         AS DOUBLE)
+                    / CAST(w_len AS DOUBLE) * 1e9 + 0.5) AS BIGINT)),
+            (x, y) -> x + y) AS DOUBLE) / 1e9
+          / CAST(n_windows AS DOUBLE), 6) AS mattr
+FROM base
+"""
+
+
 REGISTRY = [
     ("text_token_count", token_count_query, TOKEN_COUNT_SQL),
     ("text_normalize", normalize_query, NORMALIZE_SQL),
@@ -601,4 +706,6 @@ REGISTRY = [
     ("text_code_detect", code_detect_query, CODE_DETECT_SQL),
     # Flesch reading-ease (vowel-run syllable proxy, map-side)
     ("text_readability", readability_query, READABILITY_SQL),
+    # MATTR moving-window lexical diversity (map-side)
+    ("text_mattr_diversity", mattr_query, MATTR_SQL),
 ]

@@ -618,6 +618,111 @@ FROM per_src CROSS JOIN tot
 """
 
 
+# --------------------------------------------- user concentration
+#
+# Pareto/Lorenz concentration audit of event volume: per event_type,
+# how much of the traffic the heaviest users generate — the share of
+# the single top user and of the top decile (ceil(10%) of users,
+# heaviest first). The "is this signal a few whales or the crowd"
+# dial behind abuse triage, sampling design, and per-user rate caps.
+#
+# Scale: the only corpus-sized stage is the (event_type, user_id)
+# count agg (combiner-backed). The per-user counts then COMPRESS to a
+# (event_type, count, n_users_with_count) histogram — bounded by the
+# number of DISTINCT count values, not the number of users — and the
+# decile sum runs over that tiny table with exact tie-splitting at
+# the boundary bucket (take only top_k − cum_prev of a tied bucket's
+# users). Never a per-user rank window (millions of users per type
+# would funnel through one partition's sort).
+# Determinism: pure integer arithmetic until the two final ratios.
+
+
+def pareto_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    uc = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("c")
+    )
+    hist = uc.groupBy("event_type", "c").agg(
+        F.count("*").alias("nu")
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("nu")).alias("n_events"),
+        F.sum("nu").alias("n_users"),
+        F.max("c").alias("top_c"),
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("c").desc())
+    cum = hist.select(
+        "event_type",
+        "c",
+        "nu",
+        (F.sum("nu").over(w) - F.col("nu")).alias("cum_prev"),
+    )
+    j = cum.join(F.broadcast(tot), "event_type")
+    top_k = F.floor((F.col("n_users") + 9) / 10)  # ceil(n_users/10)
+    take = F.least(F.col("nu").cast("long"),
+                   (top_k - F.col("cum_prev")).cast("long"))
+    contrib = F.when(take > 0, take * F.col("c")).otherwise(F.lit(0))
+    return (
+        j.groupBy("event_type", "n_events", "n_users", "top_c")
+        .agg(F.sum(contrib).alias("top_decile_events"))
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("top_decile_events").cast("long").alias(
+                "top_decile_events"
+            ),
+            F.round(
+                F.col("top_c").cast("double")
+                / F.col("n_events").cast("double"),
+                6,
+            ).alias("top_user_share"),
+            F.round(
+                F.col("top_decile_events").cast("double")
+                / F.col("n_events").cast("double"),
+                6,
+            ).alias("top_decile_share"),
+        )
+    )
+
+
+PARETO_SHARE_SQL = """
+WITH uc AS (
+    SELECT event_type, user_id, COUNT(*) AS c
+    FROM events GROUP BY event_type, user_id
+), hist AS (
+    SELECT event_type, c, COUNT(*) AS nu
+    FROM uc GROUP BY event_type, c
+), tot AS (
+    SELECT event_type, SUM(c * nu) AS n_events, SUM(nu) AS n_users,
+        MAX(c) AS top_c
+    FROM hist GROUP BY event_type
+), cum AS (
+    SELECT event_type, c, nu,
+        SUM(nu) OVER (PARTITION BY event_type ORDER BY c DESC) - nu
+            AS cum_prev
+    FROM hist
+), j AS (
+    SELECT cum.event_type, n_events, n_users, top_c,
+        GREATEST(LEAST(CAST(nu AS BIGINT),
+            CAST((n_users + 9) // 10 - cum_prev AS BIGINT)), 0) * c
+            AS contrib
+    FROM cum JOIN tot ON cum.event_type = tot.event_type
+)
+SELECT event_type,
+    CAST(n_events AS BIGINT) AS n_events,
+    CAST(n_users AS BIGINT) AS n_users,
+    CAST(SUM(contrib) AS BIGINT) AS top_decile_events,
+    round(CAST(top_c AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+        AS top_user_share,
+    round(CAST(SUM(contrib) AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+        AS top_decile_share
+FROM j
+GROUP BY event_type, n_events, n_users, top_c
+"""
+
+
 REGISTRY = [
     ("window_analytics", window_analytics_query, WINDOW_ANALYTICS_SQL),
     ("pivot_orders", pivot_orders_query, PIVOT_ORDERS_SQL),
@@ -629,6 +734,8 @@ REGISTRY = [
     ("events_markov_transitions", markov_transitions_query,
      MARKOV_TRANSITIONS_SQL),
     ("events_top_paths", top_paths_query, TOP_PATHS_SQL),
+    # Pareto/Lorenz user-concentration audit (whales vs crowd)
+    ("events_pareto_share", pareto_share_query, PARETO_SHARE_SQL),
     # Markov-chain entropy rate (per-state conditional entropies)
     ("events_entropy_rate", entropy_rate_query, ENTROPY_RATE_SQL),
 ]

@@ -643,6 +643,100 @@ FROM dc d LEFT JOIN lc l USING (community) CROSS JOIN m
 """
 
 
+# ------------------------------------------------ link prediction
+#
+# Common-neighbors / Jaccard link prediction over the co-purchase
+# graph: for every NON-adjacent pair (u, w) sharing at least one
+# neighbor, cn = |N(u) ∩ N(w)| and jaccard = cn / (|N(u)| + |N(w)|
+# − cn); the LP_TOP highest-scored pairs are the "products most
+# likely to be bought together next" recommendation seed.
+#
+# Scale: wedge enumeration (two equi-joins of the symmetric edge
+# list through the shared middle node) — Σ_m deg(m)² rows, the same
+# propose shape as the triangle counter; at 100 TB the standard
+# refinement is capping/salting hub middles (documented at the
+# triangle op), never a cartesian. The degree table is node-sized
+# and broadcasts; the final top-N is TakeOrderedAndProject.
+# Determinism: cn/degrees are exact integers; jaccard is one IEEE
+# division on identical inputs; (u, w) breaks every tie totally.
+
+LP_TOP = 20
+
+
+def link_prediction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    e = _copurchase_edges(spark, sf_dir).persist()
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    s1 = sym.select(F.col("a").alias("m"), F.col("b").alias("u"))
+    s2 = sym.select(F.col("a").alias("m"), F.col("b").alias("w"))
+    cn = (
+        s1.join(s2, "m")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("cn"))
+    )
+    nonadj = cn.join(
+        e.select(F.col("a").alias("u"), F.col("b").alias("w")),
+        ["u", "w"],
+        "anti",
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("a").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("a").alias("w"), F.col("d").alias("dw"))
+    scored = (
+        nonadj.join(F.broadcast(du), "u")
+        .join(F.broadcast(dw), "w")
+        .select(
+            "u",
+            "w",
+            F.col("cn").cast("long").alias("cn"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dw") - F.col("cn")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("cn").desc(), "u", "w"
+    ).limit(LP_TOP)
+
+
+LINK_PREDICTION_SQL = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {TRI_SUPPORT}
+),
+sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+cn AS (
+    SELECT s1.b AS u, s2.b AS w, COUNT(*) AS cn
+    FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+    GROUP BY 1, 2
+),
+nonadj AS (
+    SELECT u, w, cn FROM cn
+    WHERE NOT EXISTS (
+        SELECT 1 FROM e WHERE e.a = cn.u AND e.b = cn.w)
+),
+deg AS (SELECT a AS n, COUNT(*) AS d FROM sym GROUP BY a)
+SELECT u, w, CAST(cn AS BIGINT) AS cn,
+    round(CAST(cn AS DOUBLE)
+          / CAST(du.d + dw.d - cn AS DOUBLE), 6) AS jaccard
+FROM nonadj JOIN deg du ON nonadj.u = du.n
+            JOIN deg dw ON nonadj.w = dw.n
+ORDER BY jaccard DESC, cn DESC, u, w
+LIMIT {LP_TOP}
+"""
+
+
 REGISTRY = [
     ("graph_pagerank", pagerank_query, PAGERANK_SQL),
     ("graph_triangles", triangles_query, TRIANGLES_SQL),
@@ -653,4 +747,7 @@ REGISTRY = [
      LABEL_PROPAGATION_SQL),
     # Newman modularity decomposition of the LPA partition
     ("graph_modularity", modularity_query, MODULARITY_SQL),
+    # common-neighbors / Jaccard link prediction (top pairs)
+    ("graph_link_prediction", link_prediction_query,
+     LINK_PREDICTION_SQL),
 ]

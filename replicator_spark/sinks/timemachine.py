@@ -733,3 +733,86 @@ SELECT h.table_name, depth, n_keys,
 FROM hist h JOIN tot USING (table_name)
 """
 )
+
+
+# ------------------------------------------------ time-travel sweep
+#
+# Table-cardinality time travel: row counts of every table as-of K
+# fixed cutoffs in one pass — the HBase multi-timestamp Scan audit
+# ("how did this table's live row count evolve") consumers run after
+# a backfill or a retention change. For each cutoff, a row is ALIVE
+# if its latest row_status cell at-or-before the cutoff is not the
+# 'D' tombstone (same rule as asof_snapshot,
+# HBaseApplierMutationGenerator.java:113-334's delete marker).
+#
+# Scale: only row_status cells enter the plan (one per row VERSION,
+# not per cell); the K cutoffs fan out map-side (K×versions rows)
+# into ONE combiner-backed max_by shuffle keyed by (cutoff, table,
+# rowkey) — never K separate snapshot scans. K is constant.
+# Determinism: max_by on the exact (version_us, event_id) total
+# order; outputs are integers.
+
+TT_CUTOFFS_US = (
+    1_704_672_000_000_000,  # 2024-01-08T00:00:00Z
+    1_705_276_800_000_000,  # 2024-01-15
+    1_705_881_600_000_000,  # 2024-01-22
+    SNAPSHOT_CUTOFF_US,     # 2024-03-01 (end of history)
+)
+
+
+def timetravel_counts_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    status = timemachine_cells(spark, sf_dir).where(
+        F.col("column_name") == "row_status"
+    )
+    fan = status.select(
+        "table_name",
+        "rowkey",
+        "cell_value",
+        "version_us",
+        "event_id",
+        F.explode(
+            F.array(*[F.lit(c) for c in TT_CUTOFFS_US])
+        ).alias("cutoff_us"),
+    ).where(F.col("version_us") <= F.col("cutoff_us"))
+    latest = fan.groupBy("cutoff_us", "table_name", "rowkey").agg(
+        F.max_by(
+            "cell_value", F.struct("version_us", "event_id")
+        ).alias("st")
+    )
+    return latest.groupBy("cutoff_us", "table_name").agg(
+        F.count("*").alias("n_rows_seen"),
+        F.sum((F.col("st") != "D").cast("long")).alias("n_alive"),
+        F.sum((F.col("st") == "D").cast("long")).alias("n_deleted"),
+    )
+
+
+TIMETRAVEL_COUNTS_SQL = (
+    "WITH cells AS ("
+    + TIMEMACHINE_CELLS_SQL
+    + f"""
+), cuts AS (
+    SELECT unnest([{", ".join(str(c) for c in TT_CUTOFFS_US)}])
+        AS cutoff_us
+), fan AS (
+    SELECT cutoff_us, table_name, rowkey, cell_value, version_us,
+        event_id
+    FROM cells CROSS JOIN cuts
+    WHERE column_name = 'row_status' AND version_us <= cutoff_us
+), latest AS (
+    SELECT cutoff_us, table_name, rowkey,
+        max_by(cell_value,
+               CAST(version_us AS HUGEINT) * 10000000000 + event_id)
+            AS st
+    FROM fan GROUP BY cutoff_us, table_name, rowkey
+)
+SELECT cutoff_us, table_name,
+    CAST(COUNT(*) AS BIGINT) AS n_rows_seen,
+    CAST(SUM(CASE WHEN st <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_alive,
+    CAST(SUM(CASE WHEN st = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_deleted
+FROM latest GROUP BY cutoff_us, table_name
+"""
+)
