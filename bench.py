@@ -101,6 +101,10 @@ HEADLINE = [
     "text_mattr_diversity",
     "sim_hamming_recall",
     "tm_timetravel_counts",
+    "corpus_term_burstiness",
+    "agg_grouping_sets",
+    "events_conversion_latency",
+    "emb_jl_fidelity",
 ]
 
 

@@ -407,6 +407,94 @@ FROM bi JOIN uni u1 ON bi.w1 = u1.w
 """
 
 
+# ---------------------------------------------- term burstiness
+#
+# Church–Gale burstiness of the corpus's heaviest terms: the Fano
+# factor (variance-to-mean ratio) of a term's PER-DOCUMENT count,
+# zeros included. A Poisson-scattered term has fano ≈ 1; content
+# words cluster (a doc that mentions a term mentions it again) and
+# score ≫ 1, while function words sit near 1 — the signal behind
+# stop-word induction, keyword weighting, and template detection.
+#
+# Scale: one token explode → (term, doc) combiner count → one
+# moment agg per term (S1 = Σk, S2 = Σk², both over docs CONTAINING
+# the term; the all-docs zeros enter via the closed form using the
+# broadcast corpus doc count N: mean = S1/N, var = S2/N − mean²).
+# Top-terms ranked by total count with term tiebreak. Determinism:
+# moments are exact integers; fano is one IEEE expression.
+
+BURST_TOP = 30
+
+
+def term_burstiness_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    per_doc = tok.groupBy("term", "doc_id").agg(
+        F.count("*").alias("k")
+    )
+    mom = per_doc.groupBy("term").agg(
+        F.count("*").alias("n_docs_with"),
+        F.sum("k").alias("s1"),
+        F.sum(F.col("k") * F.col("k")).alias("s2"),
+    )
+    w = W.orderBy(F.col("s1").desc(), F.col("term").asc())
+    top = (
+        mom.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BURST_TOP)
+        .crossJoin(F.broadcast(nd))
+    )
+    mean = F.col("s1").cast("double") / F.col("n_docs").cast("double")
+    var = (
+        F.col("s2").cast("double") / F.col("n_docs").cast("double")
+        - mean * mean
+    )
+    return top.select(
+        "rank",
+        "term",
+        F.col("n_docs_with").cast("long").alias("n_docs_with"),
+        F.col("s1").cast("long").alias("total_count"),
+        F.round(mean, 6).alias("mean_per_doc"),
+        F.round(var / mean, 6).alias("fano"),
+    )
+
+
+TERM_BURSTINESS_SQL = f"""
+WITH nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+tok AS (
+    SELECT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+            AS term
+    FROM documents
+), per_doc AS (
+    SELECT term, doc_id, COUNT(*) AS k FROM tok GROUP BY term, doc_id
+), mom AS (
+    SELECT term, COUNT(*) AS n_docs_with, SUM(k) AS s1,
+        SUM(k * k) AS s2
+    FROM per_doc GROUP BY term
+), top AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY s1 DESC, term ASC) AS rank
+    FROM mom
+)
+SELECT rank, term,
+    CAST(n_docs_with AS BIGINT) AS n_docs_with,
+    CAST(s1 AS BIGINT) AS total_count,
+    round(CAST(s1 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        AS mean_per_doc,
+    round((CAST(s2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+          / (CAST(s1 AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6) AS fano
+FROM top CROSS JOIN nd
+WHERE rank <= {BURST_TOP}
+"""
+
+
 REGISTRY = [
     ("text_repetition", repetition_query, REPETITION_SQL),
     ("text_pii_scrub", pii_scrub_query, PII_SCRUB_SQL),
@@ -414,4 +502,7 @@ REGISTRY = [
     ("text_inverted_index", inverted_index_query, INVERTED_INDEX_SQL),
     ("text_tfidf", tfidf_query, TFIDF_SQL),
     ("text_pmi_bigrams", pmi_bigrams_query, PMI_BIGRAMS_SQL),
+    # Church–Gale Fano-factor burstiness of the heaviest terms
+    ("corpus_term_burstiness", term_burstiness_query,
+     TERM_BURSTINESS_SQL),
 ]

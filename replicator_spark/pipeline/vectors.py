@@ -1497,6 +1497,144 @@ SELECT rank, vec_id, mahal_sq FROM (
 """
 
 
+# --------------------------------- Johnson–Lindenstrauss fidelity
+#
+# Random-projection audit: project every embedding 64 → JL_D dims
+# with a fixed Rademacher (±1) matrix scaled by 1/√JL_D (the JL
+# construction — E‖Px‖² = ‖x‖²) and measure, per query vector, how
+# faithfully pairwise squared distances survive: ratio = ‖Pq−Pc‖² /
+# ‖q−c‖² per candidate, reported as mean / min / max. This is the
+# dimensionality-reduction counterpart of the PQ-distortion and
+# Matryoshka audits — the "can we shuffle 4× fewer bytes in the
+# dedup/ANN pipeline" dial.
+#
+# Scale: projection is map-side (JL_D folds per vector, fused into
+# the scan); the audit pairs are |Q|·N with broadcast queries — the
+# same linear brute-force shape as sim_cosine_topk. The Rademacher
+# matrix is a deterministic md5-derived LITERAL (computed once in
+# Python, embedded in both engines' plans — no RNG, no state).
+# Determinism: both d² folds are sequential zip folds; the per-pair
+# ratio is one IEEE division; means fold as integer nano-units.
+
+JL_D = 16
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic Rademacher entry: ±1 from the first hex digit
+    of md5('jl_{i}_{j}')."""
+    import hashlib
+
+    h = hashlib.md5(f"jl_{i}_{j}".encode()).hexdigest()[0]
+    return 1 if int(h, 16) < 8 else -1
+
+
+_JL_ROWS = [[_jl_sign(i, j) for j in range(64)] for i in range(JL_D)]
+_JL_SCALE = _math.sqrt(JL_D)
+
+
+def _jl_project(v: Column) -> Column:
+    """Map-side JL projection: JL_D sequential signed folds."""
+    comps = []
+    for row in _JL_ROWS:
+        signs = F.array(*[F.lit(float(s)) for s in row])
+        comps.append(
+            F.aggregate(
+                F.zip_with(v, signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(_JL_SCALE)
+        )
+    return F.array(*comps)
+
+
+def jl_fidelity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    proj = emb.select("vec_id", "v", _jl_project(F.col("v")).alias("y"))
+    q = proj.where(F.col("vec_id") < JL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("y").alias("qy"),
+    )
+    d2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        proj.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            d2(F.col("qy"), F.col("y")).alias("d2y"),
+            d2(F.col("qv"), F.col("v")).alias("d2v"),
+        )
+        # exact-duplicate guard: a zero original distance would make
+        # the ratio 0/0 (NaN) — exclude, don't propagate
+        .where(F.col("d2v") > 0)
+        .select("query_id", (F.col("d2y") / F.col("d2v")).alias("ratio"))
+    )
+    return pairs.groupBy("query_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum(F.floor(F.col("ratio") * 1e9 + 0.5)).cast("double")
+            / 1e9
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+    )
+
+
+JL_QUERIES = 8
+
+
+def _jl_sql() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(f"{s}.0" for s in row) + "]" for row in _JL_ROWS
+    )
+    proj = (
+        f"list_transform([{rows}], r -> "
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> v[i] * r[i]), (x, y) -> x + y) "
+        f"/ sqrt({JL_D}.0))"
+    )
+    d2v = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> (q.qv[i] - p.v[i]) * (q.qv[i] - p.v[i])), (x, y) -> x + y)"
+    )
+    d2y = (
+        f"list_reduce(list_transform(range(1, {JL_D + 1}), "
+        "i -> (q.qy[i] - p.y[i]) * (q.qy[i] - p.y[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), proj AS MATERIALIZED (
+    SELECT vec_id, v, {proj} AS y FROM emb
+), q AS (
+    SELECT vec_id AS query_id, v AS qv, y AS qy
+    FROM proj WHERE vec_id < {JL_QUERIES}
+), pairs AS (
+    SELECT query_id, d2y / d2v AS ratio FROM (
+        SELECT q.query_id, ({d2y}) AS d2y, ({d2v}) AS d2v
+        FROM proj p CROSS JOIN q WHERE p.vec_id <> q.query_id)
+    WHERE d2v > 0
+)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    round(CAST(SUM(CAST(floor(ratio * 1e9 + 0.5) AS BIGINT))
+               AS DOUBLE) / 1e9 / COUNT(*), 6) AS mean_ratio,
+    round(MIN(ratio), 6) AS min_ratio,
+    round(MAX(ratio), 6) AS max_ratio
+FROM pairs GROUP BY query_id
+"""
+
+
 REGISTRY = [
     ("emb_quantize_int8", quantize_int8_query, QUANTIZE_INT8_SQL),
     ("emb_centroids", centroids_query, CENTROIDS_SQL),
@@ -1518,4 +1656,6 @@ REGISTRY = [
     ("sim_pq_distortion", pq_distortion_query, _pq_distortion_sql()),
     # simplified silhouette (second-nearest-centroid margin) audit
     ("emb_silhouette", silhouette_query, _silhouette_sql()),
+    # Johnson–Lindenstrauss Rademacher-projection distance fidelity
+    ("emb_jl_fidelity", jl_fidelity_query, _jl_sql()),
 ]

@@ -44,17 +44,11 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ funnel
 
 
-def funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """view -> click -> purchase funnel: per user the FIRST view, the
-    first click strictly after it, the first purchase strictly after
-    that; one summary row of stage populations + mean stage delays.
-
-    Mirrors the reference's ordered-event semantics (events ordered by
-    commit timestamp, `AugmentedEventTransaction.java:6-60`) applied to
-    the classic conversion query.
-    """
-    prep(spark)
-    ev = _events_us(spark, sf_dir)
+def _funnel_stages(ev: DataFrame):
+    """The shared view → click → purchase stage frames: per user the
+    FIRST view, the first click strictly after it, the first purchase
+    strictly after that. Used by the funnel summary and the latency
+    histogram so both audit the SAME conversions."""
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -74,6 +68,21 @@ def funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("p_ts"), F.min("c_ts").alias("c_ts"))
     )
+    return v, c, p
+
+
+def funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel: per user the FIRST view, the
+    first click strictly after it, the first purchase strictly after
+    that; one summary row of stage populations + mean stage delays.
+
+    Mirrors the reference's ordered-event semantics (events ordered by
+    commit timestamp, `AugmentedEventTransaction.java:6-60`) applied to
+    the classic conversion query.
+    """
+    prep(spark)
+    ev = _events_us(spark, sf_dir)
+    v, c, p = _funnel_stages(ev)
     stats_v = v.agg(F.count("*").alias("n_view"))
     stats_c = c.agg(
         F.count("*").alias("n_click"),
@@ -378,10 +387,117 @@ FROM gaps WHERE g IS NOT NULL
 """
 
 
+# -------------------------------------------- conversion latency
+#
+# Latency decomposition of the funnel: the DISTRIBUTION of the
+# view→click and click→purchase delays, as a decimal-magnitude
+# histogram (bucket = number of digits of the delay in ms, i.e.
+# [10^(d-1), 10^d) ms) plus the per-stage mean. The funnel summary
+# answers "how many convert"; this answers "how fast" — the metric
+# behind SLA alerting and session-timeout tuning.
+#
+# Scale: rides the same three bounded stage aggregates as the
+# funnel; bucketing is map-side (integer digit count — no log10
+# float boundary to disagree on) and the histogram is stages ×
+# digits rows. Determinism: deltas are exact integer µs; digit
+# count is a string-length op, identical in both engines.
+
+
+def conversion_latency_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    ev = _events_us(spark, sf_dir)
+    _v, c, p = _funnel_stages(ev)
+    deltas = c.select(
+        F.lit("view_to_click").alias("stage"),
+        (F.col("c_ts") - F.col("v_ts")).alias("delta_us"),
+    ).unionAll(
+        p.select(
+            F.lit("click_to_purchase").alias("stage"),
+            (F.col("p_ts") - F.col("c_ts")).alias("delta_us"),
+        )
+    )
+    binned = deltas.select(
+        "stage",
+        "delta_us",
+        F.length(
+            F.expr("CAST(delta_us div 1000 AS STRING)")
+        ).alias("ms_digits"),
+    )
+    hist = binned.groupBy("stage", "ms_digits").agg(
+        F.count("*").alias("n")
+    )
+    tot = binned.groupBy("stage").agg(
+        F.count("*").alias("n_stage"),
+        F.round(F.avg("delta_us") / 1000.0, 3).alias("mean_ms"),
+    )
+    return hist.join(F.broadcast(tot), "stage").select(
+        "stage",
+        F.col("ms_digits").cast("long").alias("ms_digits"),
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("n_stage").cast("double"),
+            6,
+        ).alias("share"),
+        "mean_ms",
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+v AS (
+    SELECT user_id, MIN(ts_us) AS v_ts FROM ev
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts_us) AS c_ts, MIN(v.v_ts) AS v_ts
+    FROM ev e JOIN v USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts_us > v.v_ts
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts_us) AS p_ts, MIN(c.c_ts) AS c_ts
+    FROM ev e JOIN c USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts
+    GROUP BY e.user_id
+),
+deltas AS (
+    SELECT 'view_to_click' AS stage, c_ts - v_ts AS delta_us FROM c
+    UNION ALL
+    SELECT 'click_to_purchase' AS stage, p_ts - c_ts AS delta_us
+    FROM p
+),
+binned AS (
+    SELECT stage, delta_us,
+        length(CAST(delta_us // 1000 AS VARCHAR)) AS ms_digits
+    FROM deltas
+),
+hist AS (
+    SELECT stage, ms_digits, COUNT(*) AS n
+    FROM binned GROUP BY stage, ms_digits
+),
+tot AS (
+    SELECT stage, COUNT(*) AS n_stage,
+        round(AVG(delta_us) / 1000.0, 3) AS mean_ms
+    FROM binned GROUP BY stage
+)
+SELECT stage, CAST(ms_digits AS BIGINT) AS ms_digits, n,
+    round(CAST(n AS DOUBLE) / CAST(n_stage AS DOUBLE), 6) AS share,
+    mean_ms
+FROM hist JOIN tot USING (stage)
+"""
+
+
 REGISTRY = [
     ("events_funnel", funnel_query, FUNNEL_SQL),
     ("events_retention", retention_query, RETENTION_SQL),
     ("ts_gap_fill", gap_fill_query, GAP_FILL_SQL),
     ("events_rfm_segments", rfm_segments_query, RFM_SQL),
     ("events_interarrival", interarrival_query, INTERARRIVAL_SQL),
+    # funnel stage-delay magnitude histogram + means
+    ("events_conversion_latency", conversion_latency_query,
+     CONVERSION_LATENCY_SQL),
 ]

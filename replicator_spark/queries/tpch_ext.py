@@ -903,6 +903,52 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS — the third multi-tier aggregate form
+    next to ROLLUP/CUBE: an explicit, asymmetric set list
+    ((linestatus, returnflag), (linestatus), (returnflag)) that neither
+    of the other two can express (no grand-total row, both one-dim
+    marginals). Same scale shape as the rollup: ONE shuffle, the
+    extra tiers re-aggregate map-side partials, never the fact
+    table."""
+    prep(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_linestatus", "l_returnflag"], ["l_linestatus"],
+             ["l_returnflag"]],
+            "l_linestatus",
+            "l_returnflag",
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(_dec("l_extendedprice")).alias("price_d"),
+        )
+        .select(
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias(
+                "l_returnflag"
+            ),
+            "n_lines",
+            F.round(F.col("price_d").cast("double"), 2).alias(
+                "sum_price"
+            ),
+        )
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT coalesce(l_linestatus, 'ALL') AS l_linestatus,
+    coalesce(l_returnflag, 'ALL') AS l_returnflag,
+    count(*) AS n_lines,
+    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+          2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_linestatus, l_returnflag), (l_linestatus),
+                        (l_returnflag))
+"""
+
+
 REGISTRY = [
     ("tpch_q2", q2_min_bal_supplier, Q2_SQL),
     ("tpch_q11", q11_important_stock, Q11_SQL),
@@ -922,4 +968,6 @@ REGISTRY = [
     ("tpch_q22", q22_global_sales, Q22_SQL),
     ("agg_rollup_pricing", agg_rollup_pricing, AGG_ROLLUP_SQL),
     ("agg_cube_orders", agg_cube_orders, AGG_CUBE_SQL),
+    # explicit asymmetric grouping-set list (third multi-tier form)
+    ("agg_grouping_sets", agg_grouping_sets, AGG_GROUPING_SETS_SQL),
 ]

@@ -218,3 +218,104 @@ def test_timetravel_counts_monotone(spark, sf_dir):
             cuts[c]["n_rows_seen"] for c in TT_CUTOFFS_US if c in cuts
         ]
         assert seen == sorted(seen)
+
+
+# --------------------------------------- corpus_term_burstiness
+
+
+def test_burstiness_clustered_vs_uniform(spark, tmp_path):
+    """Term 'x': 4 hits in 1 of 4 docs → mean 1, E[k²] 4, var 3,
+    fano 3. Term 'u': once per doc → var 0, fano 0."""
+    docs = [
+        (0, "x x x x u", "en", "s", 9),
+        (1, "u pad1", "en", "s", 6),
+        (2, "u pad2", "en", "s", 6),
+        (3, "u pad3", "en", "s", 6),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    from replicator_spark.pipeline.corpus import term_burstiness_query
+
+    rows = {
+        r["term"]: r
+        for r in term_burstiness_query(spark, str(tmp_path)).collect()
+    }
+    assert rows["x"]["fano"] == 3.0
+    assert rows["x"]["mean_per_doc"] == 1.0
+    assert rows["u"]["fano"] == 0.0
+
+
+# --------------------------------------- agg_grouping_sets
+
+
+def test_grouping_sets_marginals(spark, sf_dir):
+    """No grand-total row; each marginal family must re-add to the
+    same line count as the full (status, flag) grouping."""
+    from replicator_spark.queries.tpch_ext import agg_grouping_sets
+
+    rows = agg_grouping_sets(spark, sf_dir).collect()
+    full = [
+        r for r in rows
+        if r["l_linestatus"] != "ALL" and r["l_returnflag"] != "ALL"
+    ]
+    m_status = [r for r in rows if r["l_returnflag"] == "ALL"]
+    m_flag = [r for r in rows if r["l_linestatus"] == "ALL"]
+    assert not any(
+        r["l_linestatus"] == "ALL" and r["l_returnflag"] == "ALL"
+        for r in rows
+    )
+    total = sum(r["n_lines"] for r in full)
+    assert sum(r["n_lines"] for r in m_status) == total
+    assert sum(r["n_lines"] for r in m_flag) == total
+
+
+# --------------------------------------- events_conversion_latency
+
+
+def test_conversion_latency_digit_buckets(spark, tmp_path):
+    """view@0 → click@+5ms (1 digit) → purchase@+5s (4 digits)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(ms):
+        return t0 + datetime.timedelta(milliseconds=ms)
+
+    rows = [
+        (0, at(0), 1, "view", 1.0, "{}"),
+        (1, at(5), 1, "click", 1.0, "{}"),
+        (2, at(5005), 1, "purchase", 1.0, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    from replicator_spark.queries.funnel import (
+        conversion_latency_query,
+    )
+
+    out = {
+        (r["stage"], r["ms_digits"]): r
+        for r in conversion_latency_query(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[("view_to_click", 1)]["n"] == 1
+    assert out[("view_to_click", 1)]["mean_ms"] == 5.0
+    assert out[("click_to_purchase", 4)]["n"] == 1
+    assert out[("click_to_purchase", 4)]["mean_ms"] == 5000.0
+
+
+# --------------------------------------- emb_jl_fidelity
+
+
+def test_jl_fidelity_ratio_centered(spark, sf_dir):
+    """JL with k=16 keeps the mean pairwise distance ratio near 1
+    (E‖Px‖² = ‖x‖²) — and every ratio is finite and positive."""
+    from replicator_spark.pipeline.vectors import jl_fidelity_query
+
+    rows = jl_fidelity_query(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0.0 < r["min_ratio"] <= r["mean_ratio"] <= r["max_ratio"]
+        assert 0.6 < r["mean_ratio"] < 1.4
