@@ -105,6 +105,10 @@ HEADLINE = [
     "agg_grouping_sets",
     "events_conversion_latency",
     "emb_jl_fidelity",
+    "stats_wilson_ci",
+    "corpus_herfindahl",
+    "corpus_head_coverage",
+    "ts_seasonal_outliers",
 ]
 
 

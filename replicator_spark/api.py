@@ -55,7 +55,7 @@ Rotation map (which driver run produced each operator's green row):
   cover (CDC apply/seek/validate/bootstrap/diff, tm history/
   compaction/SCD2, the four sinks, schema history+compat, and the
   windowed/dedup/txn streams).
-- round 8 queue (entries 51-79): the twenty-nine round-7 additions
+- round 8 queue (entries 51-83): the thirty-three round-7 additions
   (dedup_substring_spans, curate_dsir_weights, curate_ccnet_buckets,
   sketch_ams_f2, sim_mmr_select, stats_ols_multi,
   cdc_metrics_report, emb_outlier_mahal, corpus_dispersion_dp,
@@ -65,9 +65,10 @@ Rotation map (which driver run produced each operator's green row):
   emb_silhouette, graph_modularity, events_pareto_share,
   graph_link_prediction, text_mattr_diversity, sim_hamming_recall,
   tm_timetravel_counts, corpus_term_burstiness, agg_grouping_sets,
-  events_conversion_latency, emb_jl_fidelity) — placed directly
-  after the window so they rotate in next round without displacing
-  it.
+  events_conversion_latency, emb_jl_fidelity, stats_wilson_ci,
+  corpus_herfindahl, corpus_head_coverage, ts_seasonal_outliers) —
+  placed directly after the window so they rotate in next round
+  without displacing it.
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -177,6 +178,10 @@ _PRIORITY = [
     "agg_grouping_sets",
     "events_conversion_latency",
     "emb_jl_fidelity",
+    "stats_wilson_ci",
+    "corpus_herfindahl",
+    "corpus_head_coverage",
+    "ts_seasonal_outliers",
     # ========= BELOW THE WINDOW: driver-green r6 (r6 window) =========
     "corpus_source_overlap",
     "corpus_entropy_kl",

@@ -496,6 +496,166 @@ GROUP BY tok, cnt
 """
 
 
+# -------------------------------------- Herfindahl concentration
+#
+# Herfindahl–Hirschman concentration of the corpus mix, per lang:
+# HHI = Σ (source share)² over both the document count and the
+# token volume, plus the "effective number of sources" 1/HHI — the
+# dataset-card number behind "is this language really diverse or is
+# it one crawl wearing twenty hostnames". HHI = 1/N_sources when
+# perfectly balanced, → 1 as one source dominates.
+#
+# Scale: one doc-count agg (map-side) per (lang, source) — the
+# token volume rides the same agg via SUM(n_chars) (chars proxy
+# tokens 1:1 for concentration purposes; no tokenization pass
+# needed). Shares-squared sum over the (lang, source)-bounded
+# table. Determinism: integer counts; Σ share² folds as exact
+# nano-units (the micro-unit sum pattern), final ratios IEEE.
+
+
+def herfindahl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = per_src.groupBy("lang").agg(
+        F.sum("n_docs").alias("t_docs"),
+        F.sum("n_chars").alias("t_chars"),
+        F.count("*").alias("n_sources"),
+    )
+    j = per_src.join(F.broadcast(tot), "lang")
+    sh_d = F.col("n_docs").cast("double") / F.col("t_docs").cast(
+        "double"
+    )
+    sh_c = F.col("n_chars").cast("double") / F.col("t_chars").cast(
+        "double"
+    )
+    hhi = j.groupBy("lang", "n_sources").agg(
+        F.sum(F.floor(sh_d * sh_d * 1e9 + 0.5)).alias("_hd"),
+        F.sum(F.floor(sh_c * sh_c * 1e9 + 0.5)).alias("_hc"),
+    )
+    hd = F.col("_hd").cast("double") / 1e9
+    hc = F.col("_hc").cast("double") / 1e9
+    return hhi.select(
+        "lang",
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.round(hd, 6).alias("hhi_docs"),
+        F.round(hc, 6).alias("hhi_chars"),
+        F.round(F.lit(1.0) / hd, 6).alias("effective_sources"),
+    )
+
+
+HERFINDAHL_SQL = """
+WITH per_src AS (
+    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+    FROM documents GROUP BY lang, source
+), tot AS (
+    SELECT lang, SUM(n_docs) AS t_docs, SUM(n_chars) AS t_chars,
+        COUNT(*) AS n_sources
+    FROM per_src GROUP BY lang
+), hhi AS (
+    SELECT p.lang, n_sources,
+        SUM(CAST(floor((CAST(n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE))
+            * (CAST(n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE))
+            * 1e9 + 0.5) AS BIGINT)) AS hd,
+        SUM(CAST(floor((CAST(p.n_chars AS DOUBLE) / CAST(t_chars AS DOUBLE))
+            * (CAST(p.n_chars AS DOUBLE) / CAST(t_chars AS DOUBLE))
+            * 1e9 + 0.5) AS BIGINT)) AS hc
+    FROM per_src p JOIN tot USING (lang)
+    GROUP BY p.lang, n_sources
+)
+SELECT lang, CAST(n_sources AS BIGINT) AS n_sources,
+    round(CAST(hd AS DOUBLE) / 1e9, 6) AS hhi_docs,
+    round(CAST(hc AS DOUBLE) / 1e9, 6) AS hhi_chars,
+    round(1.0 / (CAST(hd AS DOUBLE) / 1e9), 6) AS effective_sources
+FROM hhi
+"""
+
+
+# ------------------------------------------- Zipf head coverage
+#
+# Head-coverage curve: what fraction of ALL token occurrences the
+# top-K most frequent terms account for, at K ∈ HEAD_KS. The
+# Zipf-head dial behind stop-word list sizing, cache sizing for
+# embedding lookups, and "how much of this corpus is boilerplate
+# vocabulary". Complements corpus_vocab_growth (type growth) with
+# the occurrence-mass view.
+#
+# Scale: one token-count agg (combiner-backed, vocab-sized); the
+# ranking window runs over that AGGREGATE (bounded input — the
+# audited global-window exemption), and the K grid is a constant
+# fan-out of the ranked head. Determinism: pure integer sums.
+
+HEAD_KS = (10, 50, 100)
+
+
+def head_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    cnt = tok.groupBy("term").agg(F.count("*").alias("n"))
+    tot = cnt.agg(
+        F.sum("n").alias("n_tokens"), F.count("*").alias("n_types")
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("term"))
+    ranked = cnt.select(
+        "n", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= max(HEAD_KS))
+    ks = F.explode(F.array(*[F.lit(k) for k in HEAD_KS])).alias("k")
+    fan = ranked.select("n", "rank", ks).where(
+        F.col("rank") <= F.col("k")
+    )
+    return (
+        fan.groupBy("k")
+        .agg(F.sum("n").alias("head_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("head_tokens").cast("long").alias("head_tokens"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.round(
+                F.col("head_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+HEAD_COVERAGE_SQL = f"""
+WITH tok AS (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              t -> t <> '')) AS term
+    FROM documents
+), cnt AS (
+    SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+), tot AS (
+    SELECT SUM(n) AS n_tokens, COUNT(*) AS n_types FROM cnt
+), ranked AS (
+    SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank
+    FROM cnt QUALIFY rank <= {max(HEAD_KS)}
+), fan AS (
+    SELECT n, rank, k
+    FROM ranked CROSS JOIN (
+        SELECT unnest([{", ".join(str(k) for k in HEAD_KS)}]) AS k)
+    WHERE rank <= k
+)
+SELECT CAST(k AS BIGINT) AS k,
+    CAST(SUM(n) AS BIGINT) AS head_tokens,
+    CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(n_types AS BIGINT) AS n_types,
+    round(CAST(SUM(n) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        AS coverage
+FROM fan CROSS JOIN tot
+GROUP BY k, n_tokens, n_types
+"""
+
+
 REGISTRY = [
     ("corpus_source_overlap", source_overlap_query, SOURCE_OVERLAP_SQL),
     ("corpus_entropy_kl", entropy_kl_query, ENTROPY_KL_SQL),
@@ -503,4 +663,8 @@ REGISTRY = [
     ("corpus_vocab_growth", vocab_growth_query, VOCAB_GROWTH_SQL),
     # Gries' DP term dispersion across sources (top terms)
     ("corpus_dispersion_dp", dispersion_dp_query, DISPERSION_DP_SQL),
+    # Herfindahl source-concentration per lang (docs + char volume)
+    ("corpus_herfindahl", herfindahl_query, HERFINDAHL_SQL),
+    # Zipf head-coverage curve (top-K term occurrence mass)
+    ("corpus_head_coverage", head_coverage_query, HEAD_COVERAGE_SQL),
 ]

@@ -1065,6 +1065,91 @@ FROM m
 """
 
 
+# ------------------------------------------ Wilson score interval
+#
+# Exact-count binomial confidence interval per event_type: the share
+# of high-value events (value ≥ WILSON_VAL_T) with its Wilson 95%
+# bounds. Wilson beats the naive normal ("Wald") interval at small n
+# and extreme p̂ — it never leaves [0, 1] — and is the standard for
+# conversion-rate dashboards and A/B guardrails.
+#
+# Scale: one map-side conditional agg per type (combiner-backed);
+# the interval math runs on |types| rows. Determinism: n and k are
+# exact integers; the Wilson formula is a single shared arithmetic
+# expression evaluated from identical inputs in both engines
+# (sqrt is IEEE-exact), then rounded.
+
+WILSON_VAL_T = 100.0
+WILSON_Z = 1.96  # 95% two-sided
+
+# the shared formula strings (F.expr in Spark, verbatim in DuckDB)
+# guarantee an identical IEEE expression tree in both engines
+_WILSON_CENTER = (
+    "(phat + z2 / (2.0 * n)) / (1.0 + z2 / n)"
+)
+_WILSON_HALF = (
+    "({z} * sqrt(phat * (1.0 - phat) / n + z2 / (4.0 * n * n)))"
+    " / (1.0 + z2 / n)"
+).format(z=WILSON_Z)
+
+
+def wilson_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            (F.col("value") >= WILSON_VAL_T).cast("long")
+        ).alias("n_high"),
+    )
+    z2 = WILSON_Z * WILSON_Z
+    base = agg.select(
+        "event_type",
+        "n_events",
+        "n_high",
+        F.col("n_events").cast("double").alias("n"),
+        (
+            F.col("n_high").cast("double")
+            / F.col("n_events").cast("double")
+        ).alias("phat"),
+        F.lit(z2).alias("z2"),
+    )
+    return base.select(
+        "event_type",
+        "n_events",
+        "n_high",
+        F.round("phat", 6).alias("p_hat"),
+        F.round(
+            F.expr(f"{_WILSON_CENTER} - {_WILSON_HALF}"), 6
+        ).alias("ci_low"),
+        F.round(
+            F.expr(f"{_WILSON_CENTER} + {_WILSON_HALF}"), 6
+        ).alias("ci_high"),
+    )
+
+
+WILSON_CI_SQL = f"""
+WITH agg AS (
+    SELECT event_type, COUNT(*) AS n_events,
+        SUM(CASE WHEN value >= {WILSON_VAL_T} THEN 1 ELSE 0 END)
+            AS n_high
+    FROM events GROUP BY event_type
+), base AS (
+    SELECT event_type, n_events, n_high,
+        CAST(n_events AS DOUBLE) AS n,
+        CAST(n_high AS DOUBLE) / CAST(n_events AS DOUBLE) AS phat,
+        {WILSON_Z} * {WILSON_Z} AS z2
+    FROM agg
+)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+    CAST(n_high AS BIGINT) AS n_high,
+    round(phat, 6) AS p_hat,
+    round({_WILSON_CENTER} - {_WILSON_HALF}, 6) AS ci_low,
+    round({_WILSON_CENTER} + {_WILSON_HALF}, 6) AS ci_high
+FROM base
+"""
+
+
 REGISTRY = [
     ("stats_percentiles", percentiles_query, PERCENTILES_SQL),
     ("stats_chisq_independence", chisq_query, CHISQ_SQL),
@@ -1080,4 +1165,6 @@ REGISTRY = [
     ("stats_bootstrap_ci", bootstrap_ci_query, _bootstrap_ci_sql()),
     # 2-feature OLS via Cramer on decimal-exact moments
     ("stats_ols_multi", ols_multi_query, OLS_MULTI_SQL),
+    # Wilson 95% binomial interval for high-value event share
+    ("stats_wilson_ci", wilson_ci_query, WILSON_CI_SQL),
 ]

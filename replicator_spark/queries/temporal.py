@@ -1212,6 +1212,105 @@ GROUP BY event_type, n_days, n_pairs, ts_slope
 """
 
 
+# ------------------------------------ deseasonalized outlier days
+#
+# Seasonality-aware anomaly detection: daily event counts minus
+# their day-of-week mean (the ts_seasonality decomposition), then
+# z-scored against the population residual spread — surfacing the
+# days that were anomalous FOR THEIR WEEKDAY (a quiet Sunday spike
+# that raw z-scores miss under busy-weekday variance, and vice
+# versa). Top |z| days reported with their expectation.
+#
+# Scale: the corpus-sized stage is one daily count agg; slot means,
+# residuals, and the top-N ranking all run over the |days|-bounded
+# daily table (global windows there sit over aggregates — the
+# audited exemption). Determinism: counts and slot sums are exact
+# integers; slot means round to 9 dp before residuals (the stats_mad
+# armor); Σr² folds as integer nano-units; final z is one IEEE
+# expression.
+
+SEAS_OUT_PERIOD = 7
+SEAS_OUT_TOP = 10
+
+
+def seasonal_outliers_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.expr(_TREND_DAY).alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    slotted = daily.select(
+        "day", "n", (F.col("day") % SEAS_OUT_PERIOD).alias("slot")
+    )
+    slot_mean = slotted.groupBy("slot").agg(
+        F.round(F.avg("n"), 9).alias("slot_mean")
+    )
+    resid = slotted.join(F.broadcast(slot_mean), "slot").select(
+        "day",
+        "n",
+        "slot",
+        "slot_mean",
+        (F.col("n").cast("double") - F.col("slot_mean")).alias("r"),
+    )
+    spread = resid.agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.floor(F.col("r") * F.col("r") * 1e9 + 0.5)).alias(
+            "_ss"
+        ),
+    ).select(
+        "n_days",
+        F.sqrt(
+            F.col("_ss").cast("double")
+            / 1e9
+            / F.col("n_days").cast("double")
+        ).alias("resid_std"),
+    )
+    scored = resid.crossJoin(F.broadcast(spread)).select(
+        "day",
+        "slot",
+        "n",
+        F.round("slot_mean", 6).alias("expected"),
+        F.round(F.col("r") / F.col("resid_std"), 6).alias("z"),
+    )
+    w = W.orderBy(F.abs(F.col("z")).desc(), F.col("day"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= SEAS_OUT_TOP)
+        .select("rank", "day", "slot", "n", "expected", "z")
+    )
+
+
+SEASONAL_OUTLIERS_SQL = f"""
+WITH daily AS (
+    SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS n
+    FROM events GROUP BY 1
+), slotted AS (
+    SELECT day, n, day % {SEAS_OUT_PERIOD} AS slot FROM daily
+), slot_mean AS (
+    SELECT slot, round(AVG(n), 9) AS slot_mean
+    FROM slotted GROUP BY slot
+), resid AS (
+    SELECT day, n, s.slot, slot_mean,
+        CAST(n AS DOUBLE) - slot_mean AS r
+    FROM slotted s JOIN slot_mean USING (slot)
+), spread AS (
+    SELECT sqrt(CAST(SUM(CAST(floor(r * r * 1e9 + 0.5) AS BIGINT))
+                     AS DOUBLE) / 1e9 / COUNT(*)) AS resid_std
+    FROM resid
+), scored AS (
+    SELECT day, slot, n, round(slot_mean, 6) AS expected,
+        round(r / resid_std, 6) AS z
+    FROM resid CROSS JOIN spread
+)
+SELECT ROW_NUMBER() OVER (ORDER BY abs(z) DESC, day) AS rank,
+    day, slot, CAST(n AS BIGINT) AS n, expected, z
+FROM scored
+QUALIFY rank <= {SEAS_OUT_TOP}
+"""
+
+
 REGISTRY = [
     ("temporal_asof_join", asof_join_query, ASOF_JOIN_SQL),
     ("temporal_range_join", range_join_query, RANGE_JOIN_SQL),
@@ -1228,4 +1327,7 @@ REGISTRY = [
     ("events_wow_growth", wow_growth_query, WOW_GROWTH_SQL),
     # Theil–Sen median-of-pairwise-slopes robust trend
     ("ts_theil_sen", theil_sen_query, THEIL_SEN_SQL),
+    # day-of-week deseasonalized residual z-score outlier days
+    ("ts_seasonal_outliers", seasonal_outliers_query,
+     SEASONAL_OUTLIERS_SQL),
 ]

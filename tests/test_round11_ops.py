@@ -319,3 +319,108 @@ def test_jl_fidelity_ratio_centered(spark, sf_dir):
     for r in rows:
         assert 0.0 < r["min_ratio"] <= r["mean_ratio"] <= r["max_ratio"]
         assert 0.6 < r["mean_ratio"] < 1.4
+
+
+# --------------------------------------- stats_wilson_ci
+
+
+def test_wilson_ci_brackets_phat(spark, sf_dir):
+    """CI must bracket p̂, stay inside [0,1], and shrink with n."""
+    from replicator_spark.queries.stats import wilson_ci_query
+
+    rows = wilson_ci_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ci_low"] <= r["p_hat"] <= r["ci_high"] <= 1.0
+
+
+def test_wilson_ci_known_values(spark, tmp_path):
+    """n=100, k=50: Wilson 95% ≈ (0.4038, 0.5962) — symmetric."""
+    rows = [
+        (i, _ts(i), i, "click", 150.0 if i < 50 else 10.0, "{}")
+        for i in range(100)
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    from replicator_spark.queries.stats import wilson_ci_query
+
+    r = wilson_ci_query(spark, str(tmp_path)).collect()[0]
+    assert r["n_high"] == 50
+    assert abs(r["ci_low"] - 0.403832) < 1e-4
+    assert abs(r["ci_high"] - 0.596168) < 1e-4
+
+
+# --------------------------------------- corpus_herfindahl
+
+
+def test_herfindahl_balanced_vs_monopoly(spark, tmp_path):
+    """lang 'a': 4 docs over 4 sources → HHI 0.25, eff 4.
+    lang 'b': all docs one source → HHI 1, eff 1."""
+    docs = [(i, "w", "a", f"s{i}", 10) for i in range(4)]
+    docs += [(10 + i, "w", "b", "mono", 10) for i in range(3)]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    from replicator_spark.pipeline.diversity import herfindahl_query
+
+    rows = {
+        r["lang"]: r
+        for r in herfindahl_query(spark, str(tmp_path)).collect()
+    }
+    assert rows["a"]["hhi_docs"] == 0.25
+    assert rows["a"]["effective_sources"] == 4.0
+    assert rows["b"]["hhi_docs"] == 1.0
+    assert rows["b"]["n_sources"] == 1
+
+
+# --------------------------------------- corpus_head_coverage
+
+
+def test_head_coverage_monotone_in_k(spark, sf_dir):
+    """Coverage grows with K and stays in (0, 1]."""
+    from replicator_spark.pipeline.diversity import (
+        HEAD_KS,
+        head_coverage_query,
+    )
+
+    rows = {
+        r["k"]: r for r in head_coverage_query(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(HEAD_KS)
+    cov = [rows[k]["coverage"] for k in sorted(rows)]
+    assert cov == sorted(cov)
+    assert all(0.0 < c <= 1.0 for c in cov)
+    # head_tokens at K must never exceed the full token count
+    for r in rows.values():
+        assert r["head_tokens"] <= r["n_tokens"]
+
+
+# --------------------------------------- ts_seasonal_outliers
+
+
+def test_seasonal_outliers_flags_planted_spike(spark, tmp_path):
+    """Flat 10 events/day for 28 days except day 14 at 100 →
+    the spike day must rank first with a large positive z."""
+    rows = []
+    eid = 0
+    import datetime
+
+    for d in range(28):
+        n = 100 if d == 14 else 10
+        for i in range(n):
+            ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                days=d, seconds=i
+            )
+            rows.append((eid, ts, i % 7, "view", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    from replicator_spark.queries.temporal import (
+        seasonal_outliers_query,
+    )
+
+    out = seasonal_outliers_query(spark, str(tmp_path)).collect()
+    top = out[0]
+    assert top["rank"] == 1
+    assert top["n"] == 100
+    assert top["z"] > 3.0
