@@ -1,7 +1,18 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-8 fix for the driver's ~2000-char tail
+capture): the FULL record {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: sec}, "sf": ...} is written to
+BENCH_LOCAL.json and printed on its own line; the FINAL stdout line is
+a compact (<500 char) summary {"metric": "headline_total", "value":
+total_sec, "unit": "sec", "sf": ..., "n_queries": ...,
+"stream_overhead": ...} that truncation can never reach.
+
+Env knobs: SPARK_GRAFT_BENCH_REPS (best-of-N, default 3),
+SPARK_GRAFT_BENCH_ORDER=heavy_first (run the iterative-trainer block
+first — slate-pressure experiments), SPARK_GRAFT_BENCH_ONLY=a,b,c
+(subset slate for split-JVM runs).
 
 Each query is fully materialized via the noop sink (no driver-side
 collect — measures the distributed plan, not result transfer).
@@ -109,12 +120,48 @@ HEADLINE = [
     "corpus_herfindahl",
     "corpus_head_coverage",
     "ts_seasonal_outliers",
+    # round-8 additions, same first-round-on-slate rule
+    "ts_holt_winters",
+    "events_survival_km",
+    "graph_degree_powerlaw",
+    "corpus_ngram_novelty",
+    "curate_temperature_mix",
+    "dedup_template_prefix",
+    "tm_cell_lifetimes",
+    "cdc_metrics_exposition",
+]
+
+
+# The expensive iterative-trainer block (k-means/PQ/IVF and friends).
+# By default it runs late in slate order; SPARK_GRAFT_BENCH_ORDER=
+# heavy_first moves it to the front so slate-position JVM pressure
+# (GC/JIT accumulation over an 80+ op single-JVM session) can be
+# separated from genuine plan regressions.
+HEAVY_BLOCK = [
+    "emb_kmeans",
+    "sim_pq_codes",
+    "sim_pq_distortion",
+    "emb_silhouette",
+    "sim_ivfadc_topk",
+    "sim_knn_graph",
+    "sim_knn_classifier",
+    "stream_near_dedup",
 ]
 
 
 def main() -> None:
+    global HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    order = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "")
+    if order == "heavy_first":
+        HEADLINE = HEAVY_BLOCK + [
+            n for n in HEADLINE if n not in HEAVY_BLOCK
+        ]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        want = [n.strip() for n in only.split(",") if n.strip()]
+        HEADLINE = [n for n in HEADLINE if n in want]
     from replicator_spark import api
     from replicator_spark.session import get_spark
 
@@ -211,7 +258,29 @@ def main() -> None:
     # the non-standard token `Infinity`, so only report a real sample.
     if math.isfinite(stream_overhead):
         out["stream_overhead"] = round(stream_overhead, 3)
+    # The driver captures only the ~2000-char TAIL of stdout; at 83
+    # headliners the full per-query map exceeds that and round 7 came
+    # back `parsed: null` (no official headline). So: write the full
+    # record to BENCH_LOCAL.json and print it on its OWN earlier line
+    # for humans, then emit a compact final line (<500 chars) that the
+    # tail capture can never truncate.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"), "w"
+    ) as fh:
+        json.dump(out, fh)
+        fh.write("\n")
     print(json.dumps(out))
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+    }
+    if math.isfinite(stream_overhead):
+        compact["stream_overhead"] = round(stream_overhead, 3)
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -55,7 +55,17 @@ Rotation map (which driver run produced each operator's green row):
   cover (CDC apply/seek/validate/bootstrap/diff, tm history/
   compaction/SCD2, the four sinks, schema history+compat, and the
   windowed/dedup/txn streams).
-- round 8 queue (entries 51-83): the thirty-three round-7 additions
+- round 8 window (this file's first 50): the thirty-three round-7
+  additions (never graded — listed below), plus 17 oldest-evidence
+  re-pins: the 13 operators whose newest green row is round 3
+  (stream_sessionize, stream_enrich, stream_attribution_join,
+  tpch_q12, temporal_asof_join, temporal_rollup,
+  curate_pack_sequences, and the six-query dedup family
+  dedup_exact/minhash_lsh/ngram_jaccard/simhash/embedding_cosine/
+  clusters) and the head of the r4-green block (tm_retention,
+  cdc_incremental_agg, cdc_ivm_join, tm_scd2_weighted). A green run
+  reaches 245/245 registered operators driver-verified.
+  The thirty-three round-7 additions
   (dedup_substring_spans, curate_dsir_weights, curate_ccnet_buckets,
   sketch_ams_f2, sim_mmr_select, stats_ols_multi,
   cdc_metrics_report, emb_outlier_mahal, corpus_dispersion_dp,
@@ -66,9 +76,16 @@ Rotation map (which driver run produced each operator's green row):
   graph_link_prediction, text_mattr_diversity, sim_hamming_recall,
   tm_timetravel_counts, corpus_term_burstiness, agg_grouping_sets,
   events_conversion_latency, emb_jl_fidelity, stats_wilson_ci,
-  corpus_herfindahl, corpus_head_coverage, ts_seasonal_outliers) —
-  placed directly after the window so they rotate in next round
-  without displacing it.
+  corpus_herfindahl, corpus_head_coverage, ts_seasonal_outliers)
+  occupy slots 1-33; the 17 re-pins fill slots 34-50. Any round-8
+  additions queue at entries 51+ (ROUND-9 QUEUE) for the next window.
+- round 9 queue (entries 51-58): the eight round-8 additions
+  (ts_holt_winters, events_survival_km, graph_degree_powerlaw,
+  corpus_ngram_novelty, curate_temperature_mix,
+  dedup_template_prefix, tm_cell_lifetimes,
+  cdc_metrics_exposition) — throttled per the round-7 verdict
+  (additions <= ~15/round so first driver evidence lands within one
+  round).
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -91,64 +108,8 @@ _ORACLES: dict[str, str] = {}
 # (final 31 never-graded + 19 §2-critical re-pins), then
 # previously-driver-verified blocks.
 _PRIORITY = [
-    # ============== ROUND-7 GRADING WINDOW (7 + 43) ==============
-    # --- the red row (checksum rebuilt this round) + the six
-    #     round-6 additions (never graded) ---
-    "stream_jsonl_sink",
-    "sim_knn_classifier",
-    "graph_label_propagation",
-    "curate_coreset_kcenter",
-    "corpus_vocab_growth",
-    "sim_ivfadc_topk",
-    "ts_trend_ols",
-    # --- 25 oldest-evidence re-pins: green only in round 1 ---
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "topk_per_group",
-    "agg_rollup_pricing",
-    "agg_cube_orders",
-    "temporal_range_join",
-    # --- 18 §2-critical r3-green rows round 6's re-pins skipped ---
-    "cdc_payload_rowkey",
-    "cdc_seeker_resume",
-    "cdc_validation_sample",
-    "source_bootstrap_snapshot",
-    "cdc_apply_upsert",
-    "cdc_snapshot_diff",
-    "tm_row_history",
-    "tm_compaction",
-    "tm_scd2_intervals",
-    "sink_count",
-    "sink_console",
-    "sink_kafka_messages",
-    "sink_avro_schemas",
-    "schema_history_log",
-    "schema_compat_check",
-    "stream_windowed_counts",
-    "stream_dedup_exact",
-    "stream_txn_assembly",
-    # ========= ROUND-8 QUEUE (added in round 7, never graded) =========
-    # placed directly after the window so they rotate in next round
-    # without displacing it
+    # ============== ROUND-8 GRADING WINDOW (33 + 17) ==============
+    # --- the 33 round-7 additions (never graded) ---
     "dedup_substring_spans",
     "curate_dsir_weights",
     "curate_ccnet_buckets",
@@ -182,7 +143,89 @@ _PRIORITY = [
     "corpus_herfindahl",
     "corpus_head_coverage",
     "ts_seasonal_outliers",
-    # ========= BELOW THE WINDOW: driver-green r6 (r6 window) =========
+    # --- 17 oldest-evidence re-pins: the 13 ops whose newest green
+    #     row is round 3 (r6/r7 re-pin passes skipped them), plus the
+    #     head of the r4-green block (the SURVEY §2 stragglers) ---
+    "stream_sessionize",
+    "stream_enrich",
+    "stream_attribution_join",
+    "tpch_q12",
+    "temporal_asof_join",
+    "temporal_rollup",
+    "curate_pack_sequences",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "tm_retention",
+    "cdc_incremental_agg",
+    "cdc_ivm_join",
+    "tm_scd2_weighted",
+    # ========= ROUND-9 QUEUE (added in round 8, never graded) =========
+    # placed directly after the window so they rotate in next round
+    # without displacing it
+    "ts_holt_winters",
+    "events_survival_km",
+    "graph_degree_powerlaw",
+    "corpus_ngram_novelty",
+    "curate_temperature_mix",
+    "dedup_template_prefix",
+    "tm_cell_lifetimes",
+    "cdc_metrics_exposition",
+    # ========= BELOW THE WINDOW: driver-green r7 (r7 window) =========
+    "stream_jsonl_sink",
+    "sim_knn_classifier",
+    "graph_label_propagation",
+    "curate_coreset_kcenter",
+    "corpus_vocab_growth",
+    "sim_ivfadc_topk",
+    "ts_trend_ols",
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "topk_per_group",
+    "agg_rollup_pricing",
+    "agg_cube_orders",
+    "temporal_range_join",
+    "cdc_payload_rowkey",
+    "cdc_seeker_resume",
+    "cdc_validation_sample",
+    "source_bootstrap_snapshot",
+    "cdc_apply_upsert",
+    "cdc_snapshot_diff",
+    "tm_row_history",
+    "tm_compaction",
+    "tm_scd2_intervals",
+    "sink_count",
+    "sink_console",
+    "sink_kafka_messages",
+    "sink_avro_schemas",
+    "schema_history_log",
+    "schema_compat_check",
+    "stream_windowed_counts",
+    "stream_dedup_exact",
+    "stream_txn_assembly",
+    # ===== driver-green r3-r6 (newest evidence per rotation map) =====
     "corpus_source_overlap",
     "corpus_entropy_kl",
     "events_markov_transitions",
@@ -208,14 +251,11 @@ _PRIORITY = [
     "events_interarrival",
     "events_peak_concurrency",
     "curate_dataset_card",
-    # --- added in round 5 (never graded) ---
     "text_bpe_encode",
     "dedup_semantic_cells",
     "curate_cell_sample",
     "stats_bootstrap_ci",
     "ts_changepoint",
-    # --- 19 spare slots: §2-critical CDC/sink/schema re-pins
-    #     (r3-green at sf0.01; re-graded here as regression pins) ---
     "cdc_change_feed",
     "cdc_classify_ops",
     "cdc_query_classifier",
@@ -235,8 +275,6 @@ _PRIORITY = [
     "sink_avro_messages",
     "schema_ddl_replay",
     "stream_timemachine",
-    # ========== DRIVER-GREEN IN ROUND 5 (CORRECTNESS_r05) ==========
-    # --- never-graded queue head (carried from the round-4 queue) ---
     "cdc_delay_gauge",
     "window_analytics",
     "pivot_orders",
@@ -262,8 +300,6 @@ _PRIORITY = [
     "text_normalize",
     "curate_global_shuffle",
     "sketch_bloom_filter",
-    # --- round-4 session-1 additions (incl. the five iterative
-    #     trainers, newly oracled with unrolled-CTE SQL this round) ---
     "curate_mixture_weights",
     "curate_token_budget",
     "text_oov_rate",
@@ -278,7 +314,6 @@ _PRIORITY = [
     "sim_pq_codes",
     "stream_ewma",
     "sim_adc_topk",
-    # --- round-4 verdict's highest-value session-2 picks ---
     "cdc_net_effect_compact",
     "cdc_order_audit",
     "tm_version_depth",
@@ -290,11 +325,6 @@ _PRIORITY = [
     "stats_spearman",
     "stats_auc",
     "stats_gini",
-    # ============= DRIVER-GREEN IN ROUND 4 (CORRECTNESS_r04) ==========
-    "tm_retention",
-    "cdc_incremental_agg",
-    "cdc_ivm_join",
-    "tm_scd2_weighted",
     "runner_pipeline",
     "sim_cosine_topk",
     "sim_ivf_topk",
@@ -341,23 +371,6 @@ _PRIORITY = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_audio_frames",
-    # ============= DRIVER-GREEN IN ROUND 3 (CORRECTNESS_r03) ==========
-    # (the §2-critical r3 rows moved into the round-7 window above;
-    #  these are the r3 greens whose evidence r6/r7 didn't re-pin)
-    "stream_sessionize",
-    "stream_enrich",
-    "stream_attribution_join",
-    # --- r03-green fixes + dedup family ---
-    "tpch_q12",
-    "temporal_asof_join",
-    "temporal_rollup",
-    "curate_pack_sequences",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
 ]
 
 
@@ -499,6 +512,8 @@ def _load() -> None:
              timemachine.VERSION_DEPTH_SQL)
     register("tm_timetravel_counts", timemachine.timetravel_counts_query,
              timemachine.TIMETRAVEL_COUNTS_SQL)
+    register("tm_cell_lifetimes", timemachine.cell_lifetimes_query,
+             timemachine.CELL_LIFETIMES_SQL)
 
     for mod in (
         seeker, validation, bootstrap, source_formats, jsonb, apply,

@@ -270,9 +270,89 @@ SELECT 'replicator.coordinator.safe.txn.min', 'gauge',
 """
 
 
+# ------------------------------------------- transport expositions
+#
+# The reference's remaining metrics surface is the TRANSPORT layer:
+# Console/JMX/Graphite/Prometheus reporters
+# (mysql-replicator-commons/.../metrics/Metrics.java:1-137). The
+# wire FORMATS are deterministic string renderings of the report
+# table, so they belong to the engine (an operator); only the socket
+# push/scrape endpoint stays delegated to the cluster manager. One
+# row per (transport, line):
+# - prometheus: exposition text `name value` with the dotted
+#   namespace sanitized to underscores (the exposition-format
+#   metric-name charset), prefixed by its `# TYPE` metadata line.
+# - graphite: plaintext protocol `path value timestamp`, path kept
+#   dotted (Graphite's native namespace), timestamped with the
+#   feed's high-watermark second — derived from the DATA, so the
+#   render is reproducible (a wall-clock stamp would not be).
+#
+# Scale: rides the metrics_report plan (metric-count rows) plus one
+# scalar watermark agg broadcast over it; pure map-side formatting.
+
+
+def metrics_exposition_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    report = metrics_report_query(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        F.max(F.expr("ts div 1000000000")).alias("scrape_s")
+    )
+    pname = F.translate(F.col("metric"), ".", "_")
+    prom_type = report.select(
+        F.lit("prometheus").alias("transport"),
+        F.concat(
+            F.lit("# TYPE "), pname, F.lit(" "), F.col("mtype")
+        ).alias("line"),
+    )
+    prom = report.select(
+        F.lit("prometheus").alias("transport"),
+        F.concat(
+            pname, F.lit(" "), F.col("value").cast("string")
+        ).alias("line"),
+    )
+    graphite = report.crossJoin(F.broadcast(wm)).select(
+        F.lit("graphite").alias("transport"),
+        F.concat(
+            F.col("metric"),
+            F.lit(" "),
+            F.col("value").cast("string"),
+            F.lit(" "),
+            F.col("scrape_s").cast("string"),
+        ).alias("line"),
+    )
+    return prom_type.unionByName(prom).unionByName(graphite)
+
+
+METRICS_EXPOSITION_SQL = f"""
+WITH report AS ({METRICS_REPORT_SQL}),
+wm AS (
+    SELECT CAST(MAX(epoch_ms(ts) // 1000) AS BIGINT) AS scrape_s
+    FROM events
+)
+SELECT 'prometheus' AS transport,
+    '# TYPE ' || replace(metric, '.', '_') || ' ' || mtype AS line
+FROM report
+UNION ALL
+SELECT 'prometheus',
+    replace(metric, '.', '_') || ' ' || CAST(value AS VARCHAR)
+FROM report
+UNION ALL
+SELECT 'graphite',
+    metric || ' ' || CAST(value AS VARCHAR) || ' '
+        || CAST(scrape_s AS VARCHAR)
+FROM report CROSS JOIN wm
+"""
+
+
 REGISTRY = [
     ("cdc_delay_gauge", delay_gauge_query, DELAY_GAUGE_SQL),
     ("cdc_order_audit", order_audit_query, ORDER_AUDIT_SQL),
     # the Metrics.java console-reporter payload as a table
     ("cdc_metrics_report", metrics_report_query, METRICS_REPORT_SQL),
+    # Prometheus/Graphite wire-format renderings of that payload
+    # (round 8; closes the transport-layer gap document-noted in r7)
+    ("cdc_metrics_exposition", metrics_exposition_query,
+     METRICS_EXPOSITION_SQL),
 ]

@@ -495,6 +495,99 @@ WHERE rank <= {BURST_TOP}
 """
 
 
+# ------------------------------------------------- n-gram novelty
+#
+# Novel-n-gram rate of a held-out split vs the training split — the
+# memorization/contamination diagnostic (McCoy et al. 2021 "raw
+# novelty" flavor): what fraction of the test split's distinct
+# 5-grams never occur in train? The hash split (doc_id % 10: 0-7
+# train, 8-9 test) mirrors curate_dataset_split's convention.
+#
+# Scale: per-doc distinct grams map-side; train side reduces to a
+# DISTINCT gram set once (combiner-backed); the test-vs-train
+# membership check is one LEFT ANTI hash join keyed by gram — linear
+# in corpus size, never pairwise. Determinism: integer counts.
+
+NOVELTY_K = 5
+
+
+def ngram_novelty_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    from .curation import _kgrams
+
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        "lang",
+        ws_tokens(F.lower(F.col("text"))).alias("toks"),
+    )
+    grams = toked.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(_kgrams(F.col("toks"), NOVELTY_K))
+        ).alias("gram"),
+    )
+    train = (
+        grams.where(F.col("doc_id") % 10 < 8).select("gram").distinct()
+    )
+    test = (
+        grams.where(F.col("doc_id") % 10 >= 8)
+        .select("lang", "gram")
+        .distinct()
+    )
+    novel = test.join(train, "gram", "left_anti")
+    n_test = test.groupBy("lang").agg(
+        F.count("*").alias("n_test_grams")
+    )
+    n_novel = novel.groupBy("lang").agg(F.count("*").alias("n_novel"))
+    return (
+        n_test.join(n_novel, "lang", "left")
+        .select(
+            "lang",
+            "n_test_grams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.col("n_test_grams").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH toked AS (
+    SELECT doc_id, lang,
+        list_filter(string_split(lower(text), ' '), t -> t <> '')
+            AS toks
+    FROM documents
+), grams AS (
+    SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        range(1, greatest(len(toks) - {NOVELTY_K - 1}, 1) + 1),
+        i -> concat_ws(' ',
+            {", ".join(f"toks[i+{j}]" for j in range(NOVELTY_K))}))))
+        AS gram
+    FROM toked
+), train AS (
+    SELECT DISTINCT gram FROM grams WHERE doc_id % 10 < 8
+), test AS (
+    SELECT DISTINCT lang, gram FROM grams WHERE doc_id % 10 >= 8
+), novel AS (
+    SELECT lang, COUNT(*) AS n_novel
+    FROM test ANTI JOIN train USING (gram)
+    GROUP BY lang
+), n_test AS (
+    SELECT lang, COUNT(*) AS n_test_grams FROM test GROUP BY lang
+)
+SELECT t.lang, CAST(n_test_grams AS BIGINT) AS n_test_grams,
+    CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+    round(CAST(COALESCE(n_novel, 0) AS DOUBLE)
+          / CAST(n_test_grams AS DOUBLE), 6) AS novelty_rate
+FROM n_test t LEFT JOIN novel USING (lang)
+"""
+
+
 REGISTRY = [
     ("text_repetition", repetition_query, REPETITION_SQL),
     ("text_pii_scrub", pii_scrub_query, PII_SCRUB_SQL),
@@ -505,4 +598,6 @@ REGISTRY = [
     # Church–Gale Fano-factor burstiness of the heaviest terms
     ("corpus_term_burstiness", term_burstiness_query,
      TERM_BURSTINESS_SQL),
+    # held-out novel-5-gram rate vs train split (round 8)
+    ("corpus_ngram_novelty", ngram_novelty_query, NGRAM_NOVELTY_SQL),
 ]

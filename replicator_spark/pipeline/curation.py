@@ -1193,6 +1193,102 @@ FROM (
 """
 
 
+# ------------------------------------------- temperature sampling mix
+#
+# Temperature-scaled multilingual sampling weights (the mBERT/XLM-R
+# exponentiated-share recipe, Conneau & Lample 2019): per-language
+# token share p_l, re-weighted w_l ∝ p_l^k over an inverse-temperature
+# grid k ∈ {1, 2, 4} (k=1 proportional, larger k upweights the head;
+# the classic T=0.7 sits between the k grid points — integer k keeps
+# p^k an exact IEEE multiply chain, identical in both engines, where
+# pow() is not).
+#
+# Scale: one map-side token count → |langs|-row agg; the k grid is a
+# constant fan-out and the normalizer is a |k|-row broadcast.
+# Determinism: p^k via explicit repeated multiplication; normalizer
+# sums 12-dp-rounded DECIMALs (order-exact); final ratios in doubles.
+
+TEMP_MIX_KS = (1, 2, 4)
+
+
+def temperature_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    from .text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    per_lang = docs.select(
+        "lang", F.size(ws_tokens(F.lower(F.col("text")))).alias("nt")
+    ).groupBy("lang").agg(F.sum("nt").alias("n_tokens"))
+    tot = per_lang.agg(F.sum("n_tokens").alias("tot_tokens"))
+    p = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast(
+        "double"
+    )
+    based = per_lang.crossJoin(F.broadcast(tot)).withColumn("p", p)
+    kgrid = F.explode(
+        F.array(*[F.lit(k) for k in TEMP_MIX_KS])
+    ).alias("inv_temp")
+    pk = (
+        F.when(F.col("inv_temp") == 1, F.col("p"))
+        .when(F.col("inv_temp") == 2, F.col("p") * F.col("p"))
+        .otherwise(
+            (F.col("p") * F.col("p")) * (F.col("p") * F.col("p"))
+        )
+    )
+    fan = based.select(
+        "lang", "n_tokens", "tot_tokens", "p", kgrid
+    ).withColumn("pk", pk)
+    z = fan.groupBy("inv_temp").agg(
+        F.sum(F.round("pk", 12).cast("decimal(20,12)")).alias("z")
+    )
+    w = F.col("pk") / F.col("z").cast("double")
+    return (
+        fan.join(F.broadcast(z), "inv_temp")
+        .select(
+            "lang",
+            "inv_temp",
+            "n_tokens",
+            F.round(w, 6).alias("weight"),
+            F.round(w * F.col("tot_tokens").cast("double"), 3).alias(
+                "exp_tokens"
+            ),
+        )
+    )
+
+
+TEMPERATURE_MIX_SQL = f"""
+WITH per_lang AS (
+    SELECT lang,
+        CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                 t -> t <> ''))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+), tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM per_lang
+), based AS (
+    SELECT lang, n_tokens, tot_tokens,
+        CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS p
+    FROM per_lang CROSS JOIN tot
+), fan AS (
+    SELECT lang, n_tokens, tot_tokens, inv_temp,
+        CASE WHEN inv_temp = 1 THEN p
+             WHEN inv_temp = 2 THEN p * p
+             ELSE (p * p) * (p * p) END AS pk
+    FROM based CROSS JOIN (
+        SELECT unnest([{", ".join(str(k) for k in TEMP_MIX_KS)}])
+            AS inv_temp
+    )
+), z AS (
+    SELECT inv_temp,
+        SUM(CAST(round(pk, 12) AS DECIMAL(20,12))) AS z
+    FROM fan GROUP BY inv_temp
+)
+SELECT lang, f.inv_temp, n_tokens,
+    round(pk / CAST(z AS DOUBLE), 6) AS weight,
+    round(pk / CAST(z AS DOUBLE) * CAST(tot_tokens AS DOUBLE), 3)
+        AS exp_tokens
+FROM fan f JOIN z ON f.inv_temp = z.inv_temp
+"""
+
+
 REGISTRY = [
     ("curate_pack_sequences", pack_sequences_query, PACK_SEQUENCES_SQL),
     ("curate_chunk_documents", chunk_documents_query, CHUNK_DOCUMENTS_SQL),
@@ -1217,4 +1313,7 @@ REGISTRY = [
     ("curate_dsir_weights", dsir_weights_query, DSIR_WEIGHTS_SQL),
     # DSIR Gumbel-top-k deterministic resample over those weights
     ("curate_dsir_sample", dsir_sample_query, _dsir_sample_sql()),
+    # temperature-scaled multilingual sampling weights (round 8)
+    ("curate_temperature_mix", temperature_mix_query,
+     TEMPERATURE_MIX_SQL),
 ]

@@ -900,6 +900,69 @@ FROM toked t LEFT JOIN per_doc USING (doc_id)
 """
 
 
+# ------------------------------------------- template-prefix clusters
+#
+# Boilerplate/template detection by shared document PREFIX: docs whose
+# first K tokens are identical are near-certain template instances
+# (scraped headers, licence preambles, generated-form text) even when
+# their bodies diverge past every similarity threshold. The cheap
+# complement to MinHash: one map-side key extraction + one groupBy —
+# no shingling, no banding.
+#
+# Scale: prefix key is computed map-side (bounded K-token string);
+# ONE combiner-backed groupBy(prefix) — linear shuffle keyed by a
+# short string; output only multi-doc groups (bounded by template
+# count, not corpus size). Determinism: integer counts + min rowkeys.
+
+TEMPLATE_PREFIX_K = 8
+
+
+def template_prefix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        "lang",
+        ws_tokens(F.lower(F.col("text"))).alias("toks"),
+    ).where(F.size("toks") >= TEMPLATE_PREFIX_K)
+    keyed = toked.select(
+        "doc_id",
+        "lang",
+        F.concat_ws(
+            " ", F.slice("toks", 1, TEMPLATE_PREFIX_K)
+        ).alias("prefix"),
+    )
+    return (
+        keyed.groupBy("prefix")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+TEMPLATE_PREFIX_SQL = f"""
+WITH toked AS (
+    SELECT doc_id, lang,
+        list_filter(string_split(lower(text), ' '), t -> t <> '')
+            AS toks
+    FROM documents
+), keyed AS (
+    SELECT doc_id, lang,
+        concat_ws(' ',
+            {", ".join(f"toks[{j + 1}]" for j in range(TEMPLATE_PREFIX_K))})
+        AS prefix
+    FROM toked WHERE len(toks) >= {TEMPLATE_PREFIX_K}
+)
+SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+    CAST(MIN(doc_id) AS BIGINT) AS rep_doc
+FROM keyed GROUP BY prefix HAVING COUNT(*) >= 2
+"""
+
+
 REGISTRY = [
     ("dedup_exact", exact_dedup_query, EXACT_DEDUP_SQL),
     ("dedup_minhash_lsh", minhash_lsh_query, MINHASH_LSH_SQL),
@@ -912,4 +975,7 @@ REGISTRY = [
     ("dedup_semantic_cells", semantic_cells_query, _semantic_cells_sql()),
     # ExactSubstr-style duplicated-span merge (Lee et al. 2022)
     ("dedup_substring_spans", substring_spans_query, SUBSTRING_SPANS_SQL),
+    # shared first-K-token template/boilerplate clusters (round 8)
+    ("dedup_template_prefix", template_prefix_query,
+     TEMPLATE_PREFIX_SQL),
 ]

@@ -584,9 +584,13 @@ FROM hhi
 # the occurrence-mass view.
 #
 # Scale: one token-count agg (combiner-backed, vocab-sized); the
-# ranking window runs over that AGGREGATE (bounded input — the
-# audited global-window exemption), and the K grid is a constant
-# fan-out of the ranked head. Determinism: pure integer sums.
+# global ranking window over it is safe NOT because an aggregate sits
+# beneath (vocab is Heaps-law-large at 100 TB) but because the
+# adjacent `rank <= 100` filter triggers Spark's WindowGroupLimit
+# rewrite — the physical plan is TakeOrderedAndProject, capping
+# per-partition flow at K before the single-partition sort. The K
+# grid is a constant fan-out of the ranked head. Determinism: pure
+# integer sums.
 
 HEAD_KS = (10, 50, 100)
 

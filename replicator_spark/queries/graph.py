@@ -737,6 +737,82 @@ LIMIT {LP_TOP}
 """
 
 
+# ------------------------------------------ power-law degree fit
+#
+# Clauset-Shalizi-Newman continuous-MLE exponent for the degree
+# distribution tail: alpha = 1 + n / sum(ln(deg / (xmin - 0.5)))
+# over nodes with deg >= xmin. The scale-free-ness diagnostic that
+# tells you whether hub-capped plans (triangles/link-prediction) are
+# load-bearing on this graph. Public method: Clauset, Shalizi &
+# Newman 2009, "Power-law distributions in empirical data".
+#
+# Scale: degree agg is node-keyed (combiner-backed); everything after
+# runs over the node-degree table and reduces to ONE row — no
+# windows, no joins. Determinism: ln rounded to 9 dp summed as
+# DECIMAL (order-exact), final ratio in doubles.
+
+PL_XMIN = 2
+
+
+def degree_powerlaw_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    deg = (
+        _edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+    )
+    lnterm = F.round(
+        F.log(F.col("deg").cast("double") / F.lit(float(PL_XMIN) - 0.5)),
+        9,
+    ).cast("decimal(20,9)")
+    return deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("deg").alias("max_deg"),
+        F.sum(F.when(F.col("deg") >= PL_XMIN, 1).otherwise(0)).alias(
+            "n_tail"
+        ),
+        F.sum(F.when(F.col("deg") >= PL_XMIN, lnterm)).alias("_sl"),
+    ).select(
+        F.lit(PL_XMIN).alias("xmin"),
+        "n_nodes",
+        "max_deg",
+        "n_tail",
+        F.round(
+            F.lit(1.0)
+            + F.col("n_tail").cast("double")
+            / F.col("_sl").cast("double"),
+            6,
+        ).alias("alpha"),
+    )
+
+
+DEGREE_POWERLAW_SQL = f"""
+WITH pairs AS (
+    SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+        's:' || CAST(l.l_suppkey AS VARCHAR) AS snode
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+    SELECT cnode AS src, snode AS dst FROM pairs
+    UNION ALL
+    SELECT snode AS src, cnode AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+SELECT {PL_XMIN} AS xmin,
+    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+    CAST(MAX(deg) AS BIGINT) AS max_deg,
+    CAST(SUM(CASE WHEN deg >= {PL_XMIN} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_tail,
+    round(1.0e0 + CAST(SUM(CASE WHEN deg >= {PL_XMIN} THEN 1 ELSE 0 END)
+                       AS DOUBLE)
+        / CAST(SUM(CASE WHEN deg >= {PL_XMIN} THEN
+              CAST(round(ln(CAST(deg AS DOUBLE) / {float(PL_XMIN) - 0.5}e0),
+                         9) AS DECIMAL(20,9)) END) AS DOUBLE),
+        6) AS alpha
+FROM deg
+"""
+
+
 REGISTRY = [
     ("graph_pagerank", pagerank_query, PAGERANK_SQL),
     ("graph_triangles", triangles_query, TRIANGLES_SQL),
@@ -750,4 +826,7 @@ REGISTRY = [
     # common-neighbors / Jaccard link prediction (top pairs)
     ("graph_link_prediction", link_prediction_query,
      LINK_PREDICTION_SQL),
+    # Clauset-Shalizi-Newman power-law degree exponent (round 8)
+    ("graph_degree_powerlaw", degree_powerlaw_query,
+     DEGREE_POWERLAW_SQL),
 ]

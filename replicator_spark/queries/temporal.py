@@ -1311,6 +1311,192 @@ QUALIFY rank <= {SEAS_OUT_TOP}
 """
 
 
+# ------------------------------------------- Holt linear forecasting
+#
+# Double-exponential (Holt) smoothing of the per-type daily volume
+# series, h-step-ahead forecast grid — the capacity-planning consumer
+# of the trend ops above (OLS/Theil-Sen give a global line; Holt
+# tracks a drifting level+trend and extrapolates it).
+#
+# State recurrence, ALGEBRAICALLY EXPANDED so each field is one
+# independent linear combination (no shared l' subexpression —
+# DuckDB 1.0 mis-evaluates struct-state list_reduce lambdas whose
+# fields reference each other, so the oracle uses a recursive CTE and
+# both engines need the exact same IEEE expression tree):
+#   l_t = 0.5*x_t + 0.5*l_{t-1} + 0.5*b_{t-1}
+#   b_t = 0.125*x_t - 0.125*l_{t-1} + 0.875*b_{t-1}
+# (alpha = 0.5, beta = 0.25 — dyadic, so every multiply is exact.)
+#
+# Scale: ONE daily count agg (combiner-backed, |types|x|days| rows);
+# the sequential fold runs over a per-type array of ~|days| elements
+# inside a |types|-row aggregate — the fold is inherently sequential
+# in TIME but the heavy corpus scan is fully parallel; state is O(1)
+# per series. Determinism: identical left fold in both engines
+# (Spark F.aggregate == recursive-CTE join by construction).
+
+HOLT_HORIZON = 7
+
+
+def holt_winters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr(_TREND_DAY).alias("day")
+    ).agg(F.count("*").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("sd")
+    )
+    st = series.select(
+        "event_type",
+        F.size("sd").alias("n_days"),
+        F.expr(
+            "aggregate("
+            "  slice(sd, 2, size(sd) - 1),"
+            "  named_struct("
+            "    'l', CAST(sd[0].n AS DOUBLE), 'b', CAST(0 AS DOUBLE)),"
+            "  (acc, s) -> named_struct("
+            "    'l', 0.5D*CAST(s.n AS DOUBLE) + 0.5D*acc.l + 0.5D*acc.b,"
+            "    'b', 0.125D*CAST(s.n AS DOUBLE) - 0.125D*acc.l"
+            "         + 0.875D*acc.b))"
+        ).alias("st"),
+    )
+    hgrid = F.explode(
+        F.array(*[F.lit(h) for h in range(1, HOLT_HORIZON + 1)])
+    ).alias("h")
+    return st.select(
+        "event_type", "n_days", F.col("st.l").alias("l"),
+        F.col("st.b").alias("b"), hgrid
+    ).select(
+        "event_type",
+        "n_days",
+        "h",
+        F.round("l", 6).alias("level"),
+        F.round("b", 6).alias("trend"),
+        F.round(
+            F.col("l") + F.col("h").cast("double") * F.col("b"), 6
+        ).alias("forecast"),
+    )
+
+
+HOLT_WINTERS_SQL = f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+), idx AS (
+    SELECT event_type, CAST(n AS DOUBLE) AS x,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        COUNT(*) OVER (PARTITION BY event_type) AS n_days
+    FROM daily
+), st AS (
+    SELECT event_type, i, n_days, x AS l, CAST(0 AS DOUBLE) AS b
+    FROM idx WHERE i = 1
+    UNION ALL
+    SELECT st.event_type, idx.i, st.n_days,
+        0.5e0*idx.x + 0.5e0*st.l + 0.5e0*st.b,
+        0.125e0*idx.x - 0.125e0*st.l + 0.875e0*st.b
+    FROM st JOIN idx
+        ON idx.event_type = st.event_type AND idx.i = st.i + 1
+), fin AS (
+    SELECT event_type, n_days, l, b FROM st WHERE i = n_days
+)
+SELECT event_type, CAST(n_days AS INT) AS n_days, h,
+    round(l, 6) AS level, round(b, 6) AS trend,
+    round(l + CAST(h AS DOUBLE) * b, 6) AS forecast
+FROM fin CROSS JOIN (
+    SELECT unnest([{", ".join(str(h) for h in range(1, HOLT_HORIZON + 1))}]) AS h
+)
+"""
+
+
+# --------------------------------------- Kaplan-Meier survival curve
+#
+# Survival analysis of the inter-event gap ("how long until a user's
+# next event"): classic churn/engagement curve. Every consecutive
+# event pair contributes one fully-observed gap in days; the KM
+# estimator over the day grid is S(t) = prod_{u<=t} (1 - d_u/n_u)
+# with d_u = gaps of exactly u days and n_u = gaps >= u days.
+# Output carries LOG-survival (sum of 9-dp-rounded lns, the blessed
+# cross-engine pattern) — exp() is not correctly-rounded in either
+# engine, so the curve is reported in log space; the terminal row
+# where n == d (survival hits exactly 0) carries NULL.
+#
+# Scale: the lag runs per-user (partitioned window); the day-grid
+# histogram is a combiner-backed agg to <= |days| rows; both global
+# windows (at-risk reverse-cumsum, log-surv cumsum) run over that
+# bounded grid (plan-audit whitelist: gap-day-keyed agg).
+
+def survival_km_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr(_TREND_DAY).alias("day")
+    )
+    wu = W.partitionBy("user_id").orderBy("day", "event_id")
+    gaps = (
+        ev.withColumn("prev_day", F.lag("day").over(wu))
+        .where(F.col("prev_day").isNotNull())
+        .select((F.col("day") - F.col("prev_day")).alias("t"))
+    )
+    hist = gaps.groupBy("t").agg(F.count("*").alias("d"))
+    wrisk = W.orderBy(F.col("t").desc())
+    at_risk = hist.withColumn("n_at_risk", F.sum("d").over(wrisk))
+    term = F.when(
+        F.col("n_at_risk") > F.col("d"),
+        F.round(
+            F.log(
+                (F.col("n_at_risk") - F.col("d")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            ),
+            9,
+        ).cast("decimal(20,9)"),
+    )
+    wcum = W.orderBy("t")
+    return (
+        at_risk.withColumn("_lt", term)
+        .withColumn("_cum", F.sum("_lt").over(wcum))
+        .select(
+            "t",
+            "d",
+            "n_at_risk",
+            F.when(
+                F.col("n_at_risk") > F.col("d"),
+                F.round(F.col("_cum").cast("double"), 6),
+            ).alias("km_log_surv"),
+        )
+    )
+
+
+SURVIVAL_KM_SQL = """
+WITH ev AS (
+    SELECT user_id, event_id, epoch_ms(ts) // 86400000 AS day
+    FROM events
+), gaps AS (
+    SELECT day - LAG(day) OVER (
+        PARTITION BY user_id ORDER BY day, event_id) AS t
+    FROM ev
+), hist AS (
+    SELECT t, COUNT(*) AS d FROM gaps WHERE t IS NOT NULL GROUP BY t
+), at_risk AS (
+    SELECT t, d, SUM(d) OVER (ORDER BY t DESC) AS n_at_risk
+    FROM hist
+), terms AS (
+    SELECT t, d, n_at_risk,
+        CASE WHEN n_at_risk > d THEN
+            CAST(round(ln(CAST(n_at_risk - d AS DOUBLE)
+                          / CAST(n_at_risk AS DOUBLE)), 9)
+                 AS DECIMAL(20,9))
+        END AS lt
+    FROM at_risk
+)
+SELECT t, CAST(d AS BIGINT) AS d,
+    CAST(n_at_risk AS BIGINT) AS n_at_risk,
+    CASE WHEN n_at_risk > d THEN
+        round(CAST(SUM(lt) OVER (ORDER BY t) AS DOUBLE), 6)
+    END AS km_log_surv
+FROM terms
+"""
+
+
 REGISTRY = [
     ("temporal_asof_join", asof_join_query, ASOF_JOIN_SQL),
     ("temporal_range_join", range_join_query, RANGE_JOIN_SQL),
@@ -1330,4 +1516,8 @@ REGISTRY = [
     # day-of-week deseasonalized residual z-score outlier days
     ("ts_seasonal_outliers", seasonal_outliers_query,
      SEASONAL_OUTLIERS_SQL),
+    # Holt double-exponential level+trend forecast grid (round 8)
+    ("ts_holt_winters", holt_winters_query, HOLT_WINTERS_SQL),
+    # Kaplan-Meier inter-event-gap survival curve (round 8)
+    ("events_survival_km", survival_km_query, SURVIVAL_KM_SQL),
 ]

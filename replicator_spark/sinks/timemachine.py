@@ -816,3 +816,83 @@ SELECT cutoff_us, table_name,
 FROM latest GROUP BY cutoff_us, table_name
 """
 )
+
+
+# ------------------------------------------------ cell lifetimes
+#
+# Version-interval churn: for every versioned cell key, the time
+# between consecutive versions — the TTL/compaction-policy input the
+# retention op consumes ("how long does a cell version stay current
+# before it is overwritten"). The histogram buckets by DECIMAL DIGIT
+# COUNT of the gap in seconds (a pure string-length op, identical in
+# both engines — log-ish bucketing with zero float risk).
+#
+# Scale: the lag window is PARTITIONED by the cell key (no global
+# sort); the histogram agg is (table x column x <=8 buckets)-sized.
+# Determinism: integer gaps, exact total order (version_us, event_id)
+# within key. Ref parity: complements version_depth (counts per key)
+# with the TEMPORAL spacing of those versions
+# (HBaseTimeMachineWriter.java's one-version-per-timestamp model).
+
+
+def cell_lifetimes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = timemachine_cells(spark, sf_dir)
+    wk = W.partitionBy("table_name", "rowkey", "column_name").orderBy(
+        "version_us", "event_id"
+    )
+    gaps = (
+        cells.withColumn("prev_us", F.lag("version_us").over(wk))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            "table_name",
+            "column_name",
+            # integer `div`, not double `/` then cast: a double
+            # quotient can round across the integer boundary for
+            # large µs gaps and disagree with DuckDB's exact `//`
+            F.expr("(version_us - prev_us) div 1000000").alias(
+                "gap_s"
+            ),
+        )
+    )
+    return (
+        gaps.groupBy(
+            "table_name",
+            "column_name",
+            F.length(F.col("gap_s").cast("string")).alias("gap_digits"),
+        )
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.round(
+                F.sum("gap_s").cast("double")
+                / F.count("*").cast("double"),
+                3,
+            ).alias("avg_gap_s"),
+        )
+    )
+
+
+CELL_LIFETIMES_SQL = (
+    "WITH cells AS ("
+    + TIMEMACHINE_CELLS_SQL
+    + """
+), gaps AS (
+    SELECT table_name, column_name,
+        CAST((version_us - LAG(version_us) OVER (
+            PARTITION BY table_name, rowkey, column_name
+            ORDER BY version_us, event_id)) // 1000000 AS BIGINT)
+            AS gap_s
+    FROM cells
+)
+SELECT table_name, column_name,
+    CAST(length(CAST(gap_s AS VARCHAR)) AS INT) AS gap_digits,
+    CAST(COUNT(*) AS BIGINT) AS n_gaps,
+    CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+    CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+    round(CAST(SUM(gap_s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 3)
+        AS avg_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY table_name, column_name, length(CAST(gap_s AS VARCHAR))
+"""
+)

@@ -185,6 +185,20 @@ SLATE = [
     "events_wow_growth",
     "sim_nprobe_sweep",
     "text_code_detect",
+    # round-8 additions: the claims under test are the |types|-array
+    # sequential fold (holt), the day-grid cumulative windows (KM),
+    # the node-keyed degree agg (power law), the anti-join gram
+    # membership check (novelty), the |langs|x|k| grid (temperature
+    # mix), the prefix-keyed linear groupBy (template), and the
+    # cell-key-partitioned lag (lifetimes)
+    "ts_holt_winters",
+    "events_survival_km",
+    "graph_degree_powerlaw",
+    "corpus_ngram_novelty",
+    "curate_temperature_mix",
+    "dedup_template_prefix",
+    "tm_cell_lifetimes",
+    "cdc_metrics_exposition",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
