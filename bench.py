@@ -14,6 +14,15 @@ SPARK_GRAFT_BENCH_ORDER=heavy_first (run the iterative-trainer block
 first — slate-pressure experiments), SPARK_GRAFT_BENCH_ONLY=a,b,c
 (subset slate for split-JVM runs).
 
+Reading the sim/emb block: five entries (emb_kmeans, emb_silhouette,
+sim_pq_codes, sim_pq_distortion, sim_ivfadc_topk) each RE-TRAIN the
+shared k-means/PQ codebooks inside their own query — the
+standalone-oracle contract requires it — so ~60% of that block's
+bench cost is repeated training, not serving. At production scale
+you train once and serve many; the serving-side cost of these plans
+is the post-training passes only (cell prune + broadcast-LUT scoring,
+one assignment pass, one distortion agg).
+
 Each query is fully materialized via the noop sink (no driver-side
 collect — measures the distributed plan, not result transfer).
 Per-query time is best-of-N (default 3, $SPARK_GRAFT_BENCH_REPS) to
@@ -129,6 +138,9 @@ HEADLINE = [
     "dedup_template_prefix",
     "tm_cell_lifetimes",
     "cdc_metrics_exposition",
+    "stats_mannwhitney_u",
+    "events_markov_stationary",
+    "dedup_minhash_band_tuning",
 ]
 
 

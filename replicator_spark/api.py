@@ -79,11 +79,12 @@ Rotation map (which driver run produced each operator's green row):
   corpus_herfindahl, corpus_head_coverage, ts_seasonal_outliers)
   occupy slots 1-33; the 17 re-pins fill slots 34-50. Any round-8
   additions queue at entries 51+ (ROUND-9 QUEUE) for the next window.
-- round 9 queue (entries 51-58): the eight round-8 additions
+- round 9 queue (entries 51-61): the eleven round-8 additions
   (ts_holt_winters, events_survival_km, graph_degree_powerlaw,
   corpus_ngram_novelty, curate_temperature_mix,
-  dedup_template_prefix, tm_cell_lifetimes,
-  cdc_metrics_exposition) — throttled per the round-7 verdict
+  dedup_template_prefix, tm_cell_lifetimes, cdc_metrics_exposition,
+  stats_mannwhitney_u, events_markov_stationary,
+  dedup_minhash_band_tuning) — throttled per the round-7 verdict
   (additions <= ~15/round so first driver evidence lands within one
   round).
 
@@ -174,6 +175,9 @@ _PRIORITY = [
     "dedup_template_prefix",
     "tm_cell_lifetimes",
     "cdc_metrics_exposition",
+    "stats_mannwhitney_u",
+    "events_markov_stationary",
+    "dedup_minhash_band_tuning",
     # ========= BELOW THE WINDOW: driver-green r7 (r7 window) =========
     "stream_jsonl_sink",
     "sim_knn_classifier",

@@ -900,6 +900,158 @@ FROM toked t LEFT JOIN per_doc USING (doc_id)
 """
 
 
+# ------------------------------------------- LSH band/row tuning
+#
+# Expected-detection audit of alternative MinHash banding configs:
+# for every (bands b, rows-per-band r) split of the 8-hash signature,
+# the S-curve P(candidate | s) = 1 - (1 - s^r)^b evaluated over the
+# MEASURED similarity histogram of the current candidate population
+# (exact n-gram Jaccard of the LSH pairs, 20 bins at bin midpoints).
+# Answers the banding-threshold question ("would (2,4) still catch
+# our observed near-dups?") from data instead of the abstract curve.
+#
+# Determinism: bin midpoints are dyadic; s^r and (1-s^r)^b use
+# EXPLICIT repeated-multiplication chains built column-by-column
+# (identical CTE steps in both engines — pow() is not correctly
+# rounded, squaring chains are plain IEEE multiplies); per-bin
+# detection probs round to 9 dp and weight the integer histogram as
+# DECIMAL (order-exact sums).
+#
+# Scale: rides the propose/verify plan (one LSH pass + one Jaccard
+# verify); the histogram is 20 rows, the config grid a constant
+# fan-out. Nothing new shuffles.
+
+BAND_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))  # b x r = N_MINHASH
+BAND_BINS = 20
+
+
+def minhash_band_tuning_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = ngram_jaccard_query(spark, sf_dir)
+    hist = (
+        scored.select(
+            F.least(
+                F.floor(F.col("jaccard") * BAND_BINS), F.lit(BAND_BINS - 1)
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("bands"),
+                    F.lit(r).alias("rows_per_band"),
+                )
+                for b, r in BAND_CONFIGS
+            ]
+        )
+    ).alias("cfg")
+    fan = hist.select("bin", "n_pairs", cfg).select(
+        "bin", "n_pairs", "cfg.bands", "cfg.rows_per_band"
+    )
+    powed = (
+        fan.withColumn(
+            "s",
+            F.expr(
+                f"(CAST(bin AS DOUBLE) + 0.5E0) / {BAND_BINS}.0E0"
+            ),
+        )
+        .withColumn("s2", F.expr("s * s"))
+        .withColumn("s4", F.expr("s2 * s2"))
+        .withColumn("s8", F.expr("s4 * s4"))
+        .withColumn(
+            "pr",
+            F.expr(
+                "CASE rows_per_band WHEN 1 THEN s WHEN 2 THEN s2"
+                " WHEN 4 THEN s4 ELSE s8 END"
+            ),
+        )
+        .withColumn("q", F.expr("1.0E0 - pr"))
+        .withColumn("q2", F.expr("q * q"))
+        .withColumn("q4", F.expr("q2 * q2"))
+        .withColumn("q8", F.expr("q4 * q4"))
+        .withColumn(
+            "pd",
+            F.expr(
+                "1.0E0 - CASE bands WHEN 1 THEN q WHEN 2 THEN q2"
+                " WHEN 4 THEN q4 ELSE q8 END"
+            ),
+        )
+    )
+    agg = powed.groupBy("bands", "rows_per_band").agg(
+        F.sum("n_pairs").alias("n_pairs"),
+        F.sum(
+            F.col("n_pairs").cast("decimal(20,0)")
+            * F.round("pd", 9).cast("decimal(20,9)")
+        ).alias("_exp"),
+    )
+    return agg.select(
+        "bands",
+        "rows_per_band",
+        "n_pairs",
+        F.round(F.col("_exp").cast("double"), 3).alias(
+            "expected_detected"
+        ),
+        F.round(
+            F.col("_exp").cast("double")
+            / F.col("n_pairs").cast("double"),
+            6,
+        ).alias("detect_rate"),
+    )
+
+
+def _band_tuning_sql() -> str:
+    cfg_rows = ", ".join(f"({b}, {r})" for b, r in BAND_CONFIGS)
+    return (
+        "WITH j AS ("
+        + NGRAM_JACCARD_SQL
+        + f"""
+), hist AS (
+    SELECT least(CAST(floor(jaccard * {BAND_BINS}.0E0) AS BIGINT),
+                 {BAND_BINS - 1}) AS bin,
+        COUNT(*) AS n_pairs
+    FROM j GROUP BY 1
+), fan AS (
+    SELECT bin, n_pairs, bands, rows_per_band
+    FROM hist CROSS JOIN (VALUES {cfg_rows})
+        AS cfg(bands, rows_per_band)
+), st1 AS (
+    SELECT *, (CAST(bin AS DOUBLE) + 0.5E0) / {BAND_BINS}.0E0 AS s
+    FROM fan
+), st2 AS (SELECT *, s * s AS s2 FROM st1),
+st3 AS (SELECT *, s2 * s2 AS s4 FROM st2),
+st4 AS (SELECT *, s4 * s4 AS s8 FROM st3),
+st5 AS (
+    SELECT *, CASE rows_per_band WHEN 1 THEN s WHEN 2 THEN s2
+        WHEN 4 THEN s4 ELSE s8 END AS pr
+    FROM st4
+), st6 AS (SELECT *, 1.0E0 - pr AS q FROM st5),
+st7 AS (SELECT *, q * q AS q2 FROM st6),
+st8 AS (SELECT *, q2 * q2 AS q4 FROM st7),
+st9 AS (SELECT *, q4 * q4 AS q8 FROM st8),
+st10 AS (
+    SELECT *, 1.0E0 - CASE bands WHEN 1 THEN q WHEN 2 THEN q2
+        WHEN 4 THEN q4 ELSE q8 END AS pd
+    FROM st9
+), agg AS (
+    SELECT bands, rows_per_band,
+        CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+        SUM(CAST(n_pairs AS DECIMAL(20,0))
+            * CAST(round(pd, 9) AS DECIMAL(20,9))) AS _exp
+    FROM st10 GROUP BY bands, rows_per_band
+)
+SELECT bands, rows_per_band, n_pairs,
+    round(CAST(_exp AS DOUBLE), 3) AS expected_detected,
+    round(CAST(_exp AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+        AS detect_rate
+FROM agg
+"""
+    )
+
+
 # ------------------------------------------- template-prefix clusters
 #
 # Boilerplate/template detection by shared document PREFIX: docs whose
@@ -978,4 +1130,7 @@ REGISTRY = [
     # shared first-K-token template/boilerplate clusters (round 8)
     ("dedup_template_prefix", template_prefix_query,
      TEMPLATE_PREFIX_SQL),
+    # banding S-curve audit over the measured Jaccard histogram
+    ("dedup_minhash_band_tuning", minhash_band_tuning_query,
+     _band_tuning_sql()),
 ]

@@ -447,6 +447,126 @@ FROM cnt JOIN row_tot USING (src_type)
 """
 
 
+# ------------------------------------------- Markov stationary dist
+#
+# Stationary distribution of the first-order event-type chain: P^64
+# via six matrix squarings — at convergence every ROW of P^64 is the
+# stationary distribution, so the full (converged) matrix is the
+# output and the row-agreement is itself the convergence check.
+#
+# Arithmetic is INTEGER fixed-point throughout (nano-units, the
+# engine-identical micro-unit pattern): transition probs quantize to
+# q = floor(p * 1e9 + 0.5) as BIGINT via pure integer ops, each
+# squaring computes (sum(q_ik*q_kj) + 5e8) // 1e9 — products <= 1e18
+# fit BIGINT/HUGEINT, and // is exact floor in every engine — so the
+# output is integers with ZERO float involvement anywhere.
+#
+# Scale: the distributed work is the transition count over the full
+# stream (one lead window + one combiner agg); the 6 squarings act on
+# a |types|^2 (constant-size) matrix on the driver — the
+# emb_pca_power "driver eigensolve is constant" contract. Ref scope:
+# beyond-reference analytics, same contract as markov_transitions.
+
+MARKOV_POW_SCALE = 1_000_000_000
+MARKOV_POW_ROUNDS = 6  # P^(2^6) = P^64
+
+
+def markov_stationary_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).where(F.col("dst_type").isNotNull())
+    cnt = trans.groupBy("src_type", "dst_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    row_tot = cnt.groupBy("src_type").agg(
+        F.sum("n_trans").alias("n_src")
+    )
+    # constant-size collects: |types| and |types|^2 rows
+    types = sorted(
+        r[0]
+        for r in ev.select("event_type").distinct().collect()
+    )
+    scale = MARKOV_POW_SCALE
+    q = {
+        (r["src_type"], r["dst_type"]): (
+            2 * r["n_trans"] * scale + r["n_src"]
+        )
+        // (2 * r["n_src"])
+        for r in cnt.join(row_tot, "src_type").collect()
+    }
+    m = {
+        (i, j): q.get((i, j), 0) for i in types for j in types
+    }
+    for _ in range(MARKOV_POW_ROUNDS):
+        m = {
+            (i, j): (
+                sum(m[(i, k)] * m[(k, j)] for k in types)
+                + scale // 2
+            )
+            // scale
+            for i in types
+            for j in types
+        }
+    return spark.createDataFrame(
+        [(i, j, m[(i, j)]) for i in types for j in types],
+        "src_type string, dst_type string, p64_nano long",
+    )
+
+
+def _markov_pow_step(prev: str, cur: str) -> str:
+    return f"""{cur} AS MATERIALIZED (
+    SELECT a.i, b.j,
+        (SUM(a.q * b.q) + {MARKOV_POW_SCALE // 2})
+            // {MARKOV_POW_SCALE} AS q
+    FROM {prev} a JOIN {prev} b ON a.j = b.i
+    GROUP BY a.i, b.j
+)"""
+
+
+_POW_STEPS = ",\n".join(
+    _markov_pow_step(f"m{k}", f"m{k + 1}")
+    for k in range(MARKOV_POW_ROUNDS)
+)
+
+MARKOV_STATIONARY_SQL = f"""
+WITH trans AS (
+    SELECT event_type AS src_type,
+        LEAD(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS dst_type
+    FROM events
+), cnt AS (
+    SELECT src_type, dst_type, COUNT(*) AS n_trans
+    FROM trans WHERE dst_type IS NOT NULL
+    GROUP BY src_type, dst_type
+), row_tot AS (
+    SELECT src_type, SUM(n_trans) AS n_src FROM cnt GROUP BY src_type
+), types AS (
+    SELECT DISTINCT event_type AS t FROM events
+), m0 AS MATERIALIZED (
+    SELECT g.i, g.j,
+        COALESCE(
+            (2 * n_trans * {MARKOV_POW_SCALE} + n_src) // (2 * n_src),
+            0) AS q
+    FROM (SELECT a.t AS i, b.t AS j FROM types a CROSS JOIN types b) g
+    LEFT JOIN (SELECT src_type, dst_type, n_trans, n_src
+               FROM cnt JOIN row_tot USING (src_type)) c
+        ON g.i = c.src_type AND g.j = c.dst_type
+),
+{_POW_STEPS}
+SELECT i AS src_type, j AS dst_type,
+    CAST(q AS BIGINT) AS p64_nano
+FROM m{MARKOV_POW_ROUNDS}
+"""
+
+
 # ---------------------------------------------------- top event paths
 #
 # The most-traveled length-3 behavioral paths (event-type trigrams per
@@ -738,4 +858,7 @@ REGISTRY = [
     ("events_pareto_share", pareto_share_query, PARETO_SHARE_SQL),
     # Markov-chain entropy rate (per-state conditional entropies)
     ("events_entropy_rate", entropy_rate_query, ENTROPY_RATE_SQL),
+    # integer fixed-point P^64 stationary distribution (round 8)
+    ("events_markov_stationary", markov_stationary_query,
+     MARKOV_STATIONARY_SQL),
 ]

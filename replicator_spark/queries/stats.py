@@ -1150,6 +1150,117 @@ FROM base
 """
 
 
+# ------------------------------------------- Mann-Whitney U test
+#
+# Rank-sum test of `value` for purchase events vs all other types —
+# the nonparametric two-sample location test (the distribution-free
+# complement of stats_welch_ttest, which assumes normality). Average
+# ranks with ties, tie-corrected normal approximation.
+#
+# Determinism: every moment is an INTEGER — 2x the rank sum
+# (2*R1 = sum over distinct values of n1_v * (2*cum_before + t_v + 1)
+# is integer because avg ranks are halves) and the tie correction
+# sum(t^3 - t) accumulate as DECIMAL(38,0); the z-score is then ONE
+# shared arithmetic expression string evaluated by both engines
+# (identical parse -> identical IEEE tree, the stats_ols_multi
+# contract).
+#
+# Scale: one distinct-value agg (combiner-backed) then a global
+# cumulative window over it — the stats_auc ECDF shape, same audit
+# whitelist entry and same documented equi-depth pre-binning note for
+# the 100 TB regime; the test itself reduces to ONE row.
+
+_MWU_Z = (
+    "(CAST(r1_twice AS DOUBLE) / 2.0E0"
+    " - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0E0) / 2.0E0"
+    " - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0E0)"
+    " / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0E0"
+    "   * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0E0)"
+    "      - CAST(tie AS DOUBLE)"
+    "        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    "           * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0E0))))"
+)
+
+
+def mannwhitney_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    # NULL measurements are excluded on BOTH sides (NULL sort order
+    # differs between engines, so letting one through would desync
+    # the cumulative rank walk)
+    per_v = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("n1v"),
+            F.count("*").alias("tv"),
+        )
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    cum = per_v.withColumn(
+        "cum_before", F.coalesce(F.sum("tv").over(w), F.lit(0))
+    )
+    mom = cum.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("tv") - F.col("n1v")).alias("n2"),
+        F.sum(
+            (
+                F.col("n1v")
+                * (2 * F.col("cum_before") + F.col("tv") + 1)
+            ).cast("decimal(38,0)")
+        ).alias("r1_twice"),
+        F.sum(
+            (
+                F.col("tv") * F.col("tv") * F.col("tv") - F.col("tv")
+            ).cast("decimal(38,0)")
+        ).alias("tie"),
+    )
+    u1 = (
+        F.col("r1_twice").cast("double") / F.lit(2.0)
+        - F.col("n1").cast("double")
+        * (F.col("n1").cast("double") + F.lit(1.0))
+        / F.lit(2.0)
+    )
+    return mom.select(
+        "n1",
+        "n2",
+        F.round(u1, 1).alias("u1"),
+        F.round(F.expr(_MWU_Z), 6).alias("z"),
+    )
+
+
+MANNWHITNEY_SQL = f"""
+WITH per_v AS (
+    SELECT value,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS n1v,
+        COUNT(*) AS tv
+    FROM events WHERE value IS NOT NULL GROUP BY value
+), cum AS (
+    SELECT n1v, tv,
+        COALESCE(SUM(tv) OVER (ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_before
+    FROM per_v
+), mom AS (
+    SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+        CAST(SUM(tv - n1v) AS BIGINT) AS n2,
+        SUM(CAST(n1v * (2*cum_before + tv + 1) AS DECIMAL(38,0)))
+            AS r1_twice,
+        SUM(CAST(tv*tv*tv - tv AS DECIMAL(38,0))) AS tie
+    FROM cum
+)
+SELECT n1, n2,
+    round(CAST(r1_twice AS DOUBLE) / 2.0E0
+          - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0E0) / 2.0E0,
+          1) AS u1,
+    round({_MWU_Z}, 6) AS z
+FROM mom
+"""
+
+
 REGISTRY = [
     ("stats_percentiles", percentiles_query, PERCENTILES_SQL),
     ("stats_chisq_independence", chisq_query, CHISQ_SQL),
@@ -1167,4 +1278,6 @@ REGISTRY = [
     ("stats_ols_multi", ols_multi_query, OLS_MULTI_SQL),
     # Wilson 95% binomial interval for high-value event share
     ("stats_wilson_ci", wilson_ci_query, WILSON_CI_SQL),
+    # tie-corrected Mann-Whitney rank-sum test (round 8)
+    ("stats_mannwhitney_u", mannwhitney_query, MANNWHITNEY_SQL),
 ]

@@ -110,6 +110,9 @@ _BOUNDED_GRID_KEYS = {
     # Kaplan-Meier day grid: gaps bucketed to |days| <= observation
     # window before the at-risk / log-survival cumulative windows
     "events_survival_km": {"t"},
+    # rank-sum walk over DISTINCT metric values — the stats_auc /
+    # stats_ks_test ECDF shape and the same 100 TB pre-binning note
+    "stats_mannwhitney_u": {"value"},
 }
 
 _KEY_NAME_RE = __import__("re").compile(r"(\w+)#\d+")

@@ -247,6 +247,82 @@ def test_metrics_exposition_formats(spark, tmp_path):
     assert len(prom) == 2 * len(graph)
 
 
+# ---------------------------------------------- stats_mannwhitney_u
+
+
+def test_mannwhitney_hand_computed(spark, tmp_path):
+    """purchase values {3,4,5} vs other {1,2,3}: tied at 3 →
+    avg-rank 3.5; R1 = 14.5, U1 = 8.5, tie term 6,
+    z = 4 / sqrt(0.75 * (7 - 0.2))."""
+    rows = [
+        (0, _day(0), 1, "purchase", 3.0, "{}"),
+        (1, _day(0, 1), 1, "purchase", 4.0, "{}"),
+        (2, _day(0, 2), 1, "purchase", 5.0, "{}"),
+        (3, _day(0, 3), 2, "view", 1.0, "{}"),
+        (4, _day(0, 4), 2, "view", 2.0, "{}"),
+        (5, _day(0, 5), 2, "view", 3.0, "{}"),
+    ]
+    base = str(tmp_path)
+    _write_events(spark, base, rows)
+    from replicator_spark.queries.stats import mannwhitney_query
+
+    r = mannwhitney_query(spark, base).collect()[0]
+    assert r["n1"] == 3 and r["n2"] == 3
+    assert abs(r["u1"] - 8.5) < 1e-9
+    exp_z = round(4.0 / math.sqrt(0.75 * (7.0 - 0.2)), 6)
+    assert abs(r["z"] - exp_z) < 1e-6
+
+
+# ------------------------------------------ events_markov_stationary
+
+
+def test_markov_stationary_absorbing(spark, tmp_path):
+    """Chain A→B then B→B forever: the stationary distribution is
+    all mass on B — every row of P^64 is (0, 1) in nano-units."""
+    seq = ["signup", "click", "click", "click", "click"]
+    rows = [
+        (i, _day(0, i), 1, t, 1.0, "{}") for i, t in enumerate(seq)
+    ]
+    base = str(tmp_path)
+    _write_events(spark, base, rows)
+    from replicator_spark.queries.analytics import (
+        markov_stationary_query,
+    )
+
+    out = {
+        (r["src_type"], r["dst_type"]): r["p64_nano"]
+        for r in markov_stationary_query(spark, base).collect()
+    }
+    assert out[("signup", "click")] == 1_000_000_000
+    assert out[("click", "click")] == 1_000_000_000
+    assert out[("signup", "signup")] == 0
+    assert out[("click", "signup")] == 0
+
+
+# --------------------------------------- dedup_minhash_band_tuning
+
+
+def test_band_tuning_scurve_ordering(spark, sf_dir):
+    """More bands of fewer rows always detects more of ANY observed
+    similarity mass: detect_rate must be monotone over the config
+    ladder (8,1) >= (4,2) >= (2,4) >= (1,8), all within [0, 1]."""
+    from replicator_spark.pipeline.dedup import (
+        minhash_band_tuning_query,
+    )
+
+    out = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in minhash_band_tuning_query(spark, sf_dir).collect()
+    }
+    assert set(out) == {(8, 1), (4, 2), (2, 4), (1, 8)}
+    ladder = [(8, 1), (4, 2), (2, 4), (1, 8)]
+    rates = [out[c]["detect_rate"] for c in ladder]
+    assert all(0.0 <= x <= 1.0 for x in rates)
+    assert all(a >= b - 1e-9 for a, b in zip(rates, rates[1:]))
+    for c in ladder:
+        assert out[c]["expected_detected"] <= out[c]["n_pairs"] + 1e-9
+
+
 # ----------------------------------------------- tm_cell_lifetimes
 
 

@@ -199,6 +199,9 @@ SLATE = [
     "dedup_template_prefix",
     "tm_cell_lifetimes",
     "cdc_metrics_exposition",
+    "stats_mannwhitney_u",
+    "events_markov_stationary",
+    "dedup_minhash_band_tuning",
 ]
 
 # user-keyed operators whose scale risk is per-key frame growth, not
