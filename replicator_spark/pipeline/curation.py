@@ -1204,7 +1204,7 @@ FROM (
 # pow() is not).
 #
 # Scale: one map-side token count → |langs|-row agg; the k grid is a
-# constant fan-out and the normalizer is a |k|-row broadcast.
+# constant fan-out and the normalizer is a window over that tiny fan.
 # Determinism: p^k via explicit repeated multiplication; normalizer
 # sums 12-dp-rounded DECIMALs (order-exact); final ratios in doubles.
 
@@ -1219,11 +1219,19 @@ def temperature_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_lang = docs.select(
         "lang", F.size(ws_tokens(F.lower(F.col("text")))).alias("nt")
     ).groupBy("lang").agg(F.sum("nt").alias("n_tokens"))
-    tot = per_lang.agg(F.sum("n_tokens").alias("tot_tokens"))
-    p = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast(
-        "double"
+    # corpus total as a global window over the |langs|-row aggregate,
+    # not a separate agg + crossJoin: the join shape re-evaluates the
+    # token-count scan a second time (two corpus scans at 100 TB);
+    # the window input is bounded by the language-code domain
+    # (plan-audit whitelist: lang-keyed agg)
+    based = per_lang.withColumn(
+        "tot_tokens",
+        F.sum("n_tokens").over(Window.partitionBy()),
+    ).withColumn(
+        "p",
+        F.col("n_tokens").cast("double")
+        / F.col("tot_tokens").cast("double"),
     )
-    based = per_lang.crossJoin(F.broadcast(tot)).withColumn("p", p)
     kgrid = F.explode(
         F.array(*[F.lit(k) for k in TEMP_MIX_KS])
     ).alias("inv_temp")
@@ -1237,21 +1245,23 @@ def temperature_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan = based.select(
         "lang", "n_tokens", "tot_tokens", "p", kgrid
     ).withColumn("pk", pk)
-    z = fan.groupBy("inv_temp").agg(
-        F.sum(F.round("pk", 12).cast("decimal(20,12)")).alias("z")
+    # normalizer as a PARTITIONED WINDOW, not groupBy+join-back: the
+    # join shape re-evaluates the whole token-count scan for the z
+    # subtree (two corpus scans at 100 TB); the window computes Z_k
+    # in place over the |langs|x|k| fan — one scan, one tiny sort
+    wz = Window.partitionBy("inv_temp")
+    zed = fan.withColumn(
+        "z", F.sum(F.round("pk", 12).cast("decimal(20,12)")).over(wz)
     )
     w = F.col("pk") / F.col("z").cast("double")
-    return (
-        fan.join(F.broadcast(z), "inv_temp")
-        .select(
-            "lang",
-            "inv_temp",
-            "n_tokens",
-            F.round(w, 6).alias("weight"),
-            F.round(w * F.col("tot_tokens").cast("double"), 3).alias(
-                "exp_tokens"
-            ),
-        )
+    return zed.select(
+        "lang",
+        "inv_temp",
+        "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(w * F.col("tot_tokens").cast("double"), 3).alias(
+            "exp_tokens"
+        ),
     )
 
 
@@ -1261,12 +1271,13 @@ WITH per_lang AS (
         CAST(SUM(len(list_filter(string_split(lower(text), ' '),
                                  t -> t <> ''))) AS BIGINT) AS n_tokens
     FROM documents GROUP BY lang
-), tot AS (
-    SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM per_lang
 ), based AS (
-    SELECT lang, n_tokens, tot_tokens,
-        CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS p
-    FROM per_lang CROSS JOIN tot
+    SELECT lang, n_tokens,
+        CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot_tokens,
+        CAST(n_tokens AS DOUBLE)
+            / CAST(CAST(SUM(n_tokens) OVER () AS BIGINT) AS DOUBLE)
+            AS p
+    FROM per_lang
 ), fan AS (
     SELECT lang, n_tokens, tot_tokens, inv_temp,
         CASE WHEN inv_temp = 1 THEN p
@@ -1276,16 +1287,17 @@ WITH per_lang AS (
         SELECT unnest([{", ".join(str(k) for k in TEMP_MIX_KS)}])
             AS inv_temp
     )
-), z AS (
-    SELECT inv_temp,
-        SUM(CAST(round(pk, 12) AS DECIMAL(20,12))) AS z
-    FROM fan GROUP BY inv_temp
+), zed AS (
+    SELECT *,
+        SUM(CAST(round(pk, 12) AS DECIMAL(20,12)))
+            OVER (PARTITION BY inv_temp) AS z
+    FROM fan
 )
-SELECT lang, f.inv_temp, n_tokens,
+SELECT lang, inv_temp, n_tokens,
     round(pk / CAST(z AS DOUBLE), 6) AS weight,
     round(pk / CAST(z AS DOUBLE) * CAST(tot_tokens AS DOUBLE), 3)
         AS exp_tokens
-FROM fan f JOIN z ON f.inv_temp = z.inv_temp
+FROM zed
 """
 
 

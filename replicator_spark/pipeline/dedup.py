@@ -983,23 +983,33 @@ def minhash_band_tuning_query(
     )
     agg = powed.groupBy("bands", "rows_per_band").agg(
         F.sum("n_pairs").alias("n_pairs"),
+        # count as DECIMAL(10,0), not (20,0): (20,0)x(20,9) hits
+        # precision 41 > 38 and Spark silently drops scale to 6;
+        # (10,0)x(20,9) -> (31,9) stays exact (the text_bigram_lm
+        # precedent)
         F.sum(
-            F.col("n_pairs").cast("decimal(20,0)")
+            F.col("n_pairs").cast("decimal(10,0)")
             * F.round("pd", 9).cast("decimal(20,9)")
         ).alias("_exp"),
     )
+    # integer outputs only: the decimal sum is an exact multiple of
+    # 1e-9 (nano-units cast exactly), and the rate uses the
+    # engine-identical floor(x*1e6 + 0.5) fold — round(double, 6)
+    # disagrees across engines within an ulp of a 5e-7 boundary
+    # (caught by the sf0.001 parity sweep)
     return agg.select(
         "bands",
         "rows_per_band",
         "n_pairs",
-        F.round(F.col("_exp").cast("double"), 3).alias(
-            "expected_detected"
-        ),
-        F.round(
+        (F.col("_exp") * F.lit(1_000_000_000))
+        .cast("long")
+        .alias("expected_detected_nano"),
+        F.floor(
             F.col("_exp").cast("double")
-            / F.col("n_pairs").cast("double"),
-            6,
-        ).alias("detect_rate"),
+            / F.col("n_pairs").cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("detect_rate_ppm"),
     )
 
 
@@ -1044,9 +1054,9 @@ st10 AS (
     FROM st10 GROUP BY bands, rows_per_band
 )
 SELECT bands, rows_per_band, n_pairs,
-    round(CAST(_exp AS DOUBLE), 3) AS expected_detected,
-    round(CAST(_exp AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
-        AS detect_rate
+    CAST(_exp * 1000000000 AS BIGINT) AS expected_detected_nano,
+    CAST(floor(CAST(_exp AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+               * 1000000.0E0 + 0.5E0) AS BIGINT) AS detect_rate_ppm
 FROM agg
 """
     )

@@ -113,6 +113,9 @@ _BOUNDED_GRID_KEYS = {
     # rank-sum walk over DISTINCT metric values — the stats_auc /
     # stats_ks_test ECDF shape and the same 100 TB pre-binning note
     "stats_mannwhitney_u": {"value"},
+    # corpus-total window over the per-language token agg — bounded
+    # by the language-code domain (<= ~200 ISO codes)
+    "curate_temperature_mix": {"lang"},
 }
 
 _KEY_NAME_RE = __import__("re").compile(r"(\w+)#\d+")

@@ -316,11 +316,14 @@ def test_band_tuning_scurve_ordering(spark, sf_dir):
     }
     assert set(out) == {(8, 1), (4, 2), (2, 4), (1, 8)}
     ladder = [(8, 1), (4, 2), (2, 4), (1, 8)]
-    rates = [out[c]["detect_rate"] for c in ladder]
-    assert all(0.0 <= x <= 1.0 for x in rates)
-    assert all(a >= b - 1e-9 for a, b in zip(rates, rates[1:]))
+    rates = [out[c]["detect_rate_ppm"] for c in ladder]
+    assert all(0 <= x <= 1_000_000 for x in rates)
+    assert all(a >= b for a, b in zip(rates, rates[1:]))
     for c in ladder:
-        assert out[c]["expected_detected"] <= out[c]["n_pairs"] + 1e-9
+        assert (
+            out[c]["expected_detected_nano"]
+            <= out[c]["n_pairs"] * 1_000_000_000
+        )
 
 
 # ----------------------------------------------- tm_cell_lifetimes
