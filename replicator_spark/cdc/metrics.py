@@ -197,19 +197,25 @@ GROUP BY event_type
 def metrics_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     ev = read_table(spark, sf_dir, "events")
-    total = ev.agg(F.count("*").alias("v")).select(
-        F.lit("replicator.supplier.events.total").alias("metric"),
-        F.lit("counter").alias("mtype"),
-        F.col("v").cast("bigint").alias("value"),
-    )
-    per_type = (
-        ev.groupBy("event_type")
-        .agg(F.count("*").alias("v"))
+    # supplier total + per-type applier counters from ONE rollup
+    # pass (the union-of-aggregates shape scanned events once per
+    # branch — round-8 redundant-scan audit); the NULL rollup row IS
+    # the grand total
+    counters = (
+        ev.rollup("event_type")
+        .agg(F.count("*").alias("v"), F.grouping("event_type").alias("g"))
         .select(
-            F.concat(
-                F.lit("replicator.applier.events."),
-                F.col("event_type"),
-            ).alias("metric"),
+            F.when(
+                F.col("g") == 1,  # the rollup grand-total row
+                F.lit("replicator.supplier.events.total"),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("replicator.applier.events."),
+                    F.col("event_type"),
+                )
+            )
+            .alias("metric"),
             F.lit("counter").alias("mtype"),
             F.col("v").cast("bigint").alias("value"),
         )
@@ -244,7 +250,7 @@ def metrics_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("gauge").alias("mtype"),
         F.col("m.value").alias("value"),
     )
-    return total.unionByName(per_type).unionByName(gauges)
+    return counters.unionByName(gauges)
 
 
 METRICS_REPORT_SQL = f"""
@@ -299,30 +305,41 @@ def metrics_exposition_query(
     wm = ev.agg(
         F.max(F.expr("ts div 1000000000")).alias("scrape_s")
     )
+    # ONE pass over the report with a 3-way explode fan-out, not a
+    # 3-branch union: the union shape re-evaluates the report's whole
+    # events subtree once per transport (15+ corpus scans at 100 TB);
+    # the explode renders all three lines from each report row once.
     pname = F.translate(F.col("metric"), ".", "_")
-    prom_type = report.select(
-        F.lit("prometheus").alias("transport"),
-        F.concat(
-            F.lit("# TYPE "), pname, F.lit(" "), F.col("mtype")
-        ).alias("line"),
+    lines = F.array(
+        F.struct(
+            F.lit("prometheus").alias("transport"),
+            F.concat(
+                F.lit("# TYPE "), pname, F.lit(" "), F.col("mtype")
+            ).alias("line"),
+        ),
+        F.struct(
+            F.lit("prometheus").alias("transport"),
+            F.concat(
+                pname, F.lit(" "), F.col("value").cast("string")
+            ).alias("line"),
+        ),
+        F.struct(
+            F.lit("graphite").alias("transport"),
+            F.concat(
+                F.col("metric"),
+                F.lit(" "),
+                F.col("value").cast("string"),
+                F.lit(" "),
+                F.col("scrape_s").cast("string"),
+            ).alias("line"),
+        ),
     )
-    prom = report.select(
-        F.lit("prometheus").alias("transport"),
-        F.concat(
-            pname, F.lit(" "), F.col("value").cast("string")
-        ).alias("line"),
+    return (
+        report.crossJoin(F.broadcast(wm))
+        .select(F.explode(lines).alias("l"))
+        .select(F.col("l.transport").alias("transport"),
+                F.col("l.line").alias("line"))
     )
-    graphite = report.crossJoin(F.broadcast(wm)).select(
-        F.lit("graphite").alias("transport"),
-        F.concat(
-            F.col("metric"),
-            F.lit(" "),
-            F.col("value").cast("string"),
-            F.lit(" "),
-            F.col("scrape_s").cast("string"),
-        ).alias("line"),
-    )
-    return prom_type.unionByName(prom).unionByName(graphite)
 
 
 METRICS_EXPOSITION_SQL = f"""

@@ -381,30 +381,43 @@ def bloom_decontam_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bits = eval_g.select(F.explode(pos_arr).alias("pos")).distinct()
     train = grams.where(~is_eval)
+    # ONE walk of the train grams computing BOTH verdicts per
+    # (doc, gram) — bloom membership (all K bits set) and exact
+    # membership (gram in the eval set) — then one per-doc and one
+    # global reduction. The previous shape re-evaluated the gram
+    # explode once per consumer (9 document scans at 100 TB —
+    # round-8 redundant-scan audit); counts are identical.
     probe = train.select("doc_id", "gram", F.explode(pos_arr).alias("pos"))
-    gram_hits = (
-        probe.join(F.broadcast(bits), "pos")
+    pair_flags = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos",
+                   "left")
         .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("nset"))
-        .where(F.col("nset") == BLOOM_K)
-    )
-    bloom_docs = gram_hits.select("doc_id").distinct()
-    exact_docs = (
-        train.join(F.broadcast(eval_g), "gram", "semi")
-        .select("doc_id")
-        .distinct()
-    )
-    train_docs = train.select("doc_id").distinct()
-    fp = bloom_docs.join(exact_docs, "doc_id", "anti")
-    out = (
-        train_docs.agg(F.count("*").alias("n_train_docs"))
-        .crossJoin(
-            F.broadcast(exact_docs.agg(F.count("*").alias("n_exact_flagged")))
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("nset")
         )
-        .crossJoin(
-            F.broadcast(bloom_docs.agg(F.count("*").alias("n_bloom_flagged")))
+        .join(
+            F.broadcast(eval_g.withColumn("ex", F.lit(1))), "gram",
+            "left",
         )
-        .crossJoin(F.broadcast(fp.agg(F.count("*").alias("n_false_pos"))))
+        .select(
+            "doc_id",
+            (F.col("nset") == BLOOM_K).cast("int").alias("bloom_g"),
+            F.coalesce("ex", F.lit(0)).alias("exact_g"),
+        )
+    )
+    per_doc = pair_flags.groupBy("doc_id").agg(
+        F.max("bloom_g").alias("bloom_d"),
+        F.max("exact_g").alias("exact_d"),
+    )
+    out = per_doc.agg(
+        F.count("*").alias("n_train_docs"),
+        F.sum("exact_d").alias("n_exact_flagged"),
+        F.sum("bloom_d").alias("n_bloom_flagged"),
+        F.sum(
+            (
+                (F.col("bloom_d") == 1) & (F.col("exact_d") == 0)
+            ).cast("long")
+        ).alias("n_false_pos"),
     )
     return out.select(
         "n_train_docs",

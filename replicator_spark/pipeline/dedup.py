@@ -602,25 +602,40 @@ def threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    grid = [
-        scored.where(F.col("cosine") >= t).agg(
-            F.lit(t).alias("threshold"),
-            F.count("*").alias("n_pairs"),
-            F.countDistinct(
-                F.greatest("vec_a", "vec_b")
-            ).alias("n_docs_dropped"),
-        )
-        for t in SWEEP_THRESHOLDS
-    ]
-    out = grid[0]
-    for g in grid[1:]:
-        out = out.unionByName(g)
+    # ONE conditional aggregation over the scored pairs, not a
+    # 6-branch union of per-threshold aggregates: the union shape
+    # re-evaluated the whole bucket+score subtree once per threshold
+    # (18 embedding scans at 100 TB — found by the round-8
+    # redundant-scan audit); this computes every threshold's counts
+    # in a single pass and explodes the constant grid back to rows.
     # countDistinct(greatest) = keep-lowest-id policy: at threshold t
-    # every pair drops its higher id; distinct count = docs removed
-    return out.select(
-        F.round("threshold", 2).alias("threshold"),
-        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
-        F.coalesce("n_docs_dropped", F.lit(0)).alias("n_docs_dropped"),
+    # every pair drops its higher id; distinct count = docs removed.
+    aggs = []
+    for i, t in enumerate(SWEEP_THRESHOLDS):
+        cond = F.col("cosine") >= t
+        aggs.append(F.sum(cond.cast("long")).alias(f"np_{i}"))
+        aggs.append(
+            F.countDistinct(
+                F.when(cond, F.greatest("vec_a", "vec_b"))
+            ).alias(f"nd_{i}")
+        )
+    one = scored.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.round(F.lit(t), 2).alias("threshold"),
+                F.coalesce(F.col(f"np_{i}"), F.lit(0)).alias(
+                    "n_pairs"
+                ),
+                F.coalesce(F.col(f"nd_{i}"), F.lit(0)).alias(
+                    "n_docs_dropped"
+                ),
+            )
+            for i, t in enumerate(SWEEP_THRESHOLDS)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.threshold", "r.n_pairs", "r.n_docs_dropped"
     )
 
 

@@ -425,14 +425,21 @@ def conversion_latency_query(
             F.expr("CAST(delta_us div 1000 AS STRING)")
         ).alias("ms_digits"),
     )
+    # ONE agg pass + stage-partitioned windows over the tiny
+    # (stage x digit-bucket) table, not hist + tot joined back: the
+    # join shape re-evaluated the whole funnel-stage subtree twice
+    # (10 event scans at 100 TB — round-8 redundant-scan audit). The
+    # stage mean comes from exact DECIMAL delta sums (order-exact;
+    # Spark long sums would overflow at extreme scale anyway).
     hist = binned.groupBy("stage", "ms_digits").agg(
-        F.count("*").alias("n")
+        F.count("*").alias("n"),
+        F.sum(F.col("delta_us").cast("decimal(38,0)")).alias("_sd"),
     )
-    tot = binned.groupBy("stage").agg(
-        F.count("*").alias("n_stage"),
-        F.round(F.avg("delta_us") / 1000.0, 3).alias("mean_ms"),
-    )
-    return hist.join(F.broadcast(tot), "stage").select(
+    ws = W.partitionBy("stage")
+    tot = hist.withColumn(
+        "n_stage", F.sum("n").over(ws)
+    ).withColumn("_sd_stage", F.sum("_sd").over(ws))
+    return tot.select(
         "stage",
         F.col("ms_digits").cast("long").alias("ms_digits"),
         "n",
@@ -440,7 +447,12 @@ def conversion_latency_query(
             F.col("n").cast("double") / F.col("n_stage").cast("double"),
             6,
         ).alias("share"),
-        "mean_ms",
+        F.round(
+            F.col("_sd_stage").cast("double")
+            / F.col("n_stage").cast("double")
+            / 1000.0,
+            3,
+        ).alias("mean_ms"),
     )
 
 
@@ -476,18 +488,21 @@ binned AS (
     FROM deltas
 ),
 hist AS (
-    SELECT stage, ms_digits, COUNT(*) AS n
+    SELECT stage, ms_digits, COUNT(*) AS n,
+        SUM(CAST(delta_us AS DECIMAL(38,0))) AS _sd
     FROM binned GROUP BY stage, ms_digits
 ),
 tot AS (
-    SELECT stage, COUNT(*) AS n_stage,
-        round(AVG(delta_us) / 1000.0, 3) AS mean_ms
-    FROM binned GROUP BY stage
+    SELECT stage, ms_digits, n,
+        SUM(n) OVER (PARTITION BY stage) AS n_stage,
+        SUM(_sd) OVER (PARTITION BY stage) AS _sd_stage
+    FROM hist
 )
 SELECT stage, CAST(ms_digits AS BIGINT) AS ms_digits, n,
     round(CAST(n AS DOUBLE) / CAST(n_stage AS DOUBLE), 6) AS share,
-    mean_ms
-FROM hist JOIN tot USING (stage)
+    round(CAST(_sd_stage AS DOUBLE) / CAST(n_stage AS DOUBLE)
+          / 1000.0, 3) AS mean_ms
+FROM tot
 """
 
 

@@ -693,24 +693,32 @@ def changepoint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.expr("ts div 1000000 div 86400000").alias("day")
     ).agg(F.count("*").alias("n"))
+    # corpus stats as un-partitioned windows over the |days|-sized
+    # aggregate, not a separate agg + crossJoin-back: the join shape
+    # re-evaluated the daily-count scan once per consumer (10 event
+    # scans at 100 TB — round-8 redundant-scan audit). Sums stay
+    # DECIMAL (order-exact), formulas unchanged, so values are
+    # bit-identical to the agg shape and the oracle is untouched.
     xdec = F.col("n").cast("double").cast("decimal(24,9)")
-    stats = daily.agg(
-        F.count("*").alias("n_days"),
-        F.sum(xdec).alias("sx"),
-        F.sum(xdec * xdec).alias("sxx"),
+    wall = W.partitionBy()
+    statted = (
+        daily.withColumn("n_days", F.count("*").over(wall))
+        .withColumn("sx", F.sum(xdec).over(wall))
+        .withColumn("sxx", F.sum(xdec * xdec).over(wall))
     )
     nd = F.col("n_days").cast("double")
     sx = F.col("sx").cast("double")
     sxx = F.col("sxx").cast("double")
     var = (nd * sxx - sx * sx) / (nd * nd)
-    stats = stats.select(
-        "n_days",
-        F.round(sx / nd, 9).alias("mu"),
+    z = statted.withColumn(
+        "mu", F.round(sx / nd, 9)
+    ).withColumn(
+        "sd",
         F.round(
-            F.greatest(F.sqrt(F.greatest(var, F.lit(0.0))), F.lit(1e-9)), 9
-        ).alias("sd"),
-    )
-    z = daily.crossJoin(F.broadcast(stats)).select(
+            F.greatest(F.sqrt(F.greatest(var, F.lit(0.0))), F.lit(1e-9)),
+            9,
+        ),
+    ).select(
         "day",
         "n_days",
         "mu",
@@ -752,55 +760,53 @@ def changepoint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pd") - F.least(zero, F.min("pd").over(wrun))
         ).alias("sd_cusum"),
     )
+    # peaks as ordered windows + ONE global aggregate, not three
+    # branches (up / down / zero-day estimate) each re-walking `cur`:
+    # every row learns the global peak day/value via first() over the
+    # total order, then a single agg reduces peaks AND the last-zero
+    # changepoint estimates together. All windows run on the
+    # |days|-sized frame; the corpus is scanned once.
     wu = W.orderBy(F.col("su").desc(), F.col("day").asc())
     wd = W.orderBy(F.col("sd_cusum").desc(), F.col("day").asc())
-    best = (
-        cur.withColumn("ru", F.row_number().over(wu))
-        .withColumn("rd", F.row_number().over(wd))
+    enriched = (
+        cur.withColumn("up_day", F.first("day").over(wu))
+        .withColumn("up_su", F.first("su").over(wu))
+        .withColumn("down_day", F.first("day").over(wd))
+        .withColumn("down_sd", F.first("sd_cusum").over(wd))
     )
-    up = best.where(F.col("ru") == 1).select(
-        "n_days",
-        F.round("mu", 6).alias("mean_daily"),
-        F.round("sd", 6).alias("sd_daily"),
-        F.col("day").alias("up_day"),
-        F.round(F.col("su").cast("double"), 6).alias("up_cusum"),
-    )
-    down = best.where(F.col("rd") == 1).select(
-        F.col("day").alias("down_day"),
-        F.round(F.col("sd_cusum").cast("double"), 6).alias("down_cusum"),
-    )
-    peaks = up.crossJoin(F.broadcast(down))
-    # changepoint estimate: last S=0 day strictly before the peak
-    # (one more pass over the |days|-sized frame — corpus untouched)
     zero_d = F.lit(0).cast("decimal(24,9)")
-    est = (
-        cur.crossJoin(
-            F.broadcast(peaks.select("up_day", "down_day"))
-        )
-        .agg(
-            F.coalesce(
-                F.max(
-                    F.when(
-                        (F.col("su") == zero_d)
-                        & (F.col("day") < F.col("up_day")),
-                        F.col("day"),
-                    )
-                ),
-                F.min("day"),
-            ).alias("up_change_day"),
-            F.coalesce(
-                F.max(
-                    F.when(
-                        (F.col("sd_cusum") == zero_d)
-                        & (F.col("day") < F.col("down_day")),
-                        F.col("day"),
-                    )
-                ),
-                F.min("day"),
-            ).alias("down_change_day"),
-        )
+    est = enriched.agg(
+        F.max("n_days").alias("n_days"),
+        F.round(F.max("mu"), 6).alias("mean_daily"),
+        F.round(F.max("sd"), 6).alias("sd_daily"),
+        F.max("up_day").alias("up_day"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("su") == zero_d)
+                    & (F.col("day") < F.col("up_day")),
+                    F.col("day"),
+                )
+            ),
+            F.min("day"),
+        ).alias("up_change_day"),
+        F.round(F.max("up_su").cast("double"), 6).alias("up_cusum"),
+        F.max("down_day").alias("down_day"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("sd_cusum") == zero_d)
+                    & (F.col("day") < F.col("down_day")),
+                    F.col("day"),
+                )
+            ),
+            F.min("day"),
+        ).alias("down_change_day"),
+        F.round(F.max("down_sd").cast("double"), 6).alias(
+            "down_cusum"
+        ),
     )
-    return peaks.crossJoin(F.broadcast(est)).select(
+    return est.select(
         "n_days",
         "mean_daily",
         "sd_daily",
