@@ -304,11 +304,16 @@ def main() -> None:
         slate = FIXED_DUPS_SLATE
     only = [a for a in sys.argv[1:] if a.startswith("--only=")]
     if only:
+        from replicator_spark import api as _api
+
         wanted = set(only[-1].split("=", 1)[1].split(","))
-        unknown = wanted - set(slate)
+        unknown = wanted - set(_api.queries())
         if unknown:
-            raise SystemExit(f"--only names not on the slate: {unknown}")
-        slate = [n for n in slate if n in wanted]
+            raise SystemExit(f"--only names not registered: {unknown}")
+        # slate order first, then any registry-only names (ad-hoc
+        # smoke of an op that isn't a standing slate member)
+        extra = sorted(wanted - set(slate))
+        slate = [n for n in slate if n in wanted] + extra
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     prep(spark)
