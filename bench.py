@@ -141,6 +141,10 @@ HEADLINE = [
     "stats_mannwhitney_u",
     "events_markov_stationary",
     "dedup_minhash_band_tuning",
+    "text_kneser_ney",
+    "sim_rrf_fusion",
+    "tm_bitemporal_asof",
+    "corpus_chao1_richness",
 ]
 
 

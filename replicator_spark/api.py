@@ -79,14 +79,15 @@ Rotation map (which driver run produced each operator's green row):
   corpus_herfindahl, corpus_head_coverage, ts_seasonal_outliers)
   occupy slots 1-33; the 17 re-pins fill slots 34-50. Any round-8
   additions queue at entries 51+ (ROUND-9 QUEUE) for the next window.
-- round 9 queue (entries 51-61): the eleven round-8 additions
+- round 9 queue (entries 51-65): the fifteen round-8 additions
   (ts_holt_winters, events_survival_km, graph_degree_powerlaw,
   corpus_ngram_novelty, curate_temperature_mix,
   dedup_template_prefix, tm_cell_lifetimes, cdc_metrics_exposition,
   stats_mannwhitney_u, events_markov_stationary,
-  dedup_minhash_band_tuning) — throttled per the round-7 verdict
-  (additions <= ~15/round so first driver evidence lands within one
-  round).
+  dedup_minhash_band_tuning, text_kneser_ney, sim_rrf_fusion,
+  tm_bitemporal_asof, corpus_chao1_richness) — throttled per the
+  round-7 verdict (additions <= ~15/round so first driver evidence
+  lands within one round).
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -178,6 +179,10 @@ _PRIORITY = [
     "stats_mannwhitney_u",
     "events_markov_stationary",
     "dedup_minhash_band_tuning",
+    "text_kneser_ney",
+    "sim_rrf_fusion",
+    "tm_bitemporal_asof",
+    "corpus_chao1_richness",
     # ========= BELOW THE WINDOW: driver-green r7 (r7 window) =========
     "stream_jsonl_sink",
     "sim_knn_classifier",
@@ -516,6 +521,8 @@ def _load() -> None:
              timemachine.VERSION_DEPTH_SQL)
     register("tm_timetravel_counts", timemachine.timetravel_counts_query,
              timemachine.TIMETRAVEL_COUNTS_SQL)
+    register("tm_bitemporal_asof", timemachine.bitemporal_asof_query,
+             timemachine.BITEMPORAL_ASOF_SQL)
     register("tm_cell_lifetimes", timemachine.cell_lifetimes_query,
              timemachine.CELL_LIFETIMES_SQL)
 

@@ -588,6 +588,90 @@ FROM n_test t LEFT JOIN novel USING (lang)
 """
 
 
+# ---------------------------------------------- Chao1 vocab richness
+#
+# Chao1 species-richness estimator applied to per-source vocabulary:
+# from the observed type count and the singleton/doubleton frequencies
+# (f1, f2), estimate the TRUE vocabulary size the source would show at
+# infinite sampling — chao1 = S_obs + f1(f1-1)/(2(f2+1)) (the
+# bias-corrected form, defined even when f2 = 0) — plus Good-Turing
+# sample coverage 1 - f1/N. The "how much vocabulary haven't we seen
+# yet" complement of corpus_vocab_growth (which measures the observed
+# accumulation curve).
+#
+# Determinism: every input to the estimate (S_obs, f1, f2, N) is an
+# integer count; the two derived doubles are each ONE shared
+# arithmetic expression string evaluated by both engines (identical
+# parse -> identical IEEE tree, the stats_ols_multi contract).
+#
+# Scale: one corpus scan -> combiner-backed groupBy(source, term)
+# (vocab-per-source output, tiny vs the corpus) -> per-source
+# reduction to |sources| rows. No windows, no joins.
+
+_CHAO1_EST = (
+    "CAST(s_obs AS DOUBLE) + CAST(f1 AS DOUBLE)"
+    " * CAST(f1 - 1 AS DOUBLE) / (2.0 * CAST(f2 + 1 AS DOUBLE))"
+)
+_GT_COVERAGE = "1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+
+
+def chao1_richness_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source",
+            F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tc.groupBy("source").agg(
+        F.count("*").alias("s_obs"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"),
+        F.sum("c").alias("n_tokens"),
+    )
+    return agg.select(
+        "source",
+        "s_obs",
+        "f1",
+        "f2",
+        "n_tokens",
+        F.round(F.expr(_CHAO1_EST), 6).alias("chao1_est"),
+        F.round(F.expr(_GT_COVERAGE), 6).alias("coverage"),
+    )
+
+
+CHAO1_RICHNESS_SQL = f"""
+WITH toked AS (
+    SELECT source, unnest(
+        list_filter(string_split(lower(text), ' '), t -> t <> '')
+    ) AS w
+    FROM documents
+), tc AS (
+    SELECT source, w, COUNT(*) AS c FROM toked GROUP BY source, w
+), agg AS (
+    SELECT source,
+        COUNT(*) AS s_obs,
+        SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+        SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2,
+        SUM(c) AS n_tokens
+    FROM tc GROUP BY source
+)
+SELECT source,
+    CAST(s_obs AS BIGINT) AS s_obs,
+    CAST(f1 AS BIGINT) AS f1,
+    CAST(f2 AS BIGINT) AS f2,
+    CAST(n_tokens AS BIGINT) AS n_tokens,
+    round({_CHAO1_EST}, 6) AS chao1_est,
+    round({_GT_COVERAGE}, 6) AS coverage
+FROM agg
+"""
+
+
 REGISTRY = [
     ("text_repetition", repetition_query, REPETITION_SQL),
     ("text_pii_scrub", pii_scrub_query, PII_SCRUB_SQL),
@@ -600,4 +684,6 @@ REGISTRY = [
      TERM_BURSTINESS_SQL),
     # held-out novel-5-gram rate vs train split (round 8)
     ("corpus_ngram_novelty", ngram_novelty_query, NGRAM_NOVELTY_SQL),
+    # Chao1 unseen-vocabulary estimate + Good-Turing coverage (round 8)
+    ("corpus_chao1_richness", chao1_richness_query, CHAO1_RICHNESS_SQL),
 ]

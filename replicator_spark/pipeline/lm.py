@@ -386,10 +386,132 @@ FROM bucketed GROUP BY lang, nb
 """
 
 
+# ------------------------------------------- Kneser-Ney bigram model
+#
+# Interpolated Kneser-Ney smoothing (Kneser & Ney 1995; the KenLM /
+# CCNet production smoother, vs text_bigram_lm's add-one baseline)
+# for the corpus's top bigrams:
+#
+#   P_KN(w2|w1) = (c(w1,w2) - d) / c(w1)
+#               + d * N1+(w1,*) / c(w1) * N1+(*,w2) / N1+(**)
+#
+# with discount d = 0.75; N1+(w1,*) = distinct continuation types of
+# w1, N1+(*,w2) = distinct left contexts of w2 (the "novel
+# continuation" probability that makes KN the right smoother for
+# pretraining-data LMs), N1+(**) = total distinct bigram types. Since
+# every observed bigram has c >= 1 > d, max(c-d, 0) = c-d.
+#
+# Determinism: all five inputs are integer counts; the probability is
+# ONE shared arithmetic expression string evaluated by both engines
+# (identical parse -> identical IEEE tree).
+#
+# Scale: ONE corpus scan -> combiner-backed bigram-count agg (vocab²-
+# bounded, tiny vs the corpus), PERSISTED; c(w1), N1+(w1,*),
+# N1+(*,w2), N1+(**) and the top-K rank all derive from that cached
+# table. The persist is load-bearing: ReuseExchange cannot
+# canonicalize the tokenizer's lambda (higher-order transform()), so
+# without it each of the four consumer branches re-scans the corpus
+# (verified: 4 FileScans without persist, 1 with — the graph-family
+# InMemoryTableScan contract). The global top-K rank filter is
+# rewritten to TakeOrderedAndProject(limit=K) beneath the window
+# (LimitPushDownThroughWindow), so no executor sorts more than K rows.
+
+KN_DISCOUNT = "0.75"
+KN_TOP_K = 20
+
+_KN_PROB = (
+    f"(CAST(c_bi AS DOUBLE) - {KN_DISCOUNT}) / CAST(c_w1 AS DOUBLE)"
+    f" + {KN_DISCOUNT} * CAST(n_follow AS DOUBLE)"
+    " / CAST(c_w1 AS DOUBLE)"
+    " * (CAST(n_precede AS DOUBLE) / CAST(n_types AS DOUBLE))"
+)
+
+
+def kneser_ney_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    toked = _toked(spark, sf_dir)
+    bigr = (
+        toked.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks)-2),"
+                    " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bic = (
+        bigr.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
+    ).persist()
+    fw = bic.groupBy("w1").agg(
+        F.sum("c_bi").alias("c_w1"),
+        F.count("*").alias("n_follow"),
+    )
+    bw = bic.groupBy("w2").agg(F.count("*").alias("n_precede"))
+    tot = bic.agg(F.count("*").alias("n_types"))
+    w_rank = W.orderBy(F.col("c_bi").desc(), "w1", "w2")
+    top = bic.withColumn(
+        "rank", F.row_number().over(w_rank)
+    ).where(F.col("rank") <= KN_TOP_K)
+    return (
+        top.join(fw, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "w1",
+            "w2",
+            "c_bi",
+            "c_w1",
+            "n_follow",
+            "n_precede",
+            F.round(F.expr(_KN_PROB), 6).alias("kn_prob"),
+        )
+        .orderBy("rank")
+    )
+
+
+KNESER_NEY_SQL = (
+    _TOKED_SQL
+    + f""", bi AS (
+    SELECT
+        unnest(toks[1:len(toks)-1]) AS w1,
+        unnest(toks[2:len(toks)]) AS w2
+    FROM toked WHERE len(toks) >= 2
+), bic AS MATERIALIZED (
+    SELECT w1, w2, COUNT(*) AS c_bi FROM bi GROUP BY w1, w2
+), fw AS (
+    SELECT w1, SUM(c_bi) AS c_w1, COUNT(*) AS n_follow
+    FROM bic GROUP BY w1
+), bw AS (
+    SELECT w2, COUNT(*) AS n_precede FROM bic GROUP BY w2
+), tot AS (SELECT COUNT(*) AS n_types FROM bic),
+top AS (
+    SELECT w1, w2, c_bi,
+        ROW_NUMBER() OVER (ORDER BY c_bi DESC, w1, w2) AS rank
+    FROM bic
+    QUALIFY rank <= {KN_TOP_K}
+)
+SELECT rank, w1, w2,
+    CAST(c_bi AS BIGINT) AS c_bi,
+    CAST(c_w1 AS BIGINT) AS c_w1,
+    CAST(n_follow AS BIGINT) AS n_follow,
+    CAST(n_precede AS BIGINT) AS n_precede,
+    round({_KN_PROB}, 6) AS kn_prob
+FROM top JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN tot
+ORDER BY rank
+"""
+)
+
+
 REGISTRY = [
     ("text_bigram_lm", bigram_lm_query, BIGRAM_LM_SQL),
     ("text_zipf_slope", zipf_slope_query, ZIPF_SLOPE_SQL),
     ("dedup_dupfrac_ngrams", dupfrac_query, DUPFRAC_SQL),
     # CCNet head/middle/tail LM-score tertiles per language
     ("curate_ccnet_buckets", ccnet_buckets_query, CCNET_BUCKETS_SQL),
+    # interpolated Kneser-Ney smoothing for the top bigrams (round 8)
+    ("text_kneser_ney", kneser_ney_query, KNESER_NEY_SQL),
 ]

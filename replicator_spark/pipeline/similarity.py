@@ -1587,6 +1587,136 @@ GROUP BY t.query_id
 """
 
 
+# --------------------------------------- reciprocal-rank fusion
+#
+# RRF (Cormack et al. 2009): fuse two retrieval channels' rankings
+# with score(c) = Σ_ch 1/(K + rank_ch(c)), K = 60 — the standard
+# hybrid-retrieval combiner (its rank-only inputs need no score
+# calibration between channels). Channels here: exact 64-dim cosine
+# and the 16-dim Matryoshka-prefix cosine (the cheap-first channel a
+# tiered serving stack actually runs), both over the same candidate
+# set with self-matches excluded.
+#
+# Determinism: channel ranks are ROW_NUMBER over (round(cos,6) DESC,
+# cand_id) — integer; the fused score is ONE shared arithmetic
+# expression over those integers (identical IEEE tree in both
+# engines); the fused rank breaks ties by cand_id.
+#
+# Scale: one candidate×query scoring pass (queries broadcast)
+# computes BOTH channel scores — the second channel rides the same
+# row, no second scan. All three windows are partitioned by query_id
+# (bounded per-query lists; one exchange, three sorts). In a tiered
+# deployment the channel lists would come from the ANN serving ops
+# (sim_ivfadc_topk / sim_hamming_recall); this op is the fusion
+# stage, which is rank-arithmetic over |Q|·k rows.
+
+RRF_K = 60
+RRF_TOP_K = 5
+RRF_PREFIX_DIM = 16
+
+_RRF_SCORE = (
+    f"1.0 / ({RRF_K}.0 + CAST(r_full AS DOUBLE))"
+    f" + 1.0 / ({RRF_K}.0 + CAST(r_prefix AS DOUBLE))"
+)
+
+
+def rrf_fusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d = RRF_PREFIX_DIM
+    scored = (
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("cos_full"),
+            F.round(
+                _dot_prefix(F.col("qv"), F.col("cv"), d)
+                / (
+                    F.sqrt(_dot_prefix(F.col("qv"), F.col("qv"), d))
+                    * F.sqrt(_dot_prefix(F.col("cv"), F.col("cv"), d))
+                ),
+                6,
+            ).alias("cos_prefix"),
+        )
+    )
+    wq = W.partitionBy("query_id")
+    ranked = scored.select(
+        "query_id",
+        "cand_id",
+        F.row_number()
+        .over(wq.orderBy(F.col("cos_full").desc(), "cand_id"))
+        .alias("r_full"),
+        F.row_number()
+        .over(wq.orderBy(F.col("cos_prefix").desc(), "cand_id"))
+        .alias("r_prefix"),
+    )
+    fused = ranked.withColumn("rrf", F.expr(_RRF_SCORE))
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number().over(
+                wq.orderBy(F.col("rrf").desc(), "cand_id")
+            ),
+        )
+        .where(F.col("fused_rank") <= RRF_TOP_K)
+        .select(
+            "query_id",
+            "fused_rank",
+            "cand_id",
+            "r_full",
+            "r_prefix",
+            F.round("rrf", 9).alias("rrf_score"),
+        )
+    )
+
+
+RRF_FUSION_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT q.query_id, c.vec_id AS cand_id,
+        round(
+            (0.0 + {_dot_sql("q.qv", "c.v")})
+            / (sqrt(0.0 + {_dot_sql("q.qv", "q.qv")})
+               * sqrt(0.0 + {_dot_sql("c.v", "c.v")})), 6) AS cos_full,
+        round({_trunc_cos_sql(RRF_PREFIX_DIM).replace("e.v", "c.v")}, 6)
+            AS cos_prefix
+    FROM emb c CROSS JOIN q
+    WHERE c.vec_id <> q.query_id
+), ranked AS (
+    SELECT query_id, cand_id,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_full DESC, cand_id) AS r_full,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_prefix DESC, cand_id) AS r_prefix
+    FROM scored
+), fused AS (
+    SELECT query_id, cand_id, r_full, r_prefix,
+        {_RRF_SCORE} AS rrf,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY {_RRF_SCORE} DESC, cand_id) AS fused_rank
+    FROM ranked
+)
+SELECT query_id, fused_rank, cand_id, r_full, r_prefix,
+    round(rrf, 9) AS rrf_score
+FROM fused WHERE fused_rank <= {RRF_TOP_K}
+"""
+
+
 REGISTRY = [
     ("sim_cosine_topk", cosine_topk_query, COSINE_TOPK_SQL),
     ("sim_ivf_topk", ivf_topk_query, IVF_TOPK_SQL),
@@ -1608,4 +1738,6 @@ REGISTRY = [
     ("sim_nprobe_sweep", nprobe_sweep_query, _nprobe_sweep_sql()),
     # packed sign-bit Hamming serving path + recall audit
     ("sim_hamming_recall", hamming_recall_query, HAMMING_RECALL_SQL),
+    # reciprocal-rank fusion of full-dim + Matryoshka-prefix channels
+    ("sim_rrf_fusion", rrf_fusion_query, RRF_FUSION_SQL),
 ]

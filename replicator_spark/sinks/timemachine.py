@@ -896,3 +896,130 @@ FROM gaps WHERE gap_s IS NOT NULL
 GROUP BY table_name, column_name, length(CAST(gap_s AS VARCHAR))
 """
 )
+
+
+# ------------------------------------------------ bitemporal as-of
+#
+# Two-axis time travel: VALID time (version_us — when the change
+# happened upstream) × TRANSACTION time (arrival_us — when the
+# replicator learned it). The HBase time-machine only indexes valid
+# time; a bitemporal read answers the audit question "what did the
+# sink BELIEVE the table looked like at V, as of ingest time T" —
+# under replication lag, a strict read (T = V) misses changes that
+# had happened but not yet arrived, while a settled read
+# (T = V + max-lag) sees the corrected history. The delta between
+# the two rows is exactly the late-arrival exposure a downstream
+# consumer inherits (the reference's delay gauge measures the SAME
+# lag on the write path — cdc/metrics.py:80).
+#
+# Arrival lag is simulated deterministically as
+# (event_id % 7) HOURS — integer arithmetic, identical in both
+# engines, nothing random; sized to the feed's version cadence
+# (days between versions) so the strict/settled delta is actually
+# exercised — a seconds-scale lag against weekly cutoffs never
+# lands a latest-version inside the exposure window.
+#
+# Scale: the timetravel-counts contract — ONE scan of the row_status
+# cells fanned across the (valid, txn) cutoff grid (a constant-size
+# explode), conditional max_by per (cutoff pair, rowkey), then a
+# |grid|×|tables|-row reduction. No windows, no joins, no rescans.
+
+BT_LAG_MOD = 7  # event_id % 7 hours of simulated replication lag
+BT_LAG_UNIT_US = 3_600_000_000  # one hour
+BT_SETTLE_US = 6 * BT_LAG_UNIT_US  # settled read waits out the max lag
+
+
+def bitemporal_asof_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    status = timemachine_cells(spark, sf_dir).where(
+        F.col("column_name") == "row_status"
+    )
+    arrival = (
+        F.col("version_us")
+        + (F.col("event_id") % BT_LAG_MOD) * F.lit(BT_LAG_UNIT_US)
+    )
+    fan = (
+        status.select(
+            "table_name",
+            "rowkey",
+            "cell_value",
+            "version_us",
+            "event_id",
+            arrival.alias("arrival_us"),
+            F.explode(
+                F.array(*[F.lit(c) for c in TT_CUTOFFS_US])
+            ).alias("valid_cut_us"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("strict").alias("txn_mode"),
+                        F.lit(0).alias("delta_us"),
+                    ),
+                    F.struct(
+                        F.lit("settled").alias("txn_mode"),
+                        F.lit(BT_SETTLE_US).alias("delta_us"),
+                    ),
+                )
+            ).alias("m"),
+        )
+        .where(
+            (F.col("version_us") <= F.col("valid_cut_us"))
+            & (
+                F.col("arrival_us")
+                <= F.col("valid_cut_us") + F.col("m.delta_us")
+            )
+        )
+    )
+    latest = fan.groupBy(
+        "valid_cut_us", F.col("m.txn_mode").alias("txn_mode"),
+        "table_name", "rowkey",
+    ).agg(
+        F.max_by(
+            "cell_value", F.struct("version_us", "event_id")
+        ).alias("st")
+    )
+    return latest.groupBy("valid_cut_us", "txn_mode", "table_name").agg(
+        F.count("*").alias("n_rows_seen"),
+        F.sum((F.col("st") != "D").cast("long")).alias("n_alive"),
+        F.sum((F.col("st") == "D").cast("long")).alias("n_deleted"),
+    )
+
+
+BITEMPORAL_ASOF_SQL = (
+    "WITH cells AS ("
+    + TIMEMACHINE_CELLS_SQL
+    + f"""
+), cuts AS (
+    SELECT unnest([{", ".join(str(c) for c in TT_CUTOFFS_US)}])
+        AS valid_cut_us
+), modes AS (
+    SELECT * FROM (VALUES ('strict', 0), ('settled', {BT_SETTLE_US}))
+        AS m(txn_mode, delta_us)
+), fan AS (
+    SELECT valid_cut_us, txn_mode, table_name, rowkey, cell_value,
+        version_us, event_id
+    FROM cells CROSS JOIN cuts CROSS JOIN modes
+    WHERE column_name = 'row_status'
+      AND version_us <= valid_cut_us
+      AND version_us + (event_id % {BT_LAG_MOD}) * {BT_LAG_UNIT_US}
+          <= valid_cut_us + delta_us
+), latest AS (
+    SELECT valid_cut_us, txn_mode, table_name, rowkey,
+        max_by(cell_value,
+               CAST(version_us AS HUGEINT) * 10000000000 + event_id)
+            AS st
+    FROM fan GROUP BY valid_cut_us, txn_mode, table_name, rowkey
+)
+SELECT valid_cut_us, txn_mode, table_name,
+    CAST(COUNT(*) AS BIGINT) AS n_rows_seen,
+    CAST(SUM(CASE WHEN st <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_alive,
+    CAST(SUM(CASE WHEN st = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_deleted
+FROM latest GROUP BY valid_cut_us, txn_mode, table_name
+"""
+)
