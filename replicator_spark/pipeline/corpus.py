@@ -334,11 +334,18 @@ def pmi_bigrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select(
         "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
     )
+    # uni and bi are both persisted: their four consumers (the two
+    # scalar normalizers, the u1/u2 broadcast sides, the scored probe)
+    # each re-scan the corpus otherwise — exchange reuse does not
+    # dedupe sibling branches even on the final adaptive plan
+    # (round-8 scan audit: 5 corpus scans before, 2 after — one
+    # unigram pass + one bigram pass; both cached tables are
+    # vocab-bounded, tiny vs the corpus).
     uni = (
         toked.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
-    )
+    ).persist()
     n_uni = uni.agg(F.sum("c").alias("n_uni"))
     bi = (
         toked.select(
@@ -353,7 +360,7 @@ def pmi_bigrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c_bi"))
         .where(F.col("c_bi") >= PMI_MIN_COUNT)
-    )
+    ).persist()
     n_bi = bi.agg(F.sum("c_bi").alias("n_bi"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))

@@ -737,22 +737,28 @@ def matryoshka_fidelity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = _dot(F.col("qv"), F.col("v")) / (
         _norm(F.col("qv")) * _norm(F.col("v"))
     )
-    rows = []
-    for d in MATRYOSHKA_DIMS:
+    # ONE pass over the pairs computing all three truncation deltas,
+    # fanned out as a constant-size struct explode — the 3-branch
+    # union re-evaluated the pair join (and its corpus scans) once
+    # per dim (round-8 scan audit: exchange reuse does NOT dedupe
+    # sibling branches here even on the final adaptive plan).
+    def _delta(d: int):
         trunc = _dot_prefix(F.col("qv"), F.col("v"), d) / (
             F.sqrt(_dot_prefix(F.col("qv"), F.col("qv"), d))
             * F.sqrt(_dot_prefix(F.col("v"), F.col("v"), d))
         )
-        delta = F.round(F.abs(full - trunc), 9)
-        rows.append(
-            pairs.select(
-                F.lit(d).alias("dim"),
-                delta.cast("decimal(20,9)").alias("delta"),
-            )
+        return F.struct(
+            F.lit(d).alias("dim"),
+            F.round(F.abs(full - trunc), 9)
+            .cast("decimal(20,9)")
+            .alias("delta"),
         )
-    deltas = rows[0]
-    for r in rows[1:]:
-        deltas = deltas.unionByName(r)
+
+    deltas = pairs.select(
+        F.explode(
+            F.array(*[_delta(d) for d in MATRYOSHKA_DIMS])
+        ).alias("e")
+    ).select("e.dim", "e.delta")
     return deltas.groupBy("dim").agg(
         F.count("*").alias("n_pairs"),
         F.round(

@@ -252,46 +252,91 @@ def _bloom_pos(col: Column, i: int) -> Column:
 
 def bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a Bloom filter over customers-with-orders, probe ALL
-    customers; one summary row incl. exact false-positive count."""
+    customers; one summary row incl. exact false-positive count.
+
+    Serving shape (rewritten in the round-8 scan audit, 10 scans ->
+    2): the bit set is <= m = 4096 positions BY CONSTRUCTION, so it is
+    collected to the driver (the constant-size-collect contract the
+    MMR/k-center trainers pin) and packed into a 1024-nibble hex
+    bitmask LITERAL — the probe becomes a pure map-side bit test
+    (4 md5s + 4 substring lookups per row, whole-stage codegen), which
+    is what a Bloom membership gate must be at 100 TB. Exact truth
+    marking is ONE left join against the persisted build side; the
+    old shape re-scanned orders/customer once per summary branch and
+    shuffled a 4x-exploded probe through a position join."""
     prep(spark)
     build = (
         read_table(spark, sf_dir, "orders")
         .select(F.col("o_custkey").alias("k"))
         .distinct()
-    )
-    bits = (
-        build.select(
+    ).persist()
+    bits_local = sorted(
+        r["pos"]
+        for r in build.select(
             F.explode(
                 F.array(
                     *[_bloom_pos(F.col("k"), i) for i in range(BLOOM_K)]
                 )
             ).alias("pos")
-        ).distinct()
+        )
+        .distinct()
+        .collect()
     )
+    nibbles = [0] * (BLOOM_M // 4)
+    for p in bits_local:
+        nibbles[p // 4] |= 1 << (p % 4)
+    mask = "".join(_HEX16[n] for n in nibbles)
+
+    def _pos_spark(i: int) -> str:
+        # Spark-SQL flavor of _bloom_pos_sql (instr/STRING vs the
+        # oracle's strpos/VARCHAR); same arithmetic
+        h = f"md5(concat('b{i}:', CAST(k AS STRING)))"
+
+        def nib(j: int, mult: int) -> str:
+            base = f"(instr('{_HEX16}', substr({h}, {j}, 1)) - 1)"
+            return f"{base} * {mult}" if mult > 1 else base
+
+        return f"({nib(1, 256)} + {nib(2, 16)} + {nib(3, 1)})"
+
+    def _bit(i: int) -> str:
+        pos = _pos_spark(i)
+        return (
+            f"(shiftright(instr('{_HEX16}',"
+            f" substr('{mask}', ({pos}) div 4 + 1, 1)) - 1,"
+            f" ({pos}) % 4) % 2)"
+        )
+
+    nset = F.expr(" + ".join(_bit(i) for i in range(BLOOM_K)))
     probe = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k")
     )
-    probe_pos = probe.select(
-        "k",
-        F.explode(
-            F.array(*[_bloom_pos(F.col("k"), i) for i in range(BLOOM_K)])
-        ).alias("pos"),
+    marked = probe.select("k", nset.alias("nset")).join(
+        build.withColumn("mem", F.lit(1)), "k", "left"
     )
-    nset = (
-        probe_pos.join(F.broadcast(bits), "pos")
-        .groupBy("k")
-        .agg(F.count("*").alias("nset"))
+    summary = marked.agg(
+        F.count("*").alias("n_probed"),
+        F.sum((F.col("nset") == BLOOM_K).cast("long")).alias("n_hits"),
+        F.sum(F.coalesce(F.col("mem"), F.lit(0)).cast("long")).alias(
+            "n_true"
+        ),
+        F.sum(
+            ((F.col("nset") == BLOOM_K) & F.col("mem").isNull()).cast(
+                "long"
+            )
+        ).alias("n_false_pos"),
     )
-    hits = nset.where(F.col("nset") == BLOOM_K).select("k")
-    true_members = probe.join(build, "k", "semi")
-    false_pos = hits.join(build, "k", "anti")
     return (
         build.agg(F.count("*").alias("n_build"))
-        .crossJoin(bits.agg(F.count("*").alias("n_bits_set")))
-        .crossJoin(probe.agg(F.count("*").alias("n_probed")))
-        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
-        .crossJoin(true_members.agg(F.count("*").alias("n_true")))
-        .crossJoin(false_pos.agg(F.count("*").alias("n_false_pos")))
+        .crossJoin(
+            spark.range(1).select(
+                F.lit(len(bits_local)).cast("long").alias("n_bits_set")
+            )
+        )
+        .crossJoin(summary)
+        .select(
+            "n_build", "n_bits_set", "n_probed", "n_hits", "n_true",
+            "n_false_pos",
+        )
     )
 
 

@@ -227,7 +227,10 @@ def triangles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def assortativity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
-    e = _copurchase_edges(spark, sf_dir)
+    # persisted: the symmetrized union + degree agg + probe join
+    # otherwise re-run the whole basket-explode edge build once per
+    # branch (r8 scan audit: 6 lineitem scans -> 1)
+    e = _copurchase_edges(spark, sf_dir).persist()
     # symmetrize: each undirected edge contributes both (a,b) and (b,a),
     # so every endpoint appears once per incidence (the standard sum
     # over edge ENDS)

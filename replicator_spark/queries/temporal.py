@@ -1106,7 +1106,10 @@ def theil_sen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", (F.col("day") - F.col("day0")).alias("x"), "y"
         )
-    )
+    ).persist()  # |types|x|days| table; its three consumers (both
+    # pair-join sides + the residual pass) otherwise re-scan events —
+    # exchange reuse does not dedupe sibling branches (r8 scan audit:
+    # 6 corpus scans -> 2, the day0 probe + the daily aggregate)
     a, b = daily.alias("a"), daily.alias("b")
     pairs = a.join(
         b,
