@@ -1,6 +1,7 @@
-"""Redundant-scan audit: count FileScan / InMemoryTableScan nodes in
-every registered operator's physical plan and flag multi-branch shapes
-that re-evaluate a corpus subtree once per consumer.
+"""Redundant-scan + shuffle audit: count FileScan / InMemoryTableScan
+and Exchange nodes in every registered operator's physical plan and
+flag multi-branch shapes that re-evaluate a corpus subtree once per
+consumer.
 
 At 100 TB every extra FileScan of a fact table is a full corpus
 re-read. Spark's ReuseExchange only dedupes branches whose exchange
@@ -87,6 +88,18 @@ def audit(sf_dir: str, only=None, threshold: int = 5):
             "file_scans": n_scan,
             "inmemory_scans": n_mem,
             "reused_exchanges": n_reuse,
+            # Shuffle profile (plan-string counts; persisted subtrees
+            # re-print their exchanges once per reference, so iterative
+            # graph ops read high here — the runtime reads the cache).
+            # rangepartitioning = a global sort (none anywhere as of
+            # round 8); SortMergeJoin sites are recorded so big-big
+            # joins stay deliberate (AQE still demotes small sides to
+            # broadcast at runtime).
+            "hash_exchanges": plan.count("Exchange hashpartitioning"),
+            "range_exchanges": plan.count("Exchange rangepartitioning"),
+            "single_exchanges": plan.count("Exchange SinglePartition"),
+            "broadcast_exchanges": plan.count("BroadcastExchange"),
+            "sort_merge_joins": plan.count("SortMergeJoin"),
         }
         # InMemoryTableScan re-prints its cached subtree's FileScan in
         # the plan STRING; the runtime reads the cache, so discount
