@@ -250,6 +250,53 @@ def _bloom_pos(col: Column, i: int) -> Column:
     return (nib(1) * 256 + nib(2) * 16 + nib(3)).cast("int")
 
 
+def bloom_pos_py(key: int, i: int) -> int:
+    """Driver-side twin of _bloom_pos: first 3 md5 hex nibbles of
+    'b{i}:{key}' as a 12-bit position (hashlib md5 == Spark md5 ==
+    DuckDB md5 — all RFC 1321 over the UTF-8 bytes)."""
+    import hashlib
+
+    h = hashlib.md5(f"b{i}:{key}".encode()).hexdigest()
+    return int(h[:3], 16)
+
+
+def bloom_pack_mask(bit_positions) -> str:
+    """Pack set bit positions (< BLOOM_M) into the 1024-nibble hex
+    mask the probe expression indexes (nibble j holds bits 4j..4j+3,
+    low bit first)."""
+    nibbles = [0] * (BLOOM_M // 4)
+    for p in bit_positions:
+        nibbles[p // 4] |= 1 << (p % 4)
+    return "".join(_HEX16[n] for n in nibbles)
+
+
+def bloom_probe_expr(mask: str, key_col: str = "k"):
+    """SQL expression counting how many of the BLOOM_K hash positions
+    of ``key_col`` are set in ``mask`` — a pure map-side bit test
+    (whole-stage codegen), the serving shape of a Bloom gate."""
+
+    def _pos_spark(i: int) -> str:
+        # Spark-SQL flavor of _bloom_pos_sql (instr/STRING vs the
+        # oracle's strpos/VARCHAR); same arithmetic
+        h = f"md5(concat('b{i}:', CAST({key_col} AS STRING)))"
+
+        def nib(j: int, mult: int) -> str:
+            base = f"(instr('{_HEX16}', substr({h}, {j}, 1)) - 1)"
+            return f"{base} * {mult}" if mult > 1 else base
+
+        return f"({nib(1, 256)} + {nib(2, 16)} + {nib(3, 1)})"
+
+    def _bit(i: int) -> str:
+        pos = _pos_spark(i)
+        return (
+            f"(shiftright(instr('{_HEX16}',"
+            f" substr('{mask}', ({pos}) div 4 + 1, 1)) - 1,"
+            f" ({pos}) % 4) % 2)"
+        )
+
+    return F.expr(" + ".join(_bit(i) for i in range(BLOOM_K)))
+
+
 def bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a Bloom filter over customers-with-orders, probe ALL
     customers; one summary row incl. exact false-positive count.
@@ -282,31 +329,8 @@ def bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     )
-    nibbles = [0] * (BLOOM_M // 4)
-    for p in bits_local:
-        nibbles[p // 4] |= 1 << (p % 4)
-    mask = "".join(_HEX16[n] for n in nibbles)
-
-    def _pos_spark(i: int) -> str:
-        # Spark-SQL flavor of _bloom_pos_sql (instr/STRING vs the
-        # oracle's strpos/VARCHAR); same arithmetic
-        h = f"md5(concat('b{i}:', CAST(k AS STRING)))"
-
-        def nib(j: int, mult: int) -> str:
-            base = f"(instr('{_HEX16}', substr({h}, {j}, 1)) - 1)"
-            return f"{base} * {mult}" if mult > 1 else base
-
-        return f"({nib(1, 256)} + {nib(2, 16)} + {nib(3, 1)})"
-
-    def _bit(i: int) -> str:
-        pos = _pos_spark(i)
-        return (
-            f"(shiftright(instr('{_HEX16}',"
-            f" substr('{mask}', ({pos}) div 4 + 1, 1)) - 1,"
-            f" ({pos}) % 4) % 2)"
-        )
-
-    nset = F.expr(" + ".join(_bit(i) for i in range(BLOOM_K)))
+    mask = bloom_pack_mask(bits_local)
+    nset = bloom_probe_expr(mask)
     probe = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k")
     )

@@ -290,3 +290,55 @@ def test_bitemporal_settled_equals_timetravel(spark, tmp_path):
         assert (b["n_rows_seen"], b["n_alive"], b["n_deleted"]) == (
             t["n_rows_seen"], t["n_alive"], t["n_deleted"]
         )
+
+
+# ---------------------------------------------- sketch_bloom_filter
+# The round-8 rewrite moved the Bloom bit set across the engine
+# boundary: positions are computed and nibble-packed in PYTHON, then
+# probed by a Spark-SQL bit-test expression over the hex-mask
+# literal. This pins the two sides to each other for arbitrary keys
+# (the oracle pins them to DuckDB only on the sf fixture's key
+# range).
+
+
+def test_bloom_mask_python_pack_matches_sql_probe(spark):
+    from pyspark.sql import functions as F
+
+    from replicator_spark.pipeline.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_pack_mask,
+        bloom_pos_py,
+        bloom_probe_expr,
+    )
+
+    # adversarial key mix: small, huge, negative, boundary values
+    keys = (
+        list(range(50))
+        + [2**31 - 1, 2**31, 2**63 - 1, -1, -2**31, 999_999_937]
+        + [7**i % (2**40) for i in range(1, 30)]
+    )
+    members = keys[::3]
+    bits = sorted(
+        {bloom_pos_py(k, i) for k in members for i in range(BLOOM_K)}
+    )
+    assert all(0 <= p < BLOOM_M for p in bits)
+    mask = bloom_pack_mask(bits)
+    assert len(mask) == BLOOM_M // 4
+
+    df = spark.createDataFrame(
+        [(k,) for k in keys], "k long"
+    ).select("k", bloom_probe_expr(mask).alias("nset"))
+    got = {r["k"]: r["nset"] for r in df.collect()}
+
+    member_set = set(members)
+    for k in keys:
+        expected = sum(
+            1
+            for i in range(BLOOM_K)
+            if (int(mask[bloom_pos_py(k, i) // 4], 16)
+                >> (bloom_pos_py(k, i) % 4)) & 1
+        )
+        assert got[k] == expected, (k, got[k], expected)
+        if k in member_set:  # no false negatives, by construction
+            assert got[k] == BLOOM_K
