@@ -258,3 +258,45 @@ def test_audit_accepts_rank_limited_window_over_vocab_agg(
     for w in _unpartitioned_windows(df):
         ok, bounds = _window_input_is_bounded("corpus_head_coverage", w)
         assert ok, bounds
+
+
+# Scan-count ceilings: lock in the round-8 redundant-scan rewrites
+# (SCALE.md "Round-8 redundant-scan audit" + second sweep). The
+# ceiling is each op's post-rewrite EFFECTIVE scan count — FileScan
+# occurrences when nothing is persisted, else 1 per distinct cached
+# subtree reference (InMemoryTableScan re-prints its cached subtree's
+# FileScan in the plan STRING; the runtime reads the cache). A
+# regression here means a branch started re-reading the corpus.
+_SCAN_CEILINGS = {
+    # op: (max FileScan when no cache, max if InMemoryTableScan > 0)
+    "dq_constraints": 6,       # 4 fact passes + 2 RI key-set sides
+    "emb_matryoshka_fidelity": 2,  # query + database sides, one pass
+    "text_pmi_bigrams": 2,     # one unigram + one bigram pass
+    "dedup_threshold_sweep": 4,
+    "cdc_metrics_report": 4,
+    "cdc_metrics_exposition": 5,
+    "curate_temperature_mix": 1,
+    "ts_changepoint": 1,
+    "sketch_bloom_filter": 2,  # build side + probe side
+    # persist-based rewrites: effective is 1 while the cache is in
+    # place; if someone drops the persist(), the raw FileScan count
+    # (6, 6, 5) trips the ceiling
+    "ts_theil_sen": 2,
+    "graph_assortativity": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SCAN_CEILINGS))
+def test_scan_count_ceiling(spark, sf_dir, name):
+    from replicator_spark import api
+
+    df = api.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scan = plan.count("FileScan")
+    n_mem = plan.count("InMemoryTableScan")
+    effective = n_scan if n_mem == 0 else 1
+    assert effective <= _SCAN_CEILINGS[name], (
+        f"{name}: {n_scan} FileScan / {n_mem} InMemoryTableScan — a "
+        f"branch re-reads the corpus (ceiling "
+        f"{_SCAN_CEILINGS[name]}; see SCALE.md round-8 scan audit)"
+    )
