@@ -998,13 +998,17 @@ def minhash_band_tuning_query(
     )
     agg = powed.groupBy("bands", "rows_per_band").agg(
         F.sum("n_pairs").alias("n_pairs"),
-        # count as DECIMAL(10,0), not (20,0): (20,0)x(20,9) hits
-        # precision 41 > 38 and Spark silently drops scale to 6;
-        # (10,0)x(20,9) -> (31,9) stays exact (the text_bigram_lm
-        # precedent)
+        # widths chosen so the product stays exact under Spark's
+        # 38-precision cap: (19,0)x(10,9) -> (30,9). pd is in [0,1]
+        # so DECIMAL(10,9) holds it exactly after round(...,9); a
+        # (20,0)x(20,9) product hits precision 41 > 38 and Spark
+        # silently drops scale to 7, and the earlier (10,0) count
+        # cast overflowed (NULL) for bins with >= 1e10 candidate
+        # pairs — plausible at the 100 TB design point (r8 ADVICE).
+        # DuckDB mirrors the exact same widths below.
         F.sum(
-            F.col("n_pairs").cast("decimal(10,0)")
-            * F.round("pd", 9).cast("decimal(20,9)")
+            F.col("n_pairs").cast("decimal(19,0)")
+            * F.round("pd", 9).cast("decimal(10,9)")
         ).alias("_exp"),
     )
     # integer outputs only: the decimal sum is an exact multiple of
@@ -1064,8 +1068,8 @@ st10 AS (
 ), agg AS (
     SELECT bands, rows_per_band,
         CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
-        SUM(CAST(n_pairs AS DECIMAL(20,0))
-            * CAST(round(pd, 9) AS DECIMAL(20,9))) AS _exp
+        SUM(CAST(n_pairs AS DECIMAL(19,0))
+            * CAST(round(pd, 9) AS DECIMAL(10,9))) AS _exp
     FROM st10 GROUP BY bands, rows_per_band
 )
 SELECT bands, rows_per_band, n_pairs,

@@ -17,6 +17,8 @@ shuffle carries only K values per group per task.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -297,26 +299,43 @@ def bloom_probe_expr(mask: str, key_col: str = "k"):
     return F.expr(" + ".join(_bit(i) for i in range(BLOOM_K)))
 
 
+# bloom_query's persisted build side from the PREVIOUS invocation;
+# unpersisted on the next call so a long session (bench runs ~100
+# queries in one JVM) holds at most one cached build (r8 ADVICE: the
+# build side was never unpersisted).
+_bloom_prev_build: Optional[DataFrame] = None
+
+
 def bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a Bloom filter over customers-with-orders, probe ALL
     customers; one summary row incl. exact false-positive count.
 
-    Serving shape (rewritten in the round-8 scan audit, 10 scans ->
-    2): the bit set is <= m = 4096 positions BY CONSTRUCTION, so it is
-    collected to the driver (the constant-size-collect contract the
-    MMR/k-center trainers pin) and packed into a 1024-nibble hex
-    bitmask LITERAL — the probe becomes a pure map-side bit test
-    (4 md5s + 4 substring lookups per row, whole-stage codegen), which
-    is what a Bloom membership gate must be at 100 TB. Exact truth
-    marking is ONE left join against the persisted build side; the
-    old shape re-scanned orders/customer once per summary branch and
-    shuffled a 4x-exploded probe through a position join."""
+    EAGER CONSTRUCTION (api.EAGER_CONSTRUCTION): calling this runs a
+    bounded distributed job BEFORE the DataFrame is returned — the bit
+    set is <= m = 4096 positions BY CONSTRUCTION, so it is collected
+    to the driver (the constant-size-collect contract the MMR/k-center
+    trainers pin) and packed into a 1024-nibble hex bitmask LITERAL.
+    The probe then becomes a pure map-side bit test (4 md5s + 4
+    substring lookups per row, whole-stage codegen), which is what a
+    Bloom membership gate must be at 100 TB; the serving shape from
+    the round-8 scan audit (10 scans -> 2). Exact truth marking is ONE
+    left join against the persisted build side; the old shape
+    re-scanned orders/customer once per summary branch and shuffled a
+    4x-exploded probe through a position join."""
+    global _bloom_prev_build
     prep(spark)
+    if _bloom_prev_build is not None:
+        try:
+            _bloom_prev_build.unpersist()
+        except Exception:
+            pass  # prior session already stopped
+        _bloom_prev_build = None
     build = (
         read_table(spark, sf_dir, "orders")
         .select(F.col("o_custkey").alias("k"))
         .distinct()
     ).persist()
+    _bloom_prev_build = build
     bits_local = sorted(
         r["pos"]
         for r in build.select(
@@ -841,10 +860,16 @@ def ams_f2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("exact_f2"),
     )
+    # Output contract: DOUBLE, not DECIMAL. The driver's value hash
+    # distinguishes Spark Decimal objects from DuckDB's float64
+    # decimal fetch (the r8 red row) — and no other registry op emits
+    # DecimalType. Internal moments stay DECIMAL(38,0); the final
+    # cast is exact below 2^53 and both engines convert decimal→double
+    # with the same correctly-rounded semantics above it.
     return exact.crossJoin(F.broadcast(med)).select(
         "n_keys",
-        "exact_f2",
-        "ams_med",
+        F.col("exact_f2").cast("double").alias("exact_f2"),
+        F.col("ams_med").cast("double").alias("ams_med"),
         F.round(
             F.abs(
                 F.col("ams_med").cast("double")
@@ -882,7 +907,9 @@ WITH freq AS (
         CAST(SUM(c * c) AS DECIMAL(38,0)) AS exact_f2
     FROM freq
 )
-SELECT n_keys, exact_f2, ams_med,
+SELECT n_keys,
+    CAST(exact_f2 AS DOUBLE) AS exact_f2,
+    CAST(ams_med AS DOUBLE) AS ams_med,
     round(abs(CAST(ams_med AS DOUBLE) - CAST(exact_f2 AS DOUBLE))
           / CAST(exact_f2 AS DOUBLE), 6) AS rel_err
 FROM ex CROSS JOIN med

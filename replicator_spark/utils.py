@@ -22,6 +22,37 @@ from decimal import ROUND_HALF_UP, Decimal
 from pyspark.sql import Column, DataFrame
 
 
+def uncached_file_scans(plan: str) -> int:
+    """Count FileScan nodes OUTSIDE cached subtrees in a physical-plan
+    string.
+
+    InMemoryTableScan re-prints its cached subtree (under an
+    InMemoryRelation node) in the plan STRING even though the runtime
+    reads the cache, so a naive ``plan.count("FileScan")`` over-counts
+    persisted ops — and the old audit discount (``1`` whenever any
+    InMemoryTableScan exists) UNDER-counted: a persist-based op that
+    later gained new redundant un-cached scans could never trip its
+    ceiling (round-8 ADVICE). This walks the tree-drawing indentation:
+    a FileScan line is discounted only while nested strictly deeper
+    than an open InMemoryRelation.
+    """
+    n = 0
+    cached_stack: list[int] = []  # content positions of open relations
+    for line in plan.splitlines():
+        pos = 0
+        while pos < len(line) and line[pos] in " :+-":
+            pos += 1
+        if pos >= len(line):
+            continue
+        while cached_stack and pos <= cached_stack[-1]:
+            cached_stack.pop()
+        if "InMemoryRelation" in line:
+            cached_stack.append(pos)
+        elif "FileScan" in line and not cached_stack:
+            n += 1
+    return n
+
+
 def round_half_away(x: float, n: int) -> float:
     """round(double, n) with ties away from zero — the semantics of
     Spark F.round AND DuckDB round(). Python's builtin round() is

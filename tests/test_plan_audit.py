@@ -263,12 +263,13 @@ def test_audit_accepts_rank_limited_window_over_vocab_agg(
 # Scan-count ceilings: lock in the round-8 redundant-scan rewrites
 # (SCALE.md "Round-8 redundant-scan audit" + second sweep). The
 # ceiling is each op's post-rewrite EFFECTIVE scan count — FileScan
-# occurrences when nothing is persisted, else 1 per distinct cached
-# subtree reference (InMemoryTableScan re-prints its cached subtree's
-# FileScan in the plan STRING; the runtime reads the cache). A
-# regression here means a branch started re-reading the corpus.
+# nodes OUTSIDE cached subtrees (uncached_file_scans walks the plan
+# string's indentation; InMemoryTableScan re-prints its cached
+# subtree's FileScan but the runtime reads the cache). Unlike the old
+# "1 if any InMemoryTableScan" discount, a persist-based op that
+# gains a NEW redundant un-cached scan trips its ceiling (r8 ADVICE).
 _SCAN_CEILINGS = {
-    # op: (max FileScan when no cache, max if InMemoryTableScan > 0)
+    # op: max FileScans outside cached subtrees
     "dq_constraints": 6,       # 4 fact passes + 2 RI key-set sides
     "emb_matryoshka_fidelity": 2,  # query + database sides, one pass
     "text_pmi_bigrams": 2,     # one unigram + one bigram pass
@@ -278,9 +279,10 @@ _SCAN_CEILINGS = {
     "curate_temperature_mix": 1,
     "ts_changepoint": 1,
     "sketch_bloom_filter": 2,  # build side + probe side
-    # persist-based rewrites: effective is 1 while the cache is in
-    # place; if someone drops the persist(), the raw FileScan count
-    # (6, 6, 5) trips the ceiling
+    # persist-based rewrites: every FileScan sits under the
+    # InMemoryRelation, so the uncached count is 0 while the cache is
+    # in place; dropping the persist() raises it to the raw count
+    # (6, 6) and trips the ceiling
     "ts_theil_sen": 2,
     "graph_assortativity": 2,
 }
@@ -289,14 +291,15 @@ _SCAN_CEILINGS = {
 @pytest.mark.parametrize("name", sorted(_SCAN_CEILINGS))
 def test_scan_count_ceiling(spark, sf_dir, name):
     from replicator_spark import api
+    from replicator_spark.utils import uncached_file_scans
 
     df = api.queries()[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    n_scan = plan.count("FileScan")
-    n_mem = plan.count("InMemoryTableScan")
-    effective = n_scan if n_mem == 0 else 1
+    effective = uncached_file_scans(plan)
     assert effective <= _SCAN_CEILINGS[name], (
-        f"{name}: {n_scan} FileScan / {n_mem} InMemoryTableScan — a "
+        f"{name}: {effective} un-cached FileScan "
+        f"({plan.count('FileScan')} total / "
+        f"{plan.count('InMemoryTableScan')} InMemoryTableScan) — a "
         f"branch re-reads the corpus (ceiling "
         f"{_SCAN_CEILINGS[name]}; see SCALE.md round-8 scan audit)"
     )

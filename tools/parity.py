@@ -23,9 +23,12 @@ TABLES = (
 def _norm_cell(v):
     # Mirror the driver's dtype-sensitive hash: ints and floats must NOT
     # collapse to the same string ("107" vs "107.0"), or we mask exactly
-    # the DuckDB HUGEINT->float64 mismatches the driver catches. Floats
-    # and Decimals share the "f:" namespace (DuckDB DECIMAL arrives as
-    # float64 via fetchdf, and the driver passes decimal-vs-double pairs).
+    # the DuckDB HUGEINT->float64 mismatches the driver catches.
+    # Decimals get their OWN namespace: the r8 sketch_ams_f2 red row
+    # proved the driver distinguishes a Spark Decimal('677248') from
+    # DuckDB's float64 677248.0 even when values are equal — no green
+    # op has ever emitted DecimalType output. Cast decimal outputs to
+    # DOUBLE/BIGINT on both sides instead of relying on normalization.
     if v is None:
         return "∅"
     if isinstance(v, float):
@@ -36,7 +39,7 @@ def _norm_cell(v):
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return f"f:{float(v):.9g}"
+            return f"d:{v}"
     except Exception:
         pass
     if isinstance(v, bool):

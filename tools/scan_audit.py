@@ -19,6 +19,11 @@ Prints one line per operator over the threshold, then a JSON summary.
 Exit code 0 always (diagnostic, not a gate): known-legitimate
 multi-scan shapes are listed in WHITELIST with their reason — the
 per-round adjudication lives in SCALE.md.
+
+NOTE: the ops in api.EAGER_CONSTRUCTION (sketch_bloom_filter,
+events_markov_stationary) run a bounded distributed job at
+DataFrame-construction time — this audit triggers those jobs; they
+are constant-size by contract but not free at large sf_dir.
 """
 
 from __future__ import annotations
@@ -63,6 +68,7 @@ WHITELIST = {
 def audit(sf_dir: str, only=None, threshold: int = 5):
     from replicator_spark import api
     from replicator_spark.session import get_spark
+    from replicator_spark.utils import uncached_file_scans
 
     spark = get_spark("scan_audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,9 +108,11 @@ def audit(sf_dir: str, only=None, threshold: int = 5):
             "sort_merge_joins": plan.count("SortMergeJoin"),
         }
         # InMemoryTableScan re-prints its cached subtree's FileScan in
-        # the plan STRING; the runtime reads the cache, so discount
-        # those occurrences before flagging.
-        effective = n_scan if n_mem == 0 else 1
+        # the plan STRING; the runtime reads the cache. Count only
+        # FileScans OUTSIDE cached subtrees (the old "1 if any cache"
+        # floor hid new redundant un-cached scans — r8 ADVICE).
+        effective = uncached_file_scans(plan)
+        rows[name]["uncached_file_scans"] = effective
         if effective >= threshold and name not in WHITELIST:
             flagged.append(name)
             print(
