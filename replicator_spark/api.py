@@ -159,6 +159,11 @@ _PRIORITY = [
     "sim_rrf_fusion",
     "tm_bitemporal_asof",
     "corpus_chao1_richness",
+    # --- round-9 additions (graded in-window, same round) ---
+    "stats_kendall_tau",
+    "stats_jackknife_se",
+    "emb_isotropy",
+    "sketch_countsketch_topk",
     # --- 34 oldest-evidence re-pins: the r4-newest-green block
     #     (none of these has evidence newer than round 4); round-9
     #     additions displace re-pins from the BOTTOM of this block

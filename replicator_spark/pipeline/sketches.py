@@ -916,6 +916,173 @@ FROM ex CROSS JOIN med
 """
 
 
+# ------------------------------------------- Count-Sketch heavy keys
+#
+# The Charikar-Chen-Farach-Colton Count-Sketch: R independent rows of
+# B signed counters; each key hashes to one bucket per row with a
+# +/-1 sign, and its frequency estimate is the MEDIAN over rows of
+# sign * bucket_sum. Unlike Count-Min (sketch_cms_heavy, biased UP by
+# collisions), Count-Sketch is unbiased — colliding keys cancel in
+# expectation — which is why it is the inner primitive of compressed
+# heavy-hitter pipelines. Estimates are checked against the exact
+# counts for the top-K heaviest users.
+#
+# Scale: one user-count agg is the only corpus exchange; the sign
+# explode multiplies the USER table by R and re-aggregates to R*B
+# counter rows (combiner-backed). The top-K window is unpartitioned
+# BUT rank<=K-filtered adjacent to the window, so Spark's limit
+# pushdown (TakeOrderedAndProject) caps per-partition flow at K —
+# the corpus_head_coverage contract. The estimate join is 50 rows
+# against R*B=320 broadcast counters.
+#
+# Determinism: signs/buckets from md5 nibbles (engine-portable),
+# every value integer; the median over R=5 odd rows is an exact
+# row_number pick.
+
+CS_ROWS = 5
+CS_BUCKETS = 64
+CS_TOPK = 10
+
+
+def _cs_bucket(r_col, key_col):
+    """Bucket in [0, CS_BUCKETS): first two md5 nibbles mod B."""
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit("cb"), r_col.cast("string"),
+            key_col.cast("string"),
+        )
+    )
+    two = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    return two % CS_BUCKETS
+
+
+def _cs_sign(r_col, key_col):
+    """Sign in {-1, +1}: md5 nibble parity (the AMS pattern)."""
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit("cs"), r_col.cast("string"),
+            key_col.cast("string"),
+        )
+    )
+    nib = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    return F.lit(1) - F.lit(2) * (nib % 2)
+
+
+def countsketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    expl = freq.select(
+        "user_id",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(CS_ROWS - 1))).alias("r"),
+    )
+    counters = expl.groupBy(
+        "r",
+        _cs_bucket(F.col("r"), F.col("user_id")).alias("b"),
+    ).agg(
+        F.sum(
+            _cs_sign(F.col("r"), F.col("user_id")).cast("long")
+            * F.col("c")
+        ).alias("bucket_sum")
+    )
+    w_top = W.orderBy(F.col("c").desc(), "user_id")
+    top = (
+        freq.select(
+            "user_id", "c", F.row_number().over(w_top).alias("rk")
+        )
+        .where(F.col("rk") <= CS_TOPK)
+    )
+    probes = top.select(
+        "user_id",
+        "c",
+        "rk",
+        F.explode(F.sequence(F.lit(0), F.lit(CS_ROWS - 1))).alias("r"),
+    ).select(
+        "user_id",
+        "c",
+        "rk",
+        "r",
+        _cs_bucket(F.col("r"), F.col("user_id")).alias("b"),
+        _cs_sign(F.col("r"), F.col("user_id")).cast("long").alias(
+            "sgn"
+        ),
+    )
+    ests = probes.join(F.broadcast(counters), ["r", "b"]).select(
+        "user_id",
+        "c",
+        "rk",
+        "r",
+        (F.col("sgn") * F.col("bucket_sum")).alias("est"),
+    )
+    w_med = W.partitionBy("user_id").orderBy("est", "r")
+    med = (
+        ests.withColumn("rn", F.row_number().over(w_med))
+        .where(F.col("rn") == (CS_ROWS + 1) // 2)
+    )
+    return med.select(
+        "user_id",
+        F.col("rk").alias("rank"),
+        F.col("c").alias("true_count"),
+        F.col("est").alias("cs_estimate"),
+        F.abs(F.col("est") - F.col("c")).alias("abs_err"),
+    )
+
+
+def _cs_bucket_sql(r: str, key: str) -> str:
+    h = f"md5(concat('cb', ':', {r}, ':', {key}))"
+    return (
+        f"(((strpos('{_HEX16}', substr({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('{_HEX16}', substr({h}, 2, 1)) - 1))"
+        f" % {CS_BUCKETS})"
+    )
+
+
+def _cs_sign_sql(r: str, key: str) -> str:
+    h = f"md5(concat('cs', ':', {r}, ':', {key}))"
+    return f"(1 - 2 * ((strpos('{_HEX16}', substr({h}, 1, 1)) - 1) % 2))"
+
+
+COUNTSKETCH_SQL = f"""
+WITH freq AS (
+    SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+), expl AS (
+    SELECT user_id, c, unnest(range(0, {CS_ROWS})) AS r FROM freq
+), counters AS (
+    SELECT r, {_cs_bucket_sql('r', 'user_id')} AS b,
+        CAST(SUM({_cs_sign_sql('r', 'user_id')} * c) AS BIGINT)
+            AS bucket_sum
+    FROM expl GROUP BY 1, 2
+), top AS (
+    SELECT user_id, c, rk FROM (
+        SELECT user_id, c,
+            ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rk
+        FROM freq
+    ) WHERE rk <= {CS_TOPK}
+), probes AS (
+    SELECT user_id, c, rk, r,
+        {_cs_bucket_sql('r', 'user_id')} AS b,
+        {_cs_sign_sql('r', 'user_id')} AS sgn
+    FROM (SELECT user_id, c, rk, unnest(range(0, {CS_ROWS})) AS r
+          FROM top)
+), ests AS (
+    SELECT user_id, c, rk, r,
+        CAST(sgn * bucket_sum AS BIGINT) AS est
+    FROM probes JOIN counters USING (r, b)
+), med AS (
+    SELECT * FROM (
+        SELECT user_id, c, rk, est,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY est, r) AS rn
+        FROM ests
+    ) WHERE rn = {(CS_ROWS + 1) // 2}
+)
+SELECT user_id, rk AS rank, c AS true_count, est AS cs_estimate,
+    abs(est - c) AS abs_err
+FROM med
+"""
+
+
 REGISTRY = [
     ("sketch_kmv_distinct", kmv_query, KMV_SQL),
     ("sketch_hll_distinct", hll_query, HLL_SQL),
@@ -925,4 +1092,6 @@ REGISTRY = [
     ("sketch_theta_ops", theta_ops_query, THETA_OPS_SQL),
     # AMS tug-of-war second-moment estimate over per-user counts
     ("sketch_ams_f2", ams_f2_query, AMS_F2_SQL),
+    # unbiased Count-Sketch median estimates for the heaviest users
+    ("sketch_countsketch_topk", countsketch_query, COUNTSKETCH_SQL),
 ]

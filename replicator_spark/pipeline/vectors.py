@@ -1635,6 +1635,119 @@ FROM pairs GROUP BY query_id
 """
 
 
+# ----------------------------------------------------- isotropy audit
+#
+# Embedding-space isotropy: the mean pairwise cosine of the UNIT
+# vectors and the mean resultant length rho = |sum u_i| / n. Isotropic
+# (well-spread) embedding spaces have both near 0; a collapsed or
+# anisotropic space (the "narrow cone" pathology that hurts cosine
+# retrieval, Ethayarajh 2019) shows both large. The closed form needs
+# no pairs: sum_{i!=j} <u_i,u_j> = |S|^2 - sum|u_i|^2 where S = sum u_i
+# — so the whole audit is ONE posexplode + per-dim agg, never O(n^2).
+#
+# Scale: the posexplode is a narrow map; the only exchange is the
+# dim-keyed combiner agg (64 partial rows per task regardless of
+# corpus size). Determinism: unit components are quantized with the
+# engine-identical floor(u*1e9 + 0.5) fold to BIGINT; every moment is
+# then integer (DECIMAL(38,0) sums; |S_d| <= n*1e9 so S_d^2 stays
+# exact below 1e38 for n < 1e10 vectors) and the two nano-unit outputs
+# are shared floor-fold formula strings on identical doubles.
+
+_ISO_PAIR_NANO = (
+    "CAST(floor(((ss - r) / (nn * (nn - 1.0)) / 1e18) * 1e9 + 0.5)"
+    " AS BIGINT)"
+)
+_ISO_RES_NANO = (
+    "CAST(floor((sqrt(ss) / (nn * 1e9)) * 1e9 + 0.5) AS BIGINT)"
+)
+
+
+def isotropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "v", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = emb.select(nrm.alias("nrm"), "v").select(
+        F.transform(
+            "v",
+            lambda x: F.floor(
+                x / F.col("nrm") * F.lit(1e9) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("q")
+    )
+    comp = unit.select(F.posexplode("q").alias("dim", "qv"))
+    dims = comp.groupBy("dim").agg(
+        F.sum(F.col("qv").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("qv").cast("decimal(19,0)")
+            * F.col("qv").cast("decimal(19,0)")
+        ).alias("r_d"),
+        F.count("*").alias("n"),
+    )
+    fin = dims.agg(
+        F.sum(F.col("s") * F.col("s")).alias("rss"),
+        F.sum("r_d").alias("rr"),
+        F.max("n").alias("n_vecs"),
+        F.count("*").alias("n_dims"),
+    ).select(
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.col("n_dims").cast("long").alias("n_dims"),
+        F.col("rss").cast("double").alias("ss"),
+        F.col("rr").cast("double").alias("r"),
+        F.col("n_vecs").cast("double").alias("nn"),
+    )
+    return fin.select(
+        "n_vecs",
+        "n_dims",
+        F.expr(_ISO_PAIR_NANO).alias("pair_cos_nano"),
+        F.expr(_ISO_RES_NANO).alias("resultant_len_nano"),
+    )
+
+
+ISOTROPY_SQL = f"""
+WITH emb AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), normed AS (
+    SELECT v,
+        sqrt(list_reduce(list_transform(range(1, 65),
+            i -> v[i] * v[i]), (a, b) -> a + b)) AS nrm
+    FROM emb
+), unitq AS (
+    SELECT list_transform(v,
+        x -> CAST(floor(x / nrm * 1e9 + 0.5) AS BIGINT)) AS q
+    FROM normed
+), comp AS (
+    SELECT generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS qv
+    FROM unitq
+), dims AS (
+    SELECT dim, SUM(CAST(qv AS DECIMAL(38,0))) AS s,
+        SUM(CAST(qv AS DECIMAL(19,0)) * CAST(qv AS DECIMAL(19,0)))
+            AS r_d,
+        COUNT(*) AS n
+    FROM comp GROUP BY dim
+), fin AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS n_vecs,
+        CAST(COUNT(*) AS BIGINT) AS n_dims,
+        CAST(SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+             AS DOUBLE) AS ss,
+        CAST(SUM(r_d) AS DOUBLE) AS r,
+        CAST(MAX(n) AS DOUBLE) AS nn
+    FROM dims
+)
+SELECT n_vecs, n_dims,
+    {_ISO_PAIR_NANO} AS pair_cos_nano,
+    {_ISO_RES_NANO} AS resultant_len_nano
+FROM fin
+"""
+
+
 REGISTRY = [
     ("emb_quantize_int8", quantize_int8_query, QUANTIZE_INT8_SQL),
     ("emb_centroids", centroids_query, CENTROIDS_SQL),
@@ -1658,4 +1771,6 @@ REGISTRY = [
     ("emb_silhouette", silhouette_query, _silhouette_sql()),
     # Johnson–Lindenstrauss Rademacher-projection distance fidelity
     ("emb_jl_fidelity", jl_fidelity_query, _jl_sql()),
+    # closed-form isotropy audit (mean pairwise cosine, no pairs)
+    ("emb_isotropy", isotropy_query, ISOTROPY_SQL),
 ]

@@ -1261,6 +1261,240 @@ FROM mom
 """
 
 
+# --------------------------------------------- Kendall tau-b
+#
+# Rank-correlation between daily order volume and daily revenue —
+# the concordant/discordant-pair complement of stats_spearman (which
+# correlates ranks; tau-b is the standard when ties matter and is
+# what monitoring dashboards quote for monotone-trend strength).
+#
+# Scale: the ONLY corpus exchange is one daily count/sum aggregate
+# (map-side combine); the pair enumeration runs over the CALENDAR-
+# BOUNDED daily table (|days| ~ 365·years regardless of corpus size)
+# as a broadcast nested-loop self-join — |days|² pairs ≈ millions,
+# never corpus-sized. Determinism: x is an integer count and y an
+# integer cents sum via the engine-identical floor(p*100 + 0.5)
+# fold; every pair class is an integer count and tau-b is ONE shared
+# formula string (identical IEEE tree, the stats_ols_multi contract).
+
+
+def kendall_tau_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(
+        F.count("*").alias("x"),
+        F.sum(
+            F.floor(
+                F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+            ).cast("long")
+        ).alias("y"),
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    ax, ay = F.col("a.x"), F.col("a.y")
+    bx, by = F.col("b.x"), F.col("b.y")
+    pairs = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d"))
+    cls = pairs.agg(
+        F.sum(
+            (
+                ((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by))
+            ).cast("long")
+        ).alias("concordant"),
+        F.sum(
+            (
+                ((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by))
+            ).cast("long")
+        ).alias("discordant"),
+        F.sum(((ax == bx) & (ay != by)).cast("long")).alias(
+            "ties_x_only"
+        ),
+        F.sum(((ay == by) & (ax != bx)).cast("long")).alias(
+            "ties_y_only"
+        ),
+        F.sum(((ax == bx) & (ay == by)).cast("long")).alias(
+            "ties_both"
+        ),
+    )
+    n_days = daily.agg(F.count("*").alias("n_days"))
+    base = n_days.crossJoin(F.broadcast(cls)).select(
+        "*",
+        (
+            F.col("n_days") * (F.col("n_days") - 1) / F.lit(2)
+        ).cast("long").alias("n_pairs"),
+    )
+    return base.select(
+        "n_days",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_x_only",
+        "ties_y_only",
+        "ties_both",
+        F.round(F.expr(_KENDALL_TAU_B), 6).alias("tau_b"),
+    )
+
+
+# shared formula (F.expr / verbatim SQL): tau-b from the pair-class
+# integer counts; tx/ty = pairs tied in that variable incl. both-ties
+_KENDALL_TAU_B = (
+    "((CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))"
+    " / sqrt((CAST(n_pairs AS DOUBLE)"
+    "         - CAST(ties_x_only + ties_both AS DOUBLE))"
+    "        * (CAST(n_pairs AS DOUBLE)"
+    "           - CAST(ties_y_only + ties_both AS DOUBLE))))"
+)
+
+KENDALL_TAU_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS x,
+        CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS y
+    FROM orders GROUP BY 1
+), cls AS (
+    SELECT
+        CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                        OR (a.x > b.x AND a.y > b.y)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                        OR (a.x > b.x AND a.y < b.y)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x_only,
+        CAST(SUM(CASE WHEN a.y = b.y AND a.x <> b.x
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y_only,
+        CAST(SUM(CASE WHEN a.x = b.x AND a.y = b.y
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ties_both
+    FROM daily a JOIN daily b ON a.d < b.d
+), base AS (
+    SELECT n_days, CAST(n_days * (n_days - 1) / 2 AS BIGINT)
+            AS n_pairs,
+        concordant, discordant, ties_x_only, ties_y_only, ties_both
+    FROM (SELECT COUNT(*) AS n_days FROM daily) CROSS JOIN cls
+)
+SELECT n_days, n_pairs, concordant, discordant,
+    ties_x_only, ties_y_only, ties_both,
+    round({_KENDALL_TAU_B}, 6) AS tau_b
+FROM base
+"""
+
+
+# ------------------------------------- jackknife variance (grouped)
+#
+# Delete-one-GROUP jackknife for the mean order value, with order
+# months as the deletion blocks (the survey-statistics standard when
+# observations cluster — deleting single rows underestimates the
+# variance of a clustered mean). Reports the overall mean and the
+# jackknife SE of that mean.
+#
+# Scale: one month-keyed agg (map-side combine) is the only corpus
+# exchange; everything after runs on the |months|-sized table (80
+# rows here; calendar-bounded at any corpus size). Determinism:
+# monthly sums are integer cents (floor fold); each leave-one-out
+# mean is computed in micro-cents with the overflow-safe split
+# q·1e6 + (r·1e6 div m) — pure BIGINT div/% identical in both
+# engines (no double quotient anywhere, the tm_cell_lifetimes rule);
+# the variance moments accumulate as DECIMAL(38,0) and the final
+# variance/SE is ONE shared formula string.
+
+
+def jackknife_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mth")
+    ).agg(
+        F.count("*").alias("n_i"),
+        F.sum(
+            F.floor(
+                F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+            ).cast("long")
+        ).alias("s_i"),
+    )
+    tot = monthly.agg(
+        F.count("*").alias("g"),
+        F.sum("n_i").alias("n"),
+        F.sum("s_i").alias("s"),
+    )
+    loo = monthly.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "n",
+        "s",
+        # theta_(i) in micro-cents: ((s-s_i) div m)*1e6 + remainder
+        # scaled — keeps every intermediate under 2^63 as long as a
+        # month has < 9.2e12 orders
+        F.expr(
+            "((s - s_i) div (n - n_i)) * 1000000"
+            " + (((s - s_i) % (n - n_i)) * 1000000) div (n - n_i)"
+        ).alias("theta_i"),
+    )
+    m = loo.groupBy("g", "n", "s").agg(
+        F.sum(F.col("theta_i").cast("decimal(38,0)")).alias("b"),
+        F.sum(
+            F.col("theta_i").cast("decimal(38,0)")
+            * F.col("theta_i").cast("decimal(38,0)")
+        ).alias("a"),
+    )
+    base = m.select(
+        F.col("g").cast("long").alias("n_months"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.expr(
+            "(s div n) * 1000000 + ((s % n) * 1000000) div n"
+        ).alias("theta_micro"),
+        F.col("g").cast("double").alias("gg"),
+        F.col("a").cast("double").alias("aa"),
+        F.col("b").cast("double").alias("bb"),
+    )
+    return base.select(
+        "n_months",
+        "n_orders",
+        "theta_micro",
+        F.round(F.expr(_JACK_SE_MICRO), 3).alias("jack_se_micro"),
+    )
+
+
+# jackknife SE in micro-cents: sqrt((g-1)/g * sum((theta_i - mean)^2))
+# with sum of squared deviations via the integer-moment identity
+# (g*a - b*b)/g on the DECIMAL-exact a, b
+_JACK_SE_MICRO = (
+    "sqrt(((gg - 1.0) / gg) * ((gg * aa - bb * bb) / gg))"
+)
+
+JACKKNIFE_SQL = f"""
+WITH monthly AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS mth, COUNT(*) AS n_i,
+        CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS s_i
+    FROM orders GROUP BY 1
+), tot AS (
+    SELECT COUNT(*) AS g, SUM(n_i) AS n, SUM(s_i) AS s FROM monthly
+), loo AS (
+    SELECT g, n, s,
+        ((s - s_i) // (n - n_i)) * 1000000
+            + (((s - s_i) % (n - n_i)) * 1000000) // (n - n_i)
+            AS theta_i
+    FROM monthly CROSS JOIN tot
+), m AS (
+    SELECT g, n, s,
+        SUM(CAST(theta_i AS DECIMAL(38,0))) AS b,
+        SUM(CAST(theta_i AS DECIMAL(38,0))
+            * CAST(theta_i AS DECIMAL(38,0))) AS a
+    FROM loo GROUP BY g, n, s
+), base AS (
+    SELECT CAST(g AS BIGINT) AS n_months, CAST(n AS BIGINT) AS n_orders,
+        CAST((s // n) * 1000000 + ((s % n) * 1000000) // n AS BIGINT)
+            AS theta_micro,
+        CAST(g AS DOUBLE) AS gg, CAST(a AS DOUBLE) AS aa,
+        CAST(b AS DOUBLE) AS bb
+    FROM m
+)
+SELECT n_months, n_orders, theta_micro,
+    round({_JACK_SE_MICRO}, 3) AS jack_se_micro
+FROM base
+"""
+
+
 REGISTRY = [
     ("stats_percentiles", percentiles_query, PERCENTILES_SQL),
     ("stats_chisq_independence", chisq_query, CHISQ_SQL),
@@ -1280,4 +1514,9 @@ REGISTRY = [
     ("stats_wilson_ci", wilson_ci_query, WILSON_CI_SQL),
     # tie-corrected Mann-Whitney rank-sum test (round 8)
     ("stats_mannwhitney_u", mannwhitney_query, MANNWHITNEY_SQL),
+    # Kendall tau-b over the calendar-bounded daily volume/revenue
+    # table (round 9)
+    ("stats_kendall_tau", kendall_tau_query, KENDALL_TAU_SQL),
+    # delete-one-month jackknife SE of the mean order value (round 9)
+    ("stats_jackknife_se", jackknife_query, JACKKNIFE_SQL),
 ]
