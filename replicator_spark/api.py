@@ -164,6 +164,10 @@ _PRIORITY = [
     "stats_jackknife_se",
     "emb_isotropy",
     "sketch_countsketch_topk",
+    "temporal_interval_join",
+    "events_dau_mau",
+    "graph_connected_components",
+    "dq_psi_drift",
     # --- 34 oldest-evidence re-pins: the r4-newest-green block
     #     (none of these has evidence newer than round 4); round-9
     #     additions displace re-pins from the BOTTOM of this block

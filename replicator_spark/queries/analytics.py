@@ -843,6 +843,78 @@ GROUP BY event_type, n_events, n_users, top_c
 """
 
 
+# ------------------------------------------------ DAU/WAU stickiness
+#
+# The engagement ratio product teams watch: per ISO-ish week (epoch
+# day div 7), weekly active users, summed daily actives, and the
+# stickiness ratio avg-DAU/WAU in ppm. Stickiness near 1e6 means the
+# same users return daily; near 1/7 of 1e6 means each user appears
+# once a week.
+#
+# Scale: one (day, user) distinct is the only corpus-sized shuffle;
+# the week-level distinct and the day counts both derive from that
+# deduped table (users x days sized, far below raw events). All
+# outputs are integers — the ratio uses BIGINT div (engine-identical,
+# the tm_cell_lifetimes rule), no double division anywhere.
+
+_EV_DAY = "ts div 1000000 div 86400000"
+
+
+def dau_mau_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.expr(_EV_DAY).alias("day"), "user_id"
+    ).distinct()
+    base = day_user.select(
+        (F.col("day") - (F.col("day") % 7)).alias("week"),
+        "day",
+        "user_id",
+    )
+    dau = base.groupBy("week", "day").agg(
+        F.count("*").alias("dau")
+    )
+    weekly = dau.groupBy("week").agg(
+        F.count("*").alias("n_days"),
+        F.sum("dau").alias("dau_sum"),
+    )
+    wau = base.groupBy("week").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return weekly.join(wau, "week").select(
+        "week",
+        "n_days",
+        "dau_sum",
+        "wau",
+        F.expr(
+            "(dau_sum * 1000000) div (n_days * wau)"
+        ).alias("stickiness_ppm"),
+    )
+
+
+DAU_MAU_SQL = f"""
+WITH day_user AS (
+    SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+    FROM events
+), base AS (
+    SELECT day - (day % 7) AS week, day, user_id FROM day_user
+), dau AS (
+    SELECT week, day, COUNT(*) AS dau FROM base GROUP BY week, day
+), weekly AS (
+    SELECT week, COUNT(*) AS n_days,
+        CAST(SUM(dau) AS BIGINT) AS dau_sum
+    FROM dau GROUP BY week
+), wau AS (
+    SELECT week, COUNT(DISTINCT user_id) AS wau FROM base
+    GROUP BY week
+)
+SELECT week, n_days, dau_sum, wau,
+    CAST((dau_sum * 1000000) // (n_days * wau) AS BIGINT)
+        AS stickiness_ppm
+FROM weekly JOIN wau USING (week)
+"""
+
+
 REGISTRY = [
     ("window_analytics", window_analytics_query, WINDOW_ANALYTICS_SQL),
     ("pivot_orders", pivot_orders_query, PIVOT_ORDERS_SQL),
@@ -861,4 +933,6 @@ REGISTRY = [
     # integer fixed-point P^64 stationary distribution (round 8)
     ("events_markov_stationary", markov_stationary_query,
      MARKOV_STATIONARY_SQL),
+    # weekly DAU/WAU stickiness from one (day,user) distinct
+    ("events_dau_mau", dau_mau_query, DAU_MAU_SQL),
 ]

@@ -219,7 +219,106 @@ FROM cnt CROSS JOIN tot
 """
 
 
+# -------------------------------- population stability index (drift)
+#
+# PSI of the event-type mix between the first and second half of the
+# observed window — the standard model-monitoring drift score
+# (PSI < 0.1: stable; > 0.25: population shift). Per type:
+# contribution (p_a - p_b) * ln(p_a / p_b) with add-half smoothing
+# ((c + 0.5) / (N + 0.5K)) so types absent from one half stay finite.
+#
+# Scale: ONE conditional count agg over events (map-side combine);
+# everything downstream runs on the |types|-sized table with two
+# 1-row broadcasts (the split threshold and the totals). Determinism:
+# counts are integers; smoothed proportions are identical doubles in
+# both engines; contributions use round(·, 9) -> DECIMAL like the
+# text_bigram_lm log-prob precedent (PSI contributions are >= 0, both
+# factors share a sign), and the nano outputs are floor folds.
+
+_DQ_DAY = "ts div 1000000 div 86400000"
+
+
+def psi_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        F.expr(_DQ_DAY).alias("day"), "event_type"
+    )
+    # integer div, not /2 + cast: Spark's long cast truncates while
+    # DuckDB's rounds half-to-even — div/// agree exactly
+    thr = ev.agg(F.min("day").alias("mn"), F.max("day").alias("mx")).select(
+        F.expr("(mn + mx + 1) div 2").alias("thr")
+    )
+    halves = ev.crossJoin(F.broadcast(thr)).groupBy("event_type").agg(
+        F.sum((F.col("day") < F.col("thr")).cast("long")).alias("c_a"),
+        F.sum((F.col("day") >= F.col("thr")).cast("long")).alias(
+            "c_b"
+        ),
+    )
+    tot = halves.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.count("*").alias("k"),
+    )
+    scored = halves.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "c_a",
+        "c_b",
+        F.expr(_PSI_CONTRIB_NANO).alias("contrib_nano"),
+    )
+    total = scored.agg(
+        F.sum("contrib_nano").alias("psi_total_nano")
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
+        "event_type", "c_a", "c_b", "contrib_nano", "psi_total_nano"
+    )
+
+
+# shared contribution formula: smoothed proportions, raw IEEE
+# (pa-pb)*ln(pa/pb), quantized by the engine-identical floor fold —
+# NOT round(), which resolves to each engine's own (divergent)
+# rounding; the total then sums INTEGERS, order-free. Literals are
+# 0.5E0 (double), NOT 0.5 — Spark parses a bare decimal literal as
+# DECIMAL and silently switches the whole division to decimal
+# arithmetic (16-digit pb truncation, caught by the sf0.01 sweep).
+_PSI_CONTRIB_NANO = (
+    "CAST(floor((((c_a + 0.5E0) / (n_a + 0.5E0 * k)"
+    " - (c_b + 0.5E0) / (n_b + 0.5E0 * k))"
+    " * ln(((c_a + 0.5E0) / (n_a + 0.5E0 * k))"
+    " / ((c_b + 0.5E0) / (n_b + 0.5E0 * k)))) * 1e9 + 0.5E0)"
+    " AS BIGINT)"
+)
+
+PSI_DRIFT_SQL = f"""
+WITH ev AS (
+    SELECT epoch_ms(ts) // 86400000 AS day, event_type FROM events
+), thr AS (
+    SELECT (MIN(day) + MAX(day) + 1) // 2 AS thr
+    FROM ev
+), halves AS (
+    SELECT event_type,
+        CAST(SUM(CASE WHEN day < thr THEN 1 ELSE 0 END) AS BIGINT)
+            AS c_a,
+        CAST(SUM(CASE WHEN day >= thr THEN 1 ELSE 0 END) AS BIGINT)
+            AS c_b
+    FROM ev CROSS JOIN thr GROUP BY event_type
+), tot AS (
+    SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b, COUNT(*) AS k
+    FROM halves
+), scored AS (
+    SELECT event_type, c_a, c_b, {_PSI_CONTRIB_NANO} AS contrib_nano
+    FROM halves CROSS JOIN tot
+), total AS (
+    SELECT CAST(SUM(contrib_nano) AS BIGINT) AS psi_total_nano
+    FROM scored
+)
+SELECT event_type, c_a, c_b, contrib_nano, psi_total_nano
+FROM scored CROSS JOIN total
+"""
+
+
 REGISTRY = [
     ("dq_constraints", dq_constraints_query, DQ_CONSTRAINTS_SQL),
     ("dq_benford_digits", benford_query, BENFORD_SQL),
+    # PSI population-drift score between window halves
+    ("dq_psi_drift", psi_drift_query, PSI_DRIFT_SQL),
 ]

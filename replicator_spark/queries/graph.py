@@ -816,6 +816,94 @@ FROM deg
 """
 
 
+# ------------------------------------- connected components (HashMin)
+#
+# Synchronous min-label propagation ("HashMin") over the co-purchase
+# graph: every node starts labeled with itself; each superstep every
+# node takes the min of its own label and its neighbors' labels.
+# After CC_ROUNDS supersteps, labels identify components whose
+# graph diameter is <= CC_ROUNDS (the fixed-horizon contract
+# graph_label_propagation / graph_pagerank already pin: a constant
+# number of linear supersteps, never run-to-convergence). Reported
+# per component: its min-node id (the label) and size.
+#
+# Scale: each superstep is one edge⋈label equi-join + a node-keyed
+# min agg — linear in edges, shuffled on node keys; the edge list is
+# persisted once (the pagerank pattern). Rounds double-reference the
+# previous level, so the oracle marks every level MATERIALIZED.
+# Determinism: min over integers — wholly order-free.
+
+CC_ROUNDS = 6
+
+
+def connected_components_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    e = _copurchase_edges(spark, sf_dir).persist()
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(CC_ROUNDS):
+        nb = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nl"))
+            .select(F.col("a").alias("node"), "nl")
+        )
+        labels = (
+            labels.join(nb, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nl"), F.col("label")),
+                ).alias("label"),
+            )
+        )
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count("*").alias("n_nodes")
+    )
+
+
+def _cc_round_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS MATERIALIZED (
+    SELECT l.node,
+        least(l.label, COALESCE(nb.nl, l.label)) AS label
+    FROM {prev} l LEFT JOIN (
+        SELECT s.a AS node, MIN(p.label) AS nl
+        FROM sym s JOIN {prev} p ON s.b = p.node
+        GROUP BY s.a
+    ) nb USING (node)
+)"""
+
+
+_CC_STEPS = ",\n".join(
+    _cc_round_sql(f"c{k}", f"c{k + 1}") for k in range(CC_ROUNDS)
+)
+
+CONNECTED_COMPONENTS_SQL = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {TRI_SUPPORT}
+),
+sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+c0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+{_CC_STEPS}
+SELECT label AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM c{CC_ROUNDS} GROUP BY label
+"""
+
+
 REGISTRY = [
     ("graph_pagerank", pagerank_query, PAGERANK_SQL),
     ("graph_triangles", triangles_query, TRIANGLES_SQL),
@@ -832,4 +920,7 @@ REGISTRY = [
     # Clauset-Shalizi-Newman power-law degree exponent (round 8)
     ("graph_degree_powerlaw", degree_powerlaw_query,
      DEGREE_POWERLAW_SQL),
+    # HashMin connected components at a fixed superstep horizon
+    ("graph_connected_components", connected_components_query,
+     CONNECTED_COMPONENTS_SQL),
 ]

@@ -1506,6 +1506,113 @@ FROM terms
 """
 
 
+# --------------------------------------- bucketed interval-overlap join
+#
+# "How many orders were IN FLIGHT in each calendar month?" — each
+# order's fulfillment interval [o_orderdate, max ship date of its
+# lines] overlap-joined against the month grid. A naive range join
+# (grid CROSS JOIN intervals with an overlap predicate — exactly what
+# the oracle runs) is quadratic-ish and unprunable; the Spark plan
+# EXPLODES each interval into the months it covers (bounded fan-out:
+# fulfillment spans a few months) and group-counts — turning the
+# range join into an equi-shuffle, the standard interval-bucketing
+# trick for time-range joins at scale.
+#
+# Scale: orders⋈lineitem is key-co-partitioned (SMJ on the join key,
+# AQE-managed); the explode adds <= months-spanned rows per order;
+# the month agg is combiner-backed and |months|-sized. Determinism:
+# month indices are pure integer epoch-day arithmetic; sums are
+# integer cents via the floor fold.
+
+_MONTH_OF_DAY = "((y - 1970) * 12 + m - 1)"  # month index from y/m
+
+
+def interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(
+            F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+        ).cast("long").alias("cents"),
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    span = (
+        orders.join(
+            li, orders.o_orderkey == li.l_orderkey
+        )
+        .groupBy("o_orderkey", "o_orderdate", "cents")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "cents",
+            (
+                (F.year("o_orderdate") - 1970) * 12
+                + F.month("o_orderdate") - 1
+            ).alias("m0"),
+            (
+                (F.year("last_ship") - 1970) * 12
+                + F.month("last_ship") - 1
+            ).alias("m1"),
+        )
+        # clamp: a ship date before the order date (possible in the
+        # synthetic data) must not make F.sequence step BACKWARDS —
+        # an in-flight interval covers at least the order month
+        .select(
+            "cents",
+            "m0",
+            F.greatest("m0", "m1").alias("m1"),
+        )
+    )
+    # interval -> covered-months explode (the bucketing step)
+    exploded = span.select(
+        "cents",
+        F.explode(F.sequence("m0", "m1")).alias("mth_idx"),
+    )
+    return (
+        exploded.groupBy("mth_idx")
+        .agg(
+            F.count("*").alias("n_open_orders"),
+            F.sum("cents").alias("open_value_cents"),
+        )
+        .select(
+            "mth_idx", "n_open_orders", "open_value_cents",
+        )
+    )
+
+
+INTERVAL_JOIN_SQL = """
+WITH span AS (
+    SELECT m0, greatest(m0, m1) AS m1, cents
+    FROM (
+    SELECT
+        (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+            AS m0,
+        (year(last_ship) - 1970) * 12 + month(last_ship) - 1 AS m1,
+        cents
+    FROM (
+        SELECT o.o_orderkey, o.o_orderdate,
+            CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                AS cents,
+            MAX(l.l_shipdate) AS last_ship
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    )
+    )
+), grid AS (
+    SELECT unnest(range(
+        (SELECT MIN(m0) FROM span),
+        (SELECT MAX(m1) FROM span) + 1)) AS mth_idx
+)
+SELECT g.mth_idx,
+    CAST(COUNT(*) AS BIGINT) AS n_open_orders,
+    CAST(SUM(s.cents) AS BIGINT) AS open_value_cents
+FROM grid g JOIN span s ON g.mth_idx BETWEEN s.m0 AND s.m1
+GROUP BY g.mth_idx
+"""
+
+
 REGISTRY = [
     ("temporal_asof_join", asof_join_query, ASOF_JOIN_SQL),
     ("temporal_range_join", range_join_query, RANGE_JOIN_SQL),
@@ -1529,4 +1636,6 @@ REGISTRY = [
     ("ts_holt_winters", holt_winters_query, HOLT_WINTERS_SQL),
     # Kaplan-Meier inter-event-gap survival curve (round 8)
     ("events_survival_km", survival_km_query, SURVIVAL_KM_SQL),
+    # bucketed interval-overlap join (explode-to-months equi-shuffle)
+    ("temporal_interval_join", interval_join_query, INTERVAL_JOIN_SQL),
 ]
