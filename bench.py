@@ -145,6 +145,20 @@ HEADLINE = [
     "sim_rrf_fusion",
     "tm_bitemporal_asof",
     "corpus_chao1_richness",
+    # round-9 additions (first round on the slate)
+    "stats_kendall_tau",
+    "stats_jackknife_se",
+    "emb_isotropy",
+    "sketch_countsketch_topk",
+    "temporal_interval_join",
+    "events_dau_mau",
+    "graph_connected_components",
+    "dq_psi_drift",
+    "text_rake_keywords",
+    "ts_sax_symbols",
+    "cdc_sink_idempotency",
+    "curate_rejection_sample",
+    "dedup_chunk_cdc",
 ]
 
 

@@ -94,9 +94,14 @@ Rotation map (which driver run produced each operator's green row):
   re-pins from the r4-newest-green block. Round-9 additions are
   inserted directly after the 15 (displacing re-pins from the bottom
   of the window) so their FIRST driver row lands the same round they
-  ship. A fully green run reaches 260-out-of-260-ever-registered
-  operators driver-verified (plus any round-9 additions graded
-  in-window).
+  ship. The 13 round-9 additions (stats_kendall_tau,
+  stats_jackknife_se, emb_isotropy, sketch_countsketch_topk,
+  temporal_interval_join, events_dau_mau,
+  graph_connected_components, dq_psi_drift, text_rake_keywords,
+  ts_sax_symbols, cdc_sink_idempotency, curate_rejection_sample,
+  dedup_chunk_cdc) occupy slots 17-29 (registry 260 → 273). A fully
+  green round-9 run reaches 273/273 registered operators
+  driver-verified.
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -168,6 +173,11 @@ _PRIORITY = [
     "events_dau_mau",
     "graph_connected_components",
     "dq_psi_drift",
+    "text_rake_keywords",
+    "ts_sax_symbols",
+    "cdc_sink_idempotency",
+    "curate_rejection_sample",
+    "dedup_chunk_cdc",
     # --- 34 oldest-evidence re-pins: the r4-newest-green block
     #     (none of these has evidence newer than round 4); round-9
     #     additions displace re-pins from the BOTTOM of this block

@@ -460,10 +460,169 @@ WHERE NOT (first_op = 'INSERT' AND last_op = 'DELETE')
 )
 
 
+# -------------------------------------------- at-least-once idempotency
+#
+# The reference's appliers retry failed batches, so the sink sees
+# AT-LEAST-ONCE delivery (HBaseApplier.java retry loop; Kafka applier
+# acks). Correctness then rests on the apply being IDEMPOTENT: a
+# duplicate of mutation m carries the same row key and ordering
+# coordinates, so last-writer-wins lands on the same state. This op
+# PROVES that property on data: it injects deterministic duplicates
+# (md5-parity of event_id, ~50% of mutations delivered twice),
+# applies both the duplicated and the exactly-once feed, and counts
+# keys whose materialized state differs (must be 0), alongside the
+# delivery-amplification ppm.
+#
+# Scale: two key-combiner aggregations (the applied_state shape) and
+# a key-keyed join of two states — no broadcast of anything
+# table-sized; the duplicate explode at most doubles the feed.
+
+
+def sink_idempotency_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    mut = bootstrap_union(spark, sf_dir).where(F.col("op") != "QUERY")
+    keyed = mut.select(
+        "user_id",
+        "op",
+        "ts_ms",
+        "event_id",
+        F.coalesce(F.col("value_after").cast("string"),
+                   F.lit(NULL_SENTINEL)).alias("value_s"),
+        F.coalesce(F.col("props_after"),
+                   F.lit(NULL_SENTINEL)).alias("props_s"),
+    )
+    dup = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("dup"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    copies = keyed.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), dup)
+        ).alias("attempt"),
+    )
+    ord_k = F.struct("ts_ms", "event_id")
+
+    def _state(df: DataFrame, cnt_name: str) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max_by("op", ord_k).alias("last_op"),
+            F.max_by("value_s", ord_k).alias("value"),
+            F.max_by("props_s", ord_k).alias("props"),
+            F.count("*").alias(cnt_name),
+        )
+
+    a = _state(copies, "n_del")
+    b = _state(keyed, "n_mut")
+    cmp = a.join(
+        b.select(
+            "user_id",
+            F.col("last_op").alias("op_b"),
+            F.col("value").alias("value_b"),
+            F.col("props").alias("props_b"),
+            "n_mut",
+        ),
+        "user_id",
+    ).select(
+        "n_del",
+        "n_mut",
+        (
+            (F.col("last_op") != F.col("op_b"))
+            | (F.col("value") != F.col("value_b"))
+            | (F.col("props") != F.col("props_b"))
+        ).cast("long").alias("mismatch"),
+    )
+    return cmp.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_del").alias("n_deliveries"),
+        F.sum("n_mut").alias("n_mutations"),
+        F.sum("mismatch").alias("mismatched_keys"),
+    ).select(
+        "n_keys",
+        "n_deliveries",
+        "n_mutations",
+        "mismatched_keys",
+        F.expr(
+            "((n_deliveries - n_mutations) * 1000000) div n_mutations"
+        ).alias("dup_ppm"),
+    )
+
+
+SINK_IDEMPOTENCY_SQL = (
+    BOOTSTRAP_UNION_SQL
+    + f""",
+mut AS (SELECT * FROM unioned WHERE op <> 'QUERY'),
+keyed AS (
+    SELECT user_id, op, ts_ms, event_id,
+        COALESCE(CAST(value_after AS VARCHAR), '{NULL_SENTINEL}')
+            AS value_s,
+        COALESCE(props_after, '{NULL_SENTINEL}') AS props_s,
+        {_ORD_K} AS ord_k
+    FROM mut
+),
+copies AS (
+    -- range() is end-EXCLUSIVE (Spark's sequence(0, dup) is
+    -- inclusive): parity 0 -> one copy, parity 1 -> two copies
+    SELECT *, unnest(range(0,
+        ((strpos('0123456789abcdef',
+             substr(md5(concat('dup', ':', event_id)), 1, 1)) - 1)
+            % 2) + 1)) AS attempt
+    FROM keyed
+),
+state_a AS (
+    SELECT user_id, arg_max(op, ord_k) AS last_op,
+        arg_max(value_s, ord_k) AS value,
+        arg_max(props_s, ord_k) AS props,
+        COUNT(*) AS n_del
+    FROM copies GROUP BY user_id
+),
+state_b AS (
+    SELECT user_id, arg_max(op, ord_k) AS op_b,
+        arg_max(value_s, ord_k) AS value_b,
+        arg_max(props_s, ord_k) AS props_b,
+        COUNT(*) AS n_mut
+    FROM keyed GROUP BY user_id
+),
+cmp AS (
+    SELECT n_del, n_mut,
+        CASE WHEN a.last_op <> b.op_b OR a.value <> b.value_b
+                  OR a.props <> b.props_b
+             THEN 1 ELSE 0 END AS mismatch
+    FROM state_a a JOIN state_b b USING (user_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+    CAST(SUM(n_del) AS BIGINT) AS n_deliveries,
+    CAST(SUM(n_mut) AS BIGINT) AS n_mutations,
+    CAST(SUM(mismatch) AS BIGINT) AS mismatched_keys,
+    CAST(((SUM(n_del) - SUM(n_mut)) * 1000000) // SUM(n_mut)
+         AS BIGINT) AS dup_ppm
+FROM cmp
+"""
+)
+
+
 REGISTRY = [
     ("cdc_apply_upsert", apply_upsert_query, APPLY_UPSERT_SQL),
     ("cdc_snapshot_diff", snapshot_diff_query, SNAPSHOT_DIFF_SQL),
     ("cdc_incremental_agg", incremental_agg_query, INCREMENTAL_AGG_SQL),
     ("cdc_ivm_join", ivm_join_query, _ivm_sql()),
     ("cdc_net_effect_compact", net_effect_query, NET_EFFECT_SQL),
+    # at-least-once duplicate-delivery idempotency proof
+    ("cdc_sink_idempotency", sink_idempotency_query,
+     SINK_IDEMPOTENCY_SQL),
 ]

@@ -1314,6 +1314,99 @@ FROM zed
 """
 
 
+# ------------------------------------------ rejection sample to target
+#
+# Deterministic rejection sampling that flattens the corpus's length
+# mix: bucket documents by n_chars digit count (the float-free
+# log-ish histogram key), then accept each document with probability
+# min_bucket_count / bucket_count so every length bucket is accepted
+# at (about) the rarest bucket's rate — the classic way to sample a
+# skewed corpus toward a uniform target distribution without
+# shuffling or sorting anything.
+#
+# Scale: one bucket histogram (combiner agg over a handful of keys,
+# broadcast back) + one map-side accept test per row — no global
+# sort, no per-row state. Determinism: acceptance is an INTEGER
+# threshold compare — u = first 6 md5 nibbles of doc_id in [0, 16^6),
+# accept iff u * cnt < min_cnt * 16^6 (cross-multiplied so there is
+# no division at all).
+
+_REJ_SPACE = 16 ** 6
+
+
+def rejection_sample_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(F.col("n_chars").cast("string")).alias("bucket"),
+    )
+    hist = docs.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    mn = hist.agg(F.min("cnt").alias("min_cnt"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("rej"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    flagged = (
+        docs.join(F.broadcast(hist), "bucket")
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "bucket",
+            "cnt",
+            "min_cnt",
+            (
+                u * F.col("cnt")
+                < F.col("min_cnt") * F.lit(_REJ_SPACE)
+            ).cast("long").alias("accept"),
+        )
+    )
+    return flagged.groupBy("bucket").agg(
+        F.max("cnt").alias("n_docs"),
+        F.sum("accept").alias("n_accepted"),
+    )
+
+
+REJECTION_SAMPLE_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, length(CAST(n_chars AS VARCHAR)) AS bucket
+    FROM documents
+), hist AS (
+    SELECT bucket, COUNT(*) AS cnt FROM docs GROUP BY bucket
+), mn AS (SELECT MIN(cnt) AS min_cnt FROM hist),
+flagged AS (
+    SELECT d.bucket, h.cnt, mn.min_cnt,
+        CASE WHEN (
+            (strpos('{_HEX}', substr(h6, 1, 1)) - 1) * 1048576
+            + (strpos('{_HEX}', substr(h6, 2, 1)) - 1) * 65536
+            + (strpos('{_HEX}', substr(h6, 3, 1)) - 1) * 4096
+            + (strpos('{_HEX}', substr(h6, 4, 1)) - 1) * 256
+            + (strpos('{_HEX}', substr(h6, 5, 1)) - 1) * 16
+            + (strpos('{_HEX}', substr(h6, 6, 1)) - 1)
+        ) * h.cnt < mn.min_cnt * {_REJ_SPACE}
+        THEN 1 ELSE 0 END AS accept
+    FROM (
+        SELECT bucket,
+            substr(md5(concat('rej', ':', doc_id)), 1, 6) AS h6
+        FROM docs
+    ) d
+    JOIN hist h USING (bucket) CROSS JOIN mn
+)
+SELECT bucket, MAX(cnt) AS n_docs,
+    CAST(SUM(accept) AS BIGINT) AS n_accepted
+FROM flagged GROUP BY bucket
+"""
+
+
 REGISTRY = [
     ("curate_pack_sequences", pack_sequences_query, PACK_SEQUENCES_SQL),
     ("curate_chunk_documents", chunk_documents_query, CHUNK_DOCUMENTS_SQL),
@@ -1341,4 +1434,8 @@ REGISTRY = [
     # temperature-scaled multilingual sampling weights (round 8)
     ("curate_temperature_mix", temperature_mix_query,
      TEMPERATURE_MIX_SQL),
+    # division-free deterministic rejection sampling to a flat
+    # length-bucket target (round 9)
+    ("curate_rejection_sample", rejection_sample_query,
+     REJECTION_SAMPLE_SQL),
 ]

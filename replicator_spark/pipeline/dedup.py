@@ -20,7 +20,7 @@ builtin) without touching the topology.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..session import prep, read_table
@@ -1144,6 +1144,159 @@ FROM keyed GROUP BY prefix HAVING COUNT(*) >= 2
 """
 
 
+# ----------------------------------- content-defined chunk dedup (CDC)
+#
+# FastCDC/Rabin-style content-defined chunking at token granularity:
+# a boundary falls wherever the rolling 3-token window hash ≡ 0
+# (mod CDC_MOD), so chunk cuts move WITH the content — inserting a
+# token near the start of a document shifts every fixed-size block
+# but leaves all content-defined chunks after the next boundary
+# intact. That makes chunk fingerprints robust to prefix edits, the
+# property backup dedup and near-identical-document detection need
+# (and that fixed-window shingles lack). Reports the most-duplicated
+# chunks across the corpus.
+#
+# Scale: all windows are per-document (partitioned — no global
+# sort); the chunk fingerprint agg and the cross-corpus duplicate agg
+# are combiner-backed, keyed by (doc, chunk) then fingerprint. The
+# top-K window is rank<=K-filtered adjacent (limit pushdown). No
+# pairwise comparison anywhere — dedup is an equality groupBy on the
+# fingerprint.
+#
+# Determinism: boundaries from md5 nibbles; chunk text is
+# concat_ws-over-array_sort == string_agg ORDER BY pos.
+
+CDC_MOD = 8  # expected chunk length ~ CDC_MOD tokens
+CDC_TOP_K = 20
+
+
+def chunk_cdc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(ws_tokens(F.lower(F.col("text")))).alias(
+            "pos", "w"
+        ),
+    )
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    rolled = pos.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.lag("w", 2).over(w_doc).alias("w1"),
+        F.lag("w", 1).over(w_doc).alias("w2"),
+    )
+    h2 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(" ", "w1", "w2", "w")), 1, 2
+        ),
+        16,
+        10,
+    ).cast("int")
+    flagged = rolled.select(
+        "doc_id",
+        "pos",
+        "w",
+        (
+            (F.col("pos") >= 2) & ((h2 % CDC_MOD) == 0)
+        ).cast("int").alias("b"),
+    )
+    # boundary token is the LAST token of its chunk: chunk id is the
+    # EXCLUSIVE prefix sum of boundary flags
+    chunked = flagged.withColumn(
+        "chunk",
+        F.coalesce(
+            F.sum("b").over(
+                w_doc.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk").agg(
+        F.count("*").alias("n_toks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("fp"),
+    )
+    dup = chunks.groupBy("fp").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("n_toks").alias("chunk_tokens"),
+    ).where(F.col("n_occurrences") >= 2)
+    w_top = W.orderBy(F.col("n_occurrences").desc(), "fp")
+    return (
+        dup.withColumn("rk", F.row_number().over(w_top))
+        .where(F.col("rk") <= CDC_TOP_K)
+        .select(
+            F.col("rk").alias("rank"),
+            "fp",
+            "n_occurrences",
+            "n_docs",
+            "chunk_tokens",
+        )
+    )
+
+
+CHUNK_CDC_SQL = f"""
+WITH toked AS (
+    SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), t -> t <> '')
+            AS toks
+    FROM documents
+), pos AS (
+    SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+        unnest(toks) AS w
+    FROM toked
+), rolled AS (
+    SELECT doc_id, pos, w,
+        LAG(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        LAG(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM pos
+), flagged AS (
+    SELECT doc_id, pos, w,
+        CASE WHEN pos >= 2 AND (
+            ((strpos('{_HEX}', substr(h, 1, 1)) - 1) * 16
+             + strpos('{_HEX}', substr(h, 2, 1)) - 1) % {CDC_MOD}
+        ) = 0 THEN 1 ELSE 0 END AS b
+    FROM (
+        SELECT doc_id, pos, w,
+            md5(concat_ws(' ', w1, w2, w)) AS h
+        FROM rolled
+    )
+), chunked AS (
+    SELECT doc_id, pos, w,
+        COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS chunk
+    FROM flagged
+), chunks AS (
+    SELECT doc_id, chunk, COUNT(*) AS n_toks,
+        md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+    FROM chunked GROUP BY doc_id, chunk
+), dup AS (
+    SELECT fp, COUNT(*) AS n_occurrences,
+        COUNT(DISTINCT doc_id) AS n_docs,
+        CAST(MAX(n_toks) AS BIGINT) AS chunk_tokens
+    FROM chunks GROUP BY fp
+    HAVING COUNT(*) >= 2
+)
+SELECT rk AS rank, fp, n_occurrences, n_docs, chunk_tokens FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY n_occurrences DESC, fp) AS rk
+    FROM dup
+) WHERE rk <= {CDC_TOP_K}
+"""
+
+
 REGISTRY = [
     ("dedup_exact", exact_dedup_query, EXACT_DEDUP_SQL),
     ("dedup_minhash_lsh", minhash_lsh_query, MINHASH_LSH_SQL),
@@ -1162,4 +1315,6 @@ REGISTRY = [
     # banding S-curve audit over the measured Jaccard histogram
     ("dedup_minhash_band_tuning", minhash_band_tuning_query,
      _band_tuning_sql()),
+    # content-defined chunking duplicate-chunk report (round 9)
+    ("dedup_chunk_cdc", chunk_cdc_query, CHUNK_CDC_SQL),
 ]

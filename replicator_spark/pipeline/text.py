@@ -691,6 +691,107 @@ FROM base
 """
 
 
+# ----------------------------------------------- RAKE keyword scores
+#
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): split each
+# document into candidate phrases at stopwords, then score each word
+# by degree/frequency — degree is the summed length of the phrases a
+# word occurs in (rewarding words that appear inside long
+# multi-word keyphrases), frequency its phrase-occurrence count. Top
+# RAKE_TOP_K corpus keywords reported.
+#
+# Scale: tokenization + the phrase-id running sum are per-doc
+# (partitioned window — no global sort); the only global work is the
+# word-keyed stat agg (combiner-backed, vocab-sized) and the final
+# top-K, whose unpartitioned window has its rank<=K filter adjacent
+# so Spark's limit pushdown caps per-partition flow (the
+# corpus_head_coverage contract). Determinism: all counts integer;
+# score is an integer-milli div (BIGINT div == //).
+
+RAKE_TOP_K = 20
+
+
+def rake_keywords_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(ws_tokens(F.lower(F.col("text")))).alias(
+            "pos", "w"
+        ),
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        F.col("w").isin(*STOPWORDS).cast("int").alias("stop"),
+    )
+    w_ph = W.partitionBy("doc_id").orderBy("pos")
+    ph = pos.withColumn("phid", F.sum("stop").over(w_ph)).where(
+        F.col("stop") == 0
+    )
+    w_len = W.partitionBy("doc_id", "phid")
+    wl = ph.withColumn("len_ph", F.count("*").over(w_len))
+    stats = wl.groupBy("w").agg(
+        F.count("*").alias("freq"),
+        F.sum("len_ph").alias("degree"),
+    ).select(
+        "w",
+        "freq",
+        "degree",
+        F.expr("(degree * 1000) div freq").alias("score_milli"),
+    )
+    w_top = W.orderBy(F.col("score_milli").desc(), "w")
+    return (
+        stats.withColumn("rk", F.row_number().over(w_top))
+        .where(F.col("rk") <= RAKE_TOP_K)
+        .select(
+            F.col("w").alias("word"),
+            F.col("rk").alias("rank"),
+            "freq",
+            "degree",
+            "score_milli",
+        )
+    )
+
+
+RAKE_KEYWORDS_SQL = f"""
+WITH toked AS (
+    SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), t -> t <> '')
+            AS toks
+    FROM documents
+), pos AS (
+    SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+        unnest(toks) AS w
+    FROM toked
+), flagged AS (
+    SELECT doc_id, pos, w,
+        CASE WHEN w IN ({_STOP_IN}) THEN 1 ELSE 0 END AS stop
+    FROM pos
+), ph AS (
+    SELECT doc_id, w, stop,
+        SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phid
+    FROM flagged
+), wl AS (
+    SELECT doc_id, phid, w,
+        COUNT(*) OVER (PARTITION BY doc_id, phid) AS len_ph
+    FROM ph WHERE stop = 0
+), stats AS (
+    SELECT w, COUNT(*) AS freq, CAST(SUM(len_ph) AS BIGINT) AS degree
+    FROM wl GROUP BY w
+), scored AS (
+    SELECT w, freq, degree,
+        CAST((degree * 1000) // freq AS BIGINT) AS score_milli
+    FROM stats
+)
+SELECT w AS word, rk AS rank, freq, degree, score_milli FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY score_milli DESC, w) AS rk
+    FROM scored
+) WHERE rk <= {RAKE_TOP_K}
+"""
+
+
 REGISTRY = [
     ("text_token_count", token_count_query, TOKEN_COUNT_SQL),
     ("text_normalize", normalize_query, NORMALIZE_SQL),
@@ -708,4 +809,6 @@ REGISTRY = [
     ("text_readability", readability_query, READABILITY_SQL),
     # MATTR moving-window lexical diversity (map-side)
     ("text_mattr_diversity", mattr_query, MATTR_SQL),
+    # RAKE degree/frequency keyword extraction (top-K corpus words)
+    ("text_rake_keywords", rake_keywords_query, RAKE_KEYWORDS_SQL),
 ]

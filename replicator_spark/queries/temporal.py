@@ -1613,6 +1613,110 @@ GROUP BY g.mth_idx
 """
 
 
+# ------------------------------------------------ SAX discretization
+#
+# Symbolic Aggregate approXimation (Lin et al. 2003) of each event
+# type's daily-count series: PAA-segment the observed days into
+# SAX_SEGMENTS equal-count segments, z-normalize each segment mean
+# against the type's own mean/sd, and map to a 4-letter alphabet at
+# the standard Gaussian breakpoints (-0.6745, 0, 0.6745). The symbol
+# string is the classic cheap index for motif/similarity search over
+# time series.
+#
+# Scale: one daily count agg (combiner-backed), then per-type
+# windows (partitioned — no global sort) and a |types|x|segments|
+# result. Determinism: segment assignment is integer div over the
+# day RANK (sparse days welcome); mean/sd come from integer moments
+# (DECIMAL-exact); z and the breakpoint comparisons evaluate ONE
+# shared formula string on identical doubles, so the CASE picks the
+# same letter in both engines; z_milli is a floor fold.
+
+SAX_SEGMENTS = 6
+
+# z of a segment mean, from integer moments (shared formula; E0
+# literals keep Spark in double arithmetic)
+_SAX_Z = (
+    "((CAST(t_s AS DOUBLE) / c_s - CAST(tt AS DOUBLE) / dd)"
+    " / sqrt((dd * CAST(sxx AS DOUBLE)"
+    " - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)) / (dd * dd)))"
+)
+_SAX_SYMBOL = (
+    f"CASE WHEN {_SAX_Z} < -0.6745E0 THEN 'a'"
+    f" WHEN {_SAX_Z} < 0.0E0 THEN 'b'"
+    f" WHEN {_SAX_Z} < 0.6745E0 THEN 'c' ELSE 'd' END"
+)
+_SAX_Z_MILLI = f"CAST(floor({_SAX_Z} * 1000 + 0.5E0) AS BIGINT)"
+
+
+def sax_symbols_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr(_TREND_DAY).alias("day")
+    ).agg(F.count("*").alias("n"))
+    wt = W.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        "n",
+        (F.row_number().over(wt.orderBy("day")) - 1).alias("di"),
+        F.count("*").over(wt).alias("dd"),
+        F.sum("n").over(wt).alias("tt"),
+        F.sum(
+            F.col("n").cast("decimal(19,0)")
+            * F.col("n").cast("decimal(19,0)")
+        ).over(wt).alias("sxx"),
+    )
+    segs = ranked.select(
+        "event_type",
+        "n",
+        "dd",
+        "tt",
+        "sxx",
+        F.expr(f"(di * {SAX_SEGMENTS}) div dd").alias("seg"),
+    ).groupBy("event_type", "seg").agg(
+        F.count("*").alias("c_s"),
+        F.sum("n").alias("t_s"),
+        F.max("dd").alias("dd"),
+        F.max("tt").alias("tt"),
+        F.max("sxx").alias("sxx"),
+    )
+    return segs.select(
+        "event_type",
+        "seg",
+        "c_s",
+        "t_s",
+        F.expr(_SAX_Z_MILLI).alias("z_milli"),
+        F.expr(_SAX_SYMBOL).alias("symbol"),
+    )
+
+
+SAX_SYMBOLS_SQL = f"""
+WITH daily AS (
+    SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT event_type, n,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1
+            AS di,
+        COUNT(*) OVER (PARTITION BY event_type) AS dd,
+        SUM(n) OVER (PARTITION BY event_type) AS tt,
+        SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+            OVER (PARTITION BY event_type) AS sxx
+    FROM daily
+), segs AS (
+    SELECT event_type, (di * {SAX_SEGMENTS}) // dd AS seg,
+        COUNT(*) AS c_s, CAST(SUM(n) AS BIGINT) AS t_s,
+        MAX(dd) AS dd, MAX(tt) AS tt, MAX(sxx) AS sxx
+    FROM ranked GROUP BY 1, 2
+)
+SELECT event_type, CAST(seg AS BIGINT) AS seg, c_s, t_s,
+    {_SAX_Z_MILLI} AS z_milli,
+    {_SAX_SYMBOL} AS symbol
+FROM segs
+"""
+
+
 REGISTRY = [
     ("temporal_asof_join", asof_join_query, ASOF_JOIN_SQL),
     ("temporal_range_join", range_join_query, RANGE_JOIN_SQL),
@@ -1638,4 +1742,6 @@ REGISTRY = [
     ("events_survival_km", survival_km_query, SURVIVAL_KM_SQL),
     # bucketed interval-overlap join (explode-to-months equi-shuffle)
     ("temporal_interval_join", interval_join_query, INTERVAL_JOIN_SQL),
+    # SAX symbolic discretization of per-type daily series
+    ("ts_sax_symbols", sax_symbols_query, SAX_SYMBOLS_SQL),
 ]
