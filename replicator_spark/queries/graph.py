@@ -844,27 +844,23 @@ def connected_components_query(
     sym = e.unionAll(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    # self-loops fold "keep my own label" into the SAME join as the
+    # neighbor min, so each superstep references the previous label
+    # table exactly ONCE — a double reference (left-join + neighbor
+    # derivation) doubles the unshared plan subtree per round, 2^R
+    # copies of the base by round R (caught by the round-9 smoke:
+    # 18 s -> ~2 s after this rewrite)
+    sym2 = sym.unionAll(
+        nodes.select(F.col("node").alias("a"), F.col("node").alias("b"))
+    ).persist()
+    labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(CC_ROUNDS):
-        nb = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nl"))
-            .select(F.col("a").alias("node"), "nl")
-        )
         labels = (
-            labels.join(nb, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nl"), F.col("label")),
-                ).alias("label"),
-            )
+            sym2.join(labels, sym2.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("a").alias("node"), "label")
         )
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count("*").alias("n_nodes")
@@ -873,13 +869,9 @@ def connected_components_query(
 
 def _cc_round_sql(prev: str, cur: str) -> str:
     return f"""{cur} AS MATERIALIZED (
-    SELECT l.node,
-        least(l.label, COALESCE(nb.nl, l.label)) AS label
-    FROM {prev} l LEFT JOIN (
-        SELECT s.a AS node, MIN(p.label) AS nl
-        FROM sym s JOIN {prev} p ON s.b = p.node
-        GROUP BY s.a
-    ) nb USING (node)
+    SELECT s.a AS node, MIN(p.label) AS label
+    FROM sym2 s JOIN {prev} p ON s.b = p.node
+    GROUP BY s.a
 )"""
 
 
@@ -897,6 +889,10 @@ e AS MATERIALIZED (
     HAVING COUNT(*) >= {TRI_SUPPORT}
 ),
 sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+sym2 AS MATERIALIZED (
+    SELECT a, b FROM sym
+    UNION ALL SELECT DISTINCT a, a FROM sym
+),
 c0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
 {_CC_STEPS}
 SELECT label AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes
