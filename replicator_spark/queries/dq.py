@@ -253,7 +253,10 @@ def psi_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("day") >= F.col("thr")).cast("long")).alias(
             "c_b"
         ),
-    )
+    ).persist()  # |types|-sized; its three consumers (tot, scored,
+    # output) would otherwise each re-expand the events scan — the
+    # plan showed 8 corpus FileScans before this persist (r9 scan
+    # audit), 0 un-cached after
     tot = halves.agg(
         F.sum("c_a").alias("n_a"),
         F.sum("c_b").alias("n_b"),

@@ -285,6 +285,24 @@ _SCAN_CEILINGS = {
     # (6, 6) and trips the ceiling
     "ts_theil_sen": 2,
     "graph_assortativity": 2,
+    # round-9 additions (r9 scan audit): lock the landed shapes
+    "emb_isotropy": 1,
+    "dedup_chunk_cdc": 1,
+    "text_rake_keywords": 1,
+    "ts_sax_symbols": 1,
+    "temporal_interval_join": 2,
+    "events_dau_mau": 2,
+    "sketch_countsketch_topk": 2,
+    "stats_jackknife_se": 2,
+    "stats_kendall_tau": 3,
+    "curate_rejection_sample": 3,
+    # persist-based: raw 8 trips if the halves persist is dropped
+    "dq_psi_drift": 2,
+    # persist-based: raw 26 trips if the edge/sym2 persists drop
+    "graph_connected_components": 2,
+    # two independent state aggregations over the 3-scan bootstrap
+    # union IS the idempotency proof (also whitelisted in the tool)
+    "cdc_sink_idempotency": 6,
 }
 
 

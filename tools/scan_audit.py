@@ -62,6 +62,11 @@ WHITELIST = {
     # structural minimum after the round-8 rewrite (16 -> 6): four
     # fact-table rule passes + the two RI key-set sides
     "dq_constraints",
+    # the idempotency PROOF applies the duplicated feed and the
+    # exactly-once feed as genuinely independent aggregations and
+    # compares the two states — two passes over the bootstrap union
+    # (3 scans each) is the op's semantics, not a redundancy
+    "cdc_sink_idempotency",
 }
 
 
