@@ -24,17 +24,16 @@ from pyspark.sql import Column, DataFrame
 
 def uncached_file_scans(plan: str) -> int:
     """Count FileScan nodes OUTSIDE cached subtrees in a physical-plan
-    string.
+    STRING by walking the tree-drawing indentation.
 
-    InMemoryTableScan re-prints its cached subtree (under an
-    InMemoryRelation node) in the plan STRING even though the runtime
-    reads the cache, so a naive ``plan.count("FileScan")`` over-counts
-    persisted ops — and the old audit discount (``1`` whenever any
-    InMemoryTableScan exists) UNDER-counted: a persist-based op that
-    later gained new redundant un-cached scans could never trip its
-    ceiling (round-8 ADVICE). This walks the tree-drawing indentation:
-    a FileScan line is discounted only while nested strictly deeper
-    than an open InMemoryRelation.
+    Caveat: once a cached relation's stored plan is a MATERIALIZED
+    AQE plan (isFinalPlan=true — happens after any action in the same
+    session touched that cache), its re-print emits "== Final Plan =="
+    sections at RESET indentation, which this walker cannot attribute
+    to the enclosing InMemoryRelation. Prefer
+    ``uncached_file_scan_count(df)`` (structural, session-state-proof)
+    wherever a live DataFrame is available; this string variant remains
+    for offline plan-text analysis.
     """
     n = 0
     cached_stack: list[int] = []  # content positions of open relations
@@ -51,6 +50,45 @@ def uncached_file_scans(plan: str) -> int:
         elif "FileScan" in line and not cached_stack:
             n += 1
     return n
+
+
+def uncached_file_scan_count(df: DataFrame) -> int:
+    """Count file-scan leaves OUTSIDE cached subtrees STRUCTURALLY.
+
+    Walks the actual physical-plan tree over py4j instead of parsing
+    the plan string: InMemoryTableScanExec is a LEAF of the executed
+    plan (its cached subtree exists only in the string re-print), so
+    stopping there counts exactly the scans the runtime would perform
+    against files. Unlike the string walk, this is immune to the AQE
+    "== Final Plan ==" re-print sections that appear (at reset
+    indentation) once a cached relation has been materialized
+    elsewhere in the session — the poisoning that made string counts
+    session-order-dependent (round-9 finding). The old audit discount
+    (1 if any InMemoryTableScan) under-counted; naive string counts
+    over-count; this is the ground truth either way.
+    """
+
+    def walk(node) -> int:
+        cls = node.getClass().getSimpleName()
+        if cls == "InMemoryTableScanExec":
+            return 0
+        if cls in ("FileSourceScanExec", "BatchScanExec"):
+            return 1
+        if cls == "AdaptiveSparkPlanExec":
+            return walk(node.inputPlan())
+        n = 0
+        ch = node.children()
+        for i in range(ch.size()):
+            n += walk(ch.apply(i))
+        try:  # scalar subqueries hang off the node, not children()
+            sq = node.subqueries()
+            for i in range(sq.size()):
+                n += walk(sq.apply(i))
+        except Exception:
+            pass
+        return n
+
+    return walk(df._jdf.queryExecution().executedPlan())
 
 
 def round_half_away(x: float, n: int) -> float:

@@ -73,7 +73,7 @@ WHITELIST = {
 def audit(sf_dir: str, only=None, threshold: int = 5):
     from replicator_spark import api
     from replicator_spark.session import get_spark
-    from replicator_spark.utils import uncached_file_scans
+    from replicator_spark.utils import uncached_file_scan_count
 
     spark = get_spark("scan_audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -83,12 +83,8 @@ def audit(sf_dir: str, only=None, threshold: int = 5):
     flagged = []
     for name in names:
         try:
-            plan = (
-                qs[name](spark, sf_dir)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            df = qs[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # streaming-only or env-gated ops
             rows[name] = {"error": type(e).__name__}
             continue
@@ -113,10 +109,12 @@ def audit(sf_dir: str, only=None, threshold: int = 5):
             "sort_merge_joins": plan.count("SortMergeJoin"),
         }
         # InMemoryTableScan re-prints its cached subtree's FileScan in
-        # the plan STRING; the runtime reads the cache. Count only
-        # FileScans OUTSIDE cached subtrees (the old "1 if any cache"
-        # floor hid new redundant un-cached scans — r8 ADVICE).
-        effective = uncached_file_scans(plan)
+        # the plan STRING; the runtime reads the cache. Count scans
+        # OUTSIDE cached subtrees STRUCTURALLY (py4j tree walk): the
+        # old "1 if any cache" floor hid new un-cached scans (r8
+        # ADVICE), and string counts are poisoned by AQE final-plan
+        # re-prints once a cache has been materialized (r9 finding).
+        effective = uncached_file_scan_count(df)
         rows[name]["uncached_file_scans"] = effective
         if effective >= threshold and name not in WHITELIST:
             flagged.append(name)
