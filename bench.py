@@ -159,6 +159,8 @@ HEADLINE = [
     "cdc_sink_idempotency",
     "curate_rejection_sample",
     "dedup_chunk_cdc",
+    "stats_hodges_lehmann",
+    "emb_participation_ratio",
 ]
 
 

@@ -94,14 +94,14 @@ Rotation map (which driver run produced each operator's green row):
   re-pins from the r4-newest-green block. Round-9 additions are
   inserted directly after the 15 (displacing re-pins from the bottom
   of the window) so their FIRST driver row lands the same round they
-  ship. The 13 round-9 additions (stats_kendall_tau,
+  ship. The 15 round-9 additions (stats_kendall_tau,
   stats_jackknife_se, emb_isotropy, sketch_countsketch_topk,
   temporal_interval_join, events_dau_mau,
   graph_connected_components, dq_psi_drift, text_rake_keywords,
   ts_sax_symbols, cdc_sink_idempotency, curate_rejection_sample,
-  dedup_chunk_cdc) occupy slots 17-29 (registry 260 → 273). A fully
-  green round-9 run reaches 273/273 registered operators
-  driver-verified.
+  dedup_chunk_cdc, stats_hodges_lehmann, emb_participation_ratio)
+  occupy slots 17-31 (registry 260 → 275). A fully green round-9 run
+  reaches 275/275 registered operators driver-verified.
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -178,6 +178,8 @@ _PRIORITY = [
     "cdc_sink_idempotency",
     "curate_rejection_sample",
     "dedup_chunk_cdc",
+    "stats_hodges_lehmann",
+    "emb_participation_ratio",
     # --- 34 oldest-evidence re-pins: the r4-newest-green block
     #     (none of these has evidence newer than round 4); round-9
     #     additions displace re-pins from the BOTTOM of this block

@@ -247,7 +247,9 @@ def covariance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("v").alias("dim", "x")
     ).groupBy("dim").agg(
         F.sum(F.col("x").cast("decimal(15,10)")).alias("sx")
-    )
+    ).persist()  # d rows; consumed as both join sides (si and sj) —
+    # un-cached each re-scans the corpus (r9 scan audit, same fix as
+    # emb_participation_ratio)
     si = comp.select(F.col("dim").alias("di"), F.col("sx").alias("si"))
     sj = comp.select(F.col("dim").alias("dj"), F.col("sx").alias("sj"))
     j = sums.join(F.broadcast(si), "di").join(F.broadcast(sj), "dj")
@@ -1635,6 +1637,159 @@ FROM pairs GROUP BY query_id
 """
 
 
+# ------------------------------------------- participation ratio (PR)
+#
+# Effective dimensionality of the embedding space WITHOUT an
+# eigendecomposition: PR = tr(C)² / ||C||_F² = (Σλ)²/Σλ² over the
+# covariance eigenvalues — computable directly from the covariance
+# grid since tr(C²) = Σ_ij C_ij². PR ≈ d for isotropic spaces, ≈ 1
+# when one direction dominates; the standard "how many dimensions is
+# this embedding really using" diagnostic (complements emb_isotropy's
+# mean-cosine view and emb_pca_power's top eigenpair).
+#
+# Scale: the same map-side upper-triangle outer-product expansion as
+# emb_covariance (d(d+1)/2 entries per vector, d²-bounded combiner
+# agg); everything after runs on the 64×64 grid. Determinism: each
+# scaled covariance numerator n·S_ij − S_i·S_j is quantized with the
+# engine-identical floor nano fold, trace and Frobenius moments
+# accumulate as DECIMAL(38,0) integers, and the final ratio is one
+# shared formula on identical doubles.
+
+_PR_NUM = (
+    "(nn * CAST(spp AS DOUBLE)"
+    " - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE))"
+)
+_PR_NUM_NANO = f"CAST(floor({_PR_NUM} * 1e9 + 0.5E0) AS BIGINT)"
+_PR_MILLI = (
+    "CAST(floor((CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)"
+    " / CAST(fro2 AS DOUBLE)) * 1000 + 0.5E0) AS BIGINT)"
+)
+
+
+def participation_ratio_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(v, (xi, i) -> "
+                "transform(slice(v, i + 1, size(v) - i), (xj, j) -> "
+                "struct(i AS di, i + j AS dj, "
+                "CAST(xi AS DECIMAL(15,10)) * CAST(xj AS DECIMAL(15,10))"
+                " AS p))))"
+            )
+        ).alias("e")
+    ).select("e.di", "e.dj", "e.p")
+    sums = pairs.groupBy("di", "dj").agg(
+        F.count("*").alias("n"), F.sum("p").alias("spp")
+    )
+    comp = emb.select(
+        F.posexplode("v").alias("dim", "x")
+    ).groupBy("dim").agg(
+        F.sum(F.col("x").cast("decimal(15,10)")).alias("sx")
+    ).persist()  # d rows; consumed as both join sides (si and sj) —
+    # un-cached each would re-scan the corpus (r9 scan audit)
+    si = comp.select(F.col("dim").alias("di"), F.col("sx").alias("si"))
+    sj = comp.select(F.col("dim").alias("dj"), F.col("sx").alias("sj"))
+    grid = (
+        sums.join(F.broadcast(si), "di")
+        .join(F.broadcast(sj), "dj")
+        .select(
+            "di",
+            "dj",
+            "n",
+            F.col("n").cast("double").alias("nn"),
+            "spp",
+            "si",
+            "sj",
+        )
+        .select(
+            "di",
+            "dj",
+            "n",
+            F.expr(_PR_NUM_NANO).alias("num_nano"),
+        )
+    )
+    moments = grid.agg(
+        F.max("n").alias("n_vecs"),
+        F.sum(
+            F.when(F.col("di") == F.col("dj"), F.col("num_nano"))
+            .otherwise(F.lit(0))
+            .cast("decimal(38,0)")
+        ).alias("tr"),
+        # full-matrix Frobenius: off-diagonal entries count twice
+        F.sum(
+            F.col("num_nano").cast("decimal(19,0)")
+            * F.col("num_nano").cast("decimal(19,0)")
+            * F.when(F.col("di") == F.col("dj"), F.lit(1)).otherwise(
+                F.lit(2)
+            )
+        ).alias("fro2"),
+        F.sum(
+            (F.col("di") == F.col("dj")).cast("long")
+        ).alias("n_dims"),
+    )
+    return moments.select(
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        "n_dims",
+        F.col("tr").cast("double").alias("trace_nano"),
+        F.expr(_PR_MILLI).alias("pr_milli"),
+    )
+
+
+PARTICIPATION_RATIO_SQL = f"""
+WITH emb AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pairs AS (
+    SELECT e['di'] AS di, e['dj'] AS dj, e['p'] AS p FROM (
+        SELECT unnest(flatten(list_transform(range(1, 65),
+            i -> list_transform(range(i, 65),
+                j -> struct_pack(di := i - 1, dj := j - 1,
+                    p := CAST(v[i] AS DECIMAL(15,10))
+                       * CAST(v[j] AS DECIMAL(15,10))))))) AS e
+        FROM emb
+    )
+), sums AS (
+    SELECT di, dj, COUNT(*) AS n, SUM(p) AS spp
+    FROM pairs GROUP BY di, dj
+), comp AS (
+    SELECT dim, SUM(CAST(x AS DECIMAL(15,10))) AS sx FROM (
+        SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x
+        FROM emb
+    ) GROUP BY dim
+), grid AS (
+    SELECT s.di, s.dj, s.n,
+        {_PR_NUM_NANO} AS num_nano
+    FROM (
+        SELECT di, dj, n, CAST(n AS DOUBLE) AS nn, spp,
+            a.sx AS si, b.sx AS sj
+        FROM sums
+        JOIN comp a ON a.dim = sums.di
+        JOIN comp b ON b.dim = sums.dj
+    ) s(di, dj, n, nn, spp, si, sj)
+), moments AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS n_vecs,
+        SUM(CASE WHEN di = dj
+            THEN CAST(num_nano AS DECIMAL(38,0))
+            ELSE CAST(0 AS DECIMAL(38,0)) END) AS tr,
+        SUM(CAST(num_nano AS DECIMAL(19,0))
+            * CAST(num_nano AS DECIMAL(19,0))
+            * (CASE WHEN di = dj THEN 1 ELSE 2 END)) AS fro2,
+        CAST(SUM(CASE WHEN di = dj THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dims
+    FROM grid
+)
+SELECT n_vecs, n_dims,
+    CAST(tr AS DOUBLE) AS trace_nano,
+    {_PR_MILLI} AS pr_milli
+FROM moments
+"""
+
+
 # ----------------------------------------------------- isotropy audit
 #
 # Embedding-space isotropy: the mean pairwise cosine of the UNIT
@@ -1773,4 +1928,7 @@ REGISTRY = [
     ("emb_jl_fidelity", jl_fidelity_query, _jl_sql()),
     # closed-form isotropy audit (mean pairwise cosine, no pairs)
     ("emb_isotropy", isotropy_query, ISOTROPY_SQL),
+    # participation-ratio effective dimensionality (no eigensolve)
+    ("emb_participation_ratio", participation_ratio_query,
+     PARTICIPATION_RATIO_SQL),
 ]

@@ -1495,6 +1495,96 @@ FROM base
 """
 
 
+# -------------------------------------- Hodges-Lehmann pseudo-median
+#
+# The Hodges-Lehmann location estimator of each event type's daily
+# volume: the median of all pairwise Walsh averages (x_i + x_j)/2,
+# i <= j. The robust-location companion of ts_theil_sen (which is HL
+# applied to pairwise slopes): ~96% Gaussian efficiency with a 29%
+# breakdown point, the estimator behind the Wilcoxon signed-rank
+# interval.
+#
+# Scale: one daily count agg (map-side combine) is the only corpus
+# exchange; Walsh pairs enumerate the CALENDAR-BOUNDED per-type daily
+# table (|days|²/2 per type — constant at any corpus size) and the
+# median windows are partitioned by type. Determinism: every Walsh
+# sum is an integer (2× the average); the median rank picks are the
+# ts_theil_sen k1/k2 expressions; the final milli value is an
+# integer-div chain (no double division anywhere).
+
+_HL_DAY = "ts div 1000000 div 86400000"
+
+
+def hodges_lehmann_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr(_HL_DAY).alias("day")
+    ).agg(F.count("*").alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    walsh = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") <= F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.day").alias("d1"),
+        F.col("b.day").alias("d2"),
+        (F.col("a.x") + F.col("b.x")).alias("s"),
+    )
+    wp = W.partitionBy("event_type")
+    ranked = walsh.select(
+        "event_type",
+        "s",
+        F.row_number().over(wp.orderBy("s", "d1", "d2")).alias("rn"),
+        F.count("*").over(wp).alias("n_pairs"),
+    )
+    picked = ranked.where(
+        (F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        | (F.col("rn") == F.expr("n_pairs div 2 + 1"))
+    ).groupBy("event_type", "n_pairs").agg(
+        F.count("*").alias("cnt"), F.sum("s").alias("ssum")
+    )
+    return picked.select(
+        "event_type",
+        "n_pairs",
+        F.expr("(((ssum * 2) div cnt) * 1000) div 4").alias(
+            "hl_milli"
+        ),
+    )
+
+
+HODGES_LEHMANN_SQL = f"""
+WITH daily AS (
+    SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        COUNT(*) AS x
+    FROM events GROUP BY 1, 2
+), walsh AS (
+    SELECT a.event_type, a.day AS d1, b.day AS d2,
+        a.x + b.x AS s
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day <= b.day
+), ranked AS (
+    SELECT event_type, s,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY s, d1, d2) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+    FROM walsh
+), picked AS (
+    SELECT event_type, n_pairs, COUNT(*) AS cnt,
+        CAST(SUM(s) AS BIGINT) AS ssum
+    FROM ranked
+    WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
+    GROUP BY event_type, n_pairs
+)
+SELECT event_type, n_pairs,
+    CAST((((ssum * 2) // cnt) * 1000) // 4 AS BIGINT) AS hl_milli
+FROM picked
+"""
+
+
 REGISTRY = [
     ("stats_percentiles", percentiles_query, PERCENTILES_SQL),
     ("stats_chisq_independence", chisq_query, CHISQ_SQL),
@@ -1519,4 +1609,6 @@ REGISTRY = [
     ("stats_kendall_tau", kendall_tau_query, KENDALL_TAU_SQL),
     # delete-one-month jackknife SE of the mean order value (round 9)
     ("stats_jackknife_se", jackknife_query, JACKKNIFE_SQL),
+    # Hodges-Lehmann pseudo-median of per-type daily volume (round 9)
+    ("stats_hodges_lehmann", hodges_lehmann_query, HODGES_LEHMANN_SQL),
 ]

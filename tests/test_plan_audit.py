@@ -303,6 +303,9 @@ _SCAN_CEILINGS = {
     # two independent state aggregations over the 3-scan bootstrap
     # union IS the idempotency proof (also whitelisted in the tool)
     "cdc_sink_idempotency": 6,
+    "stats_hodges_lehmann": 2,
+    "emb_participation_ratio": 2,
+    "emb_covariance": 2,
 }
 
 

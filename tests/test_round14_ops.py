@@ -409,6 +409,61 @@ def test_chunk_cdc_identical_docs_share_chunks(spark, tmp_path):
         assert r["chunk_tokens"] >= 1
 
 
+# -------------------------------------------------- stats_hodges_lehmann
+
+
+def test_hodges_lehmann_hand_walsh(spark, tmp_path):
+    """Daily counts [1, 2, 9] for one type: Walsh sums (i<=j) are
+    2,3,10,4,11,18 -> sorted 2,3,4,10,11,18; even n=6 picks ranks 3
+    and 4 (4 and 10) -> HL = (4+10)/4 = 3.5 -> 3500 milli."""
+    base = str(tmp_path)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day, n in [(0, 1), (1, 2), (2, 9)]:
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, t0 + datetime.timedelta(days=day), 1, "click",
+                 1.0, "{}")
+            )
+    _write_events(spark, base, rows)
+    from replicator_spark.queries.stats import hodges_lehmann_query
+
+    r = hodges_lehmann_query(spark, base).collect()
+    assert len(r) == 1
+    assert r[0]["n_pairs"] == 6
+    assert r[0]["hl_milli"] == 3500
+
+
+# ----------------------------------------------- emb_participation_ratio
+
+
+def test_participation_ratio_extremes(spark, tmp_path):
+    """Vectors spread equally over two orthogonal axes -> PR = 2;
+    all mass on one axis -> PR = 1."""
+    base = str(tmp_path)
+    d = 64
+    e0 = [1.0] + [0.0] * (d - 1)
+    e1 = [0.0, 1.0] + [0.0] * (d - 2)
+    # equal variance on axes 0 and 1, zero covariance
+    _write_embeddings(spark, base, [e0, [-x for x in e0], e1,
+                                    [-x for x in e1]])
+    from replicator_spark.pipeline.vectors import (
+        participation_ratio_query,
+    )
+
+    r = participation_ratio_query(spark, base).collect()[0]
+    assert r["n_vecs"] == 4 and r["n_dims"] == d
+    assert r["pr_milli"] == 2000
+
+    base2 = os.path.join(str(tmp_path), "one_axis")
+    os.makedirs(base2)
+    _write_embeddings(spark, base2, [e0, [-x for x in e0]])
+    r2 = participation_ratio_query(spark, base2).collect()[0]
+    assert r2["pr_milli"] == 1000
+
+
 def test_chunk_cdc_prefix_insensitivity(spark, tmp_path):
     """The CDC property: prepending tokens to a long document leaves
     most content-defined chunks intact, so the two versions still
