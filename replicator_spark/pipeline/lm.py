@@ -329,7 +329,11 @@ def ccnet_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     langd = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang"
     )
-    sl = scored.join(langd, "doc_id")
+    sl = scored.join(langd, "doc_id").persist()
+    # ^ doc-sized (4 narrow columns); consumed by BOTH the percentile
+    # cutoffs and the bucket assignment — un-cached, each consumer
+    # re-ran the entire 5-scan bigram-LM subtree (10 corpus scans
+    # total, the r9 full scan audit's highest count; 10 -> 5)
     cuts = sl.groupBy("lang").agg(
         F.percentile("avg_logp", F.lit(1 / 3)).alias("c1"),
         F.percentile("avg_logp", F.lit(2 / 3)).alias("c2"),

@@ -306,6 +306,10 @@ _SCAN_CEILINGS = {
     "stats_hodges_lehmann": 2,
     "emb_participation_ratio": 2,
     "emb_covariance": 2,
+    # persist-based: the per-doc score table feeds both the
+    # percentile cutoffs and the bucket assign; dropping the persist
+    # doubles the 5-scan bigram-LM subtree (raw 10 trips this)
+    "curate_ccnet_buckets": 5,
 }
 
 
