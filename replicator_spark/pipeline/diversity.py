@@ -190,7 +190,11 @@ def entropy_kl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("t")
     )
-    st = tok.groupBy("source", "t").agg(F.count("*").alias("c_st"))
+    st = tok.groupBy("source", "t").agg(
+        F.count("*").alias("c_st")
+    ).persist()  # sources×vocab-sized (far below the token stream);
+    # its four consumers (s_tot, t_tot, n, the join probe) each
+    # re-scanned documents un-cached (r9 audit)
     s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     t_tot = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
     n = st.agg(F.sum("c_st").alias("n"))

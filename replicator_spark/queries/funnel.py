@@ -277,7 +277,8 @@ def rfm_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).alias(
             "money"
         ),
-    )
+    ).persist()  # users-sized; the corpus-max probe, the median cuts,
+    # and the coding pass each re-scanned events un-cached (r9 audit)
     # recency relative to the corpus max — smaller gap = more recent
     tot = per_user.agg(F.max("last_us").alias("now_us"))
     pu = per_user.crossJoin(F.broadcast(tot)).select(

@@ -482,7 +482,9 @@ def _profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ts_profile_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
-    prof = _profiles(spark, sf_dir)
+    prof = _profiles(spark, sf_dir).persist()
+    # ^ users-sized z-profile table; the query side and the candidate
+    # side each re-scanned events un-cached (r9 audit)
     q = prof.where(F.col("user_id") < TS_N_QUERIES).select(
         F.col("user_id").alias("query_user"), F.col("z").alias("qz")
     )
@@ -588,7 +590,9 @@ def seasonality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.expr("ts div 1000000 div 86400000").alias("day")
-    ).agg(F.count("*").alias("n"))
+    ).agg(F.count("*").alias("n")).persist()
+    # ^ |days|-sized; three consumers (slot means, grand mean, the
+    # deviation join) each re-scanned events un-cached (r9 audit)
     slotted = daily.select(
         (F.col("day") % SEASON_PERIOD).alias("slot"),
         F.col("n").cast("double").alias("x"),
@@ -1249,7 +1253,8 @@ def seasonal_outliers_query(
     ev = read_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.expr(_TREND_DAY).alias("day")).agg(
         F.count("*").alias("n")
-    )
+    ).persist()  # |days|-sized; slot means + residual join + spread
+    # each re-scanned events un-cached (r9 audit)
     slotted = daily.select(
         "day", "n", (F.col("day") % SEAS_OUT_PERIOD).alias("slot")
     )

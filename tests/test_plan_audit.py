@@ -310,6 +310,14 @@ _SCAN_CEILINGS = {
     # percentile cutoffs and the bucket assign; dropping the persist
     # doubles the 5-scan bigram-LM subtree (raw 10 trips this)
     "curate_ccnet_buckets": 5,
+    # round-9 straggler sweep: small aggregates (days / users /
+    # sources×vocab) persisted so multi-branch consumers stop
+    # re-scanning the corpus (raw counts 4, 4, 2x, 4, 4 trip these)
+    "ts_seasonality": 1,
+    "ts_seasonal_outliers": 1,
+    "ts_profile_topk": 1,
+    "events_rfm_segments": 1,
+    "corpus_entropy_kl": 1,
 }
 
 
