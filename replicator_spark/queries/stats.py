@@ -75,7 +75,11 @@ GROUP BY event_type
 def chisq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = read_table(spark, sf_dir, "documents")
-    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    obs = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("o")
+    ).persist()  # |langs|x|sources|-sized; row/col/grand totals and
+    # the grid's left-join probe each re-scanned documents un-cached
+    # (r9 audit, 4 scans -> 1)
     row_t = obs.groupBy("lang").agg(F.sum("o").alias("row_n"))
     col_t = obs.groupBy("source").agg(F.sum("o").alias("col_n"))
     tot = obs.agg(

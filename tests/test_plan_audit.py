@@ -318,6 +318,11 @@ _SCAN_CEILINGS = {
     "ts_profile_topk": 1,
     "events_rfm_segments": 1,
     "corpus_entropy_kl": 1,
+    "stats_chisq_independence": 1,
+    # one corpus pass: profile + totals derive from the persisted
+    # per-(doc,bucket) agg (the old raw/tgt/tot ran three passes)
+    "curate_dsir_weights": 1,
+    "curate_dsir_sample": 2,
 }
 
 
