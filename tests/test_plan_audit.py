@@ -124,10 +124,26 @@ _KEY_NAME_RE = __import__("re").compile(r"(\w+)#\d+")
 def _first_bounds(node, out):
     """Walk down from `node`, collecting the FIRST bounding node per
     branch as ("limit",) / ("agg", frozenset(key names)) / ("leaf",).
+
+    Cached relations are TRANSPARENT: once another op in the session
+    has persisted the same canonical subtree (e.g. the shared daily
+    count aggregate), this plan substitutes an InMemoryTableScan leaf
+    — but the window's runtime input cardinality is the CACHED plan's
+    output, so the walk descends into relation().cachedPlan() instead
+    of reporting an unbounded leaf (session-order flake found in
+    round 9 after the straggler persists landed). QueryStageExec
+    wrappers (materialized AQE stages inside cached plans) descend
+    into .plan() for the same reason.
     """
     name = node.getClass().getSimpleName()
     if name == "AdaptiveSparkPlanExec":
         _first_bounds(node.inputPlan(), out)
+        return
+    if name == "InMemoryTableScanExec":
+        _first_bounds(node.relation().cachedPlan(), out)
+        return
+    if name.endswith("QueryStageExec"):
+        _first_bounds(node.plan(), out)
         return
     if name in _LIMIT_NODES:
         out.append(("limit", None))
