@@ -101,7 +101,19 @@ Rotation map (which driver run produced each operator's green row):
   ts_sax_symbols, cdc_sink_idempotency, curate_rejection_sample,
   dedup_chunk_cdc, stats_hodges_lehmann, emb_participation_ratio)
   occupy slots 17-31 (registry 260 → 275). A fully green round-9 run
-  reaches 275/275 registered operators driver-verified.
+  reaches 275/275 registered operators driver-verified. Outcome:
+  50/50 green (CORRECTNESS_r09.json).
+- round 10 window (this file's first 50): pure freshness re-pins —
+  no op is ungraded or red, so the window is the 50 operators with
+  the OLDEST green evidence: the 27 whose newest green row is
+  round 4 (sim_cosine_topk .. text_zipf_slope — the tail of the r4
+  block that round 9's window displaced below its cut) plus the 23
+  queue-head operators of the round-5-green block (cdc_delay_gauge
+  .. text_normalize). The remaining 27 r5-green operators
+  (curate_global_shuffle .. stats_gini) are the ROUND-11 QUEUE and
+  sit immediately after the window. Any round-10 additions are
+  inserted at the top of the window (displacing re-pins from the
+  bottom) so their first driver row lands the same round they ship.
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -142,13 +154,92 @@ _ORACLES: dict[str, str] = {}
 # (final 31 never-graded + 19 §2-critical re-pins), then
 # previously-driver-verified blocks.
 _PRIORITY = [
-    # ============ ROUND-9 GRADING WINDOW (1 + 15 + 34) ============
-    # --- the round-8 red row, re-pinned after the fix: its DECIMAL
-    #     output columns are now cast to DOUBLE on both engines (the
-    #     driver's value hash distinguishes Spark Decimal objects
-    #     from DuckDB's float64 decimal fetch) ---
+    # ============ ROUND-10 GRADING WINDOW (27 + 23) ============
+    # --- the 27 operators whose newest green row is round 4
+    #     (the r9 window re-pinned the first 33 of the r4 block;
+    #     these 27 were displaced below the cut) ---
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_label_separability",
+    "sim_lsh_buckets",
+    "sim_norm_stats",
+    "sim_recall_at_k",
+    "sketch_cms_heavy",
+    "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "stats_chisq_independence",
+    "stats_corr",
+    "stats_eqfreq_bins",
+    "stats_histogram",
+    "stats_mad",
+    "stats_percentiles",
+    "text_bigram_lm",
+    "text_fingerprint",
+    "text_inverted_index",
+    "text_langid",
+    "text_pii_scrub",
+    "text_pmi_bigrams",
+    "text_quality",
+    "text_repetition",
+    "text_tfidf",
+    "text_token_count",
+    "text_top_terms",
+    "text_zipf_slope",
+    # --- the 23 oldest round-5-green re-pins (queue head of the
+    #     r5-newest block; the remaining 27 queue for round 11) ---
+    "cdc_delay_gauge",
+    "window_analytics",
+    "pivot_orders",
+    "events_json_extract",
+    "sessionize_events",
+    "stream_sliding_counts",
+    "stream_topk_users",
+    "stream_upsert",
+    "temporal_sliding_window",
+    "join_salted_enrich",
+    "basket_copurchase",
+    "anomaly_zscore",
+    "ts_ewma",
+    "events_funnel",
+    "events_retention",
+    "ts_gap_fill",
+    "profile_columns",
+    "graph_pagerank",
+    "graph_triangles",
+    "dq_constraints",
+    "entity_match_blocked",
+    "text_rolling_hash",
+    "text_normalize",
+    # ====== ROUND-11 QUEUE: the remaining 27 r5-green re-pins ======
+    "curate_global_shuffle",
+    "sketch_bloom_filter",
+    "curate_mixture_weights",
+    "curate_token_budget",
+    "text_oov_rate",
+    "text_bpe_pairs",
+    "sketch_quantile_grid",
+    "emb_pca_power",
+    "tm_snapshot_delta",
+    "stats_ks_test",
+    "stream_quantile_sketch",
+    "dedup_containment",
+    "emb_kmeans",
+    "sim_pq_codes",
+    "stream_ewma",
+    "sim_adc_topk",
+    "cdc_net_effect_compact",
+    "cdc_order_audit",
+    "tm_version_depth",
+    "stream_near_dedup",
+    "stream_scd2_intervals",
+    "sim_knn_graph",
+    "graph_assortativity",
+    "graph_kcore",
+    "stats_spearman",
+    "stats_auc",
+    "stats_gini",
+    # ====== previously-verified blocks (green rows on record) ======
     "sketch_ams_f2",
-    # --- the 15 round-8 additions (never graded) ---
     "ts_holt_winters",
     "events_survival_km",
     "graph_degree_powerlaw",
@@ -164,7 +255,6 @@ _PRIORITY = [
     "sim_rrf_fusion",
     "tm_bitemporal_asof",
     "corpus_chao1_richness",
-    # --- round-9 additions (graded in-window, same round) ---
     "stats_kendall_tau",
     "stats_jackknife_se",
     "emb_isotropy",
@@ -180,10 +270,6 @@ _PRIORITY = [
     "dedup_chunk_cdc",
     "stats_hodges_lehmann",
     "emb_participation_ratio",
-    # --- 34 oldest-evidence re-pins: the r4-newest-green block
-    #     (none of these has evidence newer than round 4); round-9
-    #     additions displace re-pins from the BOTTOM of this block
-    #     so the new ops land their first driver row this round ---
     "curate_e2e_pipeline",
     "runner_pipeline",
     "curate_chunk_documents",
@@ -203,35 +289,6 @@ _PRIORITY = [
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_resize",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sim_label_separability",
-    "sim_lsh_buckets",
-    "sim_norm_stats",
-    "sim_recall_at_k",
-    "sketch_cms_heavy",
-    "sketch_hll_distinct",
-    "sketch_kmv_distinct",
-    "stats_chisq_independence",
-    "stats_corr",
-    "stats_eqfreq_bins",
-    "stats_histogram",
-    "stats_mad",
-    "stats_percentiles",
-    # --- the 12 r4-green leftovers (next-oldest; round-10 re-pins) ---
-    "text_bigram_lm",
-    "text_fingerprint",
-    "text_inverted_index",
-    "text_langid",
-    "text_pii_scrub",
-    "text_pmi_bigrams",
-    "text_quality",
-    "text_repetition",
-    "text_tfidf",
-    "text_token_count",
-    "text_top_terms",
-    "text_zipf_slope",
-    # ====== previously-verified blocks (green rows on record) ======
     "dedup_substring_spans",
     "curate_dsir_weights",
     "curate_ccnet_buckets",
@@ -380,56 +437,6 @@ _PRIORITY = [
     "sink_avro_messages",
     "schema_ddl_replay",
     "stream_timemachine",
-    "cdc_delay_gauge",
-    "window_analytics",
-    "pivot_orders",
-    "events_json_extract",
-    "sessionize_events",
-    "stream_sliding_counts",
-    "stream_topk_users",
-    "stream_upsert",
-    "temporal_sliding_window",
-    "join_salted_enrich",
-    "basket_copurchase",
-    "anomaly_zscore",
-    "ts_ewma",
-    "events_funnel",
-    "events_retention",
-    "ts_gap_fill",
-    "profile_columns",
-    "graph_pagerank",
-    "graph_triangles",
-    "dq_constraints",
-    "entity_match_blocked",
-    "text_rolling_hash",
-    "text_normalize",
-    "curate_global_shuffle",
-    "sketch_bloom_filter",
-    "curate_mixture_weights",
-    "curate_token_budget",
-    "text_oov_rate",
-    "text_bpe_pairs",
-    "sketch_quantile_grid",
-    "emb_pca_power",
-    "tm_snapshot_delta",
-    "stats_ks_test",
-    "stream_quantile_sketch",
-    "dedup_containment",
-    "emb_kmeans",
-    "sim_pq_codes",
-    "stream_ewma",
-    "sim_adc_topk",
-    "cdc_net_effect_compact",
-    "cdc_order_audit",
-    "tm_version_depth",
-    "stream_near_dedup",
-    "stream_scd2_intervals",
-    "sim_knn_graph",
-    "graph_assortativity",
-    "graph_kcore",
-    "stats_spearman",
-    "stats_auc",
-    "stats_gini",
 ]
 
 
