@@ -161,6 +161,8 @@ HEADLINE = [
     "dedup_chunk_cdc",
     "stats_hodges_lehmann",
     "emb_participation_ratio",
+    # round-10 addition (first round on the slate)
+    "stream_schema_ddl_replay",
 ]
 
 

@@ -103,17 +103,17 @@ Rotation map (which driver run produced each operator's green row):
   occupy slots 17-31 (registry 260 → 275). A fully green round-9 run
   reaches 275/275 registered operators driver-verified. Outcome:
   50/50 green (CORRECTNESS_r09.json).
-- round 10 window (this file's first 50): pure freshness re-pins —
-  no op is ungraded or red, so the window is the 50 operators with
-  the OLDEST green evidence: the 27 whose newest green row is
-  round 4 (sim_cosine_topk .. text_zipf_slope — the tail of the r4
-  block that round 9's window displaced below its cut) plus the 23
-  queue-head operators of the round-5-green block (cdc_delay_gauge
-  .. text_normalize). The remaining 27 r5-green operators
-  (curate_global_shuffle .. stats_gini) are the ROUND-11 QUEUE and
-  sit immediately after the window. Any round-10 additions are
-  inserted at the top of the window (displacing re-pins from the
-  bottom) so their first driver row lands the same round they ship.
+- round 10 window (this file's first 50): slot 1 is the round-10
+  addition `stream_schema_ddl_replay` (streaming twin of the DDL
+  replay, never graded); the rest are freshness re-pins — the 27
+  operators whose newest green row is round 4 (sim_cosine_topk ..
+  text_zipf_slope — the tail of the r4 block that round 9's window
+  displaced below its cut) plus the 22 queue-head operators of the
+  round-5-green block (cdc_delay_gauge .. text_rolling_hash).
+  text_normalize (displaced by the addition) and the remaining 27
+  r5-green operators (curate_global_shuffle .. stats_gini) are the
+  ROUND-11 QUEUE and sit immediately after the window (registry
+  275 → 276).
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -154,7 +154,12 @@ _ORACLES: dict[str, str] = {}
 # (final 31 never-graded + 19 §2-critical re-pins), then
 # previously-driver-verified blocks.
 _PRIORITY = [
-    # ============ ROUND-10 GRADING WINDOW (27 + 23) ============
+    # ============ ROUND-10 GRADING WINDOW (1 + 27 + 22) ============
+    # --- the round-10 addition (never graded): the streaming twin of
+    #     schema_ddl_replay — one long-lived SchemaRegistry driven from
+    #     the DDL stream via foreachBatch (displaces text_normalize
+    #     from the bottom of the window to the round-11 queue head) ---
+    "stream_schema_ddl_replay",
     # --- the 27 operators whose newest green row is round 4
     #     (the r9 window re-pinned the first 33 of the r4 block;
     #     these 27 were displaced below the cut) ---
@@ -209,8 +214,9 @@ _PRIORITY = [
     "dq_constraints",
     "entity_match_blocked",
     "text_rolling_hash",
+    # ====== ROUND-11 QUEUE: text_normalize (displaced by the round-10
+    #        addition) + the remaining 27 r5-green re-pins ======
     "text_normalize",
-    # ====== ROUND-11 QUEUE: the remaining 27 r5-green re-pins ======
     "curate_global_shuffle",
     "sketch_bloom_filter",
     "curate_mixture_weights",

@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # MySQL type name → Spark type (subset of schema/DataType.java:7-59,
@@ -96,24 +97,70 @@ def _parse_type(type_name: str) -> T.DataType:
     return MYSQL_TO_SPARK.get(type_name.lower(), T.StringType())
 
 
+# A table schema is a PERSISTENT column chain: None (empty) or a cons
+# cell ((name, DataType), parent_chain). Appending a column is O(1) and
+# never mutates the parent, so any chain reference is a free immutable
+# snapshot with structural sharing (the git-DAG trick). This matters
+# because DDL replay history keeps a before/after snapshot PER
+# STATEMENT: with copy-on-alter tuples the replay was O(cols) per ADD
+# COLUMN (the round-10 scale smoke measured 43× at 10× DDL volume, and
+# the jsonValue()-everything version before it hung outright at 125×+);
+# with chains an ADD-dominated stream replays in O(statements).
+# DROP/MODIFY/CHANGE rebuild the chain — O(cols), rare by nature.
+
+
+def _chain_pairs(chain) -> list:
+    """Materialize a column chain to its (name, type) pairs, in
+    declaration order."""
+    out = []
+    while chain is not None:
+        out.append(chain[0])
+        chain = chain[1]
+    out.reverse()
+    return out
+
+
+def _pairs_chain(pairs):
+    chain = None
+    for p in pairs:
+        chain = (p, chain)
+    return chain
+
+
 @dataclass
 class SchemaRegistry:
-    """Versioned table→StructType registry with DDL replay + history."""
+    """Versioned table-schema registry with DDL replay + history.
 
-    tables: dict[str, T.StructType] = field(default_factory=dict)
+    `tables` maps table → persistent column chain (see _chain_pairs);
+    `_names` carries each table's CURRENT column-name set for the O(1)
+    duplicate-ADD check (mutable — only the chains are snapshots)."""
+
+    tables: dict[str, tuple] = field(default_factory=dict)
     history: list[dict] = field(default_factory=list)
     version: int = 0
+    _names: dict[str, set] = field(default_factory=dict)
 
     def get(self, table: str) -> Optional[T.StructType]:
-        return self.tables.get(table.lower())
+        chain = self.tables.get(table.lower())
+        if table.lower() not in self.tables:
+            return None
+        return T.StructType(
+            [T.StructField(n, t) for n, t in _chain_pairs(chain)]
+        )
+
+    def n_columns(self, table: str) -> int:
+        return len(self._names.get(table.lower(), ()))
 
     def apply_ddl(self, sql: str, db: str = "") -> dict:
-        """Replay one DDL statement; returns the history row (with
-        before/after snapshots — AugmenterContext.updateSchema analog)."""
+        """Replay one DDL statement; returns the history row with
+        before/after snapshots of the AFFECTED table —
+        AugmenterContext.updateSchema's SchemaSnapshot analog. The
+        snapshots are chain references: O(1) to take, immutable by
+        construction."""
         if db:
             sql = rewrite_active_schema_name(sql, db)
         stmt = sql.strip().rstrip(";")
-        before = {t: s.jsonValue() for t, s in self.tables.items()}
+        before_tables = dict(self.tables)  # shallow: refs only
         kind, table = self._dispatch(stmt)
         self.version += 1
         row = {
@@ -121,10 +168,9 @@ class SchemaRegistry:
             "kind": kind,
             "table": table,
             "sql": sql,
-            "schema_before": before,
-            "schema_after": {
-                t: s.jsonValue() for t, s in self.tables.items()
-            },
+            "before_schema": before_tables.get(table),
+            "after_schema": self.tables.get(table),
+            "n_tables_after": len(self.tables),
         }
         self.history.append(row)
         return row
@@ -141,16 +187,16 @@ class SchemaRegistry:
                     "foreign",
                 ):
                     fields.append(
-                        T.StructField(
-                            cm.group(1).lower(), _parse_type(cm.group(2))
-                        )
+                        (cm.group(1).lower(), _parse_type(cm.group(2)))
                     )
-            self.tables[table] = T.StructType(fields)
+            self.tables[table] = _pairs_chain(fields)
+            self._names[table] = {n for n, _ in fields}
             return "CREATE_TABLE", table
         m = _R_DROP.match(stmt)
         if m:
             table = m.group(1).lower()
             self.tables.pop(table, None)
+            self._names.pop(table, None)
             return "DROP_TABLE", table
         m = _R_TRUNCATE.match(stmt)
         if m:
@@ -161,45 +207,57 @@ class SchemaRegistry:
             # change swap of FIXTURES F3) — stage all reads first.
             pairs = _R_RENAME_PAIR.findall(m.group(1))
             staged = {
-                old.lower(): self.tables.get(old.lower()) for old, _ in pairs
+                old.lower(): (
+                    self.tables.get(old.lower()),
+                    self._names.get(old.lower()),
+                )
+                for old, _ in pairs
             }
             for old, _ in pairs:
                 self.tables.pop(old.lower(), None)
+                self._names.pop(old.lower(), None)
             for old, new in pairs:
-                if staged[old.lower()] is not None:
-                    self.tables[new.lower()] = staged[old.lower()]
+                chain, names = staged[old.lower()]
+                if names is not None:
+                    self.tables[new.lower()] = chain
+                    self._names[new.lower()] = names
             return "RENAME_TABLE", ",".join(
                 f"{o.lower()}->{n.lower()}" for o, n in pairs
             )
         m = _R_ALTER.match(stmt)
         if m:
             table, rest = m.group(1).lower(), m.group(2)
-            schema = self.tables.get(table)
-            if schema is None:
+            if table not in self._names:
                 return "ALTER_UNKNOWN_TABLE", table
-            fields = list(schema.fields)
+            chain = self.tables[table]
+            names = self._names[table]
             for clause in self._split_cols(rest):
                 clause = clause.strip()
                 am = _R_ADD_COL.match(clause)
                 if am:
+                    # the hot path: O(1) cons + set probe
                     name, typ = am.group(1).lower(), am.group(2)
-                    if all(f.name != name for f in fields):
-                        fields.append(T.StructField(name, _parse_type(typ)))
+                    if name not in names:
+                        chain = ((name, _parse_type(typ)), chain)
+                        names.add(name)
                     continue
                 dm = _R_DROP_COL.match(clause)
                 if dm:
                     name = dm.group(1).lower()
-                    fields = [f for f in fields if f.name != name]
+                    chain = _pairs_chain(
+                        [p for p in _chain_pairs(chain) if p[0] != name]
+                    )
+                    names.discard(name)
                     continue
                 mm = _R_MODIFY_COL.match(clause)
                 if mm:
                     name, typ = mm.group(1).lower(), mm.group(2)
-                    fields = [
-                        T.StructField(name, _parse_type(typ))
-                        if f.name == name
-                        else f
-                        for f in fields
-                    ]
+                    chain = _pairs_chain(
+                        [
+                            (name, _parse_type(typ)) if fn == name else (fn, ft)
+                            for fn, ft in _chain_pairs(chain)
+                        ]
+                    )
                     continue
                 cm = _R_CHANGE_COL.match(clause)
                 if cm:
@@ -208,14 +266,17 @@ class SchemaRegistry:
                         cm.group(2).lower(),
                         cm.group(3),
                     )
-                    fields = [
-                        T.StructField(new, _parse_type(typ))
-                        if f.name == old
-                        else f
-                        for f in fields
-                    ]
+                    chain = _pairs_chain(
+                        [
+                            (new, _parse_type(typ)) if fn == old else (fn, ft)
+                            for fn, ft in _chain_pairs(chain)
+                        ]
+                    )
+                    if old in names:
+                        names.discard(old)
+                        names.add(new)
                     continue
-            self.tables[table] = T.StructType(fields)
+            self.tables[table] = chain
             return "ALTER_TABLE", table
         return "UNKNOWN", ""
 
@@ -245,7 +306,7 @@ class SchemaRegistry:
                 h["kind"],
                 h["table"],
                 h["sql"],
-                len(self.tables),
+                h["n_tables_after"],
             )
             for h in self.history
         ]
@@ -287,7 +348,7 @@ def ddl_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ALTER TABLE {t} ADD COLUMN c{r['event_id']} int"
         )
     rows = [
-        (t, len(reg.tables[t].fields)) for t in sorted(reg.tables)
+        (t, reg.n_columns(t)) for t in sorted(reg.tables)
     ]
     return spark.createDataFrame(rows, "table_name string, n_columns int")
 
@@ -337,7 +398,7 @@ def schema_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             h["kind"],
             h["table"],
             h["sql"],
-            len(h["schema_after"]),
+            h["n_tables_after"],
         )
         for h in reg.history
     ]
@@ -388,8 +449,8 @@ def avro_compat(before: dict, after: dict) -> str:
     """
     if before is None:
         return "COMPATIBLE"  # first registration
-    old = {f["name"]: f["type"] for f in before["fields"]}
-    new = {f["name"]: f["type"] for f in after["fields"]}
+    old = dict(_chain_pairs(before))
+    new = dict(_chain_pairs(after))
     for name, typ in old.items():
         if name not in new:
             return "INCOMPATIBLE_FIELD_DROPPED"
@@ -428,9 +489,7 @@ def schema_compat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = reg.apply_ddl(
             f"ALTER TABLE {t} ADD COLUMN c{r['event_id']} int"
         )
-        verdict = avro_compat(
-            row["schema_before"].get(t), row["schema_after"][t]
-        )
+        verdict = avro_compat(row["before_schema"], row["after_schema"])
         tally = tallies.setdefault(t, [0, 0])
         if verdict == "COMPATIBLE":
             tally[0] += 1
@@ -454,8 +513,127 @@ GROUP BY lower(table_name)
 """
 
 
+def build_ddl_stream(stream: DataFrame) -> DataFrame:
+    """The DDL subset of an events stream, derived map-side only (the
+    envelope's window-based before-images are neither needed nor legal
+    on a streaming DataFrame): op classification and the month-bucketed
+    table name are both per-row expressions."""
+    from ..cdc.envelope import OP_CASE_SQL
+
+    return (
+        stream.select(
+            "event_id",
+            F.expr("ts div 1000000").alias("ts_ms"),
+            "user_id",
+            "event_type",
+        )
+        .where(
+            (F.expr(OP_CASE_SQL) == "QUERY") & (F.col("user_id") % 5 == 2)
+        )
+        .select(
+            "event_id",
+            F.concat(
+                F.lit("users_"),
+                F.date_format(F.timestamp_millis(F.col("ts_ms")), "yyyyMM"),
+            ).alias("table_name"),
+        )
+    )
+
+
+HISTORY_OUT_SCHEMA = (
+    "version long, kind string, table_ref string, sql string,"
+    " n_tables_after long"
+)
+
+
+def run_ddl_replay_stream(
+    spark: SparkSession, ddl_stream: DataFrame, out: str, ckpt: str
+) -> "SchemaRegistry":
+    """Drive ONE SchemaRegistry from a DDL stream via foreachBatch —
+    the streaming twin of schema_ddl_replay, matching the reference's
+    updateSchema ordering (AugmenterContext.updateSchema:636-703):
+    each DDL is replayed in binlog (event_id) order, snapshot-before →
+    apply → snapshot-after, with the registry version monotone ACROSS
+    micro-batches (the active schema is one long-lived object, not a
+    per-batch rebuild). DDL volume is human-scale, so the driver-side
+    sequential replay inside foreachBatch is the documented contract
+    shared with the batch twin; the event stream itself never leaves
+    the executors — only the filtered DDL rows reach the driver.
+    """
+    reg = SchemaRegistry()
+    seen: set[str] = set()
+
+    def replay(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = (
+            batch_df.select("event_id", "table_name")
+            .orderBy("event_id")
+            .collect()
+        )
+        out_rows = []
+        for r in rows:
+            t = r["table_name"].lower()
+            if t not in seen:
+                h = reg.apply_ddl(
+                    f"CREATE TABLE {t} "
+                    "(user_id bigint, value double, props json)"
+                )
+                out_rows.append(
+                    (
+                        h["version"], h["kind"], h["table"], h["sql"],
+                        h["n_tables_after"],
+                    )
+                )
+                seen.add(t)
+            h = reg.apply_ddl(
+                f"ALTER TABLE {t} ADD COLUMN c{r['event_id']} int"
+            )
+            out_rows.append(
+                (
+                    h["version"], h["kind"], h["table"], h["sql"],
+                    h["n_tables_after"],
+                )
+            )
+        spark.createDataFrame(out_rows, HISTORY_OUT_SCHEMA).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        ddl_stream.writeStream.outputMode("append")
+        .foreachBatch(replay)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return reg
+
+
+def stream_ddl_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The schema-history log produced by the STREAMING replay — byte-
+    identical to the batch schema_history_log (same oracle): testdata
+    events are event_id-monotone in ts, so time-ordered micro-batches
+    replay DDLs in the same global order the batch twin collects."""
+    import os
+    import tempfile
+
+    from ..session import prep
+    from .job import _events_stream
+
+    prep(spark)
+    base = tempfile.mkdtemp(prefix="ddl_stream_")
+    out = os.path.join(base, "out")
+    run_ddl_replay_stream(
+        spark,
+        build_ddl_stream(_events_stream(spark, sf_dir)),
+        out,
+        os.path.join(base, "ckpt"),
+    )
+    return spark.read.parquet(out)
+
+
 REGISTRY = [
     ("schema_ddl_replay", ddl_replay_query, DDL_REPLAY_SQL),
     ("schema_history_log", schema_history_query, SCHEMA_HISTORY_SQL),
     ("schema_compat_check", schema_compat_query, SCHEMA_COMPAT_SQL),
+    ("stream_schema_ddl_replay", stream_ddl_replay_query, SCHEMA_HISTORY_SQL),
 ]

@@ -208,15 +208,15 @@ def test_avro_compat_verdicts():
 
     reg = SchemaRegistry()
     reg.apply_ddl("CREATE TABLE t (a int, b varchar)")
-    s0 = dict(reg.history[-1]["schema_after"])["t"]
+    s0 = reg.history[-1]["after_schema"]
     reg.apply_ddl("ALTER TABLE t ADD COLUMN c bigint")
-    s1 = dict(reg.history[-1]["schema_after"])["t"]
+    s1 = reg.history[-1]["after_schema"]
     assert avro_compat(s0, s1) == "COMPATIBLE"
     reg.apply_ddl("ALTER TABLE t DROP COLUMN b")
-    s2 = dict(reg.history[-1]["schema_after"])["t"]
+    s2 = reg.history[-1]["after_schema"]
     assert avro_compat(s1, s2) == "INCOMPATIBLE_FIELD_DROPPED"
     reg.apply_ddl("ALTER TABLE t MODIFY COLUMN a varchar")
-    s3 = dict(reg.history[-1]["schema_after"])["t"]
+    s3 = reg.history[-1]["after_schema"]
     assert avro_compat(s2, s3) == "INCOMPATIBLE_TYPE_CHANGED"
     assert avro_compat(None, s3) == "COMPATIBLE"
 

@@ -379,3 +379,42 @@ def test_scd2_intervals_across_micro_batches(spark, sf_dir, chunked_dir, tmp_pat
         ).fetchall()
     )
     assert got == want
+
+
+def test_ddl_replay_version_monotone_across_micro_batches(
+    spark, sf_dir, chunked_dir, tmp_path
+):
+    """The streaming DDL replay drives ONE long-lived SchemaRegistry:
+    version numbers must continue across micro-batches (not restart per
+    batch) and the emitted history must equal the batch twin's —
+    AugmenterContext.updateSchema ordering, one registry object."""
+    import os
+
+    from replicator_spark.session import prep
+    from replicator_spark.streaming.job import EVENTS_SCHEMA
+    from replicator_spark.streaming.registry import (
+        build_ddl_stream,
+        run_ddl_replay_stream,
+        schema_history_query,
+    )
+
+    prep(spark)
+    out = os.path.join(str(tmp_path), "out")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_dir)
+    )
+    reg = run_ddl_replay_stream(
+        spark, build_ddl_stream(stream), out, os.path.join(str(tmp_path), "ckpt")
+    )
+    got = spark.read.parquet(out)
+    n = got.count()
+    assert n > 0
+    # one long-lived registry: versions are exactly 1..n with no resets
+    assert reg.version == n
+    vs = sorted(r["version"] for r in got.select("version").collect())
+    assert vs == list(range(1, n + 1))
+    want = schema_history_query(spark, sf_dir)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
