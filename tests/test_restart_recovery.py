@@ -387,3 +387,75 @@ def test_midstream_kill_then_restart(spark, sf_dir, chunks, tmp_path):
     )
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_near_dedup_restart_keeps_bucket_claims(spark, sf_dir, tmp_path):
+    """LSH admission gate: bucket→min-doc_id claims made before the
+    kill must survive it — a post-restart document colliding with a
+    pre-kill admit must be dropped, and the final per-source tally must
+    equal the batch restatement of the arrival-order rule."""
+    import duckdb
+
+    from replicator_spark.session import prep
+    from replicator_spark.streaming.near_dedup import (
+        STREAM_NEAR_DEDUP_SQL,
+        build_verdict_stream,
+    )
+
+    prep(spark)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    docs = spark.read.parquet(docs_path)
+    schema = docs.schema
+    mid = docs.approxQuantile("doc_id", [0.5], 0.001)[0]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    chunk_dirs = [str(tmp_path / "c0"), str(tmp_path / "c1")]
+    docs.where(docs.doc_id <= mid).coalesce(1).write.parquet(chunk_dirs[0])
+    docs.where(docs.doc_id > mid).coalesce(1).write.parquet(chunk_dirs[1])
+
+    def one_run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            build_verdict_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for i, d in enumerate(chunk_dirs):
+        (f,) = glob.glob(os.path.join(d, "part-*.parquet"))
+        _stage(src, f, i)
+        one_run()  # lifetime i: earlier chunks already committed
+
+    verd = (
+        spark.read.parquet(out)
+        .groupBy("doc_id")
+        .agg(F.min(F.col("admitted").cast("int")).alias("kept"))
+    )
+    got = sorted(
+        tuple(r)
+        for r in docs.select("doc_id", "source")
+        .join(verd, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            (F.count("*") - F.sum("kept")).cast("bigint").alias("n_dropped"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{docs_path}'"
+    )
+    want = sorted(
+        (s, int(a), int(b), int(c))
+        for s, a, b, c in con.execute(STREAM_NEAR_DEDUP_SQL).fetchall()
+    )
+    con.close()
+    assert got == want
