@@ -451,3 +451,24 @@ def test_delay_gauge_stops_at_ack_hole(spark):
     for srv in ("srv-00", "srv-03"):
         assert rows[srv]["delay_txns"] == 0
         assert rows[srv]["delay_ms"] == 0  # safe event IS the head event
+
+
+def test_registry_chain_snapshots_share_structure():
+    """The O(1)-ADD contract, pinned structurally (not by timing): an
+    ADD COLUMN must cons onto the previous chain — history row N's
+    after_schema has row N's before_schema as its parent cell, and
+    row N's before_schema IS row N-1's after_schema (same object).
+    A copy-on-alter regression breaks the identity immediately."""
+    from replicator_spark.streaming.registry import SchemaRegistry, _chain_pairs
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE t (a int)")
+    reg.apply_ddl("ALTER TABLE t ADD COLUMN b int")
+    h2 = reg.history[-1]
+    reg.apply_ddl("ALTER TABLE t ADD COLUMN c int")
+    h3 = reg.history[-1]
+    assert h3["before_schema"] is h2["after_schema"]
+    assert h3["after_schema"][1] is h3["before_schema"]
+    # and the snapshots materialize independently despite the sharing
+    assert [n for n, _ in _chain_pairs(h2["after_schema"])] == ["a", "b"]
+    assert [n for n, _ in _chain_pairs(h3["after_schema"])] == ["a", "b", "c"]
