@@ -472,3 +472,42 @@ def test_registry_chain_snapshots_share_structure():
     # and the snapshots materialize independently despite the sharing
     assert [n for n, _ in _chain_pairs(h2["after_schema"])] == ["a", "b"]
     assert [n for n, _ in _chain_pairs(h3["after_schema"])] == ["a", "b", "c"]
+
+
+def test_registry_rename_swap_atomic():
+    """Multi-pair RENAME TABLE is atomic (the online-schema-change swap
+    of FIXTURES F3): `RENAME TABLE t TO t_old, t_new TO t` must leave
+    t = the old t_new, t_old = the old t — staged reads, no clobber —
+    and column membership must follow the moved schemas."""
+    from replicator_spark.streaming.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE t (a int)")
+    reg.apply_ddl("CREATE TABLE t_new (a int, b varchar)")
+    row = reg.apply_ddl("RENAME TABLE t TO t_old, t_new TO t")
+    assert row["kind"] == "RENAME_TABLE"
+    assert row["n_tables_after"] == 2
+    assert [f.name for f in reg.get("t").fields] == ["a", "b"]
+    assert [f.name for f in reg.get("t_old").fields] == ["a"]
+    assert reg.get("t_new") is None
+    # the name-set moved with the schema: duplicate-ADD still detected
+    reg.apply_ddl("ALTER TABLE t ADD COLUMN b varchar")  # dup → no-op
+    assert reg.n_columns("t") == 2
+    reg.apply_ddl("ALTER TABLE t_old ADD COLUMN b varchar")  # not a dup here
+    assert reg.n_columns("t_old") == 2
+
+
+def test_registry_drop_and_truncate():
+    from replicator_spark.streaming.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE t (a int)")
+    row = reg.apply_ddl("TRUNCATE TABLE t")
+    assert row["kind"] == "TRUNCATE_TABLE"
+    assert reg.n_columns("t") == 1  # truncate keeps the schema
+    row = reg.apply_ddl("DROP TABLE t")
+    assert row["kind"] == "DROP_TABLE" and row["n_tables_after"] == 0
+    assert reg.get("t") is None and reg.n_columns("t") == 0
+    # ALTER after DROP is classified, not crashed
+    row = reg.apply_ddl("ALTER TABLE t ADD COLUMN x int")
+    assert row["kind"] == "ALTER_UNKNOWN_TABLE"
