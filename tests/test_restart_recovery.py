@@ -459,3 +459,67 @@ def test_near_dedup_restart_keeps_bucket_claims(spark, sf_dir, tmp_path):
     )
     con.close()
     assert got == want
+
+
+def test_upsert_merge_restart_telescopes_across_lifetimes(
+    spark, sf_dir, chunks, tmp_path
+):
+    """foreachBatch MERGE: epoch deltas written before the kill plus
+    deltas from the restarted lifetime must collapse to the exact
+    single-batch applied state (the telescoping property), with epoch
+    numbering continuing from the checkpoint."""
+    from replicator_spark.cdc.envelope import change_feed_from
+    from replicator_spark.streaming.job import (
+        EVENTS_SCHEMA,
+        collapse_upsert_store,
+        run_upsert_stream,
+    )
+
+    files, counts = chunks
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def one_run():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_upsert_stream(stream, out, ckpt)
+
+    _stage(src, files[0], 0)
+    one_run()
+    assert {d for d in os.listdir(out) if d.startswith("epoch=")} == {
+        "epoch=0"
+    }
+    _stage(src, files[1], 1)
+    _stage(src, files[2], 2)
+    one_run()
+    assert {d for d in os.listdir(out) if d.startswith("epoch=")} == {
+        "epoch=0", "epoch=1", "epoch=2"
+    }
+
+    streamed = collapse_upsert_store(spark, out)
+    batch_feed = change_feed_from(
+        spark.read.schema(EVENTS_SCHEMA).parquet(src)
+    ).where(F.col("op") != "QUERY")
+    ord_k = F.struct("ts_ms", "event_id")
+    batch = (
+        batch_feed.select(
+            "table_name", "user_id", "op", "ts_ms", "event_id",
+            F.coalesce(
+                F.col("value_after").cast("string"), F.lit("NULL")
+            ).alias("value_s"),
+        )
+        .groupBy("table_name", "user_id")
+        .agg(
+            F.max_by("op", ord_k).alias("last_op"),
+            F.max_by("value_s", ord_k).alias("value"),
+            F.max("ts_ms").alias("last_ts_ms"),
+            F.count("*").alias("n_changes"),
+        )
+    )
+    cols = ["table_name", "user_id", "last_op", "value", "last_ts_ms", "n_changes"]
+    assert streamed.select(*cols).exceptAll(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).exceptAll(streamed.select(*cols)).count() == 0
