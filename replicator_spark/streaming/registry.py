@@ -437,18 +437,31 @@ SELECT ROW_NUMBER() OVER (ORDER BY event_id, sub) AS version,
 FROM rows0
 """
 
-def avro_compat(before: dict, after: dict) -> str:
-    """Schema-compatibility verdict between two schema snapshots of one
-    table (KafkaApplier.handleIncompatibleSchemaChange:261-287 — an
-    incompatible change deletes the registry subject and forces
+def avro_compat(before, after) -> str:
+    """Schema-compatibility verdict between two column-chain snapshots
+    of one table (KafkaApplier.handleIncompatibleSchemaChange:261-287 —
+    an incompatible change deletes the registry subject and forces
     re-registration).
 
     Backward-compatible: every old field still exists with the same
     type (new nullable fields may be added). Dropped fields or type
     changes are incompatible.
+
+    Fast path from structural sharing: ADD COLUMN conses onto the old
+    chain, so if walking `after`'s parents reaches the `before` CELL
+    (identity), the change is pure additions ⇒ COMPATIBLE in O(delta)
+    without materializing either snapshot. A rebuild (DROP/MODIFY/
+    CHANGE) breaks the ancestry and falls through to the full dict
+    comparison — this is what keeps the per-DDL compat audit linear
+    over an ADD-dominated stream.
     """
     if before is None:
         return "COMPATIBLE"  # first registration
+    node = after
+    while node is not None:
+        if node is before:
+            return "COMPATIBLE"  # before is an ancestor: additions only
+        node = node[1]
     old = dict(_chain_pairs(before))
     new = dict(_chain_pairs(after))
     for name, typ in old.items():
