@@ -127,3 +127,21 @@ def test_applier_collapse_nets_the_feed(spark, sf_dir):
             sf_dir,
             {"applier.type": "timemachine", "applier.collapse": True},
         )
+
+
+def test_survey_inventory_in_lockstep_with_registry():
+    """SURVEY.md §2.12's generated table must list exactly the
+    registered operators (regenerate with
+    `python tools/gen_survey_inventory.py --write` after adding ops)."""
+    import os
+    import re
+
+    from replicator_spark import api
+
+    survey = open(
+        os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    ).read()
+    rows = re.findall(r"^\| `([a-z0-9_]+)` \| `[a-z0-9_/]+\.py:\d+` \|", survey, re.M)
+    assert sorted(rows) == sorted(api.queries()), (
+        len(rows), len(api.queries()),
+    )
