@@ -190,8 +190,9 @@ _PRIORITY = [
     "text_token_count",
     "text_top_terms",
     "text_zipf_slope",
-    # --- the 23 oldest round-5-green re-pins (queue head of the
-    #     r5-newest block; the remaining 27 queue for round 11) ---
+    # --- the 22 oldest round-5-green re-pins (queue head of the
+    #     r5-newest block; text_normalize and the remaining 27 queue
+    #     for round 11) ---
     "cdc_delay_gauge",
     "window_analytics",
     "pivot_orders",

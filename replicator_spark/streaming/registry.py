@@ -19,6 +19,7 @@ scale reads the *broadcast* registry version pinned to its batch.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Optional
@@ -141,11 +142,13 @@ class SchemaRegistry:
     _names: dict[str, set] = field(default_factory=dict)
 
     def get(self, table: str) -> Optional[T.StructType]:
-        chain = self.tables.get(table.lower())
-        if table.lower() not in self.tables:
+        key = table.lower()
+        if key not in self.tables:
             return None
+        # a present-but-empty table's chain is None — containment, not
+        # the chain value, is what distinguishes absent from empty
         return T.StructType(
-            [T.StructField(n, t) for n, t in _chain_pairs(chain)]
+            [T.StructField(n, t) for n, t in _chain_pairs(self.tables[key])]
         )
 
     def n_columns(self, table: str) -> int:
@@ -559,6 +562,28 @@ HISTORY_OUT_SCHEMA = (
 )
 
 
+def _rebuild_registry(spark: SparkSession, out: str) -> "SchemaRegistry":
+    """Reconstruct the active registry from the committed history —
+    the ActiveSchemaManager recovery path (it replays the schema-history
+    table into the shadow DB on restart). Replaying the recorded SQL
+    in version order reproduces the exact chains AND the version
+    counter, so a restarted stream continues numbering where the killed
+    lifetime stopped."""
+    reg = SchemaRegistry()
+    try:
+        hist = (
+            spark.read.parquet(out)
+            .select("version", "sql")
+            .orderBy("version")
+            .collect()
+        )
+    except Exception:  # first lifetime: nothing committed yet
+        return reg
+    for r in hist:
+        reg.apply_ddl(r["sql"])
+    return reg
+
+
 def run_ddl_replay_stream(
     spark: SparkSession, ddl_stream: DataFrame, out: str, ckpt: str
 ) -> "SchemaRegistry":
@@ -572,23 +597,48 @@ def run_ddl_replay_stream(
     sequential replay inside foreachBatch is the documented contract
     shared with the batch twin; the event stream itself never leaves
     the executors — only the filtered DDL rows reach the driver.
+
+    Restart/retry safety (the property test_restart_recovery pins for
+    every stateful op): on a checkpoint resume the registry is REBUILT
+    from the committed history (see _rebuild_registry) so versions
+    continue instead of restarting at 1; each epoch's rows land in
+    their own `epoch=<id>` dir with mode=overwrite so an at-least-once
+    foreachBatch retry overwrites rather than appends; and a retry
+    within one lifetime (registry already mutated) re-emits the memoed
+    rows instead of re-applying the DDLs with fresh version numbers.
     """
-    reg = SchemaRegistry()
-    seen: set[str] = set()
+    reg = _rebuild_registry(spark, out)
+    # tables ever CREATEd — recovery approximation is exact for the
+    # append-only DDL stream (no DROP TABLE in the feed)
+    seen: set[str] = set(reg.tables)
+    done: dict = {"epoch": None, "rows": None}
 
     def replay(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = (
-            batch_df.select("event_id", "table_name")
-            .orderBy("event_id")
-            .collect()
-        )
-        out_rows = []
-        for r in rows:
-            t = r["table_name"].lower()
-            if t not in seen:
+        if done["epoch"] == epoch_id:
+            out_rows = done["rows"]  # in-lifetime retry: rows memoed
+        else:
+            rows = (
+                batch_df.select("event_id", "table_name")
+                .orderBy("event_id")
+                .collect()
+            )
+            out_rows = []
+            for r in rows:
+                t = r["table_name"].lower()
+                if t not in seen:
+                    h = reg.apply_ddl(
+                        f"CREATE TABLE {t} "
+                        "(user_id bigint, value double, props json)"
+                    )
+                    out_rows.append(
+                        (
+                            h["version"], h["kind"], h["table"], h["sql"],
+                            h["n_tables_after"],
+                        )
+                    )
+                    seen.add(t)
                 h = reg.apply_ddl(
-                    f"CREATE TABLE {t} "
-                    "(user_id bigint, value double, props json)"
+                    f"ALTER TABLE {t} ADD COLUMN c{r['event_id']} int"
                 )
                 out_rows.append(
                     (
@@ -596,19 +646,10 @@ def run_ddl_replay_stream(
                         h["n_tables_after"],
                     )
                 )
-                seen.add(t)
-            h = reg.apply_ddl(
-                f"ALTER TABLE {t} ADD COLUMN c{r['event_id']} int"
-            )
-            out_rows.append(
-                (
-                    h["version"], h["kind"], h["table"], h["sql"],
-                    h["n_tables_after"],
-                )
-            )
+            done["epoch"], done["rows"] = epoch_id, out_rows
         spark.createDataFrame(out_rows, HISTORY_OUT_SCHEMA).write.mode(
-            "append"
-        ).parquet(out)
+            "overwrite"
+        ).parquet(os.path.join(out, f"epoch={epoch_id}"))
 
     q = (
         ddl_stream.writeStream.outputMode("append")
@@ -626,7 +667,6 @@ def stream_ddl_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the batch schema_history_log (same oracle): testdata
     events are event_id-monotone in ts, so time-ordered micro-batches
     replay DDLs in the same global order the batch twin collects."""
-    import os
     import tempfile
 
     from ..session import prep
@@ -641,7 +681,10 @@ def stream_ddl_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         os.path.join(base, "ckpt"),
     )
-    return spark.read.parquet(out)
+    # project away the epoch partition column the per-epoch dirs add
+    return spark.read.parquet(out).select(
+        "version", "kind", "table_ref", "sql", "n_tables_after"
+    )
 
 
 REGISTRY = [

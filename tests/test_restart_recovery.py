@@ -79,9 +79,10 @@ def _input_rows(query) -> int:
     return sum(p["numInputRows"] for p in query.recentProgress)
 
 
-def _run_available_now(build, spark, src_dir, out, ckpt, sink="parquet"):
+def _run_available_now(build, spark, src_dir, ckpt):
     """One full query lifetime: start on the staged dir with
-    availableNow, drain, terminate. Returns total input rows seen."""
+    availableNow, drain, terminate. Returns total input rows seen.
+    (The builder's writer closure carries the sink path.)"""
     from replicator_spark.streaming.job import EVENTS_SCHEMA
 
     stream = (
@@ -174,10 +175,10 @@ def test_scd2_restart_closes_straddling_interval_once(
         return df, writer
 
     _stage(src, files[0], 0)
-    rows1 = _run_available_now(build, spark, src, out, ckpt)
+    rows1 = _run_available_now(build, spark, src, ckpt)
     _stage(src, files[1], 1)
     _stage(src, files[2], 2)
-    rows2 = _run_available_now(build, spark, src, out, ckpt)
+    rows2 = _run_available_now(build, spark, src, ckpt)
 
     # seek semantics: lifetime 2 read ONLY the new chunks
     assert rows1 == counts[0]
@@ -261,10 +262,10 @@ def test_txn_assembly_restart_recovers_watermark_and_buffers(
         return df, writer
 
     _stage(src, files[0], 0)
-    _run_available_now(build, spark, src, out, ckpt)
+    _run_available_now(build, spark, src, ckpt)
     _stage(src, files[1], 1)
     _stage(src, files[2], 2)
-    _run_available_now(build, spark, src, out, ckpt)
+    _run_available_now(build, spark, src, ckpt)
 
     got = spark.read.parquet(out)
     # exactly-once emission across the restart boundary
@@ -523,3 +524,59 @@ def test_upsert_merge_restart_telescopes_across_lifetimes(
     cols = ["table_name", "user_id", "last_op", "value", "last_ts_ms", "n_changes"]
     assert streamed.select(*cols).exceptAll(batch.select(*cols)).count() == 0
     assert batch.select(*cols).exceptAll(streamed.select(*cols)).count() == 0
+
+
+def test_ddl_replay_restart_continues_versions(spark, sf_dir, chunks, tmp_path):
+    """The streaming DDL replay rebuilds its registry from the
+    committed history on resume (_rebuild_registry): a second lifetime
+    on the same checkpoint must continue version numbering, not
+    restart at 1 or re-CREATE tables — and the combined history must
+    equal the batch twin's."""
+    from replicator_spark.session import prep
+    from replicator_spark.streaming.job import EVENTS_SCHEMA
+    from replicator_spark.streaming.registry import (
+        build_ddl_stream,
+        run_ddl_replay_stream,
+        schema_history_query,
+    )
+
+    prep(spark)
+    files, counts = chunks
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def one_run():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return run_ddl_replay_stream(
+            spark, build_ddl_stream(stream), out, ckpt
+        )
+
+    cols = ["version", "kind", "table_ref", "sql", "n_tables_after"]
+    _stage(src, files[0], 0)
+    one_run()
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    _stage(src, files[1], 1)
+    _stage(src, files[2], 2)
+    reg2 = one_run()
+
+    got = spark.read.parquet(out).select(*cols)
+    n = got.count()
+    # versions are exactly 1..n across BOTH lifetimes — the restarted
+    # registry resumed the counter instead of re-numbering from 1
+    assert reg2.version == n
+    vs = sorted(r["version"] for r in got.select("version").collect())
+    assert vs == list(range(1, n + 1))
+    # each table CREATEd exactly once across the restart boundary
+    assert (
+        got.where("kind = 'CREATE_TABLE'")
+        .groupBy("table_ref").count().where("count > 1").count() == 0
+    )
+    want = schema_history_query(spark, sf_dir)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
