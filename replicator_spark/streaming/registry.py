@@ -9,12 +9,13 @@ event (SchemaSnapshot/SchemaTransitionSequence) and land in a
 schema-history table (HBaseApplier.doSchemaLog:296-308).
 
 Spark has no shadow DB to replay DDL against, so this module is the
-~150-line DDL-effect interpreter SURVEY §7 calls the one genuinely
-custom component: it applies CREATE/ALTER/DROP/RENAME/TRUNCATE effects
-directly to a versioned {table → StructType} registry and appends a
-schema-history row per DDL. DDL volume is tiny (human-scale), so the
-replay is driver-side and sequential by design — per-event decode at
-scale reads the *broadcast* registry version pinned to its batch.
+DDL-effect interpreter SURVEY §7 calls the one genuinely custom
+component: it applies CREATE/ALTER/DROP/RENAME/TRUNCATE effects to a
+versioned {table → persistent column chain} registry (StructType
+materialized on demand) and appends a schema-history row per DDL. DDL
+volume is tiny (human-scale), so the replay is driver-side and
+sequential by design — per-event decode at scale reads the *broadcast*
+registry version pinned to its batch.
 """
 
 from __future__ import annotations
