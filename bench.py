@@ -163,6 +163,8 @@ HEADLINE = [
     "emb_participation_ratio",
     # round-10 addition (first round on the slate)
     "stream_schema_ddl_replay",
+    # round-11 addition (first round on the slate)
+    "cdc_type_decode_compat",
 ]
 
 

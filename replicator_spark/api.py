@@ -113,7 +113,23 @@ Rotation map (which driver run produced each operator's green row):
   text_normalize (displaced by the addition) and the remaining 27
   r5-green operators (curate_global_shuffle .. stats_gini) are the
   ROUND-11 QUEUE and sit immediately after the window (registry
-  275 → 276).
+  275 → 276). Outcome: 50/50 green (CORRECTNESS_r10.json).
+- round 11 window (this file's first 50): slot 1 is the round-11
+  addition `cdc_type_decode_compat` (binlog-client compat-mode decode
+  toggles — CHAR_AND_BINARY_AS_BYTE_ARRAY + DATE_AND_TIME_AS_LONG,
+  BinaryLogSupplier.java:113-117 — never graded); slots 2-4 re-pin the
+  three ops whose source file streaming/registry.py changed this round
+  (positional ALTER clauses, rename snapshots, committed-epoch
+  recovery): stream_schema_ddl_replay, schema_history_log,
+  schema_compat_check; slots 5-32 grade the round-10 verdict's named
+  freshness debt (text_normalize + the 27 r5-green ops,
+  curate_global_shuffle .. stats_gini); slots 33-50 are 18 §2-critical
+  re-pins from the 49-op r6-green block (schema_ddl_replay,
+  cdc_type_decode — both in files changed this round — plus the 13
+  other CDC rows, sink_avro_messages, stream_timemachine, tm_cells).
+  The remaining r6-green ops (tm_asof_snapshot, the 3 source
+  roundtrips, and 27 non-critical rows) are the ROUND-12 QUEUE
+  (registry 276 → 277).
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -154,15 +170,104 @@ _ORACLES: dict[str, str] = {}
 # (final 31 never-graded + 19 §2-critical re-pins), then
 # previously-driver-verified blocks.
 _PRIORITY = [
-    # ============ ROUND-10 GRADING WINDOW (1 + 27 + 22) ============
-    # --- the round-10 addition (never graded): the streaming twin of
-    #     schema_ddl_replay — one long-lived SchemaRegistry driven from
-    #     the DDL stream via foreachBatch (displaces text_normalize
-    #     from the bottom of the window to the round-11 queue head) ---
+    # ======== ROUND-11 GRADING WINDOW (1 + 3 + 28 + 18) ========
+    # --- the round-11 addition (never graded): binlog-client compat-
+    #     mode decode toggles (CHAR_AND_BINARY_AS_BYTE_ARRAY +
+    #     DATE_AND_TIME_AS_LONG, BinaryLogSupplier.java:113-117) ---
+    "cdc_type_decode_compat",
+    # --- the 3 ops whose source (streaming/registry.py) changed this
+    #     round (positional ALTER clauses, rename snapshots, committed-
+    #     epoch recovery) — re-pinned same-round per the r9/r10 rule ---
     "stream_schema_ddl_replay",
-    # --- the 27 operators whose newest green row is round 4
-    #     (the r9 window re-pinned the first 33 of the r4 block;
-    #     these 27 were displaced below the cut) ---
+    "schema_history_log",
+    "schema_compat_check",
+    # --- text_normalize + the 27 operators whose newest green row is
+    #     round 5 (the round-10 verdict's named freshness debt) ---
+    "text_normalize",
+    "curate_global_shuffle",
+    "sketch_bloom_filter",
+    "curate_mixture_weights",
+    "curate_token_budget",
+    "text_oov_rate",
+    "text_bpe_pairs",
+    "sketch_quantile_grid",
+    "emb_pca_power",
+    "tm_snapshot_delta",
+    "stats_ks_test",
+    "stream_quantile_sketch",
+    "dedup_containment",
+    "emb_kmeans",
+    "sim_pq_codes",
+    "stream_ewma",
+    "sim_adc_topk",
+    "cdc_net_effect_compact",
+    "cdc_order_audit",
+    "tm_version_depth",
+    "stream_near_dedup",
+    "stream_scd2_intervals",
+    "sim_knn_graph",
+    "graph_assortativity",
+    "graph_kcore",
+    "stats_spearman",
+    "stats_auc",
+    "stats_gini",
+    # --- 18 §2-critical re-pins from the 49-op r6-green block (incl.
+    #     cdc_type_decode and schema_ddl_replay, whose source files
+    #     changed this round); the remaining r6 ops (tm_asof_snapshot,
+    #     the 3 source roundtrips, and the 27 non-critical rows) are
+    #     the ROUND-12 QUEUE ---
+    "schema_ddl_replay",
+    "cdc_type_decode",
+    "cdc_change_feed",
+    "cdc_changed_cols",
+    "cdc_classify_ops",
+    "cdc_include_exclude",
+    "cdc_json_decode",
+    "cdc_micro_organizer",
+    "cdc_partitioners",
+    "cdc_query_classifier",
+    "cdc_rowkey_salt",
+    "cdc_safe_watermark",
+    "cdc_table_merge",
+    "cdc_txn_group",
+    "cdc_txn_seq",
+    "sink_avro_messages",
+    "stream_timemachine",
+    "tm_cells",
+    # ====== ROUND-12 QUEUE: the r6-green leftovers (oldest evidence
+    #        after this window grades) ======
+    "tm_asof_snapshot",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "corpus_entropy_kl",
+    "corpus_source_overlap",
+    "curate_bloom_decontam",
+    "curate_cell_sample",
+    "curate_dataset_card",
+    "dedup_semantic_cells",
+    "dedup_threshold_sweep",
+    "dq_benford_digits",
+    "emb_cell_balance",
+    "emb_matryoshka_fidelity",
+    "events_interarrival",
+    "events_markov_transitions",
+    "events_peak_concurrency",
+    "events_rfm_segments",
+    "events_top_paths",
+    "multimodal_phash_dedup",
+    "sim_recall_curve",
+    "sketch_theta_ops",
+    "stats_bootstrap_ci",
+    "stats_welch_ttest",
+    "text_bpe_encode",
+    "text_bpe_train",
+    "text_hashing_vectorizer",
+    "ts_autocorrelation",
+    "ts_changepoint",
+    "ts_profile_topk",
+    "ts_seasonality",
+    # ====== previously-verified blocks (green rows on record) ======
     "sim_cosine_topk",
     "sim_ivf_topk",
     "sim_label_separability",
@@ -215,36 +320,6 @@ _PRIORITY = [
     "dq_constraints",
     "entity_match_blocked",
     "text_rolling_hash",
-    # ====== ROUND-11 QUEUE: text_normalize (displaced by the round-10
-    #        addition) + the remaining 27 r5-green re-pins ======
-    "text_normalize",
-    "curate_global_shuffle",
-    "sketch_bloom_filter",
-    "curate_mixture_weights",
-    "curate_token_budget",
-    "text_oov_rate",
-    "text_bpe_pairs",
-    "sketch_quantile_grid",
-    "emb_pca_power",
-    "tm_snapshot_delta",
-    "stats_ks_test",
-    "stream_quantile_sketch",
-    "dedup_containment",
-    "emb_kmeans",
-    "sim_pq_codes",
-    "stream_ewma",
-    "sim_adc_topk",
-    "cdc_net_effect_compact",
-    "cdc_order_audit",
-    "tm_version_depth",
-    "stream_near_dedup",
-    "stream_scd2_intervals",
-    "sim_knn_graph",
-    "graph_assortativity",
-    "graph_kcore",
-    "stats_spearman",
-    "stats_auc",
-    "stats_gini",
     # ====== previously-verified blocks (green rows on record) ======
     "sketch_ams_f2",
     "ts_holt_winters",
@@ -390,60 +465,9 @@ _PRIORITY = [
     "sink_console",
     "sink_kafka_messages",
     "sink_avro_schemas",
-    "schema_history_log",
-    "schema_compat_check",
     "stream_windowed_counts",
     "stream_dedup_exact",
     "stream_txn_assembly",
-    "corpus_source_overlap",
-    "corpus_entropy_kl",
-    "events_markov_transitions",
-    "sketch_theta_ops",
-    "source_jsonl_roundtrip",
-    "source_csv_roundtrip",
-    "source_orc_roundtrip",
-    "events_rfm_segments",
-    "text_hashing_vectorizer",
-    "curate_bloom_decontam",
-    "emb_matryoshka_fidelity",
-    "dq_benford_digits",
-    "text_bpe_train",
-    "stats_welch_ttest",
-    "ts_autocorrelation",
-    "dedup_threshold_sweep",
-    "sim_recall_curve",
-    "multimodal_phash_dedup",
-    "ts_profile_topk",
-    "emb_cell_balance",
-    "ts_seasonality",
-    "events_top_paths",
-    "events_interarrival",
-    "events_peak_concurrency",
-    "curate_dataset_card",
-    "text_bpe_encode",
-    "dedup_semantic_cells",
-    "curate_cell_sample",
-    "stats_bootstrap_ci",
-    "ts_changepoint",
-    "cdc_change_feed",
-    "cdc_classify_ops",
-    "cdc_query_classifier",
-    "cdc_table_merge",
-    "cdc_include_exclude",
-    "cdc_rowkey_salt",
-    "cdc_txn_group",
-    "cdc_txn_seq",
-    "cdc_micro_organizer",
-    "cdc_changed_cols",
-    "cdc_partitioners",
-    "cdc_safe_watermark",
-    "cdc_type_decode",
-    "cdc_json_decode",
-    "tm_cells",
-    "tm_asof_snapshot",
-    "sink_avro_messages",
-    "schema_ddl_replay",
-    "stream_timemachine",
 ]
 
 
@@ -562,6 +586,8 @@ def _load() -> None:
         register(_n, _f, _s)
     register("cdc_type_decode", decode.type_decode_query,
              decode.TYPE_DECODE_SQL)
+    register("cdc_type_decode_compat", decode.type_decode_compat_query,
+             decode.TYPE_DECODE_COMPAT_SQL)
     register("cdc_payload_rowkey", rowkey.payload_rowkey_query,
              rowkey.PAYLOAD_ROWKEY_SQL)
 

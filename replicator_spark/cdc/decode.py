@@ -126,6 +126,90 @@ def encode_by_collation(str_col: Column, collation_col: Column) -> Column:
     return out
 
 
+# ---- binlog-client compatibility modes ------------------------------
+# BinaryLogSupplier.getClient (BinaryLogSupplier.java:113-117) registers
+# CHAR_AND_BINARY_AS_BYTE_ARRAY and DATE_AND_TIME_AS_LONG on the binlog
+# client's EventDeserializer, which changes the raw cell representation
+# MysqlTypeDeserializer.convertToObject receives:
+#  - compat ON (the reference's production config): CHAR/VARCHAR/TEXT
+#    cells arrive as byte[] and are decoded by the column's collation
+#    (MysqlTypeDeserializer.java:85-97); DATETIME/TIMESTAMP cells arrive
+#    as UTC epoch-millis longs, and the decoder subtracts the server
+#    zone's offset AT THAT INSTANT before emitting the adjusted millis
+#    as a string (:131-142, pinned by MysqlTypeDeserializerTest.
+#    testTimestampType: String.valueOf(epochUTC - offset)).
+#  - compat OFF (the binlog client's default): CHAR cells are already
+#    decoded Strings (the collation branch never runs — identity), and
+#    DATETIME cells are materialized Date objects (no long arithmetic).
+#
+# The server zone is modeled as a fixed standard offset plus the EU DST
+# rule (offset +1h from the last Sunday of March 01:00 UTC to the last
+# Sunday of October 01:00 UTC) in pure integer calendar arithmetic, so
+# the instant-dependent offset the reference reads from the JVM zone
+# (ZonedDateTime...getOffset():135-139) is reproducible engine-
+# identically (no ICU dependency on the oracle side).
+
+#: standard (non-DST) offset of the modeled server zone, seconds east
+#: of UTC — Europe/Paris-like (+01:00)
+SERVER_BASE_OFFSET_S = 3600
+
+
+def _last_sunday_epoch_day(year_col: Column, month: int) -> Column:
+    """Epoch day of the last Sunday of `month` (which has 31 days).
+    1970-01-01 was a Thursday, so day-of-week with Sunday=0 is
+    (epoch_day + 4) % 7 — pure integer arithmetic, identical in every
+    engine."""
+    d31 = F.unix_date(F.make_date(year_col, F.lit(month), F.lit(31)))
+    return d31 - (d31 + F.lit(4)) % 7
+
+
+def server_zone_offset_seconds(
+    millis: Column, base_offset_s: int = SERVER_BASE_OFFSET_S
+) -> Column:
+    """The modeled server zone's UTC offset at the instant `millis`
+    (epoch ms): base + 3600 inside the EU DST window of that year.
+    Window edges compared in millis (long — the epoch-day product
+    overflows int32 past 2038, hence the cast before the multiply)."""
+    y = F.year(F.timestamp_millis(millis))
+    dst_start_ms = (
+        _last_sunday_epoch_day(y, 3).cast("long") * 86400 + 3600
+    ) * 1000  # last Sunday of March, 01:00 UTC
+    dst_end_ms = (
+        _last_sunday_epoch_day(y, 10).cast("long") * 86400 + 3600
+    ) * 1000
+    m = millis.cast("long")
+    return F.lit(base_offset_s) + F.when(
+        (m >= dst_start_ms) & (m < dst_end_ms), F.lit(3600)
+    ).otherwise(F.lit(0))
+
+
+def datetime_cell(
+    millis: Column, compat: bool = True,
+    base_offset_s: int = SERVER_BASE_OFFSET_S,
+) -> Column:
+    """DATETIME/TIMESTAMP cell decode. compat=True models
+    DATE_AND_TIME_AS_LONG: the cell is a UTC epoch-millis long and the
+    output is String.valueOf(millis - offset*1000) with the server
+    zone's instant-dependent offset (MysqlTypeDeserializer.java:
+    131-142). compat=False: the client materialized the value already —
+    emit the raw millis unadjusted."""
+    if not compat:
+        return millis.cast("long").cast("string")
+    off = server_zone_offset_seconds(millis, base_offset_s)
+    return (millis.cast("long") - off.cast("long") * 1000).cast("string")
+
+
+def char_cell(
+    cell: Column, collation: Column, compat: bool = True
+) -> Column:
+    """CHAR/VARCHAR/TEXT cell decode. compat=True models
+    CHAR_AND_BINARY_AS_BYTE_ARRAY: the cell is the raw byte[] and must
+    be decoded by the column's collation (latin1 → ISO-8859-1, else
+    UTF-8, MysqlTypeDeserializer.java:85-97). compat=False: the client
+    already decoded the string — identity."""
+    return string_by_collation(cell, collation) if compat else cell
+
+
 _ENUM_LABELS = ("animalia", "plantae")
 _SET_LABELS = ("read", "write", "admin")
 
@@ -204,4 +288,83 @@ SELECT p_partkey,
          + CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 2 END
          AS BIGINT) AS raw_byte_len
 FROM src
+"""
+
+
+def type_decode_compat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compat-mode decode surface over `events`: every row decoded
+    under BOTH client configurations — compat ON (the reference's
+    production registration, BinaryLogSupplier.java:113-117: CHAR as
+    collation-decoded bytes, DATETIME as offset-adjusted epoch-millis
+    string) and compat OFF (the binlog client's defaults: CHAR identity,
+    raw millis). The instant-dependent server-zone offset column proves
+    the DST branch runs against real data (events span the DST window).
+    """
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    collation = F.when(
+        F.col("user_id") % 2 == 0, F.lit("latin1_swedish_ci")
+    ).otherwise(F.lit("utf8mb4_general_ci"))
+    txt = F.concat(F.col("event_type"), F.lit(" é"))
+    ev = (
+        ev.withColumn("millis", F.expr("ts div 1000000"))
+        .withColumn("collation", collation)
+        .withColumn("raw_bytes", encode_by_collation(txt, F.col("collation")))
+    )
+    return ev.select(
+        "event_id",
+        F.col("millis").cast("long").alias("millis"),
+        server_zone_offset_seconds(F.col("millis"))
+        .cast("long")
+        .alias("offset_s"),
+        datetime_cell(F.col("millis"), compat=True).alias("dt_compat"),
+        datetime_cell(F.col("millis"), compat=False).alias("dt_default"),
+        "collation",
+        char_cell(F.col("raw_bytes"), F.col("collation"), compat=True).alias(
+            "char_compat"
+        ),
+        F.length(F.col("raw_bytes")).cast("long").alias("raw_byte_len"),
+        char_cell(txt, F.col("collation"), compat=False).alias(
+            "char_default"
+        ),
+    )
+
+
+TYPE_DECODE_COMPAT_SQL = """
+WITH src AS (
+    SELECT event_id, user_id, event_type, epoch_ms(ts) AS millis
+    FROM events
+), cal AS (
+    SELECT *, year(make_timestamp(millis * 1000)) AS y FROM src
+), win AS (
+    SELECT *,
+        (make_date(y, 3, 31) - DATE '1970-01-01') AS mar31,
+        (make_date(y, 10, 31) - DATE '1970-01-01') AS oct31
+    FROM cal
+), dst AS (
+    SELECT *,
+        (CAST(mar31 - (mar31 + 4) % 7 AS BIGINT) * 86400 + 3600) * 1000
+            AS dst_start_ms,
+        (CAST(oct31 - (oct31 + 4) % 7 AS BIGINT) * 86400 + 3600) * 1000
+            AS dst_end_ms
+    FROM win
+), off AS (
+    SELECT *,
+        3600 + CASE WHEN millis >= dst_start_ms AND millis < dst_end_ms
+                    THEN 3600 ELSE 0 END AS offset_s
+    FROM dst
+)
+SELECT event_id,
+    CAST(millis AS BIGINT) AS millis,
+    CAST(offset_s AS BIGINT) AS offset_s,
+    CAST(millis - CAST(offset_s AS BIGINT) * 1000 AS VARCHAR) AS dt_compat,
+    CAST(millis AS VARCHAR) AS dt_default,
+    CASE WHEN user_id % 2 = 0 THEN 'latin1_swedish_ci'
+         ELSE 'utf8mb4_general_ci' END AS collation,
+    event_type || ' é' AS char_compat,
+    CAST(length(event_type) + 1
+         + CASE WHEN user_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+        AS raw_byte_len,
+    event_type || ' é' AS char_default
+FROM off
 """

@@ -81,6 +81,23 @@ _R_MODIFY_COL = re.compile(r"^modify\s+(?:column\s+)?`?(\w+)`?\s+(\w+)", re.I)
 _R_CHANGE_COL = re.compile(
     r"^change\s+(?:column\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+)", re.I
 )
+# ALTER TABLE ... RENAME [TO|AS] new_table  (a table-rename expressed as
+# an ALTER clause — the reference replays it against real MySQL, so the
+# registry must honor it too; must not shadow RENAME COLUMN below)
+_R_ALTER_RENAME_TO = re.compile(
+    r"^rename\s+(?:to\s+|as\s+)?`?(\w+)`?\s*$", re.I
+)
+# MySQL 8 ALTER TABLE ... RENAME COLUMN old TO new (rename w/o retype)
+_R_RENAME_COL = re.compile(
+    r"^rename\s+column\s+`?(\w+)`?\s+to\s+`?(\w+)`?\s*$", re.I
+)
+# trailing column-position clause: ... FIRST | ... AFTER `col` — affects
+# the ordinal column order the reference's computeTableSchema returns
+# (ActiveSchemaHelpers.computeTableSchema:24-105 orders by
+# ORDINAL_POSITION, which MySQL itself assigns from these clauses)
+_R_POSITION = re.compile(
+    r"\s+(first|after\s+`?(\w+)`?)\s*$", re.I
+)
 _R_TRUNCATE = re.compile(r"^\s*truncate\s+table\s+`?(\w+)`?", re.I)
 # active-schema db-name rewrite (ActiveSchemaHelpers.java:150-171):
 # strip `db.` / `` `db`. `` / leading `USE db;` so DDL applies locally.
@@ -129,6 +146,50 @@ def _pairs_chain(pairs):
     return chain
 
 
+# sentinel: positional insert whose AFTER-anchor column does not exist
+# (MySQL rejects the whole clause; the caller skips it)
+_MISSING_ANCHOR = object()
+
+
+def _insert_positioned(chain, pair, where):
+    """Insert (name, type) at the ordinal position a FIRST / AFTER `col`
+    clause dictates (ActiveSchemaHelpers.computeTableSchema:24-105
+    returns columns in MySQL's ORDINAL_POSITION order, which these
+    clauses reassign). O(cols) rebuild — the rare path; plain ADD stays
+    the O(1) cons."""
+    pairs = _chain_pairs(chain)
+    if where[0] == "first":
+        pairs.insert(0, pair)
+        return _pairs_chain(pairs)
+    anchor = where[1]
+    for i, (fn, _ft) in enumerate(pairs):
+        if fn == anchor:
+            pairs.insert(i + 1, pair)
+            return _pairs_chain(pairs)
+    return _MISSING_ANCHOR
+
+
+def _reposition(pairs, name, where):
+    """Apply an optional FIRST / AFTER position to an already-updated
+    pairs list (MODIFY/CHANGE move the column as well as retyping it).
+    A missing AFTER-anchor leaves the order unchanged (clause-skip
+    semantics handled by the caller's type update already applied —
+    MySQL would reject; order-preserving is the safe approximation)."""
+    if where is None:
+        return _pairs_chain(pairs)
+    moved = [p for p in pairs if p[0] == name]
+    rest = [p for p in pairs if p[0] != name]
+    if not moved:
+        return _pairs_chain(pairs)
+    if where[0] == "first":
+        return _pairs_chain(moved + rest)
+    anchor = where[1]
+    for i, (fn, _ft) in enumerate(rest):
+        if fn == anchor:
+            return _pairs_chain(rest[: i + 1] + moved + rest[i + 1 :])
+    return _pairs_chain(pairs)
+
+
 @dataclass
 class SchemaRegistry:
     """Versioned table-schema registry with DDL replay + history.
@@ -165,21 +226,25 @@ class SchemaRegistry:
             sql = rewrite_active_schema_name(sql, db)
         stmt = sql.strip().rstrip(";")
         before_tables = dict(self.tables)  # shallow: refs only
-        kind, table = self._dispatch(stmt)
+        kind, table, before_key, after_key = self._dispatch(stmt)
         self.version += 1
         row = {
             "version": self.version,
             "kind": kind,
             "table": table,
             "sql": sql,
-            "before_schema": before_tables.get(table),
-            "after_schema": self.tables.get(table),
+            # snapshot keys differ from the label only for renames,
+            # where `table` is the 'old->new' audit string: the before
+            # snapshot is the OLD table's chain and the after snapshot
+            # the NEW table's, so avro_compat sees the real transition
+            "before_schema": before_tables.get(before_key),
+            "after_schema": self.tables.get(after_key),
             "n_tables_after": len(self.tables),
         }
         self.history.append(row)
         return row
 
-    def _dispatch(self, stmt: str) -> tuple[str, str]:
+    def _dispatch(self, stmt: str) -> tuple[str, str, str, str]:
         m = _R_CREATE.match(stmt)
         if m:
             table, cols_src = m.group(1).lower(), m.group(2)
@@ -195,16 +260,17 @@ class SchemaRegistry:
                     )
             self.tables[table] = _pairs_chain(fields)
             self._names[table] = {n for n, _ in fields}
-            return "CREATE_TABLE", table
+            return "CREATE_TABLE", table, table, table
         m = _R_DROP.match(stmt)
         if m:
             table = m.group(1).lower()
             self.tables.pop(table, None)
             self._names.pop(table, None)
-            return "DROP_TABLE", table
+            return "DROP_TABLE", table, table, table
         m = _R_TRUNCATE.match(stmt)
         if m:
-            return "TRUNCATE_TABLE", m.group(1).lower()
+            table = m.group(1).lower()
+            return "TRUNCATE_TABLE", table, table, table
         m = _R_RENAME.match(stmt)
         if m:
             # multi-pair RENAME is atomic in MySQL (the online-schema-
@@ -225,25 +291,56 @@ class SchemaRegistry:
                 if names is not None:
                     self.tables[new.lower()] = chain
                     self._names[new.lower()] = names
-            return "RENAME_TABLE", ",".join(
+            label = ",".join(
                 f"{o.lower()}->{n.lower()}" for o, n in pairs
+            )
+            # snapshot the FIRST pair's transition (old chain → new
+            # chain); a multi-pair swap's other pairs stay auditable
+            # through the label
+            return (
+                "RENAME_TABLE",
+                label,
+                pairs[0][0].lower() if pairs else label,
+                pairs[0][1].lower() if pairs else label,
             )
         m = _R_ALTER.match(stmt)
         if m:
-            table, rest = m.group(1).lower(), m.group(2)
-            if table not in self._names:
-                return "ALTER_UNKNOWN_TABLE", table
+            orig, rest = m.group(1).lower(), m.group(2)
+            if orig not in self._names:
+                return "ALTER_UNKNOWN_TABLE", orig, orig, orig
+            table = orig  # RENAME TO clauses retarget mid-statement
             chain = self.tables[table]
             names = self._names[table]
             for clause in self._split_cols(rest):
                 clause = clause.strip()
+                # peel a trailing FIRST / AFTER `col` position clause;
+                # `where` stays None for the plain (append-at-end) path
+                where = None
+                pm = _R_POSITION.search(clause)
+                if pm and not _R_ALTER_RENAME_TO.match(clause):
+                    where = (
+                        ("first", None)
+                        if pm.group(1).lower() == "first"
+                        else ("after", pm.group(2).lower())
+                    )
+                    clause = clause[: pm.start()]
                 am = _R_ADD_COL.match(clause)
                 if am:
-                    # the hot path: O(1) cons + set probe
                     name, typ = am.group(1).lower(), am.group(2)
-                    if name not in names:
+                    if name in names:
+                        continue  # MySQL rejects duplicate column names
+                    if where is None:
+                        # the hot path: O(1) cons + set probe
                         chain = ((name, _parse_type(typ)), chain)
-                        names.add(name)
+                    else:
+                        chain = _insert_positioned(
+                            chain, (name, _parse_type(typ)), where
+                        )
+                        if chain is _MISSING_ANCHOR:
+                            chain = self.tables[table]
+                            continue  # AFTER a missing column: rejected
+                    names.add(name)
+                    self.tables[table] = chain
                     continue
                 dm = _R_DROP_COL.match(clause)
                 if dm:
@@ -252,16 +349,45 @@ class SchemaRegistry:
                         [p for p in _chain_pairs(chain) if p[0] != name]
                     )
                     names.discard(name)
+                    self.tables[table] = chain
+                    continue
+                rm = _R_RENAME_COL.match(clause)
+                if rm:
+                    old, new = rm.group(1).lower(), rm.group(2).lower()
+                    if old not in names or (new != old and new in names):
+                        continue  # missing source / duplicate target
+                    chain = _pairs_chain(
+                        [
+                            (new, ft) if fn == old else (fn, ft)
+                            for fn, ft in _chain_pairs(chain)
+                        ]
+                    )
+                    names.discard(old)
+                    names.add(new)
+                    self.tables[table] = chain
+                    continue
+                tm = _R_ALTER_RENAME_TO.match(clause)
+                if tm:
+                    new_table = tm.group(1).lower()
+                    if new_table != table and new_table in self._names:
+                        continue  # target table exists: MySQL rejects
+                    self.tables.pop(table, None)
+                    self._names.pop(table, None)
+                    table = new_table
+                    self.tables[table] = chain
+                    self._names[table] = names
                     continue
                 mm = _R_MODIFY_COL.match(clause)
                 if mm:
                     name, typ = mm.group(1).lower(), mm.group(2)
-                    chain = _pairs_chain(
-                        [
-                            (name, _parse_type(typ)) if fn == name else (fn, ft)
-                            for fn, ft in _chain_pairs(chain)
-                        ]
-                    )
+                    if name not in names:
+                        continue
+                    pairs = [
+                        (name, _parse_type(typ)) if fn == name else (fn, ft)
+                        for fn, ft in _chain_pairs(chain)
+                    ]
+                    chain = _reposition(pairs, name, where)
+                    self.tables[table] = chain
                     continue
                 cm = _R_CHANGE_COL.match(clause)
                 if cm:
@@ -270,19 +396,25 @@ class SchemaRegistry:
                         cm.group(2).lower(),
                         cm.group(3),
                     )
-                    chain = _pairs_chain(
-                        [
-                            (new, _parse_type(typ)) if fn == old else (fn, ft)
-                            for fn, ft in _chain_pairs(chain)
-                        ]
-                    )
-                    if old in names:
-                        names.discard(old)
-                        names.add(new)
+                    if old not in names or (new != old and new in names):
+                        # renaming onto an existing column would desync
+                        # the chain from the name set — MySQL rejects it
+                        continue
+                    pairs = [
+                        (new, _parse_type(typ)) if fn == old else (fn, ft)
+                        for fn, ft in _chain_pairs(chain)
+                    ]
+                    chain = _reposition(pairs, new, where)
+                    names.discard(old)
+                    names.add(new)
+                    self.tables[table] = chain
                     continue
-            self.tables[table] = chain
-            return "ALTER_TABLE", table
-        return "UNKNOWN", ""
+            if table == orig:
+                self.tables[table] = chain
+                return "ALTER_TABLE", table, table, table
+            # renamed mid-ALTER: snapshot old chain → new chain
+            return "ALTER_TABLE", f"{orig}->{table}", orig, table
+        return "UNKNOWN", "", "", ""
 
     @staticmethod
     def _split_cols(src: str) -> list[str]:
@@ -563,24 +695,47 @@ HISTORY_OUT_SCHEMA = (
 )
 
 
-def _rebuild_registry(spark: SparkSession, out: str) -> "SchemaRegistry":
+def _committed_epochs(ckpt: str) -> set[int]:
+    """Epoch ids the streaming checkpoint has COMMITTED (one file per
+    epoch under `<ckpt>/commits`, named by the id). An epoch dir under
+    `out` without a commit entry was written but not committed — Spark
+    will re-run it after a kill, so recovery must NOT replay it."""
+    commits_dir = os.path.join(ckpt, "commits")
+    if not os.path.isdir(commits_dir):
+        return set()
+    return {
+        int(f) for f in os.listdir(commits_dir) if f.lstrip("-").isdigit()
+    }
+
+
+def _rebuild_registry(
+    spark: SparkSession, out: str, ckpt: str
+) -> "SchemaRegistry":
     """Reconstruct the active registry from the committed history —
     the ActiveSchemaManager recovery path (it replays the schema-history
     table into the shadow DB on restart). Replaying the recorded SQL
     in version order reproduces the exact chains AND the version
     counter, so a restarted stream continues numbering where the killed
-    lifetime stopped."""
+    lifetime stopped.
+
+    Only epochs present in the checkpoint's commits log are replayed: a
+    crash between the epoch-dir write and the checkpoint commit leaves
+    an orphan (possibly partial) `epoch=<id>` dir that Spark re-runs on
+    restart — replaying it here would double-apply its ALTERs and skew
+    the version counter (round-10 advisor finding). Read failures on a
+    COMMITTED epoch propagate loudly: silently restarting at version 1
+    would corrupt the history."""
     reg = SchemaRegistry()
-    try:
-        hist = (
-            spark.read.parquet(out)
-            .select("version", "sql")
-            .orderBy("version")
-            .collect()
+    committed = _committed_epochs(ckpt)
+    rows: list = []
+    for eid in sorted(committed):
+        edir = os.path.join(out, f"epoch={eid}")
+        if not os.path.isdir(edir):
+            continue  # committed epoch with no DDL rows written
+        rows.extend(
+            spark.read.parquet(edir).select("version", "sql").collect()
         )
-    except Exception:  # first lifetime: nothing committed yet
-        return reg
-    for r in hist:
+    for r in sorted(rows, key=lambda r: r["version"]):
         reg.apply_ddl(r["sql"])
     return reg
 
@@ -601,51 +756,66 @@ def run_ddl_replay_stream(
 
     Restart/retry safety (the property test_restart_recovery pins for
     every stateful op): on a checkpoint resume the registry is REBUILT
-    from the committed history (see _rebuild_registry) so versions
-    continue instead of restarting at 1; each epoch's rows land in
-    their own `epoch=<id>` dir with mode=overwrite so an at-least-once
-    foreachBatch retry overwrites rather than appends; and a retry
-    within one lifetime (registry already mutated) re-emits the memoed
-    rows instead of re-applying the DDLs with fresh version numbers.
+    from the history of COMMITTED epochs only (see _rebuild_registry —
+    an epoch dir written but not yet committed is re-run by Spark, so
+    replaying it during recovery would double-apply its DDLs); each
+    epoch's rows land in their own `epoch=<id>` dir with mode=overwrite
+    so an at-least-once foreachBatch retry overwrites rather than
+    appends; and a retry within one lifetime (registry already mutated)
+    re-emits the memoed rows instead of re-applying the DDLs with fresh
+    version numbers.
+
+    If the stream carries a `sql` column, each row's statement is
+    replayed verbatim (in event_id order) — the path that exercises the
+    reference's hardest DDL choreography, the multi-pair RENAME
+    table-swap of mysql.binlog.test.sql (SURVEY §5.2) plus DROPs.
+    Otherwise rows are (event_id, table_name) and the CREATE+ADD DDLs
+    are synthesized as in the batch twin.
     """
-    reg = _rebuild_registry(spark, out)
+    reg = _rebuild_registry(spark, out, ckpt)
     # tables ever CREATEd — recovery approximation is exact for the
-    # append-only DDL stream (no DROP TABLE in the feed)
+    # synthesized append-only DDL feed (no DROP TABLE there; the
+    # verbatim-sql path never consults it)
     seen: set[str] = set(reg.tables)
+    verbatim = "sql" in ddl_stream.columns
     done: dict = {"epoch": None, "rows": None}
+
+    def emit(h: dict, out_rows: list) -> None:
+        out_rows.append(
+            (
+                h["version"], h["kind"], h["table"], h["sql"],
+                h["n_tables_after"],
+            )
+        )
 
     def replay(batch_df: DataFrame, epoch_id: int) -> None:
         if done["epoch"] == epoch_id:
             out_rows = done["rows"]  # in-lifetime retry: rows memoed
         else:
-            rows = (
-                batch_df.select("event_id", "table_name")
-                .orderBy("event_id")
-                .collect()
-            )
+            cols = ["event_id", "sql"] if verbatim else [
+                "event_id", "table_name"
+            ]
+            rows = batch_df.select(*cols).orderBy("event_id").collect()
             out_rows = []
             for r in rows:
+                if verbatim:
+                    emit(reg.apply_ddl(r["sql"]), out_rows)
+                    continue
                 t = r["table_name"].lower()
                 if t not in seen:
-                    h = reg.apply_ddl(
-                        f"CREATE TABLE {t} "
-                        "(user_id bigint, value double, props json)"
-                    )
-                    out_rows.append(
-                        (
-                            h["version"], h["kind"], h["table"], h["sql"],
-                            h["n_tables_after"],
-                        )
+                    emit(
+                        reg.apply_ddl(
+                            f"CREATE TABLE {t} "
+                            "(user_id bigint, value double, props json)"
+                        ),
+                        out_rows,
                     )
                     seen.add(t)
-                h = reg.apply_ddl(
-                    f"ALTER TABLE {t} ADD COLUMN c{r['event_id']} int"
-                )
-                out_rows.append(
-                    (
-                        h["version"], h["kind"], h["table"], h["sql"],
-                        h["n_tables_after"],
-                    )
+                emit(
+                    reg.apply_ddl(
+                        f"ALTER TABLE {t} ADD COLUMN c{r['event_id']} int"
+                    ),
+                    out_rows,
                 )
             done["epoch"], done["rows"] = epoch_id, out_rows
         spark.createDataFrame(out_rows, HISTORY_OUT_SCHEMA).write.mode(

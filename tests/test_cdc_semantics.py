@@ -511,3 +511,358 @@ def test_registry_drop_and_truncate():
     # ALTER after DROP is classified, not crashed
     row = reg.apply_ddl("ALTER TABLE t ADD COLUMN x int")
     assert row["kind"] == "ALTER_UNKNOWN_TABLE"
+
+
+def test_registry_positional_clauses():
+    """ADD COLUMN ... FIRST / AFTER col, MODIFY/CHANGE with position,
+    RENAME COLUMN, and ALTER ... RENAME TO — the reference replays DDL
+    against real MySQL, so computeTableSchema (ActiveSchemaHelpers.java:
+    24-105, ORDINAL_POSITION order) reflects these clauses; the
+    interpreter must reproduce that ordinal column order."""
+    from replicator_spark.streaming.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE t (a int, b int, c int)")
+    reg.apply_ddl("ALTER TABLE t ADD COLUMN z int FIRST")
+    assert [f.name for f in reg.get("t").fields] == ["z", "a", "b", "c"]
+    reg.apply_ddl("ALTER TABLE t ADD COLUMN m int AFTER a")
+    assert [f.name for f in reg.get("t").fields] == ["z", "a", "m", "b", "c"]
+    # AFTER a missing column: clause rejected, order unchanged
+    reg.apply_ddl("ALTER TABLE t ADD COLUMN q int AFTER nope")
+    assert [f.name for f in reg.get("t").fields] == ["z", "a", "m", "b", "c"]
+    assert reg.n_columns("t") == 5
+    # MODIFY moves as well as retypes
+    reg.apply_ddl("ALTER TABLE t MODIFY COLUMN c bigint FIRST")
+    assert [f.name for f in reg.get("t").fields] == ["c", "z", "a", "m", "b"]
+    assert reg.get("t")["c"].dataType.typeName() == "long"
+    # CHANGE renames, retypes and repositions in one clause
+    reg.apply_ddl("ALTER TABLE t CHANGE COLUMN b bb varchar AFTER c")
+    assert [f.name for f in reg.get("t").fields] == ["c", "bb", "z", "a", "m"]
+    # MySQL 8 RENAME COLUMN (no retype)
+    reg.apply_ddl("ALTER TABLE t RENAME COLUMN m TO mm")
+    assert [f.name for f in reg.get("t").fields] == ["c", "bb", "z", "a", "mm"]
+    # RENAME-TO-as-ALTER: table moves, later statements see the new name
+    row = reg.apply_ddl("ALTER TABLE t ADD COLUMN w int, RENAME TO t2")
+    assert row["kind"] == "ALTER_TABLE" and row["table"] == "t->t2"
+    assert reg.get("t") is None
+    assert [f.name for f in reg.get("t2").fields] == [
+        "c", "bb", "z", "a", "mm", "w",
+    ]
+    # the rename row's snapshots bridge old name -> new name
+    assert row["before_schema"] is not None
+    assert row["after_schema"] is not None
+
+
+def test_registry_change_to_existing_name_is_rejected():
+    """CHANGE/RENAME COLUMN onto an already-existing column name would
+    desync the chain from the name set (duplicate column in the chain,
+    deduped set) — MySQL rejects the statement; the interpreter skips
+    the clause (round-10 advisor finding)."""
+    from replicator_spark.streaming.registry import SchemaRegistry, _chain_pairs
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE t (a int, b int)")
+    reg.apply_ddl("ALTER TABLE t CHANGE COLUMN a b bigint")
+    pairs = _chain_pairs(reg.tables["t"])
+    assert [n for n, _ in pairs] == ["a", "b"]
+    assert reg.n_columns("t") == len(pairs) == 2
+    reg.apply_ddl("ALTER TABLE t RENAME COLUMN a TO b")
+    assert [n for n, _ in _chain_pairs(reg.tables["t"])] == ["a", "b"]
+    # ALTER ... RENAME TO an existing table is likewise rejected
+    reg.apply_ddl("CREATE TABLE u (x int)")
+    reg.apply_ddl("ALTER TABLE u RENAME TO t")
+    assert reg.get("u") is not None and reg.n_columns("t") == 2
+
+
+def test_registry_rename_row_snapshots_real_transition():
+    """A RENAME TABLE history row's before/after snapshots must carry
+    the OLD table's chain and the NEW table's chain (round-10 advisor:
+    the 'old->new' label made both lookups miss, recording None and
+    letting avro_compat misreport a rename as a first registration)."""
+    from replicator_spark.streaming.registry import (
+        SchemaRegistry,
+        _chain_pairs,
+        avro_compat,
+    )
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE t (a int, b varchar)")
+    row = reg.apply_ddl("RENAME TABLE t TO t2")
+    assert row["before_schema"] is not None
+    assert row["after_schema"] is not None
+    # a rename moves the chain unchanged: same cells, COMPATIBLE verdict
+    assert row["after_schema"] is row["before_schema"]
+    assert [n for n, _ in _chain_pairs(row["after_schema"])] == ["a", "b"]
+    assert avro_compat(row["before_schema"], row["after_schema"]) == (
+        "COMPATIBLE"
+    )
+
+
+class _ModelRegistry:
+    """Dict/list-based reference model of the DDL interpreter's ordinal
+    column-order contract (ActiveSchemaHelpers.computeTableSchema:24-105)
+    — the independent spec the property test checks the chain
+    implementation against. Skip rules mirror MySQL's statement
+    rejections: duplicate column names, missing AFTER anchors, missing
+    sources, and clashing table renames are no-ops."""
+
+    def __init__(self):
+        self.tables: dict[str, list] = {}  # table -> [(name, type_str)]
+
+    def create(self, t, cols):
+        self.tables[t] = list(cols)
+
+    def drop(self, t):
+        self.tables.pop(t, None)
+
+    def rename_tables(self, pairs):
+        staged = {o: self.tables.get(o) for o, _ in pairs}
+        for o, _ in pairs:
+            self.tables.pop(o, None)
+        for o, n in pairs:
+            if staged[o] is not None:
+                self.tables[n] = staged[o]
+
+    def _names(self, t):
+        return [n for n, _ in self.tables[t]]
+
+    def alter(self, t, clauses):
+        if t not in self.tables:
+            return
+        for cl in clauses:
+            op = cl[0]
+            cols = self.tables[t]
+            if op == "add":
+                _, name, typ, pos = cl
+                if name in self._names(t):
+                    continue
+                if pos is None:
+                    cols.append((name, typ))
+                elif pos == ("first", None):
+                    cols.insert(0, (name, typ))
+                elif pos[1] in self._names(t):
+                    cols.insert(
+                        self._names(t).index(pos[1]) + 1, (name, typ)
+                    )
+            elif op == "dropcol":
+                self.tables[t] = [p for p in cols if p[0] != cl[1]]
+            elif op in ("modify", "change"):
+                if op == "modify":
+                    _, old, typ, pos = cl
+                    new = old
+                else:
+                    _, old, new, typ, pos = cl
+                if old not in self._names(t) or (
+                    new != old and new in self._names(t)
+                ):
+                    continue
+                cols = [(new, typ) if n == old else (n, ty) for n, ty in cols]
+                if pos is not None:
+                    moved = [p for p in cols if p[0] == new]
+                    rest = [p for p in cols if p[0] != new]
+                    if pos == ("first", None):
+                        cols = moved + rest
+                    elif any(n == pos[1] for n, _ in rest):
+                        i = [n for n, _ in rest].index(pos[1])
+                        cols = rest[: i + 1] + moved + rest[i + 1 :]
+                self.tables[t] = cols
+            elif op == "renamecol":
+                _, old, new = cl
+                if old not in self._names(t) or (
+                    new != old and new in self._names(t)
+                ):
+                    continue
+                self.tables[t] = [
+                    (new, ty) if n == old else (n, ty) for n, ty in cols
+                ]
+            elif op == "renameto":
+                new_t = cl[1]
+                if new_t != t and new_t in self.tables:
+                    continue
+                self.tables[new_t] = self.tables.pop(t)
+                t = new_t
+
+
+def test_registry_ddl_property_random_clause_sequences():
+    """Property test (round-10 verdict task #3): random DDL clause
+    sequences — ADD [FIRST|AFTER], DROP, MODIFY/CHANGE [with position],
+    RENAME COLUMN, RENAME TO, table RENAME/DROP — replayed through the
+    chain-based SchemaRegistry must match the list-based model table-
+    for-table and column-for-column (names, order, types), with the
+    _names set never desyncing from the materialized chain."""
+    import random
+
+    from replicator_spark.streaming.registry import (
+        SchemaRegistry,
+        _chain_pairs,
+        _parse_type,
+    )
+
+    types = ["int", "bigint", "varchar", "double", "datetime"]
+    for seed in range(8):
+        rng = random.Random(1000 + seed)
+        reg = SchemaRegistry()
+        model = _ModelRegistry()
+        live = []  # table names ever referenced (incl. dropped/missing)
+        for i in range(4):
+            t = f"t{i}"
+            cols = [(f"c{j}", rng.choice(types)) for j in range(3)]
+            reg.apply_ddl(
+                f"CREATE TABLE {t} ("
+                + ", ".join(f"{n} {ty}" for n, ty in cols)
+                + ")"
+            )
+            model.create(t, cols)
+            live.append(t)
+
+        def rand_col(rng):
+            # mostly-existing names plus deliberate misses/duplicates
+            return f"c{rng.randrange(8)}"
+
+        for step in range(120):
+            t = rng.choice(live)
+            roll = rng.random()
+            if roll < 0.70:
+                clauses, texts = [], []
+                for _ in range(rng.randrange(1, 4)):
+                    kind = rng.randrange(6)
+                    pos = rng.choice(
+                        [None, None, ("first", None), ("after", rand_col(rng))]
+                    )
+                    post = (
+                        ""
+                        if pos is None
+                        else (" FIRST" if pos[0] == "first"
+                              else f" AFTER {pos[1]}")
+                    )
+                    if kind == 0:
+                        n, ty = rand_col(rng), rng.choice(types)
+                        clauses.append(("add", n, ty, pos))
+                        texts.append(f"ADD COLUMN {n} {ty}{post}")
+                    elif kind == 1:
+                        n = rand_col(rng)
+                        clauses.append(("dropcol", n))
+                        texts.append(f"DROP COLUMN {n}")
+                    elif kind == 2:
+                        n, ty = rand_col(rng), rng.choice(types)
+                        clauses.append(("modify", n, ty, pos))
+                        texts.append(f"MODIFY COLUMN {n} {ty}{post}")
+                    elif kind == 3:
+                        o, n, ty = rand_col(rng), rand_col(rng), rng.choice(types)
+                        clauses.append(("change", o, n, ty, pos))
+                        texts.append(f"CHANGE COLUMN {o} {n} {ty}{post}")
+                    elif kind == 4:
+                        o, n = rand_col(rng), rand_col(rng)
+                        clauses.append(("renamecol", o, n))
+                        texts.append(f"RENAME COLUMN {o} TO {n}")
+                    else:
+                        n = f"t{rng.randrange(6)}"
+                        clauses.append(("renameto", n))
+                        texts.append(f"RENAME TO {n}")
+                        if n not in live:
+                            live.append(n)
+                reg.apply_ddl(f"ALTER TABLE {t} " + ", ".join(texts))
+                model.alter(t, clauses)
+            elif roll < 0.85:
+                o, n = t, f"t{rng.randrange(6)}"
+                if n in model.tables:
+                    continue  # RENAME TABLE to an existing name: invalid
+                reg.apply_ddl(f"RENAME TABLE {o} TO {n}")
+                model.rename_tables([(o, n)])
+                if n not in live:
+                    live.append(n)
+            elif roll < 0.95:
+                reg.apply_ddl(f"DROP TABLE {t}")
+                model.drop(t)
+            else:
+                cols = [(f"c{j}", rng.choice(types)) for j in range(2)]
+                reg.apply_ddl(
+                    f"CREATE TABLE {t} ("
+                    + ", ".join(f"{n} {ty}" for n, ty in cols)
+                    + ")"
+                )
+                model.create(t, cols)
+            # full-state comparison after every statement
+            assert set(reg.tables) == set(model.tables), f"seed {seed} step {step}"
+            for mt, mcols in model.tables.items():
+                got = _chain_pairs(reg.tables[mt])
+                want = [(n, _parse_type(ty)) for n, ty in mcols]
+                assert got == want, f"seed {seed} step {step} table {mt}"
+                assert reg._names[mt] == {n for n, _ in mcols}
+                assert reg.n_columns(mt) == len(mcols)
+
+
+def test_compat_mode_datetime_offset_adjustment(spark):
+    """DATE_AND_TIME_AS_LONG decode mirrors MysqlTypeDeserializerTest.
+    testTimestampType: the output is String.valueOf(epochUTC -
+    offset_at_instant * 1000), with the modeled server zone's offset
+    instant-dependent (MysqlTypeDeserializer.java:131-142). The test
+    epoch 1548982800000 (2019-01-31, winter) takes the base offset;
+    a July instant takes base+DST; the DST edges flip EXACTLY at the
+    last Sunday of March / October 01:00 UTC."""
+    from replicator_spark.cdc.decode import (
+        datetime_cell,
+        server_zone_offset_seconds,
+    )
+
+    # 2019: last Sunday of March = 2019-03-31, of October = 2019-10-27
+    mar_edge = 1553994000000  # 2019-03-31T01:00:00Z
+    oct_edge = 1572138000000  # 2019-10-27T01:00:00Z
+    cases = [
+        (1548982800000, 3600),   # testTimestampType's winter instant
+        (1563000000000, 7200),   # July: DST
+        (mar_edge - 1, 3600),    # one ms before the spring-forward
+        (mar_edge, 7200),        # the edge itself is DST
+        (oct_edge - 1, 7200),    # one ms before the fall-back
+        (oct_edge, 3600),        # back to standard time
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, ms=ms) for i, (ms, _) in enumerate(cases)]
+    )
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            server_zone_offset_seconds(F.col("ms")).alias("off"),
+            datetime_cell(F.col("ms"), compat=True).alias("dt"),
+            datetime_cell(F.col("ms"), compat=False).alias("raw"),
+        ).collect()
+    }
+    for i, (ms, off) in enumerate(cases):
+        assert got[i]["off"] == off, (i, ms)
+        # the reference's exact output: String.valueOf(ms - offset*1000)
+        assert got[i]["dt"] == str(ms - off * 1000), (i, ms)
+        # compat OFF: raw millis, no offset arithmetic
+        assert got[i]["raw"] == str(ms)
+
+
+def test_compat_mode_char_as_byte_array(spark):
+    """CHAR_AND_BINARY_AS_BYTE_ARRAY decode mirrors
+    MysqlTypeDeserializerTest.testCharTypeLatinCharacterSet /
+    ...Utf8CharacterSet: the byte[] {111,114,97,110,103,101} decodes to
+    'orange' under both charsets, while 0xE9 is 'é' only under latin1;
+    compat OFF passes the already-decoded string through unchanged."""
+    from replicator_spark.cdc.decode import char_cell
+
+    rows = [
+        Row(i=0, b=bytearray([111, 114, 97, 110, 103, 101]),
+            coll="latin1_swedish_ci", s="orange"),
+        Row(i=1, b=bytearray([111, 114, 97, 110, 103, 101]),
+            coll="utf8mb4_general_ci", s="orange"),
+        Row(i=2, b=bytearray([0xE9]), coll="latin1_swedish_ci", s="é"),
+        Row(i=3, b=bytearray([0xC3, 0xA9]), coll="utf8mb4_general_ci",
+            s="é"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            char_cell(F.col("b"), F.col("coll"), compat=True).alias("dec"),
+            char_cell(F.col("s"), F.col("coll"), compat=False).alias("ident"),
+        ).collect()
+    }
+    assert got[0]["dec"] == "orange" and got[1]["dec"] == "orange"
+    assert got[2]["dec"] == "é" and got[3]["dec"] == "é"
+    for i in range(4):
+        assert got[i]["ident"] == rows[i].s

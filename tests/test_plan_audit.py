@@ -339,6 +339,8 @@ _SCAN_CEILINGS = {
     # per-(doc,bucket) agg (the old raw/tgt/tot ran three passes)
     "curate_dsir_weights": 1,
     "curate_dsir_sample": 2,
+    # round-11 addition: one events pass, all map-side expressions
+    "cdc_type_decode_compat": 1,
 }
 
 

@@ -580,3 +580,147 @@ def test_ddl_replay_restart_continues_versions(spark, sf_dir, chunks, tmp_path):
     want = schema_history_query(spark, sf_dir)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_ddl_replay_verbatim_rename_drop_restart(spark, tmp_path):
+    """The streaming DDL replay must survive a kill that SPANS the
+    reference's hardest DDL choreography — the multi-pair RENAME
+    table-swap of mysql.binlog.test.sql (SURVEY §5.2) — plus DROP and
+    RENAME-TO-as-ALTER: lifetime 1 drains the CREATE/ADD prelude AND
+    the atomic swap, dies, and lifetime 2 (registry rebuilt from the
+    committed history only) must apply DROP/positional-ADD/RENAME TO
+    against the post-swap state with version numbering continuing."""
+    import pandas as pd
+
+    from replicator_spark.session import prep
+    from replicator_spark.streaming.registry import (
+        SchemaRegistry,
+        run_ddl_replay_stream,
+    )
+
+    prep(spark)
+    chunks = [
+        [
+            "CREATE TABLE users (id bigint, name varchar)",
+            "ALTER TABLE users ADD COLUMN email varchar",
+            "CREATE TABLE users_new (id bigint, name varchar, "
+            "email varchar, age int)",
+        ],
+        [
+            # the online-schema-change atomic swap
+            "RENAME TABLE users TO users_old, users_new TO users",
+            "ALTER TABLE users ADD COLUMN city varchar AFTER name",
+        ],
+        [
+            "DROP TABLE users_old",
+            "ALTER TABLE users MODIFY COLUMN age bigint FIRST",
+            "ALTER TABLE users RENAME TO members",
+        ],
+    ]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    eid = 0
+
+    def stage(idx):
+        nonlocal eid
+        rows = []
+        for s in chunks[idx]:
+            rows.append((eid, s))
+            eid += 1
+        pdf = pd.DataFrame(rows, columns=["event_id", "sql"])
+        dst = os.path.join(src, f"{idx:03d}.parquet")
+        pdf.to_parquet(dst)
+        t = time.time() + idx * 10
+        os.utime(dst, (t, t))
+
+    def one_run():
+        stream = (
+            spark.readStream.schema("event_id long, sql string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return run_ddl_replay_stream(spark, stream, out, ckpt)
+
+    stage(0)
+    stage(1)
+    reg1 = one_run()  # lifetime 1 drains the prelude + the swap, dies
+    assert [f.name for f in reg1.get("users").fields] == [
+        "id", "name", "city", "email", "age",
+    ]
+    stage(2)
+    reg2 = one_run()  # lifetime 2: rebuilt registry, post-swap state
+
+    # final state: swap survivor renamed to members, old table dropped
+    assert reg2.get("users") is None and reg2.get("users_old") is None
+    assert [f.name for f in reg2.get("members").fields] == [
+        "age", "id", "name", "city", "email",
+    ]
+    # the rebuilt registry replayed the SAME statements a batch twin
+    # sees: chains, names and version counter all equal
+    batch = SchemaRegistry()
+    for c in chunks:
+        for s in c:
+            batch.apply_ddl(s)
+    assert {t: reg2.get(t) for t in reg2.tables} == {
+        t: batch.get(t) for t in batch.tables
+    }
+    n_stmts = sum(len(c) for c in chunks)
+    assert reg2.version == batch.version == n_stmts
+    # history on disk: versions exactly 1..n across both lifetimes,
+    # every statement emitted exactly once (no replay, no loss)
+    hist = spark.read.parquet(out)
+    vs = sorted(r["version"] for r in hist.select("version").collect())
+    assert vs == list(range(1, n_stmts + 1))
+    kinds = {
+        r["version"]: r["kind"]
+        for r in hist.select("version", "kind").collect()
+    }
+    assert kinds[4] == "RENAME_TABLE"
+    assert kinds[6] == "DROP_TABLE"
+    assert kinds[8] == "ALTER_TABLE"  # the RENAME-TO-as-ALTER
+
+
+def test_ddl_rebuild_ignores_uncommitted_epoch(spark, tmp_path):
+    """_rebuild_registry must replay ONLY epochs the streaming
+    checkpoint committed (round-10 advisor, medium): an `epoch=<id>`
+    dir written just before a crash — no commits-log entry — is re-run
+    by Spark on restart, so replaying it during recovery would
+    double-apply its ALTERs (version drift, re-numbered overwrites
+    losing CREATE rows)."""
+    from replicator_spark.streaming.registry import (
+        HISTORY_OUT_SCHEMA,
+        SchemaRegistry,
+        _rebuild_registry,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    reg = SchemaRegistry()
+    rows_by_epoch = {0: [], 1: []}
+    for epoch, sqls in (
+        (0, ["CREATE TABLE t (a int)", "ALTER TABLE t ADD COLUMN b int"]),
+        (1, ["ALTER TABLE t ADD COLUMN c int"]),
+    ):
+        for s in sqls:
+            h = reg.apply_ddl(s)
+            rows_by_epoch[epoch].append(
+                (h["version"], h["kind"], h["table"], h["sql"],
+                 h["n_tables_after"])
+            )
+        spark.createDataFrame(
+            rows_by_epoch[epoch], HISTORY_OUT_SCHEMA
+        ).write.mode("overwrite").parquet(os.path.join(out, f"epoch={epoch}"))
+    # commit only epoch 0 — epoch 1's dir is the crash orphan
+    os.makedirs(os.path.join(ckpt, "commits"), exist_ok=True)
+    with open(os.path.join(ckpt, "commits", "0"), "w") as f:
+        f.write("v1\n{}")
+
+    rebuilt = _rebuild_registry(spark, out, ckpt)
+    assert rebuilt.version == 2  # epoch 1's ALTER NOT replayed
+    assert [f.name for f in rebuilt.get("t").fields] == ["a", "b"]
+
+    # and with no commits log at all (true first lifetime): empty
+    fresh = _rebuild_registry(spark, out, str(tmp_path / "ckpt2"))
+    assert fresh.version == 0 and fresh.tables == {}
