@@ -327,6 +327,11 @@ class SchemaRegistry:
                 am = _R_ADD_COL.match(clause)
                 if am:
                     name, typ = am.group(1).lower(), am.group(2)
+                    if name in (
+                        "index", "key", "constraint", "unique",
+                        "fulltext", "spatial", "primary", "foreign",
+                    ):
+                        continue  # ADD INDEX/KEY/... is not a column
                     if name in names:
                         continue  # MySQL rejects duplicate column names
                     if where is None:

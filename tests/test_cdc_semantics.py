@@ -866,3 +866,18 @@ def test_compat_mode_char_as_byte_array(spark):
     assert got[2]["dec"] == "é" and got[3]["dec"] == "é"
     for i in range(4):
         assert got[i]["ident"] == rows[i].s
+
+
+def test_registry_add_index_is_not_a_column():
+    """ALTER TABLE ... ADD INDEX/KEY/UNIQUE/PRIMARY KEY clauses define
+    constraints, not columns (mirrors the CREATE-branch keyword skip) —
+    they must not materialize phantom columns named 'index'/'key'."""
+    from replicator_spark.streaming.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE t (a int, b int)")
+    reg.apply_ddl(
+        "ALTER TABLE t ADD INDEX idx_a (a), ADD UNIQUE KEY uk (b), "
+        "ADD PRIMARY KEY (a), ADD COLUMN c int"
+    )
+    assert [f.name for f in reg.get("t").fields] == ["a", "b", "c"]
