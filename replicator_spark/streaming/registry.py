@@ -250,13 +250,18 @@ class SchemaRegistry:
             table, cols_src = m.group(1).lower(), m.group(2)
             fields = []
             for coldef in self._split_cols(cols_src):
-                cm = re.match(r"^\s*`?(\w+)`?\s+(\w+)", coldef)
-                if cm and cm.group(1).lower() not in (
-                    "primary", "unique", "key", "index", "constraint",
-                    "foreign",
+                cm = re.match(r"^\s*(`?)(\w+)`?\s+(\w+)", coldef)
+                # a BACKTICKED name is always a column, even when it
+                # collides with a constraint keyword (`key`, `index`)
+                if cm and (
+                    cm.group(1) == "`"
+                    or cm.group(2).lower() not in (
+                        "primary", "unique", "key", "index",
+                        "constraint", "foreign",
+                    )
                 ):
                     fields.append(
-                        (cm.group(1).lower(), _parse_type(cm.group(2)))
+                        (cm.group(2).lower(), _parse_type(cm.group(3)))
                     )
             self.tables[table] = _pairs_chain(fields)
             self._names[table] = {n for n, _ in fields}
@@ -273,36 +278,35 @@ class SchemaRegistry:
             return "TRUNCATE_TABLE", table, table, table
         m = _R_RENAME.match(stmt)
         if m:
-            # multi-pair RENAME is atomic in MySQL (the online-schema-
-            # change swap of FIXTURES F3) — stage all reads first.
-            pairs = _R_RENAME_PAIR.findall(m.group(1))
-            staged = {
-                old.lower(): (
-                    self.tables.get(old.lower()),
-                    self._names.get(old.lower()),
-                )
-                for old, _ in pairs
-            }
-            for old, _ in pairs:
-                self.tables.pop(old.lower(), None)
-                self._names.pop(old.lower(), None)
+            # multi-pair RENAME is atomic in MySQL: the pairs apply
+            # LEFT TO RIGHT (the online-schema-change swap of FIXTURES
+            # F3 works because each pair frees its name before the next
+            # takes it), and if ANY step's source is missing or target
+            # occupied, the WHOLE statement errors and nothing moves —
+            # silently clobbering the target's schema would corrupt
+            # every later decode against it.
+            pairs = [
+                (o.lower(), n.lower())
+                for o, n in _R_RENAME_PAIR.findall(m.group(1))
+            ]
+            label = ",".join(f"{o}->{n}" for o, n in pairs)
+            work_t = dict(self.tables)
+            work_n = dict(self._names)
+            ok = bool(pairs)
             for old, new in pairs:
-                chain, names = staged[old.lower()]
-                if names is not None:
-                    self.tables[new.lower()] = chain
-                    self._names[new.lower()] = names
-            label = ",".join(
-                f"{o.lower()}->{n.lower()}" for o, n in pairs
-            )
+                if old not in work_n or (new != old and new in work_n):
+                    ok = False
+                    break
+                work_t[new] = work_t.pop(old)
+                work_n[new] = work_n.pop(old)
+            if not ok:
+                return "RENAME_REJECTED", label, label, label
+            self.tables = work_t
+            self._names = work_n
             # snapshot the FIRST pair's transition (old chain → new
             # chain); a multi-pair swap's other pairs stay auditable
             # through the label
-            return (
-                "RENAME_TABLE",
-                label,
-                pairs[0][0].lower() if pairs else label,
-                pairs[0][1].lower() if pairs else label,
-            )
+            return "RENAME_TABLE", label, pairs[0][0], pairs[0][1]
         m = _R_ALTER.match(stmt)
         if m:
             orig, rest = m.group(1).lower(), m.group(2)
@@ -313,11 +317,14 @@ class SchemaRegistry:
             names = self._names[table]
             for clause in self._split_cols(rest):
                 clause = clause.strip()
-                # peel a trailing FIRST / AFTER `col` position clause;
-                # `where` stays None for the plain (append-at-end) path
+                # peel a trailing FIRST / AFTER `col` position clause —
+                # only on the clause kinds that can legally carry one
+                # (ADD/MODIFY/CHANGE); FIRST is not reserved in MySQL,
+                # so a column named `first` at the end of a DROP or
+                # RENAME COLUMN clause must not be eaten as a position
                 where = None
                 pm = _R_POSITION.search(clause)
-                if pm and not _R_ALTER_RENAME_TO.match(clause):
+                if pm and re.match(r"^(add|modify|change)\b", clause, re.I):
                     where = (
                         ("first", None)
                         if pm.group(1).lower() == "first"
@@ -350,6 +357,17 @@ class SchemaRegistry:
                 dm = _R_DROP_COL.match(clause)
                 if dm:
                     name = dm.group(1).lower()
+                    if name in (
+                        "index", "key", "primary", "foreign",
+                        "constraint", "check", "partition",
+                    ) and not re.match(
+                        r"^drop\s+(?:column\b|`)", clause, re.I
+                    ):
+                        # DROP INDEX/KEY/PRIMARY KEY/... drops a
+                        # constraint, not a column; only the explicit
+                        # DROP COLUMN form (or a backticked name)
+                        # targets a column sharing the keyword's name
+                        continue
                     chain = _pairs_chain(
                         [p for p in _chain_pairs(chain) if p[0] != name]
                     )
@@ -700,17 +718,32 @@ HISTORY_OUT_SCHEMA = (
 )
 
 
-def _committed_epochs(ckpt: str) -> set[int]:
+def _fs_list(spark: SparkSession, path: str, child: str = "") -> Optional[list]:
+    """Child names of `path[/child]` via the Hadoop FileSystem API, so
+    the recovery path works for file://, hdfs:// and s3a:// locations
+    alike (os.listdir on a non-local checkpoint would silently see
+    nothing — the exact restart-at-version-1 corruption recovery must
+    never produce). Returns None if the directory does not exist; any
+    other failure propagates loudly."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    if child:
+        hpath = jvm.org.apache.hadoop.fs.Path(hpath, child)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    return [s.getPath().getName() for s in fs.listStatus(hpath)]
+
+
+def _committed_epochs(spark: SparkSession, ckpt: str) -> set[int]:
     """Epoch ids the streaming checkpoint has COMMITTED (one file per
     epoch under `<ckpt>/commits`, named by the id). An epoch dir under
     `out` without a commit entry was written but not committed — Spark
     will re-run it after a kill, so recovery must NOT replay it."""
-    commits_dir = os.path.join(ckpt, "commits")
-    if not os.path.isdir(commits_dir):
+    names = _fs_list(spark, ckpt, "commits")
+    if names is None:
         return set()
-    return {
-        int(f) for f in os.listdir(commits_dir) if f.lstrip("-").isdigit()
-    }
+    return {int(f) for f in names if f.lstrip("-").isdigit()}
 
 
 def _rebuild_registry(
@@ -727,19 +760,24 @@ def _rebuild_registry(
     crash between the epoch-dir write and the checkpoint commit leaves
     an orphan (possibly partial) `epoch=<id>` dir that Spark re-runs on
     restart — replaying it here would double-apply its ALTERs and skew
-    the version counter (round-10 advisor finding). Read failures on a
-    COMMITTED epoch propagate loudly: silently restarting at version 1
-    would corrupt the history."""
+    the version counter (round-10 advisor finding). All committed epoch
+    dirs are read in ONE multi-path Spark job (DDL history is tiny; the
+    fixed per-job overhead, not the rows, is the cost). Read failures
+    on a COMMITTED epoch propagate loudly: silently restarting at
+    version 1 would corrupt the history."""
     reg = SchemaRegistry()
-    committed = _committed_epochs(ckpt)
-    rows: list = []
-    for eid in sorted(committed):
-        edir = os.path.join(out, f"epoch={eid}")
-        if not os.path.isdir(edir):
-            continue  # committed epoch with no DDL rows written
-        rows.extend(
-            spark.read.parquet(edir).select("version", "sql").collect()
-        )
+    committed = _committed_epochs(spark, ckpt)
+    if not committed:
+        return reg
+    children = set(_fs_list(spark, out) or ())
+    dirs = [
+        f"{out}/epoch={eid}"
+        for eid in sorted(committed)
+        if f"epoch={eid}" in children  # committed epoch, rows written
+    ]
+    if not dirs:
+        return reg
+    rows = spark.read.parquet(*dirs).select("version", "sql").collect()
     for r in sorted(rows, key=lambda r: r["version"]):
         reg.apply_ddl(r["sql"])
     return reg

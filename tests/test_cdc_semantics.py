@@ -616,12 +616,14 @@ class _ModelRegistry:
         self.tables.pop(t, None)
 
     def rename_tables(self, pairs):
-        staged = {o: self.tables.get(o) for o, _ in pairs}
-        for o, _ in pairs:
-            self.tables.pop(o, None)
+        # MySQL atomicity: pairs apply left-to-right; a missing source
+        # or occupied target rejects the WHOLE statement (nothing moves)
+        work = dict(self.tables)
         for o, n in pairs:
-            if staged[o] is not None:
-                self.tables[n] = staged[o]
+            if o not in work or (n != o and n in work):
+                return
+            work[n] = work.pop(o)
+        self.tables = work
 
     def _names(self, t):
         return [n for n, _ in self.tables[t]]
@@ -764,13 +766,21 @@ def test_registry_ddl_property_random_clause_sequences():
                 reg.apply_ddl(f"ALTER TABLE {t} " + ", ".join(texts))
                 model.alter(t, clauses)
             elif roll < 0.85:
-                o, n = t, f"t{rng.randrange(6)}"
-                if n in model.tables:
-                    continue  # RENAME TABLE to an existing name: invalid
-                reg.apply_ddl(f"RENAME TABLE {o} TO {n}")
-                model.rename_tables([(o, n)])
-                if n not in live:
-                    live.append(n)
+                # single- or two-pair renames, DELIBERATELY including
+                # missing sources and occupied targets (both must be
+                # rejected atomically — nothing moves)
+                ps = [
+                    (rng.choice(live), f"t{rng.randrange(6)}")
+                    for _ in range(rng.randrange(1, 3))
+                ]
+                reg.apply_ddl(
+                    "RENAME TABLE "
+                    + ", ".join(f"{o} TO {n}" for o, n in ps)
+                )
+                model.rename_tables(ps)
+                for _, n in ps:
+                    if n not in live:
+                        live.append(n)
             elif roll < 0.95:
                 reg.apply_ddl(f"DROP TABLE {t}")
                 model.drop(t)
@@ -881,3 +891,63 @@ def test_registry_add_index_is_not_a_column():
         "ADD PRIMARY KEY (a), ADD COLUMN c int"
     )
     assert [f.name for f in reg.get("t").fields] == ["a", "b", "c"]
+
+
+def test_registry_rename_table_atomic_rejection():
+    """RENAME TABLE onto an occupied target, or of a missing source,
+    rejects the WHOLE (multi-pair) statement — MySQL errors and nothing
+    moves; silently clobbering the target's chain would corrupt every
+    later decode against it (round-11 review finding)."""
+    from replicator_spark.streaming.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE a (x int)")
+    reg.apply_ddl("CREATE TABLE b (y int, z int)")
+    row = reg.apply_ddl("RENAME TABLE a TO b")  # target occupied
+    assert row["kind"] == "RENAME_REJECTED"
+    assert [f.name for f in reg.get("b").fields] == ["y", "z"]
+    assert reg.get("a") is not None
+    row = reg.apply_ddl("RENAME TABLE ghost TO c")  # missing source
+    assert row["kind"] == "RENAME_REJECTED"
+    assert row["before_schema"] is None and row["after_schema"] is None
+    # multi-pair: ONE bad pair rejects all pairs
+    row = reg.apply_ddl("RENAME TABLE a TO c, ghost TO d")
+    assert row["kind"] == "RENAME_REJECTED"
+    assert reg.get("a") is not None and reg.get("c") is None
+    # the legal swap still works (left-to-right: a frees its name)
+    row = reg.apply_ddl("RENAME TABLE a TO tmp, b TO a, tmp TO b")
+    assert row["kind"] == "RENAME_TABLE"
+    assert [f.name for f in reg.get("a").fields] == ["y", "z"]
+    assert [f.name for f in reg.get("b").fields] == ["x"]
+
+
+def test_registry_drop_key_is_not_a_column():
+    """DROP INDEX/KEY/PRIMARY KEY drop constraints, not columns — a
+    column that happens to be NAMED `key` is only dropped by the
+    explicit DROP COLUMN form (round-11 review finding)."""
+    from replicator_spark.streaming.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE t (id int, `key` varchar, v int)")
+    reg.apply_ddl(
+        "ALTER TABLE t DROP KEY idx_name, DROP INDEX other_idx, "
+        "DROP PRIMARY KEY, DROP FOREIGN KEY fk1"
+    )
+    assert [f.name for f in reg.get("t").fields] == ["id", "key", "v"]
+    reg.apply_ddl("ALTER TABLE t DROP COLUMN `key`")
+    assert [f.name for f in reg.get("t").fields] == ["id", "v"]
+
+
+def test_registry_first_as_column_name():
+    """FIRST is not reserved in MySQL: a trailing column named `first`
+    in a DROP/RENAME COLUMN clause must not be peeled as a position
+    clause (round-11 review finding)."""
+    from replicator_spark.streaming.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE t (first int, col int, a int)")
+    reg.apply_ddl("ALTER TABLE t RENAME COLUMN a TO last")
+    reg.apply_ddl("ALTER TABLE t DROP COLUMN first")
+    assert [f.name for f in reg.get("t").fields] == ["col", "last"]
+    reg.apply_ddl("ALTER TABLE t RENAME COLUMN col TO first")
+    assert [f.name for f in reg.get("t").fields] == ["first", "last"]
