@@ -210,6 +210,42 @@ def char_cell(
     return string_by_collation(cell, collation) if compat else cell
 
 
+def _floor_div(col: Column, d: int) -> Column:
+    """Exact floor division of a long column by a positive int without
+    Column-API `div`: subtract the (sign-safe) remainder first so the
+    double quotient is an exactly-representable integer."""
+    rem = ((col % d) + d) % d
+    return ((col - rem) / d).cast("long")
+
+
+def date_cell(millis: Column) -> Column:
+    """DATE cell decode under DATE_AND_TIME_AS_LONG: the cell is an
+    epoch-millis long and the UTC-pinned 'yyyy-MM-dd' formatter renders
+    it (MysqlTypeDeserializer.java:34,44,123-125 —
+    MysqlTypeDeserializerTest.testDateType: '2019-02-01')."""
+    return F.date_format(F.timestamp_millis(millis.cast("long")), "yyyy-MM-dd")
+
+
+def time_cell(millis: Column) -> Column:
+    """TIME cell decode under DATE_AND_TIME_AS_LONG: the cell is a
+    millis-of-epoch long rendered by the UTC-pinned 'HH:mm:ss.SSS'
+    formatter (MysqlTypeDeserializer.java:35,45,127-129 — test vector
+    42972123 → '11:56:12.123'). Built from integer arithmetic so the
+    DuckDB oracle reproduces it exactly (no sub-second strftime
+    portability concerns)."""
+    m = millis.cast("long")
+    return F.concat_ws(
+        ":",
+        F.lpad((_floor_div(m, 3600000) % 24).cast("string"), 2, "0"),
+        F.lpad((_floor_div(m, 60000) % 60).cast("string"), 2, "0"),
+        F.concat(
+            F.lpad((_floor_div(m, 1000) % 60).cast("string"), 2, "0"),
+            F.lit("."),
+            F.lpad((((m % 1000) + 1000) % 1000).cast("string"), 3, "0"),
+        ),
+    )
+
+
 _ENUM_LABELS = ("animalia", "plantae")
 _SET_LABELS = ("read", "write", "admin")
 
@@ -319,6 +355,8 @@ def type_decode_compat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("offset_s"),
         datetime_cell(F.col("millis"), compat=True).alias("dt_compat"),
         datetime_cell(F.col("millis"), compat=False).alias("dt_default"),
+        date_cell(F.col("millis")).alias("date_compat"),
+        time_cell(F.col("millis")).alias("time_compat"),
         "collation",
         char_cell(F.col("raw_bytes"), F.col("collation"), compat=True).alias(
             "char_compat"
@@ -359,6 +397,11 @@ SELECT event_id,
     CAST(offset_s AS BIGINT) AS offset_s,
     CAST(millis - CAST(offset_s AS BIGINT) * 1000 AS VARCHAR) AS dt_compat,
     CAST(millis AS VARCHAR) AS dt_default,
+    strftime(make_timestamp(millis * 1000), '%Y-%m-%d') AS date_compat,
+    lpad(CAST((millis // 3600000) % 24 AS VARCHAR), 2, '0') || ':'
+        || lpad(CAST((millis // 60000) % 60 AS VARCHAR), 2, '0') || ':'
+        || lpad(CAST((millis // 1000) % 60 AS VARCHAR), 2, '0') || '.'
+        || lpad(CAST(millis % 1000 AS VARCHAR), 3, '0') AS time_compat,
     CASE WHEN user_id % 2 = 0 THEN 'latin1_swedish_ci'
          ELSE 'utf8mb4_general_ci' END AS collation,
     event_type || ' é' AS char_compat,

@@ -763,8 +763,36 @@ def test_registry_ddl_property_random_clause_sequences():
                         texts.append(f"RENAME TO {n}")
                         if n not in live:
                             live.append(n)
-                reg.apply_ddl(f"ALTER TABLE {t} " + ", ".join(texts))
+                pre = {mt: list(mc) for mt, mc in model.tables.items()}
+                hrow = reg.apply_ddl(f"ALTER TABLE {t} " + ", ".join(texts))
                 model.alter(t, clauses)
+                # avro_compat on the history row must agree with the
+                # dict-model verdict, whichever path it took (chain-
+                # ancestry fast path for pure ADD-at-end conses vs the
+                # full compare after a positional/drop/rename rebuild)
+                if hrow["kind"] == "ALTER_TABLE":
+                    from replicator_spark.streaming.registry import avro_compat
+
+                    target = hrow["table"].split("->")[-1]
+                    if target in model.tables and t in pre:
+                        old_cols = dict(pre[t])
+                        new_cols = dict(model.tables[target])
+                        # first violation in declaration order, exactly
+                        # as avro_compat scans the old snapshot
+                        want_prefix = "COMPATIBLE"
+                        for cn, cty in old_cols.items():
+                            if cn not in new_cols:
+                                want_prefix = "INCOMPATIBLE_FIELD_DROPPED"
+                                break
+                            if _parse_type(cty) != _parse_type(new_cols[cn]):
+                                want_prefix = "INCOMPATIBLE_TYPE_CHANGED"
+                                break
+                        got_v = avro_compat(
+                            hrow["before_schema"], hrow["after_schema"]
+                        )
+                        assert got_v == want_prefix, (
+                            seed, step, texts, got_v, want_prefix
+                        )
             elif roll < 0.85:
                 # single- or two-pair renames, DELIBERATELY including
                 # missing sources and occupied targets (both must be
@@ -951,3 +979,77 @@ def test_registry_first_as_column_name():
     assert [f.name for f in reg.get("t").fields] == ["col", "last"]
     reg.apply_ddl("ALTER TABLE t RENAME COLUMN col TO first")
     assert [f.name for f in reg.get("t").fields] == ["first", "last"]
+
+
+def test_compat_mode_date_time_as_long(spark):
+    """DATE_AND_TIME_AS_LONG also covers DATE and TIME cells: raw longs
+    rendered by the UTC-pinned formatters (MysqlTypeDeserializer.java:
+    34-45,123-129). Mirrors testDateType ('2019-02-01'/'2019-12-31')
+    and testTimeType (42972123 → '11:56:12.123')."""
+    from replicator_spark.cdc.decode import date_cell, time_cell
+
+    rows = [
+        Row(i=0, ms=1548979200000),  # 2019-02-01T00:00:00Z
+        Row(i=1, ms=1577750400000),  # 2019-12-31T00:00:00Z
+        Row(i=2, ms=42972123),       # the reference's TIME vector
+        Row(i=3, ms=86399999),       # 23:59:59.999 boundary
+    ]
+    got = {
+        r["i"]: r
+        for r in spark.createDataFrame(rows)
+        .select(
+            "i",
+            date_cell(F.col("ms")).alias("d"),
+            time_cell(F.col("ms")).alias("t"),
+        )
+        .collect()
+    }
+    assert got[0]["d"] == "2019-02-01"
+    assert got[1]["d"] == "2019-12-31"
+    assert got[2]["t"] == "11:56:12.123"
+    assert got[3]["t"] == "23:59:59.999"
+    assert got[3]["d"] == "1970-01-01"
+
+
+def test_compat_offset_model_matches_zoneinfo(spark):
+    """Independent pin of the modeled server zone: the integer-calendar
+    EU-DST offset must equal IANA Europe/Paris (base +01:00, EU rule)
+    for every instant in the post-1996 unified-rule era — checked over
+    seeded random instants plus every DST edge ±1ms for 1997-2036."""
+    import random
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
+
+    from replicator_spark.cdc.decode import server_zone_offset_seconds
+
+    tz = ZoneInfo("Europe/Paris")
+    rng = random.Random(42)
+    instants = [rng.randrange(852076800000, 2114380800000)  # 1997..2036
+                for _ in range(300)]
+    # every modeled edge ±1ms: last Sundays of March/October, 01:00 UTC
+    from datetime import timezone as _tz
+    edges = []
+    for y in range(1997, 2037):
+        for month in (3, 10):
+            last = max(
+                d for d in range(25, 32)
+                if datetime(y, month, d).weekday() == 6
+            )
+            e = int(datetime(y, month, last, 1, 0,
+                             tzinfo=_tz.utc).timestamp() * 1000)
+            edges += [e - 1, e, e + 1]
+    instants += edges
+    df = spark.createDataFrame(
+        [Row(i=i, ms=ms) for i, ms in enumerate(instants)]
+    )
+    got = {
+        r["i"]: r["off"]
+        for r in df.select(
+            "i", server_zone_offset_seconds(F.col("ms")).alias("off")
+        ).collect()
+    }
+    for i, ms in enumerate(instants):
+        want = int(
+            datetime.fromtimestamp(ms / 1000, tz).utcoffset().total_seconds()
+        )
+        assert got[i] == want, (ms, got[i], want)
