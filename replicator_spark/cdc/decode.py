@@ -169,8 +169,15 @@ def server_zone_offset_seconds(
     """The modeled server zone's UTC offset at the instant `millis`
     (epoch ms): base + 3600 inside the EU DST window of that year.
     Window edges compared in millis (long — the epoch-day product
-    overflows int32 past 2038, hence the cast before the multiply)."""
-    y = F.year(F.timestamp_millis(millis))
+    overflows int32 past 2038, hence the cast before the multiply).
+    The year comes from timezone-free DATE arithmetic (epoch day →
+    DateType), NOT from timestamp_millis, whose year() would follow
+    spark.sql.session.timeZone on an unpinned session."""
+    y = F.year(
+        F.date_add(
+            F.to_date(F.lit("1970-01-01")), _epoch_day(millis).cast("int")
+        )
+    )
     dst_start_ms = (
         _last_sunday_epoch_day(y, 3).cast("long") * 86400 + 3600
     ) * 1000  # last Sunday of March, 01:00 UTC
@@ -211,38 +218,55 @@ def char_cell(
 
 
 def _floor_div(col: Column, d: int) -> Column:
-    """Exact floor division of a long column by a positive int without
-    Column-API `div`: subtract the (sign-safe) remainder first so the
-    double quotient is an exactly-representable integer."""
+    """Exact FLOOR division of a long column by a positive int for the
+    full long range: subtract the sign-safe remainder in long
+    arithmetic, then `div` (truncating, but the operand is divisible)
+    — no double anywhere, so no 2^53 precision cliff."""
     rem = ((col % d) + d) % d
-    return ((col - rem) / d).cast("long")
+    return F.call_function("div", col - rem, F.lit(d))
+
+
+def _epoch_day(millis: Column) -> Column:
+    """UTC epoch day of an epoch-millis long — pure integer floor
+    division, independent of the session timezone."""
+    return _floor_div(millis.cast("long"), 86400000)
 
 
 def date_cell(millis: Column) -> Column:
     """DATE cell decode under DATE_AND_TIME_AS_LONG: the cell is an
     epoch-millis long and the UTC-pinned 'yyyy-MM-dd' formatter renders
     it (MysqlTypeDeserializer.java:34,44,123-125 —
-    MysqlTypeDeserializerTest.testDateType: '2019-02-01')."""
-    return F.date_format(F.timestamp_millis(millis.cast("long")), "yyyy-MM-dd")
+    MysqlTypeDeserializerTest.testDateType: '2019-02-01'). Built as
+    epoch-day arithmetic on a DateType (dates are timezone-free), so
+    the output never depends on spark.sql.session.timeZone — unlike a
+    timestamp_millis+date_format chain, which would silently shift a
+    day on a session whose zone conf was not pinned."""
+    d = F.date_add(
+        F.to_date(F.lit("1970-01-01")), _epoch_day(millis).cast("int")
+    )
+    return date_str(d)
 
 
 def time_cell(millis: Column) -> Column:
     """TIME cell decode under DATE_AND_TIME_AS_LONG: the cell is a
     millis-of-epoch long rendered by the UTC-pinned 'HH:mm:ss.SSS'
     formatter (MysqlTypeDeserializer.java:35,45,127-129 — test vector
-    42972123 → '11:56:12.123'). Built from integer arithmetic so the
-    DuckDB oracle reproduces it exactly (no sub-second strftime
-    portability concerns)."""
+    42972123 → '11:56:12.123'). The millis are first reduced to the
+    sign-safe time-of-day (SimpleDateFormat renders the INSTANT's UTC
+    time-of-day, so new Date(-1) is '23:59:59.999'), then the fields
+    come from plain integer arithmetic on the non-negative day offset —
+    engine-identical, NULL-propagating (F.concat, like the oracle's
+    `||` chain), and timezone-free."""
     m = millis.cast("long")
-    return F.concat_ws(
-        ":",
-        F.lpad((_floor_div(m, 3600000) % 24).cast("string"), 2, "0"),
-        F.lpad((_floor_div(m, 60000) % 60).cast("string"), 2, "0"),
-        F.concat(
-            F.lpad((_floor_div(m, 1000) % 60).cast("string"), 2, "0"),
-            F.lit("."),
-            F.lpad((((m % 1000) + 1000) % 1000).cast("string"), 3, "0"),
-        ),
+    day_ms = ((m % 86400000) + 86400000) % 86400000
+    return F.concat(
+        F.lpad(_floor_div(day_ms, 3600000).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((_floor_div(day_ms, 60000) % 60).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((_floor_div(day_ms, 1000) % 60).cast("string"), 2, "0"),
+        F.lit("."),
+        F.lpad((day_ms % 1000).cast("string"), 3, "0"),
     )
 
 
@@ -389,7 +413,8 @@ WITH src AS (
 ), off AS (
     SELECT *,
         3600 + CASE WHEN millis >= dst_start_ms AND millis < dst_end_ms
-                    THEN 3600 ELSE 0 END AS offset_s
+                    THEN 3600 ELSE 0 END AS offset_s,
+        ((millis % 86400000) + 86400000) % 86400000 AS day_ms
     FROM dst
 )
 SELECT event_id,
@@ -397,11 +422,14 @@ SELECT event_id,
     CAST(offset_s AS BIGINT) AS offset_s,
     CAST(millis - CAST(offset_s AS BIGINT) * 1000 AS VARCHAR) AS dt_compat,
     CAST(millis AS VARCHAR) AS dt_default,
-    strftime(make_timestamp(millis * 1000), '%Y-%m-%d') AS date_compat,
-    lpad(CAST((millis // 3600000) % 24 AS VARCHAR), 2, '0') || ':'
-        || lpad(CAST((millis // 60000) % 60 AS VARCHAR), 2, '0') || ':'
-        || lpad(CAST((millis // 1000) % 60 AS VARCHAR), 2, '0') || '.'
-        || lpad(CAST(millis % 1000 AS VARCHAR), 3, '0') AS time_compat,
+    strftime(DATE '1970-01-01'
+             + CAST(((millis - ((millis % 86400000) + 86400000) % 86400000)
+                     // 86400000) AS INTEGER),
+             '%Y-%m-%d') AS date_compat,
+    lpad(CAST(day_ms // 3600000 AS VARCHAR), 2, '0') || ':'
+        || lpad(CAST((day_ms // 60000) % 60 AS VARCHAR), 2, '0') || ':'
+        || lpad(CAST((day_ms // 1000) % 60 AS VARCHAR), 2, '0') || '.'
+        || lpad(CAST(day_ms % 1000 AS VARCHAR), 3, '0') AS time_compat,
     CASE WHEN user_id % 2 = 0 THEN 'latin1_swedish_ci'
          ELSE 'utf8mb4_general_ci' END AS collation,
     event_type || ' é' AS char_compat,

@@ -74,7 +74,7 @@ _R_RENAME = re.compile(
 _R_RENAME_PAIR = re.compile(r"`?(\w+)`?\s+to\s+`?(\w+)`?", re.I)
 _R_ALTER = re.compile(r"^\s*alter\s+table\s+`?(\w+)`?\s+(.*)$", re.I | re.S)
 _R_ADD_COL = re.compile(
-    r"^add\s+(?:column\s+)?`?(\w+)`?\s+(\w+)", re.I
+    r"^add\s+(column\s+)?(`?)(\w+)`?\s+(\w+)", re.I
 )
 _R_DROP_COL = re.compile(r"^drop\s+(?:column\s+)?`?(\w+)`?", re.I)
 _R_MODIFY_COL = re.compile(r"^modify\s+(?:column\s+)?`?(\w+)`?\s+(\w+)", re.I)
@@ -257,7 +257,7 @@ class SchemaRegistry:
                     cm.group(1) == "`"
                     or cm.group(2).lower() not in (
                         "primary", "unique", "key", "index",
-                        "constraint", "foreign",
+                        "constraint", "foreign", "fulltext", "spatial",
                     )
                 ):
                     fields.append(
@@ -294,7 +294,10 @@ class SchemaRegistry:
             work_n = dict(self._names)
             ok = bool(pairs)
             for old, new in pairs:
-                if old not in work_n or (new != old and new in work_n):
+                # the target-exists check runs BEFORE the source is
+                # freed, so a self-rename (a TO a) is rejected exactly
+                # as MySQL's ER_TABLE_EXISTS_ERROR rejects it
+                if old not in work_n or new in work_n:
                     ok = False
                     break
                 work_t[new] = work_t.pop(old)
@@ -333,10 +336,14 @@ class SchemaRegistry:
                     clause = clause[: pm.start()]
                 am = _R_ADD_COL.match(clause)
                 if am:
-                    name, typ = am.group(1).lower(), am.group(2)
-                    if name in (
-                        "index", "key", "constraint", "unique",
-                        "fulltext", "spatial", "primary", "foreign",
+                    name, typ = am.group(3).lower(), am.group(4)
+                    if (
+                        not am.group(1)  # no explicit COLUMN keyword
+                        and am.group(2) != "`"  # and not backticked
+                        and name in (
+                            "index", "key", "constraint", "unique",
+                            "fulltext", "spatial", "primary", "foreign",
+                        )
                     ):
                         continue  # ADD INDEX/KEY/... is not a column
                     if name in names:
@@ -392,8 +399,10 @@ class SchemaRegistry:
                 tm = _R_ALTER_RENAME_TO.match(clause)
                 if tm:
                     new_table = tm.group(1).lower()
-                    if new_table != table and new_table in self._names:
-                        continue  # target table exists: MySQL rejects
+                    if new_table in self._names:
+                        # target exists (incl. a self-rename): MySQL's
+                        # ER_TABLE_EXISTS_ERROR rejects the clause
+                        continue
                     self.tables.pop(table, None)
                     self._names.pop(table, None)
                     table = new_table

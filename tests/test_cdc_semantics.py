@@ -620,7 +620,7 @@ class _ModelRegistry:
         # or occupied target rejects the WHOLE statement (nothing moves)
         work = dict(self.tables)
         for o, n in pairs:
-            if o not in work or (n != o and n in work):
+            if o not in work or n in work:  # incl. self-rename (a TO a)
                 return
             work[n] = work.pop(o)
         self.tables = work
@@ -679,7 +679,7 @@ class _ModelRegistry:
                 ]
             elif op == "renameto":
                 new_t = cl[1]
-                if new_t != t and new_t in self.tables:
+                if new_t in self.tables:  # occupied or self-rename
                     continue
                 self.tables[new_t] = self.tables.pop(t)
                 t = new_t
@@ -935,6 +935,8 @@ def test_registry_rename_table_atomic_rejection():
     assert row["kind"] == "RENAME_REJECTED"
     assert [f.name for f in reg.get("b").fields] == ["y", "z"]
     assert reg.get("a") is not None
+    row = reg.apply_ddl("RENAME TABLE a TO a")  # self-rename: target exists
+    assert row["kind"] == "RENAME_REJECTED"
     row = reg.apply_ddl("RENAME TABLE ghost TO c")  # missing source
     assert row["kind"] == "RENAME_REJECTED"
     assert row["before_schema"] is None and row["after_schema"] is None
@@ -993,6 +995,9 @@ def test_compat_mode_date_time_as_long(spark):
         Row(i=1, ms=1577750400000),  # 2019-12-31T00:00:00Z
         Row(i=2, ms=42972123),       # the reference's TIME vector
         Row(i=3, ms=86399999),       # 23:59:59.999 boundary
+        Row(i=4, ms=-1),             # pre-epoch: Date(-1) renders
+                                     # '23:59:59.999' / '1969-12-31'
+        Row(i=5, ms=None),           # NULL cell propagates as NULL
     ]
     got = {
         r["i"]: r
@@ -1009,6 +1014,10 @@ def test_compat_mode_date_time_as_long(spark):
     assert got[2]["t"] == "11:56:12.123"
     assert got[3]["t"] == "23:59:59.999"
     assert got[3]["d"] == "1970-01-01"
+    # SimpleDateFormat renders the INSTANT's UTC time-of-day, so a
+    # negative epoch value is NOT a negative clock reading
+    assert got[4]["t"] == "23:59:59.999" and got[4]["d"] == "1969-12-31"
+    assert got[5]["t"] is None and got[5]["d"] is None
 
 
 def test_compat_offset_model_matches_zoneinfo(spark):
