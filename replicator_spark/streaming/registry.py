@@ -65,6 +65,17 @@ _R_CREATE = re.compile(
     r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?`?(\w+)`?\s*\((.*)\)\s*$",
     re.I | re.S,
 )
+# CREATE TABLE t LIKE src — the reference's own DDL fixture uses this
+# for the online-schema-change shadow copy (activeschema.test.sql:
+# "CREATE TABLE test1_new LIKE test1" before the swap RENAME)
+_R_CREATE_LIKE = re.compile(
+    r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?`?(\w+)`?\s+"
+    r"like\s+`?(\w+)`?\s*$",
+    re.I,
+)
+# leading /* ... */ comment — the fixtures prefix DDL with them
+# ("/* test ? */ RENAME TABLE ..."), and MySQL ignores them
+_R_LEAD_COMMENT = re.compile(r"^\s*/\*.*?\*/\s*", re.S)
 _R_DROP = re.compile(
     r"^\s*drop\s+table\s+(?:if\s+exists\s+)?`?(\w+)`?", re.I
 )
@@ -225,6 +236,11 @@ class SchemaRegistry:
         if db:
             sql = rewrite_active_schema_name(sql, db)
         stmt = sql.strip().rstrip(";")
+        while True:  # strip leading /* ... */ comments before dispatch
+            stripped = _R_LEAD_COMMENT.sub("", stmt, count=1)
+            if stripped == stmt:
+                break
+            stmt = stripped
         before_tables = dict(self.tables)  # shallow: refs only
         kind, table, before_key, after_key = self._dispatch(stmt)
         self.version += 1
@@ -245,6 +261,17 @@ class SchemaRegistry:
         return row
 
     def _dispatch(self, stmt: str) -> tuple[str, str, str, str]:
+        m = _R_CREATE_LIKE.match(stmt)
+        if m:
+            table, src = m.group(1).lower(), m.group(2).lower()
+            if src not in self._names:
+                # MySQL errors when the LIKE source is missing
+                return "CREATE_UNKNOWN_SOURCE", table, table, table
+            # chains are immutable, so the copy is a free shared ref;
+            # the name set is mutable per table and must be duplicated
+            self.tables[table] = self.tables[src]
+            self._names[table] = set(self._names[src])
+            return "CREATE_TABLE", table, table, table
         m = _R_CREATE.match(stmt)
         if m:
             table, cols_src = m.group(1).lower(), m.group(2)

@@ -1062,3 +1062,72 @@ def test_compat_offset_model_matches_zoneinfo(spark):
             datetime.fromtimestamp(ms / 1000, tz).utcoffset().total_seconds()
         )
         assert got[i] == want, (ms, got[i], want)
+
+
+def test_registry_replays_reference_binlog_fixture():
+    """Replay the DDL choreography of the reference's own integration
+    fixture mysql.binlog.test.sql (statements inlined verbatim minus
+    DML): two CREATEs, the atomic swap RENAME, DROP of the old table —
+    the post-replay schema must show `animal` carrying the NEW shape
+    (id, name, sc_name) and `_animal_old` gone."""
+    from replicator_spark.streaming.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    ddls = [
+        # mysql-replicator/src/test/resources/mysql.binlog.test.sql:3-14
+        """CREATE TABLE animal (
+             id INTEGER NOT NULL AUTO_INCREMENT,
+             name VARCHAR(30) CHARACTER SET utf8 NOT NULL,
+             PRIMARY KEY (id)
+        )""",
+        """CREATE TABLE _animal_new (
+             id INTEGER NOT NULL AUTO_INCREMENT,
+             name VARCHAR(30) CHARACTER SET utf8 NOT NULL,
+             sc_name VARCHAR(30) CHARACTER SET utf8 DEFAULT NULL,
+             PRIMARY KEY (id)
+        )""",
+        # :26 the swap, :31 the cleanup
+        "RENAME TABLE animal TO _animal_old, _animal_new TO animal",
+        "DROP TABLE _animal_old",
+    ]
+    for s in ddls:
+        reg.apply_ddl(s, db="replicator")
+    assert set(reg.tables) == {"animal"}
+    assert [f.name for f in reg.get("animal").fields] == [
+        "id", "name", "sc_name",
+    ]
+    assert reg.version == 4
+
+
+def test_registry_replays_reference_activeschema_fixture():
+    """Replay the single-database statements of activeschema.test.sql
+    (CREATE ... LIKE shadow copy, ALTER ADD on the shadow, leading
+    /* comment */ prefixes, swap RENAME, DROP): the surviving `test1`
+    must carry the shadow's added `ts` column."""
+    from replicator_spark.streaming.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    ddls = [
+        # mysql-replicator/src/test/resources/activeschema.test.sql:8-12
+        """CREATE TABLE test1 (
+             id INTEGER NOT NULL AUTO_INCREMENT,
+             name VARCHAR(30) CHARACTER SET utf8 NOT NULL,
+             PRIMARY KEY (id)
+        )""",
+        # :26-27 the shadow copy + widen (leading comment per :17-18)
+        "/* osc shadow */ CREATE TABLE test1_new LIKE test1",
+        "ALTER TABLE test1_new ADD COLUMN ts TIMESTAMP "
+        "DEFAULT '1970-01-01 01:00:00'",
+        # :31 the swap, :35 the cleanup
+        "/* swap */ RENAME TABLE test1 TO test1_old, test1_new TO test1",
+        "DROP TABLE test1_old",
+    ]
+    rows = [reg.apply_ddl(s, db="replicator") for s in ddls]
+    assert rows[1]["kind"] == "CREATE_TABLE"  # comment stripped
+    assert set(reg.tables) == {"test1"}
+    assert [f.name for f in reg.get("test1").fields] == ["id", "name", "ts"]
+    assert reg.get("test1")["ts"].dataType.typeName() == "timestamp"
+    # LIKE of a missing source is rejected, like MySQL
+    row = reg.apply_ddl("CREATE TABLE ghost_copy LIKE nope")
+    assert row["kind"] == "CREATE_UNKNOWN_SOURCE"
+    assert reg.get("ghost_copy") is None
