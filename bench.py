@@ -163,8 +163,9 @@ HEADLINE = [
     "emb_participation_ratio",
     # round-10 addition (first round on the slate)
     "stream_schema_ddl_replay",
-    # round-11 addition (first round on the slate)
+    # round-11 additions (first round on the slate)
     "cdc_type_decode_compat",
+    "source_binlog_roundtrip",
 ]
 
 

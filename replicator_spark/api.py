@@ -114,22 +114,27 @@ Rotation map (which driver run produced each operator's green row):
   r5-green operators (curate_global_shuffle .. stats_gini) are the
   ROUND-11 QUEUE and sit immediately after the window (registry
   275 → 276). Outcome: 50/50 green (CORRECTNESS_r10.json).
-- round 11 window (this file's first 50): slot 1 is the round-11
-  addition `cdc_type_decode_compat` (binlog-client compat-mode decode
-  toggles — CHAR_AND_BINARY_AS_BYTE_ARRAY + DATE_AND_TIME_AS_LONG,
-  BinaryLogSupplier.java:113-117 — never graded); slots 2-4 re-pin the
-  three ops whose source file streaming/registry.py changed this round
-  (positional ALTER clauses, rename snapshots, committed-epoch
-  recovery): stream_schema_ddl_replay, schema_history_log,
-  schema_compat_check; slots 5-32 grade the round-10 verdict's named
-  freshness debt (text_normalize + the 27 r5-green ops,
-  curate_global_shuffle .. stats_gini); slots 33-50 are 18 §2-critical
-  re-pins from the 49-op r6-green block (schema_ddl_replay,
-  cdc_type_decode — both in files changed this round — plus the 13
-  other CDC rows, sink_avro_messages, stream_timemachine, tm_cells).
-  The remaining r6-green ops (tm_asof_snapshot, the 3 source
-  roundtrips, and 27 non-critical rows) are the ROUND-12 QUEUE
-  (registry 276 → 277).
+- round 11 window (this file's first 50): slots 1-2 are the round-11
+  additions (never graded): `cdc_type_decode_compat` (binlog-client
+  compat-mode decode toggles — CHAR_AND_BINARY_AS_BYTE_ARRAY +
+  DATE_AND_TIME_AS_LONG, BinaryLogSupplier.java:113-117) and
+  `source_binlog_roundtrip` (the binlog v4 WIRE layer: faithful
+  byte-level encode of events into binlog file blobs — FDE, GTID,
+  BEGIN, TABLE_MAP, WRITE/UPDATE/DELETE_ROWS v2, XID, CRC32 trailers —
+  and the mapInPandas byte-walk parser back to change rows;
+  sources/binlog.py); slots 3-5 re-pin the three ops whose source file
+  streaming/registry.py changed this round (positional ALTER clauses,
+  rename snapshots, committed-epoch recovery):
+  stream_schema_ddl_replay, schema_history_log, schema_compat_check;
+  slots 6-33 grade the round-10 verdict's named freshness debt
+  (text_normalize + the 27 r5-green ops, curate_global_shuffle ..
+  stats_gini); slots 34-50 are 17 §2-critical re-pins from the 49-op
+  r6-green block (schema_ddl_replay, cdc_type_decode — both in files
+  changed this round — plus the 13 other oldest CDC rows,
+  sink_avro_messages, stream_timemachine). The remaining r6-green
+  ops (tm_cells — displaced below the cut by addition #2 —
+  tm_asof_snapshot, the 3 source roundtrips, and 27 non-critical
+  rows) are the ROUND-12 QUEUE (registry 276 → 278).
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -175,6 +180,10 @@ _PRIORITY = [
     #     mode decode toggles (CHAR_AND_BINARY_AS_BYTE_ARRAY +
     #     DATE_AND_TIME_AS_LONG, BinaryLogSupplier.java:113-117) ---
     "cdc_type_decode_compat",
+    # --- round-11 addition #2 (never graded): the binlog v4 wire
+    #     layer — byte-level encode to file blobs + mapInPandas
+    #     byte-walk parse back to change rows (sources/binlog.py) ---
+    "source_binlog_roundtrip",
     # --- the 3 ops whose source (streaming/registry.py) changed this
     #     round (positional ALTER clauses, rename snapshots, committed-
     #     epoch recovery) — re-pinned same-round per the r9/r10 rule ---
@@ -547,6 +556,7 @@ def _load() -> None:
     from .sinks import count as count_sink
     from .sinks import kafka as kafka_sink
     from .sinks import timemachine
+    from .sources import binlog as source_binlog
     from .sources import bootstrap
     from .sources import formats as source_formats
     from .streaming import enrich as stream_enrich
@@ -617,7 +627,8 @@ def _load() -> None:
              timemachine.CELL_LIFETIMES_SQL)
 
     for mod in (
-        seeker, validation, bootstrap, source_formats, jsonb, apply,
+        seeker, validation, bootstrap, source_formats, source_binlog,
+        jsonb, apply,
         count_sink, console_sink, kafka_sink, avro_sink,
         schema_registry, streaming_job, stream_near_dedup_mod,
         stream_scd2_mod, txn_state, stream_sessionize,

@@ -1,0 +1,360 @@
+"""Byte-level tests of the MySQL binlog v4 codec (sources/binlog.py).
+
+The golden byte strings below are hand-computed from the PUBLIC binlog
+format layout (the same layout the reference's binlog-connector client
+decodes — `supplier/.../BinaryLogSupplier.java` registers its
+deserializers over it), so the parser is pinned against the spec, not
+merely against this repo's own writer.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from decimal import Decimal
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from replicator_spark.sources import binlog as B
+
+
+# ---------------------------------------------------------------------------
+# primitives, golden
+# ---------------------------------------------------------------------------
+
+
+def test_lenenc_boundaries():
+    # <0xfb: one literal byte; 0xfc: 2-byte LE; 0xfd: 3-byte LE
+    assert B._lenenc(0) == b"\x00"
+    assert B._lenenc(250) == b"\xfa"
+    assert B._lenenc(251) == b"\xfc\xfb\x00"
+    assert B._lenenc(0xFFFF) == b"\xfc\xff\xff"
+    assert B._lenenc(0x10000) == b"\xfd\x00\x00\x01"
+    assert B._lenenc(0xFFFFFF) == b"\xfd\xff\xff\xff"
+    assert B._lenenc(0x1000000)[0:1] == b"\xfe"
+    for n in (0, 1, 250, 251, 65535, 65536, 2**24 - 1, 2**24, 2**40):
+        v, pos = B._read_lenenc(B._lenenc(n), 0)
+        assert v == n and pos == len(B._lenenc(n))
+
+
+def test_newdecimal_golden_mysql_doc_example():
+    """The decimal.c documentation example: DECIMAL(14,4) value
+    1234567890.1234 → 81 0D FB 38 D2 04 D2 (leading 1-digit group
+    '1' in one byte, 234567890 in four, frac 1234 in two, first byte
+    sign-flipped)."""
+    enc = B.encode_newdecimal(Decimal("1234567890.1234"), 14, 4)
+    assert enc.hex() == "810dfb38d204d2"
+    val, pos = B.decode_newdecimal(enc, 0, 14, 4)
+    assert val == "1234567890.1234" and pos == 7
+    # negative: all bytes inverted
+    neg = B.encode_newdecimal(Decimal("-1234567890.1234"), 14, 4)
+    assert neg == bytes(b ^ 0xFF for b in enc)
+    val, _ = B.decode_newdecimal(neg, 0, 14, 4)
+    assert val == "-1234567890.1234"
+
+
+def test_newdecimal_wide_scale_groups():
+    # scale 13 = one full 9-digit group + a 4-digit trailing group
+    enc = B.encode_newdecimal(Decimal("5.1234567890123"), 14, 13)
+    val, _ = B.decode_newdecimal(enc, 0, 14, 13)
+    assert val == "5.1234567890123"
+
+
+def test_timestamp2_golden():
+    """TIMESTAMP2(6): 4-byte BIG-endian epoch seconds + 3-byte
+    big-endian microseconds."""
+    ts_us = 1_000_000_000 * 1_000_000 + 123456  # 2001-09-09 01:46:40 UTC
+    enc = B.encode_timestamp2(ts_us, 6)
+    assert enc == struct.pack(">I", 1_000_000_000) + (123456).to_bytes(3, "big")
+    val, pos = B.decode_timestamp2(enc, 0, 6)
+    assert val == ts_us and pos == 7
+    # fsp=0: no fractional bytes
+    enc0 = B.encode_timestamp2(ts_us, 0)
+    assert len(enc0) == 4
+    val0, _ = B.decode_timestamp2(enc0, 0, 0)
+    assert val0 == 1_000_000_000 * 1_000_000
+    # fsp=3: two bytes, units of 100µs... (stored to 4 even digits)
+    enc3 = B.encode_timestamp2(ts_us, 3)
+    assert len(enc3) == 6
+    val3, _ = B.decode_timestamp2(enc3, 0, 3)
+    assert val3 == 1_000_000_000 * 1_000_000 + 123400
+
+
+def test_datetime2_golden():
+    """DATETIME2 5-byte packed big-endian: sign bit, year*13+month
+    (17 bits), day (5), hour (5), minute (6), second (6)."""
+    enc = B.encode_datetime2(2024, 3, 5, 12, 34, 56, 789012, 6)
+    packed = (
+        (1 << 39) | ((2024 * 13 + 3) << 22) | (5 << 17) | (12 << 12)
+        | (34 << 6) | 56
+    )
+    assert enc[:5] == packed.to_bytes(5, "big")
+    assert enc[5:] == (789012).to_bytes(3, "big")
+    txt, pos = B.decode_datetime2(enc, 0, 6)
+    assert txt == "2024-03-05 12:34:56.789012" and pos == 8
+    # fsp=0 omits the fraction entirely
+    txt0, _ = B.decode_datetime2(B.encode_datetime2(1999, 12, 31, 23, 59, 59), 0, 6)
+    assert txt0.startswith("1999-12-31 23:59:59")
+
+
+# ---------------------------------------------------------------------------
+# event framing
+# ---------------------------------------------------------------------------
+
+
+def test_file_magic_and_header_layout():
+    w = B.BinlogWriter(server_id=7, ts_sec=1700000000)
+    w.xid(99)
+    blob = w.getvalue()
+    assert blob[:4] == b"\xfebin"
+    # first event (the FDE) starts at 4: u32 ts, u8 type, u32 server_id
+    ts, etype, sid = struct.unpack_from("<IBI", blob, 4)
+    assert (ts, etype, sid) == (1700000000, B.FORMAT_DESCRIPTION_EVENT, 7)
+    evs = list(B.parse_binlog_file(blob))
+    assert [e["type"] for e in evs] == [B.FORMAT_DESCRIPTION_EVENT, B.XID_EVENT]
+    assert evs[1]["xid"] == 99
+
+
+def test_crc32_trailer_verified():
+    w = B.BinlogWriter()
+    w.xid(1)
+    blob = bytearray(w.getvalue())
+    blob[-7] ^= 0x01  # flip a bit inside the XID body
+    with pytest.raises(ValueError, match="CRC32"):
+        list(B.parse_binlog_file(bytes(blob)))
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(ValueError, match="magic"):
+        list(B.parse_binlog_file(b"\x00bin" + bytes(30)))
+
+
+def test_truncated_event_rejected():
+    w = B.BinlogWriter()
+    w.xid(1)
+    blob = w.getvalue()
+    with pytest.raises(ValueError, match="truncated"):
+        list(B.parse_binlog_file(blob[:-3]))
+
+
+def test_unknown_event_type_skipped_by_size():
+    w = B.BinlogWriter()
+    w._event(35, b"\x01\x02\x03")  # PREVIOUS_GTIDS-style: not decoded
+    w.xid(5)
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    assert [e["type"] for e in evs] == [B.FORMAT_DESCRIPTION_EVENT, B.XID_EVENT]
+
+
+def test_query_rotate_gtid_events():
+    w = B.BinlogWriter()
+    w.gtid(bytes(range(16)), 42)
+    w.query("CREATE TABLE t (a int)", db="mydb", thread_id=9)
+    w.rotate("binlog.000042", position=4)
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    assert evs[1]["gno"] == 42 and evs[1]["sid"] == bytes(range(16))
+    assert evs[2]["db"] == "mydb" and evs[2]["sql"] == "CREATE TABLE t (a int)"
+    assert evs[3]["next_file"] == "binlog.000042" and evs[3]["position"] == 4
+
+
+# ---------------------------------------------------------------------------
+# row events
+# ---------------------------------------------------------------------------
+
+_TYPES = [
+    B.MYSQL_TYPE_TINY, B.MYSQL_TYPE_SHORT, B.MYSQL_TYPE_LONG,
+    B.MYSQL_TYPE_LONGLONG, B.MYSQL_TYPE_FLOAT, B.MYSQL_TYPE_DOUBLE,
+    B.MYSQL_TYPE_VARCHAR, B.MYSQL_TYPE_VARCHAR,
+    B.MYSQL_TYPE_TIMESTAMP2, B.MYSQL_TYPE_DATETIME2,
+    B.MYSQL_TYPE_NEWDECIMAL,
+]
+_METAS = [
+    b"", b"", b"", b"", bytes([4]), bytes([8]),
+    struct.pack("<H", 100), struct.pack("<H", 300),  # 1- and 2-byte paths
+    bytes([6]), bytes([6]), bytes([14, 4]),
+]
+_ROW = [
+    -5, -1000, -100000, -(2**40), 1.5, -2.25,
+    "héllo", "x" * 280,
+    1_700_000_000 * 1_000_000 + 42, (2024, 1, 2, 3, 4, 5, 6, ),
+    "1234567890.1234",
+]
+_WANT = [
+    -5, -1000, -100000, -(2**40), 1.5, -2.25,
+    "héllo", "x" * 280,
+    1_700_000_000 * 1_000_000 + 42, "2024-01-02 03:04:05.000006",
+    "1234567890.1234",
+]
+
+
+def _one_rows_event(etype, rows):
+    w = B.BinlogWriter()
+    w.table_map(9, "db1", "t1", _TYPES, _METAS)
+    w.rows(etype, 9, _TYPES, _METAS, rows)
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    assert evs[-1]["db"] == "db1" and evs[-1]["table"] == "t1"
+    return evs[-1]["rows"]
+
+
+def test_write_rows_all_types_signed_and_unicode():
+    got = _one_rows_event(B.WRITE_ROWS_EVENT, [list(_ROW)])
+    assert got == [_WANT]
+
+
+def test_null_bitmap_multibyte():
+    # 11 columns → 2-byte null bitmap; null out columns 0, 7, 8
+    # (bits in different bitmap bytes, LSB-first within each byte)
+    row = list(_ROW)
+    row[0] = row[7] = row[8] = None
+    want = list(_WANT)
+    want[0] = want[7] = want[8] = None
+    got = _one_rows_event(B.WRITE_ROWS_EVENT, [row])
+    assert got == [want]
+
+
+def test_multi_row_event():
+    rows = [list(_ROW), list(_ROW), list(_ROW)]
+    rows[1][0] = 7
+    got = _one_rows_event(B.WRITE_ROWS_EVENT, rows)
+    assert len(got) == 3 and got[1][0] == 7 and got[2] == _WANT
+
+
+def test_update_rows_before_after_images_distinct():
+    before = list(_ROW)
+    after = list(_ROW)
+    after[2] = 123
+    after[6] = "changed"
+    got = _one_rows_event(B.UPDATE_ROWS_EVENT, [(before, after)])
+    (gb, ga), = got
+    assert gb[2] == -100000 and ga[2] == 123
+    assert gb[6] == "héllo" and ga[6] == "changed"
+
+
+def test_delete_rows():
+    got = _one_rows_event(B.DELETE_ROWS_EVENT, [list(_ROW)])
+    assert got == [_WANT]
+
+
+def test_two_interleaved_table_maps():
+    w = B.BinlogWriter()
+    t_a = [B.MYSQL_TYPE_LONG]
+    m_a = [b""]
+    t_b = [B.MYSQL_TYPE_VARCHAR]
+    m_b = [struct.pack("<H", 10)]
+    w.table_map(1, "d", "a", t_a, m_a)
+    w.table_map(2, "d", "b", t_b, m_b)
+    w.rows(B.WRITE_ROWS_EVENT, 2, t_b, m_b, [["hi"]])
+    w.rows(B.WRITE_ROWS_EVENT, 1, t_a, m_a, [[5]])
+    evs = [e for e in B.parse_binlog_file(w.getvalue()) if "rows" in e]
+    assert (evs[0]["table"], evs[0]["rows"]) == ("b", [["hi"]])
+    assert (evs[1]["table"], evs[1]["rows"]) == ("a", [[5]])
+
+
+def test_rows_event_for_unmapped_table_rejected():
+    w = B.BinlogWriter()
+    w.rows(B.WRITE_ROWS_EVENT, 77, [B.MYSQL_TYPE_LONG], [b""], [[1]])
+    with pytest.raises(ValueError, match="unmapped"):
+        list(B.parse_binlog_file(w.getvalue()))
+
+
+def test_checksum_off_file_parses():
+    """A 5.6.1+ file with checksum alg 0 (OFF): no trailers anywhere,
+    the FDE's last body byte is the alg byte."""
+    w = B.BinlogWriter.__new__(B.BinlogWriter)
+    w.server_id, w.ts_sec = 1, 0
+    w.buf = bytearray(B.MAGIC)
+
+    def raw_event(etype, body):
+        size = B.HEADER_LEN + len(body)
+        header = struct.pack(
+            "<IBIIIH", 0, etype, 1, size, len(w.buf) + size, 0
+        )
+        w.buf += header + body
+
+    fde = struct.pack("<H", 4) + b"5.7.0-test".ljust(50, b"\x00")
+    fde += struct.pack("<I", 0) + bytes([B.HEADER_LEN])
+    fde += bytes(B._N_EVENT_TYPES) + bytes([0])  # alg = OFF
+    raw_event(B.FORMAT_DESCRIPTION_EVENT, fde)
+    raw_event(B.XID_EVENT, struct.pack("<Q", 321))
+    evs = list(B.parse_binlog_file(bytes(w.buf)))
+    assert evs[-1]["xid"] == 321
+
+
+# ---------------------------------------------------------------------------
+# property: file-level roundtrip through the events-table image
+# ---------------------------------------------------------------------------
+
+_ops = st.sampled_from(["INSERT", "UPDATE", "DELETE"])
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+).filter(lambda s: len(s.encode()) <= 64)
+_props = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+_record = st.tuples(
+    _ops,
+    st.integers(min_value=-(2**62), max_value=2**62),      # event_id
+    st.integers(min_value=0, max_value=(2**32 - 1) * 10**6  # ts_us in
+                ),                                          # u32-seconds range
+    st.integers(min_value=-(2**62), max_value=2**62),      # user_id
+    _text,                                                  # event_type
+    st.floats(allow_nan=False, width=64),                   # value
+    _props,                                                 # props
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_record, min_size=1, max_size=130))
+def test_file_roundtrip_property(records):
+    blob = B.encode_binlog_file(records)
+    got = []
+    for ev in B.parse_binlog_file(blob):
+        op = B._EVENT_TO_OP.get(ev["type"])
+        if op is None:
+            continue
+        for row in ev["rows"]:
+            img = row[1] if op == "UPDATE" else row
+            got.append((op, *img))
+    assert got == [tuple(r) for r in records]
+
+
+def test_transaction_choreography():
+    """>_TXN_ROWS records split into GTID/BEGIN/TABLE_MAP/…/XID
+    transactions with monotone gno."""
+    n = B._TXN_ROWS + 3
+    recs = [("INSERT", i, 1000 + i, 1, "signup", 0.5, "{}") for i in range(n)]
+    evs = list(B.parse_binlog_file(B.encode_binlog_file(recs)))
+    gnos = [e["gno"] for e in evs if e["type"] == B.GTID_EVENT]
+    xids = [e["xid"] for e in evs if e["type"] == B.XID_EVENT]
+    begins = [e for e in evs if e["type"] == B.QUERY_EVENT]
+    assert gnos == [1, 2] and xids == [1, 2] and len(begins) == 2
+    n_rows = sum(len(e["rows"]) for e in evs if "rows" in e)
+    assert n_rows == n
+
+
+# ---------------------------------------------------------------------------
+# the Spark path (one distributed smoke; the oracle gate covers scale)
+# ---------------------------------------------------------------------------
+
+
+def test_spark_binlog_roundtrip(spark, sf_dir):
+    from replicator_spark.cdc.envelope import OP_CASE_SQL
+    from replicator_spark.session import read_table
+    from replicator_spark.sources.binlog import binlog_roundtrip_query
+
+    import pyspark.sql.functions as F
+
+    got = binlog_roundtrip_query(spark, sf_dir)
+    want = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            F.expr(OP_CASE_SQL).alias("op"),
+            "event_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "user_id", "event_type", "value", "props",
+        )
+        .where(F.col("op") != "QUERY")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
