@@ -734,6 +734,22 @@ def _parse_partition(batches) -> Iterator:
         )
 
 
+def read_binlog_files(spark: SparkSession, path: str) -> DataFrame:
+    """The production entry: rotated binlog files on disk/object
+    storage → change rows. ``binaryFile`` gives one row per file (blob
+    in `content`), partitioned by file, so decode parallelism is
+    file-level with zero shuffle — the replica-per-binlog fan-out of
+    `BinaryLogSupplier`, but elastic. (For continuous tailing, land
+    rotated files and drive this through foreachBatch over a file
+    listing; Spark's binaryFile format is batch-only.)"""
+    blobs = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(F.col("content").alias("data"))
+    )
+    return blobs.mapInPandas(_parse_partition, BINLOG_ROWS_SCHEMA)
+
+
 def binlog_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The wire layer end-to-end at scale: events → binlog v4 file
     blobs (per-batch, the server's rotation bound) → byte-walk parse →

@@ -338,6 +338,27 @@ def test_transaction_choreography():
 # ---------------------------------------------------------------------------
 
 
+def test_read_binlog_files_from_disk(spark, tmp_path):
+    """The production path: rotated binlog FILES on storage →
+    binaryFile source → parsed change rows."""
+    from replicator_spark.sources.binlog import read_binlog_files
+
+    recs_a = [("INSERT", 1, 5_000_000, 10, "signup", 1.0, "{}"),
+              ("DELETE", 2, 6_000_000, 11, "error", 2.0, "{}")]
+    recs_b = [("UPDATE", 3, 7_000_000, 12, "click", 3.0, '{"k":1}')]
+    (tmp_path / "binlog.000001").write_bytes(B.encode_binlog_file(recs_a))
+    (tmp_path / "binlog.000002").write_bytes(B.encode_binlog_file(recs_b))
+    got = sorted(
+        read_binlog_files(spark, str(tmp_path)).collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert [tuple(r) for r in got] == recs_a + recs_b
+    # file-level parallelism: one input partition per file, no shuffle
+    assert "Exchange" not in read_binlog_files(
+        spark, str(tmp_path)
+    )._jdf.queryExecution().executedPlan().toString()
+
+
 def test_spark_binlog_roundtrip(spark, sf_dir):
     from replicator_spark.cdc.envelope import OP_CASE_SQL
     from replicator_spark.session import read_table
