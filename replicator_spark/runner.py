@@ -10,6 +10,11 @@ plan (batch) or a foreachBatch stream (same code path — streaming ==
 batch by construction, as in streaming/job.py).
 
 Key mapping (reference key → effect here):
+- ``source.type`` ∈ events_parquet|binlog_files (+
+  ``source.binlog.path``) → the supplier: the testdata change feed,
+  or byte-level decode of real binlog v4 files (`sources/binlog.py`)
+  into the same envelope (BinaryLogSupplier selection in
+  Replicator.java:95-204)
 - ``augmenter.filter.include`` / ``augmenter.filter.exclude.pattern``
   → `cdc.filters.should_augment_table`
   (ActiveSchemaHelpers shouldAugmentTable)
@@ -43,6 +48,16 @@ from .cdc.partitioners import repartition_for
 from .session import prep
 
 DEFAULT_CONFIG: dict[str, Any] = {
+    # source selection (Replicator.java wires the supplier the same
+    # way: one config key picks binlog vs test feed):
+    # - events_parquet: the testdata change feed (envelope over the
+    #   events table — the sandbox stand-in for a live binlog client)
+    # - binlog_files: REAL binlog v4 files decoded at byte level
+    #   (sources/binlog.py) from `source.binlog.path`, then the same
+    #   envelope derivation — the production path for rotated logs
+    #   landed on object storage
+    "source.type": "events_parquet",
+    "source.binlog.path": None,
     "augmenter.filter.include": (),
     "augmenter.filter.exclude.pattern": None,
     "augmenter.table.merge": False,
@@ -83,12 +98,40 @@ def _augment(feed: DataFrame, cfg: Mapping[str, Any]) -> DataFrame:
     )
 
 
+def _source(
+    spark: SparkSession, sf_dir: str, cfg: Mapping[str, Any]
+) -> DataFrame:
+    """The configured source as an envelope feed. A binlog-file source
+    carries only row events (QUERY events have no row image), so its
+    envelope is the row-event slice of the parquet feed's — the
+    before-image lag sees exactly the rows a real replica would."""
+    kind = cfg["source.type"]
+    if kind == "events_parquet":
+        return change_feed(spark, sf_dir)
+    if kind == "binlog_files":
+        from .cdc.envelope import change_feed_from
+        from .sources.binlog import read_binlog_files
+
+        rows = read_binlog_files(spark, cfg["source.binlog.path"])
+        return change_feed_from(
+            rows.select(
+                "event_id",
+                (F.col("ts_us") * 1000).alias("ts"),  # envelope reads ns
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    raise ValueError(f"unknown source.type: {kind}")
+
+
 def build_feed(
     spark: SparkSession, sf_dir: str, config: Mapping[str, Any]
 ) -> DataFrame:
     """source → augment-filters → partitioner, per config."""
     cfg = {**DEFAULT_CONFIG, **config}
-    return _augment(change_feed(spark, sf_dir), cfg)
+    return _augment(_source(spark, sf_dir, cfg), cfg)
 
 
 def apply_sink(feed: DataFrame, config: Mapping[str, Any]) -> DataFrame:

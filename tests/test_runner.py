@@ -145,3 +145,58 @@ def test_survey_inventory_in_lockstep_with_registry():
     assert sorted(rows) == sorted(api.queries()), (
         len(rows), len(api.queries()),
     )
+
+
+def test_binlog_files_source_equals_parquet_row_slice(
+    spark, sf_dir, tmp_path
+):
+    """source.type=binlog_files: real binlog v4 blobs on disk drive the
+    SAME composed pipeline, and the result equals the parquet-source
+    run restricted to row events (a binlog file source carries exactly
+    the row events — QUERY events have no row image)."""
+    from replicator_spark.cdc.envelope import OP_CASE_SQL
+    from replicator_spark.session import read_table
+    from replicator_spark.sources.binlog import encode_binlog_file
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            F.expr(OP_CASE_SQL).alias("op"),
+            "event_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .where(F.col("op") != "QUERY")
+        .orderBy("event_id")
+        .collect()
+    )
+    recs = [tuple(r) for r in ev]
+    (tmp_path / "binlog.000001").write_bytes(
+        encode_binlog_file(recs[: len(recs) // 2])
+    )
+    (tmp_path / "binlog.000002").write_bytes(
+        encode_binlog_file(recs[len(recs) // 2 :])
+    )
+    cfg = {
+        "source.type": "binlog_files",
+        "source.binlog.path": str(tmp_path),
+        "augmenter.table.merge": True,
+        "applier.type": "count",
+    }
+    got = {
+        (r["op"], r["n_events"])
+        for r in run_batch(spark, None, cfg).collect()
+    }
+    want = {
+        (r["op"], r["n_events"])
+        for r in run_batch(
+            spark, sf_dir, {"augmenter.table.merge": True}
+        ).collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="source.type"):
+        run_batch(spark, sf_dir, {"source.type": "nope"})
