@@ -41,7 +41,9 @@ Supported event types: FORMAT_DESCRIPTION(15), ROTATE(4), QUERY(2),
 XID(16), GTID(33), TABLE_MAP(19), WRITE/UPDATE/DELETE_ROWS v2
 (30/31/32); unknown types are skipped by header size (the
 forward-compat rule real replicas follow). Column types: TINY, SHORT,
-LONG, LONGLONG, FLOAT, DOUBLE, VARCHAR, TIMESTAMP2, DATETIME2,
+INT24, LONG, LONGLONG, FLOAT, DOUBLE, DATE, YEAR, TIME2 (non-negative
+range), VARCHAR, CHAR/STRING (incl. the >255-byte metadata pack
+trick), BLOB (all length-of-length widths), TIMESTAMP2, DATETIME2,
 NEWDECIMAL — the v4 row-image encodings of the `MysqlTypeDeserializer`
 surface (`mysql-data/.../MysqlTypeDeserializer.java:48-236` decodes
 the POST-client values; this module decodes the bytes the client
@@ -71,16 +73,23 @@ UPDATE_ROWS_EVENT = 31  # v2
 DELETE_ROWS_EVENT = 32  # v2
 GTID_EVENT = 33
 
-# column type codes (a subset of the MySQL wire types)
+# column type codes (the common subset of the MySQL wire types — the
+# row-image encodings under the reference's decode table)
 MYSQL_TYPE_TINY = 1
 MYSQL_TYPE_SHORT = 2
 MYSQL_TYPE_LONG = 3
 MYSQL_TYPE_FLOAT = 4
 MYSQL_TYPE_DOUBLE = 5
 MYSQL_TYPE_LONGLONG = 8
+MYSQL_TYPE_INT24 = 9
+MYSQL_TYPE_DATE = 10
+MYSQL_TYPE_YEAR = 13
 MYSQL_TYPE_VARCHAR = 15
 MYSQL_TYPE_TIMESTAMP2 = 17
 MYSQL_TYPE_DATETIME2 = 18
+MYSQL_TYPE_TIME2 = 19
+MYSQL_TYPE_BLOB = 252
+MYSQL_TYPE_STRING = 254
 MYSQL_TYPE_NEWDECIMAL = 246
 
 HEADER_LEN = 19
@@ -189,6 +198,64 @@ def decode_datetime2(buf: bytes, pos: int, fsp: int) -> tuple[str, int]:
         if fsp:
             out += "." + f"{us:06d}"[:fsp]
     return out, pos
+
+
+def encode_time2(hour: int, minute: int, second: int, us: int = 0,
+                 fsp: int = 6) -> bytes:
+    """TIME2 (non-negative): 3-byte big-endian packed — sign bit set,
+    hour (10 bits), minute (6), second (6) — plus the fractional tail.
+    (MySQL stores negative TIMEs as the complement of the whole packed
+    value; the writer supports the non-negative range.)"""
+    if hour < 0:
+        raise ValueError("negative TIME2 not supported by the writer")
+    packed = (1 << 23) | (hour << 12) | (minute << 6) | second
+    out = packed.to_bytes(3, "big")
+    nb = _frac_bytes(fsp)
+    if nb:
+        frac = us // (10 ** (6 - 2 * ((fsp + 1) // 2)))
+        out += frac.to_bytes(nb, "big")
+    return out
+
+
+def decode_time2(buf: bytes, pos: int, fsp: int) -> tuple[str, int]:
+    """→ ('HH:MM:SS[.ffffff]', new_pos). Non-negative range."""
+    packed = int.from_bytes(buf[pos : pos + 3], "big")
+    pos += 3
+    if not packed & (1 << 23):
+        raise ValueError("negative TIME2 not supported")
+    hour = (packed >> 12) & 0x3FF
+    minute = (packed >> 6) & 0x3F
+    second = packed & 0x3F
+    out = f"{hour:02d}:{minute:02d}:{second:02d}"
+    nb = _frac_bytes(fsp)
+    if nb:
+        frac = int.from_bytes(buf[pos : pos + nb], "big")
+        us = frac * (10 ** (6 - 2 * ((fsp + 1) // 2)))
+        pos += nb
+        if fsp:
+            out += "." + f"{us:06d}"[:fsp]
+    return out, pos
+
+
+def _string_meta(length: int) -> bytes:
+    """TABLE_MAP metadata for MYSQL_TYPE_STRING / CHAR(n): two bytes
+    (real_type, length); byte lengths above 255 borrow the two bits
+    the real-type byte doesn't need — the `((byte0 & 0x30) ^ 0x30)
+    << 4` pack every open-source binlog parser reverses."""
+    if length > 1023:
+        raise ValueError("CHAR byte length above 1023")
+    b0 = MYSQL_TYPE_STRING
+    if length > 255:
+        b0 = (b0 & ~0x30) | (((length >> 4) & 0x30) ^ 0x30)
+    return bytes([b0, length & 0xFF])
+
+
+def _string_meta_length(m: bytes) -> int:
+    b0, b1 = m[0], m[1]
+    length = b1
+    if (b0 & 0x30) != 0x30:
+        length += ((b0 & 0x30) ^ 0x30) << 4
+    return length
 
 
 def encode_newdecimal(value: Decimal, precision: int, scale: int) -> bytes:
@@ -376,10 +443,32 @@ class BinlogWriter:
                 vals += struct.pack("<i", v)
             elif t == MYSQL_TYPE_LONGLONG:
                 vals += struct.pack("<q", v)
+            elif t == MYSQL_TYPE_INT24:
+                vals += int(v & 0xFFFFFF).to_bytes(3, "little")
             elif t == MYSQL_TYPE_FLOAT:
                 vals += struct.pack("<f", v)
             elif t == MYSQL_TYPE_DOUBLE:
                 vals += struct.pack("<d", v)
+            elif t == MYSQL_TYPE_DATE:
+                y, mo, d = v
+                vals += ((y << 9) | (mo << 5) | d).to_bytes(3, "little")
+            elif t == MYSQL_TYPE_YEAR:
+                vals += bytes([v - 1900])
+            elif t == MYSQL_TYPE_TIME2:
+                vals += encode_time2(*v, fsp=m[0])
+            elif t == MYSQL_TYPE_BLOB:
+                nlen = m[0]
+                raw = bytes(v)
+                vals += len(raw).to_bytes(nlen, "little") + raw
+            elif t == MYSQL_TYPE_STRING:
+                enc = v.encode() if isinstance(v, str) else bytes(v)
+                maxlen = _string_meta_length(m)
+                if len(enc) > maxlen:
+                    raise ValueError("char overflow")
+                if maxlen < 256:
+                    vals += bytes([len(enc)]) + enc
+                else:
+                    vals += struct.pack("<H", len(enc)) + enc
             elif t == MYSQL_TYPE_VARCHAR:
                 enc = v.encode() if isinstance(v, str) else bytes(v)
                 maxlen = struct.unpack("<H", m)[0]
@@ -433,9 +522,9 @@ class BinlogWriter:
 
 def _meta_size(t: int) -> int:
     if t in (MYSQL_TYPE_DOUBLE, MYSQL_TYPE_FLOAT, MYSQL_TYPE_TIMESTAMP2,
-             MYSQL_TYPE_DATETIME2):
+             MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIME2, MYSQL_TYPE_BLOB):
         return 1
-    if t in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_NEWDECIMAL):
+    if t in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_NEWDECIMAL, MYSQL_TYPE_STRING):
         return 2
     return 0
 
@@ -460,10 +549,32 @@ def _decode_image(
             row.append(struct.unpack_from("<i", buf, pos)[0]); pos += 4
         elif t == MYSQL_TYPE_LONGLONG:
             row.append(struct.unpack_from("<q", buf, pos)[0]); pos += 8
+        elif t == MYSQL_TYPE_INT24:
+            v = int.from_bytes(buf[pos : pos + 3], "little")
+            row.append(v - 0x1000000 if v & 0x800000 else v); pos += 3
         elif t == MYSQL_TYPE_FLOAT:
             row.append(struct.unpack_from("<f", buf, pos)[0]); pos += 4
         elif t == MYSQL_TYPE_DOUBLE:
             row.append(struct.unpack_from("<d", buf, pos)[0]); pos += 8
+        elif t == MYSQL_TYPE_DATE:
+            v = int.from_bytes(buf[pos : pos + 3], "little"); pos += 3
+            row.append(f"{v >> 9:04d}-{(v >> 5) & 0x0F:02d}-{v & 0x1F:02d}")
+        elif t == MYSQL_TYPE_YEAR:
+            row.append(buf[pos] + 1900); pos += 1
+        elif t == MYSQL_TYPE_TIME2:
+            v, pos = decode_time2(buf, pos, m[0]); row.append(v)
+        elif t == MYSQL_TYPE_BLOB:
+            nlen = m[0]
+            ln = int.from_bytes(buf[pos : pos + nlen], "little")
+            pos += nlen
+            row.append(bytes(buf[pos : pos + ln])); pos += ln
+        elif t == MYSQL_TYPE_STRING:
+            maxlen = _string_meta_length(m)
+            if maxlen < 256:
+                ln = buf[pos]; pos += 1
+            else:
+                ln = struct.unpack_from("<H", buf, pos)[0]; pos += 2
+            row.append(buf[pos : pos + ln].decode()); pos += ln
         elif t == MYSQL_TYPE_VARCHAR:
             maxlen = struct.unpack("<H", m)[0]
             if maxlen < 256:

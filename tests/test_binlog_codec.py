@@ -236,6 +236,67 @@ def test_delete_rows():
     assert got == [_WANT]
 
 
+def test_extended_types_golden_and_roundtrip():
+    """INT24/DATE/YEAR/TIME2/CHAR/BLOB row-image encodings."""
+    types = [
+        B.MYSQL_TYPE_INT24, B.MYSQL_TYPE_DATE, B.MYSQL_TYPE_YEAR,
+        B.MYSQL_TYPE_TIME2, B.MYSQL_TYPE_STRING, B.MYSQL_TYPE_STRING,
+        B.MYSQL_TYPE_BLOB, B.MYSQL_TYPE_BLOB,
+    ]
+    metas = [
+        b"", b"", b"", bytes([6]),
+        B._string_meta(20), B._string_meta(900),  # 1- and 2-byte paths
+        bytes([1]), bytes([3]),                    # TINYBLOB, MEDIUMBLOB
+    ]
+    row = [
+        -(2**23) + 5, (2024, 3, 5), 1999, (13, 59, 7, 250000),
+        "char", "y" * 500, b"\x00\xffbin", b"big" * 40,
+    ]
+    want = [
+        -(2**23) + 5, "2024-03-05", 1999, "13:59:07.250000",
+        "char", "y" * 500, b"\x00\xffbin", b"big" * 40,
+    ]
+    w = B.BinlogWriter()
+    w.table_map(3, "d", "t", types, metas)
+    w.rows(B.WRITE_ROWS_EVENT, 3, types, metas, [row])
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    assert evs[-1]["rows"] == [want]
+
+
+def test_date_golden_bytes():
+    # DATE: 3-byte LE of year<<9 | month<<5 | day
+    packed = (2024 << 9) | (3 << 5) | 5
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", [B.MYSQL_TYPE_DATE], [b""])
+    w.rows(B.WRITE_ROWS_EVENT, 1, [B.MYSQL_TYPE_DATE], [b""],
+           [[(2024, 3, 5)]])
+    blob = w.getvalue()
+    assert packed.to_bytes(3, "little") in blob
+
+
+def test_string_meta_pack_trick():
+    """CHAR byte lengths above 255 pack their high bits, inverted,
+    into the metadata's real-type byte."""
+    assert B._string_meta(100) == bytes([B.MYSQL_TYPE_STRING, 100])
+    assert B._string_meta_length(B._string_meta(100)) == 100
+    for n in (255, 256, 512, 767, 1000, 1023):
+        m = B._string_meta(n)
+        assert B._string_meta_length(m) == n
+    # the >255 encoding really does flip bits 4-5 of byte0
+    assert B._string_meta(256)[0] != B.MYSQL_TYPE_STRING
+    with pytest.raises(ValueError):
+        B._string_meta(1024)
+
+
+def test_time2_negative_rejected():
+    with pytest.raises(ValueError):
+        B.encode_time2(-1, 0, 0)
+    # a cleared sign bit on the wire is rejected loudly, not mis-read
+    buf = bytes([0x00, 0x10, 0x00])
+    with pytest.raises(ValueError, match="negative"):
+        B.decode_time2(buf, 0, 0)
+
+
 def test_two_interleaved_table_maps():
     w = B.BinlogWriter()
     t_a = [B.MYSQL_TYPE_LONG]
@@ -379,3 +440,31 @@ def test_spark_binlog_roundtrip(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_wire_gtids_feed_safe_watermark(spark):
+    """Composition: GTID events decoded from the WIRE feed the
+    checkpoint algebra (cdc/checkpoint.py safe_watermark), which must
+    stop at the first gno hole per server — the GtidSetAlgebra
+    safe-checkpoint rule computed from real bytes."""
+    from replicator_spark.cdc.checkpoint import safe_watermark
+
+    sid_a, sid_b = bytes([1] * 16), bytes([2] * 16)
+    w = B.BinlogWriter()
+    # server A acks 1,2,3,5 (hole at 4); server B acks 1,2
+    for sid, gnos in ((sid_a, (1, 2, 3, 5)), (sid_b, (1, 2))):
+        for g in gnos:
+            w.gtid(sid, g)
+            w.query("BEGIN")
+            w.xid(g)
+    acked = [
+        (ev["sid"].hex(), ev["gno"])
+        for ev in B.parse_binlog_file(w.getvalue())
+        if ev["type"] == B.GTID_EVENT
+    ]
+    df = spark.createDataFrame(acked, "server_uuid string, gno long")
+    got = {
+        r["server_uuid"]: (r["safe_checkpoint"], r["acked_contiguous"])
+        for r in safe_watermark(df, "server_uuid", "gno").collect()
+    }
+    assert got == {sid_a.hex(): (3, 3), sid_b.hex(): (2, 2)}
