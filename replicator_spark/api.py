@@ -175,7 +175,7 @@ _ORACLES: dict[str, str] = {}
 # (final 31 never-graded + 19 §2-critical re-pins), then
 # previously-driver-verified blocks.
 _PRIORITY = [
-    # ======== ROUND-11 GRADING WINDOW (1 + 3 + 28 + 18) ========
+    # ======== ROUND-11 GRADING WINDOW (2 + 3 + 28 + 17) ========
     # --- the round-11 addition (never graded): binlog-client compat-
     #     mode decode toggles (CHAR_AND_BINARY_AS_BYTE_ARRAY +
     #     DATE_AND_TIME_AS_LONG, BinaryLogSupplier.java:113-117) ---
@@ -220,11 +220,13 @@ _PRIORITY = [
     "stats_spearman",
     "stats_auc",
     "stats_gini",
-    # --- 18 §2-critical re-pins from the 49-op r6-green block (incl.
+    # --- §2-critical re-pins from the 49-op r6-green block (incl.
     #     cdc_type_decode and schema_ddl_replay, whose source files
-    #     changed this round); the remaining r6 ops (tm_asof_snapshot,
-    #     the 3 source roundtrips, and the 27 non-critical rows) are
-    #     the ROUND-12 QUEUE ---
+    #     changed this round); the first 17 fit the 50-slot window —
+    #     tm_cells, at position 51, is displaced below the cut by
+    #     round-11 addition #2, so it joins the ROUND-12 QUEUE with
+    #     the remaining r6 ops (tm_asof_snapshot, the 3 source
+    #     roundtrips, and the 27 non-critical rows) ---
     "schema_ddl_replay",
     "cdc_type_decode",
     "cdc_change_feed",

@@ -102,9 +102,13 @@ def _source(
     spark: SparkSession, sf_dir: str, cfg: Mapping[str, Any]
 ) -> DataFrame:
     """The configured source as an envelope feed. A binlog-file source
-    carries only row events (QUERY events have no row image), so its
-    envelope is the row-event slice of the parquet feed's — the
-    before-image lag sees exactly the rows a real replica would."""
+    carries only row events (QUERY events have no row image), so the
+    envelope's lag-derived fields (value_before, seq_in_txn,
+    commit_ts_ms) are computed over row events only — the rows a real
+    replica actually receives. The parquet test feed interleaves
+    synthetic QUERY rows BEFORE the lag, so those fields can differ
+    between the two sources for the same data; op/table routing and
+    counts agree (pinned by test_runner)."""
     kind = cfg["source.type"]
     if kind == "events_parquet":
         return change_feed(spark, sf_dir)
@@ -201,6 +205,16 @@ def run_stream(
 
     prep(spark)
     cfg = {**DEFAULT_CONFIG, **config}
+    if cfg["source.type"] != "events_parquet":
+        # Spark's binaryFile format is batch-only: a binlog-file
+        # source streams by landing rotated files and re-running the
+        # BATCH composition per arrival (see sources/binlog.py). Fail
+        # loudly rather than silently streaming the wrong source.
+        raise ValueError(
+            "run_stream supports only source.type=events_parquet; "
+            f"got {cfg['source.type']!r} (drive binlog files through "
+            "run_batch per rotation)"
+        )
     stream = _events_stream(spark, sf_dir)
 
     def one_batch(batch_df: DataFrame, epoch_id: int) -> None:

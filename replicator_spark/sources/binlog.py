@@ -379,10 +379,14 @@ class BinlogWriter:
         body += bytes([HEADER_LEN])
         # post-header length per event type (we only rely on our own
         # types' values; others get their v4 defaults or 0)
+        # post-header lengths a spec-compliant reader uses to find
+        # each event's body — they must match what the writer emits
+        # (pinned by test_fde_post_header_lengths_match_bodies)
         ph = bytearray(_N_EVENT_TYPES)
         ph[QUERY_EVENT - 1] = 13
         ph[ROTATE_EVENT - 1] = 8
-        ph[FORMAT_DESCRIPTION_EVENT - 1] = 84
+        # the FDE's own slot covers its fixed part incl. this array
+        ph[FORMAT_DESCRIPTION_EVENT - 1] = 2 + 50 + 4 + 1 + _N_EVENT_TYPES
         ph[XID_EVENT - 1] = 0
         ph[TABLE_MAP_EVENT - 1] = 8
         ph[WRITE_ROWS_EVENT - 1] = 10
@@ -399,8 +403,19 @@ class BinlogWriter:
         body += dbb + b"\x00" + sql.encode()
         self._event(QUERY_EVENT, body)
 
-    def gtid(self, sid: bytes, gno: int) -> None:
-        self._event(GTID_EVENT, bytes([1]) + sid + struct.pack("<Q", gno))
+    def gtid(
+        self, sid: bytes, gno: int,
+        last_committed: int = 0, sequence_number: int = 0,
+    ) -> None:
+        """GTID_LOG_EVENT with the full 42-byte post-header a
+        spec-compliant reader seeks over: flags(1) + sid(16) + gno(8)
+        + logical-timestamp typecode(1) + last_committed(8) +
+        sequence_number(8)."""
+        self._event(
+            GTID_EVENT,
+            bytes([1]) + sid + struct.pack("<Q", gno) + bytes([2])
+            + struct.pack("<qq", last_committed, sequence_number),
+        )
 
     def xid(self, xid: int) -> None:
         self._event(XID_EVENT, struct.pack("<Q", xid))
@@ -629,14 +644,17 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                 raise ValueError("first event is not FORMAT_DESCRIPTION")
             # checksum algorithm (5.6.1+ layout): with a checksum the
             # alg byte sits before the 4-byte trailer (ev[-5]) and the
-            # trailer must verify; without one the alg byte (0 = OFF)
-            # is the last body byte. Pre-5.6.1 files (no alg byte at
-            # all) are not supported.
-            if (
-                ev[-5] == CHECKSUM_ALG_CRC32
-                and struct.unpack("<I", ev[-4:])[0]
-                == zlib.crc32(ev[:-4]) & 0xFFFFFFFF
-            ):
+            # trailer must verify — a CRC32-alg byte with a failing
+            # trailer is CORRUPTION, not a checksum-off file (falling
+            # back would parse every later event's CRC bytes as body).
+            # Without a checksum the alg byte (0 = OFF) is the last
+            # body byte. Pre-5.6.1 files (no alg byte) not supported.
+            if ev[-5] == CHECKSUM_ALG_CRC32:
+                if (
+                    struct.unpack("<I", ev[-4:])[0]
+                    != zlib.crc32(ev[:-4]) & 0xFFFFFFFF
+                ):
+                    raise ValueError("CRC32 mismatch in FORMAT_DESCRIPTION")
                 checksum = CHECKSUM_ALG_CRC32
             elif ev[-1] == 0:
                 checksum = 0
@@ -714,9 +732,20 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
             p += extra  # the length includes its own 2 bytes
             ncols, p = _read_lenenc(body, p)
             nb = (ncols + 7) // 8
-            p += nb  # present bitmap (writer sends all columns)
-            if etype == UPDATE_ROWS_EVENT:
-                p += nb  # after-image present bitmap
+            # present bitmaps: this decoder requires FULL row images —
+            # the reference's own hard invariant (binlog_row_image=
+            # FULL); a cleared bit (MINIMAL/NOBLOB server) would
+            # silently misalign every later value, so reject loudly
+            n_bitmaps = 2 if etype == UPDATE_ROWS_EVENT else 1
+            for _ in range(n_bitmaps):
+                bm = body[p : p + nb]
+                p += nb
+                for i in range(ncols):
+                    if not bm[i // 8] & (1 << (i % 8)):
+                        raise ValueError(
+                            "partial row images unsupported "
+                            "(binlog_row_image=FULL required)"
+                        )
             rows = []
             while p < len(body):
                 img, p = _decode_image(body, p, tm.col_types, tm.col_metas)

@@ -468,3 +468,72 @@ def test_wire_gtids_feed_safe_watermark(spark):
         for r in safe_watermark(df, "server_uuid", "gno").collect()
     }
     assert got == {sid_a.hex(): (3, 3), sid_b.hex(): (2, 2)}
+
+
+def test_fde_post_header_lengths_match_bodies():
+    """A spec-compliant reader seeks post_header_len[type-1] bytes into
+    each event; the writer's declared lengths must not exceed what it
+    actually emits (GTID's fixed post-header must be exactly present)."""
+    w = B.BinlogWriter()
+    w.gtid(bytes(16), 7, last_committed=3, sequence_number=4)
+    w.query("BEGIN")
+    w.table_map(1, "d", "t", [B.MYSQL_TYPE_LONG], [b""])
+    w.rows(B.WRITE_ROWS_EVENT, 1, [B.MYSQL_TYPE_LONG], [b""], [[1]])
+    w.xid(1)
+    w.rotate("next.bin")
+    blob = w.getvalue()
+    # read the declared table out of the FDE
+    pos = 4
+    _, _, _, size, _, _ = struct.unpack_from("<IBIIIH", blob, pos)
+    fde_body = blob[pos + B.HEADER_LEN : pos + size - 4]
+    ph = fde_body[2 + 50 + 4 + 1 : 2 + 50 + 4 + 1 + B._N_EVENT_TYPES]
+    assert ph[B.GTID_EVENT - 1] == 42
+    assert ph[B.FORMAT_DESCRIPTION_EVENT - 1] == len(fde_body) - 1
+    # walk every event: body length >= declared post-header length
+    pos = 4
+    while pos < len(blob):
+        _, etype, _, size, _, _ = struct.unpack_from("<IBIIIH", blob, pos)
+        body_len = size - B.HEADER_LEN - 4  # minus CRC trailer
+        assert body_len >= ph[etype - 1], (etype, body_len, ph[etype - 1])
+        if etype == B.GTID_EVENT:
+            assert body_len == 42
+        pos += size
+
+
+def test_corrupted_fde_crc_is_corruption_not_checksum_off():
+    w = B.BinlogWriter()
+    w.xid(1)
+    blob = bytearray(w.getvalue())
+    # corrupt a byte inside the FDE's server-version field
+    blob[4 + B.HEADER_LEN + 10] ^= 0xFF
+    with pytest.raises(ValueError, match="FORMAT_DESCRIPTION"):
+        list(B.parse_binlog_file(bytes(blob)))
+
+
+def test_partial_row_image_rejected():
+    """binlog_row_image=MINIMAL-style present bitmaps (cleared bits)
+    must be rejected loudly — decoding would misalign silently."""
+    w = B.BinlogWriter()
+    types, metas = [B.MYSQL_TYPE_LONG, B.MYSQL_TYPE_LONG], [b"", b""]
+    w.table_map(1, "d", "t", types, metas)
+    # hand-build a WRITE_ROWS body with only column 0 present
+    body = (1).to_bytes(6, "little") + struct.pack("<H", 0)
+    body += struct.pack("<H", 2)
+    body += B._lenenc(2)
+    body += bytes([0b01])          # present: col 0 only
+    body += bytes([0b00])          # null bitmap over 1 present col
+    body += struct.pack("<i", 5)   # the single present value
+    w._event(B.WRITE_ROWS_EVENT, body)
+    with pytest.raises(ValueError, match="FULL"):
+        list(B.parse_binlog_file(w.getvalue()))
+
+
+def test_run_stream_rejects_binlog_source(spark, sf_dir, tmp_path):
+    from replicator_spark.runner import run_stream
+
+    with pytest.raises(ValueError, match="events_parquet"):
+        run_stream(
+            spark, sf_dir,
+            {"source.type": "binlog_files", "source.binlog.path": "/x"},
+            str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        )
