@@ -205,17 +205,27 @@ def run_stream(
 
     prep(spark)
     cfg = {**DEFAULT_CONFIG, **config}
-    if cfg["source.type"] != "events_parquet":
-        # Spark's binaryFile format is batch-only: a binlog-file
-        # source streams by landing rotated files and re-running the
-        # BATCH composition per arrival (see sources/binlog.py). Fail
-        # loudly rather than silently streaming the wrong source.
-        raise ValueError(
-            "run_stream supports only source.type=events_parquet; "
-            f"got {cfg['source.type']!r} (drive binlog files through "
-            "run_batch per rotation)"
+    kind = cfg["source.type"]
+    if kind == "events_parquet":
+        stream = _events_stream(spark, sf_dir)
+    elif kind == "binlog_files":
+        # continuous tail of a rotated-binlog directory: the
+        # file-stream checkpoint is the seen-files log, so each
+        # rotated file decodes exactly once across restarts
+        from .sources.binlog import tail_binlog_files
+
+        stream = tail_binlog_files(
+            spark, cfg["source.binlog.path"]
+        ).select(
+            "event_id",
+            (F.col("ts_us") * 1000).alias("ts"),  # envelope reads ns
+            "user_id",
+            "event_type",
+            "value",
+            "props",
         )
-    stream = _events_stream(spark, sf_dir)
+    else:
+        raise ValueError(f"unknown source.type: {kind}")
 
     def one_batch(batch_df: DataFrame, epoch_id: int) -> None:
         feed = _augment(change_feed_from(batch_df), cfg)

@@ -874,16 +874,39 @@ def _parse_partition(batches) -> Iterator:
         )
 
 
+# the binaryFile source's fixed schema (needed explicitly for the
+# STREAMING reader — file-stream sources cannot infer)
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long,"
+    " content binary"
+)
+
+
 def read_binlog_files(spark: SparkSession, path: str) -> DataFrame:
-    """The production entry: rotated binlog files on disk/object
+    """The production batch entry: rotated binlog files on disk/object
     storage → change rows. ``binaryFile`` gives one row per file (blob
     in `content`), partitioned by file, so decode parallelism is
     file-level with zero shuffle — the replica-per-binlog fan-out of
-    `BinaryLogSupplier`, but elastic. (For continuous tailing, land
-    rotated files and drive this through foreachBatch over a file
-    listing; Spark's binaryFile format is batch-only.)"""
+    `BinaryLogSupplier`, but elastic."""
     blobs = (
         spark.read.format("binaryFile")
+        .load(path)
+        .select(F.col("content").alias("data"))
+    )
+    return blobs.mapInPandas(_parse_partition, BINLOG_ROWS_SCHEMA)
+
+
+def tail_binlog_files(spark: SparkSession, path: str) -> DataFrame:
+    """The production STREAMING entry: a continuously-tailed directory
+    of rotated binlog files → an unbounded change-row stream. The
+    file-stream source tracks seen files in the query checkpoint, so
+    each rotated file is decoded exactly once across restarts — the
+    Structured-Streaming re-expression of `BinaryLogSupplier.connect`'s
+    resume-from-checkpoint contract (the checkpoint here is Spark's
+    seen-files log instead of a binlog file/pos pair)."""
+    blobs = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
         .load(path)
         .select(F.col("content").alias("data"))
     )

@@ -528,12 +528,77 @@ def test_partial_row_image_rejected():
         list(B.parse_binlog_file(w.getvalue()))
 
 
-def test_run_stream_rejects_binlog_source(spark, sf_dir, tmp_path):
+def test_tail_binlog_files_exactly_once_across_restart(spark, tmp_path):
+    """The streaming tail decodes each rotated file exactly once: a
+    second lifetime over the same checkpoint picks up ONLY files that
+    arrived after the first drained — BinaryLogSupplier's
+    resume-from-checkpoint contract, carried by the file-stream
+    seen-files log."""
+    from replicator_spark.sources.binlog import tail_binlog_files
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (logs / "binlog.000001").write_bytes(
+        B.encode_binlog_file(
+            [("INSERT", 1, 5_000_000, 10, "signup", 1.0, "{}"),
+             ("DELETE", 2, 6_000_000, 11, "error", 2.0, "{}")]
+        )
+    )
+
+    def drain():
+        q = (
+            tail_binlog_files(spark, str(logs))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got1 = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 2}
+    (logs / "binlog.000002").write_bytes(
+        B.encode_binlog_file(
+            [("UPDATE", 3, 7_000_000, 12, "click", 3.0, "{}")]
+        )
+    )
+    drain()  # restart lifetime: only the new file decodes
+    rows = spark.read.parquet(out).collect()
+    assert {r["event_id"] for r in rows} == {1, 2, 3}
+    assert len(rows) == 3  # no re-decode of file 1
+
+
+def test_run_stream_binlog_source(spark, tmp_path):
+    """run_stream with source.type=binlog_files composes the tailed
+    wire decode into the same per-epoch foreachBatch pipeline."""
     from replicator_spark.runner import run_stream
 
-    with pytest.raises(ValueError, match="events_parquet"):
-        run_stream(
-            spark, sf_dir,
-            {"source.type": "binlog_files", "source.binlog.path": "/x"},
-            str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "binlog.000001").write_bytes(
+        B.encode_binlog_file(
+            [("INSERT", 1, 5_000_000, 10, "signup", 1.0, "{}"),
+             ("INSERT", 2, 6_000_000, 11, "signup", 2.0, "{}"),
+             ("DELETE", 3, 7_000_000, 12, "error", 3.0, "{}")]
         )
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_stream(
+        spark, None,
+        {"source.type": "binlog_files", "source.binlog.path": str(logs),
+         "applier.type": "count"},
+        out, ckpt,
+    )
+    got = {
+        (r["op"], r["n_events"])
+        for r in spark.read.parquet(out + "/epoch=0").collect()
+    }
+    assert got == {("INSERT", 2), ("DELETE", 1)}
+
+    from replicator_spark.runner import run_batch
+
+    with pytest.raises(ValueError, match="source.type"):
+        run_batch(spark, None, {"source.type": "nope"})
