@@ -56,12 +56,21 @@ def change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_feed_from(read_table(spark, sf_dir, "events"))
 
 
-def change_feed_from(ev: DataFrame) -> DataFrame:
+def change_feed_from(ev: DataFrame, op_col: str = None) -> DataFrame:
     """Envelope derivation from an events DataFrame (batch or a
     foreachBatch micro-batch — same code path, SURVEY §2.2: the Streams
-    framework's job is done by Structured Streaming itself)."""
+    framework's job is done by Structured Streaming itself).
+
+    `op_col` names a pre-classified op column to carry through instead
+    of the OP_CASE_SQL payload heuristic — the binlog-file source sets
+    it, because a row decoded from a WRITE/UPDATE/DELETE_ROWS event is
+    authoritatively that op on the wire regardless of what its payload
+    columns look like (re-deriving from event_type could reclassify a
+    real row change as QUERY and silently drop it at the augmenter
+    gate)."""
     # ts column arrives as raw nanos (nanosAsLong); work in epoch millis.
     base = ev.select(
+        *([op_col] if op_col else []),
         "event_id",
         F.expr("ts div 1000000").alias("ts_ms"),  # integer floor-div: double
         # division here loses ulps at ns magnitude and shifts ms by one
@@ -72,7 +81,7 @@ def change_feed_from(ev: DataFrame) -> DataFrame:
     )
     env = base.select(
         "event_id",
-        F.expr(OP_CASE_SQL).alias("op"),
+        (F.col(op_col) if op_col else F.expr(OP_CASE_SQL)).alias("op"),
         F.lit("testdb").alias("db"),
         F.concat(
             F.lit("users_"),

@@ -114,19 +114,10 @@ def _source(
         return change_feed(spark, sf_dir)
     if kind == "binlog_files":
         from .cdc.envelope import change_feed_from
-        from .sources.binlog import read_binlog_files
+        from .sources.binlog import envelope_projection, read_binlog_files
 
         rows = read_binlog_files(spark, cfg["source.binlog.path"])
-        return change_feed_from(
-            rows.select(
-                "event_id",
-                (F.col("ts_us") * 1000).alias("ts"),  # envelope reads ns
-                "user_id",
-                "event_type",
-                "value",
-                "props",
-            )
-        )
+        return change_feed_from(envelope_projection(rows), op_col="op")
     raise ValueError(f"unknown source.type: {kind}")
 
 
@@ -211,24 +202,23 @@ def run_stream(
     elif kind == "binlog_files":
         # continuous tail of a rotated-binlog directory: the
         # file-stream checkpoint is the seen-files log, so each
-        # rotated file decodes exactly once across restarts
-        from .sources.binlog import tail_binlog_files
+        # rotated file decodes exactly once across restarts; the wire
+        # op rides through (envelope_projection + op_col below)
+        from .sources.binlog import envelope_projection, tail_binlog_files
 
-        stream = tail_binlog_files(
-            spark, cfg["source.binlog.path"]
-        ).select(
-            "event_id",
-            (F.col("ts_us") * 1000).alias("ts"),  # envelope reads ns
-            "user_id",
-            "event_type",
-            "value",
-            "props",
+        stream = envelope_projection(
+            tail_binlog_files(spark, cfg["source.binlog.path"])
         )
     else:
         raise ValueError(f"unknown source.type: {kind}")
 
     def one_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        feed = _augment(change_feed_from(batch_df), cfg)
+        feed = _augment(
+            change_feed_from(
+                batch_df, op_col="op" if kind == "binlog_files" else None
+            ),
+            cfg,
+        )
         apply_sink(feed, cfg).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"epoch={epoch_id}")
         )

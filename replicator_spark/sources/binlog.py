@@ -468,7 +468,7 @@ class BinlogWriter:
                 y, mo, d = v
                 vals += ((y << 9) | (mo << 5) | d).to_bytes(3, "little")
             elif t == MYSQL_TYPE_YEAR:
-                vals += bytes([v - 1900])
+                vals += bytes([0 if v == 0 else v - 1900])
             elif t == MYSQL_TYPE_TIME2:
                 vals += encode_time2(*v, fsp=m[0])
             elif t == MYSQL_TYPE_BLOB:
@@ -575,7 +575,8 @@ def _decode_image(
             v = int.from_bytes(buf[pos : pos + 3], "little"); pos += 3
             row.append(f"{v >> 9:04d}-{(v >> 5) & 0x0F:02d}-{v & 0x1F:02d}")
         elif t == MYSQL_TYPE_YEAR:
-            row.append(buf[pos] + 1900); pos += 1
+            b = buf[pos]  # stored byte 0 means YEAR 0000, not 1900
+            row.append(0 if b == 0 else b + 1900); pos += 1
         elif t == MYSQL_TYPE_TIME2:
             v, pos = decode_time2(buf, pos, m[0]); row.append(v)
         elif t == MYSQL_TYPE_BLOB:
@@ -584,6 +585,16 @@ def _decode_image(
             pos += nlen
             row.append(bytes(buf[pos : pos + ln])); pos += ln
         elif t == MYSQL_TYPE_STRING:
+            # ENUM/SET hide under MYSQL_TYPE_STRING with their real
+            # type in meta[0] (247/248): their value encoding is an
+            # index, not a length-prefixed string — decoding them as
+            # one would misalign every later column, so reject loudly
+            real = m[0] | 0x30 if (m[0] & 0x30) != 0x30 else m[0]
+            if real != MYSQL_TYPE_STRING:
+                raise ValueError(
+                    f"unsupported STRING-packed real type {real} "
+                    "(ENUM/SET not supported)"
+                )
             maxlen = _string_meta_length(m)
             if maxlen < 256:
                 ln = buf[pos]; pos += 1
@@ -661,7 +672,8 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
             else:
                 raise ValueError("unsupported binlog checksum algorithm")
             first = False
-        if checksum == CHECKSUM_ALG_CRC32:
+            body = ev[HEADER_LEN:-4] if checksum else ev[HEADER_LEN:]
+        elif checksum == CHECKSUM_ALG_CRC32:
             want = struct.unpack("<I", ev[-4:])[0]
             got = zlib.crc32(ev[:-4]) & 0xFFFFFFFF
             if want != got:
@@ -894,6 +906,23 @@ def read_binlog_files(spark: SparkSession, path: str) -> DataFrame:
         .select(F.col("content").alias("data"))
     )
     return blobs.mapInPandas(_parse_partition, BINLOG_ROWS_SCHEMA)
+
+
+def envelope_projection(rows: DataFrame) -> DataFrame:
+    """Decoded change rows → the envelope input contract (shared by
+    the batch and streaming runner paths so they cannot drift): the
+    WIRE op rides along — pass it to change_feed_from(op_col="op") so
+    a row decoded from a WRITE/UPDATE/DELETE_ROWS event keeps its
+    authoritative classification whatever its payload columns say."""
+    return rows.select(
+        "op",
+        "event_id",
+        (F.col("ts_us") * 1000).alias("ts"),  # envelope reads ns
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
 
 
 def tail_binlog_files(spark: SparkSession, path: str) -> DataFrame:

@@ -602,3 +602,56 @@ def test_run_stream_binlog_source(spark, tmp_path):
 
     with pytest.raises(ValueError, match="source.type"):
         run_batch(spark, None, {"source.type": "nope"})
+
+
+def test_enum_set_under_string_rejected():
+    """ENUM/SET ride MYSQL_TYPE_STRING with their real type in meta[0];
+    their value encoding is an index, not a length-prefixed string, so
+    decoding must reject rather than misalign."""
+    types, metas = [B.MYSQL_TYPE_STRING], [bytes([247, 1])]  # ENUM, 1B
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas)
+    # hand-build a row: null bitmap + a 1-byte enum index
+    body = (1).to_bytes(6, "little") + struct.pack("<H", 0)
+    body += struct.pack("<H", 2) + B._lenenc(1) + bytes([0xFF])
+    body += bytes([0]) + bytes([2])
+    w._event(B.WRITE_ROWS_EVENT, body)
+    with pytest.raises(ValueError, match="ENUM/SET"):
+        list(B.parse_binlog_file(w.getvalue()))
+
+
+def test_year_zero_roundtrip():
+    types, metas = [B.MYSQL_TYPE_YEAR, B.MYSQL_TYPE_YEAR], [b"", b""]
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas)
+    w.rows(B.WRITE_ROWS_EVENT, 1, types, metas, [[0, 2024]])
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    assert evs[-1]["rows"] == [[0, 2024]]
+
+
+def test_wire_op_is_authoritative_in_runner(spark, tmp_path):
+    """A WRITE_ROWS row whose event_type payload would re-classify as
+    QUERY must SURVIVE the augmenter's QUERY gate: the wire op is the
+    truth (re-deriving from the payload would silently drop a real row
+    change)."""
+    from replicator_spark.runner import run_batch
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "binlog.000001").write_bytes(
+        B.encode_binlog_file(
+            # 'view' is outside the payload op mapping (ELSE 'QUERY')
+            [("INSERT", 1, 5_000_000, 10, "view", 1.0, "{}"),
+             ("DELETE", 2, 6_000_000, 11, "error", 2.0, "{}")]
+        )
+    )
+    got = {
+        (r["op"], r["n_events"])
+        for r in run_batch(
+            spark, None,
+            {"source.type": "binlog_files",
+             "source.binlog.path": str(logs),
+             "applier.type": "count"},
+        ).collect()
+    }
+    assert got == {("INSERT", 1), ("DELETE", 1)}
