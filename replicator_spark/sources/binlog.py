@@ -942,6 +942,57 @@ def tail_binlog_files(spark: SparkSession, path: str) -> DataFrame:
     return blobs.mapInPandas(_parse_partition, BINLOG_ROWS_SCHEMA)
 
 
+def snapshot_to_binlog_files(rows: DataFrame, path: str) -> list[str]:
+    """The binlog-flusher trick at the wire level: write a table
+    snapshot AS binlog v4 files, so bootstrap and incremental are ONE
+    uniform stream for every downstream consumer. The reference's
+    companion tool (binlog-flusher/data-flusher.py) forces a snapshot
+    THROUGH the binlog by replaying the table into a blackhole-engine
+    copy on a live server; with the wire writer in hand, Spark can
+    emit the same artifact directly — each partition of the snapshot
+    becomes rotated `binlog.<part><seq>` files under `path`, which
+    `tail_binlog_files`/`read_binlog_files` then consume exactly like
+    server-produced logs.
+
+    `rows` carries the change-row shape (op, event_id, ts_us, user_id,
+    event_type, value, props); executors write through pyarrow.fs, so
+    local paths and object-store URIs both work. Returns the written
+    file names (one driver-side row per FILE, not per record)."""
+    import pandas as pd
+
+    def write_part(batches):
+        from pyarrow import fs as pafs
+
+        if "://" in path:
+            filesystem, root = pafs.FileSystem.from_uri(path)
+        else:
+            filesystem, root = pafs.LocalFileSystem(), path
+        filesystem.create_dir(root, recursive=True)
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            if pdf.empty:
+                continue
+            records = list(
+                pdf[
+                    ["op", "event_id", "ts_us", "user_id", "event_type",
+                     "value", "props"]
+                ].itertuples(index=False, name=None)
+            )
+            name = f"binlog.{pid:04d}{i:04d}"
+            with filesystem.open_output_stream(f"{root}/{name}") as f:
+                f.write(encode_binlog_file(records))
+            yield pd.DataFrame({"file": [name], "n_rows": [len(records)]})
+
+    return [
+        r["file"]
+        for r in rows.mapInPandas(
+            write_part, "file string, n_rows long"
+        ).collect()  # one row per written FILE — driver state is tiny
+    ]
+
+
 def binlog_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The wire layer end-to-end at scale: events → binlog v4 file
     blobs (per-batch, the server's rotation bound) → byte-walk parse →

@@ -655,3 +655,60 @@ def test_wire_op_is_authoritative_in_runner(spark, tmp_path):
         ).collect()
     }
     assert got == {("INSERT", 1), ("DELETE", 1)}
+
+
+def test_snapshot_to_binlog_files_uniform_stream(spark, sf_dir, tmp_path):
+    """The flusher analog: a snapshot written AS binlog files, plus an
+    incremental file landing later, is consumed as ONE uniform wire
+    stream — the tail decodes both with no special casing and
+    exactly-once across the arrival."""
+    from replicator_spark.session import read_table
+    from replicator_spark.sources.binlog import (
+        encode_binlog_file,
+        snapshot_to_binlog_files,
+        tail_binlog_files,
+    )
+    import pyspark.sql.functions as F
+
+    logs = tmp_path / "logs"
+    snap = (
+        read_table(spark, sf_dir, "customer")
+        .limit(50)
+        .select(
+            F.lit("INSERT").alias("op"),
+            (-F.col("c_custkey")).alias("event_id"),
+            F.lit(1_000_000).alias("ts_us"),
+            F.col("c_custkey").alias("user_id"),
+            F.lit("snapshot").alias("event_type"),
+            F.col("c_acctbal").cast("double").alias("value"),
+            F.col("c_mktsegment").alias("props"),
+        )
+    )
+    files = snapshot_to_binlog_files(snap, str(logs))
+    assert files and all(f.startswith("binlog.") for f in files)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            tail_binlog_files(spark, str(logs))
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 50
+    # incremental change lands later; only IT decodes on the next drain
+    (logs / "binlog.9999").write_bytes(
+        encode_binlog_file(
+            [("UPDATE", 1, 2_000_000, 1, "click", 9.0, "{}")]
+        )
+    )
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 51
+    snap_rows = [r for r in rows if r["event_type"] == "snapshot"]
+    assert len(snap_rows) == 50 and all(r["op"] == "INSERT" for r in snap_rows)
+    (upd,) = [r for r in rows if r["op"] == "UPDATE"]
+    assert upd["value"] == 9.0 and upd["event_id"] == 1
