@@ -44,8 +44,10 @@ forward-compat rule real replicas follow). Column types: TINY, SHORT,
 INT24, LONG, LONGLONG, FLOAT, DOUBLE, DATE, YEAR, TIME2 (non-negative
 range), VARCHAR, CHAR/STRING (incl. the >255-byte metadata pack
 trick), BLOB (all length-of-length widths), TIMESTAMP2, DATETIME2,
-NEWDECIMAL — the v4 row-image encodings of the `MysqlTypeDeserializer`
-surface (`mysql-data/.../MysqlTypeDeserializer.java:48-236` decodes
+NEWDECIMAL, JSON (a length-prefixed binary-JSON document — decoded by
+composing with `cdc/jsonb.py`, the same JSONB byte-walk the post-
+client pipeline uses; ENUM/SET are rejected loudly) — the v4
+row-image encodings of the `MysqlTypeDeserializer` surface (`mysql-data/.../MysqlTypeDeserializer.java:48-236` decodes
 the POST-client values; this module decodes the bytes the client
 itself decodes).
 """
@@ -88,6 +90,7 @@ MYSQL_TYPE_VARCHAR = 15
 MYSQL_TYPE_TIMESTAMP2 = 17
 MYSQL_TYPE_DATETIME2 = 18
 MYSQL_TYPE_TIME2 = 19
+MYSQL_TYPE_JSON = 245
 MYSQL_TYPE_BLOB = 252
 MYSQL_TYPE_STRING = 254
 MYSQL_TYPE_NEWDECIMAL = 246
@@ -475,6 +478,14 @@ class BinlogWriter:
                 nlen = m[0]
                 raw = bytes(v)
                 vals += len(raw).to_bytes(nlen, "little") + raw
+            elif t == MYSQL_TYPE_JSON:
+                # the column value is a length-prefixed binary-JSON
+                # document — the SAME JSONB bytes cdc/jsonb.py decodes
+                # post-client in the reference's pipeline
+                from ..cdc.jsonb import json_value_to_jsonb
+
+                raw = json_value_to_jsonb(v)
+                vals += len(raw).to_bytes(m[0], "little") + raw
             elif t == MYSQL_TYPE_STRING:
                 enc = v.encode() if isinstance(v, str) else bytes(v)
                 maxlen = _string_meta_length(m)
@@ -537,7 +548,8 @@ class BinlogWriter:
 
 def _meta_size(t: int) -> int:
     if t in (MYSQL_TYPE_DOUBLE, MYSQL_TYPE_FLOAT, MYSQL_TYPE_TIMESTAMP2,
-             MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIME2, MYSQL_TYPE_BLOB):
+             MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIME2, MYSQL_TYPE_BLOB,
+             MYSQL_TYPE_JSON):
         return 1
     if t in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_NEWDECIMAL, MYSQL_TYPE_STRING):
         return 2
@@ -584,6 +596,16 @@ def _decode_image(
             ln = int.from_bytes(buf[pos : pos + nlen], "little")
             pos += nlen
             row.append(bytes(buf[pos : pos + ln])); pos += ln
+        elif t == MYSQL_TYPE_JSON:
+            from ..cdc.jsonb import jsonb_to_json
+
+            nlen = m[0]
+            ln = int.from_bytes(buf[pos : pos + nlen], "little")
+            pos += nlen
+            doc = jsonb_to_json(bytes(buf[pos : pos + ln]))
+            if doc is None and ln:
+                raise ValueError("undecodable JSONB column value")
+            row.append(doc); pos += ln
         elif t == MYSQL_TYPE_STRING:
             # ENUM/SET hide under MYSQL_TYPE_STRING with their real
             # type in meta[0] (247/248): their value encoding is an

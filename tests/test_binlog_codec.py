@@ -712,3 +712,22 @@ def test_snapshot_to_binlog_files_uniform_stream(spark, sf_dir, tmp_path):
     assert len(snap_rows) == 50 and all(r["op"] == "INSERT" for r in snap_rows)
     (upd,) = [r for r in rows if r["op"] == "UPDATE"]
     assert upd["value"] == 9.0 and upd["event_id"] == 1
+
+
+def test_json_column_composes_with_jsonb_codec():
+    """MYSQL_TYPE_JSON: the wire value is a length-prefixed JSONB
+    document — the same binary-JSON layout cdc/jsonb.py decodes in the
+    reference's post-client pipeline; here the two codecs compose at
+    the row-image level."""
+    import json
+
+    types, metas = [B.MYSQL_TYPE_LONG, B.MYSQL_TYPE_JSON], [b"", bytes([4])]
+    doc = {"k": 1, "arr": [1, 2, "x"], "nested": {"b": True, "n": None},
+           "s": "日本語", "f": 2.5}
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas)
+    w.rows(B.WRITE_ROWS_EVENT, 1, types, metas, [[7, doc], [8, None]])
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    (r1, r2) = evs[-1]["rows"]
+    assert r1[0] == 7 and json.loads(r1[1]) == doc
+    assert r2 == [8, None]  # NULL JSON rides the null bitmap
