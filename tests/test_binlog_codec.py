@@ -731,3 +731,62 @@ def test_json_column_composes_with_jsonb_codec():
     (r1, r2) = evs[-1]["rows"]
     assert r1[0] == 7 and json.loads(r1[1]) == doc
     assert r2 == [8, None]  # NULL JSON rides the null bitmap
+
+
+# random-schema fuzz: any mix of supported types, values, and NULLs
+# must roundtrip through a rows event byte-exactly
+_COLSPECS = {
+    "tiny": (B.MYSQL_TYPE_TINY, b"",
+             st.integers(min_value=-128, max_value=127)),
+    "short": (B.MYSQL_TYPE_SHORT, b"",
+              st.integers(min_value=-(2**15), max_value=2**15 - 1)),
+    "int24": (B.MYSQL_TYPE_INT24, b"",
+              st.integers(min_value=-(2**23), max_value=2**23 - 1)),
+    "long": (B.MYSQL_TYPE_LONG, b"",
+             st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+    "longlong": (B.MYSQL_TYPE_LONGLONG, b"",
+                 st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+    "double": (B.MYSQL_TYPE_DOUBLE, bytes([8]),
+               st.floats(allow_nan=False, width=64)),
+    "varchar1": (B.MYSQL_TYPE_VARCHAR, struct.pack("<H", 80),
+                 st.text(max_size=20).filter(
+                     lambda s: len(s.encode()) <= 80)),
+    "varchar2": (B.MYSQL_TYPE_VARCHAR, struct.pack("<H", 400),
+                 st.text(max_size=120).filter(
+                     lambda s: len(s.encode()) <= 400)),
+    "char2": (B.MYSQL_TYPE_STRING, B._string_meta(600),
+              st.text(max_size=150).filter(
+                  lambda s: len(s.encode()) <= 600)),
+    "blob": (B.MYSQL_TYPE_BLOB, bytes([2]),
+             st.binary(max_size=300)),
+    "year": (B.MYSQL_TYPE_YEAR, b"",
+             st.sampled_from([0] + list(range(1901, 2156)))),
+    "ts2": (B.MYSQL_TYPE_TIMESTAMP2, bytes([6]),
+            st.integers(min_value=0, max_value=(2**32 - 1)) .map(
+                lambda s: s * 1_000_000 + (s % 1_000_000))),
+}
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_random_schema_rows_roundtrip(data):
+    keys = data.draw(st.lists(
+        st.sampled_from(sorted(_COLSPECS)), min_size=1, max_size=12))
+    types = [_COLSPECS[k][0] for k in keys]
+    metas = [_COLSPECS[k][1] for k in keys]
+    n_rows = data.draw(st.integers(min_value=1, max_value=5))
+    rows = []
+    for _ in range(n_rows):
+        row = []
+        for k in keys:
+            if data.draw(st.booleans()) and data.draw(st.booleans()):
+                row.append(None)  # ~25% NULLs exercise the bitmap
+            else:
+                row.append(data.draw(_COLSPECS[k][2]))
+        rows.append(row)
+    w = B.BinlogWriter()
+    w.table_map(5, "d", "t", types, metas)
+    w.rows(B.WRITE_ROWS_EVENT, 5, types, metas,
+           [list(r) for r in rows])
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    assert evs[-1]["rows"] == rows
