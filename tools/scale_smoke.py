@@ -76,6 +76,9 @@ SLATE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q21",
+    # round-11 addition: the binlog v4 wire codec (linear per-row
+    # encode+parse; dedicated pin artifacts scale_smoke_r11_binlog)
+    "source_binlog_roundtrip",
     "cdc_change_feed",
     "cdc_apply_upsert",
     "cdc_delay_gauge",
