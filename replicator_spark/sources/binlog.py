@@ -822,6 +822,10 @@ BINLOG_ROWS_SCHEMA = (
     "op string, event_id long, ts_us long, user_id long,"
     " event_type string, value double, props string"
 )
+# file readers additionally carry the file/pos checkpoint coordinates
+BINLOG_ROWS_POS_SCHEMA = (
+    BINLOG_ROWS_SCHEMA + ", source_file string, log_pos long"
+)
 
 _OP_TO_EVENT = {
     "INSERT": WRITE_ROWS_EVENT,
@@ -888,24 +892,37 @@ def _encode_partition(batches) -> Iterator:
 
 def _parse_partition(batches) -> Iterator:
     """mapInPandas: binlog blobs → change rows. UPDATE emits the after
-    image (the applier's view); DELETE the deleted image."""
+    image (the applier's view); DELETE the deleted image. When the
+    batch carries a `path` column (the binaryFile readers), each row
+    also gets its (source_file, log_pos) — the reference's non-GTID
+    checkpoint coordinates (`BinaryLogSupplier.java:206-239` resumes
+    from either a GTID set or a binlog file/pos pair)."""
+    import os as _os
+
     import pandas as pd
 
     for pdf in batches:
+        with_pos = "path" in pdf.columns
         out: list[tuple] = []
-        for blob in pdf["data"]:
+        for i, blob in enumerate(pdf["data"]):
+            fname = (
+                _os.path.basename(pdf["path"].iloc[i]) if with_pos else None
+            )
             for ev in parse_binlog_file(bytes(blob)):
                 op = _EVENT_TO_OP.get(ev["type"])
                 if op is None:
                     continue
                 for row in ev["rows"]:
                     img = row[1] if op == "UPDATE" else row
-                    out.append((op, *img))
-        yield pd.DataFrame(
-            out,
-            columns=["op", "event_id", "ts_us", "user_id", "event_type",
-                     "value", "props"],
-        )
+                    if with_pos:
+                        out.append((op, *img, fname, ev["log_pos"]))
+                    else:
+                        out.append((op, *img))
+        cols = ["op", "event_id", "ts_us", "user_id", "event_type",
+                "value", "props"]
+        if with_pos:
+            cols += ["source_file", "log_pos"]
+        yield pd.DataFrame(out, columns=cols)
 
 
 # the binaryFile source's fixed schema (needed explicitly for the
@@ -921,13 +938,15 @@ def read_binlog_files(spark: SparkSession, path: str) -> DataFrame:
     storage → change rows. ``binaryFile`` gives one row per file (blob
     in `content`), partitioned by file, so decode parallelism is
     file-level with zero shuffle — the replica-per-binlog fan-out of
-    `BinaryLogSupplier`, but elastic."""
+    `BinaryLogSupplier`, but elastic. Rows carry (source_file,
+    log_pos) so a consumer can checkpoint and resume in the
+    reference's file/pos mode (see `resume_after`)."""
     blobs = (
         spark.read.format("binaryFile")
         .load(path)
-        .select(F.col("content").alias("data"))
+        .select("path", F.col("content").alias("data"))
     )
-    return blobs.mapInPandas(_parse_partition, BINLOG_ROWS_SCHEMA)
+    return blobs.mapInPandas(_parse_partition, BINLOG_ROWS_POS_SCHEMA)
 
 
 def envelope_projection(rows: DataFrame) -> DataFrame:
@@ -959,9 +978,25 @@ def tail_binlog_files(spark: SparkSession, path: str) -> DataFrame:
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
         .load(path)
-        .select(F.col("content").alias("data"))
+        .select("path", F.col("content").alias("data"))
     )
-    return blobs.mapInPandas(_parse_partition, BINLOG_ROWS_SCHEMA)
+    return blobs.mapInPandas(_parse_partition, BINLOG_ROWS_POS_SCHEMA)
+
+
+def resume_after(rows: DataFrame, source_file: str, log_pos: int) -> DataFrame:
+    """File/pos resume — the reference's non-GTID checkpoint mode
+    (`BinaryLogSupplier.java:206-239` starts the client from a binlog
+    file/pos pair when no GTID set is stored; the Seeker trims events
+    at or before the stored coordinates). Binlog file names order
+    lexicographically by rotation (`binlog.NNNNNN`), so the predicate
+    is a plain map-side filter — pushed into the scan, no shuffle."""
+    return rows.where(
+        (F.col("source_file") > source_file)
+        | (
+            (F.col("source_file") == source_file)
+            & (F.col("log_pos") > log_pos)
+        )
+    )
 
 
 def snapshot_to_binlog_files(rows: DataFrame, path: str) -> list[str]:

@@ -413,11 +413,48 @@ def test_read_binlog_files_from_disk(spark, tmp_path):
         read_binlog_files(spark, str(tmp_path)).collect(),
         key=lambda r: r["event_id"],
     )
-    assert [tuple(r) for r in got] == recs_a + recs_b
+    assert [tuple(r)[:7] for r in got] == recs_a + recs_b
+    # rows carry the file/pos checkpoint coordinates
+    assert [r["source_file"] for r in got] == [
+        "binlog.000001", "binlog.000001", "binlog.000002"
+    ]
+    assert all(r["log_pos"] > 4 for r in got)
+    # within a file, log_pos is monotone in event order
+    assert got[0]["log_pos"] < got[1]["log_pos"]
     # file-level parallelism: one input partition per file, no shuffle
     assert "Exchange" not in read_binlog_files(
         spark, str(tmp_path)
     )._jdf.queryExecution().executedPlan().toString()
+
+
+def test_resume_after_file_pos(spark, tmp_path):
+    """File/pos resume (the reference's non-GTID checkpoint mode):
+    resuming AFTER a stored (file, pos) yields exactly the rows the
+    first consumer had not yet applied."""
+    from replicator_spark.sources.binlog import (
+        read_binlog_files,
+        resume_after,
+    )
+
+    # distinct ops → distinct ROWS events → distinct log_pos (a
+    # checkpoint is per-EVENT: rows sharing one multi-row event share
+    # its position, exactly as on a real binlog)
+    (tmp_path / "binlog.000001").write_bytes(B.encode_binlog_file(
+        [("INSERT", 1, 1_000_000, 1, "signup", 1.0, "{}"),
+         ("UPDATE", 2, 2_000_000, 2, "click", 2.0, "{}")]))
+    (tmp_path / "binlog.000002").write_bytes(B.encode_binlog_file(
+        [("DELETE", 3, 3_000_000, 3, "error", 3.0, "{}")]))
+    rows = read_binlog_files(spark, str(tmp_path))
+    all_rows = sorted(rows.collect(), key=lambda r: r["event_id"])
+    # checkpoint taken after applying event 1
+    ckpt = all_rows[0]
+    resumed = resume_after(
+        rows, ckpt["source_file"], ckpt["log_pos"]
+    ).collect()
+    assert sorted(r["event_id"] for r in resumed) == [2, 3]
+    # a checkpoint at the end of file 1 resumes exactly at file 2
+    resumed2 = resume_after(rows, "binlog.000001", 10**9).collect()
+    assert [r["event_id"] for r in resumed2] == [3]
 
 
 def test_spark_binlog_roundtrip(spark, sf_dir):
