@@ -46,10 +46,25 @@ range), VARCHAR, CHAR/STRING (incl. the >255-byte metadata pack
 trick), BLOB (all length-of-length widths), TIMESTAMP2, DATETIME2,
 NEWDECIMAL, JSON (a length-prefixed binary-JSON document — decoded by
 composing with `cdc/jsonb.py`, the same JSONB byte-walk the post-
-client pipeline uses; ENUM/SET are rejected loudly) — the v4
+client pipeline uses), and ENUM/SET (packed under MYSQL_TYPE_STRING
+with the real type in metadata byte 0: ENUM is a 1/2-byte 1-based
+index, SET a 1..8-byte member bitmask — the codec transports the raw
+index/mask; label mapping is `cdc/decode.py`'s `enum_label`/
+`set_labels`, exactly the reference's post-client split,
+`MysqlTypeDeserializer.java:144-170`) — the v4
 row-image encodings of the `MysqlTypeDeserializer` surface (`mysql-data/.../MysqlTypeDeserializer.java:48-236` decodes
 the POST-client values; this module decodes the bytes the client
 itself decodes).
+
+Checkpoint coordinates: every decoded row from the file readers
+carries BOTH of the reference's resume modes
+(`BinaryLogSupplier.java:206-239`): the (source_file, log_pos)
+file/pos pair AND the (gtid_uuid, gtid_seq) of its enclosing
+transaction's GTID event — `resume_after` filters by file/pos,
+`resume_after_gtid` by a MySQL GTID-set string (the PRIMARY mode,
+`:206-228`), and `resume_after_safe_acks` composes the GTID mode with
+`cdc/checkpoint.py`'s gap-scan algebra over acked checkpoint
+fragments.
 """
 
 from __future__ import annotations
@@ -94,6 +109,13 @@ MYSQL_TYPE_JSON = 245
 MYSQL_TYPE_BLOB = 252
 MYSQL_TYPE_STRING = 254
 MYSQL_TYPE_NEWDECIMAL = 246
+# ENUM/SET never appear in the column-types array on the wire: they
+# ride MYSQL_TYPE_STRING with the REAL type in metadata byte 0
+MYSQL_TYPE_ENUM = 247
+MYSQL_TYPE_SET = 248
+
+# SET storage widths MySQL actually uses (1,2,3,4 or 8 bytes)
+_SET_WIDTHS = (1, 2, 3, 4, 8)
 
 HEADER_LEN = 19
 CHECKSUM_ALG_CRC32 = 1
@@ -259,6 +281,33 @@ def _string_meta_length(m: bytes) -> int:
     if (b0 & 0x30) != 0x30:
         length += ((b0 & 0x30) ^ 0x30) << 4
     return length
+
+
+def _string_real_type(m: bytes) -> int:
+    """The real type hidden in a MYSQL_TYPE_STRING column's metadata
+    byte 0 (ENUM=247 / SET=248 / STRING=254), undoing the >255-length
+    bit borrow (only STRING uses it; 247/248 already have 0x30 set)."""
+    b0 = m[0]
+    return b0 | 0x30 if (b0 & 0x30) != 0x30 else b0
+
+
+def enum_meta(n_labels: int) -> bytes:
+    """TABLE_MAP metadata for an ENUM column: (real_type=247,
+    pack_length) — 1 byte for up to 255 labels, else 2 (the server's
+    own width rule; a 1-based index, 0 = the empty/invalid value)."""
+    if not 0 < n_labels <= 0xFFFF:
+        raise ValueError("ENUM label count out of range")
+    return bytes([MYSQL_TYPE_ENUM, 1 if n_labels < 256 else 2])
+
+
+def set_meta(n_members: int) -> bytes:
+    """TABLE_MAP metadata for a SET column: (real_type=248,
+    pack_length) with the server's 1/2/3/4/8-byte bitmask widths."""
+    if not 0 < n_members <= 64:
+        raise ValueError("SET member count out of range (1..64)")
+    need = (n_members + 7) // 8
+    width = next(w for w in _SET_WIDTHS if w >= need)
+    return bytes([MYSQL_TYPE_SET, width])
 
 
 def encode_newdecimal(value: Decimal, precision: int, scale: int) -> bytes:
@@ -487,14 +536,30 @@ class BinlogWriter:
                 raw = json_value_to_jsonb(v)
                 vals += len(raw).to_bytes(m[0], "little") + raw
             elif t == MYSQL_TYPE_STRING:
-                enc = v.encode() if isinstance(v, str) else bytes(v)
-                maxlen = _string_meta_length(m)
-                if len(enc) > maxlen:
-                    raise ValueError("char overflow")
-                if maxlen < 256:
-                    vals += bytes([len(enc)]) + enc
+                real = _string_real_type(m)
+                if real == MYSQL_TYPE_ENUM:
+                    # 1-based label index (0 = empty), little-endian
+                    # in the metadata pack width
+                    if not 0 <= v < (1 << (8 * m[1])):
+                        raise ValueError("ENUM index out of range")
+                    vals += int(v).to_bytes(m[1], "little")
+                elif real == MYSQL_TYPE_SET:
+                    if not 0 <= v < (1 << (8 * m[1])):
+                        raise ValueError("SET bitmask out of range")
+                    vals += int(v).to_bytes(m[1], "little")
+                elif real != MYSQL_TYPE_STRING:
+                    raise ValueError(
+                        f"unsupported STRING-packed real type {real}"
+                    )
                 else:
-                    vals += struct.pack("<H", len(enc)) + enc
+                    enc = v.encode() if isinstance(v, str) else bytes(v)
+                    maxlen = _string_meta_length(m)
+                    if len(enc) > maxlen:
+                        raise ValueError("char overflow")
+                    if maxlen < 256:
+                        vals += bytes([len(enc)]) + enc
+                    else:
+                        vals += struct.pack("<H", len(enc)) + enc
             elif t == MYSQL_TYPE_VARCHAR:
                 enc = v.encode() if isinstance(v, str) else bytes(v)
                 maxlen = struct.unpack("<H", m)[0]
@@ -609,13 +674,18 @@ def _decode_image(
         elif t == MYSQL_TYPE_STRING:
             # ENUM/SET hide under MYSQL_TYPE_STRING with their real
             # type in meta[0] (247/248): their value encoding is an
-            # index, not a length-prefixed string — decoding them as
-            # one would misalign every later column, so reject loudly
-            real = m[0] | 0x30 if (m[0] & 0x30) != 0x30 else m[0]
+            # index/bitmask, not a length-prefixed string — the codec
+            # transports the raw int; label mapping is downstream
+            # (cdc/decode.enum_label / set_labels, the reference's
+            # post-client split)
+            real = _string_real_type(m)
+            if real in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
+                row.append(int.from_bytes(buf[pos : pos + m[1]], "little"))
+                pos += m[1]
+                continue
             if real != MYSQL_TYPE_STRING:
                 raise ValueError(
-                    f"unsupported STRING-packed real type {real} "
-                    "(ENUM/SET not supported)"
+                    f"unsupported STRING-packed real type {real}"
                 )
             maxlen = _string_meta_length(m)
             if maxlen < 256:
@@ -675,21 +745,45 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
         if first:
             if etype != FORMAT_DESCRIPTION_EVENT:
                 raise ValueError("first event is not FORMAT_DESCRIPTION")
-            # checksum algorithm (5.6.1+ layout): with a checksum the
-            # alg byte sits before the 4-byte trailer (ev[-5]) and the
-            # trailer must verify — a CRC32-alg byte with a failing
-            # trailer is CORRUPTION, not a checksum-off file (falling
-            # back would parse every later event's CRC bytes as body).
-            # Without a checksum the alg byte (0 = OFF) is the last
-            # body byte. Pre-5.6.1 files (no alg byte) not supported.
-            if ev[-5] == CHECKSUM_ALG_CRC32:
+            # checksum algorithm (5.6.1+ layout): the alg byte sits at
+            # its SPEC position — right after the post-header-length
+            # array, whose size the FDE describes itself: its own
+            # post-header-length slot (index FDE-1 = 14, at body
+            # offset 2+50+4+1+14 = 71) holds 2+50+4+1+n_event_types,
+            # so alg_off = HEADER_LEN + ph[FDE-1]. Tail probing
+            # (ev[-5]) would misread a genuine checksum-off FDE whose
+            # ph array happens to hold 1 five bytes from the end, so
+            # the spec position is authoritative whenever the slot is
+            # self-consistent (>= 72 and total size = alg_off + 1 or
+            # + 5); the tail probe survives only as a fallback for
+            # files with a degenerate ph array. With alg = CRC32 the
+            # 4-byte trailer must then verify — a CRC32-alg byte with
+            # a failing trailer is CORRUPTION, not a checksum-off file
+            # (falling back would parse every later event's CRC bytes
+            # as body). Pre-5.6.1 files (no alg byte) not supported.
+            if size < HEADER_LEN + 72:
+                raise ValueError("FORMAT_DESCRIPTION too short")
+            fde_fixed = ev[HEADER_LEN + 71]
+            alg_off = HEADER_LEN + fde_fixed
+            if fde_fixed >= 72 and size in (alg_off + 1, alg_off + 5):
+                alg = ev[alg_off]
+                has_trailer = size == alg_off + 5
+            elif ev[-5] == CHECKSUM_ALG_CRC32:
+                alg, has_trailer = CHECKSUM_ALG_CRC32, True
+            else:
+                alg, has_trailer = ev[-1], False
+            if alg == CHECKSUM_ALG_CRC32:
+                if not has_trailer:
+                    raise ValueError("malformed FORMAT_DESCRIPTION layout")
                 if (
                     struct.unpack("<I", ev[-4:])[0]
                     != zlib.crc32(ev[:-4]) & 0xFFFFFFFF
                 ):
                     raise ValueError("CRC32 mismatch in FORMAT_DESCRIPTION")
                 checksum = CHECKSUM_ALG_CRC32
-            elif ev[-1] == 0:
+            elif alg == 0:
+                if has_trailer:
+                    raise ValueError("malformed FORMAT_DESCRIPTION layout")
                 checksum = 0
             else:
                 raise ValueError("unsupported binlog checksum algorithm")
@@ -822,9 +916,19 @@ BINLOG_ROWS_SCHEMA = (
     "op string, event_id long, ts_us long, user_id long,"
     " event_type string, value double, props string"
 )
+# full parse output: + the enclosing transaction's GTID coordinates
+# (the reference's PRIMARY checkpoint mode) and the wire UPDATE
+# before-image's payload columns (NULL for non-UPDATE rows — real
+# binlog_row_image=FULL logs carry the authoritative before image;
+# consumers can prefer it over the envelope's lag-derived one)
+BINLOG_ROWS_GTID_SCHEMA = (
+    BINLOG_ROWS_SCHEMA
+    + ", gtid_uuid string, gtid_seq long"
+    + ", value_before_wire double, props_before_wire string"
+)
 # file readers additionally carry the file/pos checkpoint coordinates
 BINLOG_ROWS_POS_SCHEMA = (
-    BINLOG_ROWS_SCHEMA + ", source_file string, log_pos long"
+    BINLOG_ROWS_GTID_SCHEMA + ", source_file string, log_pos long"
 )
 
 _OP_TO_EVENT = {
@@ -835,17 +939,38 @@ _OP_TO_EVENT = {
 _EVENT_TO_OP = {v: k for k, v in _OP_TO_EVENT.items()}
 
 
-def encode_binlog_file(records: list[tuple]) -> bytes:
+def encode_binlog_file(
+    records: list[tuple], txn_ids: Optional[list[int]] = None
+) -> bytes:
     """One synthesized binlog file from (op, event_id, ts_us, user_id,
     event_type, value, props) records: the real server's transaction
     choreography — GTID, BEGIN, TABLE_MAP, op-run ROWS events (multi-
     row), XID — with an UPDATE's before-image synthesized as the
     zeroed row (the envelope's lag-derived before-images are the
-    semantic surface; here the wire decode is what's under test)."""
+    semantic surface; here the wire decode is what's under test).
+
+    ``txn_ids`` (optional, same length as ``records``): explicit
+    per-record transaction numbers — consecutive equal ids form one
+    transaction whose GTID gno IS the id (the deterministic-gno path
+    `binlog_gtid_resume_query` needs, where gno must be a pure
+    function of the data, not of batch position). Default: positional
+    chunks of `_TXN_ROWS` with gno counting from 1."""
     w = BinlogWriter(ts_sec=records[0][2] // 1_000_000 if records else 0)
-    gno = 1
-    for start in range(0, len(records), _TXN_ROWS):
-        chunk = records[start : start + _TXN_ROWS]
+    if txn_ids is None:
+        txns = [
+            (gno, records[s : s + _TXN_ROWS])
+            for gno, s in enumerate(range(0, len(records), _TXN_ROWS), 1)
+        ]
+    else:
+        if len(txn_ids) != len(records):
+            raise ValueError("txn_ids length mismatch")
+        txns = []
+        s = 0
+        for k in range(1, len(records) + 1):
+            if k == len(records) or txn_ids[k] != txn_ids[s]:
+                txns.append((int(txn_ids[s]), records[s:k]))
+                s = k
+    for gno, chunk in txns:
         w.gtid(_SID, gno)
         w.query("BEGIN")
         w.table_map(_TABLE_ID, "testdb", "events", _EV_TYPES, _EV_METAS)
@@ -869,34 +994,73 @@ def encode_binlog_file(records: list[tuple]) -> bytes:
             w.rows(etype, _TABLE_ID, _EV_TYPES, _EV_METAS, rows)
             i = j
         w.xid(gno)
-        gno += 1
     return w.getvalue()
 
 
-def _encode_partition(batches) -> Iterator:
-    """mapInPandas: each Arrow batch → one binlog file blob (real files
-    are size-rotated by the server; the batch bound plays that role)."""
-    import pandas as pd
+_EV_RECORD_COLS = [
+    "op", "event_id", "ts_us", "user_id", "event_type", "value", "props",
+]
 
-    for pdf in batches:
-        if pdf.empty:
+
+def _arrow_records(batch, cols=None):
+    """pyarrow RecordBatch → list of row tuples with EXACT values:
+    NULL stays None (hits the writer's null-bitmap path) and int64
+    stays int (no float64 NaN seam, no 2^53 precision loss) — the
+    reason the encode paths are mapInArrow, not mapInPandas."""
+    names = cols or _EV_RECORD_COLS
+    return list(zip(*(batch.column(n).to_pylist() for n in names)))
+
+
+def _encode_partition(batches) -> Iterator:
+    """mapInArrow: each Arrow batch → one binlog file blob (real files
+    are size-rotated by the server; the batch bound plays that role)."""
+    import pyarrow as pa
+
+    for batch in batches:
+        if batch.num_rows == 0:
             continue
-        records = list(
-            pdf[
-                ["op", "event_id", "ts_us", "user_id", "event_type",
-                 "value", "props"]
-            ].itertuples(index=False, name=None)
-        )
-        yield pd.DataFrame({"data": [encode_binlog_file(records)]})
+        blob = encode_binlog_file(_arrow_records(batch))
+        yield pa.RecordBatch.from_pydict({"data": [blob]})
+
+
+def _encode_partition_txn(batches) -> Iterator:
+    """mapInArrow: one binlog file per PARTITION, transactions formed
+    from the `txn_id` column (gno = txn_id — deterministic in the
+    data). The caller range-partitions and sorts on txn_id, so a
+    transaction never straddles a partition (and therefore never a
+    file) — the invariant real servers keep. Concatenating the
+    partition's batches is bounded by the range partitioner's split
+    sizing, the same contract as any shuffle partition."""
+    import pyarrow as pa
+
+    recs: list[tuple] = []
+    ids: list[int] = []
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        recs.extend(_arrow_records(batch))
+        ids.extend(batch.column("txn_id").to_pylist())
+    if recs:
+        blob = encode_binlog_file(recs, txn_ids=ids)
+        yield pa.RecordBatch.from_pydict({"data": [blob]})
+
+
+def _sid_to_uuid(sid: bytes) -> str:
+    """16 server-UUID bytes → canonical 8-4-4-4-12 hex string (the
+    text form GTID sets are written in)."""
+    h = sid.hex()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
 
 
 def _parse_partition(batches) -> Iterator:
     """mapInPandas: binlog blobs → change rows. UPDATE emits the after
-    image (the applier's view); DELETE the deleted image. When the
-    batch carries a `path` column (the binaryFile readers), each row
-    also gets its (source_file, log_pos) — the reference's non-GTID
-    checkpoint coordinates (`BinaryLogSupplier.java:206-239` resumes
-    from either a GTID set or a binlog file/pos pair)."""
+    image (the applier's view) plus the wire BEFORE image's payload
+    columns (value_before_wire/props_before_wire); DELETE the deleted
+    image. Every row carries its enclosing transaction's GTID
+    coordinates (gtid_uuid, gtid_seq) — the reference's primary
+    checkpoint mode — and, when the batch carries a `path` column (the
+    binaryFile readers), its (source_file, log_pos) file/pos pair
+    (`BinaryLogSupplier.java:206-239` resumes from either)."""
     import os as _os
 
     import pandas as pd
@@ -908,18 +1072,29 @@ def _parse_partition(batches) -> Iterator:
             fname = (
                 _os.path.basename(pdf["path"].iloc[i]) if with_pos else None
             )
+            gtid_uuid: Optional[str] = None
+            gtid_seq: Optional[int] = None
             for ev in parse_binlog_file(bytes(blob)):
+                if ev["type"] == GTID_EVENT:
+                    gtid_uuid = _sid_to_uuid(ev["sid"])
+                    gtid_seq = ev["gno"]
+                    continue
                 op = _EVENT_TO_OP.get(ev["type"])
                 if op is None:
                     continue
                 for row in ev["rows"]:
-                    img = row[1] if op == "UPDATE" else row
-                    if with_pos:
-                        out.append((op, *img, fname, ev["log_pos"]))
+                    if op == "UPDATE":
+                        before, img = row
+                        wire_before = (before[4], before[5])
                     else:
-                        out.append((op, *img))
+                        img, wire_before = row, (None, None)
+                    rec = (op, *img, gtid_uuid, gtid_seq, *wire_before)
+                    if with_pos:
+                        rec += (fname, ev["log_pos"])
+                    out.append(rec)
         cols = ["op", "event_id", "ts_us", "user_id", "event_type",
-                "value", "props"]
+                "value", "props", "gtid_uuid", "gtid_seq",
+                "value_before_wire", "props_before_wire"]
         if with_pos:
             cols += ["source_file", "log_pos"]
         yield pd.DataFrame(out, columns=cols)
@@ -987,15 +1162,95 @@ def resume_after(rows: DataFrame, source_file: str, log_pos: int) -> DataFrame:
     """File/pos resume — the reference's non-GTID checkpoint mode
     (`BinaryLogSupplier.java:206-239` starts the client from a binlog
     file/pos pair when no GTID set is stored; the Seeker trims events
-    at or before the stored coordinates). Binlog file names order
-    lexicographically by rotation (`binlog.NNNNNN`), so the predicate
-    is a plain map-side filter — pushed into the scan, no shuffle."""
+    at or before the stored coordinates). Rotation ORDER is the
+    NUMERIC suffix, not the raw name: MySQL extends binlog numbering
+    past 6 digits after 999999, and 'binlog.1000000' sorts
+    lexicographically BEFORE 'binlog.999999' — so the predicate
+    compares the parsed suffix (falling back to the name only for
+    files with no numeric suffix). Still a plain map-side filter — no
+    shuffle."""
+    dot = source_file.rfind(".")
+    ckpt_suffix = (
+        int(source_file[dot + 1 :])
+        if dot >= 0 and source_file[dot + 1 :].isdigit()
+        else None
+    )
+    if ckpt_suffix is None:
+        file_later = F.col("source_file") > source_file
+        file_same = F.col("source_file") == source_file
+    else:
+        suffix = F.regexp_extract(
+            F.col("source_file"), r"\.(\d+)$", 1
+        ).cast("long")
+        file_later = suffix > F.lit(ckpt_suffix)
+        file_same = suffix == F.lit(ckpt_suffix)
     return rows.where(
-        (F.col("source_file") > source_file)
-        | (
-            (F.col("source_file") == source_file)
-            & (F.col("log_pos") > log_pos)
-        )
+        file_later | (file_same & (F.col("log_pos") > log_pos))
+    )
+
+
+def parse_gtid_set(gtid_set: str) -> dict[str, list[tuple[int, int]]]:
+    """Canonical MySQL GTID-set text → {server_uuid: [(start, end)]}.
+    Accepts the full grammar the reference stores and ships to the
+    client (`BinaryLogSupplier.java:206-228`): comma-separated per-UUID
+    blocks, each with one or more ':'-separated intervals, an interval
+    being 'n' or 'n-m'."""
+    parsed: dict[str, list[tuple[int, int]]] = {}
+    for block in filter(None, (b.strip() for b in gtid_set.split(","))):
+        uuid, _, ivs = block.partition(":")
+        if not ivs:
+            raise ValueError(f"GTID set block without intervals: {block!r}")
+        out = parsed.setdefault(uuid.strip().lower(), [])
+        for iv in ivs.split(":"):
+            lo, _, hi = iv.partition("-")
+            start, end = int(lo), int(hi) if hi else int(lo)
+            if end < start:
+                raise ValueError(f"inverted GTID interval: {iv!r}")
+            out.append((start, end))
+    return parsed
+
+
+def resume_after_gtid(rows: DataFrame, gtid_set: str) -> DataFrame:
+    """GTID-set resume — the reference's PRIMARY checkpoint mode
+    (`BinaryLogSupplier.java:206-228`: the stored checkpoint's gtidSet
+    goes to the client, which skips every transaction inside the set).
+    Keeps exactly the rows whose (gtid_uuid, gtid_seq) is NOT covered
+    by the set: a transaction from an unseen server UUID replays in
+    full (the client's semantics for a server the set says nothing
+    about). The set is tiny (per-server intervals), so the predicate
+    is a literal map-side filter — pushed into the scan, no shuffle,
+    no join."""
+    parsed = parse_gtid_set(gtid_set)
+    skip = F.lit(False)
+    for uuid, intervals in parsed.items():
+        covered = F.lit(False)
+        for start, end in intervals:
+            covered = covered | (
+                (F.col("gtid_seq") >= start) & (F.col("gtid_seq") <= end)
+            )
+        skip = skip | ((F.lower(F.col("gtid_uuid")) == uuid) & covered)
+    return rows.where(~skip)
+
+
+def resume_after_safe_acks(
+    rows: DataFrame, acked_frags: DataFrame, gtid_col: str = "gtid"
+) -> DataFrame:
+    """GTID resume composed with the safe-checkpoint algebra: the
+    restart skips exactly the transactions inside the SAFE set — the
+    per-server first gap-free island of acked checkpoint fragments
+    (`cdc/checkpoint.gtid_safe_set`, the GtidSetAlgebra scan) — so a
+    transaction past an ack hole replays even though it was acked,
+    exactly the reference's safe-watermark rule. The safe set is a
+    per-server aggregate (constant-size); collecting it to compose the
+    literal filter is the bounded-driver-state pattern the registry
+    already uses."""
+    from ..cdc.checkpoint import gtid_safe_set
+
+    safe = gtid_safe_set(acked_frags, gtid_col=gtid_col).collect()
+    if not safe:
+        return rows
+    return resume_after_gtid(
+        rows, ",".join(r["safe_gtid_set"] for r in safe)
     )
 
 
@@ -1015,9 +1270,8 @@ def snapshot_to_binlog_files(rows: DataFrame, path: str) -> list[str]:
     event_type, value, props); executors write through pyarrow.fs, so
     local paths and object-store URIs both work. Returns the written
     file names (one driver-side row per FILE, not per record)."""
-    import pandas as pd
-
     def write_part(batches):
+        import pyarrow as pa
         from pyarrow import fs as pafs
 
         if "://" in path:
@@ -1028,23 +1282,20 @@ def snapshot_to_binlog_files(rows: DataFrame, path: str) -> list[str]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        for i, pdf in enumerate(batches):
-            if pdf.empty:
+        for i, batch in enumerate(batches):
+            if batch.num_rows == 0:
                 continue
-            records = list(
-                pdf[
-                    ["op", "event_id", "ts_us", "user_id", "event_type",
-                     "value", "props"]
-                ].itertuples(index=False, name=None)
-            )
+            records = _arrow_records(batch)
             name = f"binlog.{pid:04d}{i:04d}"
             with filesystem.open_output_stream(f"{root}/{name}") as f:
                 f.write(encode_binlog_file(records))
-            yield pd.DataFrame({"file": [name], "n_rows": [len(records)]})
+            yield pa.RecordBatch.from_pydict(
+                {"file": [name], "n_rows": [len(records)]}
+            )
 
     return [
         r["file"]
-        for r in rows.mapInPandas(
+        for r in rows.mapInArrow(
             write_part, "file string, n_rows long"
         ).collect()  # one row per written FILE — driver state is tiny
     ]
@@ -1074,8 +1325,14 @@ def binlog_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("op") != "QUERY")
     )
-    blobs = ev.mapInPandas(_encode_partition, "data binary")
-    return blobs.mapInPandas(_parse_partition, BINLOG_ROWS_SCHEMA)
+    blobs = ev.mapInArrow(_encode_partition, "data binary")
+    parsed = blobs.mapInPandas(_parse_partition, BINLOG_ROWS_GTID_SCHEMA)
+    # the oracle is the payload projection; the GTID/before-image
+    # coordinates are covered by source_binlog_gtid_resume
+    return parsed.select(
+        "op", "event_id", "ts_us", "user_id", "event_type", "value",
+        "props",
+    )
 
 
 from ..cdc.envelope import OP_CASE_SQL as _BINLOG_OP_CASE  # noqa: E402
@@ -1088,6 +1345,186 @@ WHERE ({_BINLOG_OP_CASE}) <> 'QUERY'
 """
 
 
+# ------------------------------------------------------------------
+# GTID-set resume end-to-end (the reference's primary checkpoint mode)
+# ------------------------------------------------------------------
+
+_SID_UUID = _sid_to_uuid(_SID)
+_GTID_RESUME_SKIP = 10  # the stored set covers transactions 1..10
+
+
+def binlog_gtid_resume_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTID-mode restart end-to-end on the wire format: events →
+    binlog files whose GTID gno is a pure function of the data
+    (txn_id = event_id div 64 + 1, so the grade is deterministic under
+    any partitioning) → byte-walk parse carrying (gtid_uuid, gtid_seq)
+    → `resume_after_gtid` with a stored set covering transactions
+    1..10 — exactly the rows whose transaction is OUTSIDE the set come
+    back (`BinaryLogSupplier.java:206-228`: the client skips every
+    transaction inside the checkpointed gtidSet). The range partition
+    + sort keeps each transaction inside one file, the invariant real
+    servers keep."""
+    from ..session import prep, read_table
+
+    prep(spark)
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            F.expr(_BINLOG_OP_CASE).alias("op"),
+            "event_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .where(F.col("op") != "QUERY")
+        .withColumn("txn_id", F.expr("event_id div 64 + 1"))
+    )
+    ev = ev.repartitionByRange(8, "txn_id").sortWithinPartitions(
+        "txn_id", "event_id"
+    )
+    blobs = ev.mapInArrow(_encode_partition_txn, "data binary")
+    parsed = blobs.mapInPandas(_parse_partition, BINLOG_ROWS_GTID_SCHEMA)
+    resumed = resume_after_gtid(
+        parsed, f"{_SID_UUID}:1-{_GTID_RESUME_SKIP}"
+    )
+    return resumed.select(
+        "op", "event_id", "ts_us", "user_id", "event_type", "value",
+        "props", "gtid_uuid", "gtid_seq",
+    )
+
+
+BINLOG_GTID_RESUME_SQL = f"""
+SELECT {_BINLOG_OP_CASE} AS op,
+    event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+    '{_SID_UUID}' AS gtid_uuid,
+    event_id // 64 + 1 AS gtid_seq
+FROM events
+WHERE ({_BINLOG_OP_CASE}) <> 'QUERY'
+  AND event_id // 64 + 1 > {_GTID_RESUME_SKIP}
+"""
+
+
+# ------------------------------------------------------------------
+# ENUM/SET row images end-to-end (the `organisms`-fixture column kinds)
+# ------------------------------------------------------------------
+
+_ORD_TABLE_ID = 31
+_STATUS_LABELS = ("F", "O", "P")
+_PRIO_LABELS = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+)
+_FLAG_LABELS = ("returnable", "express", "intl")
+_ORD_TYPES = [
+    MYSQL_TYPE_LONGLONG,  # o_orderkey
+    MYSQL_TYPE_STRING,    # o_orderstatus  ENUM('F','O','P')
+    MYSQL_TYPE_STRING,    # o_orderpriority ENUM(5 labels)
+    MYSQL_TYPE_STRING,    # flags          SET(3 members)
+]
+_ORD_METAS = [
+    b"",
+    enum_meta(len(_STATUS_LABELS)),
+    enum_meta(len(_PRIO_LABELS)),
+    set_meta(len(_FLAG_LABELS)),
+]
+_ORD_COLS = ["o_orderkey", "status_idx", "prio_idx", "flags_mask"]
+
+
+def _encode_orders_partition(batches) -> Iterator:
+    """mapInArrow: (o_orderkey, status_idx, prio_idx, flags_mask)
+    batches → binlog files whose row images carry ENUM indexes and a
+    SET bitmask (the packed encodings under MYSQL_TYPE_STRING)."""
+    import pyarrow as pa
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        w = BinlogWriter()
+        w.gtid(_SID, 1)
+        w.query("BEGIN")
+        w.table_map(_ORD_TABLE_ID, "testdb", "orders", _ORD_TYPES,
+                    _ORD_METAS)
+        w.rows(
+            WRITE_ROWS_EVENT, _ORD_TABLE_ID, _ORD_TYPES, _ORD_METAS,
+            [list(r) for r in _arrow_records(batch, _ORD_COLS)],
+        )
+        w.xid(1)
+        yield pa.RecordBatch.from_pydict({"data": [w.getvalue()]})
+
+
+def _parse_orders_partition(batches) -> Iterator:
+    """mapInPandas: the ENUM/SET blobs back to (o_orderkey,
+    status_idx, prio_idx, flags_mask) — the codec transports the raw
+    index/mask; label mapping happens downstream (the reference's
+    post-client split)."""
+    import pandas as pd
+
+    for pdf in batches:
+        out: list[tuple] = []
+        for blob in pdf["data"]:
+            for ev in parse_binlog_file(bytes(blob)):
+                if ev["type"] == WRITE_ROWS_EVENT:
+                    out.extend(tuple(r) for r in ev["rows"])
+        yield pd.DataFrame(out, columns=_ORD_COLS)
+
+
+def binlog_enum_roundtrip_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENUM/SET columns through the wire: orders → row images packing
+    o_orderstatus / o_orderpriority as 1-byte ENUM indexes and a
+    synthesized 3-member SET bitmask → byte-walk parse → label mapping
+    via `cdc/decode.enum_label`/`set_labels` (the reference's
+    `MysqlTypeDeserializer.java:144-170` post-client step). The oracle
+    is the plain orders projection the pipeline must transport — an
+    ENUM-bearing table (the reference's `organisms` fixture kind) now
+    transits the file path losslessly."""
+    from ..cdc.decode import enum_label, set_labels
+    from ..session import prep, read_table
+
+    prep(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2"
+            " WHEN 'P' THEN 3 ELSE 0 END"
+        ).cast("int").alias("status_idx"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_idx"),
+        (F.col("o_orderkey") % 8).cast("int").alias("flags_mask"),
+    )
+    blobs = orders.mapInArrow(_encode_orders_partition, "data binary")
+    parsed = blobs.mapInPandas(
+        _parse_orders_partition,
+        "o_orderkey long, status_idx int, prio_idx int, flags_mask int",
+    )
+    return parsed.select(
+        "o_orderkey",
+        enum_label(F.col("status_idx"), _STATUS_LABELS).alias(
+            "o_orderstatus"
+        ),
+        enum_label(F.col("prio_idx"), _PRIO_LABELS).alias(
+            "o_orderpriority"
+        ),
+        set_labels(F.col("flags_mask"), _FLAG_LABELS).alias("flags"),
+    )
+
+
+BINLOG_ENUM_ROUNDTRIP_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority,
+    concat_ws(',',
+        CASE WHEN ((o_orderkey % 8) & 1) <> 0 THEN 'returnable' END,
+        CASE WHEN ((o_orderkey % 8) & 2) <> 0 THEN 'express' END,
+        CASE WHEN ((o_orderkey % 8) & 4) <> 0 THEN 'intl' END
+    ) AS flags
+FROM orders
+"""
+
+
 REGISTRY = [
     ("source_binlog_roundtrip", binlog_roundtrip_query, BINLOG_ROUNDTRIP_SQL),
+    ("source_binlog_gtid_resume", binlog_gtid_resume_query,
+     BINLOG_GTID_RESUME_SQL),
+    ("source_binlog_enum_roundtrip", binlog_enum_roundtrip_query,
+     BINLOG_ENUM_ROUNDTRIP_SQL),
 ]

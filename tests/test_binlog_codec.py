@@ -641,10 +641,32 @@ def test_run_stream_binlog_source(spark, tmp_path):
         run_batch(spark, None, {"source.type": "nope"})
 
 
-def test_enum_set_under_string_rejected():
-    """ENUM/SET ride MYSQL_TYPE_STRING with their real type in meta[0];
-    their value encoding is an index, not a length-prefixed string, so
-    decoding must reject rather than misalign."""
+def test_enum_set_under_string_decode():
+    """ENUM/SET ride MYSQL_TYPE_STRING with their real type in meta[0]
+    (247/248); the value is a 1/2-byte 1-based index (ENUM) or a 1..8
+    byte bitmask (SET) — the codec transports the raw int, and a later
+    string column in the same row stays aligned."""
+    types = [B.MYSQL_TYPE_STRING] * 3 + [B.MYSQL_TYPE_VARCHAR]
+    metas = [
+        B.enum_meta(3),       # 1-byte ENUM
+        B.enum_meta(300),     # 2-byte ENUM (>255 labels)
+        B.set_meta(10),       # 2-byte SET bitmask
+        struct.pack("<H", 32),
+    ]
+    assert metas[0] == bytes([247, 1])
+    assert metas[1] == bytes([247, 2])
+    assert metas[2] == bytes([248, 2])
+    rows = [[2, 290, 0b1000000011, "after"], [0, None, 0, ""]]
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas)
+    w.rows(B.WRITE_ROWS_EVENT, 1, types, metas, [list(r) for r in rows])
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    assert evs[-1]["rows"] == rows
+
+
+def test_enum_set_hand_built_bytes():
+    """Golden bytes: a 1-byte ENUM index written by hand decodes to
+    the raw index (the post-client label mapping is cdc/decode's)."""
     types, metas = [B.MYSQL_TYPE_STRING], [bytes([247, 1])]  # ENUM, 1B
     w = B.BinlogWriter()
     w.table_map(1, "d", "t", types, metas)
@@ -653,7 +675,21 @@ def test_enum_set_under_string_rejected():
     body += struct.pack("<H", 2) + B._lenenc(1) + bytes([0xFF])
     body += bytes([0]) + bytes([2])
     w._event(B.WRITE_ROWS_EVENT, body)
-    with pytest.raises(ValueError, match="ENUM/SET"):
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    assert evs[-1]["rows"] == [[2]]
+
+
+def test_unknown_real_type_under_string_rejected():
+    """A STRING-packed real type that is neither STRING nor ENUM/SET
+    must reject rather than misalign the rest of the row."""
+    types, metas = [B.MYSQL_TYPE_STRING], [bytes([246, 1])]
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas)
+    body = (1).to_bytes(6, "little") + struct.pack("<H", 0)
+    body += struct.pack("<H", 2) + B._lenenc(1) + bytes([0xFF])
+    body += bytes([0]) + bytes([2])
+    w._event(B.WRITE_ROWS_EVENT, body)
+    with pytest.raises(ValueError, match="real type"):
         list(B.parse_binlog_file(w.getvalue()))
 
 
@@ -801,6 +837,16 @@ _COLSPECS = {
     "ts2": (B.MYSQL_TYPE_TIMESTAMP2, bytes([6]),
             st.integers(min_value=0, max_value=(2**32 - 1)) .map(
                 lambda s: s * 1_000_000 + (s % 1_000_000))),
+    # ENUM/SET: packed under MYSQL_TYPE_STRING with real type in
+    # meta[0] — 1/2-byte 1-based index, 1/2-byte bitmask
+    "enum1": (B.MYSQL_TYPE_STRING, B.enum_meta(7),
+              st.integers(min_value=0, max_value=7)),
+    "enum2": (B.MYSQL_TYPE_STRING, B.enum_meta(300),
+              st.integers(min_value=0, max_value=300)),
+    "set1": (B.MYSQL_TYPE_STRING, B.set_meta(8),
+             st.integers(min_value=0, max_value=255)),
+    "set2": (B.MYSQL_TYPE_STRING, B.set_meta(16),
+             st.integers(min_value=0, max_value=2**16 - 1)),
 }
 
 
@@ -827,3 +873,170 @@ def test_random_schema_rows_roundtrip(data):
            [list(r) for r in rows])
     evs = list(B.parse_binlog_file(w.getvalue()))
     assert evs[-1]["rows"] == rows
+
+
+# ---------------------------------------------------------------------------
+# GTID coordinates + GTID-set resume (the reference's primary
+# checkpoint mode, BinaryLogSupplier.java:206-228)
+# ---------------------------------------------------------------------------
+
+
+def _recs(ids, op="INSERT", user=10):
+    return [(op, i, i * 1_000_000, user, "signup", float(i), "{}")
+            for i in ids]
+
+
+def test_gtid_coordinates_on_file_rows(spark, tmp_path):
+    """Every decoded row carries its enclosing transaction's (uuid,
+    gno): 130 records chunk into txns 1,2,3 at _TXN_ROWS=64."""
+    from replicator_spark.sources.binlog import _SID_UUID, read_binlog_files
+
+    (tmp_path / "binlog.000001").write_bytes(
+        B.encode_binlog_file(_recs(range(1, 131)))
+    )
+    rows = sorted(
+        read_binlog_files(spark, str(tmp_path)).collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert {r["gtid_uuid"] for r in rows} == {_SID_UUID}
+    seqs = [r["gtid_seq"] for r in rows]
+    assert seqs == [1] * 64 + [2] * 64 + [3] * 2
+
+
+def test_parse_gtid_set_grammar():
+    from replicator_spark.sources.binlog import parse_gtid_set
+
+    got = parse_gtid_set(
+        "AAAAAAAA-0000-0000-0000-000000000001:1-5:8,"
+        " bbbbbbbb-0000-0000-0000-000000000002:7-7"
+    )
+    assert got == {
+        "aaaaaaaa-0000-0000-0000-000000000001": [(1, 5), (8, 8)],
+        "bbbbbbbb-0000-0000-0000-000000000002": [(7, 7)],
+    }
+    with pytest.raises(ValueError, match="intervals"):
+        parse_gtid_set("aaaaaaaa-0000-0000-0000-000000000001")
+    with pytest.raises(ValueError, match="inverted"):
+        parse_gtid_set("a:5-3")
+
+
+def test_resume_after_gtid(spark, tmp_path):
+    """The client skips exactly the transactions INSIDE the stored
+    set; an unseen server UUID replays in full."""
+    from replicator_spark.sources.binlog import (
+        _SID_UUID,
+        read_binlog_files,
+        resume_after_gtid,
+    )
+
+    (tmp_path / "binlog.000001").write_bytes(
+        B.encode_binlog_file(_recs(range(1, 131)))  # txns 1,2,3
+    )
+    rows = read_binlog_files(spark, str(tmp_path))
+    r1 = resume_after_gtid(rows, f"{_SID_UUID}:1-2")
+    assert sorted(r["gtid_seq"] for r in r1.collect()) == [3, 3]
+    # multi-interval: skip txns 1 and 3, replay txn 2
+    r2 = resume_after_gtid(rows, f"{_SID_UUID}:1-1:3")
+    assert {r["gtid_seq"] for r in r2.collect()} == {2}
+    # a set naming only an unknown server skips nothing
+    r3 = resume_after_gtid(
+        rows, "ffffffff-0000-0000-0000-00000000000f:1-999"
+    )
+    assert r3.count() == 130
+    # the filter is map-side: no exchange in the plan
+    assert "Exchange" not in (
+        r1._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_resume_after_safe_acks_stops_at_hole(spark, tmp_path):
+    """Composed with the GtidSetAlgebra scan: acks {1, 3} have a hole
+    at 2, so the safe set is 1-1 — transactions 2 AND 3 replay (3 was
+    acked, but past the hole it is NOT safe)."""
+    from replicator_spark.sources.binlog import (
+        _SID_UUID,
+        read_binlog_files,
+        resume_after_safe_acks,
+    )
+
+    (tmp_path / "binlog.000001").write_bytes(
+        B.encode_binlog_file(_recs(range(1, 131)))  # txns 1,2,3
+    )
+    rows = read_binlog_files(spark, str(tmp_path))
+    acks = spark.createDataFrame(
+        [(f"{_SID_UUID}:1-1",), (f"{_SID_UUID}:3-3",)], "gtid string"
+    )
+    got = resume_after_safe_acks(rows, acks)
+    assert sorted({r["gtid_seq"] for r in got.collect()}) == [2, 3]
+    # no acks at all → nothing is safe → full replay
+    empty = spark.createDataFrame([], "gtid string")
+    assert resume_after_safe_acks(rows, empty).count() == 130
+
+
+def test_resume_after_numeric_suffix_rollover(spark, tmp_path):
+    """MySQL extends binlog numbering past 6 digits: binlog.1000000
+    rotates AFTER binlog.999999 though it sorts lexicographically
+    before it — the file/pos predicate must compare the numeric
+    suffix."""
+    from replicator_spark.sources.binlog import (
+        read_binlog_files,
+        resume_after,
+    )
+
+    (tmp_path / "binlog.999999").write_bytes(
+        B.encode_binlog_file(_recs([1, 2]))
+    )
+    (tmp_path / "binlog.1000000").write_bytes(
+        B.encode_binlog_file(_recs([3]))
+    )
+    rows = read_binlog_files(spark, str(tmp_path))
+    resumed = resume_after(rows, "binlog.999999", 10**9)
+    assert [r["event_id"] for r in resumed.collect()] == [3]
+
+
+def test_update_wire_before_image_surfaced(spark, tmp_path):
+    """UPDATE rows surface the wire before-image's payload columns —
+    on real binlog_row_image=FULL logs these are authoritative, and
+    consumers can prefer them over the envelope's lag heuristic."""
+    from replicator_spark.sources.binlog import read_binlog_files
+
+    (tmp_path / "binlog.000001").write_bytes(
+        B.encode_binlog_file(
+            [("INSERT", 1, 1_000_000, 1, "signup", 1.0, "{}"),
+             ("UPDATE", 2, 2_000_000, 1, "click", 2.0, '{"k":1}')]
+        )
+    )
+    rows = {
+        r["event_id"]: r
+        for r in read_binlog_files(spark, str(tmp_path)).collect()
+    }
+    # the synthesized UPDATE before-image is the zeroed row
+    assert rows[2]["value_before_wire"] == 0.0
+    assert rows[2]["props_before_wire"] == "{}"
+    assert rows[1]["value_before_wire"] is None
+    assert rows[1]["props_before_wire"] is None
+
+
+def test_encode_nulls_and_big_ints_exact(spark):
+    """The encode seam is mapInArrow, not pandas: NULL longs hit the
+    writer's null-bitmap path (not NaN), and int64 above 2^53 keeps
+    full precision through the roundtrip."""
+    from replicator_spark.sources.binlog import (
+        BINLOG_ROWS_GTID_SCHEMA,
+        _encode_partition,
+        _parse_partition,
+    )
+
+    big = (1 << 60) + 7
+    src = spark.createDataFrame(
+        [("INSERT", big, 1_000_000, None, "signup", None, "{}")],
+        "op string, event_id long, ts_us long, user_id long,"
+        " event_type string, value double, props string",
+    )
+    blobs = src.mapInArrow(_encode_partition, "data binary")
+    got = blobs.mapInPandas(
+        _parse_partition, BINLOG_ROWS_GTID_SCHEMA
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["event_id"] == big
+    assert got[0]["user_id"] is None and got[0]["value"] is None
