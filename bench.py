@@ -166,6 +166,9 @@ HEADLINE = [
     # round-11 additions (first round on the slate)
     "cdc_type_decode_compat",
     "source_binlog_roundtrip",
+    # round-12 additions (first round on the slate)
+    "source_binlog_gtid_resume",
+    "source_binlog_enum_roundtrip",
 ]
 
 

@@ -134,7 +134,25 @@ Rotation map (which driver run produced each operator's green row):
   sink_avro_messages, stream_timemachine). The remaining r6-green
   ops (tm_cells — displaced below the cut by addition #2 —
   tm_asof_snapshot, the 3 source roundtrips, and 27 non-critical
-  rows) are the ROUND-12 QUEUE (registry 276 → 278).
+  rows) are the ROUND-12 QUEUE (registry 276 → 278). Outcome: 50/50
+  green (CORRECTNESS_r11.json).
+- round 12 window (this file's first 50): slots 1-2 are the round-12
+  additions (never graded): `source_binlog_gtid_resume` (GTID-set
+  resume end-to-end on the wire format — deterministic-gno encode via
+  explicit txn ids, (gtid_uuid, gtid_seq) row coordinates,
+  `resume_after_gtid` skipping exactly the transactions inside the
+  stored set, BinaryLogSupplier.java:206-228's primary checkpoint
+  mode) and `source_binlog_enum_roundtrip` (ENUM/SET packed row
+  images through the wire — the reference's organisms-fixture column
+  kinds); slot 3 re-pins `source_binlog_roundtrip` (its source file
+  gained the mapInArrow encode seam, spec-position checksum-alg
+  detection, and GTID/before-image columns this round); slots 4-35
+  grade the ENTIRE round-11 verdict freshness debt — all 32 operators
+  whose newest green row is round 6 (tm_cells .. ts_seasonality);
+  slots 36-50 are 15 §2-critical re-pins from the 48-op r7-green
+  cohort (cdc appliers, sinks, time-machine interval ops, bootstrap,
+  txn assembly). The remaining 33 r7-green ops (agg_*, tpch_q*,
+  sim_ivfadc_topk, …) are the ROUND-13 QUEUE (registry 278 → 280).
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -175,78 +193,22 @@ _ORACLES: dict[str, str] = {}
 # (final 31 never-graded + 19 §2-critical re-pins), then
 # previously-driver-verified blocks.
 _PRIORITY = [
-    # ======== ROUND-11 GRADING WINDOW (2 + 3 + 28 + 17) ========
-    # --- the round-11 addition (never graded): binlog-client compat-
-    #     mode decode toggles (CHAR_AND_BINARY_AS_BYTE_ARRAY +
-    #     DATE_AND_TIME_AS_LONG, BinaryLogSupplier.java:113-117) ---
-    "cdc_type_decode_compat",
-    # --- round-11 addition #2 (never graded): the binlog v4 wire
-    #     layer — byte-level encode to file blobs + mapInPandas
-    #     byte-walk parse back to change rows (sources/binlog.py) ---
+    # ======== ROUND-12 GRADING WINDOW (2 + 1 + 32 + 15) ========
+    # --- the round-12 additions (never graded): GTID-set resume
+    #     end-to-end on the wire format (deterministic-gno encode,
+    #     resume_after_gtid — BinaryLogSupplier.java:206-228's
+    #     primary checkpoint mode) and ENUM/SET packed row images
+    #     (the organisms-fixture column kinds, decode.java:144-170) ---
+    "source_binlog_gtid_resume",
+    "source_binlog_enum_roundtrip",
+    # --- re-pin: sources/binlog.py materially changed this round
+    #     (mapInArrow encode, spec-position checksum detection,
+    #     GTID/before-image columns) — same-round re-pin rule ---
     "source_binlog_roundtrip",
-    # --- the 3 ops whose source (streaming/registry.py) changed this
-    #     round (positional ALTER clauses, rename snapshots, committed-
-    #     epoch recovery) — re-pinned same-round per the r9/r10 rule ---
-    "stream_schema_ddl_replay",
-    "schema_history_log",
-    "schema_compat_check",
-    # --- text_normalize + the 27 operators whose newest green row is
-    #     round 5 (the round-10 verdict's named freshness debt) ---
-    "text_normalize",
-    "curate_global_shuffle",
-    "sketch_bloom_filter",
-    "curate_mixture_weights",
-    "curate_token_budget",
-    "text_oov_rate",
-    "text_bpe_pairs",
-    "sketch_quantile_grid",
-    "emb_pca_power",
-    "tm_snapshot_delta",
-    "stats_ks_test",
-    "stream_quantile_sketch",
-    "dedup_containment",
-    "emb_kmeans",
-    "sim_pq_codes",
-    "stream_ewma",
-    "sim_adc_topk",
-    "cdc_net_effect_compact",
-    "cdc_order_audit",
-    "tm_version_depth",
-    "stream_near_dedup",
-    "stream_scd2_intervals",
-    "sim_knn_graph",
-    "graph_assortativity",
-    "graph_kcore",
-    "stats_spearman",
-    "stats_auc",
-    "stats_gini",
-    # --- §2-critical re-pins from the 49-op r6-green block (incl.
-    #     cdc_type_decode and schema_ddl_replay, whose source files
-    #     changed this round); the first 17 fit the 50-slot window —
-    #     tm_cells, at position 51, is displaced below the cut by
-    #     round-11 addition #2, so it joins the ROUND-12 QUEUE with
-    #     the remaining r6 ops (tm_asof_snapshot, the 3 source
-    #     roundtrips, and the 27 non-critical rows) ---
-    "schema_ddl_replay",
-    "cdc_type_decode",
-    "cdc_change_feed",
-    "cdc_changed_cols",
-    "cdc_classify_ops",
-    "cdc_include_exclude",
-    "cdc_json_decode",
-    "cdc_micro_organizer",
-    "cdc_partitioners",
-    "cdc_query_classifier",
-    "cdc_rowkey_salt",
-    "cdc_safe_watermark",
-    "cdc_table_merge",
-    "cdc_txn_group",
-    "cdc_txn_seq",
-    "sink_avro_messages",
-    "stream_timemachine",
+    # --- the full ROUND-12 QUEUE: all 32 operators whose newest
+    #     green row is round 6 (the round-11 verdict's standing
+    #     freshness debt, task #1) ---
     "tm_cells",
-    # ====== ROUND-12 QUEUE: the r6-green leftovers (oldest evidence
-    #        after this window grades) ======
     "tm_asof_snapshot",
     "source_csv_roundtrip",
     "source_jsonl_roundtrip",
@@ -278,7 +240,109 @@ _PRIORITY = [
     "ts_changepoint",
     "ts_profile_topk",
     "ts_seasonality",
+    # --- 15 §2-critical re-pins from the 48-op r7-green cohort
+    #     (CDC appliers, sinks, time-machine, bootstrap, txn
+    #     assembly) — the oldest critical rows after the r6 block ---
+    "cdc_apply_upsert",
+    "cdc_payload_rowkey",
+    "cdc_seeker_resume",
+    "cdc_snapshot_diff",
+    "cdc_validation_sample",
+    "sink_avro_schemas",
+    "sink_console",
+    "sink_count",
+    "sink_kafka_messages",
+    "source_bootstrap_snapshot",
+    "stream_txn_assembly",
+    "stream_dedup_exact",
+    "tm_compaction",
+    "tm_row_history",
+    "tm_scd2_intervals",
+    # ====== ROUND-13 QUEUE: the r7-green leftovers (oldest
+    #        evidence once this window grades) ======
+    "stream_jsonl_sink",
+    "sim_knn_classifier",
+    "graph_label_propagation",
+    "curate_coreset_kcenter",
+    "corpus_vocab_growth",
+    "sim_ivfadc_topk",
+    "ts_trend_ols",
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "topk_per_group",
+    "agg_rollup_pricing",
+    "agg_cube_orders",
+    "temporal_range_join",
+    "stream_windowed_counts",
     # ====== previously-verified blocks (green rows on record) ======
+    "cdc_type_decode_compat",
+    "stream_schema_ddl_replay",
+    "schema_history_log",
+    "schema_compat_check",
+    "text_normalize",
+    "curate_global_shuffle",
+    "sketch_bloom_filter",
+    "curate_mixture_weights",
+    "curate_token_budget",
+    "text_oov_rate",
+    "text_bpe_pairs",
+    "sketch_quantile_grid",
+    "emb_pca_power",
+    "tm_snapshot_delta",
+    "stats_ks_test",
+    "stream_quantile_sketch",
+    "dedup_containment",
+    "emb_kmeans",
+    "sim_pq_codes",
+    "stream_ewma",
+    "sim_adc_topk",
+    "cdc_net_effect_compact",
+    "cdc_order_audit",
+    "tm_version_depth",
+    "stream_near_dedup",
+    "stream_scd2_intervals",
+    "sim_knn_graph",
+    "graph_assortativity",
+    "graph_kcore",
+    "stats_spearman",
+    "stats_auc",
+    "stats_gini",
+    "schema_ddl_replay",
+    "cdc_type_decode",
+    "cdc_change_feed",
+    "cdc_changed_cols",
+    "cdc_classify_ops",
+    "cdc_include_exclude",
+    "cdc_json_decode",
+    "cdc_micro_organizer",
+    "cdc_partitioners",
+    "cdc_query_classifier",
+    "cdc_rowkey_salt",
+    "cdc_safe_watermark",
+    "cdc_table_merge",
+    "cdc_txn_group",
+    "cdc_txn_seq",
+    "sink_avro_messages",
+    "stream_timemachine",
     "sim_cosine_topk",
     "sim_ivf_topk",
     "sim_label_separability",
@@ -306,9 +370,6 @@ _PRIORITY = [
     "text_token_count",
     "text_top_terms",
     "text_zipf_slope",
-    # --- the 22 oldest round-5-green re-pins (queue head of the
-    #     r5-newest block; text_normalize and the remaining 27 queue
-    #     for round 11) ---
     "cdc_delay_gauge",
     "window_analytics",
     "pivot_orders",
@@ -331,7 +392,6 @@ _PRIORITY = [
     "dq_constraints",
     "entity_match_blocked",
     "text_rolling_hash",
-    # ====== previously-verified blocks (green rows on record) ======
     "sketch_ams_f2",
     "ts_holt_winters",
     "events_survival_km",
@@ -431,54 +491,6 @@ _PRIORITY = [
     "cdc_incremental_agg",
     "cdc_ivm_join",
     "tm_scd2_weighted",
-    "stream_jsonl_sink",
-    "sim_knn_classifier",
-    "graph_label_propagation",
-    "curate_coreset_kcenter",
-    "corpus_vocab_growth",
-    "sim_ivfadc_topk",
-    "ts_trend_ols",
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "topk_per_group",
-    "agg_rollup_pricing",
-    "agg_cube_orders",
-    "temporal_range_join",
-    "cdc_payload_rowkey",
-    "cdc_seeker_resume",
-    "cdc_validation_sample",
-    "source_bootstrap_snapshot",
-    "cdc_apply_upsert",
-    "cdc_snapshot_diff",
-    "tm_row_history",
-    "tm_compaction",
-    "tm_scd2_intervals",
-    "sink_count",
-    "sink_console",
-    "sink_kafka_messages",
-    "sink_avro_schemas",
-    "stream_windowed_counts",
-    "stream_dedup_exact",
-    "stream_txn_assembly",
 ]
 
 
