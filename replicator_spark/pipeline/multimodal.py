@@ -317,32 +317,45 @@ FROM framed
 # The multimodal bridge into the dedup family: a difference-hash
 # (dHash) over the decoded byte grid — the classic perceptual
 # image-dedup signature (64 bits: does cell (r,c) outshine its right
-# neighbor on an 8×8 walk of a 9-wide grid) — bucketed by its first 16
-# bits for sub-quadratic candidate generation, verified by exact
-# Hamming distance. The hash is computed in the Arrow-batched
-# mapInPandas worker over the (stub-)decoded bytes — the REAL
-# deployment swaps decode_stub for a resize+grayscale decode and
-# nothing else changes; the deterministic stub is what lets plain SQL
-# reproduce the bits for the oracle.
+# neighbor on an 8×8 walk of a 9-wide grid) — candidate-generated by
+# Hamming-LSH BANDING (4 bands of 16 bits; a pair is a candidate iff
+# some band matches exactly, the multi-index Hamming search every
+# production pHash dedup uses), verified by exact Hamming distance.
+# The hash is computed in the Arrow-batched mapInPandas worker over
+# the (stub-)decoded bytes — the REAL deployment swaps decode_stub for
+# a resize+grayscale decode and nothing else changes; the
+# deterministic stub is what lets plain SQL reproduce the bits for the
+# oracle.
 #
-# Scale: hashing is map-only; the bucket groupBy is the single
-# exchange; in-bucket pair expansion is O(k²) on LSH-small buckets and
-# the Hamming verify runs only on candidates (propose/dispose, the
+# Scale: hashing is map-only; the band groupBy is the single exchange
+# (4 rows per doc); in-band pair expansion is O(k²) on LSH-small
+# buckets with the star cap bounding adversarial mega-buckets, and the
+# Hamming verify runs only on candidates (propose/dispose, the
 # dedup.py contract).
 
 PHASH_GRID = 8  # 8×8 bits from a 9-column walk
-PHASH_BUCKET_BITS = 16
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16  # 4 × 16 = the full 64-bit hash
 PHASH_MAX_HAMMING = 16
 PHASH_BUCKET_CAP = 32  # mega-bucket star guard (dedup.LSH_BUCKET_CAP analog)
 
-PHASH_SCHEMA = "doc_id long, dhash string, bucket string"
+PHASH_SCHEMA = "doc_id long, dhash string"
+
+
+_PHASH_CELLS = PHASH_GRID * (PHASH_GRID + 1)  # 72 grid positions
 
 
 def _dhash_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # Bits are computed over Unicode CODE POINTS of the decoded payload
     # (ord of each char, char length n) — NOT raw UTF-8 bytes — so the
     # hash agrees with the oracle's unicode()/length() semantics for
-    # any text, not just ASCII (round-4 advice item).
+    # any text, not just ASCII (round-4 advice item). Grid cell g
+    # samples char (g*n)//72 — a STRIDE over the WHOLE payload, the
+    # text analog of the resize step real dHash starts with. (The
+    # earlier (g % n) sampling read only the first ~72 code points, so
+    # any corpus sharing a boilerplate prefix — or a suffix-tagged
+    # replica harness — collapsed into dhash twins; the round-12
+    # profile localized the 10x smoke ratchet to exactly that.)
     for pdf in it:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -352,14 +365,14 @@ def _dhash_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             bits = "".join(
                 "1"
-                if ord(chars[(r * (PHASH_GRID + 1) + c) % n])
-                > ord(chars[(r * (PHASH_GRID + 1) + c + 1) % n])
+                if ord(chars[((r * (PHASH_GRID + 1) + c) * n) // _PHASH_CELLS])
+                > ord(chars[((r * (PHASH_GRID + 1) + c + 1) * n) // _PHASH_CELLS])
                 else "0"
                 for r in range(PHASH_GRID)
                 for c in range(PHASH_GRID)
             )
-            out.append((int(doc_id), bits, bits[:PHASH_BUCKET_BITS]))
-        yield pd.DataFrame(out, columns=["doc_id", "dhash", "bucket"])
+            out.append((int(doc_id), bits))
+        yield pd.DataFrame(out, columns=["doc_id", "dhash"])
 
 
 _HAMMING = (
@@ -368,16 +381,40 @@ _HAMMING = (
 )
 
 
-def multimodal_phash_dedup_query(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    prep(spark)
-    docs = read_table(spark, sf_dir, "documents")
-    hashed = with_binary_payload(docs).mapInPandas(
-        _dhash_rows, PHASH_SCHEMA
+def _phash_pairs(hashed: DataFrame) -> DataFrame:
+    """(doc_id, dhash) → verified near-dup pairs via Hamming-LSH
+    banding. Each doc emits PHASH_BANDS (band_id, band_bits) keys; a
+    band bucket holding >1 doc expands to candidate pairs; candidates
+    are verified by exact Hamming distance; a pair found by several
+    bands dedups to one row (distinct over the deterministic result).
+
+    Mega-bucket guard (dedup.py's LSH_BUCKET_CAP rule): a band bucket
+    of k near-identical images would expand to k(k-1)/2 pairs inside
+    ONE task. Oversized buckets emit a sorted STAR (every id paired
+    with the bucket min): O(k) pairs. Because the Hamming filter runs
+    per EDGE after expansion, the star is an APPROXIMATION: two docs
+    within PHASH_MAX_HAMMING of each other but both farther than that
+    from the bucket-min lose their connecting edge, so star components
+    are a REFINEMENT (possible splits, never merges) of the full
+    clique expansion's — the same recall-for-bound trade-off
+    LSH_BUCKET_CAP makes. The oracle applies the identical rule, so
+    engine parity is exact."""
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{i}:"),
+                F.substring(
+                    "dhash", i * PHASH_BAND_BITS + 1, PHASH_BAND_BITS
+                ),
+            )
+            for i in range(PHASH_BANDS)
+        ]
+    )
+    banded = hashed.select(
+        "doc_id", "dhash", F.explode(band_keys).alias("bucket")
     )
     buckets = (
-        hashed.groupBy("bucket")
+        banded.groupBy("bucket")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("doc_id", "dhash"))
@@ -385,17 +422,6 @@ def multimodal_phash_dedup_query(
         )
         .filter(F.size("ids") > 1)
     )
-    # Mega-bucket guard (dedup.py's LSH_BUCKET_CAP rule): a Hamming
-    # bucket of k near-identical images would expand to k(k-1)/2 pairs
-    # inside ONE task. Oversized buckets emit a sorted STAR (every id
-    # paired with the bucket min): O(k) pairs. Because the Hamming
-    # filter runs per EDGE after expansion, the star is an
-    # APPROXIMATION: two docs within PHASH_MAX_HAMMING of each other
-    # but both farther than that from the bucket-min lose their
-    # connecting edge, so star components are a REFINEMENT (possible
-    # splits, never merges) of the full clique expansion's — the same
-    # recall-for-bound trade-off LSH_BUCKET_CAP makes. The oracle
-    # applies the identical rule, so engine parity is exact.
     all_pairs = """flatten(transform(ids, (x, i) ->
         transform(slice(ids, i + 2, size(ids) - i - 1),
                   y -> struct(x.doc_id AS doc_a,
@@ -421,7 +447,19 @@ def multimodal_phash_dedup_query(
         pairs.withColumn("hamming", ham)
         .where(F.col("hamming") <= PHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
+
+
+def multimodal_phash_dedup_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    hashed = with_binary_payload(docs).mapInPandas(
+        _dhash_rows, PHASH_SCHEMA
+    )
+    return _phash_pairs(hashed)
 
 
 def _phash_bits_sql() -> str:
@@ -430,8 +468,9 @@ def _phash_bits_sql() -> str:
         for c in range(PHASH_GRID):
             i = r * (PHASH_GRID + 1) + c
             cells.append(
-                f"CASE WHEN unicode(substr(text, ({i} % n) + 1, 1))"
-                f" > unicode(substr(text, ({i + 1} % n) + 1, 1))"
+                "CASE WHEN"
+                f" unicode(substr(text, (({i} * n) // {_PHASH_CELLS}) + 1, 1))"
+                f" > unicode(substr(text, (({i + 1} * n) // {_PHASH_CELLS}) + 1, 1))"
                 " THEN '1' ELSE '0' END"
             )
     return " || ".join(cells)
@@ -450,8 +489,10 @@ WITH hashed AS (
     FROM (SELECT doc_id, text, length(text) AS n FROM documents
           WHERE length(text) > 0)
 ), bucketed AS (
-    SELECT doc_id, dhash, substr(dhash, 1, {PHASH_BUCKET_BITS}) AS bucket
-    FROM hashed
+    SELECT doc_id, dhash,
+        i || ':' || substr(dhash, CAST(i * {PHASH_BAND_BITS} + 1 AS INT),
+                           {PHASH_BAND_BITS}) AS bucket
+    FROM hashed, (SELECT unnest(range(0, {PHASH_BANDS})) AS i)
 ), buckets AS (
     SELECT bucket,
         list_sort(list({{'doc_id': doc_id, 'dhash': dhash}})) AS ids
@@ -469,7 +510,7 @@ WITH hashed AS (
     END) AS p
     FROM buckets
 )
-SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, {ham} AS hamming
+SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b, {ham} AS hamming
 FROM expanded
 WHERE {ham} <= {PHASH_MAX_HAMMING}
 """

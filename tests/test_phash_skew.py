@@ -24,40 +24,16 @@ def _image_docs(spark, n, text="the quick brown fox jumps over a dog"):
 
 
 def _pairs_for(spark, docs):
-    from pyspark.sql import functions as F
-
     from replicator_spark.pipeline.multimodal import (
-        PHASH_BUCKET_CAP,
-        PHASH_MAX_HAMMING,
         PHASH_SCHEMA,
         _dhash_rows,
+        _phash_pairs,
         with_binary_payload,
     )
+
     # same pipeline as multimodal_phash_dedup_query minus the parquet read
     hashed = with_binary_payload(docs).mapInPandas(_dhash_rows, PHASH_SCHEMA)
-    buckets = (
-        hashed.groupBy("bucket")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("doc_id", "dhash"))).alias(
-                "ids"
-            )
-        )
-        .filter(F.size("ids") > 1)
-    )
-    all_pairs = """flatten(transform(ids, (x, i) ->
-        transform(slice(ids, i + 2, size(ids) - i - 1),
-                  y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                              x.dhash AS ha, y.dhash AS hb))))"""
-    star = """transform(slice(ids, 2, size(ids) - 1), y ->
-        struct(element_at(ids, 1).doc_id AS doc_a, y.doc_id AS doc_b,
-               element_at(ids, 1).dhash AS ha, y.dhash AS hb))"""
-    return buckets.select(
-        F.explode(
-            F.when(
-                F.size("ids") <= PHASH_BUCKET_CAP, F.expr(all_pairs)
-            ).otherwise(F.expr(star))
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+    return _phash_pairs(hashed)
 
 
 def test_mega_bucket_emits_linear_star(spark):
@@ -86,60 +62,20 @@ def test_small_buckets_still_full_clique(spark):
 
 
 def test_oracle_mirrors_cap_and_codepoints(spark):
-    """DuckDB oracle applies the same clique/star rule AND the same
-    code-point (not byte) dHash on a non-ASCII corpus, so the driver's
-    hash compare stays green on any text."""
+    """DuckDB oracle applies the same band/clique/star rule AND the
+    same code-point (not byte) dHash on a non-ASCII corpus, so the
+    driver's hash compare stays green on any text."""
     import duckdb
 
-    from replicator_spark.pipeline.multimodal import (
-        PHASH_BUCKET_CAP,
-        PHASH_MAX_HAMMING,
-        PHASH_SCHEMA,
-        _dhash_rows,
-        _phash_dedup_sql,
-        with_binary_payload,
-    )
-    from pyspark.sql import functions as F
+    from replicator_spark.pipeline.multimodal import _phash_dedup_sql
 
     n = 50  # > PHASH_BUCKET_CAP to trip the star path
     # non-ASCII payload: bytes-vs-codepoint divergence would flip bits
-    text = "zürich café naïve — füße øl 北京 quick brown fox"
+    text = "z\u00fcrich caf\u00e9 na\u00efve \u2014 f\u00fc\u00dfe \u00f8l \u5317\u4eac quick brown fox"
     docs = _image_docs(spark, n, text=text)
-    hashed = with_binary_payload(docs).mapInPandas(_dhash_rows, PHASH_SCHEMA)
-    buckets = (
-        hashed.groupBy("bucket")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("doc_id", "dhash"))).alias(
-                "ids"
-            )
-        )
-        .filter(F.size("ids") > 1)
-    )
-    all_pairs = """flatten(transform(ids, (x, i) ->
-        transform(slice(ids, i + 2, size(ids) - i - 1),
-                  y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                              x.dhash AS ha, y.dhash AS hb))))"""
-    star = """transform(slice(ids, 2, size(ids) - 1), y ->
-        struct(element_at(ids, 1).doc_id AS doc_a, y.doc_id AS doc_b,
-               element_at(ids, 1).dhash AS ha, y.dhash AS hb))"""
-    ham = F.expr(
-        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + "
-        "if(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"
-    )
     spark_pairs = sorted(
         (r["doc_a"], r["doc_b"], r["hamming"])
-        for r in buckets.select(
-            F.explode(
-                F.when(
-                    F.size("ids") <= PHASH_BUCKET_CAP, F.expr(all_pairs)
-                ).otherwise(F.expr(star))
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b", "p.ha", "p.hb")
-        .withColumn("hamming", ham)
-        .where(F.col("hamming") <= PHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
-        .collect()
+        for r in _pairs_for(spark, docs).collect()
     )
     con = duckdb.connect()
     con.register("documents", docs.toPandas())

@@ -49,12 +49,31 @@ def stage_times(spark, sf_dir: str, reps: int) -> dict:
         ).write.format("noop").mode("overwrite").save()
 
     def run_bucket():
+        from replicator_spark.pipeline.multimodal import (
+            PHASH_BAND_BITS,
+            PHASH_BANDS,
+        )
+
         docs = read_table(spark, sf_dir, "documents")
         hashed = with_binary_payload(docs).mapInPandas(
             _dhash_rows, PHASH_SCHEMA
         )
+        band_keys = F.array(
+            *[
+                F.concat(
+                    F.lit(f"{i}:"),
+                    F.substring(
+                        "dhash", i * PHASH_BAND_BITS + 1, PHASH_BAND_BITS
+                    ),
+                )
+                for i in range(PHASH_BANDS)
+            ]
+        )
         (
-            hashed.groupBy("bucket")
+            hashed.select(
+                "doc_id", "dhash", F.explode(band_keys).alias("bucket")
+            )
+            .groupBy("bucket")
             .agg(
                 F.array_sort(
                     F.collect_list(F.struct("doc_id", "dhash"))

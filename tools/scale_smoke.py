@@ -37,6 +37,17 @@ operators quadratic pair growth their real-scale profile would not
 see (the round-5 verdict's `multimodal_phash_dedup` finding). The
 slate narrows to the content-hash dedup ops.
 
+CAVEAT (round-12 profile, artifacts/profile_phash_r12.json): the tag
+holds duplicate density fixed only for hashes that read the WHOLE
+text (md5, shingles). A sparse PERCEPTUAL hash (multimodal_phash_
+dedup's 72-sample strided dHash) cannot see an O(1)-length suffix on
+long docs, so replicas r>=1 (all sharing length n+5) remain dhash
+twins of each other — true near-dup pair output grows ~R² by
+CONSTRUCTION of the replica, and the op's ~R runtime against that R²
+output (band + star-cap bounds) is the property under test, not a
+defect. Read this op's fixed-dups ratio as "runtime vs R× corpus
+carrying R× denser perceptual twins".
+
 Writes nothing outside a temp dir; testdata is read-only.
 """
 
