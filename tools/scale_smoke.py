@@ -90,6 +90,9 @@ SLATE = [
     # round-11 addition: the binlog v4 wire codec (linear per-row
     # encode+parse; dedicated pin artifacts scale_smoke_r11_binlog)
     "source_binlog_roundtrip",
+    # round-12 additions: GTID resume + ENUM/SET through the wire
+    "source_binlog_gtid_resume",
+    "source_binlog_enum_roundtrip",
     "cdc_change_feed",
     "cdc_apply_upsert",
     "cdc_delay_gauge",
