@@ -341,6 +341,11 @@ _SCAN_CEILINGS = {
     "curate_dsir_sample": 2,
     # round-11 addition: one events pass, all map-side expressions
     "cdc_type_decode_compat": 1,
+    # round-12 additions: one source pass each through the wire
+    # codec (encode → parse); gtid_resume adds only the range
+    # exchange for the deterministic-gno file layout
+    "source_binlog_gtid_resume": 1,
+    "source_binlog_enum_roundtrip": 1,
 }
 
 
