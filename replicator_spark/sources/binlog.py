@@ -42,8 +42,11 @@ XID(16), GTID(33), TABLE_MAP(19), WRITE/UPDATE/DELETE_ROWS v2
 (30/31/32); unknown types are skipped by header size (the
 forward-compat rule real replicas follow). Column types: TINY, SHORT,
 INT24, LONG, LONGLONG, FLOAT, DOUBLE, DATE, YEAR, TIME2 (non-negative
-range), VARCHAR, CHAR/STRING (incl. the >255-byte metadata pack
-trick), BLOB (all length-of-length widths), TIMESTAMP2, DATETIME2,
+range), BIT (big-endian 1..64-bit field, transported as int —
+`cdc/decode.bit_string` maps it downstream), VARCHAR, CHAR/STRING
+(incl. the >255-byte metadata pack trick; raw non-UTF-8 BINARY(n)
+payloads transport as bytes), BLOB (all length-of-length widths),
+TIMESTAMP2, DATETIME2,
 NEWDECIMAL, JSON (a length-prefixed binary-JSON document — decoded by
 composing with `cdc/jsonb.py`, the same JSONB byte-walk the post-
 client pipeline uses), and ENUM/SET (packed under MYSQL_TYPE_STRING
@@ -102,6 +105,7 @@ MYSQL_TYPE_INT24 = 9
 MYSQL_TYPE_DATE = 10
 MYSQL_TYPE_YEAR = 13
 MYSQL_TYPE_VARCHAR = 15
+MYSQL_TYPE_BIT = 16
 MYSQL_TYPE_TIMESTAMP2 = 17
 MYSQL_TYPE_DATETIME2 = 18
 MYSQL_TYPE_TIME2 = 19
@@ -298,6 +302,19 @@ def enum_meta(n_labels: int) -> bytes:
     if not 0 < n_labels <= 0xFFFF:
         raise ValueError("ENUM label count out of range")
     return bytes([MYSQL_TYPE_ENUM, 1 if n_labels < 256 else 2])
+
+
+def bit_meta(n_bits: int) -> bytes:
+    """TABLE_MAP metadata for a BIT(n) column: (n % 8, n // 8) — the
+    order open-source binlog parsers read back as bits = b1*8 + b0.
+    Values store big-endian in ceil(n/8) bytes."""
+    if not 0 < n_bits <= 64:
+        raise ValueError("BIT width out of range (1..64)")
+    return bytes([n_bits % 8, n_bits // 8])
+
+
+def _bit_nbytes(m: bytes) -> int:
+    return (m[1] * 8 + m[0] + 7) // 8
 
 
 def set_meta(n_members: int) -> bytes:
@@ -523,6 +540,11 @@ class BinlogWriter:
                 vals += bytes([0 if v == 0 else v - 1900])
             elif t == MYSQL_TYPE_TIME2:
                 vals += encode_time2(*v, fsp=m[0])
+            elif t == MYSQL_TYPE_BIT:
+                nb = _bit_nbytes(m)
+                if not 0 <= v < (1 << (8 * nb)):
+                    raise ValueError("BIT value out of range")
+                vals += int(v).to_bytes(nb, "big")
             elif t == MYSQL_TYPE_BLOB:
                 nlen = m[0]
                 raw = bytes(v)
@@ -616,7 +638,8 @@ def _meta_size(t: int) -> int:
              MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIME2, MYSQL_TYPE_BLOB,
              MYSQL_TYPE_JSON):
         return 1
-    if t in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_NEWDECIMAL, MYSQL_TYPE_STRING):
+    if t in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_NEWDECIMAL, MYSQL_TYPE_STRING,
+             MYSQL_TYPE_BIT):
         return 2
     return 0
 
@@ -656,6 +679,10 @@ def _decode_image(
             row.append(0 if b == 0 else b + 1900); pos += 1
         elif t == MYSQL_TYPE_TIME2:
             v, pos = decode_time2(buf, pos, m[0]); row.append(v)
+        elif t == MYSQL_TYPE_BIT:
+            nb = _bit_nbytes(m)
+            row.append(int.from_bytes(buf[pos : pos + nb], "big"))
+            pos += nb
         elif t == MYSQL_TYPE_BLOB:
             nlen = m[0]
             ln = int.from_bytes(buf[pos : pos + nlen], "little")
@@ -692,7 +719,15 @@ def _decode_image(
                 ln = buf[pos]; pos += 1
             else:
                 ln = struct.unpack_from("<H", buf, pos)[0]; pos += 2
-            row.append(buf[pos : pos + ln].decode()); pos += ln
+            raw = bytes(buf[pos : pos + ln]); pos += ln
+            try:
+                row.append(raw.decode())
+            except UnicodeDecodeError:
+                # BINARY(n) rides MYSQL_TYPE_STRING with a binary
+                # collation: raw bytes, not text — transport as bytes
+                # (downstream binary_hex/char_cell decide meaning,
+                # the reference's post-client split)
+                row.append(raw)
         elif t == MYSQL_TYPE_VARCHAR:
             maxlen = struct.unpack("<H", m)[0]
             if maxlen < 256:

@@ -847,7 +847,23 @@ _COLSPECS = {
              st.integers(min_value=0, max_value=255)),
     "set2": (B.MYSQL_TYPE_STRING, B.set_meta(16),
              st.integers(min_value=0, max_value=2**16 - 1)),
+    "bit8": (B.MYSQL_TYPE_BIT, B.bit_meta(8),
+             st.integers(min_value=0, max_value=255)),
+    "bit64": (B.MYSQL_TYPE_BIT, B.bit_meta(64),
+              st.integers(min_value=0, max_value=2**64 - 1)),
+    # BINARY(n): raw non-UTF-8 bytes under MYSQL_TYPE_STRING
+    "binary16": (B.MYSQL_TYPE_STRING, B._string_meta(16),
+                 st.binary(min_size=1, max_size=16).filter(
+                     lambda b: not _is_utf8(b))),
 }
+
+
+def _is_utf8(b: bytes) -> bool:
+    try:
+        b.decode()
+        return True
+    except UnicodeDecodeError:
+        return False
 
 
 @settings(max_examples=30, deadline=None)
@@ -1040,3 +1056,178 @@ def test_encode_nulls_and_big_ints_exact(spark):
     assert len(got) == 1
     assert got[0]["event_id"] == big
     assert got[0]["user_id"] is None and got[0]["value"] is None
+
+
+# ---------------------------------------------------------------------------
+# reference-fixture parity: the organisms table (mysql.init.sql:3-17)
+# through the wire, including the types it exercises that plain
+# testdata does not — BIT(8), BINARY(16), unsigned extremes, ENUM
+# ---------------------------------------------------------------------------
+
+
+def test_organisms_fixture_through_the_wire(spark):
+    """The reference's own integration fixture (mysql-replicator/
+    src/test/resources/mysql.init.sql: INTEGER, VARCHAR utf8, five
+    UNSIGNED int widths at their maxima, BIT(8), BINARY(16),
+    TIMESTAMP, DECIMAL(27,9), ENUM('animalia','plantae')) transits the
+    byte-level wire and lands — after the post-client mapping layer
+    (`cdc/decode.py`, the MysqlTypeDeserializer analog) — exactly as
+    the reference deserializes it."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark.cdc.decode import (
+        binary_hex,
+        bit_string,
+        enum_label,
+        unsigned_bigint,
+        unsigned_reinterpret,
+    )
+
+    types = [
+        B.MYSQL_TYPE_LONG,        # id
+        B.MYSQL_TYPE_VARCHAR,     # name (utf8, 30 chars -> up to 90B)
+        B.MYSQL_TYPE_TINY,        # lifespan TINYINT UNSIGNED
+        B.MYSQL_TYPE_SHORT,       # lifespan_small SMALLINT UNSIGNED
+        B.MYSQL_TYPE_INT24,       # lifespan_medium MEDIUMINT UNSIGNED
+        B.MYSQL_TYPE_LONG,        # lifespan_int INT UNSIGNED
+        B.MYSQL_TYPE_LONGLONG,    # lifespan_bigint BIGINT UNSIGNED
+        B.MYSQL_TYPE_BIT,         # bits bit(8)
+        B.MYSQL_TYPE_STRING,      # soylent_dummy_id BINARY(16)
+        B.MYSQL_TYPE_TIMESTAMP2,  # dob
+        B.MYSQL_TYPE_NEWDECIMAL,  # mydecimal DECIMAL(27,9)
+        B.MYSQL_TYPE_STRING,      # kingdom ENUM(2 labels)
+    ]
+    metas = [
+        b"", struct.pack("<H", 90), b"", b"", b"", b"", b"",
+        B.bit_meta(8), B._string_meta(16), bytes([0]),
+        bytes([27, 9]), B.enum_meta(2),
+    ]
+    soylent = bytes.fromhex("000001348BB470A5129E6C8D332D8900")
+    # mysql.init.sql:21 — unsigned maxima stored as their signed raw
+    # reinterpretations (the wire stores bytes; sign is schema-side)
+    row = [
+        1, "example é",
+        255 - 256,                   # TINYINT UNSIGNED max
+        65535 - 65536,               # SMALLINT UNSIGNED max
+        16777215 - 16777216,         # MEDIUMINT UNSIGNED max
+        4294967295 - 2**32,          # INT UNSIGNED max
+        18446744073709551615 - 2**64,  # BIGINT UNSIGNED max
+        0b10101010,                  # bit(8)
+        soylent,                     # BINARY(16)
+        1_700_000_000 * 1_000_000,   # dob
+        "100.000000000",             # DECIMAL(27,9)
+        1,                           # ENUM 'animalia'
+    ]
+    w = B.BinlogWriter()
+    w.table_map(7, "replicator", "organisms", types, metas)
+    w.rows(B.WRITE_ROWS_EVENT, 7, types, metas, [list(row)])
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    assert evs[-1]["db"] == "replicator"
+    got = evs[-1]["rows"][0]
+    assert got == row  # lossless transport, incl. bytes for BINARY(16)
+
+    # post-client mapping layer — the reference's deserializer output
+    df = spark.createDataFrame(
+        [(got[2], got[3], got[4], got[5], got[6], got[7],
+          bytearray(got[8]), got[11])],
+        "tiny int, small int, medium int, big int, bigint long,"
+        " bits int, soylent binary, kingdom int",
+    ).select(
+        unsigned_reinterpret(F.col("tiny"), 8).alias("lifespan"),
+        unsigned_reinterpret(F.col("small"), 16).alias("lifespan_small"),
+        unsigned_reinterpret(F.col("medium"), 24).alias("lifespan_medium"),
+        unsigned_reinterpret(F.col("big"), 32).alias("lifespan_int"),
+        unsigned_bigint(F.col("bigint")).alias("lifespan_bigint"),
+        bit_string(F.col("bits")).alias("bits"),
+        binary_hex(F.col("soylent")).alias("soylent_dummy_id"),
+        enum_label(F.col("kingdom"), ("animalia", "plantae")).alias(
+            "kingdom"
+        ),
+    )
+    r = df.collect()[0]
+    assert r["lifespan"] == 255
+    assert r["lifespan_small"] == 65535
+    assert r["lifespan_medium"] == 16777215
+    assert r["lifespan_int"] == 4294967295
+    assert str(r["lifespan_bigint"]) == "18446744073709551615"
+    assert r["bits"] == "10101010"
+    assert r["soylent_dummy_id"].lower() == soylent.hex()
+    assert r["kingdom"] == "animalia"
+
+
+def test_bit_widths_roundtrip():
+    types = [B.MYSQL_TYPE_BIT] * 3
+    metas = [B.bit_meta(1), B.bit_meta(12), B.bit_meta(64)]
+    rows = [[1, 0xABC, 2**63 + 5], [0, None, 0]]
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas)
+    w.rows(B.WRITE_ROWS_EVENT, 1, types, metas, [list(r) for r in rows])
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    assert evs[-1]["rows"] == rows
+
+
+# ---------------------------------------------------------------------------
+# corruption fuzz: ANY single corrupted byte must raise, never return
+# silently-wrong rows (CRC trailers + framing cover the whole file)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_any_single_byte_corruption_raises(data):
+    recs = [("INSERT", 1, 5_000_000, 10, "signup", 1.0, "{}"),
+            ("UPDATE", 2, 6_000_000, 11, "click", 2.0, '{"k":1}'),
+            ("DELETE", 3, 7_000_000, 12, "error", 3.0, "{}")]
+    blob = bytearray(B.encode_binlog_file(recs))
+    idx = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+    mask = data.draw(st.integers(min_value=1, max_value=255))
+    blob[idx] ^= mask
+    with pytest.raises(ValueError):
+        list(B.parse_binlog_file(bytes(blob)))
+
+
+# ---------------------------------------------------------------------------
+# multi-server GTID resume: per-UUID interval sets compose
+# ---------------------------------------------------------------------------
+
+
+def test_multi_server_gtid_resume(spark, tmp_path):
+    """Two source servers interleave transactions in one relay-style
+    file; a stored set naming both UUIDs trims each server's stream
+    independently (the per-server interval semantics of
+    GtidSetAlgebra + the client's skip rule)."""
+    from replicator_spark.sources.binlog import (
+        _EV_METAS,
+        _EV_TYPES,
+        _sid_to_uuid,
+        read_binlog_files,
+        resume_after_gtid,
+    )
+
+    sid_a, sid_b = bytes([0xAA] * 16), bytes([0xBB] * 16)
+    w = B.BinlogWriter()
+    eid = 0
+
+    def txn(sid, gno, n_rows):
+        nonlocal eid
+        w.gtid(sid, gno)
+        w.query("BEGIN")
+        w.table_map(23, "testdb", "events", _EV_TYPES, _EV_METAS)
+        rows = []
+        for _ in range(n_rows):
+            eid += 1
+            rows.append([eid, eid * 1_000_000, 10, "signup", 1.0, "{}"])
+        w.rows(B.WRITE_ROWS_EVENT, 23, _EV_TYPES, _EV_METAS, rows)
+        w.xid(gno)
+
+    txn(sid_a, 1, 2)   # events 1,2
+    txn(sid_b, 1, 1)   # event 3
+    txn(sid_a, 2, 1)   # event 4
+    txn(sid_b, 2, 2)   # events 5,6
+    (tmp_path / "binlog.000001").write_bytes(w.getvalue())
+    rows = read_binlog_files(spark, str(tmp_path))
+    ua, ub = _sid_to_uuid(sid_a), _sid_to_uuid(sid_b)
+    got = resume_after_gtid(rows, f"{ua}:1-2,{ub}:1")
+    # all of A skipped, B's txn 1 skipped, B's txn 2 replays
+    assert sorted(r["event_id"] for r in got.collect()) == [5, 6]
+    assert {r["gtid_uuid"] for r in got.collect()} == {ub}
