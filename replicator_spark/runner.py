@@ -15,6 +15,9 @@ Key mapping (reference key → effect here):
   or byte-level decode of real binlog v4 files (`sources/binlog.py`)
   into the same envelope (BinaryLogSupplier selection in
   Replicator.java:95-204)
+- ``source.binlog.checkpoint.{gtid_set,file,pos}`` → the startup
+  checkpoint override: GTID-set mode wins when non-empty, else
+  file/pos (`BinaryLogSupplier.java:207-229`)
 - ``augmenter.filter.include`` / ``augmenter.filter.exclude.pattern``
   → `cdc.filters.should_augment_table`
   (ActiveSchemaHelpers shouldAugmentTable)
@@ -58,6 +61,14 @@ DEFAULT_CONFIG: dict[str, Any] = {
     #   landed on object storage
     "source.type": "events_parquet",
     "source.binlog.path": None,
+    # startup-checkpoint override for the binlog source, mirroring
+    # BinaryLogSupplier.java:207-229's selection rule: a non-empty
+    # gtid_set wins (client skips every transaction inside the set);
+    # otherwise a (file, pos) pair resumes strictly after it; with
+    # neither, the full retained log replays
+    "source.binlog.checkpoint.gtid_set": None,
+    "source.binlog.checkpoint.file": None,
+    "source.binlog.checkpoint.pos": 4,
     "augmenter.filter.include": (),
     "augmenter.filter.exclude.pattern": None,
     "augmenter.table.merge": False,
@@ -116,9 +127,30 @@ def _source(
         from .cdc.envelope import change_feed_from
         from .sources.binlog import envelope_projection, read_binlog_files
 
-        rows = read_binlog_files(spark, cfg["source.binlog.path"])
+        rows = _apply_checkpoint(
+            read_binlog_files(spark, cfg["source.binlog.path"]), cfg
+        )
         return change_feed_from(envelope_projection(rows), op_col="op")
     raise ValueError(f"unknown source.type: {kind}")
+
+
+def _apply_checkpoint(rows: DataFrame, cfg: Mapping[str, Any]) -> DataFrame:
+    """The reference's startup-checkpoint selection
+    (`BinaryLogSupplier.java:207-229`): GTID set if stored and
+    non-empty, else binlog file/pos, else replay everything. Both
+    resume modes are map-side filters on the decoded rows' checkpoint
+    coordinates — no shuffle, pushed toward the scan."""
+    from .sources.binlog import resume_after, resume_after_gtid
+
+    gtid_set = cfg["source.binlog.checkpoint.gtid_set"]
+    if gtid_set:
+        return resume_after_gtid(rows, gtid_set)
+    ckpt_file = cfg["source.binlog.checkpoint.file"]
+    if ckpt_file is not None:
+        return resume_after(
+            rows, ckpt_file, int(cfg["source.binlog.checkpoint.pos"])
+        )
+    return rows
 
 
 def build_feed(
@@ -207,7 +239,9 @@ def run_stream(
         from .sources.binlog import envelope_projection, tail_binlog_files
 
         stream = envelope_projection(
-            tail_binlog_files(spark, cfg["source.binlog.path"])
+            _apply_checkpoint(
+                tail_binlog_files(spark, cfg["source.binlog.path"]), cfg
+            )
         )
     else:
         raise ValueError(f"unknown source.type: {kind}")

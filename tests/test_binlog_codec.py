@@ -1231,3 +1231,59 @@ def test_multi_server_gtid_resume(spark, tmp_path):
     # all of A skipped, B's txn 1 skipped, B's txn 2 replays
     assert sorted(r["event_id"] for r in got.collect()) == [5, 6]
     assert {r["gtid_uuid"] for r in got.collect()} == {ub}
+
+
+def test_runner_checkpoint_override_selection(spark, tmp_path):
+    """The config-driven startup checkpoint mirrors the reference's
+    selection rule (BinaryLogSupplier.java:207-229): a non-empty
+    gtid_set wins; else file/pos; with neither the full log replays —
+    in BOTH the batch and streaming runner paths."""
+    from replicator_spark.runner import run_batch, run_stream
+    from replicator_spark.sources.binlog import _SID_UUID, encode_binlog_file
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    # txns 1 and 2 in file 1, txn 3 in file 2 (gno continues)
+    (logs / "binlog.000001").write_bytes(encode_binlog_file(
+        [("INSERT", 1, 1_000_000, 1, "signup", 1.0, "{}"),
+         ("INSERT", 2, 2_000_000, 2, "signup", 2.0, "{}")],
+        txn_ids=[1, 2]))
+    (logs / "binlog.000002").write_bytes(encode_binlog_file(
+        [("INSERT", 3, 3_000_000, 3, "signup", 3.0, "{}")],
+        txn_ids=[3]))
+    base = {"source.type": "binlog_files",
+            "source.binlog.path": str(logs), "applier.type": "count"}
+
+    def n_events(cfg):
+        rows = run_batch(spark, None, cfg).collect()
+        return sum(r["n_events"] for r in rows)
+
+    assert n_events(base) == 3  # no checkpoint: full replay
+    # GTID mode: txns 1-2 inside the stored set are skipped
+    assert n_events(
+        {**base,
+         "source.binlog.checkpoint.gtid_set": f"{_SID_UUID}:1-2"}
+    ) == 1
+    # file/pos mode: resume after end of file 1
+    assert n_events(
+        {**base, "source.binlog.checkpoint.file": "binlog.000001",
+         "source.binlog.checkpoint.pos": 10**9}
+    ) == 1
+    # precedence: a non-empty gtid_set wins over file/pos
+    assert n_events(
+        {**base,
+         "source.binlog.checkpoint.gtid_set": f"{_SID_UUID}:1-3",
+         "source.binlog.checkpoint.file": "binlog.000001",
+         "source.binlog.checkpoint.pos": 4}
+    ) == 0
+
+    # streaming path applies the same override
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_stream(
+        spark, None,
+        {**base,
+         "source.binlog.checkpoint.gtid_set": f"{_SID_UUID}:1-2"},
+        out, ckpt,
+    )
+    got = spark.read.parquet(out + "/epoch=0").collect()
+    assert sum(r["n_events"] for r in got) == 1
