@@ -854,11 +854,20 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                 "xid": struct.unpack_from("<Q", body, 0)[0],
             }
         elif etype == GTID_EVENT:
-            yield {
+            ev_out = {
                 "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
                 "sid": body[1:17],
                 "gno": struct.unpack_from("<Q", body, 17)[0],
             }
+            # 5.7+ logical clock (typecode 2 at offset 25): the
+            # (last_committed, sequence_number) pair MTS schedulers
+            # use — two txns may apply in parallel iff the later one's
+            # last_committed < the earlier one's sequence_number
+            if len(body) >= 42 and body[25] == 2:
+                lc, sn = struct.unpack_from("<qq", body, 26)
+                ev_out["last_committed"] = lc
+                ev_out["sequence_number"] = sn
+            yield ev_out
         elif etype == ROTATE_EVENT:
             yield {
                 "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
@@ -963,8 +972,12 @@ BINLOG_ROWS_GTID_SCHEMA = (
 )
 # file readers additionally carry the file/pos checkpoint coordinates
 BINLOG_ROWS_POS_SCHEMA = (
-    BINLOG_ROWS_GTID_SCHEMA + ", source_file string, log_pos long"
+    BINLOG_ROWS_GTID_SCHEMA
+    + ", source_file string, log_pos long, row_seq long"
 )
+# row_seq: the row's ordinal WITHIN its file (0-based) — rows inside
+# one multi-row event share log_pos, so (file, log_pos) alone is not a
+# total order; (file, row_seq) is
 
 _OP_TO_EVENT = {
     "INSERT": WRITE_ROWS_EVENT,
@@ -1109,6 +1122,7 @@ def _parse_partition(batches) -> Iterator:
             )
             gtid_uuid: Optional[str] = None
             gtid_seq: Optional[int] = None
+            row_seq = 0
             for ev in parse_binlog_file(bytes(blob)):
                 if ev["type"] == GTID_EVENT:
                     gtid_uuid = _sid_to_uuid(ev["sid"])
@@ -1125,13 +1139,14 @@ def _parse_partition(batches) -> Iterator:
                         img, wire_before = row, (None, None)
                     rec = (op, *img, gtid_uuid, gtid_seq, *wire_before)
                     if with_pos:
-                        rec += (fname, ev["log_pos"])
+                        rec += (fname, ev["log_pos"], row_seq)
                     out.append(rec)
+                    row_seq += 1
         cols = ["op", "event_id", "ts_us", "user_id", "event_type",
                 "value", "props", "gtid_uuid", "gtid_seq",
                 "value_before_wire", "props_before_wire"]
         if with_pos:
-            cols += ["source_file", "log_pos"]
+            cols += ["source_file", "log_pos", "row_seq"]
         yield pd.DataFrame(out, columns=cols)
 
 
@@ -1334,6 +1349,39 @@ def snapshot_to_binlog_files(rows: DataFrame, path: str) -> list[str]:
             write_part, "file string, n_rows long"
         ).collect()  # one row per written FILE — driver state is tiny
     ]
+
+
+def restore_table_from_binlog_files(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """The binlog-flusher companion's job (`binlog-flusher/
+    db-recovery.py` restores the hijacked source database after a
+    flush) re-expressed at the wire level: reconstruct the CURRENT
+    table state from retained binlog files alone — the last image per
+    primary key in binlog order, DELETEs dropped. Combined with
+    `snapshot_to_binlog_files` this closes the flusher loop: snapshot
+    → binlog files → (incremental files land) → restore.
+
+    Binlog order is (numeric file suffix, log_pos) — one window
+    exchange on the PK, no driver state; at scale the PK hash
+    partitioning is the same shuffle a MERGE applier pays."""
+    from pyspark.sql import Window as W
+
+    rows = read_binlog_files(spark, path)
+    file_no = F.regexp_extract(
+        F.col("source_file"), r"\.(\d+)$", 1
+    ).cast("long")
+    w = W.partitionBy("event_id").orderBy(
+        F.desc(file_no), F.desc("row_seq")
+    )
+    latest = (
+        rows.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return latest.where(F.col("op") != "DELETE").select(
+        "event_id", "ts_us", "user_id", "event_type", "value", "props"
+    )
 
 
 def binlog_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1287,3 +1287,64 @@ def test_runner_checkpoint_override_selection(spark, tmp_path):
     )
     got = spark.read.parquet(out + "/epoch=0").collect()
     assert sum(r["n_events"] for r in got) == 1
+
+
+def test_gtid_logical_clock_surfaced():
+    """5.7+ GTID events carry the (last_committed, sequence_number)
+    logical-clock pair MTS schedulers use — the parser surfaces it."""
+    w = B.BinlogWriter()
+    w.gtid(bytes(range(16)), 9, last_committed=3, sequence_number=7)
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    g = evs[-1]
+    assert (g["gno"], g["last_committed"], g["sequence_number"]) == (9, 3, 7)
+
+
+def test_restore_table_from_binlog_files(spark, tmp_path):
+    """The db-recovery analog: current table state reconstructed from
+    retained binlog files alone — last image per PK in binlog order
+    ((file suffix, in-file row ordinal)), DELETEs dropped, UPDATEs
+    applied, a later file's image superseding an earlier file's."""
+    from replicator_spark.sources.binlog import (
+        encode_binlog_file,
+        restore_table_from_binlog_files,
+    )
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    # file 1: INSERT 1,2,3 then (same file) UPDATE row 2
+    (logs / "binlog.000001").write_bytes(encode_binlog_file(
+        [("INSERT", 1, 1_000_000, 10, "signup", 1.0, "{}"),
+         ("INSERT", 2, 2_000_000, 11, "signup", 2.0, "{}"),
+         ("INSERT", 3, 3_000_000, 12, "signup", 3.0, "{}"),
+         ("UPDATE", 2, 4_000_000, 11, "click", 22.0, '{"u":1}')]))
+    # file 2: DELETE row 3, UPDATE row 1
+    (logs / "binlog.000002").write_bytes(encode_binlog_file(
+        [("DELETE", 3, 5_000_000, 12, "error", 3.0, "{}"),
+         ("UPDATE", 1, 6_000_000, 10, "click", 11.0, "{}")]))
+    got = {
+        r["event_id"]: r
+        for r in restore_table_from_binlog_files(
+            spark, str(logs)
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["value"] == 11.0 and got[1]["event_type"] == "click"
+    assert got[2]["value"] == 22.0 and got[2]["props"] == '{"u":1}'
+
+
+def test_row_seq_totally_orders_within_file(spark, tmp_path):
+    """Rows inside one multi-row event share log_pos; row_seq breaks
+    the tie deterministically in file order."""
+    from replicator_spark.sources.binlog import read_binlog_files
+
+    (tmp_path / "binlog.000001").write_bytes(B.encode_binlog_file(
+        [("INSERT", i, i * 1_000_000, 1, "signup", float(i), "{}")
+         for i in range(1, 6)]))
+    rows = sorted(
+        read_binlog_files(spark, str(tmp_path)).collect(),
+        key=lambda r: r["row_seq"],
+    )
+    assert [r["event_id"] for r in rows] == [1, 2, 3, 4, 5]
+    # one 5-row WRITE event → one shared log_pos, five ordinals
+    assert len({r["log_pos"] for r in rows}) == 1
+    assert [r["row_seq"] for r in rows] == [0, 1, 2, 3, 4]
