@@ -230,37 +230,46 @@ def decode_datetime2(buf: bytes, pos: int, fsp: int) -> tuple[str, int]:
 
 
 def encode_time2(hour: int, minute: int, second: int, us: int = 0,
-                 fsp: int = 6) -> bytes:
-    """TIME2 (non-negative): 3-byte big-endian packed — sign bit set,
-    hour (10 bits), minute (6), second (6) — plus the fractional tail.
-    (MySQL stores negative TIMEs as the complement of the whole packed
-    value; the writer supports the non-negative range.)"""
+                 fsp: int = 6, neg: bool = False) -> bytes:
+    """TIME2: (3 + frac_bytes)-byte big-endian packed — sign bit set
+    for non-negative, then hour (10 bits), minute (6), second (6),
+    then the fractional part. A NEGATIVE time (``neg=True``, magnitude
+    in the components) stores the two's complement of the whole
+    packed-with-fraction number over its full width — the layout every
+    open-source binlog parser reverses."""
     if hour < 0:
-        raise ValueError("negative TIME2 not supported by the writer")
+        raise ValueError("pass the magnitude and neg=True for negative TIME")
     packed = (1 << 23) | (hour << 12) | (minute << 6) | second
-    out = packed.to_bytes(3, "big")
     nb = _frac_bytes(fsp)
-    if nb:
-        frac = us // (10 ** (6 - 2 * ((fsp + 1) // 2)))
-        out += frac.to_bytes(nb, "big")
-    return out
+    frac = us // (10 ** (6 - 2 * ((fsp + 1) // 2))) if nb else 0
+    width = 8 * (3 + nb)
+    full = (packed << (8 * nb)) | frac
+    if neg:
+        if full == (1 << 23) << (8 * nb):
+            neg = False  # -00:00:00.0 is +00:00:00.0
+        else:
+            full = (1 << width) - full
+    return full.to_bytes(3 + nb, "big")
 
 
 def decode_time2(buf: bytes, pos: int, fsp: int) -> tuple[str, int]:
-    """→ ('HH:MM:SS[.ffffff]', new_pos). Non-negative range."""
-    packed = int.from_bytes(buf[pos : pos + 3], "big")
-    pos += 3
-    if not packed & (1 << 23):
-        raise ValueError("negative TIME2 not supported")
+    """→ ('[-]HH:MM:SS[.ffffff]', new_pos)."""
+    nb = _frac_bytes(fsp)
+    width = 8 * (3 + nb)
+    full = int.from_bytes(buf[pos : pos + 3 + nb], "big")
+    pos += 3 + nb
+    sign = ""
+    if not full & (1 << (width - 1)):
+        sign = "-"
+        full = (1 << width) - full
+    packed = full >> (8 * nb)
     hour = (packed >> 12) & 0x3FF
     minute = (packed >> 6) & 0x3F
     second = packed & 0x3F
-    out = f"{hour:02d}:{minute:02d}:{second:02d}"
-    nb = _frac_bytes(fsp)
+    out = f"{sign}{hour:02d}:{minute:02d}:{second:02d}"
     if nb:
-        frac = int.from_bytes(buf[pos : pos + nb], "big")
+        frac = full & ((1 << (8 * nb)) - 1)
         us = frac * (10 ** (6 - 2 * ((fsp + 1) // 2)))
-        pos += nb
         if fsp:
             out += "." + f"{us:06d}"[:fsp]
     return out, pos
@@ -539,7 +548,14 @@ class BinlogWriter:
             elif t == MYSQL_TYPE_YEAR:
                 vals += bytes([0 if v == 0 else v - 1900])
             elif t == MYSQL_TYPE_TIME2:
-                vals += encode_time2(*v, fsp=m[0])
+                # (h, m, s[, us[, neg]]) — magnitude + sign flag
+                h, mi, sec, *rest = v
+                vals += encode_time2(
+                    h, mi, sec,
+                    rest[0] if rest else 0,
+                    fsp=m[0],
+                    neg=bool(rest[1]) if len(rest) > 1 else False,
+                )
             elif t == MYSQL_TYPE_BIT:
                 nb = _bit_nbytes(m)
                 if not 0 <= v < (1 << (8 * nb)):

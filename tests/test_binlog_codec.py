@@ -288,13 +288,38 @@ def test_string_meta_pack_trick():
         B._string_meta(1024)
 
 
-def test_time2_negative_rejected():
+def test_time2_negative_roundtrip():
+    """Negative TIME2 stores the two's complement of the whole packed
+    number over its full (3 + frac_bytes)-byte width."""
+    # negative hour must go through the magnitude + neg flag
     with pytest.raises(ValueError):
         B.encode_time2(-1, 0, 0)
-    # a cleared sign bit on the wire is rejected loudly, not mis-read
-    buf = bytes([0x00, 0x10, 0x00])
-    with pytest.raises(ValueError, match="negative"):
-        B.decode_time2(buf, 0, 0)
+    # golden: -00:00:01 fsp=0 → 2^24 - 0x800001 = 0x7FFFFF
+    assert B.encode_time2(0, 0, 1, fsp=0, neg=True) == bytes(
+        [0x7F, 0xFF, 0xFF]
+    )
+    v, _ = B.decode_time2(bytes([0x7F, 0xFF, 0xFF]), 0, 0)
+    assert v == "-00:00:01"
+    # fractional negative: complement spans the fraction bytes too
+    for args in ((13, 59, 7, 250000), (0, 0, 0, 500000), (838, 59, 59, 0)):
+        enc = B.encode_time2(*args, fsp=6, neg=True)
+        v, pos = B.decode_time2(enc, 0, 6)
+        h, mi, sec, us = args
+        want = f"-{h:02d}:{mi:02d}:{sec:02d}.{us:06d}"
+        if (h, mi, sec, us) == (0, 0, 0, 0):
+            want = want[1:]
+        assert v == want and pos == len(enc)
+    # -00:00:00.000000 normalizes to +zero
+    v, _ = B.decode_time2(B.encode_time2(0, 0, 0, 0, fsp=6, neg=True), 0, 6)
+    assert v == "00:00:00.000000"
+    # and through a row image (5-tuple with the neg flag)
+    types, metas = [B.MYSQL_TYPE_TIME2], [bytes([6])]
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas)
+    w.rows(B.WRITE_ROWS_EVENT, 1, types, metas,
+           [[(13, 59, 7, 250000, True)]])
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    assert evs[-1]["rows"] == [["-13:59:07.250000"]]
 
 
 def test_two_interleaved_table_maps():
