@@ -111,7 +111,9 @@ MYSQL_TYPE_DATETIME2 = 18
 MYSQL_TYPE_TIME2 = 19
 MYSQL_TYPE_JSON = 245
 MYSQL_TYPE_BLOB = 252
+MYSQL_TYPE_VAR_STRING = 253  # legacy alias: decodes like VARCHAR
 MYSQL_TYPE_STRING = 254
+MYSQL_TYPE_GEOMETRY = 255  # length-prefixed WKB blob, BLOB layout
 MYSQL_TYPE_NEWDECIMAL = 246
 # ENUM/SET never appear in the column-types array on the wire: they
 # ride MYSQL_TYPE_STRING with the REAL type in metadata byte 0
@@ -561,7 +563,7 @@ class BinlogWriter:
                 if not 0 <= v < (1 << (8 * nb)):
                     raise ValueError("BIT value out of range")
                 vals += int(v).to_bytes(nb, "big")
-            elif t == MYSQL_TYPE_BLOB:
+            elif t in (MYSQL_TYPE_BLOB, MYSQL_TYPE_GEOMETRY):
                 nlen = m[0]
                 raw = bytes(v)
                 vals += len(raw).to_bytes(nlen, "little") + raw
@@ -598,7 +600,7 @@ class BinlogWriter:
                         vals += bytes([len(enc)]) + enc
                     else:
                         vals += struct.pack("<H", len(enc)) + enc
-            elif t == MYSQL_TYPE_VARCHAR:
+            elif t in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
                 enc = v.encode() if isinstance(v, str) else bytes(v)
                 maxlen = struct.unpack("<H", m)[0]
                 if len(enc) > maxlen:
@@ -652,10 +654,10 @@ class BinlogWriter:
 def _meta_size(t: int) -> int:
     if t in (MYSQL_TYPE_DOUBLE, MYSQL_TYPE_FLOAT, MYSQL_TYPE_TIMESTAMP2,
              MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIME2, MYSQL_TYPE_BLOB,
-             MYSQL_TYPE_JSON):
+             MYSQL_TYPE_JSON, MYSQL_TYPE_GEOMETRY):
         return 1
-    if t in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_NEWDECIMAL, MYSQL_TYPE_STRING,
-             MYSQL_TYPE_BIT):
+    if t in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING,
+             MYSQL_TYPE_NEWDECIMAL, MYSQL_TYPE_STRING, MYSQL_TYPE_BIT):
         return 2
     return 0
 
@@ -699,7 +701,7 @@ def _decode_image(
             nb = _bit_nbytes(m)
             row.append(int.from_bytes(buf[pos : pos + nb], "big"))
             pos += nb
-        elif t == MYSQL_TYPE_BLOB:
+        elif t in (MYSQL_TYPE_BLOB, MYSQL_TYPE_GEOMETRY):
             nlen = m[0]
             ln = int.from_bytes(buf[pos : pos + nlen], "little")
             pos += nlen
@@ -744,7 +746,7 @@ def _decode_image(
                 # (downstream binary_hex/char_cell decide meaning,
                 # the reference's post-client split)
                 row.append(raw)
-        elif t == MYSQL_TYPE_VARCHAR:
+        elif t in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
             maxlen = struct.unpack("<H", m)[0]
             if maxlen < 256:
                 ln = buf[pos]; pos += 1

@@ -1373,3 +1373,17 @@ def test_row_seq_totally_orders_within_file(spark, tmp_path):
     # one 5-row WRITE event → one shared log_pos, five ordinals
     assert len({r["log_pos"] for r in rows}) == 1
     assert [r["row_seq"] for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_geometry_and_var_string_aliases():
+    """GEOMETRY rides the BLOB layout (length-prefixed WKB); legacy
+    VAR_STRING decodes exactly like VARCHAR."""
+    wkb = bytes.fromhex("0101000000000000000000f03f0000000000000040")
+    types = [B.MYSQL_TYPE_GEOMETRY, B.MYSQL_TYPE_VAR_STRING]
+    metas = [bytes([2]), struct.pack("<H", 300)]
+    rows = [[wkb, "x" * 280], [None, ""]]
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas)
+    w.rows(B.WRITE_ROWS_EVENT, 1, types, metas, [list(r) for r in rows])
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    assert evs[-1]["rows"] == rows
