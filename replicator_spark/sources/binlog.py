@@ -92,6 +92,7 @@ WRITE_ROWS_EVENT = 30  # v2
 UPDATE_ROWS_EVENT = 31  # v2
 DELETE_ROWS_EVENT = 32  # v2
 GTID_EVENT = 33
+PREVIOUS_GTIDS_EVENT = 35
 
 # column type codes (the common subset of the MySQL wire types — the
 # row-image encodings under the reference's decode table)
@@ -427,6 +428,71 @@ def decode_newdecimal(
     return text, pos
 
 
+def encode_gtid_set_payload(gtids: dict[str, list[tuple[int, int]]]) -> bytes:
+    """The binary GTID-set layout PREVIOUS_GTIDS events carry
+    (mysql's Gtid_set::encode): u64 n_sids, then per sid 16 raw bytes,
+    u64 n_intervals, and per interval u64 start / u64 end with end
+    EXCLUSIVE (last + 1). Keys are canonical uuid strings."""
+    out = struct.pack("<Q", len(gtids))
+    for uuid, intervals in gtids.items():
+        out += bytes.fromhex(uuid.replace("-", ""))
+        out += struct.pack("<Q", len(intervals))
+        for start, end in intervals:
+            out += struct.pack("<QQ", start, end + 1)
+    return out
+
+
+def decode_gtid_set_payload(body: bytes) -> dict[str, list[tuple[int, int]]]:
+    """Inverse of encode_gtid_set_payload → {uuid: [(start, last)]}
+    with inclusive last (the text-form convention)."""
+    def need(pos, n):
+        if pos + n > len(body):
+            raise ValueError("truncated GTID-set payload")
+
+    need(0, 8)
+    n_sids = struct.unpack_from("<Q", body, 0)[0]
+    pos = 8
+    out: dict[str, list[tuple[int, int]]] = {}
+    for _ in range(n_sids):
+        need(pos, 24)
+        uuid = _sid_to_uuid(body[pos : pos + 16])
+        pos += 16
+        n_iv = struct.unpack_from("<Q", body, pos)[0]
+        pos += 8
+        need(pos, 16 * n_iv)
+        ivs = []
+        for _ in range(n_iv):
+            start, end = struct.unpack_from("<QQ", body, pos)
+            pos += 16
+            ivs.append((start, end - 1))
+        out[uuid] = ivs
+    return out
+
+
+def _gtid_set_contains(
+    superset: dict[str, list[tuple[int, int]]],
+    subset: dict[str, list[tuple[int, int]]],
+) -> bool:
+    """True iff every transaction in `subset` lies inside `superset`
+    (per-server interval containment over the merged interval union)."""
+
+    def merged(ivs):
+        out = []
+        for s0, e0 in sorted(ivs):
+            if out and s0 <= out[-1][1] + 1:
+                out[-1] = (out[-1][0], max(out[-1][1], e0))
+            else:
+                out.append((s0, e0))
+        return out
+
+    for uuid, ivs in subset.items():
+        sup = merged(superset.get(uuid, []))
+        for s0, e0 in merged(ivs):
+            if not any(a <= s0 and e0 <= b for a, b in sup):
+                return False
+    return True
+
+
 # ---------------------------------------------------------------------------
 # event writer (fixtures + sandbox feed; the format is the contract)
 # ---------------------------------------------------------------------------
@@ -499,6 +565,15 @@ class BinlogWriter:
 
     def xid(self, xid: int) -> None:
         self._event(XID_EVENT, struct.pack("<Q", xid))
+
+    def previous_gtids(
+        self, gtids: dict[str, list[tuple[int, int]]]
+    ) -> None:
+        """PREVIOUS_GTIDS: the set of transactions executed before
+        this file — real servers write it right after the FDE; the
+        resume start-file search reads it without decoding the rest
+        of the file."""
+        self._event(PREVIOUS_GTIDS_EVENT, encode_gtid_set_payload(gtids))
 
     def rotate(self, next_file: str, position: int = 4) -> None:
         self._event(
@@ -871,6 +946,11 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                 "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
                 "xid": struct.unpack_from("<Q", body, 0)[0],
             }
+        elif etype == PREVIOUS_GTIDS_EVENT:
+            yield {
+                "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
+                "gtids": decode_gtid_set_payload(body),
+            }
         elif etype == GTID_EVENT:
             ev_out = {
                 "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
@@ -1006,7 +1086,9 @@ _EVENT_TO_OP = {v: k for k, v in _OP_TO_EVENT.items()}
 
 
 def encode_binlog_file(
-    records: list[tuple], txn_ids: Optional[list[int]] = None
+    records: list[tuple],
+    txn_ids: Optional[list[int]] = None,
+    prev_gtids: Optional[dict] = None,
 ) -> bytes:
     """One synthesized binlog file from (op, event_id, ts_us, user_id,
     event_type, value, props) records: the real server's transaction
@@ -1022,6 +1104,11 @@ def encode_binlog_file(
     function of the data, not of batch position). Default: positional
     chunks of `_TXN_ROWS` with gno counting from 1."""
     w = BinlogWriter(ts_sec=records[0][2] // 1_000_000 if records else 0)
+    if prev_gtids is not None:
+        # real servers write PREVIOUS_GTIDS right after the FDE — the
+        # set executed before this file, read by the resume
+        # start-file search without decoding the rest
+        w.previous_gtids(prev_gtids)
     if txn_ids is None:
         txns = [
             (gno, records[s : s + _TXN_ROWS])
@@ -1176,18 +1263,122 @@ _BINARY_FILE_SCHEMA = (
 )
 
 
-def read_binlog_files(spark: SparkSession, path: str) -> DataFrame:
+def _read_head_prev_gtids(stream) -> Optional[dict]:
+    """Bounded ranged read of one file's head: magic + FDE + (if
+    present) the PREVIOUS_GTIDS event → its gtid set. Returns None
+    when the file carries no PREVIOUS_GTIDS or is not a binlog."""
+    if stream.read(4) != MAGIC:
+        return None
+    for _ in range(2):  # FDE, then possibly PREVIOUS_GTIDS
+        header = stream.read(HEADER_LEN)
+        if len(header) < HEADER_LEN:
+            return None
+        _ts, etype, _sid, size, _pos, _fl = struct.unpack("<IBIIIH", header)
+        if size < HEADER_LEN:
+            return None
+        body = stream.read(size - HEADER_LEN)
+        if etype == PREVIOUS_GTIDS_EVENT:
+            # a CRC trailer (if the file is checksummed) sits past the
+            # bytes the set's own length fields demand — the decoder
+            # reads only that prefix, so it is safe either way
+            return decode_gtid_set_payload(body)
+        if etype != FORMAT_DESCRIPTION_EVENT:
+            return None
+    return None
+
+
+def _file_suffix_key(name: str):
+    dot = name.rfind(".")
+    if dot >= 0 and name[dot + 1 :].isdigit():
+        return (name[:dot], int(name[dot + 1 :]))
+    return (name, -1)
+
+
+def start_file_for_gtid_resume(path: str, gtid_set: str) -> Optional[str]:
+    """The server's start-file search for GTID-mode resume
+    (`binlog_file_index` behavior under `BinaryLogSupplier.java:
+    206-228`'s client connect): scan the rotated files' heads (FDE +
+    PREVIOUS_GTIDS, a bounded ranged read per file — no row decode)
+    and return the LATEST file whose previous-gtids set is contained
+    in the stored set. Every EARLIER file holds only transactions
+    already inside that file's previous set, hence inside the stored
+    set — they are pruned without decode. Driver state is one
+    (file, head-set) pair per retained file: tiny vs data, the same
+    contract as the file listing itself."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        filesystem, root = pafs.FileSystem.from_uri(path)
+    else:
+        filesystem, root = pafs.LocalFileSystem(), path
+    infos = filesystem.get_file_info(
+        pafs.FileSelector(root, allow_not_found=True)
+    )
+    names = sorted(
+        (i.base_name for i in infos if i.is_file),
+        key=_file_suffix_key,
+    )
+    stored = parse_gtid_set(gtid_set)
+    start = None
+    for name in names:
+        with filesystem.open_input_stream(f"{root}/{name}") as st:
+            head = _read_head_prev_gtids(st)
+        if head is not None and _gtid_set_contains(stored, head):
+            start = name
+    return start
+
+
+def read_binlog_files(
+    spark: SparkSession, path: str,
+    resume_gtid_set: Optional[str] = None,
+) -> DataFrame:
     """The production batch entry: rotated binlog files on disk/object
     storage → change rows. ``binaryFile`` gives one row per file (blob
     in `content`), partitioned by file, so decode parallelism is
     file-level with zero shuffle — the replica-per-binlog fan-out of
     `BinaryLogSupplier`, but elastic. Rows carry (source_file,
     log_pos) so a consumer can checkpoint and resume in the
-    reference's file/pos mode (see `resume_after`)."""
-    blobs = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("path", F.col("content").alias("data"))
+    reference's file/pos mode (see `resume_after`).
+
+    ``resume_gtid_set``: GTID-mode resume with FILE-LEVEL pruning —
+    the start-file search (`start_file_for_gtid_resume`) drops every
+    rotated file wholly inside the stored set from the scan (no read,
+    no decode task), and `resume_after_gtid` trims the boundary
+    file's rows. With 10k retained files and a recent checkpoint,
+    decode cost is proportional to the tail being replayed, not the
+    retention window."""
+    reader = spark.read.format("binaryFile")
+    if resume_gtid_set:
+        start = start_file_for_gtid_resume(path, resume_gtid_set)
+        if start is not None:
+            # prune every file BEFORE the start file from the scan
+            # itself (no decode, no task), then row-trim the rest
+            key = _file_suffix_key(start)
+            from pyarrow import fs as pafs
+
+            if "://" in path:
+                filesystem, root = pafs.FileSystem.from_uri(path)
+            else:
+                filesystem, root = pafs.LocalFileSystem(), path
+            infos = filesystem.get_file_info(
+                pafs.FileSelector(root, allow_not_found=True)
+            )
+            keep = [
+                f"{path.rstrip('/')}/{i.base_name}"
+                for i in infos
+                if i.is_file and _file_suffix_key(i.base_name) >= key
+            ]
+            blobs = reader.load(keep).select(
+                "path", F.col("content").alias("data")
+            )
+        else:
+            blobs = reader.load(path).select(
+                "path", F.col("content").alias("data")
+            )
+        rows = blobs.mapInPandas(_parse_partition, BINLOG_ROWS_POS_SCHEMA)
+        return resume_after_gtid(rows, resume_gtid_set)
+    blobs = reader.load(path).select(
+        "path", F.col("content").alias("data")
     )
     return blobs.mapInPandas(_parse_partition, BINLOG_ROWS_POS_SCHEMA)
 

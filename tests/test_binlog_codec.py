@@ -141,7 +141,7 @@ def test_truncated_event_rejected():
 
 def test_unknown_event_type_skipped_by_size():
     w = B.BinlogWriter()
-    w._event(35, b"\x01\x02\x03")  # PREVIOUS_GTIDS-style: not decoded
+    w._event(36, b"\x01\x02\x03")  # TRANSACTION_CONTEXT: not decoded
     w.xid(5)
     evs = list(B.parse_binlog_file(w.getvalue()))
     assert [e["type"] for e in evs] == [B.FORMAT_DESCRIPTION_EVENT, B.XID_EVENT]
@@ -1387,3 +1387,108 @@ def test_geometry_and_var_string_aliases():
     w.rows(B.WRITE_ROWS_EVENT, 1, types, metas, [list(r) for r in rows])
     evs = list(B.parse_binlog_file(w.getvalue()))
     assert evs[-1]["rows"] == rows
+
+
+# ---------------------------------------------------------------------------
+# PREVIOUS_GTIDS + file-level pruning for GTID resume
+# ---------------------------------------------------------------------------
+
+
+def test_previous_gtids_payload_roundtrip():
+    from replicator_spark.sources.binlog import (
+        decode_gtid_set_payload,
+        encode_gtid_set_payload,
+    )
+
+    gtids = {
+        "aaaaaaaa-0000-0000-0000-000000000001": [(1, 5), (8, 8)],
+        "bbbbbbbb-0000-0000-0000-000000000002": [(3, 9)],
+    }
+    assert decode_gtid_set_payload(encode_gtid_set_payload(gtids)) == gtids
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gtid_set_payload(b"\x01\x02\x03")
+
+
+def test_previous_gtids_event_decodes():
+    from replicator_spark.sources.binlog import PREVIOUS_GTIDS_EVENT
+
+    gtids = {"cccccccc-0000-0000-0000-000000000003": [(1, 7)]}
+    w = B.BinlogWriter()
+    w.previous_gtids(gtids)
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    assert evs[-1]["type"] == PREVIOUS_GTIDS_EVENT
+    assert evs[-1]["gtids"] == gtids
+
+
+def test_gtid_set_containment_algebra():
+    from replicator_spark.sources.binlog import _gtid_set_contains
+
+    sup = {"a": [(1, 10)], "b": [(1, 3), (5, 9)]}
+    assert _gtid_set_contains(sup, {"a": [(2, 7)]})
+    assert _gtid_set_contains(sup, {"b": [(1, 3), (6, 9)]})
+    assert not _gtid_set_contains(sup, {"b": [(3, 5)]})  # hole at 4
+    assert not _gtid_set_contains(sup, {"c": [(1, 1)]})  # unknown server
+    assert _gtid_set_contains(sup, {})  # empty set always contained
+    # adjacent intervals merge: [1-3],[4-9] covers [2-8]
+    assert _gtid_set_contains({"x": [(1, 3), (4, 9)]}, {"x": [(2, 8)]})
+
+
+def test_gtid_resume_prunes_whole_files(spark, tmp_path):
+    """With PREVIOUS_GTIDS headers, GTID-mode resume drops every file
+    wholly inside the stored set from the SCAN (the server's
+    start-file search) — the plan reads only the surviving files —
+    and row-trims the boundary file."""
+    from replicator_spark.sources.binlog import (
+        _SID_UUID,
+        encode_binlog_file,
+        read_binlog_files,
+        start_file_for_gtid_resume,
+    )
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    # three files: txns 1-2 | 3-4 | 5, with server-style headers
+    (logs / "binlog.000001").write_bytes(encode_binlog_file(
+        [("INSERT", 1, 1_000_000, 1, "signup", 1.0, "{}"),
+         ("INSERT", 2, 2_000_000, 2, "signup", 2.0, "{}")],
+        txn_ids=[1, 2], prev_gtids={}))
+    (logs / "binlog.000002").write_bytes(encode_binlog_file(
+        [("INSERT", 3, 3_000_000, 3, "signup", 3.0, "{}"),
+         ("INSERT", 4, 4_000_000, 4, "signup", 4.0, "{}")],
+        txn_ids=[3, 4], prev_gtids={_SID_UUID: [(1, 2)]}))
+    (logs / "binlog.000003").write_bytes(encode_binlog_file(
+        [("INSERT", 5, 5_000_000, 5, "signup", 5.0, "{}")],
+        txn_ids=[5], prev_gtids={_SID_UUID: [(1, 4)]}))
+
+    # checkpoint covers txns 1-3: file 2 is the latest whose previous
+    # set (1-2) is inside the checkpoint → file 1 pruned entirely
+    stored = f"{_SID_UUID}:1-3"
+    assert start_file_for_gtid_resume(str(logs), stored) == "binlog.000002"
+    rows = read_binlog_files(spark, str(logs), resume_gtid_set=stored)
+    assert sorted(r["event_id"] for r in rows.collect()) == [4, 5]
+    # the pruned file never enters the scan
+    plan = rows._jdf.queryExecution().executedPlan().toString()
+    assert "binlog.000001" not in plan
+
+    # checkpoint covering everything: start file = last; only its
+    # rows are decoded, and the row filter drops them too
+    stored_all = f"{_SID_UUID}:1-5"
+    assert (
+        start_file_for_gtid_resume(str(logs), stored_all)
+        == "binlog.000003"
+    )
+    assert read_binlog_files(
+        spark, str(logs), resume_gtid_set=stored_all
+    ).count() == 0
+
+    # a headerless file (no PREVIOUS_GTIDS) never advances the start
+    # index itself, but later files' headers still prune past it —
+    # correctness is row-trim either way
+    (logs / "binlog.000001").write_bytes(encode_binlog_file(
+        [("INSERT", 1, 1_000_000, 1, "signup", 1.0, "{}"),
+         ("INSERT", 2, 2_000_000, 2, "signup", 2.0, "{}")],
+        txn_ids=[1, 2]))
+    got = read_binlog_files(
+        spark, str(logs), resume_gtid_set=f"{_SID_UUID}:1-4"
+    )
+    assert sorted(r["event_id"] for r in got.collect()) == [5]
