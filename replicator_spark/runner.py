@@ -127,9 +127,19 @@ def _source(
         from .cdc.envelope import change_feed_from
         from .sources.binlog import envelope_projection, read_binlog_files
 
-        rows = _apply_checkpoint(
-            read_binlog_files(spark, cfg["source.binlog.path"]), cfg
-        )
+        gtid_set = cfg["source.binlog.checkpoint.gtid_set"]
+        if gtid_set:
+            # GTID mode goes through the reader itself so the
+            # start-file search prunes whole files from the scan
+            # (PREVIOUS_GTIDS headers), not just rows post-decode
+            rows = read_binlog_files(
+                spark, cfg["source.binlog.path"],
+                resume_gtid_set=gtid_set,
+            )
+        else:
+            rows = _apply_checkpoint(
+                read_binlog_files(spark, cfg["source.binlog.path"]), cfg
+            )
         return change_feed_from(envelope_projection(rows), op_col="op")
     raise ValueError(f"unknown source.type: {kind}")
 
