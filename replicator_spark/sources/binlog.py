@@ -1440,8 +1440,11 @@ def resume_after(rows: DataFrame, source_file: str, log_pos: int) -> DataFrame:
     else:
         suffix = F.regexp_extract(
             F.col("source_file"), r"\.(\d+)$", 1
-        ).cast("long")
-        file_later = suffix > F.lit(ckpt_suffix)
+        ).try_cast("long")
+        # a row from a file with NO numeric suffix cannot be ordered
+        # against the checkpoint — REPLAY it (at-least-once with an
+        # idempotent sink) rather than silently drop it
+        file_later = (suffix > F.lit(ckpt_suffix)) | suffix.isNull()
         file_same = suffix == F.lit(ckpt_suffix)
     return rows.where(
         file_later | (file_same & (F.col("log_pos") > log_pos))
@@ -1579,7 +1582,7 @@ def restore_table_from_binlog_files(
     rows = read_binlog_files(spark, path)
     file_no = F.regexp_extract(
         F.col("source_file"), r"\.(\d+)$", 1
-    ).cast("long")
+    ).try_cast("long")
     w = W.partitionBy("event_id").orderBy(
         F.desc(file_no), F.desc("row_seq")
     )

@@ -1492,3 +1492,21 @@ def test_gtid_resume_prunes_whole_files(spark, tmp_path):
         spark, str(logs), resume_gtid_set=f"{_SID_UUID}:1-4"
     )
     assert sorted(r["event_id"] for r in got.collect()) == [5]
+
+
+def test_resume_after_unorderable_file_replays(spark, tmp_path):
+    """A file with no numeric suffix cannot be ordered against a
+    numeric checkpoint — its rows REPLAY (at-least-once) instead of
+    being silently dropped."""
+    from replicator_spark.sources.binlog import (
+        read_binlog_files,
+        resume_after,
+    )
+
+    (tmp_path / "binlog.000001").write_bytes(
+        B.encode_binlog_file(_recs([1])))
+    (tmp_path / "binlog-weird").write_bytes(
+        B.encode_binlog_file(_recs([9])))
+    rows = read_binlog_files(spark, str(tmp_path))
+    got = resume_after(rows, "binlog.000001", 10**9).collect()
+    assert sorted(r["event_id"] for r in got) == [9]
