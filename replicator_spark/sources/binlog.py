@@ -1294,7 +1294,12 @@ def _file_suffix_key(name: str):
     return (name, -1)
 
 
-def start_file_for_gtid_resume(path: str, gtid_set: str) -> Optional[str]:
+_HEAD_SCAN_DISTRIBUTE_OVER = 64  # files; below this a driver loop is cheaper
+
+
+def start_file_for_gtid_resume(
+    path: str, gtid_set: str, spark: Optional[SparkSession] = None
+) -> Optional[str]:
     """The server's start-file search for GTID-mode resume
     (`binlog_file_index` behavior under `BinaryLogSupplier.java:
     206-228`'s client connect): scan the rotated files' heads (FDE +
@@ -1319,10 +1324,53 @@ def start_file_for_gtid_resume(path: str, gtid_set: str) -> Optional[str]:
         key=_file_suffix_key,
     )
     stored = parse_gtid_set(gtid_set)
+    heads: dict[str, Optional[dict]] = {}
+    if spark is not None and len(names) > _HEAD_SCAN_DISTRIBUTE_OVER:
+        # distribute the head reads: one ranged read per file on the
+        # executors; the collected result is one (file, head-set) row
+        # per retained file — the same bounded driver state as the
+        # listing itself
+        import json as _json
+
+        root_b = root
+
+        def read_heads(batches):
+            import pandas as pd
+            from pyarrow import fs as pafs2
+
+            if "://" in path:
+                fs2, _ = pafs2.FileSystem.from_uri(path)
+            else:
+                fs2 = pafs2.LocalFileSystem()
+            for pdf in batches:
+                out = []
+                for name in pdf["name"]:
+                    with fs2.open_input_stream(f"{root_b}/{name}") as st:
+                        head = _read_head_prev_gtids(st)
+                    out.append(
+                        (name, _json.dumps(head) if head is not None
+                         else None)
+                    )
+                yield pd.DataFrame(out, columns=["name", "head"])
+
+        names_df = spark.createDataFrame(
+            [(n,) for n in names], "name string"
+        ).repartition(min(len(names), 256))
+        for r in names_df.mapInPandas(
+            read_heads, "name string, head string"
+        ).collect():
+            h = _json.loads(r["head"]) if r["head"] is not None else None
+            heads[r["name"]] = (
+                {u: [tuple(iv) for iv in ivs] for u, ivs in h.items()}
+                if h is not None else None
+            )
+    else:
+        for name in names:
+            with filesystem.open_input_stream(f"{root}/{name}") as st:
+                heads[name] = _read_head_prev_gtids(st)
     start = None
     for name in names:
-        with filesystem.open_input_stream(f"{root}/{name}") as st:
-            head = _read_head_prev_gtids(st)
+        head = heads.get(name)
         if head is not None and _gtid_set_contains(stored, head):
             start = name
     return start
@@ -1349,7 +1397,7 @@ def read_binlog_files(
     retention window."""
     reader = spark.read.format("binaryFile")
     if resume_gtid_set:
-        start = start_file_for_gtid_resume(path, resume_gtid_set)
+        start = start_file_for_gtid_resume(path, resume_gtid_set, spark)
         if start is not None:
             # prune every file BEFORE the start file from the scan
             # itself (no decode, no task), then row-trim the rest

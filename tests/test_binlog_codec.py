@@ -1510,3 +1510,30 @@ def test_resume_after_unorderable_file_replays(spark, tmp_path):
     rows = read_binlog_files(spark, str(tmp_path))
     got = resume_after(rows, "binlog.000001", 10**9).collect()
     assert sorted(r["event_id"] for r in got) == [9]
+
+
+def test_start_file_search_distributed_path(spark, tmp_path):
+    """Above the threshold the head scan distributes over executors —
+    same answer as the driver loop."""
+    from replicator_spark.sources import binlog as BL
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    n = 70  # > _HEAD_SCAN_DISTRIBUTE_OVER
+    for f in range(n):
+        prev = {BL._SID_UUID: [(1, f)]} if f else {}
+        (logs / f"binlog.{f + 1:06d}").write_bytes(
+            BL.encode_binlog_file(
+                [("INSERT", f + 1, (f + 1) * 1_000_000, 1, "signup",
+                  1.0, "{}")],
+                txn_ids=[f + 1], prev_gtids=prev,
+            )
+        )
+    stored = f"{BL._SID_UUID}:1-60"
+    want = BL.start_file_for_gtid_resume(str(logs), stored)  # driver loop
+    got = BL.start_file_for_gtid_resume(str(logs), stored, spark)
+    assert got == want == "binlog.000061"
+    rows = BL.read_binlog_files(spark, str(logs), resume_gtid_set=stored)
+    assert sorted(r["event_id"] for r in rows.collect()) == list(
+        range(61, 71)
+    )
