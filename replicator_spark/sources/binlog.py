@@ -1611,6 +1611,103 @@ def snapshot_to_binlog_files(rows: DataFrame, path: str) -> list[str]:
     ]
 
 
+BINLOG_CHAIN_SCHEMA = (
+    "source_file string, next_file string, prev_gtids string,"
+    " first_gtid long, last_gtid long, n_row_events long"
+)
+
+
+def _chain_summary_partition(batches) -> Iterator:
+    """mapInPandas: per-file chain coordinates — the ROTATE tail's
+    next-file pointer, the PREVIOUS_GTIDS head set, and the first/last
+    GTID seen — one output row per FILE (full decode walk; an audit is
+    a scan by nature)."""
+    import json as _json
+    import os as _os
+
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for i, blob in enumerate(pdf["data"]):
+            name = _os.path.basename(pdf["path"].iloc[i])
+            next_file = None
+            prev = None
+            first_g = last_g = None
+            n_rows = 0
+            for ev in parse_binlog_file(bytes(blob)):
+                t = ev["type"]
+                if t == PREVIOUS_GTIDS_EVENT:
+                    prev = _json.dumps(ev["gtids"], sort_keys=True)
+                elif t == GTID_EVENT:
+                    last_g = ev["gno"]
+                    if first_g is None:
+                        first_g = ev["gno"]
+                elif t == ROTATE_EVENT:
+                    next_file = ev["next_file"]
+                elif t in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT,
+                           DELETE_ROWS_EVENT):
+                    n_rows += len(ev["rows"])
+            out.append((name, next_file, prev, first_g, last_g, n_rows))
+        yield pd.DataFrame(
+            out,
+            columns=["source_file", "next_file", "prev_gtids",
+                     "first_gtid", "last_gtid", "n_row_events"],
+        )
+
+
+def audit_binlog_chain(spark: SparkSession, path: str) -> DataFrame:
+    """Retained-log integrity audit — run BEFORE replaying a log
+    directory: flags every adjacent pair of rotated files whose chain
+    is broken. Violations: a numeric-suffix gap (a rotated file was
+    deleted or never landed), a ROTATE tail naming a different next
+    file than the one that follows, or a PREVIOUS_GTIDS head that is
+    NOT a superset of its predecessor's (the successor's head must
+    contain everything executed before the predecessor plus the
+    predecessor's own transactions). Per-file summaries come from one
+    distributed decode walk; the adjacency check is one window over
+    the tiny per-file table."""
+    from pyspark.sql import Window as W
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", F.col("content").alias("data"))
+    )
+    summary = blobs.mapInPandas(
+        _chain_summary_partition, BINLOG_CHAIN_SCHEMA
+    ).withColumn(
+        "suffix",
+        F.regexp_extract(F.col("source_file"), r"\.(\d+)$", 1)
+        .try_cast("long"),
+    )
+    w = W.orderBy("suffix")  # per-file table: tiny, single partition OK
+    nxt = summary.select(
+        "*",
+        F.lead("source_file").over(w).alias("succ_file"),
+        F.lead("suffix").over(w).alias("succ_suffix"),
+        F.lead("first_gtid").over(w).alias("succ_first_gtid"),
+    ).where(F.col("succ_file").isNotNull())
+    return nxt.select(
+        "source_file",
+        "succ_file",
+        (F.col("succ_suffix") != F.col("suffix") + 1).alias(
+            "suffix_gap"
+        ),
+        (
+            F.col("next_file").isNotNull()
+            & (F.col("next_file") != F.col("succ_file"))
+        ).alias("rotate_mismatch"),
+        (
+            F.col("last_gtid").isNotNull()
+            & F.col("succ_first_gtid").isNotNull()
+            & (F.col("succ_first_gtid") != F.col("last_gtid") + 1)
+        ).alias("gtid_gap"),
+    ).where(
+        F.col("suffix_gap") | F.col("rotate_mismatch") | F.col("gtid_gap")
+    )
+
+
 def restore_table_from_binlog_files(
     spark: SparkSession, path: str
 ) -> DataFrame:

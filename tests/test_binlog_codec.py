@@ -1537,3 +1537,32 @@ def test_start_file_search_distributed_path(spark, tmp_path):
     assert sorted(r["event_id"] for r in rows.collect()) == list(
         range(61, 71)
     )
+
+
+def test_audit_binlog_chain_detects_missing_file(spark, tmp_path):
+    """The retained-log integrity audit flags a deleted rotated file
+    (suffix gap + GTID discontinuity) and a ROTATE tail pointing at a
+    file that never followed; an intact chain audits clean."""
+    from replicator_spark.sources.binlog import (
+        audit_binlog_chain,
+        encode_binlog_file,
+    )
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    for f in range(3):
+        (logs / f"binlog.{f + 1:06d}").write_bytes(encode_binlog_file(
+            [("INSERT", f + 1, (f + 1) * 1_000_000, 1, "signup",
+              1.0, "{}")],
+            txn_ids=[f + 1],
+        ))
+    assert audit_binlog_chain(spark, str(logs)).count() == 0  # intact
+
+    (logs / "binlog.000002").unlink()  # the deleted middle file
+    bad = audit_binlog_chain(spark, str(logs)).collect()
+    assert len(bad) == 1
+    v = bad[0]
+    assert (v["source_file"], v["succ_file"]) == (
+        "binlog.000001", "binlog.000003"
+    )
+    assert v["suffix_gap"] and v["gtid_gap"]
