@@ -124,6 +124,26 @@ MYSQL_TYPE_SET = 248
 # SET storage widths MySQL actually uses (1,2,3,4 or 8 bytes)
 _SET_WIDTHS = (1, 2, 3, 4, 8)
 
+# TABLE_MAP optional-metadata TLV types (binlog_row_metadata=FULL,
+# MySQL 8.0.1+ — the fields Debezium-class consumers map in-stream)
+_OPTMETA_SIGNEDNESS = 1
+_OPTMETA_COLUMN_NAME = 4
+_OPTMETA_SET_STR = 5
+_OPTMETA_ENUM_STR = 6
+
+# the column types the server's signedness bitmap covers (bit per
+# numeric column, MSB-first) — writer and parser must agree on this
+# set for bit alignment (mysql's is_numeric_type)
+_SIGNEDNESS_TYPES = frozenset({
+    MYSQL_TYPE_TINY, MYSQL_TYPE_SHORT, MYSQL_TYPE_INT24, MYSQL_TYPE_LONG,
+    MYSQL_TYPE_LONGLONG, MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE,
+    MYSQL_TYPE_NEWDECIMAL, MYSQL_TYPE_YEAR,
+})
+_UNSIGNED_BITS = {
+    MYSQL_TYPE_TINY: 8, MYSQL_TYPE_SHORT: 16, MYSQL_TYPE_INT24: 24,
+    MYSQL_TYPE_LONG: 32, MYSQL_TYPE_LONGLONG: 64,
+}  # int widths: writer packs v mod 2^bits; parser reinterprets by sign
+
 HEADER_LEN = 19
 CHECKSUM_ALG_CRC32 = 1
 _N_EVENT_TYPES = 38  # post-header length slots written in the FDE
@@ -583,7 +603,16 @@ class BinlogWriter:
     def table_map(
         self, table_id: int, db: str, table: str,
         col_types: list[int], col_metas: list[bytes],
+        unsigned: Optional[list[bool]] = None,
+        col_names: Optional[list[str]] = None,
+        enum_labels: Optional[dict] = None,
+        set_labels: Optional[dict] = None,
     ) -> None:
+        """Optional binlog_row_metadata=FULL TLVs (8.0.1+ servers):
+        ``unsigned`` is a per-COLUMN bool list (bits packed over the
+        numeric columns only, MSB-first, as the server does),
+        ``col_names`` per-column names, ``enum_labels``/``set_labels``
+        map column index → label tuple (emitted in column order)."""
         body = table_id.to_bytes(6, "little") + struct.pack("<H", 0)
         dbb, tbb = db.encode(), table.encode()
         body += bytes([len(dbb)]) + dbb + b"\x00"
@@ -593,6 +622,42 @@ class BinlogWriter:
         meta = b"".join(col_metas)
         body += _lenenc(len(meta)) + meta
         body += bytes((len(col_types) + 7) // 8)  # null-allowed bitmap
+        if unsigned is not None:
+            numeric = [
+                i for i, t in enumerate(col_types)
+                if t in _SIGNEDNESS_TYPES
+            ]
+            bits = bytearray((len(numeric) + 7) // 8)
+            for j, i in enumerate(numeric):
+                if unsigned[i]:
+                    bits[j // 8] |= 0x80 >> (j % 8)
+            body += bytes([_OPTMETA_SIGNEDNESS]) + _lenenc(len(bits))
+            body += bytes(bits)
+        if col_names is not None:
+            payload = b"".join(
+                _lenenc(len(n.encode())) + n.encode() for n in col_names
+            )
+            body += bytes([_OPTMETA_COLUMN_NAME])
+            body += _lenenc(len(payload)) + payload
+        for tlv, labels_by_col, want_real in (
+            (_OPTMETA_SET_STR, set_labels, MYSQL_TYPE_SET),
+            (_OPTMETA_ENUM_STR, enum_labels, MYSQL_TYPE_ENUM),
+        ):
+            if not labels_by_col:
+                continue
+            payload = b""
+            for i in sorted(labels_by_col):
+                if (col_types[i] != MYSQL_TYPE_STRING
+                        or _string_real_type(col_metas[i]) != want_real):
+                    raise ValueError(
+                        f"labels for column {i} do not match its type"
+                    )
+                labels = labels_by_col[i]
+                payload += _lenenc(len(labels))
+                for lab in labels:
+                    enc = lab.encode()
+                    payload += _lenenc(len(enc)) + enc
+            body += bytes([tlv]) + _lenenc(len(payload)) + payload
         self._event(TABLE_MAP_EVENT, body)
 
     def _image(
@@ -605,16 +670,13 @@ class BinlogWriter:
             if v is None:
                 nullbits[i // 8] |= 1 << (i % 8)
                 continue
-            if t == MYSQL_TYPE_TINY:
-                vals += struct.pack("<b", v)
-            elif t == MYSQL_TYPE_SHORT:
-                vals += struct.pack("<h", v)
-            elif t == MYSQL_TYPE_LONG:
-                vals += struct.pack("<i", v)
-            elif t == MYSQL_TYPE_LONGLONG:
-                vals += struct.pack("<q", v)
-            elif t == MYSQL_TYPE_INT24:
-                vals += int(v & 0xFFFFFF).to_bytes(3, "little")
+            if t in _UNSIGNED_BITS or t == MYSQL_TYPE_INT24:
+                # signed or unsigned value, same raw bytes: accept the
+                # union of both ranges (metadata carries signedness)
+                bits = _UNSIGNED_BITS.get(t, 24)
+                if not -(1 << (bits - 1)) <= v < (1 << bits):
+                    raise ValueError(f"int out of range for type {t}")
+                vals += (v % (1 << bits)).to_bytes(bits // 8, "little")
             elif t == MYSQL_TYPE_FLOAT:
                 vals += struct.pack("<f", v)
             elif t == MYSQL_TYPE_DOUBLE:
@@ -840,11 +902,45 @@ def _decode_image(
 
 
 class _TableMap:
-    __slots__ = ("db", "table", "col_types", "col_metas")
+    __slots__ = ("db", "table", "col_types", "col_metas",
+                 "unsigned", "col_names", "enum_labels", "set_labels")
 
-    def __init__(self, db, table, col_types, col_metas):
+    def __init__(self, db, table, col_types, col_metas,
+                 unsigned=None, col_names=None,
+                 enum_labels=None, set_labels=None):
         self.db, self.table = db, table
         self.col_types, self.col_metas = col_types, col_metas
+        self.unsigned = unsigned          # per-column bool, or None
+        self.col_names = col_names        # per-column str, or None
+        self.enum_labels = enum_labels or {}  # col idx -> label tuple
+        self.set_labels = set_labels or {}
+
+
+def _apply_table_metadata(row: list, tm: "_TableMap") -> list:
+    """binlog_row_metadata=FULL in-stream mapping (what Debezium-class
+    consumers do when the TABLE_MAP carries the labels): unsigned
+    numeric reinterpretation, ENUM index → label ('' for the invalid
+    0), SET bitmask → comma-joined labels. A no-op when the file has
+    no optional metadata — the codec stays transport-pure then and
+    the post-client layer (`cdc/decode.py`) maps instead."""
+    if tm.unsigned is None and not tm.enum_labels and not tm.set_labels:
+        return row
+    for i, v in enumerate(row):
+        if v is None:
+            continue
+        t = tm.col_types[i]
+        if (tm.unsigned is not None and tm.unsigned[i]
+                and t in _UNSIGNED_BITS and v < 0):
+            row[i] = v + (1 << _UNSIGNED_BITS[t])
+        elif i in tm.enum_labels:
+            labs = tm.enum_labels[i]
+            row[i] = labs[v - 1] if 1 <= v <= len(labs) else ""
+        elif i in tm.set_labels:
+            labs = tm.set_labels[i]
+            row[i] = ",".join(
+                lab for j, lab in enumerate(labs) if v & (1 << j)
+            )
+    return row
 
 
 def parse_binlog_file(blob: bytes) -> Iterator[dict]:
@@ -990,7 +1086,57 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                 mp += ms
             if mp - p != metalen:
                 raise ValueError("table-map metadata length mismatch")
-            tmaps[table_id] = _TableMap(db, table, col_types, metas)
+            p = mp + (ncols + 7) // 8  # skip the null-allowed bitmap
+            unsigned = col_names = None
+            enum_labels: dict[int, tuple] = {}
+            set_labels: dict[int, tuple] = {}
+            while p < len(body):  # optional-metadata TLVs (FULL mode)
+                tlv = body[p]; p += 1
+                ln, p = _read_lenenc(body, p)
+                payload = body[p : p + ln]
+                if p + ln > len(body):
+                    raise ValueError("truncated table-map optional metadata")
+                p += ln
+                if tlv == _OPTMETA_SIGNEDNESS:
+                    numeric = [
+                        i for i, t in enumerate(col_types)
+                        if t in _SIGNEDNESS_TYPES
+                    ]
+                    unsigned = [False] * ncols
+                    for j, i in enumerate(numeric):
+                        if payload[j // 8] & (0x80 >> (j % 8)):
+                            unsigned[i] = True
+                elif tlv == _OPTMETA_COLUMN_NAME:
+                    col_names, q = [], 0
+                    for _ in range(ncols):
+                        nln, q = _read_lenenc(payload, q)
+                        col_names.append(payload[q : q + nln].decode())
+                        q += nln
+                elif tlv in (_OPTMETA_ENUM_STR, _OPTMETA_SET_STR):
+                    want = (MYSQL_TYPE_ENUM if tlv == _OPTMETA_ENUM_STR
+                            else MYSQL_TYPE_SET)
+                    cols = [
+                        i for i, t in enumerate(col_types)
+                        if t == MYSQL_TYPE_STRING
+                        and _string_real_type(metas[i]) == want
+                    ]
+                    q = 0
+                    out_labels = (enum_labels if want == MYSQL_TYPE_ENUM
+                                  else set_labels)
+                    for i in cols:
+                        n_lab, q = _read_lenenc(payload, q)
+                        labs = []
+                        for _ in range(n_lab):
+                            lln, q = _read_lenenc(payload, q)
+                            labs.append(payload[q : q + lln].decode())
+                            q += lln
+                        out_labels[i] = tuple(labs)
+                # unknown TLVs are skipped by their length
+            tmaps[table_id] = _TableMap(
+                db, table, col_types, metas,
+                unsigned=unsigned, col_names=col_names,
+                enum_labels=enum_labels, set_labels=set_labels,
+            )
         elif etype in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT,
                        DELETE_ROWS_EVENT):
             table_id = int.from_bytes(body[0:6], "little")
@@ -1019,16 +1165,18 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
             rows = []
             while p < len(body):
                 img, p = _decode_image(body, p, tm.col_types, tm.col_metas)
+                img = _apply_table_metadata(img, tm)
                 if etype == UPDATE_ROWS_EVENT:
                     after, p = _decode_image(
                         body, p, tm.col_types, tm.col_metas
                     )
-                    rows.append((img, after))
+                    rows.append((img, _apply_table_metadata(after, tm)))
                 else:
                     rows.append(img)
             yield {
                 "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
                 "db": tm.db, "table": tm.table, "rows": rows,
+                "col_names": tm.col_names,
             }
         # unknown types: skipped (size-based)
 

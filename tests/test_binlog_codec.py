@@ -1566,3 +1566,61 @@ def test_audit_binlog_chain_detects_missing_file(spark, tmp_path):
         "binlog.000001", "binlog.000003"
     )
     assert v["suffix_gap"] and v["gtid_gap"]
+
+
+def test_table_map_full_metadata_maps_in_stream():
+    """binlog_row_metadata=FULL (8.0.1+): the TABLE_MAP carries
+    signedness, column names, and ENUM/SET label strings — the parser
+    maps in-stream (Debezium-style): unsigned maxima land as their
+    unsigned values, ENUM indexes as labels, SET masks as joined
+    labels; a metadata-less file stays transport-pure (raw ints)."""
+    types = [
+        B.MYSQL_TYPE_TINY,      # lifespan TINYINT UNSIGNED
+        B.MYSQL_TYPE_LONGLONG,  # lifespan_bigint BIGINT UNSIGNED
+        B.MYSQL_TYPE_LONG,      # plain SIGNED int
+        B.MYSQL_TYPE_STRING,    # kingdom ENUM
+        B.MYSQL_TYPE_STRING,    # traits SET
+    ]
+    metas = [b"", b"", b"", B.enum_meta(2), B.set_meta(3)]
+    names = ["lifespan", "lifespan_bigint", "n", "kingdom", "traits"]
+    kw = dict(
+        unsigned=[True, True, False, False, False],
+        col_names=names,
+        enum_labels={3: ("animalia", "plantae")},
+        set_labels={4: ("wings", "fins", "fur")},
+    )
+    rows = [
+        [255, 18446744073709551615, -5, 1, 0b101],
+        [0, None, 7, 0, 0],  # ENUM 0 = the invalid empty value
+    ]
+    w = B.BinlogWriter()
+    w.table_map(1, "replicator", "organisms", types, metas, **kw)
+    w.rows(B.WRITE_ROWS_EVENT, 1, types, metas,
+           [list(r) for r in rows])
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    ev = evs[-1]
+    assert ev["col_names"] == names
+    assert ev["rows"][0] == [
+        255, 18446744073709551615, -5, "animalia", "wings,fur",
+    ]
+    assert ev["rows"][1] == [0, None, 7, "", ""]
+
+    # without metadata: raw signed ints and raw index/mask transport
+    w2 = B.BinlogWriter()
+    w2.table_map(1, "replicator", "organisms", types, metas)
+    w2.rows(B.WRITE_ROWS_EVENT, 1, types, metas,
+            [[255, 18446744073709551615, -5, 1, 0b101]])
+    ev2 = list(B.parse_binlog_file(w2.getvalue()))[-1]
+    assert ev2["col_names"] is None
+    assert ev2["rows"][0] == [-1, -1, -5, 1, 5]
+
+
+def test_full_metadata_update_images_both_mapped():
+    types = [B.MYSQL_TYPE_SHORT]
+    metas = [b""]
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas, unsigned=[True])
+    w.rows(B.UPDATE_ROWS_EVENT, 1, types, metas,
+           [([65535], [65534])])
+    ev = list(B.parse_binlog_file(w.getvalue()))[-1]
+    assert ev["rows"] == [([65535], [65534])]
