@@ -1624,3 +1624,58 @@ def test_full_metadata_update_images_both_mapped():
            [([65535], [65534])])
     ev = list(B.parse_binlog_file(w.getvalue()))[-1]
     assert ev["rows"] == [([65535], [65534])]
+
+
+def test_read_binlog_records_any_table(spark, tmp_path):
+    """The generic file source carries ANY mix of tables as
+    schema-on-read JSON records: FULL-metadata tables key by wire
+    column names with labels/unsigned mapped; metadata-less tables
+    key positionally (c0..cN); UPDATEs carry the wire before-image;
+    the GTID/file coordinates compose with the resume combinators."""
+    import json
+
+    from replicator_spark.sources.binlog import (
+        read_binlog_records,
+        resume_after_gtid,
+    )
+
+    sid = bytes([0xCD] * 16)
+    w = B.BinlogWriter()
+    # table 1: organisms with FULL metadata
+    o_types = [B.MYSQL_TYPE_TINY, B.MYSQL_TYPE_STRING]
+    o_metas = [b"", B.enum_meta(2)]
+    w.gtid(sid, 1)
+    w.table_map(
+        1, "replicator", "organisms", o_types, o_metas,
+        unsigned=[True, False], col_names=["lifespan", "kingdom"],
+        enum_labels={1: ("animalia", "plantae")},
+    )
+    w.rows(B.WRITE_ROWS_EVENT, 1, o_types, o_metas, [[255, 2]])
+    w.xid(1)
+    # table 2: metadata-less, with an UPDATE and a BLOB column
+    t_types = [B.MYSQL_TYPE_LONG, B.MYSQL_TYPE_BLOB]
+    t_metas = [b"", bytes([1])]
+    w.gtid(sid, 2)
+    w.table_map(2, "shop", "carts", t_types, t_metas)
+    w.rows(B.UPDATE_ROWS_EVENT, 2, t_types, t_metas,
+           [([7, b"\x00\xff"], [8, b"\x01"])])
+    w.xid(2)
+    (tmp_path / "binlog.000001").write_bytes(w.getvalue())
+
+    recs = read_binlog_records(spark, str(tmp_path))
+    rows = {r["table_name"]: r for r in recs.collect()}
+    org = rows["organisms"]
+    assert org["op"] == "INSERT" and org["db"] == "replicator"
+    assert json.loads(org["record"]) == {
+        "lifespan": 255, "kingdom": "plantae",
+    }
+    assert org["before"] is None and org["gtid_seq"] == 1
+    cart = rows["carts"]
+    assert cart["op"] == "UPDATE"
+    assert json.loads(cart["record"]) == {"c0": 8, "c1": "01"}
+    assert json.loads(cart["before"]) == {"c0": 7, "c1": "00ff"}
+    # the shared coordinates feed the resume combinators unchanged
+    uuid = "cd" * 16
+    uuid = f"{uuid[:8]}-{uuid[8:12]}-{uuid[12:16]}-{uuid[16:20]}-{uuid[20:32]}"
+    left = resume_after_gtid(recs, f"{uuid}:1").collect()
+    assert [r["table_name"] for r in left] == ["carts"]
