@@ -1846,6 +1846,23 @@ def read_binlog_records(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def tail_binlog_records(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of `read_binlog_records`: a continuously-tailed
+    directory of rotated files → an unbounded stream of generic
+    schema-on-read change records, exactly-once per file via the
+    seen-files checkpoint (the `tail_binlog_files` contract, for any
+    table mix)."""
+    blobs = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .load(path)
+        .select("path", F.col("content").alias("data"))
+    )
+    return blobs.mapInPandas(
+        _parse_records_partition, BINLOG_RECORDS_SCHEMA
+    )
+
+
 BINLOG_CHAIN_SCHEMA = (
     "source_file string, next_file string, prev_gtids string,"
     " first_gtid long, last_gtid long, n_row_events long"

@@ -1679,3 +1679,41 @@ def test_read_binlog_records_any_table(spark, tmp_path):
     uuid = f"{uuid[:8]}-{uuid[8:12]}-{uuid[12:16]}-{uuid[16:20]}-{uuid[20:32]}"
     left = resume_after_gtid(recs, f"{uuid}:1").collect()
     assert [r["table_name"] for r in left] == ["carts"]
+
+
+def test_tail_binlog_records_streaming(spark, tmp_path):
+    """The generic record stream decodes each rotated file exactly
+    once across lifetimes, any table mix."""
+    import json
+
+    from replicator_spark.sources.binlog import tail_binlog_records
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    w = B.BinlogWriter()
+    w.table_map(1, "shop", "carts", [B.MYSQL_TYPE_LONG], [b""])
+    w.rows(B.WRITE_ROWS_EVENT, 1, [B.MYSQL_TYPE_LONG], [b""], [[7]])
+    (logs / "binlog.000001").write_bytes(w.getvalue())
+
+    def drain():
+        q = (
+            tail_binlog_records(spark, str(logs))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    w2 = B.BinlogWriter()
+    w2.table_map(2, "zoo", "animals", [B.MYSQL_TYPE_LONG], [b""])
+    w2.rows(B.WRITE_ROWS_EVENT, 2, [B.MYSQL_TYPE_LONG], [b""], [[9]])
+    (logs / "binlog.000002").write_bytes(w2.getvalue())
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # no re-decode of file 1
+    got = {r["table_name"]: json.loads(r["record"]) for r in rows}
+    assert got == {"carts": {"c0": 7}, "animals": {"c0": 9}}
