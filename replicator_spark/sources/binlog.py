@@ -660,100 +660,134 @@ class BinlogWriter:
             body += bytes([tlv]) + _lenenc(len(payload)) + payload
         self._event(TABLE_MAP_EVENT, body)
 
-    def _image(
-        self, row: list, col_types: list[int], col_metas: list[bytes]
-    ) -> bytes:
-        n = len(col_types)
-        nullbits = bytearray((n + 7) // 8)
-        vals = bytearray()
-        for i, (v, t, m) in enumerate(zip(row, col_types, col_metas)):
-            if v is None:
-                nullbits[i // 8] |= 1 << (i % 8)
-                continue
+    _ENCODER_CACHE: dict = {}
+
+    @classmethod
+    def _compile_encoders(
+        cls, col_types: list[int], col_metas: list[bytes]
+    ) -> list:
+        """Per-column encoder closures, memoized on the (types, metas)
+        signature — rows() is called once per op-run, which can be
+        thousands of tiny events per file, so compile cost must not
+        be per-call (the parse-side `_compile_decoders` compiles once
+        per TABLE_MAP for the same reason). Each closure returns the
+        cell's raw bytes; range errors keep the per-cell messages."""
+        key = (tuple(col_types), tuple(col_metas))
+        cached = cls._ENCODER_CACHE.get(key)
+        if cached is not None:
+            return cached
+        from ..cdc.jsonb import json_value_to_jsonb
+
+        pk = struct.pack
+        es: list = []
+        for t, m in zip(col_types, col_metas):
             if t in _UNSIGNED_BITS or t == MYSQL_TYPE_INT24:
                 # signed or unsigned value, same raw bytes: accept the
                 # union of both ranges (metadata carries signedness)
                 bits = _UNSIGNED_BITS.get(t, 24)
-                if not -(1 << (bits - 1)) <= v < (1 << bits):
-                    raise ValueError(f"int out of range for type {t}")
-                vals += (v % (1 << bits)).to_bytes(bits // 8, "little")
+
+                def e(v, _t=t, _bits=bits, _nb=bits // 8,
+                      _lo=-(1 << (bits - 1)), _hi=1 << bits):
+                    if not _lo <= v < _hi:
+                        raise ValueError(f"int out of range for type {_t}")
+                    return (v % _hi).to_bytes(_nb, "little")
             elif t == MYSQL_TYPE_FLOAT:
-                vals += struct.pack("<f", v)
+                def e(v, _p=pk):
+                    return _p("<f", v)
             elif t == MYSQL_TYPE_DOUBLE:
-                vals += struct.pack("<d", v)
+                def e(v, _p=pk):
+                    return _p("<d", v)
             elif t == MYSQL_TYPE_DATE:
-                y, mo, d = v
-                vals += ((y << 9) | (mo << 5) | d).to_bytes(3, "little")
+                def e(v):
+                    y, mo, d = v
+                    return ((y << 9) | (mo << 5) | d).to_bytes(3, "little")
             elif t == MYSQL_TYPE_YEAR:
-                vals += bytes([0 if v == 0 else v - 1900])
+                def e(v):
+                    return bytes([0 if v == 0 else v - 1900])
             elif t == MYSQL_TYPE_TIME2:
-                # (h, m, s[, us[, neg]]) — magnitude + sign flag
-                h, mi, sec, *rest = v
-                vals += encode_time2(
-                    h, mi, sec,
-                    rest[0] if rest else 0,
-                    fsp=m[0],
-                    neg=bool(rest[1]) if len(rest) > 1 else False,
-                )
+                def e(v, _fsp=m[0]):
+                    # (h, m, s[, us[, neg]]) — magnitude + sign flag
+                    h, mi, sec, *rest = v
+                    return encode_time2(
+                        h, mi, sec,
+                        rest[0] if rest else 0,
+                        fsp=_fsp,
+                        neg=bool(rest[1]) if len(rest) > 1 else False,
+                    )
             elif t == MYSQL_TYPE_BIT:
-                nb = _bit_nbytes(m)
-                if not 0 <= v < (1 << (8 * nb)):
-                    raise ValueError("BIT value out of range")
-                vals += int(v).to_bytes(nb, "big")
+                def e(v, _nb=_bit_nbytes(m)):
+                    if not 0 <= v < (1 << (8 * _nb)):
+                        raise ValueError("BIT value out of range")
+                    return int(v).to_bytes(_nb, "big")
             elif t in (MYSQL_TYPE_BLOB, MYSQL_TYPE_GEOMETRY):
-                nlen = m[0]
-                raw = bytes(v)
-                vals += len(raw).to_bytes(nlen, "little") + raw
+                def e(v, _nlen=m[0]):
+                    raw = bytes(v)
+                    return len(raw).to_bytes(_nlen, "little") + raw
             elif t == MYSQL_TYPE_JSON:
                 # the column value is a length-prefixed binary-JSON
                 # document — the SAME JSONB bytes cdc/jsonb.py decodes
                 # post-client in the reference's pipeline
-                from ..cdc.jsonb import json_value_to_jsonb
-
-                raw = json_value_to_jsonb(v)
-                vals += len(raw).to_bytes(m[0], "little") + raw
+                def e(v, _nlen=m[0], _enc=json_value_to_jsonb):
+                    raw = _enc(v)
+                    return len(raw).to_bytes(_nlen, "little") + raw
             elif t == MYSQL_TYPE_STRING:
                 real = _string_real_type(m)
-                if real == MYSQL_TYPE_ENUM:
-                    # 1-based label index (0 = empty), little-endian
-                    # in the metadata pack width
-                    if not 0 <= v < (1 << (8 * m[1])):
-                        raise ValueError("ENUM index out of range")
-                    vals += int(v).to_bytes(m[1], "little")
-                elif real == MYSQL_TYPE_SET:
-                    if not 0 <= v < (1 << (8 * m[1])):
-                        raise ValueError("SET bitmask out of range")
-                    vals += int(v).to_bytes(m[1], "little")
+                if real in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
+                    # 1-based label index (0 = empty) / member bitmask,
+                    # little-endian in the metadata pack width
+                    kind = "ENUM index" if real == MYSQL_TYPE_ENUM \
+                        else "SET bitmask"
+
+                    def e(v, _w=m[1], _k=kind):
+                        if not 0 <= v < (1 << (8 * _w)):
+                            raise ValueError(f"{_k} out of range")
+                        return int(v).to_bytes(_w, "little")
                 elif real != MYSQL_TYPE_STRING:
                     raise ValueError(
                         f"unsupported STRING-packed real type {real}"
                     )
                 else:
-                    enc = v.encode() if isinstance(v, str) else bytes(v)
-                    maxlen = _string_meta_length(m)
-                    if len(enc) > maxlen:
-                        raise ValueError("char overflow")
-                    if maxlen < 256:
-                        vals += bytes([len(enc)]) + enc
-                    else:
-                        vals += struct.pack("<H", len(enc)) + enc
+                    def e(v, _max=_string_meta_length(m), _p=pk):
+                        enc = v.encode() if isinstance(v, str) else bytes(v)
+                        if len(enc) > _max:
+                            raise ValueError("char overflow")
+                        if _max < 256:
+                            return bytes([len(enc)]) + enc
+                        return _p("<H", len(enc)) + enc
             elif t in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
-                enc = v.encode() if isinstance(v, str) else bytes(v)
-                maxlen = struct.unpack("<H", m)[0]
-                if len(enc) > maxlen:
-                    raise ValueError("varchar overflow")
-                if maxlen < 256:
-                    vals += bytes([len(enc)]) + enc
-                else:
-                    vals += struct.pack("<H", len(enc)) + enc
+                def e(v, _max=struct.unpack("<H", m)[0], _p=pk):
+                    enc = v.encode() if isinstance(v, str) else bytes(v)
+                    if len(enc) > _max:
+                        raise ValueError("varchar overflow")
+                    if _max < 256:
+                        return bytes([len(enc)]) + enc
+                    return _p("<H", len(enc)) + enc
             elif t == MYSQL_TYPE_TIMESTAMP2:
-                vals += encode_timestamp2(v, m[0])
+                def e(v, _fsp=m[0]):
+                    return encode_timestamp2(v, _fsp)
             elif t == MYSQL_TYPE_DATETIME2:
-                vals += encode_datetime2(*v, fsp=m[0])
+                def e(v, _fsp=m[0]):
+                    return encode_datetime2(*v, fsp=_fsp)
             elif t == MYSQL_TYPE_NEWDECIMAL:
-                vals += encode_newdecimal(Decimal(v), m[0], m[1])
+                def e(v, _pr=m[0], _sc=m[1]):
+                    return encode_newdecimal(Decimal(v), _pr, _sc)
             else:
                 raise ValueError(f"unsupported column type {t}")
+            es.append(e)
+        if len(cls._ENCODER_CACHE) > 1024:  # unbounded-growth guard
+            cls._ENCODER_CACHE.clear()
+        cls._ENCODER_CACHE[key] = es
+        return es
+
+    @staticmethod
+    def _image(row: list, encoders: list) -> bytes:
+        nullbits = bytearray((len(encoders) + 7) // 8)
+        vals = bytearray()
+        for i, (v, enc) in enumerate(zip(row, encoders)):
+            if v is None:
+                nullbits[i >> 3] |= 1 << (i & 7)
+                continue
+            vals += enc(v)
         return bytes(nullbits) + bytes(vals)
 
     def rows(
@@ -769,14 +803,15 @@ class BinlogWriter:
         body += _lenenc(n)
         present = bytes([0xFF] * ((n + 7) // 8))
         body += present
+        encoders = self._compile_encoders(col_types, col_metas)
         if etype == UPDATE_ROWS_EVENT:
             body += present  # after-image present bitmap
             for before, after in rows:
-                body += self._image(before, col_types, col_metas)
-                body += self._image(after, col_types, col_metas)
+                body += self._image(before, encoders)
+                body += self._image(after, encoders)
         else:
             for row in rows:
-                body += self._image(row, col_types, col_metas)
+                body += self._image(row, encoders)
         self._event(etype, body)
 
     def getvalue(self) -> bytes:
@@ -799,110 +834,157 @@ def _meta_size(t: int) -> int:
     return 0
 
 
-def _decode_image(
-    buf: bytes, pos: int, col_types: list[int], col_metas: list[bytes]
-) -> tuple[list, int]:
-    n = len(col_types)
-    nb = (n + 7) // 8
-    nullbits = buf[pos : pos + nb]
-    pos += nb
-    row: list = []
-    for i, (t, m) in enumerate(zip(col_types, col_metas)):
-        if nullbits[i // 8] & (1 << (i % 8)):
-            row.append(None)
-            continue
-        if t == MYSQL_TYPE_TINY:
-            row.append(struct.unpack_from("<b", buf, pos)[0]); pos += 1
-        elif t == MYSQL_TYPE_SHORT:
-            row.append(struct.unpack_from("<h", buf, pos)[0]); pos += 2
-        elif t == MYSQL_TYPE_LONG:
-            row.append(struct.unpack_from("<i", buf, pos)[0]); pos += 4
-        elif t == MYSQL_TYPE_LONGLONG:
-            row.append(struct.unpack_from("<q", buf, pos)[0]); pos += 8
-        elif t == MYSQL_TYPE_INT24:
-            v = int.from_bytes(buf[pos : pos + 3], "little")
-            row.append(v - 0x1000000 if v & 0x800000 else v); pos += 3
-        elif t == MYSQL_TYPE_FLOAT:
-            row.append(struct.unpack_from("<f", buf, pos)[0]); pos += 4
-        elif t == MYSQL_TYPE_DOUBLE:
-            row.append(struct.unpack_from("<d", buf, pos)[0]); pos += 8
-        elif t == MYSQL_TYPE_DATE:
-            v = int.from_bytes(buf[pos : pos + 3], "little"); pos += 3
-            row.append(f"{v >> 9:04d}-{(v >> 5) & 0x0F:02d}-{v & 0x1F:02d}")
-        elif t == MYSQL_TYPE_YEAR:
-            b = buf[pos]  # stored byte 0 means YEAR 0000, not 1900
-            row.append(0 if b == 0 else b + 1900); pos += 1
-        elif t == MYSQL_TYPE_TIME2:
-            v, pos = decode_time2(buf, pos, m[0]); row.append(v)
-        elif t == MYSQL_TYPE_BIT:
-            nb = _bit_nbytes(m)
-            row.append(int.from_bytes(buf[pos : pos + nb], "big"))
-            pos += nb
-        elif t in (MYSQL_TYPE_BLOB, MYSQL_TYPE_GEOMETRY):
-            nlen = m[0]
-            ln = int.from_bytes(buf[pos : pos + nlen], "little")
-            pos += nlen
-            row.append(bytes(buf[pos : pos + ln])); pos += ln
-        elif t == MYSQL_TYPE_JSON:
-            from ..cdc.jsonb import jsonb_to_json
+def _compile_decoders(col_types: list[int], col_metas: list[bytes]) -> list:
+    """Per-column decoder closures, compiled ONCE per TABLE_MAP
+    (tables are few, rows are many): removes the per-cell type
+    dispatch from the hot row-image walk. Each closure is
+    (buf, pos) -> (value, new_pos); per-column parameters (fsp,
+    length widths, precision/scale) are bound as defaults.
+    Unsupported types reject here, at table-map time — the same
+    errors the per-row dispatch used to raise, earlier."""
+    from ..cdc.jsonb import jsonb_to_json
 
-            nlen = m[0]
-            ln = int.from_bytes(buf[pos : pos + nlen], "little")
-            pos += nlen
-            doc = jsonb_to_json(bytes(buf[pos : pos + ln]))
-            if doc is None and ln:
-                raise ValueError("undecodable JSONB column value")
-            row.append(doc); pos += ln
+    upf = struct.unpack_from
+    ds: list = []
+    for t, m in zip(col_types, col_metas):
+        if t == MYSQL_TYPE_TINY:
+            def d(buf, pos, _u=upf):
+                return _u("<b", buf, pos)[0], pos + 1
+        elif t == MYSQL_TYPE_SHORT:
+            def d(buf, pos, _u=upf):
+                return _u("<h", buf, pos)[0], pos + 2
+        elif t == MYSQL_TYPE_LONG:
+            def d(buf, pos, _u=upf):
+                return _u("<i", buf, pos)[0], pos + 4
+        elif t == MYSQL_TYPE_LONGLONG:
+            def d(buf, pos, _u=upf):
+                return _u("<q", buf, pos)[0], pos + 8
+        elif t == MYSQL_TYPE_INT24:
+            def d(buf, pos):
+                v = int.from_bytes(buf[pos : pos + 3], "little")
+                return (v - 0x1000000 if v & 0x800000 else v), pos + 3
+        elif t == MYSQL_TYPE_FLOAT:
+            def d(buf, pos, _u=upf):
+                return _u("<f", buf, pos)[0], pos + 4
+        elif t == MYSQL_TYPE_DOUBLE:
+            def d(buf, pos, _u=upf):
+                return _u("<d", buf, pos)[0], pos + 8
+        elif t == MYSQL_TYPE_DATE:
+            def d(buf, pos):
+                v = int.from_bytes(buf[pos : pos + 3], "little")
+                return (
+                    f"{v >> 9:04d}-{(v >> 5) & 0x0F:02d}-{v & 0x1F:02d}",
+                    pos + 3,
+                )
+        elif t == MYSQL_TYPE_YEAR:
+            def d(buf, pos):
+                b = buf[pos]  # stored byte 0 means YEAR 0000, not 1900
+                return (0 if b == 0 else b + 1900), pos + 1
+        elif t == MYSQL_TYPE_TIME2:
+            def d(buf, pos, _fsp=m[0]):
+                return decode_time2(buf, pos, _fsp)
+        elif t == MYSQL_TYPE_BIT:
+            def d(buf, pos, _nb=_bit_nbytes(m)):
+                return (
+                    int.from_bytes(buf[pos : pos + _nb], "big"), pos + _nb
+                )
+        elif t in (MYSQL_TYPE_BLOB, MYSQL_TYPE_GEOMETRY):
+            def d(buf, pos, _nlen=m[0]):
+                ln = int.from_bytes(buf[pos : pos + _nlen], "little")
+                pos += _nlen
+                return bytes(buf[pos : pos + ln]), pos + ln
+        elif t == MYSQL_TYPE_JSON:
+            def d(buf, pos, _nlen=m[0], _dec=jsonb_to_json):
+                ln = int.from_bytes(buf[pos : pos + _nlen], "little")
+                pos += _nlen
+                doc = _dec(bytes(buf[pos : pos + ln]))
+                if doc is None and ln:
+                    raise ValueError("undecodable JSONB column value")
+                return doc, pos + ln
         elif t == MYSQL_TYPE_STRING:
             # ENUM/SET hide under MYSQL_TYPE_STRING with their real
             # type in meta[0] (247/248): their value encoding is an
             # index/bitmask, not a length-prefixed string — the codec
             # transports the raw int; label mapping is downstream
-            # (cdc/decode.enum_label / set_labels, the reference's
-            # post-client split)
+            # (cdc/decode.enum_label / set_labels or the FULL-metadata
+            # in-stream map)
             real = _string_real_type(m)
             if real in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
-                row.append(int.from_bytes(buf[pos : pos + m[1]], "little"))
-                pos += m[1]
-                continue
-            if real != MYSQL_TYPE_STRING:
+                def d(buf, pos, _w=m[1]):
+                    return (
+                        int.from_bytes(buf[pos : pos + _w], "little"),
+                        pos + _w,
+                    )
+            elif real != MYSQL_TYPE_STRING:
                 raise ValueError(
                     f"unsupported STRING-packed real type {real}"
                 )
-            maxlen = _string_meta_length(m)
-            if maxlen < 256:
-                ln = buf[pos]; pos += 1
+            elif _string_meta_length(m) < 256:
+                def d(buf, pos):
+                    ln = buf[pos]
+                    pos += 1
+                    raw = bytes(buf[pos : pos + ln])
+                    try:
+                        return raw.decode(), pos + ln
+                    except UnicodeDecodeError:
+                        # BINARY(n) under a binary collation: raw
+                        # bytes, not text — transport as bytes
+                        return raw, pos + ln
             else:
-                ln = struct.unpack_from("<H", buf, pos)[0]; pos += 2
-            raw = bytes(buf[pos : pos + ln]); pos += ln
-            try:
-                row.append(raw.decode())
-            except UnicodeDecodeError:
-                # BINARY(n) rides MYSQL_TYPE_STRING with a binary
-                # collation: raw bytes, not text — transport as bytes
-                # (downstream binary_hex/char_cell decide meaning,
-                # the reference's post-client split)
-                row.append(raw)
+                def d(buf, pos, _u=upf):
+                    ln = _u("<H", buf, pos)[0]
+                    pos += 2
+                    raw = bytes(buf[pos : pos + ln])
+                    try:
+                        return raw.decode(), pos + ln
+                    except UnicodeDecodeError:
+                        return raw, pos + ln
         elif t in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
-            maxlen = struct.unpack("<H", m)[0]
-            if maxlen < 256:
-                ln = buf[pos]; pos += 1
+            if struct.unpack("<H", m)[0] < 256:
+                def d(buf, pos):
+                    ln = buf[pos]
+                    pos += 1
+                    return buf[pos : pos + ln].decode(), pos + ln
             else:
-                ln = struct.unpack_from("<H", buf, pos)[0]; pos += 2
-            row.append(buf[pos : pos + ln].decode()); pos += ln
+                def d(buf, pos, _u=upf):
+                    ln = _u("<H", buf, pos)[0]
+                    pos += 2
+                    return buf[pos : pos + ln].decode(), pos + ln
         elif t == MYSQL_TYPE_TIMESTAMP2:
-            v, pos = decode_timestamp2(buf, pos, m[0]); row.append(v)
+            def d(buf, pos, _fsp=m[0]):
+                return decode_timestamp2(buf, pos, _fsp)
         elif t == MYSQL_TYPE_DATETIME2:
-            v, pos = decode_datetime2(buf, pos, m[0]); row.append(v)
+            def d(buf, pos, _fsp=m[0]):
+                return decode_datetime2(buf, pos, _fsp)
         elif t == MYSQL_TYPE_NEWDECIMAL:
-            v, pos = decode_newdecimal(buf, pos, m[0], m[1]); row.append(v)
+            def d(buf, pos, _pr=m[0], _sc=m[1]):
+                return decode_newdecimal(buf, pos, _pr, _sc)
         else:
             raise ValueError(f"unsupported column type {t}")
+        ds.append(d)
+    return ds
+
+
+def _decode_image(
+    buf: bytes, pos: int, decoders: list
+) -> tuple[list, int]:
+    n = len(decoders)
+    nb = (n + 7) // 8
+    nullbits = buf[pos : pos + nb]
+    pos += nb
+    row: list = []
+    append = row.append
+    for i, dec in enumerate(decoders):
+        if nullbits[i >> 3] & (1 << (i & 7)):
+            append(None)
+            continue
+        v, pos = dec(buf, pos)
+        append(v)
     return row, pos
 
 
 class _TableMap:
-    __slots__ = ("db", "table", "col_types", "col_metas",
+    __slots__ = ("db", "table", "col_types", "col_metas", "decoders",
                  "unsigned", "col_names", "enum_labels", "set_labels")
 
     def __init__(self, db, table, col_types, col_metas,
@@ -910,6 +992,7 @@ class _TableMap:
                  enum_labels=None, set_labels=None):
         self.db, self.table = db, table
         self.col_types, self.col_metas = col_types, col_metas
+        self.decoders = _compile_decoders(col_types, col_metas)
         self.unsigned = unsigned          # per-column bool, or None
         self.col_names = col_names        # per-column str, or None
         self.enum_labels = enum_labels or {}  # col idx -> label tuple
@@ -1164,12 +1247,10 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                         )
             rows = []
             while p < len(body):
-                img, p = _decode_image(body, p, tm.col_types, tm.col_metas)
+                img, p = _decode_image(body, p, tm.decoders)
                 img = _apply_table_metadata(img, tm)
                 if etype == UPDATE_ROWS_EVENT:
-                    after, p = _decode_image(
-                        body, p, tm.col_types, tm.col_metas
-                    )
+                    after, p = _decode_image(body, p, tm.decoders)
                     rows.append((img, _apply_table_metadata(after, tm)))
                 else:
                     rows.append(img)
