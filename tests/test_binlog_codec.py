@@ -1717,3 +1717,41 @@ def test_tail_binlog_records_streaming(spark, tmp_path):
     assert len(rows) == 2  # no re-decode of file 1
     got = {r["table_name"]: json.loads(r["record"]) for r in rows}
     assert got == {"carts": {"c0": 7}, "animals": {"c0": 9}}
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_full_metadata_unsigned_roundtrip_property(data):
+    """Property: with FULL metadata, any mix of signed/unsigned int
+    columns roundtrips values drawn from the matching range — the
+    writer packs the union range, the parser's in-stream map restores
+    the unsigned view exactly."""
+    widths = {B.MYSQL_TYPE_TINY: 8, B.MYSQL_TYPE_SHORT: 16,
+              B.MYSQL_TYPE_INT24: 24, B.MYSQL_TYPE_LONG: 32,
+              B.MYSQL_TYPE_LONGLONG: 64}
+    n = data.draw(st.integers(min_value=1, max_value=8))
+    types = data.draw(st.lists(
+        st.sampled_from(sorted(widths)), min_size=n, max_size=n))
+    unsigned = data.draw(st.lists(
+        st.booleans(), min_size=n, max_size=n))
+    rows = []
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        row = []
+        for t, u in zip(types, unsigned):
+            b = widths[t]
+            if data.draw(st.booleans()) and data.draw(st.booleans()):
+                row.append(None)
+            elif u:
+                row.append(data.draw(
+                    st.integers(min_value=0, max_value=(1 << b) - 1)))
+            else:
+                row.append(data.draw(st.integers(
+                    min_value=-(1 << (b - 1)),
+                    max_value=(1 << (b - 1)) - 1)))
+        rows.append(row)
+    metas = [b""] * n
+    w = B.BinlogWriter()
+    w.table_map(3, "d", "t", types, metas, unsigned=unsigned)
+    w.rows(B.WRITE_ROWS_EVENT, 3, types, metas, [list(r) for r in rows])
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    assert evs[-1]["rows"] == rows
