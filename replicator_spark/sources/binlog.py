@@ -127,17 +127,59 @@ _SET_WIDTHS = (1, 2, 3, 4, 8)
 # TABLE_MAP optional-metadata TLV types (binlog_row_metadata=FULL,
 # MySQL 8.0.1+ — the fields Debezium-class consumers map in-stream)
 _OPTMETA_SIGNEDNESS = 1
+_OPTMETA_DEFAULT_CHARSET = 2
+_OPTMETA_COLUMN_CHARSET = 3
 _OPTMETA_COLUMN_NAME = 4
 _OPTMETA_SET_STR = 5
 _OPTMETA_ENUM_STR = 6
+_OPTMETA_SIMPLE_PRIMARY_KEY = 8
+
+# collation-id → python text codec for the charset TLVs (the server's
+# collation numbers are public protocol constants). 63 = the `binary`
+# pseudo-charset: BINARY/VARBINARY/BLOB — raw bytes, never text.
+# Unlisted ids fall back to utf-8-with-bytes-fallback (utf8mb4 and its
+# 0900 collations are by far the common case on modern servers).
+_COLLATION_BINARY = 63
+_LATIN1_COLLATIONS = frozenset({5, 8, 15, 31, 47, 48, 49, 94})
+_ASCII_COLLATIONS = frozenset({11, 65})
+
+
+def _collation_codec(coll: Optional[int]) -> Optional[str]:
+    """Collation id → text codec name, or None for raw-bytes (binary
+    collation). Drives the reference's latin1-vs-utf8 string dispatch
+    (`MysqlTypeDeserializer.java:85-97`) in-stream from the TABLE_MAP,
+    without an active-schema lookup."""
+    if coll == _COLLATION_BINARY:
+        return None
+    if coll in _LATIN1_COLLATIONS:
+        return "latin1"
+    if coll in _ASCII_COLLATIONS:
+        return "ascii"
+    return "utf-8"
+
+
+def _is_character_col(t: int, m: bytes) -> bool:
+    """The server's is_character_field set — the columns the charset
+    TLVs index over (bit/slot alignment contract, like SIGNEDNESS over
+    numeric columns): CHAR/VARCHAR/TEXT-class, with ENUM/SET (which
+    hide under MYSQL_TYPE_STRING) excluded."""
+    if t in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING, MYSQL_TYPE_BLOB):
+        return True
+    return (
+        t == MYSQL_TYPE_STRING
+        and _string_real_type(m) == MYSQL_TYPE_STRING
+    )
 
 # the column types the server's signedness bitmap covers (bit per
 # numeric column, MSB-first) — writer and parser must agree on this
-# set for bit alignment (mysql's is_numeric_type)
+# set for bit alignment (libbinlogevents is_numeric_type, mirrored by
+# mysql-binlog-connector-java). YEAR is deliberately NOT in this set:
+# the server excludes it, so including it would shift every later
+# signedness bit when parsing a real binlog_row_metadata=FULL file.
 _SIGNEDNESS_TYPES = frozenset({
     MYSQL_TYPE_TINY, MYSQL_TYPE_SHORT, MYSQL_TYPE_INT24, MYSQL_TYPE_LONG,
     MYSQL_TYPE_LONGLONG, MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE,
-    MYSQL_TYPE_NEWDECIMAL, MYSQL_TYPE_YEAR,
+    MYSQL_TYPE_NEWDECIMAL,
 })
 _UNSIGNED_BITS = {
     MYSQL_TYPE_TINY: 8, MYSQL_TYPE_SHORT: 16, MYSQL_TYPE_INT24: 24,
@@ -607,12 +649,22 @@ class BinlogWriter:
         col_names: Optional[list[str]] = None,
         enum_labels: Optional[dict] = None,
         set_labels: Optional[dict] = None,
+        charsets: Optional[dict] = None,
+        charset_format: str = "default",
+        primary_key: Optional[list[int]] = None,
     ) -> None:
         """Optional binlog_row_metadata=FULL TLVs (8.0.1+ servers):
         ``unsigned`` is a per-COLUMN bool list (bits packed over the
         numeric columns only, MSB-first, as the server does),
         ``col_names`` per-column names, ``enum_labels``/``set_labels``
-        map column index → label tuple (emitted in column order)."""
+        map column index → label tuple (emitted in column order),
+        ``charsets`` maps column index → collation id and must cover
+        every character column (emitted as DEFAULT_CHARSET — most-
+        common collation + differing (char-col-index, collation)
+        pairs — or, with ``charset_format='column'``, as
+        COLUMN_CHARSET's flat per-char-column list: both server
+        layouts), ``primary_key`` lists PK column indexes in key order
+        (SIMPLE_PRIMARY_KEY)."""
         body = table_id.to_bytes(6, "little") + struct.pack("<H", 0)
         dbb, tbb = db.encode(), table.encode()
         body += bytes([len(dbb)]) + dbb + b"\x00"
@@ -633,6 +685,37 @@ class BinlogWriter:
                     bits[j // 8] |= 0x80 >> (j % 8)
             body += bytes([_OPTMETA_SIGNEDNESS]) + _lenenc(len(bits))
             body += bytes(bits)
+        if charsets is not None:
+            char_cols = [
+                i for i, (t, m) in enumerate(zip(col_types, col_metas))
+                if _is_character_col(t, m)
+            ]
+            missing = [i for i in char_cols if i not in charsets]
+            if missing:
+                raise ValueError(
+                    f"charsets must cover every character column; "
+                    f"missing {missing}"
+                )
+            colls = [charsets[i] for i in char_cols]
+            if charset_format == "column":
+                payload = b"".join(_lenenc(c) for c in colls)
+                body += bytes([_OPTMETA_COLUMN_CHARSET])
+                body += _lenenc(len(payload)) + payload
+            elif charset_format == "default":
+                # the server's layout: the most-common collation as
+                # the default, then (char-col index, collation) pairs
+                # for the columns that differ
+                default = max(set(colls), key=colls.count) if colls else 0
+                payload = _lenenc(default)
+                for j, c in enumerate(colls):
+                    if c != default:
+                        payload += _lenenc(j) + _lenenc(c)
+                body += bytes([_OPTMETA_DEFAULT_CHARSET])
+                body += _lenenc(len(payload)) + payload
+            else:
+                raise ValueError(
+                    f"unknown charset_format {charset_format!r}"
+                )
         if col_names is not None:
             payload = b"".join(
                 _lenenc(len(n.encode())) + n.encode() for n in col_names
@@ -658,6 +741,10 @@ class BinlogWriter:
                     enc = lab.encode()
                     payload += _lenenc(len(enc)) + enc
             body += bytes([tlv]) + _lenenc(len(payload)) + payload
+        if primary_key is not None:
+            payload = b"".join(_lenenc(i) for i in primary_key)
+            body += bytes([_OPTMETA_SIMPLE_PRIMARY_KEY])
+            body += _lenenc(len(payload)) + payload
         self._event(TABLE_MAP_EVENT, body)
 
     _ENCODER_CACHE: dict = {}
@@ -834,19 +921,45 @@ def _meta_size(t: int) -> int:
     return 0
 
 
-def _compile_decoders(col_types: list[int], col_metas: list[bytes]) -> list:
+def _compile_decoders(
+    col_types: list[int], col_metas: list[bytes],
+    col_charsets: Optional[dict] = None,
+) -> list:
     """Per-column decoder closures, compiled ONCE per TABLE_MAP
     (tables are few, rows are many): removes the per-cell type
     dispatch from the hot row-image walk. Each closure is
     (buf, pos) -> (value, new_pos); per-column parameters (fsp,
     length widths, precision/scale) are bound as defaults.
+    ``col_charsets`` (FULL-metadata charset TLVs) binds each string
+    column's text codec at compile time — binary collation transports
+    raw bytes, latin1 decodes latin1 (`MysqlTypeDeserializer.java:
+    85-97`'s dispatch, here in-stream); without metadata the default
+    stays utf-8 with a raw-bytes fallback (transport-pure).
     Unsupported types reject here, at table-map time — the same
     errors the per-row dispatch used to raise, earlier."""
     from ..cdc.jsonb import jsonb_to_json
 
+    def text(raw: bytes, codec: Optional[str]):
+        # one shared cell-decode: binary collation → raw bytes; text
+        # collation → decode, with the raw-bytes fallback kept for the
+        # metadata-less default (a VARBINARY under no charset TLV must
+        # transport, not kill the task)
+        if codec is None:
+            return raw
+        try:
+            return raw.decode(codec)
+        except UnicodeDecodeError:
+            return raw
+
     upf = struct.unpack_from
+    charsets = col_charsets or {}
     ds: list = []
-    for t, m in zip(col_types, col_metas):
+    for ci, (t, m) in enumerate(zip(col_types, col_metas)):
+        # the column's bound text codec: None = raw bytes (binary
+        # collation); unset columns keep the utf-8 default
+        codec = (
+            _collation_codec(charsets[ci]) if ci in charsets else "utf-8"
+        )
         if t == MYSQL_TYPE_TINY:
             def d(buf, pos, _u=upf):
                 return _u("<b", buf, pos)[0], pos + 1
@@ -889,10 +1002,16 @@ def _compile_decoders(col_types: list[int], col_metas: list[bytes]) -> list:
                     int.from_bytes(buf[pos : pos + _nb], "big"), pos + _nb
                 )
         elif t in (MYSQL_TYPE_BLOB, MYSQL_TYPE_GEOMETRY):
-            def d(buf, pos, _nlen=m[0]):
+            # TEXT is BLOB-typed with a text collation in the charset
+            # TLVs; without explicit metadata a blob stays raw bytes
+            bcodec = (
+                codec if (t == MYSQL_TYPE_BLOB and ci in charsets)
+                else None
+            )
+            def d(buf, pos, _nlen=m[0], _c=bcodec, _text=text):
                 ln = int.from_bytes(buf[pos : pos + _nlen], "little")
                 pos += _nlen
-                return bytes(buf[pos : pos + ln]), pos + ln
+                return _text(bytes(buf[pos : pos + ln]), _c), pos + ln
         elif t == MYSQL_TYPE_JSON:
             def d(buf, pos, _nlen=m[0], _dec=jsonb_to_json):
                 ln = int.from_bytes(buf[pos : pos + _nlen], "little")
@@ -920,36 +1039,32 @@ def _compile_decoders(col_types: list[int], col_metas: list[bytes]) -> list:
                     f"unsupported STRING-packed real type {real}"
                 )
             elif _string_meta_length(m) < 256:
-                def d(buf, pos):
+                # BINARY(n) is this type under the binary collation:
+                # charset TLV 63 → raw bytes; without metadata the
+                # UnicodeDecodeError fallback transports it
+                def d(buf, pos, _c=codec, _text=text):
                     ln = buf[pos]
                     pos += 1
-                    raw = bytes(buf[pos : pos + ln])
-                    try:
-                        return raw.decode(), pos + ln
-                    except UnicodeDecodeError:
-                        # BINARY(n) under a binary collation: raw
-                        # bytes, not text — transport as bytes
-                        return raw, pos + ln
+                    return _text(bytes(buf[pos : pos + ln]), _c), pos + ln
             else:
-                def d(buf, pos, _u=upf):
+                def d(buf, pos, _u=upf, _c=codec, _text=text):
                     ln = _u("<H", buf, pos)[0]
                     pos += 2
-                    raw = bytes(buf[pos : pos + ln])
-                    try:
-                        return raw.decode(), pos + ln
-                    except UnicodeDecodeError:
-                        return raw, pos + ln
+                    return _text(bytes(buf[pos : pos + ln]), _c), pos + ln
         elif t in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
+            # VARBINARY is this type under the binary collation:
+            # charset TLV 63 → raw bytes; without metadata the
+            # UnicodeDecodeError fallback transports it
             if struct.unpack("<H", m)[0] < 256:
-                def d(buf, pos):
+                def d(buf, pos, _c=codec, _text=text):
                     ln = buf[pos]
                     pos += 1
-                    return buf[pos : pos + ln].decode(), pos + ln
+                    return _text(bytes(buf[pos : pos + ln]), _c), pos + ln
             else:
-                def d(buf, pos, _u=upf):
+                def d(buf, pos, _u=upf, _c=codec, _text=text):
                     ln = _u("<H", buf, pos)[0]
                     pos += 2
-                    return buf[pos : pos + ln].decode(), pos + ln
+                    return _text(bytes(buf[pos : pos + ln]), _c), pos + ln
         elif t == MYSQL_TYPE_TIMESTAMP2:
             def d(buf, pos, _fsp=m[0]):
                 return decode_timestamp2(buf, pos, _fsp)
@@ -985,18 +1100,24 @@ def _decode_image(
 
 class _TableMap:
     __slots__ = ("db", "table", "col_types", "col_metas", "decoders",
-                 "unsigned", "col_names", "enum_labels", "set_labels")
+                 "unsigned", "col_names", "enum_labels", "set_labels",
+                 "col_charsets", "primary_key")
 
     def __init__(self, db, table, col_types, col_metas,
                  unsigned=None, col_names=None,
-                 enum_labels=None, set_labels=None):
+                 enum_labels=None, set_labels=None,
+                 col_charsets=None, primary_key=None):
         self.db, self.table = db, table
         self.col_types, self.col_metas = col_types, col_metas
-        self.decoders = _compile_decoders(col_types, col_metas)
+        self.decoders = _compile_decoders(
+            col_types, col_metas, col_charsets
+        )
         self.unsigned = unsigned          # per-column bool, or None
         self.col_names = col_names        # per-column str, or None
         self.enum_labels = enum_labels or {}  # col idx -> label tuple
         self.set_labels = set_labels or {}
+        self.col_charsets = col_charsets  # col idx -> collation, or None
+        self.primary_key = primary_key    # PK col indexes, or None
 
 
 def _apply_table_metadata(row: list, tm: "_TableMap") -> list:
@@ -1170,7 +1291,8 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
             if mp - p != metalen:
                 raise ValueError("table-map metadata length mismatch")
             p = mp + (ncols + 7) // 8  # skip the null-allowed bitmap
-            unsigned = col_names = None
+            unsigned = col_names = primary_key = None
+            col_charsets: Optional[dict[int, int]] = None
             enum_labels: dict[int, tuple] = {}
             set_labels: dict[int, tuple] = {}
             while p < len(body):  # optional-metadata TLVs (FULL mode)
@@ -1195,6 +1317,35 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                         nln, q = _read_lenenc(payload, q)
                         col_names.append(payload[q : q + nln].decode())
                         q += nln
+                elif tlv in (_OPTMETA_DEFAULT_CHARSET,
+                             _OPTMETA_COLUMN_CHARSET):
+                    # both index over the CHARACTER columns only — the
+                    # same slot-alignment contract as SIGNEDNESS over
+                    # the numeric ones
+                    char_cols = [
+                        i for i, (t, m) in enumerate(zip(col_types, metas))
+                        if _is_character_col(t, m)
+                    ]
+                    col_charsets = {}
+                    if tlv == _OPTMETA_COLUMN_CHARSET:
+                        q = 0
+                        for i in char_cols:
+                            c, q = _read_lenenc(payload, q)
+                            col_charsets[i] = c
+                    else:
+                        default, q = _read_lenenc(payload, 0)
+                        overrides: dict[int, int] = {}
+                        while q < len(payload):
+                            j, q = _read_lenenc(payload, q)
+                            c, q = _read_lenenc(payload, q)
+                            overrides[j] = c
+                        for j, i in enumerate(char_cols):
+                            col_charsets[i] = overrides.get(j, default)
+                elif tlv == _OPTMETA_SIMPLE_PRIMARY_KEY:
+                    primary_key, q = [], 0
+                    while q < len(payload):
+                        i, q = _read_lenenc(payload, q)
+                        primary_key.append(i)
                 elif tlv in (_OPTMETA_ENUM_STR, _OPTMETA_SET_STR):
                     want = (MYSQL_TYPE_ENUM if tlv == _OPTMETA_ENUM_STR
                             else MYSQL_TYPE_SET)
@@ -1219,6 +1370,7 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                 db, table, col_types, metas,
                 unsigned=unsigned, col_names=col_names,
                 enum_labels=enum_labels, set_labels=set_labels,
+                col_charsets=col_charsets, primary_key=primary_key,
             )
         elif etype in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT,
                        DELETE_ROWS_EVENT):
@@ -1257,7 +1409,7 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
             yield {
                 "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
                 "db": tm.db, "table": tm.table, "rows": rows,
-                "col_names": tm.col_names,
+                "col_names": tm.col_names, "primary_key": tm.primary_key,
             }
         # unknown types: skipped (size-based)
 
@@ -1758,7 +1910,11 @@ def resume_after_gtid(rows: DataFrame, gtid_set: str) -> DataFrame:
     full (the client's semantics for a server the set says nothing
     about). The set is tiny (per-server intervals), so the predicate
     is a literal map-side filter — pushed into the scan, no shuffle,
-    no join."""
+    no join. Rows with NULL GTID coordinates (rows preceding any GTID
+    event, or files from a gtid_mode=OFF server) REPLAY rather than
+    drop — the module's at-least-once policy (same rule `resume_after`
+    applies to unorderable file names): a coordinate the checkpoint
+    can't speak about is never silently skipped."""
     parsed = parse_gtid_set(gtid_set)
     skip = F.lit(False)
     for uuid, intervals in parsed.items():
@@ -1768,7 +1924,9 @@ def resume_after_gtid(rows: DataFrame, gtid_set: str) -> DataFrame:
                 (F.col("gtid_seq") >= start) & (F.col("gtid_seq") <= end)
             )
         skip = skip | ((F.lower(F.col("gtid_uuid")) == uuid) & covered)
-    return rows.where(~skip)
+    # NULL coords make `skip` NULL; coalesce so they pass the filter
+    # (replay) instead of vanishing into a NULL predicate.
+    return rows.where(F.coalesce(~skip, F.lit(True)))
 
 
 def resume_after_safe_acks(
@@ -1842,7 +2000,7 @@ def snapshot_to_binlog_files(rows: DataFrame, path: str) -> list[str]:
 
 BINLOG_RECORDS_SCHEMA = (
     "db string, table_name string, op string, record string,"
-    " before string, gtid_uuid string, gtid_seq long,"
+    " before string, rowkey string, gtid_uuid string, gtid_seq long,"
     " source_file string, log_pos long, row_seq long"
 )
 
@@ -1851,6 +2009,20 @@ def _json_cell(v):
     # bytes (BLOB / BINARY / GEOMETRY) serialize as hex text — JSON
     # has no binary; the hex form matches cdc/decode.binary_hex
     return v.hex() if isinstance(v, (bytes, bytearray)) else v
+
+
+def _wire_rowkey(img: list, pk: list) -> str:
+    """The sink-ready salted rowkey straight from SIMPLE_PRIMARY_KEY
+    wire metadata — the same key `cdc/rowkey.salted_rowkey` builds
+    from the active schema (`HBaseRowKeyMapper.java:24-58`:
+    md5(pk1)[0:8] ++ ';' ++ join(pk values, ';')), so the generic
+    reader needs NO registry to produce it. String casts mirror
+    Spark's CAST-to-string of the decoded cell values."""
+    import hashlib
+
+    parts = [str(_json_cell(img[i])) for i in pk]
+    salt = hashlib.md5(parts[0].encode()).hexdigest()[:8]
+    return ";".join([salt, *parts])
 
 
 def _parse_records_partition(batches) -> Iterator:
@@ -1880,6 +2052,7 @@ def _parse_records_partition(batches) -> Iterator:
                 if op is None:
                     continue
                 names = ev["col_names"]
+                pk = ev["primary_key"]
                 for row in ev["rows"]:
                     if op == "UPDATE":
                         before, img = row
@@ -1893,9 +2066,14 @@ def _parse_records_partition(batches) -> Iterator:
                             sort_keys=True,
                         )
 
+                    # UPDATE keys by the AFTER image, the reference's
+                    # rule (HBaseRowKeyMapper.java:39-42); no PK
+                    # metadata → NULL (the consumer falls back to its
+                    # registry, as the reference does)
                     out.append((
                         ev["db"], ev["table"], op, rec(img),
                         rec(before) if before is not None else None,
+                        _wire_rowkey(img, pk) if pk else None,
                         gtid_uuid, gtid_seq, fname, ev["log_pos"],
                         row_seq,
                     ))
@@ -1903,8 +2081,8 @@ def _parse_records_partition(batches) -> Iterator:
         yield pd.DataFrame(
             out,
             columns=["db", "table_name", "op", "record", "before",
-                     "gtid_uuid", "gtid_seq", "source_file", "log_pos",
-                     "row_seq"],
+                     "rowkey", "gtid_uuid", "gtid_seq", "source_file",
+                     "log_pos", "row_seq"],
         )
 
 
@@ -2294,10 +2472,108 @@ FROM orders
 """
 
 
+# ------------------------------------------------------------------
+# Charset TLVs + SIMPLE_PRIMARY_KEY end-to-end: collation-correct
+# strings and sink-ready salted rowkeys from the WIRE metadata alone
+# ------------------------------------------------------------------
+
+_CUST_TABLE_ID = 37
+_CUST_TYPES = [
+    MYSQL_TYPE_LONGLONG,  # c_custkey (PK)
+    MYSQL_TYPE_VARCHAR,   # c_mktsegment — latin1 column
+    MYSQL_TYPE_VARCHAR,   # c_name — utf8mb4 column
+    MYSQL_TYPE_VARCHAR,   # c_token — VARBINARY (binary collation)
+]
+_CUST_METAS = [b"", struct.pack("<H", 64), struct.pack("<H", 64),
+               struct.pack("<H", 64)]
+_CUST_NAMES = ["c_custkey", "c_mktsegment", "c_name", "c_token"]
+# latin1_swedish_ci=8, utf8mb4_0900_ai_ci=255, binary=63 — the
+# public protocol collation numbers
+_CUST_CHARSETS = {1: 8, 2: 255, 3: 63}
+
+
+def _encode_customer_charset_partition(batches) -> Iterator:
+    """mapInArrow: customer batches → binlog files whose TABLE_MAP
+    carries DEFAULT_CHARSET + COLUMN_NAME + SIMPLE_PRIMARY_KEY TLVs.
+    The latin1 column is encoded AS latin1 bytes (0xE9 for 'é' —
+    invalid as utf-8, so only the charset TLV can decode it right);
+    the VARBINARY column carries non-UTF-8 bytes."""
+    import pyarrow as pa
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        w = BinlogWriter()
+        w.table_map(
+            _CUST_TABLE_ID, "testdb", "customer", _CUST_TYPES,
+            _CUST_METAS, col_names=_CUST_NAMES,
+            charsets=_CUST_CHARSETS, primary_key=[0],
+        )
+        rows = [
+            [k, (seg + "é").encode("latin1"), name,
+             bytes([0x80, k % 256])]
+            for k, seg, name in _arrow_records(
+                batch, ["c_custkey", "c_mktsegment", "c_name"]
+            )
+        ]
+        w.rows(WRITE_ROWS_EVENT, _CUST_TABLE_ID, _CUST_TYPES,
+               _CUST_METAS, rows)
+        yield pa.RecordBatch.from_pydict({"data": [w.getvalue()]})
+
+
+def binlog_charset_rowkey_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL-metadata wire path with NO registry: customer → binlog
+    files whose TABLE_MAP carries charset TLVs (latin1 / utf8mb4 /
+    binary columns) and SIMPLE_PRIMARY_KEY → the GENERIC any-table
+    reader decodes collation-correct strings in-stream (the
+    reference's `MysqlTypeDeserializer.java:85-97` latin1-vs-utf8
+    dispatch, normally driven by the active schema) and emits the
+    sink-ready salted rowkey (`HBaseRowKeyMapper.java:24-58`) straight
+    from the wire PK metadata. The latin1 'é' byte (0xE9) is invalid
+    utf-8 — only the charset TLV decodes it; the VARBINARY column
+    must land as hex, not kill the task."""
+    from ..session import prep, read_table
+
+    prep(spark)
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    blobs = cust.mapInArrow(
+        _encode_customer_charset_partition, "data binary"
+    ).select(F.lit("binlog.000001").alias("path"), "data")
+    recs = blobs.mapInPandas(
+        _parse_records_partition, BINLOG_RECORDS_SCHEMA
+    )
+    return recs.select(
+        F.get_json_object("record", "$.c_custkey")
+        .cast("long").alias("c_custkey"),
+        F.get_json_object("record", "$.c_mktsegment")
+        .alias("c_mktsegment"),
+        F.get_json_object("record", "$.c_name").alias("c_name"),
+        F.get_json_object("record", "$.c_token").alias("c_token_hex"),
+        "rowkey",
+    )
+
+
+BINLOG_CHARSET_ROWKEY_SQL = """
+SELECT c_custkey,
+    c_mktsegment || 'é' AS c_mktsegment,
+    c_name,
+    printf('80%02x', c_custkey % 256) AS c_token_hex,
+    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+        || ';' || CAST(c_custkey AS VARCHAR) AS rowkey
+FROM customer
+"""
+
+
 REGISTRY = [
     ("source_binlog_roundtrip", binlog_roundtrip_query, BINLOG_ROUNDTRIP_SQL),
     ("source_binlog_gtid_resume", binlog_gtid_resume_query,
      BINLOG_GTID_RESUME_SQL),
     ("source_binlog_enum_roundtrip", binlog_enum_roundtrip_query,
      BINLOG_ENUM_ROUNDTRIP_SQL),
+    ("source_binlog_charset_rowkey", binlog_charset_rowkey_query,
+     BINLOG_CHARSET_ROWKEY_SQL),
 ]

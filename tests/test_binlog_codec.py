@@ -1014,6 +1014,43 @@ def test_resume_after_safe_acks_stops_at_hole(spark, tmp_path):
     assert resume_after_safe_acks(rows, empty).count() == 130
 
 
+def test_gtid_resume_replays_null_coordinate_rows(spark, tmp_path):
+    """Rows with NULL GTID coordinates — rows preceding any GTID event
+    in the file, or a gtid_mode=OFF server's log — must REPLAY under
+    GTID resume, not vanish into a NULL predicate: the module's
+    at-least-once policy (the same rule file/pos resume applies to
+    unorderable file names)."""
+    from replicator_spark.sources.binlog import (
+        _EV_METAS,
+        _EV_TYPES,
+        _SID,
+        _SID_UUID,
+        _TABLE_ID,
+        read_binlog_files,
+        resume_after_gtid,
+    )
+
+    w = B.BinlogWriter()
+    # two rows BEFORE any GTID event (coordinate-less)
+    w.table_map(_TABLE_ID, "testdb", "events", _EV_TYPES, _EV_METAS)
+    w.rows(B.WRITE_ROWS_EVENT, _TABLE_ID, _EV_TYPES, _EV_METAS,
+           [[1, 1_000_000, 10, "signup", 1.0, "{}"],
+            [2, 2_000_000, 10, "signup", 2.0, "{}"]])
+    # then a normal transaction the stored set covers
+    w.gtid(_SID, 1)
+    w.query("BEGIN")
+    w.table_map(_TABLE_ID, "testdb", "events", _EV_TYPES, _EV_METAS)
+    w.rows(B.WRITE_ROWS_EVENT, _TABLE_ID, _EV_TYPES, _EV_METAS,
+           [[3, 3_000_000, 10, "signup", 3.0, "{}"]])
+    w.xid(1)
+    (tmp_path / "binlog.000001").write_bytes(w.getvalue())
+
+    rows = read_binlog_files(spark, str(tmp_path))
+    got = resume_after_gtid(rows, f"{_SID_UUID}:1")
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [1, 2]  # covered txn skipped, NULL-coord rows replay
+
+
 def test_resume_after_numeric_suffix_rollover(spark, tmp_path):
     """MySQL extends binlog numbering past 6 digits: binlog.1000000
     rotates AFTER binlog.999999 though it sorts lexicographically
@@ -1613,6 +1650,188 @@ def test_table_map_full_metadata_maps_in_stream():
     ev2 = list(B.parse_binlog_file(w2.getvalue()))[-1]
     assert ev2["col_names"] is None
     assert ev2["rows"][0] == [-1, -1, -5, 1, 5]
+
+
+def test_year_excluded_from_signedness_bitmap():
+    """The server's SIGNEDNESS bitmap covers only is_numeric_type
+    columns (TINY/SHORT/INT24/LONG/LONGLONG/FLOAT/DOUBLE/NEWDECIMAL —
+    libbinlogevents, mirrored by mysql-binlog-connector-java); YEAR is
+    NOT in that set. Including it would shift every later bit, silently
+    mis-signing subsequent integer columns of a real FULL-metadata
+    file. Pin the set itself (writer and parser share it, so a pure
+    roundtrip cannot catch a deviation), then prove the bit lands on
+    the column the server would give it: [YEAR, TINY unsigned] packs a
+    ONE-bit bitmap whose MSB is TINY's."""
+    assert B.MYSQL_TYPE_YEAR not in B._SIGNEDNESS_TYPES
+    assert B._SIGNEDNESS_TYPES == frozenset({
+        B.MYSQL_TYPE_TINY, B.MYSQL_TYPE_SHORT, B.MYSQL_TYPE_INT24,
+        B.MYSQL_TYPE_LONG, B.MYSQL_TYPE_LONGLONG, B.MYSQL_TYPE_FLOAT,
+        B.MYSQL_TYPE_DOUBLE, B.MYSQL_TYPE_NEWDECIMAL,
+    })
+    types = [B.MYSQL_TYPE_YEAR, B.MYSQL_TYPE_TINY]
+    metas = [b"", b""]
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas, unsigned=[False, True])
+    w.rows(B.WRITE_ROWS_EVENT, 1, types, metas, [[2024, 255]])
+    # the emitted SIGNEDNESS TLV is exactly the server's: 1 bit → 1
+    # byte, MSB set (TINY unsigned); a YEAR-polluted set would emit
+    # 0x40 and real-server files would mis-sign TINY
+    raw = w.getvalue()
+    tlv = bytes([B._OPTMETA_SIGNEDNESS]) + B._lenenc(1)
+    assert tlv + b"\x80" in raw and tlv + b"\x40" not in raw
+    ev = list(B.parse_binlog_file(raw))[-1]
+    assert ev["rows"] == [[2024, 255]]
+
+
+def test_varbinary_non_utf8_payload_roundtrips_as_bytes():
+    """VARCHAR under a binary collation (VARBINARY) carries arbitrary
+    bytes; a non-UTF-8 payload must transport as raw bytes — not kill
+    the whole parse task with UnicodeDecodeError — on BOTH the 1-byte
+    and 2-byte length paths (same fallback the CHAR/BINARY path has)."""
+    types = [B.MYSQL_TYPE_VARCHAR, B.MYSQL_TYPE_VAR_STRING]
+    metas = [struct.pack("<H", 100), struct.pack("<H", 300)]
+    payload_s, payload_l = b"\xff\xfe\x00\x80", b"\x80" * 280
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas)
+    w.rows(B.WRITE_ROWS_EVENT, 1, types, metas,
+           [[payload_s, payload_l], ["plain", "text"]])
+    ev = list(B.parse_binlog_file(w.getvalue()))[-1]
+    assert ev["rows"][0] == [payload_s, payload_l]
+    assert ev["rows"][1] == ["plain", "text"]  # UTF-8 still decodes
+
+
+def test_charset_tlv_golden_layout_and_decode():
+    """DEFAULT_CHARSET(2) / COLUMN_CHARSET(3) / SIMPLE_PRIMARY_KEY(8)
+    TLVs: golden byte layout (the pair index in DEFAULT_CHARSET counts
+    over CHARACTER columns only — the same slot-alignment contract as
+    SIGNEDNESS over numeric ones) and the in-stream decode dispatch:
+    latin1 bytes (0xE9, invalid utf-8) decode as latin1, binary
+    collation transports raw bytes, utf8mb4 stays utf-8."""
+    types = [B.MYSQL_TYPE_LONGLONG,  # not a character column
+             B.MYSQL_TYPE_VARCHAR,   # latin1
+             B.MYSQL_TYPE_VARCHAR,   # utf8mb4 (the default — 2 of 3)
+             B.MYSQL_TYPE_VARCHAR]   # utf8mb4
+    metas = [b""] + [struct.pack("<H", 40)] * 3
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas,
+                charsets={1: 8, 2: 255, 3: 255}, primary_key=[0])
+    raw = w.getvalue()
+    # default = 255 (most common), one differing pair: CHAR-column
+    # index 0 (the VARCHAR at full index 1) → collation 8. 255 needs
+    # the 2-byte lenenc form (0xfc ff 00).
+    want_charset = (bytes([B._OPTMETA_DEFAULT_CHARSET]) +
+                    B._lenenc(5) + B._lenenc(255) +
+                    B._lenenc(0) + B._lenenc(8))
+    assert want_charset in raw
+    want_pk = (bytes([B._OPTMETA_SIMPLE_PRIMARY_KEY]) +
+               B._lenenc(1) + B._lenenc(0))
+    assert want_pk in raw
+    w.rows(B.WRITE_ROWS_EVENT, 1, types, metas,
+           [[7, b"caf\xe9", "café", "x"]])
+    ev = list(B.parse_binlog_file(w.getvalue()))[-1]
+    assert ev["rows"] == [[7, "café", "café", "x"]]
+    assert ev["primary_key"] == [0]
+
+    # COLUMN_CHARSET: flat per-character-column list, binary(63)
+    # transports raw bytes even when they happen to be valid utf-8
+    w2 = B.BinlogWriter()
+    w2.table_map(1, "d", "t", types, metas,
+                 charsets={1: 63, 2: 8, 3: 255},
+                 charset_format="column")
+    raw2 = w2.getvalue()
+    want_col = (bytes([B._OPTMETA_COLUMN_CHARSET]) + B._lenenc(5) +
+                B._lenenc(63) + B._lenenc(8) + B._lenenc(255))
+    assert want_col in raw2
+    w2.rows(B.WRITE_ROWS_EVENT, 1, types, metas,
+            [[7, b"plain", b"caf\xe9", "ü"]])
+    ev2 = list(B.parse_binlog_file(w2.getvalue()))[-1]
+    assert ev2["rows"] == [[7, b"plain", "café", "ü"]]
+
+    # a TEXT column is BLOB-typed with a text collation; a plain BLOB
+    # (binary collation) stays bytes
+    t3 = [B.MYSQL_TYPE_BLOB, B.MYSQL_TYPE_BLOB]
+    m3 = [bytes([2]), bytes([2])]
+    w3 = B.BinlogWriter()
+    w3.table_map(2, "d", "t2", t3, m3, charsets={0: 255, 1: 63})
+    w3.rows(B.WRITE_ROWS_EVENT, 2, t3, m3, [["héllo".encode(), b"\x00\xff"]])
+    ev3 = list(B.parse_binlog_file(w3.getvalue()))[-1]
+    assert ev3["rows"] == [["héllo", b"\x00\xff"]]
+
+    # charsets must cover every character column (alignment guard)
+    with pytest.raises(ValueError, match="cover every character"):
+        w4 = B.BinlogWriter()
+        w4.table_map(1, "d", "t", types, metas, charsets={1: 8})
+
+
+def test_generic_reader_wire_rowkey(spark, tmp_path):
+    """SIMPLE_PRIMARY_KEY drives the sink-ready salted rowkey straight
+    from the wire — same key rule as `cdc/rowkey.salted_rowkey`
+    (`HBaseRowKeyMapper.java:24-58`): md5(pk1)[0:8];pk values, UPDATE
+    keyed by the AFTER image (:39-42); a table without PK metadata
+    gets NULL (registry fallback)."""
+    import hashlib
+    from replicator_spark.sources.binlog import read_binlog_records
+
+    types = [B.MYSQL_TYPE_LONG, B.MYSQL_TYPE_VARCHAR]
+    metas = [b"", struct.pack("<H", 20)]
+    w = B.BinlogWriter()
+    w.table_map(1, "shop", "carts", types, metas,
+                col_names=["id", "item"], primary_key=[0])
+    w.rows(B.WRITE_ROWS_EVENT, 1, types, metas, [[7, "apple"]])
+    w.rows(B.UPDATE_ROWS_EVENT, 1, types, metas,
+           [([7, "apple"], [8, "pear"])])
+    # table 2: no PK metadata → NULL rowkey
+    w.table_map(2, "shop", "logs", types, metas)
+    w.rows(B.WRITE_ROWS_EVENT, 2, types, metas, [[9, "x"]])
+    (tmp_path / "binlog.000001").write_bytes(w.getvalue())
+
+    rows = read_binlog_records(spark, str(tmp_path)).collect()
+    by = {(r["table_name"], r["op"]): r for r in rows}
+    key7 = hashlib.md5(b"7").hexdigest()[:8] + ";7"
+    key8 = hashlib.md5(b"8").hexdigest()[:8] + ";8"
+    assert by[("carts", "INSERT")]["rowkey"] == key7
+    assert by[("carts", "UPDATE")]["rowkey"] == key8  # AFTER image
+    assert by[("logs", "INSERT")]["rowkey"] is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_charset_pk_roundtrip_property(data):
+    """Property: any mix of latin1/utf8mb4/binary VARCHAR columns plus
+    a PK column roundtrips through the charset TLVs — latin1-encoded
+    bytes come back as the exact str, binary as the exact bytes —
+    with SIMPLE_PRIMARY_KEY surfacing the declared key columns."""
+    n = data.draw(st.integers(min_value=1, max_value=5))
+    colls = data.draw(st.lists(
+        st.sampled_from([8, 255, 63]), min_size=n, max_size=n))
+    fmt = data.draw(st.sampled_from(["default", "column"]))
+    types = [B.MYSQL_TYPE_LONGLONG] + [B.MYSQL_TYPE_VARCHAR] * n
+    metas = [b""] + [struct.pack("<H", 120)] * n
+    charsets = {i + 1: c for i, c in enumerate(colls)}
+    rows, want = [], []
+    for k in range(data.draw(st.integers(min_value=1, max_value=3))):
+        row, wrow = [k], [k]
+        for c in colls:
+            if c == 63:
+                v = data.draw(st.binary(max_size=30))
+                row.append(v); wrow.append(v)
+            elif c == 8:
+                s = data.draw(st.text(
+                    alphabet=st.characters(min_codepoint=0x20,
+                                           max_codepoint=0xFF),
+                    max_size=30))
+                row.append(s.encode("latin1")); wrow.append(s)
+            else:
+                s = data.draw(st.text(max_size=30))
+                row.append(s.encode()); wrow.append(s)
+        rows.append(row); want.append(wrow)
+    w = B.BinlogWriter()
+    w.table_map(4, "d", "t", types, metas, charsets=charsets,
+                charset_format=fmt, primary_key=[0])
+    w.rows(B.WRITE_ROWS_EVENT, 4, types, metas, [list(r) for r in rows])
+    ev = list(B.parse_binlog_file(w.getvalue()))[-1]
+    assert ev["rows"] == want
+    assert ev["primary_key"] == [0]
 
 
 def test_full_metadata_update_images_both_mapped():
