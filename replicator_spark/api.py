@@ -153,6 +153,28 @@ Rotation map (which driver run produced each operator's green row):
   cohort (cdc appliers, sinks, time-machine interval ops, bootstrap,
   txn assembly). The remaining 33 r7-green ops (agg_*, tpch_q*,
   sim_ivfadc_topk, …) are the ROUND-13 QUEUE (registry 278 → 280).
+  Outcome: 50/50 green (CORRECTNESS_r12.json).
+- round 13 window (this file's first 50): slot 1 is the round-13
+  addition (never graded): `source_binlog_charset_rowkey` (TABLE_MAP
+  charset TLVs DEFAULT_CHARSET/COLUMN_CHARSET + SIMPLE_PRIMARY_KEY
+  through the generic any-table reader — collation-correct string
+  decode in-stream, MysqlTypeDeserializer.java:85-97's latin1-vs-utf8
+  dispatch, plus the sink-ready salted rowkey of
+  HBaseRowKeyMapper.java:24-58 produced from wire metadata alone);
+  slots 2-4 re-pin the three binlog ops whose source file changed
+  this round (charset/PK TLVs, TRANSACTION_PAYLOAD envelopes mixed
+  into the roundtrip encode, signedness-bitmap alignment fix, GTID
+  NULL-coordinate replay fix); slots 5-37 grade the ENTIRE round-12
+  verdict freshness debt — all 33 operators whose newest green row is
+  round 7 (the TPC-H block minus q12, agg cube/rollup, sim_ivfadc_
+  topk, sim_knn_classifier, temporal_range_join, topk_per_group,
+  graph_label_propagation, curate_coreset_kcenter, stream_windowed_
+  counts, stream_jsonl_sink, corpus_vocab_growth, ts_trend_ols);
+  slots 38-50 are 13 §2-critical re-pins from the 49-op r8-green
+  cohort (cdc incremental appliers + metrics, time-machine interval
+  ops, streaming joins/sessions, temporal joins, tpch_q12). The
+  remaining 36 r8-green ops are the ROUND-14 QUEUE (registry
+  280 → 281).
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -193,21 +215,75 @@ _ORACLES: dict[str, str] = {}
 # (final 31 never-graded + 19 §2-critical re-pins), then
 # previously-driver-verified blocks.
 _PRIORITY = [
-    # ======== ROUND-12 GRADING WINDOW (2 + 1 + 32 + 15) ========
-    # --- the round-12 additions (never graded): GTID-set resume
-    #     end-to-end on the wire format (deterministic-gno encode,
-    #     resume_after_gtid — BinaryLogSupplier.java:206-228's
-    #     primary checkpoint mode) and ENUM/SET packed row images
-    #     (the organisms-fixture column kinds, decode.java:144-170) ---
+    # ======== ROUND-13 GRADING WINDOW (1 + 3 + 33 + 13) ========
+    # --- the round-13 addition (never graded): charset TLVs +
+    #     SIMPLE_PRIMARY_KEY through the generic wire reader
+    #     (collation-correct strings + sink-ready salted rowkey
+    #     with NO registry — MysqlTypeDeserializer.java:85-97 +
+    #     HBaseRowKeyMapper.java:24-58 from wire metadata) ---
+    "source_binlog_charset_rowkey",
+    # --- re-pins: sources/binlog.py materially changed this
+    #     round (charset/PK TLVs, TRANSACTION_PAYLOAD envelopes
+    #     mixed into the roundtrip encode, signedness-bitmap
+    #     alignment fix, GTID NULL-coordinate replay fix) —
+    #     same-round re-pin rule ---
+    "source_binlog_roundtrip",
     "source_binlog_gtid_resume",
     "source_binlog_enum_roundtrip",
-    # --- re-pin: sources/binlog.py materially changed this round
-    #     (mapInArrow encode, spec-position checksum detection,
-    #     GTID/before-image columns) — same-round re-pin rule ---
-    "source_binlog_roundtrip",
-    # --- the full ROUND-12 QUEUE: all 32 operators whose newest
-    #     green row is round 6 (the round-11 verdict's standing
-    #     freshness debt, task #1) ---
+    # --- the full ROUND-13 QUEUE: all 33 operators whose newest
+    #     green row is round 7 (the round-12 verdict's standing
+    #     freshness debt, task #1: the TPC-H block + stragglers) ---
+    "agg_cube_orders",
+    "agg_rollup_pricing",
+    "corpus_vocab_growth",
+    "curate_coreset_kcenter",
+    "graph_label_propagation",
+    "sim_ivfadc_topk",
+    "sim_knn_classifier",
+    "stream_jsonl_sink",
+    "stream_windowed_counts",
+    "temporal_range_join",
+    "topk_per_group",
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "ts_trend_ols",
+    # --- 13 §2-critical re-pins from the 49-op r8-green cohort
+    #     (cdc appliers/metrics, time-machine interval ops,
+    #     streaming joins/sessions, temporal joins, tpch_q12) ---
+    "agg_grouping_sets",
+    "cdc_incremental_agg",
+    "cdc_ivm_join",
+    "cdc_metrics_report",
+    "tm_retention",
+    "tm_scd2_weighted",
+    "tm_timetravel_counts",
+    "stream_attribution_join",
+    "stream_enrich",
+    "stream_sessionize",
+    "temporal_asof_join",
+    "temporal_rollup",
+    "tpch_q12",
+    # ======== previously-driver-verified (latest grade r8-r12),
+    #          original rotation order preserved ========
     "tm_cells",
     "tm_asof_snapshot",
     "source_csv_roundtrip",
@@ -240,9 +316,6 @@ _PRIORITY = [
     "ts_changepoint",
     "ts_profile_topk",
     "ts_seasonality",
-    # --- 15 §2-critical re-pins from the 48-op r7-green cohort
-    #     (CDC appliers, sinks, time-machine, bootstrap, txn
-    #     assembly) — the oldest critical rows after the r6 block ---
     "cdc_apply_upsert",
     "cdc_payload_rowkey",
     "cdc_seeker_resume",
@@ -258,42 +331,6 @@ _PRIORITY = [
     "tm_compaction",
     "tm_row_history",
     "tm_scd2_intervals",
-    # ====== ROUND-13 QUEUE: the r7-green leftovers (oldest
-    #        evidence once this window grades) ======
-    "stream_jsonl_sink",
-    "sim_knn_classifier",
-    "graph_label_propagation",
-    "curate_coreset_kcenter",
-    "corpus_vocab_growth",
-    "sim_ivfadc_topk",
-    "ts_trend_ols",
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "topk_per_group",
-    "agg_rollup_pricing",
-    "agg_cube_orders",
-    "temporal_range_join",
-    "stream_windowed_counts",
-    # ====== previously-verified blocks (green rows on record) ======
     "cdc_type_decode_compat",
     "stream_schema_ddl_replay",
     "schema_history_log",
@@ -447,7 +484,6 @@ _PRIORITY = [
     "curate_ccnet_buckets",
     "sim_mmr_select",
     "stats_ols_multi",
-    "cdc_metrics_report",
     "emb_outlier_mahal",
     "corpus_dispersion_dp",
     "curate_dsir_sample",
@@ -465,21 +501,13 @@ _PRIORITY = [
     "graph_link_prediction",
     "text_mattr_diversity",
     "sim_hamming_recall",
-    "tm_timetravel_counts",
     "corpus_term_burstiness",
-    "agg_grouping_sets",
     "events_conversion_latency",
     "emb_jl_fidelity",
     "stats_wilson_ci",
     "corpus_herfindahl",
     "corpus_head_coverage",
     "ts_seasonal_outliers",
-    "stream_sessionize",
-    "stream_enrich",
-    "stream_attribution_join",
-    "tpch_q12",
-    "temporal_asof_join",
-    "temporal_rollup",
     "curate_pack_sequences",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -487,11 +515,8 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_clusters",
-    "tm_retention",
-    "cdc_incremental_agg",
-    "cdc_ivm_join",
-    "tm_scd2_weighted",
 ]
+
 
 
 def register(name: str, fn: QueryFn, sql: Optional[str] = None) -> None:

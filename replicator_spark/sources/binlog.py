@@ -93,6 +93,41 @@ UPDATE_ROWS_EVENT = 31  # v2
 DELETE_ROWS_EVENT = 32  # v2
 GTID_EVENT = 33
 PREVIOUS_GTIDS_EVENT = 35
+TRANSACTION_PAYLOAD_EVENT = 40  # 8.0.20+ compressed-txn envelope
+
+# TRANSACTION_PAYLOAD header-TLV field types and compression codes
+# (public protocol constants — libbinlogevents payload_event, mirrored
+# by mysql-binlog-connector-java's TransactionPayloadEventData)
+_PAYLOAD_HEADER_END = 0
+_PAYLOAD_SIZE_FIELD = 1
+_PAYLOAD_COMPRESSION_FIELD = 2
+_PAYLOAD_UNCOMP_SIZE_FIELD = 3
+_PAYLOAD_COMP_ZSTD = 0
+_PAYLOAD_COMP_NONE = 255
+
+
+def _zstd(compress: bool):
+    """ZSTD (de)compressor, import-gated: the server's only payload
+    compression algorithm. The sandbox ships no zstd binding, so the
+    structural envelope path (NONE) carries the tests; a real
+    binlog_transaction_compression=ON log needs `zstandard` (or the
+    3.14+ stdlib compression.zstd) installed."""
+    try:
+        import zstandard
+        return (
+            zstandard.ZstdCompressor().compress if compress
+            else zstandard.ZstdDecompressor().decompress
+        )
+    except ImportError:
+        pass
+    try:
+        from compression import zstd  # Python 3.14+
+        return zstd.compress if compress else zstd.decompress
+    except ImportError:
+        raise ValueError(
+            "ZSTD transaction payload needs the zstandard package "
+            "(binlog_transaction_compression=ON log)"
+        ) from None
 
 # column type codes (the common subset of the MySQL wire types — the
 # row-image encodings under the reference's decode table)
@@ -568,17 +603,66 @@ class BinlogWriter:
         self.server_id = server_id
         self.ts_sec = ts_sec
         self.buf = bytearray(MAGIC)
+        self._checksummed = True
         self._write_fde()
 
     def _event(self, etype: int, body: bytes) -> None:
-        size = HEADER_LEN + len(body) + 4  # + CRC32 trailer
+        trailer = 4 if self._checksummed else 0  # CRC32
+        size = HEADER_LEN + len(body) + trailer
         next_pos = len(self.buf) + size
         header = struct.pack(
             "<IBIIIH", self.ts_sec, etype, self.server_id, size,
             next_pos, 0,
         )
         ev = header + body
-        self.buf += ev + struct.pack("<I", zlib.crc32(ev) & 0xFFFFFFFF)
+        self.buf += ev
+        if self._checksummed:
+            self.buf += struct.pack("<I", zlib.crc32(ev) & 0xFFFFFFFF)
+
+    def payload_writer(self) -> "BinlogWriter":
+        """A bare inner writer for a TRANSACTION_PAYLOAD envelope:
+        no magic, no FORMAT_DESCRIPTION, no CRC32 trailers — the
+        server serializes the wrapped transaction's events exactly so
+        (checksums live on the OUTER envelope event only)."""
+        inner = BinlogWriter.__new__(BinlogWriter)
+        inner.server_id = self.server_id
+        inner.ts_sec = self.ts_sec
+        inner.buf = bytearray()
+        inner._checksummed = False
+        return inner
+
+    def transaction_payload(
+        self, inner: "BinlogWriter",
+        compression: int = _PAYLOAD_COMP_NONE,
+    ) -> None:
+        """MySQL 8.0.20+ Transaction_payload_event (type 40,
+        binlog_transaction_compression): lenenc (type, length, value)
+        header TLVs terminated by HEADER_END(0), then the wrapped
+        event stream. ZSTD(0) needs the zstandard package (import-
+        gated — the sandbox has no zstd; the format layer is what's
+        under test); NONE(255) wraps uncompressed."""
+        raw = bytes(inner.buf)
+        uncomp = len(raw)
+        if compression == _PAYLOAD_COMP_ZSTD:
+            raw = _zstd(compress=True)(raw)
+        elif compression != _PAYLOAD_COMP_NONE:
+            raise ValueError(
+                f"unsupported payload compression {compression}"
+            )
+        body = bytearray()
+        comp_v = _lenenc(compression)
+        body += (_lenenc(_PAYLOAD_COMPRESSION_FIELD)
+                 + _lenenc(len(comp_v)) + comp_v)
+        if compression != _PAYLOAD_COMP_NONE:
+            un_v = _lenenc(uncomp)
+            body += (_lenenc(_PAYLOAD_UNCOMP_SIZE_FIELD)
+                     + _lenenc(len(un_v)) + un_v)
+        size_v = _lenenc(len(raw))
+        body += (_lenenc(_PAYLOAD_SIZE_FIELD)
+                 + _lenenc(len(size_v)) + size_v)
+        body += _lenenc(_PAYLOAD_HEADER_END)
+        body += raw
+        self._event(TRANSACTION_PAYLOAD_EVENT, bytes(body))
 
     def _write_fde(self) -> None:
         body = struct.pack("<H", 4)  # binlog version
@@ -1147,6 +1231,62 @@ def _apply_table_metadata(row: list, tm: "_TableMap") -> list:
     return row
 
 
+def _unwrap_transaction_payload(body: bytes) -> list[tuple]:
+    """Transaction_payload_event body → the wrapped transaction's
+    events as (etype, ts_sec, log_pos, body) tuples. Header: lenenc
+    (type, length, value) TLVs terminated by HEADER_END(0) — unknown
+    field types skip by their length (forward compat, the same rule
+    the TABLE_MAP TLV walk uses); then `payload_size` bytes of the
+    inner stream (ZSTD-decompressed when the compression field says
+    so), each inner event a full 19-byte-header event WITHOUT a
+    checksum trailer. A nested payload is corruption, not recursion."""
+    pos = 0
+    comp = _PAYLOAD_COMP_NONE
+    payload_size = None
+    end_seen = False
+    while pos < len(body):
+        ftype, pos = _read_lenenc(body, pos)
+        if ftype == _PAYLOAD_HEADER_END:
+            end_seen = True
+            break
+        flen, pos = _read_lenenc(body, pos)
+        vstart = pos
+        if ftype == _PAYLOAD_SIZE_FIELD:
+            payload_size, _ = _read_lenenc(body, vstart)
+        elif ftype == _PAYLOAD_COMPRESSION_FIELD:
+            comp, _ = _read_lenenc(body, vstart)
+        # UNCOMP_SIZE and unknown fields: skip (length-prefixed)
+        pos = vstart + flen
+    if not end_seen:
+        raise ValueError("transaction payload missing header end mark")
+    raw = (body[pos:] if payload_size is None
+           else body[pos : pos + payload_size])
+    if payload_size is not None and len(raw) != payload_size:
+        raise ValueError("truncated transaction payload")
+    if comp == _PAYLOAD_COMP_ZSTD:
+        raw = _zstd(compress=False)(bytes(raw))
+    elif comp != _PAYLOAD_COMP_NONE:
+        raise ValueError(
+            f"unsupported transaction payload compression {comp}"
+        )
+    out: list[tuple] = []
+    p, n = 0, len(raw)
+    while p < n:
+        if n - p < HEADER_LEN:
+            raise ValueError("truncated inner event header")
+        ts_sec, etype, _sid, size, log_pos, _fl = struct.unpack_from(
+            "<IBIIIH", raw, p
+        )
+        if size < HEADER_LEN or p + size > n:
+            raise ValueError("truncated inner event body")
+        if etype == TRANSACTION_PAYLOAD_EVENT:
+            raise ValueError("nested transaction payload")
+        out.append((etype, ts_sec, log_pos,
+                    bytes(raw[p + HEADER_LEN : p + size])))
+        p += size
+    return out
+
+
 def parse_binlog_file(blob: bytes) -> Iterator[dict]:
     """Walk one binlog file; yield one dict per event:
     ``{"type", "ts_sec", "log_pos", ...}`` with per-type payload keys
@@ -1228,190 +1368,198 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
         else:
             body = ev[HEADER_LEN:]
         pos += size
-        if etype == FORMAT_DESCRIPTION_EVENT:
-            yield {"type": etype, "ts_sec": ts_sec, "log_pos": log_pos}
-        elif etype == QUERY_EVENT:
-            _tid, _exec, dblen, _err, svlen = struct.unpack_from(
-                "<IIBHH", body, 0
-            )
-            p = 13 + svlen
-            db = body[p : p + dblen].decode()
-            p += dblen + 1  # + NUL
-            yield {
-                "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
-                "db": db, "sql": body[p:].decode(),
-            }
-        elif etype == XID_EVENT:
-            yield {
-                "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
-                "xid": struct.unpack_from("<Q", body, 0)[0],
-            }
-        elif etype == PREVIOUS_GTIDS_EVENT:
-            yield {
-                "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
-                "gtids": decode_gtid_set_payload(body),
-            }
-        elif etype == GTID_EVENT:
-            ev_out = {
-                "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
-                "sid": body[1:17],
-                "gno": struct.unpack_from("<Q", body, 17)[0],
-            }
-            # 5.7+ logical clock (typecode 2 at offset 25): the
-            # (last_committed, sequence_number) pair MTS schedulers
-            # use — two txns may apply in parallel iff the later one's
-            # last_committed < the earlier one's sequence_number
-            if len(body) >= 42 and body[25] == 2:
-                lc, sn = struct.unpack_from("<qq", body, 26)
-                ev_out["last_committed"] = lc
-                ev_out["sequence_number"] = sn
-            yield ev_out
-        elif etype == ROTATE_EVENT:
-            yield {
-                "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
-                "position": struct.unpack_from("<Q", body, 0)[0],
-                "next_file": body[8:].decode(),
-            }
-        elif etype == TABLE_MAP_EVENT:
-            table_id = int.from_bytes(body[0:6], "little")
-            p = 8  # skip flags
-            dblen = body[p]; p += 1
-            db = body[p : p + dblen].decode(); p += dblen + 1
-            tblen = body[p]; p += 1
-            table = body[p : p + tblen].decode(); p += tblen + 1
-            ncols, p = _read_lenenc(body, p)
-            col_types = list(body[p : p + ncols]); p += ncols
-            metalen, p = _read_lenenc(body, p)
-            metas: list[bytes] = []
-            mp = p
-            for t in col_types:
-                ms = _meta_size(t)
-                metas.append(body[mp : mp + ms])
-                mp += ms
-            if mp - p != metalen:
-                raise ValueError("table-map metadata length mismatch")
-            p = mp + (ncols + 7) // 8  # skip the null-allowed bitmap
-            unsigned = col_names = primary_key = None
-            col_charsets: Optional[dict[int, int]] = None
-            enum_labels: dict[int, tuple] = {}
-            set_labels: dict[int, tuple] = {}
-            while p < len(body):  # optional-metadata TLVs (FULL mode)
-                tlv = body[p]; p += 1
-                ln, p = _read_lenenc(body, p)
-                payload = body[p : p + ln]
-                if p + ln > len(body):
-                    raise ValueError("truncated table-map optional metadata")
-                p += ln
-                if tlv == _OPTMETA_SIGNEDNESS:
-                    numeric = [
-                        i for i, t in enumerate(col_types)
-                        if t in _SIGNEDNESS_TYPES
-                    ]
-                    unsigned = [False] * ncols
-                    for j, i in enumerate(numeric):
-                        if payload[j // 8] & (0x80 >> (j % 8)):
-                            unsigned[i] = True
-                elif tlv == _OPTMETA_COLUMN_NAME:
-                    col_names, q = [], 0
-                    for _ in range(ncols):
-                        nln, q = _read_lenenc(payload, q)
-                        col_names.append(payload[q : q + nln].decode())
-                        q += nln
-                elif tlv in (_OPTMETA_DEFAULT_CHARSET,
-                             _OPTMETA_COLUMN_CHARSET):
-                    # both index over the CHARACTER columns only — the
-                    # same slot-alignment contract as SIGNEDNESS over
-                    # the numeric ones
-                    char_cols = [
-                        i for i, (t, m) in enumerate(zip(col_types, metas))
-                        if _is_character_col(t, m)
-                    ]
-                    col_charsets = {}
-                    if tlv == _OPTMETA_COLUMN_CHARSET:
-                        q = 0
-                        for i in char_cols:
-                            c, q = _read_lenenc(payload, q)
-                            col_charsets[i] = c
-                    else:
-                        default, q = _read_lenenc(payload, 0)
-                        overrides: dict[int, int] = {}
+        if etype == TRANSACTION_PAYLOAD_EVENT:
+            # 8.0.20+ compressed-txn envelope: splice the wrapped
+            # events into the stream in place (GTID stays outside
+            # the envelope, so coordinates attach as usual)
+            step = _unwrap_transaction_payload(body)
+        else:
+            step = ((etype, ts_sec, log_pos, body),)
+        for etype, ts_sec, log_pos, body in step:
+            if etype == FORMAT_DESCRIPTION_EVENT:
+                yield {"type": etype, "ts_sec": ts_sec, "log_pos": log_pos}
+            elif etype == QUERY_EVENT:
+                _tid, _exec, dblen, _err, svlen = struct.unpack_from(
+                    "<IIBHH", body, 0
+                )
+                p = 13 + svlen
+                db = body[p : p + dblen].decode()
+                p += dblen + 1  # + NUL
+                yield {
+                    "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
+                    "db": db, "sql": body[p:].decode(),
+                }
+            elif etype == XID_EVENT:
+                yield {
+                    "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
+                    "xid": struct.unpack_from("<Q", body, 0)[0],
+                }
+            elif etype == PREVIOUS_GTIDS_EVENT:
+                yield {
+                    "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
+                    "gtids": decode_gtid_set_payload(body),
+                }
+            elif etype == GTID_EVENT:
+                ev_out = {
+                    "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
+                    "sid": body[1:17],
+                    "gno": struct.unpack_from("<Q", body, 17)[0],
+                }
+                # 5.7+ logical clock (typecode 2 at offset 25): the
+                # (last_committed, sequence_number) pair MTS schedulers
+                # use — two txns may apply in parallel iff the later one's
+                # last_committed < the earlier one's sequence_number
+                if len(body) >= 42 and body[25] == 2:
+                    lc, sn = struct.unpack_from("<qq", body, 26)
+                    ev_out["last_committed"] = lc
+                    ev_out["sequence_number"] = sn
+                yield ev_out
+            elif etype == ROTATE_EVENT:
+                yield {
+                    "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
+                    "position": struct.unpack_from("<Q", body, 0)[0],
+                    "next_file": body[8:].decode(),
+                }
+            elif etype == TABLE_MAP_EVENT:
+                table_id = int.from_bytes(body[0:6], "little")
+                p = 8  # skip flags
+                dblen = body[p]; p += 1
+                db = body[p : p + dblen].decode(); p += dblen + 1
+                tblen = body[p]; p += 1
+                table = body[p : p + tblen].decode(); p += tblen + 1
+                ncols, p = _read_lenenc(body, p)
+                col_types = list(body[p : p + ncols]); p += ncols
+                metalen, p = _read_lenenc(body, p)
+                metas: list[bytes] = []
+                mp = p
+                for t in col_types:
+                    ms = _meta_size(t)
+                    metas.append(body[mp : mp + ms])
+                    mp += ms
+                if mp - p != metalen:
+                    raise ValueError("table-map metadata length mismatch")
+                p = mp + (ncols + 7) // 8  # skip the null-allowed bitmap
+                unsigned = col_names = primary_key = None
+                col_charsets: Optional[dict[int, int]] = None
+                enum_labels: dict[int, tuple] = {}
+                set_labels: dict[int, tuple] = {}
+                while p < len(body):  # optional-metadata TLVs (FULL mode)
+                    tlv = body[p]; p += 1
+                    ln, p = _read_lenenc(body, p)
+                    payload = body[p : p + ln]
+                    if p + ln > len(body):
+                        raise ValueError("truncated table-map optional metadata")
+                    p += ln
+                    if tlv == _OPTMETA_SIGNEDNESS:
+                        numeric = [
+                            i for i, t in enumerate(col_types)
+                            if t in _SIGNEDNESS_TYPES
+                        ]
+                        unsigned = [False] * ncols
+                        for j, i in enumerate(numeric):
+                            if payload[j // 8] & (0x80 >> (j % 8)):
+                                unsigned[i] = True
+                    elif tlv == _OPTMETA_COLUMN_NAME:
+                        col_names, q = [], 0
+                        for _ in range(ncols):
+                            nln, q = _read_lenenc(payload, q)
+                            col_names.append(payload[q : q + nln].decode())
+                            q += nln
+                    elif tlv in (_OPTMETA_DEFAULT_CHARSET,
+                                 _OPTMETA_COLUMN_CHARSET):
+                        # both index over the CHARACTER columns only — the
+                        # same slot-alignment contract as SIGNEDNESS over
+                        # the numeric ones
+                        char_cols = [
+                            i for i, (t, m) in enumerate(zip(col_types, metas))
+                            if _is_character_col(t, m)
+                        ]
+                        col_charsets = {}
+                        if tlv == _OPTMETA_COLUMN_CHARSET:
+                            q = 0
+                            for i in char_cols:
+                                c, q = _read_lenenc(payload, q)
+                                col_charsets[i] = c
+                        else:
+                            default, q = _read_lenenc(payload, 0)
+                            overrides: dict[int, int] = {}
+                            while q < len(payload):
+                                j, q = _read_lenenc(payload, q)
+                                c, q = _read_lenenc(payload, q)
+                                overrides[j] = c
+                            for j, i in enumerate(char_cols):
+                                col_charsets[i] = overrides.get(j, default)
+                    elif tlv == _OPTMETA_SIMPLE_PRIMARY_KEY:
+                        primary_key, q = [], 0
                         while q < len(payload):
-                            j, q = _read_lenenc(payload, q)
-                            c, q = _read_lenenc(payload, q)
-                            overrides[j] = c
-                        for j, i in enumerate(char_cols):
-                            col_charsets[i] = overrides.get(j, default)
-                elif tlv == _OPTMETA_SIMPLE_PRIMARY_KEY:
-                    primary_key, q = [], 0
-                    while q < len(payload):
-                        i, q = _read_lenenc(payload, q)
-                        primary_key.append(i)
-                elif tlv in (_OPTMETA_ENUM_STR, _OPTMETA_SET_STR):
-                    want = (MYSQL_TYPE_ENUM if tlv == _OPTMETA_ENUM_STR
-                            else MYSQL_TYPE_SET)
-                    cols = [
-                        i for i, t in enumerate(col_types)
-                        if t == MYSQL_TYPE_STRING
-                        and _string_real_type(metas[i]) == want
-                    ]
-                    q = 0
-                    out_labels = (enum_labels if want == MYSQL_TYPE_ENUM
-                                  else set_labels)
-                    for i in cols:
-                        n_lab, q = _read_lenenc(payload, q)
-                        labs = []
-                        for _ in range(n_lab):
-                            lln, q = _read_lenenc(payload, q)
-                            labs.append(payload[q : q + lln].decode())
-                            q += lln
-                        out_labels[i] = tuple(labs)
-                # unknown TLVs are skipped by their length
-            tmaps[table_id] = _TableMap(
-                db, table, col_types, metas,
-                unsigned=unsigned, col_names=col_names,
-                enum_labels=enum_labels, set_labels=set_labels,
-                col_charsets=col_charsets, primary_key=primary_key,
-            )
-        elif etype in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT,
-                       DELETE_ROWS_EVENT):
-            table_id = int.from_bytes(body[0:6], "little")
-            tm = tmaps.get(table_id)
-            if tm is None:
-                raise ValueError(f"rows event for unmapped table {table_id}")
-            p = 8  # skip flags
-            extra = struct.unpack_from("<H", body, p)[0]
-            p += extra  # the length includes its own 2 bytes
-            ncols, p = _read_lenenc(body, p)
-            nb = (ncols + 7) // 8
-            # present bitmaps: this decoder requires FULL row images —
-            # the reference's own hard invariant (binlog_row_image=
-            # FULL); a cleared bit (MINIMAL/NOBLOB server) would
-            # silently misalign every later value, so reject loudly
-            n_bitmaps = 2 if etype == UPDATE_ROWS_EVENT else 1
-            for _ in range(n_bitmaps):
-                bm = body[p : p + nb]
-                p += nb
-                for i in range(ncols):
-                    if not bm[i // 8] & (1 << (i % 8)):
-                        raise ValueError(
-                            "partial row images unsupported "
-                            "(binlog_row_image=FULL required)"
-                        )
-            rows = []
-            while p < len(body):
-                img, p = _decode_image(body, p, tm.decoders)
-                img = _apply_table_metadata(img, tm)
-                if etype == UPDATE_ROWS_EVENT:
-                    after, p = _decode_image(body, p, tm.decoders)
-                    rows.append((img, _apply_table_metadata(after, tm)))
-                else:
-                    rows.append(img)
-            yield {
-                "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
-                "db": tm.db, "table": tm.table, "rows": rows,
-                "col_names": tm.col_names, "primary_key": tm.primary_key,
-            }
-        # unknown types: skipped (size-based)
+                            i, q = _read_lenenc(payload, q)
+                            primary_key.append(i)
+                    elif tlv in (_OPTMETA_ENUM_STR, _OPTMETA_SET_STR):
+                        want = (MYSQL_TYPE_ENUM if tlv == _OPTMETA_ENUM_STR
+                                else MYSQL_TYPE_SET)
+                        cols = [
+                            i for i, t in enumerate(col_types)
+                            if t == MYSQL_TYPE_STRING
+                            and _string_real_type(metas[i]) == want
+                        ]
+                        q = 0
+                        out_labels = (enum_labels if want == MYSQL_TYPE_ENUM
+                                      else set_labels)
+                        for i in cols:
+                            n_lab, q = _read_lenenc(payload, q)
+                            labs = []
+                            for _ in range(n_lab):
+                                lln, q = _read_lenenc(payload, q)
+                                labs.append(payload[q : q + lln].decode())
+                                q += lln
+                            out_labels[i] = tuple(labs)
+                    # unknown TLVs are skipped by their length
+                tmaps[table_id] = _TableMap(
+                    db, table, col_types, metas,
+                    unsigned=unsigned, col_names=col_names,
+                    enum_labels=enum_labels, set_labels=set_labels,
+                    col_charsets=col_charsets, primary_key=primary_key,
+                )
+            elif etype in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT,
+                           DELETE_ROWS_EVENT):
+                table_id = int.from_bytes(body[0:6], "little")
+                tm = tmaps.get(table_id)
+                if tm is None:
+                    raise ValueError(f"rows event for unmapped table {table_id}")
+                p = 8  # skip flags
+                extra = struct.unpack_from("<H", body, p)[0]
+                p += extra  # the length includes its own 2 bytes
+                ncols, p = _read_lenenc(body, p)
+                nb = (ncols + 7) // 8
+                # present bitmaps: this decoder requires FULL row images —
+                # the reference's own hard invariant (binlog_row_image=
+                # FULL); a cleared bit (MINIMAL/NOBLOB server) would
+                # silently misalign every later value, so reject loudly
+                n_bitmaps = 2 if etype == UPDATE_ROWS_EVENT else 1
+                for _ in range(n_bitmaps):
+                    bm = body[p : p + nb]
+                    p += nb
+                    for i in range(ncols):
+                        if not bm[i // 8] & (1 << (i % 8)):
+                            raise ValueError(
+                                "partial row images unsupported "
+                                "(binlog_row_image=FULL required)"
+                            )
+                rows = []
+                while p < len(body):
+                    img, p = _decode_image(body, p, tm.decoders)
+                    img = _apply_table_metadata(img, tm)
+                    if etype == UPDATE_ROWS_EVENT:
+                        after, p = _decode_image(body, p, tm.decoders)
+                        rows.append((img, _apply_table_metadata(after, tm)))
+                    else:
+                        rows.append(img)
+                yield {
+                    "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
+                    "db": tm.db, "table": tm.table, "rows": rows,
+                    "col_names": tm.col_names, "primary_key": tm.primary_key,
+                }
+            # unknown types: skipped (size-based)
 
 
 # ---------------------------------------------------------------------------
@@ -1470,6 +1618,7 @@ def encode_binlog_file(
     records: list[tuple],
     txn_ids: Optional[list[int]] = None,
     prev_gtids: Optional[dict] = None,
+    payload_mode: str = "none",
 ) -> bytes:
     """One synthesized binlog file from (op, event_id, ts_us, user_id,
     event_type, value, props) records: the real server's transaction
@@ -1483,7 +1632,15 @@ def encode_binlog_file(
     transaction whose GTID gno IS the id (the deterministic-gno path
     `binlog_gtid_resume_query` needs, where gno must be a pure
     function of the data, not of batch position). Default: positional
-    chunks of `_TXN_ROWS` with gno counting from 1."""
+    chunks of `_TXN_ROWS` with gno counting from 1.
+
+    ``payload_mode='mixed'`` wraps every EVEN-gno transaction's
+    events (BEGIN..XID, GTID stays outside — the server's layout) in
+    a TRANSACTION_PAYLOAD envelope, interleaving 8.0.20+ compressed-
+    txn framing with plain transactions in one file. Deterministic in
+    the data, so oracle grades hold."""
+    if payload_mode not in ("none", "mixed"):
+        raise ValueError(f"unknown payload_mode {payload_mode!r}")
     w = BinlogWriter(ts_sec=records[0][2] // 1_000_000 if records else 0)
     if prev_gtids is not None:
         # real servers write PREVIOUS_GTIDS right after the FDE — the
@@ -1506,8 +1663,10 @@ def encode_binlog_file(
                 s = k
     for gno, chunk in txns:
         w.gtid(_SID, gno)
-        w.query("BEGIN")
-        w.table_map(_TABLE_ID, "testdb", "events", _EV_TYPES, _EV_METAS)
+        wrap = payload_mode == "mixed" and gno % 2 == 0
+        t = w.payload_writer() if wrap else w
+        t.query("BEGIN")
+        t.table_map(_TABLE_ID, "testdb", "events", _EV_TYPES, _EV_METAS)
         i = 0
         while i < len(chunk):  # group consecutive same-op rows
             j = i
@@ -1525,9 +1684,11 @@ def encode_binlog_file(
                 ]
             else:
                 rows = [list(r[1:]) for r in chunk[i:j]]
-            w.rows(etype, _TABLE_ID, _EV_TYPES, _EV_METAS, rows)
+            t.rows(etype, _TABLE_ID, _EV_TYPES, _EV_METAS, rows)
             i = j
-        w.xid(gno)
+        t.xid(gno)
+        if wrap:
+            w.transaction_payload(t)
     return w.getvalue()
 
 
@@ -1547,13 +1708,18 @@ def _arrow_records(batch, cols=None):
 
 def _encode_partition(batches) -> Iterator:
     """mapInArrow: each Arrow batch → one binlog file blob (real files
-    are size-rotated by the server; the batch bound plays that role)."""
+    are size-rotated by the server; the batch bound plays that role).
+    Even-gno transactions ride TRANSACTION_PAYLOAD envelopes, so the
+    headline roundtrip op exercises the 8.0.20+ compressed-txn framing
+    mixed with plain transactions — the shape of a real modern log."""
     import pyarrow as pa
 
     for batch in batches:
         if batch.num_rows == 0:
             continue
-        blob = encode_binlog_file(_arrow_records(batch))
+        blob = encode_binlog_file(
+            _arrow_records(batch), payload_mode="mixed"
+        )
         yield pa.RecordBatch.from_pydict({"data": [blob]})
 
 

@@ -1229,6 +1229,164 @@ def test_bit_widths_roundtrip():
 
 
 # ---------------------------------------------------------------------------
+# TRANSACTION_PAYLOAD envelope (8.0.20+ binlog_transaction_compression)
+# ---------------------------------------------------------------------------
+
+
+def test_transaction_payload_envelope_splices_inner_events():
+    """Type-40 envelope: lenenc TLV header (compression/size/end-mark)
+    + checksum-less inner event stream — the parser splices the
+    wrapped BEGIN/TABLE_MAP/ROWS/XID into the stream in place, so
+    GTID coordinates (written OUTSIDE the envelope, the server's
+    layout) attach to the wrapped rows exactly as to plain ones."""
+    w = B.BinlogWriter()
+    w.gtid(B._SID, 1)
+    inner = w.payload_writer()
+    inner.query("BEGIN")
+    inner.table_map(B._TABLE_ID, "testdb", "events",
+                    B._EV_TYPES, B._EV_METAS)
+    inner.rows(B.WRITE_ROWS_EVENT, B._TABLE_ID, B._EV_TYPES,
+               B._EV_METAS,
+               [[1, 1_000_000, 10, "signup", 1.0, "{}"],
+                [2, 2_000_000, 11, "click", 2.0, "{}"]])
+    inner.xid(1)
+    w.transaction_payload(inner)
+    w.gtid(B._SID, 2)  # a plain transaction after the envelope
+    w.query("BEGIN")
+    w.table_map(B._TABLE_ID, "testdb", "events",
+                B._EV_TYPES, B._EV_METAS)
+    w.rows(B.WRITE_ROWS_EVENT, B._TABLE_ID, B._EV_TYPES, B._EV_METAS,
+           [[3, 3_000_000, 12, "view", 3.0, "{}"]])
+    w.xid(2)
+
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    types = [e["type"] for e in evs]
+    assert B.TRANSACTION_PAYLOAD_EVENT not in types  # fully unwrapped
+    assert types == [B.FORMAT_DESCRIPTION_EVENT,
+                     B.GTID_EVENT, B.QUERY_EVENT, B.WRITE_ROWS_EVENT,
+                     B.XID_EVENT,
+                     B.GTID_EVENT, B.QUERY_EVENT, B.WRITE_ROWS_EVENT,
+                     B.XID_EVENT]
+    rows = [r for e in evs if e["type"] == B.WRITE_ROWS_EVENT
+            for r in e["rows"]]
+    assert [r[0] for r in rows] == [1, 2, 3]
+    # golden header check: the body opens with the COMPRESSION TLV
+    # (type 2, len 1, NONE=255-as-lenenc is 0xfc ff 00 → len 3)
+    raw = w.getvalue()
+    tlv = (bytes([B._PAYLOAD_COMPRESSION_FIELD]) + B._lenenc(3)
+           + B._lenenc(B._PAYLOAD_COMP_NONE))
+    assert tlv in raw
+
+
+def test_transaction_payload_malformed_rejects():
+    w = B.BinlogWriter()
+    inner = w.payload_writer()
+    inner.xid(1)
+    w.transaction_payload(inner)
+    good = w.getvalue()
+    assert list(B.parse_binlog_file(good))[-1]["type"] == B.XID_EVENT
+
+    # missing end mark: body truncated before HEADER_END
+    w2 = B.BinlogWriter()
+    body = (B._lenenc(B._PAYLOAD_COMPRESSION_FIELD) + B._lenenc(3)
+            + B._lenenc(B._PAYLOAD_COMP_NONE))
+    w2._event(B.TRANSACTION_PAYLOAD_EVENT, body)
+    with pytest.raises(ValueError, match="end mark"):
+        list(B.parse_binlog_file(w2.getvalue()))
+
+    # truncated inner stream vs the declared SIZE field
+    w3 = B.BinlogWriter()
+    body = (B._lenenc(B._PAYLOAD_SIZE_FIELD) + B._lenenc(1)
+            + B._lenenc(99) + B._lenenc(B._PAYLOAD_HEADER_END)
+            + b"\x00" * 10)
+    w3._event(B.TRANSACTION_PAYLOAD_EVENT, body)
+    with pytest.raises(ValueError, match="truncated"):
+        list(B.parse_binlog_file(w3.getvalue()))
+
+    # unknown compression algorithm
+    w4 = B.BinlogWriter()
+    body = (B._lenenc(B._PAYLOAD_COMPRESSION_FIELD) + B._lenenc(1)
+            + B._lenenc(7) + B._lenenc(B._PAYLOAD_HEADER_END))
+    w4._event(B.TRANSACTION_PAYLOAD_EVENT, body)
+    with pytest.raises(ValueError, match="compression"):
+        list(B.parse_binlog_file(w4.getvalue()))
+
+    # nested envelopes are corruption, not recursion
+    w5 = B.BinlogWriter()
+    outer_inner = w5.payload_writer()
+    nested = outer_inner.payload_writer()
+    nested.xid(1)
+    outer_inner.transaction_payload(nested)
+    w5.transaction_payload(outer_inner)
+    with pytest.raises(ValueError, match="nested"):
+        list(B.parse_binlog_file(w5.getvalue()))
+
+
+def test_transaction_payload_zstd_path():
+    """ZSTD(0) is the server's only real compression algorithm; the
+    sandbox has no zstd binding, so the import gate must raise the
+    actionable error — and when a binding IS present, the compressed
+    envelope must roundtrip."""
+    try:
+        import zstandard  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    w = B.BinlogWriter()
+    w.gtid(B._SID, 1)
+    inner = w.payload_writer()
+    inner.table_map(B._TABLE_ID, "testdb", "events",
+                    B._EV_TYPES, B._EV_METAS)
+    inner.rows(B.WRITE_ROWS_EVENT, B._TABLE_ID, B._EV_TYPES,
+               B._EV_METAS, [[1, 1_000_000, 10, "signup", 1.0, "{}"]])
+    if have:
+        w.transaction_payload(inner, compression=B._PAYLOAD_COMP_ZSTD)
+        rows = [r for e in B.parse_binlog_file(w.getvalue())
+                if e["type"] == B.WRITE_ROWS_EVENT for r in e["rows"]]
+        assert rows == [[1, 1_000_000, 10, "signup", 1.0, "{}"]]
+    else:
+        with pytest.raises(ValueError, match="zstandard"):
+            w.transaction_payload(
+                inner, compression=B._PAYLOAD_COMP_ZSTD
+            )
+
+
+def test_encode_binlog_file_mixed_payload_mode():
+    """payload_mode='mixed' wraps even-gno transactions; the decoded
+    row stream and GTID coordinates are IDENTICAL to the plain
+    encoding — the envelope is transport framing, not semantics."""
+    recs = [("INSERT", i, i * 1_000_000, 10, "signup", float(i), "{}")
+            for i in range(1, 200)]  # txns 1,2,3,4 at _TXN_ROWS=64
+    plain = B.encode_binlog_file(recs)
+    mixed = B.encode_binlog_file(recs, payload_mode="mixed")
+    assert any(e["type"] == B.TRANSACTION_PAYLOAD_EVENT
+               for e in _raw_event_types(mixed))
+
+    def decoded(blob):
+        out = []
+        gno = None
+        for e in B.parse_binlog_file(blob):
+            if e["type"] == B.GTID_EVENT:
+                gno = e["gno"]
+            elif e["type"] == B.WRITE_ROWS_EVENT:
+                out.extend((gno, tuple(r)) for r in e["rows"])
+        return out
+
+    assert decoded(mixed) == decoded(plain)
+
+
+def _raw_event_types(blob):
+    """Header-walk the raw file (no unwrap) to see envelope framing."""
+    pos, out = 4, []
+    while pos < len(blob):
+        ts, etype, sid, size, lp, fl = struct.unpack_from(
+            "<IBIIIH", blob, pos)
+        out.append({"type": etype})
+        pos += size
+    return out
+
+
+# ---------------------------------------------------------------------------
 # corruption fuzz: ANY single corrupted byte must raise, never return
 # silently-wrong rows (CRC trailers + framing cover the whole file)
 # ---------------------------------------------------------------------------
@@ -1240,7 +1398,10 @@ def test_any_single_byte_corruption_raises(data):
     recs = [("INSERT", 1, 5_000_000, 10, "signup", 1.0, "{}"),
             ("UPDATE", 2, 6_000_000, 11, "click", 2.0, '{"k":1}'),
             ("DELETE", 3, 7_000_000, 12, "error", 3.0, "{}")]
-    blob = bytearray(B.encode_binlog_file(recs))
+    mode = data.draw(st.sampled_from(["none", "mixed"]))
+    txn_ids = [1, 2, 2] if mode == "mixed" else None  # force a wrap
+    blob = bytearray(B.encode_binlog_file(
+        recs, txn_ids=txn_ids, payload_mode=mode))
     idx = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
     mask = data.draw(st.integers(min_value=1, max_value=255))
     blob[idx] ^= mask
