@@ -1386,6 +1386,68 @@ def _raw_event_types(blob):
     return out
 
 
+def test_generic_and_typed_readers_agree(spark, tmp_path):
+    """The generic schema-on-read reader (`read_binlog_records`) and
+    the typed events reader (`read_binlog_files`) must agree
+    row-for-row on the SAME file set — same (source_file, log_pos,
+    row_seq) coordinates, same GTID coordinates, same op, same
+    after-image payload, and the SAME UPDATE wire before-image — so
+    the two paths cannot drift. The fixture mixes INSERT/UPDATE/DELETE
+    across two files, with TRANSACTION_PAYLOAD envelopes on even-gno
+    transactions (both readers must unwrap identically)."""
+    import json
+
+    from replicator_spark.sources.binlog import (
+        read_binlog_files,
+        read_binlog_records,
+    )
+
+    recs1 = [("INSERT", 1, 5_000_000, 10, "signup", 1.0, "{}"),
+             ("UPDATE", 2, 6_000_000, 11, "click", 2.5, '{"k":1}'),
+             ("DELETE", 3, 7_000_000, 12, "error", 3.0, "{}"),
+             ("UPDATE", 4, 8_000_000, 13, "view", 4.5, '{"x":2}')]
+    recs2 = [("UPDATE", 5, 9_000_000, 14, "scroll", 5.5, "{}"),
+             ("INSERT", 6, 9_500_000, 15, "signup", 6.0, "{}")]
+    (tmp_path / "binlog.000001").write_bytes(
+        B.encode_binlog_file(recs1, txn_ids=[1, 2, 2, 3],
+                             payload_mode="mixed"))
+    (tmp_path / "binlog.000002").write_bytes(
+        B.encode_binlog_file(recs2, txn_ids=[4, 4],
+                             payload_mode="mixed"))
+
+    typed = {
+        (r["source_file"], r["log_pos"], r["row_seq"]): r
+        for r in read_binlog_files(spark, str(tmp_path)).collect()
+    }
+    generic = {
+        (r["source_file"], r["log_pos"], r["row_seq"]): r
+        for r in read_binlog_records(spark, str(tmp_path)).collect()
+    }
+    assert set(typed) == set(generic) and len(typed) == 6
+    for key, t in typed.items():
+        g = generic[key]
+        assert g["db"] == "testdb" and g["table_name"] == "events"
+        assert g["op"] == t["op"]
+        assert (g["gtid_uuid"], g["gtid_seq"]) == (
+            t["gtid_uuid"], t["gtid_seq"])
+        rec = json.loads(g["record"])  # positional c0..c5 (no names)
+        assert rec["c0"] == t["event_id"]
+        assert rec["c1"] == t["ts_us"]
+        assert rec["c2"] == t["user_id"]
+        assert rec["c3"] == t["event_type"]
+        assert rec["c4"] == t["value"]
+        assert rec["c5"] == t["props"]
+        if t["op"] == "UPDATE":
+            before = json.loads(g["before"])
+            assert before["c4"] == t["value_before_wire"]
+            assert before["c5"] == t["props_before_wire"]
+            # the synthesized before-image zeroes value/props
+            assert before["c4"] == 0.0 and before["c5"] == "{}"
+        else:
+            assert g["before"] is None
+            assert t["value_before_wire"] is None
+
+
 # ---------------------------------------------------------------------------
 # corruption fuzz: ANY single corrupted byte must raise, never return
 # silently-wrong rows (CRC trailers + framing cover the whole file)
