@@ -12,7 +12,8 @@ dominated by fixed overhead at this size) is the pass signal; a ratio
 far ABOVE R flags superlinear behavior — a plan that would not survive
 the 100 TB target. Usage:
 
-    python tools/scale_smoke.py [R] [sf_dir] [--fixed-users|--fixed-dups]
+    python tools/scale_smoke.py [R] [sf_dir]
+                                [--fixed-users|--fixed-dups|--mode=unique-neardup]
                                 [--only=name1,name2,...]
 
 --only restricts the slate to the named operators (after any
@@ -37,16 +38,20 @@ operators quadratic pair growth their real-scale profile would not
 see (the round-5 verdict's `multimodal_phash_dedup` finding). The
 slate narrows to the content-hash dedup ops.
 
-CAVEAT (round-12 profile, artifacts/profile_phash_r12.json): the tag
-holds duplicate density fixed only for hashes that read the WHOLE
-text (md5, shingles). A sparse PERCEPTUAL hash (multimodal_phash_
-dedup's 72-sample strided dHash) cannot see an O(1)-length suffix on
-long docs, so replicas r>=1 (all sharing length n+5) remain dhash
-twins of each other — true near-dup pair output grows ~R² by
-CONSTRUCTION of the replica, and the op's ~R runtime against that R²
-output (band + star-cap bounds) is the property under test, not a
-defect. Read this op's fixed-dups ratio as "runtime vs R× corpus
-carrying R× denser perceptual twins".
+--mode=unique-neardup rewrites a character class per replica
+THROUGHOUT the document body ('e' → 'q<r>'), so replicas are distinct
+to ANY content hash — including sparse strided/perceptual hashes that
+cannot see --fixed-dups' O(1) suffix tag — while each replica keeps
+the source corpus's internal duplicate and near-dup structure (a
+deterministic rewrite maps dup pairs to dup pairs). This is the
+DEFAULT replica for the perceptual-hash ops (PERCEPTUAL_SLATE) in the
+grow-users run, retiring the round-12 caveat: under --fixed-dups,
+replicas of a long doc remained dhash twins of each other, so
+multimodal_phash_dedup's true-pair output grew ~R² by construction of
+the replica (the adjudicated 13.8× harness artifact,
+artifacts/profile_phash_r12.json) — a density profile no real corpus
+shows. The fixed-dups mode remains the right profile for whole-text
+hashes (md5, shingles), which read the tag.
 
 Writes nothing outside a temp dir; testdata is read-only.
 """
@@ -236,18 +241,39 @@ FIXED_USER_SLATE = [
 ]
 
 # content-hash dedup ops whose scale risk is bucket growth, not row
-# count — the --fixed-dups slate
+# count — the --fixed-dups / --mode=unique-neardup slate
 FIXED_DUPS_SLATE = [
     "multimodal_phash_dedup",
     "dedup_exact",
     "dedup_minhash_lsh",
 ]
 
+# perceptual-hash ops: a sparse strided hash cannot see the fixed-dups
+# suffix tag, so their DEFAULT replica is unique-neardup (whole-body
+# per-replica rewrite — replicas are perceptually distinct, the
+# within-replica duplicate/near-dup structure of the source corpus is
+# preserved). Round-12 verdict task #6.
+PERCEPTUAL_SLATE = [
+    "multimodal_phash_dedup",
+]
+
 
 def build_replica(
     spark, sf_dir: str, out_dir: str, r_factor: int,
-    fixed_dups: bool = False, tables=None,
+    doc_mode: str = "plain", tables=None,
 ) -> None:
+    """doc_mode governs how DOCUMENT text differs across replicas:
+    'plain' R-plicates identical content (hash buckets inflate R×);
+    'fixed-dups' appends an O(1) per-replica suffix tag (whole-text
+    hashes see distinct replicas; sparse perceptual hashes do NOT);
+    'unique-neardup' rewrites a character class per replica
+    throughout the body ('e' → 'q<r>'), so replicas are distinct to
+    ANY content hash — including strided/perceptual ones — while each
+    replica keeps the source corpus's internal duplicate and near-dup
+    structure (the same rewrite maps dup pairs to dup pairs): the
+    duplicate DENSITY a real corpus keeps as it grows."""
+    if doc_mode not in ("plain", "fixed-dups", "unique-neardup"):
+        raise SystemExit(f"unknown doc_mode {doc_mode!r}")
     for table, (keys, ts_col) in OFFSETS.items():
         if tables is not None and table not in tables:
             continue
@@ -268,14 +294,21 @@ def build_replica(
                 p = p.withColumn(
                     ts_col, F.col(ts_col) + F.lit(r * TS_OFFSET_NS)
                 )
-            if fixed_dups and table == "documents" and r:
-                # per-replica tag: replicas are mutually distinct
-                # content (no cross-replica hash/shingle collisions),
-                # within-replica duplicate structure preserved —
-                # duplicate density stays that of the source corpus
-                p = p.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" qr{r}z"))
-                ).withColumn("n_chars", F.length("text"))
+            if doc_mode != "plain" and table == "documents" and r:
+                if doc_mode == "fixed-dups":
+                    # per-replica tag: replicas are mutually distinct
+                    # to whole-text hashes, within-replica duplicate
+                    # structure preserved
+                    p = p.withColumn(
+                        "text",
+                        F.concat(F.col("text"), F.lit(f" qr{r}z")),
+                    )
+                else:  # unique-neardup: whole-body rewrite
+                    p = p.withColumn(
+                        "text",
+                        F.regexp_replace("text", "e", f"q{r}"),
+                    )
+                p = p.withColumn("n_chars", F.length("text"))
             parts.append(p)
         out = parts[0]
         for p in parts[1:]:
@@ -316,6 +349,10 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     fixed_users = "--fixed-users" in sys.argv[1:]
     fixed_dups = "--fixed-dups" in sys.argv[1:]
+    mode_args = [a for a in sys.argv[1:] if a.startswith("--mode=")]
+    neardup = bool(mode_args) and mode_args[-1] == "--mode=unique-neardup"
+    if mode_args and not neardup:
+        raise SystemExit(f"unknown --mode (try unique-neardup)")
     r_factor = int(args[0]) if len(args) > 0 else 10
     sf_dir = (
         args[1]
@@ -327,7 +364,7 @@ def main() -> None:
         slate = FIXED_USER_SLATE
         # history grows R×, user population doesn't
         OFFSETS["events"] = (["event_id"], "ts")
-    elif fixed_dups:
+    elif fixed_dups or neardup:
         slate = FIXED_DUPS_SLATE
     only = [a for a in sys.argv[1:] if a.startswith("--only=")]
     if only:
@@ -348,37 +385,61 @@ def main() -> None:
 
     queries = api.queries()
     base = tempfile.mkdtemp(prefix="scale_smoke_")
-    fd_base = None
+    side_bases: list[str] = []
+
+    def side_replica(doc_mode: str) -> str:
+        """A documents-only replica in the given mode, other tables
+        symlinked from the grow-users base."""
+        d = tempfile.mkdtemp(prefix=f"scale_smoke_{doc_mode[:4]}_")
+        side_bases.append(d)
+        build_replica(spark, sf_dir, d, r_factor,
+                      doc_mode=doc_mode, tables=("documents",))
+        for entry in os.listdir(base):
+            dst = os.path.join(d, entry)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(base, entry), dst)
+        return d
+
     try:
-        build_replica(spark, sf_dir, base, r_factor, fixed_dups)
-        # Self-documenting dedup ratios (round-9 verdict item #6): in
-        # the default grow-users mode, the content-hash dedup ops are
-        # timed against a FIXED-DUPS documents replica instead — the
-        # grow-users replica R-plicates identical text, inflating every
-        # hash bucket R× (a duplicate-density increase no real corpus
-        # shows), which used to re-flag multimodal_phash_dedup every
-        # closing sweep until someone remembered the --fixed-dups
-        # re-pin. Other tables are shared via symlink.
+        build_replica(
+            spark, sf_dir, base, r_factor,
+            doc_mode=(
+                "unique-neardup" if neardup
+                else "fixed-dups" if fixed_dups else "plain"
+            ),
+        )
+        # Self-documenting dedup ratios (round-9 verdict item #6,
+        # refined by round-12 #6): in the default grow-users mode the
+        # content-hash dedup ops are timed against a FIXED-DUPS
+        # documents replica (grow-users R-plicates identical text,
+        # inflating every hash bucket R× — a duplicate-density
+        # increase no real corpus shows), and the PERCEPTUAL-hash ops
+        # against a UNIQUE-NEARDUP replica (a sparse strided hash
+        # cannot see the suffix tag, so fixed-dups replicas stay
+        # perceptual twins and true-pair output grows ~R² by
+        # construction — the retired 13.8× harness artifact).
         dir_overrides: dict[str, str] = {}
         replica_mode: dict[str, str] = {}
         if (
             not fixed_users
             and not fixed_dups
+            and not neardup
             and any(n in slate for n in FIXED_DUPS_SLATE)
         ):
-            fd_base = tempfile.mkdtemp(prefix="scale_smoke_fd_")
-            build_replica(
-                spark, sf_dir, fd_base, r_factor,
-                fixed_dups=True, tables=("documents",),
+            fd_base = side_replica("fixed-dups")
+            nd_base = (
+                side_replica("unique-neardup")
+                if any(n in slate for n in PERCEPTUAL_SLATE)
+                else None
             )
-            for entry in os.listdir(base):
-                dst = os.path.join(fd_base, entry)
-                if not os.path.exists(dst):
-                    os.symlink(os.path.join(base, entry), dst)
             for name in FIXED_DUPS_SLATE:
                 if name in slate:
-                    dir_overrides[name] = fd_base
-                    replica_mode[name] = "fixed-dups"
+                    if name in PERCEPTUAL_SLATE:
+                        dir_overrides[name] = nd_base
+                        replica_mode[name] = "unique-neardup"
+                    else:
+                        dir_overrides[name] = fd_base
+                        replica_mode[name] = "fixed-dups"
         # warm-up JIT/scan caches so 1x isn't charged the startup cost
         time_slate(spark, queries, sf_dir, slate)
         t1 = time_slate(spark, queries, sf_dir, slate)
@@ -401,7 +462,9 @@ def main() -> None:
                 {
                     "metric": "scale_smoke",
                     "mode": ("fixed-users" if fixed_users else
-                             "fixed-dups" if fixed_dups else "grow-users"),
+                             "fixed-dups" if fixed_dups else
+                             "unique-neardup" if neardup else
+                             "grow-users"),
                     "r_factor": r_factor,
                     "sf_dir": sf_dir,
                     "queries": report,
@@ -415,8 +478,8 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-        if fd_base:
-            shutil.rmtree(fd_base, ignore_errors=True)
+        for d in side_bases:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":
