@@ -169,8 +169,9 @@ HEADLINE = [
     # round-12 additions (first round on the slate)
     "source_binlog_gtid_resume",
     "source_binlog_enum_roundtrip",
-    # round-13 addition (first round on the slate)
+    # round-13 additions (first round on the slate)
     "source_binlog_charset_rowkey",
+    "source_binlog_partial_json",
 ]
 
 

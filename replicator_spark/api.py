@@ -154,27 +154,30 @@ Rotation map (which driver run produced each operator's green row):
   txn assembly). The remaining 33 r7-green ops (agg_*, tpch_q*,
   sim_ivfadc_topk, …) are the ROUND-13 QUEUE (registry 278 → 280).
   Outcome: 50/50 green (CORRECTNESS_r12.json).
-- round 13 window (this file's first 50): slot 1 is the round-13
-  addition (never graded): `source_binlog_charset_rowkey` (TABLE_MAP
+- round 13 window (this file's first 50): slots 1-2 are the round-13
+  additions (never graded): `source_binlog_charset_rowkey` (TABLE_MAP
   charset TLVs DEFAULT_CHARSET/COLUMN_CHARSET + SIMPLE_PRIMARY_KEY
   through the generic any-table reader — collation-correct string
   decode in-stream, MysqlTypeDeserializer.java:85-97's latin1-vs-utf8
   dispatch, plus the sink-ready salted rowkey of
-  HBaseRowKeyMapper.java:24-58 produced from wire metadata alone);
-  slots 2-4 re-pin the three binlog ops whose source file changed
+  HBaseRowKeyMapper.java:24-58 produced from wire metadata alone) and
+  `source_binlog_partial_json` (8.0.3+ binlog_row_value_options:
+  PARTIAL_UPDATE_ROWS_EVENT JSON-diff after-images reconstructed
+  against the before image through the JSONB codec);
+  slots 3-5 re-pin the three binlog ops whose source file changed
   this round (charset/PK TLVs, TRANSACTION_PAYLOAD envelopes mixed
   into the roundtrip encode, signedness-bitmap alignment fix, GTID
-  NULL-coordinate replay fix); slots 5-37 grade the ENTIRE round-12
+  NULL-coordinate replay fix); slots 6-38 grade the ENTIRE round-12
   verdict freshness debt — all 33 operators whose newest green row is
   round 7 (the TPC-H block minus q12, agg cube/rollup, sim_ivfadc_
   topk, sim_knn_classifier, temporal_range_join, topk_per_group,
   graph_label_propagation, curate_coreset_kcenter, stream_windowed_
   counts, stream_jsonl_sink, corpus_vocab_growth, ts_trend_ols);
-  slots 38-50 are 13 §2-critical re-pins from the 49-op r8-green
+  slots 39-50 are 12 §2-critical re-pins from the 49-op r8-green
   cohort (cdc incremental appliers + metrics, time-machine interval
-  ops, streaming joins/sessions, temporal joins, tpch_q12). The
-  remaining 36 r8-green ops are the ROUND-14 QUEUE (registry
-  280 → 281).
+  ops, streaming joins/sessions, temporal joins; tpch_q12 displaced
+  to the round-14 queue head by addition #2). The remaining 37
+  r8-green ops are the ROUND-14 QUEUE (registry 280 → 282).
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -222,6 +225,11 @@ _PRIORITY = [
     #     with NO registry — MysqlTypeDeserializer.java:85-97 +
     #     HBaseRowKeyMapper.java:24-58 from wire metadata) ---
     "source_binlog_charset_rowkey",
+    # --- the second round-13 addition (never graded): PARTIAL_JSON
+    #     row-value options — PARTIAL_UPDATE_ROWS_EVENT JSON-diff
+    #     after-images reconstructed against the before image through
+    #     the JSONB codec (8.0.3+ binlog_row_value_options) ---
+    "source_binlog_partial_json",
     # --- re-pins: sources/binlog.py materially changed this
     #     round (charset/PK TLVs, TRANSACTION_PAYLOAD envelopes
     #     mixed into the roundtrip encode, signedness-bitmap
@@ -281,9 +289,11 @@ _PRIORITY = [
     "stream_sessionize",
     "temporal_asof_join",
     "temporal_rollup",
-    "tpch_q12",
     # ======== previously-driver-verified (latest grade r8-r12),
-    #          original rotation order preserved ========
+    #          original rotation order preserved; tpch_q12 displaced
+    #          to the round-14 queue head by the second round-13
+    #          addition ========
+    "tpch_q12",
     "tm_cells",
     "tm_asof_snapshot",
     "source_csv_roundtrip",

@@ -1386,6 +1386,101 @@ def _raw_event_types(blob):
     return out
 
 
+def test_partial_update_rows_reconstructs_after_image():
+    """PARTIAL_UPDATE_ROWS_EVENT (type 39, binlog_row_value_options=
+    PARTIAL_JSON): the after-image's JSON diff vector (REPLACE /
+    INSERT / REMOVE with $-rooted paths) reconstructs the FULL after
+    document against the before image — byte-for-byte what a
+    full-image UPDATE of the same state decodes to (MySQL key order,
+    same scalar forms). Non-JSON cells and a second, root-replaced
+    JSON column ride the same row."""
+    import json
+    import struct as _s
+
+    types = [B.MYSQL_TYPE_LONGLONG, B.MYSQL_TYPE_JSON,
+             B.MYSQL_TYPE_JSON, B.MYSQL_TYPE_VARCHAR]
+    metas = [b"", bytes([4]), bytes([4]), _s.pack("<H", 20)]
+    before1 = {"a": 1, "tags": ["x", "y"], "deep": {"k": [1, 2]}}
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas)
+    w.partial_update_rows(1, types, metas, [
+        ([7, before1, {"n": 5}, "s"],
+         [7, None, None, "s2"],
+         {1: [(B._JSON_DIFF_REPLACE, "$.a", 42),
+              (B._JSON_DIFF_INSERT, "$.tags[1]", "mid"),
+              (B._JSON_DIFF_REMOVE, "$.deep.k[0]", None),
+              (B._JSON_DIFF_INSERT, "$.b", {"new": True})],
+          2: [(B._JSON_DIFF_REPLACE, "$", [1, 2, 3])]}),
+    ])
+    ev = list(B.parse_binlog_file(w.getvalue()))[-1]
+    assert ev["type"] == B.PARTIAL_UPDATE_ROWS_EVENT
+    (b, a), = ev["rows"]
+    assert json.loads(a[1]) == {
+        "a": 42, "tags": ["x", "mid", "y"], "deep": {"k": [2]},
+        "b": {"new": True},
+    }
+    assert json.loads(a[2]) == [1, 2, 3]
+    assert a[0] == 7 and a[3] == "s2"
+    # byte parity with a FULL-image update of the same end state
+    w2 = B.BinlogWriter()
+    w2.table_map(1, "d", "t", types, metas)
+    w2.rows(B.UPDATE_ROWS_EVENT, 1, types, metas, [
+        ([7, before1, {"n": 5}, "s"],
+         [7, {"a": 42, "tags": ["x", "mid", "y"], "deep": {"k": [2]},
+              "b": {"new": True}}, [1, 2, 3], "s2"]),
+    ])
+    (b2, a2), = list(B.parse_binlog_file(w2.getvalue()))[-1]["rows"]
+    assert a2 == a and b2 == b
+
+
+def test_partial_update_inapplicable_diff_rejects():
+    """The server validated every diff when it applied it — an
+    inapplicable diff (missing member, bad path, REMOVE of the root)
+    is stream corruption and must raise, never guess."""
+    types = [B.MYSQL_TYPE_LONGLONG, B.MYSQL_TYPE_JSON]
+    metas = [b"", bytes([4])]
+
+    def one(diffs, before=None):
+        w = B.BinlogWriter()
+        w.table_map(1, "d", "t", types, metas)
+        w.partial_update_rows(1, types, metas, [
+            ([1, before if before is not None else {"a": 1}],
+             [1, None], {1: diffs})])
+        return w.getvalue()
+
+    with pytest.raises(ValueError, match="inapplicable"):
+        list(B.parse_binlog_file(
+            one([(B._JSON_DIFF_REPLACE, "$.missing", 9)])))
+    with pytest.raises(ValueError, match="inapplicable"):
+        list(B.parse_binlog_file(
+            one([(B._JSON_DIFF_REMOVE, "$.b[3]", None)],
+                before={"b": [1]})))
+    with pytest.raises(ValueError, match="root"):
+        list(B.parse_binlog_file(
+            one([(B._JSON_DIFF_REMOVE, "$", None)])))
+    with pytest.raises(ValueError, match="path"):
+        list(B.parse_binlog_file(
+            one([(B._JSON_DIFF_REPLACE, "a.b", 1)])))
+    # diffs on a non-JSON column are a writer-side error
+    with pytest.raises(ValueError, match="non-JSON"):
+        w = B.BinlogWriter()
+        w.table_map(1, "d", "t", types, metas)
+        w.partial_update_rows(1, types, metas,
+                              [([1, {}], [1, None], {0: []})])
+
+
+def test_json_path_segments_grammar():
+    f = B._json_path_segments
+    assert f("$") == []
+    assert f("$.a.b") == ["a", "b"]
+    assert f("$[0][12]") == [0, 12]
+    assert f('$."spaced key".x[3]') == ["spaced key", "x", 3]
+    with pytest.raises(ValueError):
+        f("$..a")
+    with pytest.raises(ValueError):
+        f("x.a")
+
+
 def test_generic_and_typed_readers_agree(spark, tmp_path):
     """The generic schema-on-read reader (`read_binlog_records`) and
     the typed events reader (`read_binlog_files`) must agree

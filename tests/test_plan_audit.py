@@ -346,9 +346,11 @@ _SCAN_CEILINGS = {
     # exchange for the deterministic-gno file layout
     "source_binlog_gtid_resume": 1,
     "source_binlog_enum_roundtrip": 1,
-    # round-13 addition: one customer pass through the FULL-metadata
-    # wire codec (charset TLVs + PK rowkey, encode → generic reader)
+    # round-13 additions: one source pass each through the wire codec
+    # (charset TLVs + PK rowkey via the generic reader; PARTIAL_JSON
+    # diff reconstruction)
     "source_binlog_charset_rowkey": 1,
+    "source_binlog_partial_json": 1,
 }
 
 
