@@ -176,6 +176,9 @@ _OPTMETA_COLUMN_NAME = 4
 _OPTMETA_SET_STR = 5
 _OPTMETA_ENUM_STR = 6
 _OPTMETA_SIMPLE_PRIMARY_KEY = 8
+_OPTMETA_PRIMARY_KEY_WITH_PREFIX = 9
+_OPTMETA_ENUM_AND_SET_DEFAULT_CHARSET = 10
+_OPTMETA_ENUM_AND_SET_COLUMN_CHARSET = 11
 
 # collation-id → python text codec for the charset TLVs (the server's
 # collation numbers are public protocol constants). 63 = the `binary`
@@ -748,6 +751,8 @@ class BinlogWriter:
         charsets: Optional[dict] = None,
         charset_format: str = "default",
         primary_key: Optional[list[int]] = None,
+        primary_key_prefix: Optional[dict] = None,
+        enumset_charsets: Optional[dict] = None,
     ) -> None:
         """Optional binlog_row_metadata=FULL TLVs (8.0.1+ servers):
         ``unsigned`` is a per-COLUMN bool list (bits packed over the
@@ -760,7 +765,11 @@ class BinlogWriter:
         pairs — or, with ``charset_format='column'``, as
         COLUMN_CHARSET's flat per-char-column list: both server
         layouts), ``primary_key`` lists PK column indexes in key order
-        (SIMPLE_PRIMARY_KEY)."""
+        (SIMPLE_PRIMARY_KEY — or PRIMARY_KEY_WITH_PREFIX when
+        ``primary_key_prefix`` maps any key column to a prefix
+        length), ``enumset_charsets`` maps ENUM/SET column index →
+        collation id governing the LABEL text in TLVs 5/6
+        (ENUM_AND_SET_DEFAULT_CHARSET layout)."""
         body = table_id.to_bytes(6, "little") + struct.pack("<H", 0)
         dbb, tbb = db.encode(), table.encode()
         body += bytes([len(dbb)]) + dbb + b"\x00"
@@ -833,13 +842,45 @@ class BinlogWriter:
                     )
                 labels = labels_by_col[i]
                 payload += _lenenc(len(labels))
+                lab_codec = (
+                    _collation_codec((enumset_charsets or {}).get(i))
+                    or "latin1"
+                )
                 for lab in labels:
-                    enc = lab.encode()
+                    enc = lab.encode(lab_codec)
                     payload += _lenenc(len(enc)) + enc
             body += bytes([tlv]) + _lenenc(len(payload)) + payload
         if primary_key is not None:
-            payload = b"".join(_lenenc(i) for i in primary_key)
-            body += bytes([_OPTMETA_SIMPLE_PRIMARY_KEY])
+            if primary_key_prefix:
+                payload = b"".join(
+                    _lenenc(i) + _lenenc(primary_key_prefix.get(i, 0))
+                    for i in primary_key
+                )
+                body += bytes([_OPTMETA_PRIMARY_KEY_WITH_PREFIX])
+            else:
+                payload = b"".join(_lenenc(i) for i in primary_key)
+                body += bytes([_OPTMETA_SIMPLE_PRIMARY_KEY])
+            body += _lenenc(len(payload)) + payload
+        if enumset_charsets is not None:
+            es_cols = [
+                i for i, (t, m) in enumerate(zip(col_types, col_metas))
+                if t == MYSQL_TYPE_STRING
+                and _string_real_type(m) in (MYSQL_TYPE_ENUM,
+                                             MYSQL_TYPE_SET)
+            ]
+            missing = [i for i in es_cols if i not in enumset_charsets]
+            if missing:
+                raise ValueError(
+                    f"enumset_charsets must cover every ENUM/SET "
+                    f"column; missing {missing}"
+                )
+            colls = [enumset_charsets[i] for i in es_cols]
+            default = max(set(colls), key=colls.count) if colls else 0
+            payload = _lenenc(default)
+            for j, c in enumerate(colls):
+                if c != default:
+                    payload += _lenenc(j) + _lenenc(c)
+            body += bytes([_OPTMETA_ENUM_AND_SET_DEFAULT_CHARSET])
             body += _lenenc(len(payload)) + payload
         self._event(TABLE_MAP_EVENT, body)
 
@@ -1411,12 +1452,12 @@ def _decode_partial_image(
 class _TableMap:
     __slots__ = ("db", "table", "col_types", "col_metas", "decoders",
                  "unsigned", "col_names", "enum_labels", "set_labels",
-                 "col_charsets", "primary_key")
+                 "col_charsets", "primary_key", "pk_prefix")
 
     def __init__(self, db, table, col_types, col_metas,
                  unsigned=None, col_names=None,
                  enum_labels=None, set_labels=None,
-                 col_charsets=None, primary_key=None):
+                 col_charsets=None, primary_key=None, pk_prefix=None):
         self.db, self.table = db, table
         self.col_types, self.col_metas = col_types, col_metas
         self.decoders = _compile_decoders(
@@ -1428,6 +1469,7 @@ class _TableMap:
         self.set_labels = set_labels or {}
         self.col_charsets = col_charsets  # col idx -> collation, or None
         self.primary_key = primary_key    # PK col indexes, or None
+        self.pk_prefix = pk_prefix or {}  # PK col idx -> prefix length
 
 
 def _apply_table_metadata(row: list, tm: "_TableMap") -> list:
@@ -1669,6 +1711,10 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                 col_charsets: Optional[dict[int, int]] = None
                 enum_labels: dict[int, tuple] = {}
                 set_labels: dict[int, tuple] = {}
+                raw_enum_labels: dict[int, tuple] = {}
+                raw_set_labels: dict[int, tuple] = {}
+                enumset_charsets: dict[int, int] = {}
+                pk_prefix: dict[int, int] = {}
                 while p < len(body):  # optional-metadata TLVs (FULL mode)
                     tlv = body[p]; p += 1
                     ln, p = _read_lenenc(body, p)
@@ -1720,6 +1766,44 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                         while q < len(payload):
                             i, q = _read_lenenc(payload, q)
                             primary_key.append(i)
+                    elif tlv == _OPTMETA_PRIMARY_KEY_WITH_PREFIX:
+                        # (column index, prefix length) pairs — written
+                        # instead of SIMPLE_PRIMARY_KEY when any key
+                        # part indexes a column prefix (KEY(col(10)))
+                        primary_key, q = [], 0
+                        pk_prefix = {}
+                        while q < len(payload):
+                            i, q = _read_lenenc(payload, q)
+                            plen, q = _read_lenenc(payload, q)
+                            primary_key.append(i)
+                            if plen:
+                                pk_prefix[i] = plen
+                    elif tlv in (_OPTMETA_ENUM_AND_SET_DEFAULT_CHARSET,
+                                 _OPTMETA_ENUM_AND_SET_COLUMN_CHARSET):
+                        # same two layouts as the character-column
+                        # charset TLVs, indexed over ENUM/SET columns —
+                        # governs the LABEL text encoding in TLVs 5/6
+                        es_cols = [
+                            i for i, t in enumerate(col_types)
+                            if t == MYSQL_TYPE_STRING
+                            and _string_real_type(metas[i])
+                            in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET)
+                        ]
+                        enumset_charsets = {}
+                        if tlv == _OPTMETA_ENUM_AND_SET_COLUMN_CHARSET:
+                            q = 0
+                            for i in es_cols:
+                                c, q = _read_lenenc(payload, q)
+                                enumset_charsets[i] = c
+                        else:
+                            default, q = _read_lenenc(payload, 0)
+                            ovr: dict[int, int] = {}
+                            while q < len(payload):
+                                j, q = _read_lenenc(payload, q)
+                                c, q = _read_lenenc(payload, q)
+                                ovr[j] = c
+                            for j, i in enumerate(es_cols):
+                                enumset_charsets[i] = ovr.get(j, default)
                     elif tlv in (_OPTMETA_ENUM_STR, _OPTMETA_SET_STR):
                         want = (MYSQL_TYPE_ENUM if tlv == _OPTMETA_ENUM_STR
                                 else MYSQL_TYPE_SET)
@@ -1729,22 +1813,38 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                             and _string_real_type(metas[i]) == want
                         ]
                         q = 0
-                        out_labels = (enum_labels if want == MYSQL_TYPE_ENUM
-                                      else set_labels)
+                        # labels stay RAW here: their charset TLV
+                        # (10/11) is numerically later, so decode is
+                        # deferred until the whole TLV walk is done
+                        out_labels = (raw_enum_labels
+                                      if want == MYSQL_TYPE_ENUM
+                                      else raw_set_labels)
                         for i in cols:
                             n_lab, q = _read_lenenc(payload, q)
                             labs = []
                             for _ in range(n_lab):
                                 lln, q = _read_lenenc(payload, q)
-                                labs.append(payload[q : q + lln].decode())
+                                labs.append(bytes(payload[q : q + lln]))
                                 q += lln
                             out_labels[i] = tuple(labs)
                     # unknown TLVs are skipped by their length
+                for raw, out in ((raw_enum_labels, enum_labels),
+                                 (raw_set_labels, set_labels)):
+                    for i, labs in raw.items():
+                        codec = (
+                            _collation_codec(enumset_charsets[i])
+                            if i in enumset_charsets else "utf-8"
+                        ) or "latin1"  # binary labels: lossless map
+                        out[i] = tuple(
+                            lab.decode(codec, errors="replace")
+                            for lab in labs
+                        )
                 tmaps[table_id] = _TableMap(
                     db, table, col_types, metas,
                     unsigned=unsigned, col_names=col_names,
                     enum_labels=enum_labels, set_labels=set_labels,
                     col_charsets=col_charsets, primary_key=primary_key,
+                    pk_prefix=pk_prefix,
                 )
             elif etype in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT,
                            DELETE_ROWS_EVENT, PARTIAL_UPDATE_ROWS_EVENT):

@@ -2081,6 +2081,63 @@ def test_charset_tlv_golden_layout_and_decode():
         w4.table_map(1, "d", "t", types, metas, charsets={1: 8})
 
 
+def test_enumset_charset_and_pk_prefix_tlvs():
+    """ENUM_AND_SET_DEFAULT_CHARSET(10)/COLUMN_CHARSET(11) govern the
+    LABEL text encoding of TLVs 5/6 (latin1 labels carry 0xE9-style
+    bytes — only the charset TLV decodes them right; the TLV walk
+    defers label decode since 10/11 are numerically after 5/6), and
+    PRIMARY_KEY_WITH_PREFIX(9) replaces SIMPLE_PRIMARY_KEY when a key
+    part indexes a column prefix."""
+    types = [B.MYSQL_TYPE_STRING, B.MYSQL_TYPE_VARCHAR,
+             B.MYSQL_TYPE_STRING]
+    metas = [B.enum_meta(2), struct.pack("<H", 30), B.set_meta(2)]
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas,
+                enum_labels={0: ("café", "niño")},
+                set_labels={2: ("blé", "ça")},
+                enumset_charsets={0: 8, 2: 8},  # latin1_swedish_ci
+                primary_key=[1, 0], primary_key_prefix={1: 10})
+    w.rows(B.WRITE_ROWS_EVENT, 1, types, metas, [[2, "k", 0b11]])
+    raw = w.getvalue()
+    # wire carries LATIN1 label bytes (café → caf\xe9, not utf-8)
+    assert b"caf\xe9" in raw and "café".encode() not in raw
+    # golden PK-with-prefix TLV: (col 1, prefix 10), (col 0, prefix 0)
+    want_pk = (bytes([B._OPTMETA_PRIMARY_KEY_WITH_PREFIX])
+               + B._lenenc(4) + B._lenenc(1) + B._lenenc(10)
+               + B._lenenc(0) + B._lenenc(0))
+    assert want_pk in raw
+    ev = list(B.parse_binlog_file(raw))[-1]
+    assert ev["rows"] == [["niño", "k", "blé,ça"]]
+    assert ev["primary_key"] == [1, 0]
+
+    # the COLUMN_CHARSET layout (11): hand-crafted TLV — flat per-
+    # ENUM/SET-column collation list (binary 63, then latin1 8)
+    body = bytearray((1).to_bytes(6, "little") + struct.pack("<H", 0))
+    for name in ("d", "t"):
+        nb = name.encode()
+        body += bytes([len(nb)]) + nb + b"\x00"
+    body += B._lenenc(3) + bytes(types)
+    meta = b"".join(metas)
+    body += B._lenenc(len(meta)) + meta
+    body += bytes(1)  # null-allowed bitmap
+    labels = bytearray()
+    for labs in (("a\xe9".encode("latin1"), b"b"),):
+        labels += B._lenenc(2)
+        for lab in labs:
+            labels += B._lenenc(len(lab)) + lab
+    body += bytes([B._OPTMETA_ENUM_STR]) + B._lenenc(len(labels)) + labels
+    es = B._lenenc(63) + B._lenenc(8)
+    body += (bytes([B._OPTMETA_ENUM_AND_SET_COLUMN_CHARSET])
+             + B._lenenc(len(es)) + es)
+    w2 = B.BinlogWriter()
+    w2._event(B.TABLE_MAP_EVENT, bytes(body))
+    w2.rows(B.WRITE_ROWS_EVENT, 1, types, metas, [[1, "k", 0]])
+    ev2 = list(B.parse_binlog_file(w2.getvalue()))[-1]
+    # ENUM col collation 63 (binary) → lossless latin1 label map;
+    # the SET column has no label TLV here → raw-mask transport
+    assert ev2["rows"] == [["a\xe9", "k", 0]]
+
+
 def test_generic_reader_wire_rowkey(spark, tmp_path):
     """SIMPLE_PRIMARY_KEY drives the sink-ready salted rowkey straight
     from the wire — same key rule as `cdc/rowkey.salted_rowkey`
