@@ -175,6 +175,7 @@ _OPTMETA_COLUMN_CHARSET = 3
 _OPTMETA_COLUMN_NAME = 4
 _OPTMETA_SET_STR = 5
 _OPTMETA_ENUM_STR = 6
+_OPTMETA_GEOMETRY_TYPE = 7
 _OPTMETA_SIMPLE_PRIMARY_KEY = 8
 _OPTMETA_PRIMARY_KEY_WITH_PREFIX = 9
 _OPTMETA_ENUM_AND_SET_DEFAULT_CHARSET = 10
@@ -753,6 +754,7 @@ class BinlogWriter:
         primary_key: Optional[list[int]] = None,
         primary_key_prefix: Optional[dict] = None,
         enumset_charsets: Optional[dict] = None,
+        geometry_types: Optional[dict] = None,
     ) -> None:
         """Optional binlog_row_metadata=FULL TLVs (8.0.1+ servers):
         ``unsigned`` is a per-COLUMN bool list (bits packed over the
@@ -850,6 +852,16 @@ class BinlogWriter:
                     enc = lab.encode(lab_codec)
                     payload += _lenenc(len(enc)) + enc
             body += bytes([tlv]) + _lenenc(len(payload)) + payload
+        if geometry_types is not None:
+            geo_cols = [
+                i for i, t in enumerate(col_types)
+                if t == MYSQL_TYPE_GEOMETRY
+            ]
+            payload = b"".join(
+                _lenenc(geometry_types.get(i, 0)) for i in geo_cols
+            )
+            body += bytes([_OPTMETA_GEOMETRY_TYPE])
+            body += _lenenc(len(payload)) + payload
         if primary_key is not None:
             if primary_key_prefix:
                 payload = b"".join(
@@ -1452,12 +1464,14 @@ def _decode_partial_image(
 class _TableMap:
     __slots__ = ("db", "table", "col_types", "col_metas", "decoders",
                  "unsigned", "col_names", "enum_labels", "set_labels",
-                 "col_charsets", "primary_key", "pk_prefix")
+                 "col_charsets", "primary_key", "pk_prefix",
+                 "geometry_types")
 
     def __init__(self, db, table, col_types, col_metas,
                  unsigned=None, col_names=None,
                  enum_labels=None, set_labels=None,
-                 col_charsets=None, primary_key=None, pk_prefix=None):
+                 col_charsets=None, primary_key=None, pk_prefix=None,
+                 geometry_types=None):
         self.db, self.table = db, table
         self.col_types, self.col_metas = col_types, col_metas
         self.decoders = _compile_decoders(
@@ -1470,6 +1484,7 @@ class _TableMap:
         self.col_charsets = col_charsets  # col idx -> collation, or None
         self.primary_key = primary_key    # PK col indexes, or None
         self.pk_prefix = pk_prefix or {}  # PK col idx -> prefix length
+        self.geometry_types = geometry_types or {}  # col idx -> subtype
 
 
 def _apply_table_metadata(row: list, tm: "_TableMap") -> list:
@@ -1715,6 +1730,7 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                 raw_set_labels: dict[int, tuple] = {}
                 enumset_charsets: dict[int, int] = {}
                 pk_prefix: dict[int, int] = {}
+                geometry_types: dict[int, int] = {}
                 while p < len(body):  # optional-metadata TLVs (FULL mode)
                     tlv = body[p]; p += 1
                     ln, p = _read_lenenc(body, p)
@@ -1761,6 +1777,17 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                                 overrides[j] = c
                             for j, i in enumerate(char_cols):
                                 col_charsets[i] = overrides.get(j, default)
+                    elif tlv == _OPTMETA_GEOMETRY_TYPE:
+                        # one lenenc per GEOMETRY column: its subtype
+                        # (0=GEOMETRY, 1=POINT, 2=LINESTRING, ...)
+                        geo_cols = [
+                            i for i, t in enumerate(col_types)
+                            if t == MYSQL_TYPE_GEOMETRY
+                        ]
+                        q = 0
+                        for i in geo_cols:
+                            g, q = _read_lenenc(payload, q)
+                            geometry_types[i] = g
                     elif tlv == _OPTMETA_SIMPLE_PRIMARY_KEY:
                         primary_key, q = [], 0
                         while q < len(payload):
@@ -1844,7 +1871,7 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                     unsigned=unsigned, col_names=col_names,
                     enum_labels=enum_labels, set_labels=set_labels,
                     col_charsets=col_charsets, primary_key=primary_key,
-                    pk_prefix=pk_prefix,
+                    pk_prefix=pk_prefix, geometry_types=geometry_types,
                 )
             elif etype in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT,
                            DELETE_ROWS_EVENT, PARTIAL_UPDATE_ROWS_EVENT):

@@ -2138,6 +2138,26 @@ def test_enumset_charset_and_pk_prefix_tlvs():
     assert ev2["rows"] == [["a\xe9", "k", 0]]
 
 
+def test_geometry_type_tlv():
+    """GEOMETRY_TYPE(7): one lenenc subtype per GEOMETRY column
+    (0=GEOMETRY, 1=POINT, ...) — with this, the writer+parser cover
+    the server's whole FULL-metadata TLV table (1-11)."""
+    types = [B.MYSQL_TYPE_GEOMETRY, B.MYSQL_TYPE_LONG,
+             B.MYSQL_TYPE_GEOMETRY]
+    metas = [bytes([2]), b"", bytes([2])]
+    w = B.BinlogWriter()
+    w.table_map(1, "d", "t", types, metas,
+                geometry_types={0: 1, 2: 0})  # POINT, GEOMETRY
+    raw = w.getvalue()
+    want = (bytes([B._OPTMETA_GEOMETRY_TYPE]) + B._lenenc(2)
+            + B._lenenc(1) + B._lenenc(0))
+    assert want in raw
+    w.rows(B.WRITE_ROWS_EVENT, 1, types, metas,
+           [[b"\x01\x02", 7, b"\x03"]])
+    ev = list(B.parse_binlog_file(w.getvalue()))[-1]
+    assert ev["rows"] == [[b"\x01\x02", 7, b"\x03"]]
+
+
 def test_generic_reader_wire_rowkey(spark, tmp_path):
     """SIMPLE_PRIMARY_KEY drives the sink-ready salted rowkey straight
     from the wire — same key rule as `cdc/rowkey.salted_rowkey`
