@@ -748,7 +748,11 @@ def test_binlog_gtid_resume_after_midfile_kill(spark, tmp_path):
     client re-reads the file) and trims with the SAFE GTID set built
     from the acks that survived: txn 2 (decoded but unacked) replays,
     txn 1 does not, and the rotated file 2's txn 3 flows — exactly
-    the client's skip-transactions-inside-the-set semantics."""
+    the client's skip-transactions-inside-the-set semantics. Both
+    files carry 8.0.20+ TRANSACTION_PAYLOAD envelopes on even-gno
+    transactions (payload_mode='mixed'), so the envelope framing is
+    proven transparent across a kill-and-restart: the replayed txn 2
+    is exactly the one inside an envelope."""
     import pandas as pd
 
     from replicator_spark.sources.binlog import (
@@ -764,7 +768,8 @@ def test_binlog_gtid_resume_after_midfile_kill(spark, tmp_path):
     # CONTINUING across files, as on a real server)
     f1 = _wire_recs([1, 2]) + _wire_recs([3, 4], op="UPDATE")
     (logs / "binlog.000001").write_bytes(
-        encode_binlog_file(f1, txn_ids=[1, 1, 2, 2])
+        encode_binlog_file(f1, txn_ids=[1, 1, 2, 2],
+                           payload_mode="mixed")  # txn 2 enveloped
     )
     out1 = str(tmp_path / "applied1")
 
@@ -796,7 +801,8 @@ def test_binlog_gtid_resume_after_midfile_kill(spark, tmp_path):
 
     # the server rotates: file 2 carries txn 3
     (logs / "binlog.000002").write_bytes(
-        encode_binlog_file(_wire_recs([5], user=11), txn_ids=[3])
+        encode_binlog_file(_wire_recs([5], user=11), txn_ids=[3],
+                           payload_mode="mixed")
     )
 
     # lifetime 2: re-points at the retained logs (fresh checkpoint)
