@@ -1409,6 +1409,10 @@ def _apply_json_diffs(before_text, diffs: list[tuple]):
                         raise TypeError(key)
                     parent.insert(key, val)
                 else:
+                    # the server logs INSERT only for members that did
+                    # not exist — an overwrite here is corruption
+                    if key in parent:
+                        raise KeyError(key)
                     parent[key] = val
             else:  # REMOVE
                 del parent[key]

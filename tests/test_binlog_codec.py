@@ -1469,6 +1469,94 @@ def test_partial_update_inapplicable_diff_rejects():
                               [([1, {}], [1, None], {0: []})])
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_partial_json_random_diff_sequences_roundtrip(data):
+    """Property: a random VALID diff sequence (REPLACE/REMOVE on
+    existing paths, INSERT at fresh members or in-range array slots)
+    applied through the wire equals applying the same operations to
+    the python document directly — for any nesting the generator
+    produces, and independent of diff order (the wire applies them
+    sequentially, as the server did)."""
+    import json
+
+    from replicator_spark.cdc.jsonb import (
+        json_value_to_jsonb,
+        jsonb_to_json,
+    )
+
+    scalars = st.one_of(
+        st.none(), st.booleans(),
+        st.integers(min_value=-(2**40), max_value=2**40),
+        st.text(max_size=8),
+    )
+    doc = data.draw(st.dictionaries(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=97, max_codepoint=122),
+            min_size=1, max_size=6),
+        st.one_of(
+            scalars,
+            st.lists(scalars, max_size=4),
+            st.dictionaries(
+                st.text(alphabet=st.characters(min_codepoint=97,
+                                               max_codepoint=122),
+                        min_size=1, max_size=6),
+                scalars, max_size=3),
+        ),
+        min_size=1, max_size=5,
+    ))
+    state = json.loads(json.dumps(doc))  # deep copy
+    diffs = []
+    for _ in range(data.draw(st.integers(min_value=1, max_value=6))):
+        op = data.draw(st.sampled_from(
+            [B._JSON_DIFF_REPLACE, B._JSON_DIFF_INSERT,
+             B._JSON_DIFF_REMOVE]))
+        keys = sorted(state)
+        if op == B._JSON_DIFF_INSERT:
+            k = data.draw(st.text(
+                alphabet=st.characters(min_codepoint=97,
+                                       max_codepoint=122),
+                min_size=1, max_size=6))
+            target = state.get(k)
+            if isinstance(target, list):
+                # in-range array insert
+                idx = data.draw(st.integers(
+                    min_value=0, max_value=len(target)))
+                v = data.draw(scalars)
+                target.insert(idx, v)
+                diffs.append((op, f"$.{k}[{idx}]", v))
+            elif k not in state:
+                # the server only logs INSERT for FRESH members
+                v = data.draw(scalars)
+                state[k] = v
+                diffs.append((op, f"$.{k}", v))
+            else:
+                continue
+        elif not keys:
+            continue
+        else:
+            k = data.draw(st.sampled_from(keys))
+            if op == B._JSON_DIFF_REPLACE:
+                v = data.draw(scalars)
+                state[k] = v
+                diffs.append((op, f"$.{k}", v))
+            else:
+                del state[k]
+                diffs.append((op, f"$.{k}", None))
+    types = [B.MYSQL_TYPE_LONGLONG, B.MYSQL_TYPE_JSON]
+    metas = [b"", bytes([4])]
+    w = B.BinlogWriter()
+    w.table_map(9, "d", "t", types, metas)
+    w.partial_update_rows(9, types, metas,
+                          [([1, doc], [1, None], {1: diffs})])
+    ev = list(B.parse_binlog_file(w.getvalue()))[-1]
+    (before, after), = ev["rows"]
+    want = jsonb_to_json(json_value_to_jsonb(state))
+    assert after[1] == want
+    assert json.loads(before[1]) == doc
+
+
 def test_json_path_segments_grammar():
     f = B._json_path_segments
     assert f("$") == []
