@@ -91,6 +91,8 @@ TABLE_MAP_EVENT = 19
 WRITE_ROWS_EVENT = 30  # v2
 UPDATE_ROWS_EVENT = 31  # v2
 DELETE_ROWS_EVENT = 32  # v2
+INCIDENT_EVENT = 26  # the server signalled a possible gap (LOST_EVENTS)
+ROWS_QUERY_EVENT = 29  # binlog_rows_query_log_events=ON statement text
 GTID_EVENT = 33
 PREVIOUS_GTIDS_EVENT = 35
 PARTIAL_UPDATE_ROWS_EVENT = 39  # 8.0.3+ binlog_row_value_options
@@ -699,6 +701,8 @@ class BinlogWriter:
         ph[UPDATE_ROWS_EVENT - 1] = 10
         ph[DELETE_ROWS_EVENT - 1] = 10
         ph[GTID_EVENT - 1] = 42
+        ph[INCIDENT_EVENT - 1] = 2  # incident-number post-header
+        ph[ROWS_QUERY_EVENT - 1] = 0
         ph[PARTIAL_UPDATE_ROWS_EVENT - 1] = 10  # rows-v2 post-header
         ph[TRANSACTION_PAYLOAD_EVENT - 1] = 0
         body += bytes(ph)
@@ -723,6 +727,25 @@ class BinlogWriter:
             GTID_EVENT,
             bytes([1]) + sid + struct.pack("<Q", gno) + bytes([2])
             + struct.pack("<qq", last_committed, sequence_number),
+        )
+
+    def rows_query(self, sql: str) -> None:
+        """ROWS_QUERY_EVENT (binlog_rows_query_log_events=ON): the
+        original statement text attached to the row events it
+        produced. Body = 1 length byte (historically capped; readers
+        take the rest of the body as the text) + query."""
+        raw = sql.encode()
+        self._event(ROWS_QUERY_EVENT, bytes([min(len(raw), 255)]) + raw)
+
+    def incident(self, number: int = 1, message: str = "") -> None:
+        """INCIDENT_EVENT: the server recorded that events MAY have
+        been lost (LOST_EVENTS=1) — e.g. a relay could not log part of
+        the stream. Post-header = 2-byte incident number; body = 1
+        length byte + message."""
+        raw = message.encode()
+        self._event(
+            INCIDENT_EVENT,
+            struct.pack("<H", number) + bytes([len(raw)]) + raw,
         )
 
     def xid(self, xid: int) -> None:
@@ -1586,6 +1609,7 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
     pos = 4
     checksum = 0  # until the FDE says otherwise
     tmaps: dict[int, _TableMap] = {}
+    rows_query: Optional[str] = None  # statement text, until txn end
     total = len(blob)
     first = True
     while pos < total:
@@ -1677,9 +1701,26 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                     "db": db, "sql": body[p:].decode(),
                 }
             elif etype == XID_EVENT:
+                rows_query = None  # statement scope ends with the txn
                 yield {
                     "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
                     "xid": struct.unpack_from("<Q", body, 0)[0],
+                }
+            elif etype == ROWS_QUERY_EVENT:
+                # 1 historical length byte, then the statement text to
+                # the end of the body (the real length may exceed 255)
+                rows_query = body[1:].decode()
+                yield {
+                    "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
+                    "query": rows_query,
+                }
+            elif etype == INCIDENT_EVENT:
+                number = struct.unpack_from("<H", body, 0)[0]
+                mlen = body[2]
+                yield {
+                    "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
+                    "incident": number,
+                    "message": body[3 : 3 + mlen].decode(),
                 }
             elif etype == PREVIOUS_GTIDS_EVENT:
                 yield {
@@ -1925,6 +1966,7 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                     "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
                     "db": tm.db, "table": tm.table, "rows": rows,
                     "col_names": tm.col_names, "primary_key": tm.primary_key,
+                    "rows_query": rows_query,
                 }
             # unknown types: skipped (size-based)
 
@@ -2149,6 +2191,15 @@ def _parse_partition(batches) -> Iterator:
                     gtid_uuid = _sid_to_uuid(ev["sid"])
                     gtid_seq = ev["gno"]
                     continue
+                if ev["type"] == INCIDENT_EVENT:
+                    # the server itself recorded that events MAY be
+                    # missing here — continuing silently would accept
+                    # a gap; same policy as corruption
+                    raise ValueError(
+                        f"INCIDENT (possible lost events)"
+                        f" in {fname or 'binlog stream'}:"
+                        f" {ev['message'] or ev['incident']}"
+                    )
                 op = _EVENT_TO_OP.get(ev["type"])
                 if op is None:
                     continue
@@ -2583,6 +2634,11 @@ def _parse_records_partition(batches) -> Iterator:
                     gtid_uuid = _sid_to_uuid(ev["sid"])
                     gtid_seq = ev["gno"]
                     continue
+                if ev["type"] == INCIDENT_EVENT:
+                    raise ValueError(
+                        f"INCIDENT (possible lost events) in {fname}:"
+                        f" {ev['message'] or ev['incident']}"
+                    )
                 op = _EVENT_TO_OP.get(ev["type"])
                 if op is None:
                     continue
@@ -2659,7 +2715,8 @@ def tail_binlog_records(spark: SparkSession, path: str) -> DataFrame:
 
 BINLOG_CHAIN_SCHEMA = (
     "source_file string, next_file string, prev_gtids string,"
-    " first_gtid long, last_gtid long, n_row_events long"
+    " first_gtid long, last_gtid long, n_row_events long,"
+    " n_incidents long"
 )
 
 
@@ -2681,6 +2738,7 @@ def _chain_summary_partition(batches) -> Iterator:
             prev = None
             first_g = last_g = None
             n_rows = 0
+            n_incidents = 0
             for ev in parse_binlog_file(bytes(blob)):
                 t = ev["type"]
                 if t == PREVIOUS_GTIDS_EVENT:
@@ -2691,14 +2749,21 @@ def _chain_summary_partition(batches) -> Iterator:
                         first_g = ev["gno"]
                 elif t == ROTATE_EVENT:
                     next_file = ev["next_file"]
+                elif t == INCIDENT_EVENT:
+                    # the audit SURVEYS damage rather than aborting on
+                    # it (unlike the readers, which refuse to replay
+                    # past a gap signal)
+                    n_incidents += 1
                 elif t in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT,
                            DELETE_ROWS_EVENT, PARTIAL_UPDATE_ROWS_EVENT):
                     n_rows += len(ev["rows"])
-            out.append((name, next_file, prev, first_g, last_g, n_rows))
+            out.append((name, next_file, prev, first_g, last_g, n_rows,
+                        n_incidents))
         yield pd.DataFrame(
             out,
             columns=["source_file", "next_file", "prev_gtids",
-                     "first_gtid", "last_gtid", "n_row_events"],
+                     "first_gtid", "last_gtid", "n_row_events",
+                     "n_incidents"],
         )
 
 
@@ -2707,12 +2772,14 @@ def audit_binlog_chain(spark: SparkSession, path: str) -> DataFrame:
     directory: flags every adjacent pair of rotated files whose chain
     is broken. Violations: a numeric-suffix gap (a rotated file was
     deleted or never landed), a ROTATE tail naming a different next
-    file than the one that follows, or a PREVIOUS_GTIDS head that is
+    file than the one that follows, a PREVIOUS_GTIDS head that is
     NOT a superset of its predecessor's (the successor's head must
     contain everything executed before the predecessor plus the
-    predecessor's own transactions). Per-file summaries come from one
-    distributed decode walk; the adjacency check is one window over
-    the tiny per-file table."""
+    predecessor's own transactions), or an INCIDENT event — the
+    server's own possible-lost-events marker (the readers refuse to
+    replay past one; the audit reports it, including in the newest
+    file). Per-file summaries come from one distributed decode walk;
+    the adjacency check is one window over the tiny per-file table."""
     from pyspark.sql import Window as W
 
     blobs = (
@@ -2733,24 +2800,34 @@ def audit_binlog_chain(spark: SparkSession, path: str) -> DataFrame:
         F.lead("source_file").over(w).alias("succ_file"),
         F.lead("suffix").over(w).alias("succ_suffix"),
         F.lead("first_gtid").over(w).alias("succ_first_gtid"),
-    ).where(F.col("succ_file").isNotNull())
+    ).where(
+        # the LAST file (no successor) still reports if the server
+        # wrote an incident into it
+        F.col("succ_file").isNotNull() | (F.col("n_incidents") > 0)
+    )
     return nxt.select(
         "source_file",
         "succ_file",
-        (F.col("succ_suffix") != F.col("suffix") + 1).alias(
-            "suffix_gap"
-        ),
+        F.coalesce(
+            F.col("succ_suffix") != F.col("suffix") + 1, F.lit(False)
+        ).alias("suffix_gap"),
         (
             F.col("next_file").isNotNull()
-            & (F.col("next_file") != F.col("succ_file"))
+            & (F.col("next_file") == F.col("succ_file")).eqNullSafe(
+                F.lit(False)
+            )
         ).alias("rotate_mismatch"),
-        (
+        F.coalesce(
             F.col("last_gtid").isNotNull()
             & F.col("succ_first_gtid").isNotNull()
-            & (F.col("succ_first_gtid") != F.col("last_gtid") + 1)
+            & (F.col("succ_first_gtid") != F.col("last_gtid") + 1),
+            F.lit(False),
         ).alias("gtid_gap"),
+        # the server ITSELF recorded that events may be missing here
+        (F.col("n_incidents") > 0).alias("incident_signalled"),
     ).where(
-        F.col("suffix_gap") | F.col("rotate_mismatch") | F.col("gtid_gap")
+        F.col("suffix_gap") | F.col("rotate_mismatch")
+        | F.col("gtid_gap") | F.col("incident_signalled")
     )
 
 

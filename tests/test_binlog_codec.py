@@ -1569,6 +1569,78 @@ def test_json_path_segments_grammar():
         f("x.a")
 
 
+def test_rows_query_event_attaches_statement_text():
+    """ROWS_QUERY_EVENT (binlog_rows_query_log_events=ON): the
+    original statement rides with the row events it produced and its
+    scope ends at the transaction's XID."""
+    sql = "UPDATE events SET value = value + 1 WHERE user_id = 7"
+    w = B.BinlogWriter()
+    w.gtid(B._SID, 1)
+    w.query("BEGIN")
+    w.rows_query(sql)
+    w.table_map(B._TABLE_ID, "testdb", "events",
+                B._EV_TYPES, B._EV_METAS)
+    w.rows(B.WRITE_ROWS_EVENT, B._TABLE_ID, B._EV_TYPES, B._EV_METAS,
+           [[1, 1_000_000, 7, "signup", 1.0, "{}"]])
+    w.xid(1)
+    # second txn WITHOUT a rows-query: no stale attachment
+    w.gtid(B._SID, 2)
+    w.query("BEGIN")
+    w.table_map(B._TABLE_ID, "testdb", "events",
+                B._EV_TYPES, B._EV_METAS)
+    w.rows(B.WRITE_ROWS_EVENT, B._TABLE_ID, B._EV_TYPES, B._EV_METAS,
+           [[2, 2_000_000, 8, "click", 2.0, "{}"]])
+    w.xid(2)
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    rq = [e for e in evs if e["type"] == B.ROWS_QUERY_EVENT]
+    assert [e["query"] for e in rq] == [sql]
+    rows_evs = [e for e in evs if e["type"] == B.WRITE_ROWS_EVENT]
+    assert rows_evs[0]["rows_query"] == sql
+    assert rows_evs[1]["rows_query"] is None
+    # a long statement (>255 bytes) survives the 1-byte legacy length
+    long_sql = "UPDATE t SET c = '" + "x" * 400 + "'"
+    w2 = B.BinlogWriter()
+    w2.rows_query(long_sql)
+    ev2 = list(B.parse_binlog_file(w2.getvalue()))[-1]
+    assert ev2["query"] == long_sql
+
+
+def test_incident_event_refuses_replay_and_audits(spark, tmp_path):
+    """INCIDENT_EVENT is the server's own possible-lost-events marker:
+    the file readers REFUSE to replay past it (silently continuing
+    would accept a gap — the corruption policy), while the chain
+    audit reports it per file, including in the newest file (no
+    successor)."""
+    from replicator_spark.sources.binlog import (
+        audit_binlog_chain,
+        read_binlog_files,
+        read_binlog_records,
+    )
+
+    w = B.BinlogWriter()
+    w.gtid(B._SID, 2)  # continues file 1's gno chain (no gtid_gap)
+    w.table_map(B._TABLE_ID, "testdb", "events",
+                B._EV_TYPES, B._EV_METAS)
+    w.rows(B.WRITE_ROWS_EVENT, B._TABLE_ID, B._EV_TYPES, B._EV_METAS,
+           [[1, 1_000_000, 7, "signup", 1.0, "{}"]])
+    w.incident(1, "relay log damaged")
+    w.xid(2)
+    (tmp_path / "binlog.000001").write_bytes(
+        B.encode_binlog_file(_recs([1, 2]))
+    )
+    (tmp_path / "binlog.000002").write_bytes(w.getvalue())
+
+    for reader in (read_binlog_files, read_binlog_records):
+        with pytest.raises(Exception, match="INCIDENT"):
+            reader(spark, str(tmp_path)).collect()
+    flagged = audit_binlog_chain(spark, str(tmp_path)).collect()
+    assert len(flagged) == 1
+    (row,) = flagged
+    assert row["source_file"] == "binlog.000002"  # the newest file
+    assert row["incident_signalled"] and row["succ_file"] is None
+    assert not row["suffix_gap"] and not row["rotate_mismatch"]
+
+
 def test_generic_and_typed_readers_agree(spark, tmp_path):
     """The generic schema-on-read reader (`read_binlog_records`) and
     the typed events reader (`read_binlog_files`) must agree
