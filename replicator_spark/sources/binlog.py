@@ -2586,7 +2586,8 @@ def snapshot_to_binlog_files(rows: DataFrame, path: str) -> list[str]:
 
 BINLOG_RECORDS_SCHEMA = (
     "db string, table_name string, op string, record string,"
-    " before string, rowkey string, gtid_uuid string, gtid_seq long,"
+    " before string, rowkey string, query string,"
+    " gtid_uuid string, gtid_seq long,"
     " source_file string, log_pos long, row_seq long"
 )
 
@@ -2665,6 +2666,7 @@ def _parse_records_partition(batches) -> Iterator:
                         ev["db"], ev["table"], op, rec(img),
                         rec(before) if before is not None else None,
                         _wire_rowkey(img, pk) if pk else None,
+                        ev["rows_query"],  # ROWS_QUERY statement text
                         gtid_uuid, gtid_seq, fname, ev["log_pos"],
                         row_seq,
                     ))
@@ -2672,8 +2674,8 @@ def _parse_records_partition(batches) -> Iterator:
         yield pd.DataFrame(
             out,
             columns=["db", "table_name", "op", "record", "before",
-                     "rowkey", "gtid_uuid", "gtid_seq", "source_file",
-                     "log_pos", "row_seq"],
+                     "rowkey", "query", "gtid_uuid", "gtid_seq",
+                     "source_file", "log_pos", "row_seq"],
         )
 
 

@@ -1569,7 +1569,7 @@ def test_json_path_segments_grammar():
         f("x.a")
 
 
-def test_rows_query_event_attaches_statement_text():
+def test_rows_query_event_attaches_statement_text(spark, tmp_path):
     """ROWS_QUERY_EVENT (binlog_rows_query_log_events=ON): the
     original statement rides with the row events it produced and its
     scope ends at the transaction's XID."""
@@ -1597,6 +1597,14 @@ def test_rows_query_event_attaches_statement_text():
     rows_evs = [e for e in evs if e["type"] == B.WRITE_ROWS_EVENT]
     assert rows_evs[0]["rows_query"] == sql
     assert rows_evs[1]["rows_query"] is None
+    # the generic reader surfaces it as the per-record `query` column
+    # (the Debezium source-info `query` analog)
+    from replicator_spark.sources.binlog import read_binlog_records
+
+    (tmp_path / "binlog.000001").write_bytes(w.getvalue())
+    recs = {r["row_seq"]: r["query"]
+            for r in read_binlog_records(spark, str(tmp_path)).collect()}
+    assert recs == {0: sql, 1: None}
     # a long statement (>255 bytes) survives the 1-byte legacy length
     long_sql = "UPDATE t SET c = '" + "x" * 400 + "'"
     w2 = B.BinlogWriter()
