@@ -218,7 +218,7 @@ _ORACLES: dict[str, str] = {}
 # (final 31 never-graded + 19 §2-critical re-pins), then
 # previously-driver-verified blocks.
 _PRIORITY = [
-    # ======== ROUND-13 GRADING WINDOW (1 + 3 + 33 + 13) ========
+    # ======== ROUND-13 GRADING WINDOW (2 + 3 + 33 + 12) ========
     # --- the round-13 addition (never graded): charset TLVs +
     #     SIMPLE_PRIMARY_KEY through the generic wire reader
     #     (collation-correct strings + sink-ready salted rowkey
@@ -274,9 +274,10 @@ _PRIORITY = [
     "tpch_q21",
     "tpch_q22",
     "ts_trend_ols",
-    # --- 13 §2-critical re-pins from the 49-op r8-green cohort
+    # --- 12 §2-critical re-pins from the 49-op r8-green cohort
     #     (cdc appliers/metrics, time-machine interval ops,
-    #     streaming joins/sessions, temporal joins, tpch_q12) ---
+    #     streaming joins/sessions, temporal joins; tpch_q12 was
+    #     displaced below the cut by addition #2) ---
     "agg_grouping_sets",
     "cdc_incremental_agg",
     "cdc_ivm_join",

@@ -72,6 +72,8 @@ fragments.
 
 from __future__ import annotations
 
+import hashlib
+import json as _json_std
 import struct
 import zlib
 from decimal import Decimal
@@ -79,6 +81,8 @@ from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..cdc.jsonb import json_value_to_jsonb, jsonb_to_json
 
 MAGIC = b"\xfebin"
 
@@ -121,18 +125,39 @@ def _zstd(compress: bool):
     compression algorithm. The sandbox ships no zstd binding, so the
     structural envelope path (NONE) carries the tests; a real
     binlog_transaction_compression=ON log needs `zstandard` (or the
-    3.14+ stdlib compression.zstd) installed."""
+    3.14+ stdlib compression.zstd) installed.
+
+    The decompressor takes (data, uncompressed_size): the server
+    compresses with a STREAMING writer, so the frame header carries
+    no content size — one-shot decompress() would refuse it; the
+    envelope's UNCOMPRESSED_SIZE TLV is exactly the bound to hand the
+    decoder (0 = unknown → stream-decode)."""
     try:
         import zstandard
-        return (
-            zstandard.ZstdCompressor().compress if compress
-            else zstandard.ZstdDecompressor().decompress
-        )
+
+        if compress:
+            return zstandard.ZstdCompressor().compress
+
+        def _dec(raw: bytes, uncomp: int = 0) -> bytes:
+            d = zstandard.ZstdDecompressor()
+            if uncomp:
+                return d.decompress(raw, max_output_size=uncomp)
+            # no size TLV: stream-decode (frames from the server's
+            # streaming writer carry no content size in the header)
+            import io
+
+            with d.stream_reader(io.BytesIO(raw)) as r:
+                return r.read()
+
+        return _dec
     except ImportError:
         pass
     try:
         from compression import zstd  # Python 3.14+
-        return zstd.compress if compress else zstd.decompress
+
+        if compress:
+            return zstd.compress
+        return lambda raw, uncomp=0: zstd.decompress(raw)
     except ImportError:
         raise ValueError(
             "ZSTD transaction payload needs the zstandard package "
@@ -935,7 +960,6 @@ class BinlogWriter:
         cached = cls._ENCODER_CACHE.get(key)
         if cached is not None:
             return cached
-        from ..cdc.jsonb import json_value_to_jsonb
 
         pk = struct.pack
         es: list = []
@@ -1090,7 +1114,6 @@ class BinlogWriter:
         ``value`` a python JSON value (ignored for REMOVE); the
         column's slot in ``after`` is ignored for diffed columns.
         Non-diffed cells encode as in a plain UPDATE after-image."""
-        from ..cdc.jsonb import json_value_to_jsonb
 
         n = len(col_types)
         json_cols = [
@@ -1175,7 +1198,6 @@ def _compile_decoders(
     stays utf-8 with a raw-bytes fallback (transport-pure).
     Unsupported types reject here, at table-map time — the same
     errors the per-row dispatch used to raise, earlier."""
-    from ..cdc.jsonb import jsonb_to_json
 
     def text(raw: bytes, codec: Optional[str]):
         # one shared cell-decode: binary collation → raw bytes; text
@@ -1349,8 +1371,19 @@ def _json_path_segments(path: str) -> list:
         if c == ".":
             p += 1
             if p < n and path[p] == '"':
-                q = path.index('"', p + 1)
-                segs.append(path[p + 1 : q])
+                # quoted member: backslash escapes (\" and \\) are
+                # part of the diff-path grammar for keys containing
+                # quotes — scan past them, then unescape
+                q = p + 1
+                buf = []
+                while q < n and path[q] != '"':
+                    if path[q] == "\\" and q + 1 < n:
+                        q += 1
+                    buf.append(path[q])
+                    q += 1
+                if q >= n:
+                    raise ValueError(f"bad JSON diff path {path!r}")
+                segs.append("".join(buf))
                 p = q + 1
             else:
                 q = p
@@ -1401,10 +1434,7 @@ def _apply_json_diffs(before_text, diffs: list[tuple]):
     order, same number/string forms). The server already validated
     each diff when it applied it, so an inapplicable diff here means
     a corrupt or mis-sequenced stream — reject, never guess."""
-    import json as _json
-
-    from ..cdc.jsonb import json_value_to_jsonb, jsonb_to_json
-
+    _json = _json_std
     if before_text is None:
         raise ValueError("partial JSON diff against a NULL before-image")
     root = [_json.loads(before_text)]
@@ -1455,9 +1485,7 @@ def _decode_partial_image(
     diff vector instead of a document; flagged cells reconstruct via
     `_apply_json_diffs` against the before image."""
     value_options, pos = _read_lenenc(buf, pos)
-    json_cols = [
-        i for i, t in enumerate(tm.col_types) if t == MYSQL_TYPE_JSON
-    ]
+    json_cols = tm.json_cols  # precomputed once per TABLE_MAP
     partial: set[int] = set()
     if value_options & _VALUE_OPTIONS_PARTIAL_JSON:
         nb = (len(json_cols) + 7) // 8
@@ -1492,7 +1520,7 @@ class _TableMap:
     __slots__ = ("db", "table", "col_types", "col_metas", "decoders",
                  "unsigned", "col_names", "enum_labels", "set_labels",
                  "col_charsets", "primary_key", "pk_prefix",
-                 "geometry_types")
+                 "geometry_types", "json_cols")
 
     def __init__(self, db, table, col_types, col_metas,
                  unsigned=None, col_names=None,
@@ -1512,6 +1540,9 @@ class _TableMap:
         self.primary_key = primary_key    # PK col indexes, or None
         self.pk_prefix = pk_prefix or {}  # PK col idx -> prefix length
         self.geometry_types = geometry_types or {}  # col idx -> subtype
+        self.json_cols = [
+            i for i, t in enumerate(col_types) if t == MYSQL_TYPE_JSON
+        ]  # hoisted out of the per-row partial-image walk
 
 
 def _apply_table_metadata(row: list, tm: "_TableMap") -> list:
@@ -1553,6 +1584,7 @@ def _unwrap_transaction_payload(body: bytes) -> list[tuple]:
     pos = 0
     comp = _PAYLOAD_COMP_NONE
     payload_size = None
+    uncomp_size = 0
     end_seen = False
     while pos < len(body):
         ftype, pos = _read_lenenc(body, pos)
@@ -1565,7 +1597,11 @@ def _unwrap_transaction_payload(body: bytes) -> list[tuple]:
             payload_size, _ = _read_lenenc(body, vstart)
         elif ftype == _PAYLOAD_COMPRESSION_FIELD:
             comp, _ = _read_lenenc(body, vstart)
-        # UNCOMP_SIZE and unknown fields: skip (length-prefixed)
+        elif ftype == _PAYLOAD_UNCOMP_SIZE_FIELD:
+            # the streaming compressor writes no content size into
+            # the zstd frame header — this TLV is the decode bound
+            uncomp_size, _ = _read_lenenc(body, vstart)
+        # unknown fields: skip (length-prefixed)
         pos = vstart + flen
     if not end_seen:
         raise ValueError("transaction payload missing header end mark")
@@ -1574,7 +1610,7 @@ def _unwrap_transaction_payload(body: bytes) -> list[tuple]:
     if payload_size is not None and len(raw) != payload_size:
         raise ValueError("truncated transaction payload")
     if comp == _PAYLOAD_COMP_ZSTD:
-        raw = _zstd(compress=False)(bytes(raw))
+        raw = _zstd(compress=False)(bytes(raw), uncomp_size)
     elif comp != _PAYLOAD_COMP_NONE:
         raise ValueError(
             f"unsupported transaction payload compression {comp}"
@@ -1682,8 +1718,17 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
         if etype == TRANSACTION_PAYLOAD_EVENT:
             # 8.0.20+ compressed-txn envelope: splice the wrapped
             # events into the stream in place (GTID stays outside
-            # the envelope, so coordinates attach as usual)
-            step = _unwrap_transaction_payload(body)
+            # the envelope, so coordinates attach as usual). Inner
+            # events carry envelope-RELATIVE log_pos on the wire;
+            # surface the OUTER envelope's position instead, so
+            # log_pos stays monotonic within the file and file/pos
+            # resume (`resume_after`: log_pos > checkpoint) keeps its
+            # at-least-once contract across wrapped transactions
+            step = [
+                (it, its, log_pos, ib)
+                for it, its, _ipos, ib in
+                _unwrap_transaction_payload(body)
+            ]
         else:
             step = ((etype, ts_sec, log_pos, body),)
         for etype, ts_sec, log_pos, body in step:
@@ -1696,9 +1741,17 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                 p = 13 + svlen
                 db = body[p : p + dblen].decode()
                 p += dblen + 1  # + NUL
+                sql = body[p:].decode()
+                if sql.rstrip().upper() in ("BEGIN", "COMMIT",
+                                            "ROLLBACK"):
+                    # txn boundary without an XID (non-transactional
+                    # tables commit via QUERY 'COMMIT'): the statement
+                    # scope ends here too, so ROWS_QUERY text can
+                    # never leak onto a later transaction's rows
+                    rows_query = None
                 yield {
                     "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
-                    "db": db, "sql": body[p:].decode(),
+                    "db": db, "sql": sql,
                 }
             elif etype == XID_EVENT:
                 rows_query = None  # statement scope ends with the txn
@@ -1728,6 +1781,7 @@ def parse_binlog_file(blob: bytes) -> Iterator[dict]:
                     "gtids": decode_gtid_set_payload(body),
                 }
             elif etype == GTID_EVENT:
+                rows_query = None  # a new transaction starts
                 ev_out = {
                     "type": etype, "ts_sec": ts_sec, "log_pos": log_pos,
                     "sid": body[1:17],
@@ -2605,8 +2659,6 @@ def _wire_rowkey(img: list, pk: list) -> str:
     md5(pk1)[0:8] ++ ';' ++ join(pk values, ';')), so the generic
     reader needs NO registry to produce it. String casts mirror
     Spark's CAST-to-string of the decoded cell values."""
-    import hashlib
-
     parts = [str(_json_cell(img[i])) for i in pk]
     salt = hashlib.md5(parts[0].encode()).hexdigest()[:8]
     return ";".join([salt, *parts])

@@ -1351,6 +1351,77 @@ def test_transaction_payload_zstd_path():
             )
 
 
+def test_envelope_rows_carry_outer_log_pos(spark, tmp_path):
+    """Events spliced out of an envelope must carry the OUTER
+    envelope event's log_pos (the wire's inner positions are
+    envelope-relative), so log_pos stays monotonic within the file
+    and file/pos resume keeps its contract across wrapped
+    transactions: checkpointing after plain txn 1 must NOT drop the
+    enveloped txn 2 that follows it in the file."""
+    from replicator_spark.sources.binlog import (
+        read_binlog_files,
+        resume_after,
+    )
+
+    recs = [("INSERT", 1, 1_000_000, 10, "signup", 1.0, "{}"),
+            ("INSERT", 2, 2_000_000, 10, "click", 2.0, "{}"),
+            ("INSERT", 3, 3_000_000, 11, "view", 3.0, "{}")]
+    blob = B.encode_binlog_file(recs, txn_ids=[1, 1, 2],
+                                payload_mode="mixed")  # txn 2 wrapped
+    poss = [e["log_pos"] for e in B.parse_binlog_file(blob)]
+    assert poss == sorted(poss), poss  # monotonic despite the splice
+    (tmp_path / "binlog.000001").write_bytes(blob)
+    rows = read_binlog_files(spark, str(tmp_path)).collect()
+    ckpt = max(r["log_pos"] for r in rows if r["gtid_seq"] == 1)
+    resumed = resume_after(
+        read_binlog_files(spark, str(tmp_path)), "binlog.000001", ckpt
+    ).collect()
+    assert sorted(r["event_id"] for r in resumed) == [3]
+
+
+def test_json_path_escaped_quotes():
+    assert B._json_path_segments('$."a\\"b"') == ['a"b']
+    assert B._json_path_segments('$."a\\\\".c') == ["a\\", "c"]
+    with pytest.raises(ValueError):
+        B._json_path_segments('$."unterminated')
+
+
+def test_rows_query_scope_ends_without_xid():
+    """A transaction committed via QUERY 'COMMIT' (non-transactional
+    tables write no XID) and the next GTID both end the statement
+    scope — ROWS_QUERY text never leaks onto a later transaction's
+    rows."""
+    w = B.BinlogWriter()
+    w.query("BEGIN")
+    w.rows_query("INSERT INTO t VALUES (1)")
+    w.table_map(B._TABLE_ID, "testdb", "events",
+                B._EV_TYPES, B._EV_METAS)
+    w.rows(B.WRITE_ROWS_EVENT, B._TABLE_ID, B._EV_TYPES, B._EV_METAS,
+           [[1, 1_000_000, 7, "signup", 1.0, "{}"]])
+    w.query("COMMIT")  # no XID
+    w.query("BEGIN")
+    w.table_map(B._TABLE_ID, "testdb", "events",
+                B._EV_TYPES, B._EV_METAS)
+    w.rows(B.WRITE_ROWS_EVENT, B._TABLE_ID, B._EV_TYPES, B._EV_METAS,
+           [[2, 2_000_000, 8, "click", 2.0, "{}"]])
+    w.query("COMMIT")
+    rows_evs = [e for e in B.parse_binlog_file(w.getvalue())
+                if e["type"] == B.WRITE_ROWS_EVENT]
+    assert rows_evs[0]["rows_query"] == "INSERT INTO t VALUES (1)"
+    assert rows_evs[1]["rows_query"] is None
+    # GTID also opens a fresh scope
+    w2 = B.BinlogWriter()
+    w2.rows_query("stale")
+    w2.gtid(B._SID, 1)
+    w2.table_map(B._TABLE_ID, "testdb", "events",
+                 B._EV_TYPES, B._EV_METAS)
+    w2.rows(B.WRITE_ROWS_EVENT, B._TABLE_ID, B._EV_TYPES, B._EV_METAS,
+            [[3, 3_000_000, 9, "view", 3.0, "{}"]])
+    (ev,) = [e for e in B.parse_binlog_file(w2.getvalue())
+             if e["type"] == B.WRITE_ROWS_EVENT]
+    assert ev["rows_query"] is None
+
+
 def test_encode_binlog_file_mixed_payload_mode():
     """payload_mode='mixed' wraps even-gno transactions; the decoded
     row stream and GTID coordinates are IDENTICAL to the plain
