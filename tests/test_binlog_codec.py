@@ -1788,16 +1788,53 @@ def test_generic_and_typed_readers_agree(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def _kitchen_sink_blob() -> bytes:
+    """One file exercising every round-13 event kind: FULL metadata
+    (charsets/PK/labels), ROWS_QUERY, a partial-JSON update inside a
+    TRANSACTION_PAYLOAD envelope, and an enum-bearing plain txn —
+    the widest corruption surface the writer can produce."""
+    types = [B.MYSQL_TYPE_LONGLONG, B.MYSQL_TYPE_JSON,
+             B.MYSQL_TYPE_VARCHAR]
+    metas = [b"", bytes([4]), struct.pack("<H", 40)]
+    w = B.BinlogWriter()
+    w.gtid(B._SID, 1)
+    inner = w.payload_writer()
+    inner.query("BEGIN")
+    inner.rows_query("UPDATE t SET j = JSON_SET(j, '$.k', 2)")
+    inner.table_map(7, "d", "t", types, metas,
+                    col_names=["id", "j", "s"],
+                    charsets={2: 8}, primary_key=[0])
+    inner.partial_update_rows(7, types, metas, [
+        ([1, {"k": 1}, "café".encode("latin1")],
+         [1, None, "café".encode("latin1")],
+         {1: [(B._JSON_DIFF_REPLACE, "$.k", 2)]}),
+    ])
+    inner.xid(1)
+    w.transaction_payload(inner)
+    w.gtid(B._SID, 2)
+    w.query("BEGIN")
+    et = [B.MYSQL_TYPE_STRING]
+    em = [B.enum_meta(2)]
+    w.table_map(8, "d", "e", et, em, enum_labels={0: ("a", "b")},
+                enumset_charsets={0: 255})
+    w.rows(B.WRITE_ROWS_EVENT, 8, et, em, [[1]])
+    w.xid(2)
+    return w.getvalue()
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.data())
 def test_any_single_byte_corruption_raises(data):
     recs = [("INSERT", 1, 5_000_000, 10, "signup", 1.0, "{}"),
             ("UPDATE", 2, 6_000_000, 11, "click", 2.0, '{"k":1}'),
             ("DELETE", 3, 7_000_000, 12, "error", 3.0, "{}")]
-    mode = data.draw(st.sampled_from(["none", "mixed"]))
-    txn_ids = [1, 2, 2] if mode == "mixed" else None  # force a wrap
-    blob = bytearray(B.encode_binlog_file(
-        recs, txn_ids=txn_ids, payload_mode=mode))
+    mode = data.draw(st.sampled_from(["none", "mixed", "kitchen"]))
+    if mode == "kitchen":
+        blob = bytearray(_kitchen_sink_blob())
+    else:
+        txn_ids = [1, 2, 2] if mode == "mixed" else None  # force a wrap
+        blob = bytearray(B.encode_binlog_file(
+            recs, txn_ids=txn_ids, payload_mode=mode))
     idx = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
     mask = data.draw(st.integers(min_value=1, max_value=255))
     blob[idx] ^= mask
