@@ -57,11 +57,17 @@ def gtid_safe_set(
         .alias("r_end"),
     )
     w = W.partitionBy("server_uuid").orderBy("r_start", "r_end")
+    # a hole exists iff this range starts past the RUNNING MAX of all
+    # prior ends + 1 — lag(r_end) alone mis-flags overlapping or
+    # contained ranges (duplicate/retried acks carrying cumulative
+    # sets: 1-10, 2-3, 11-12 has no hole, but lag sees 11 > 3+1)
     flagged = parsed.withColumn(
         "gap",
         F.when(
             F.col("r_start")
-            > F.lag("r_end").over(w) + 1,  # hole before this range
+            > F.max("r_end").over(
+                w.rowsBetween(W.unboundedPreceding, -1)
+            ) + 1,
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
@@ -152,10 +158,14 @@ WITH frags AS (
         CAST(regexp_extract(gtid, '-(\\d+)$', 1) AS BIGINT) AS r_end
     FROM frags
 ), flagged AS (
-    SELECT *, CASE WHEN r_start > LAG(r_end) OVER w + 1
+    -- running MAX of prior ends, not LAG: overlapping/contained acked
+    -- ranges are not holes (mirrors the Spark plan)
+    SELECT *, CASE WHEN r_start > MAX(r_end) OVER (
+                       PARTITION BY server_uuid ORDER BY r_start, r_end
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) + 1
                    THEN 1 ELSE 0 END AS gap
     FROM parsed
-    WINDOW w AS (PARTITION BY server_uuid ORDER BY r_start, r_end)
 ), islands AS (
     SELECT *, SUM(gap) OVER (
         PARTITION BY server_uuid ORDER BY r_start, r_end

@@ -72,8 +72,16 @@ def epoch_millis(col: Column) -> Column:
 
 
 def enum_label(col_idx: Column, labels: Sequence[str]) -> Column:
-    """1-based ENUM index → label (index 0 / out of range → NULL)."""
-    return F.element_at(F.array(*[F.lit(x) for x in labels]), col_idx)
+    """1-based ENUM index → label (index 0 / out of range → NULL).
+    An explicit CASE chain, NOT element_at: element_at THROWS on
+    index 0 (MySQL's invalid/empty-ENUM sentinel in non-strict mode)
+    and reads from the tail on negatives — a wire row carrying 0 must
+    decode to NULL, not kill the job (try_element_at throws on 0
+    too)."""
+    out = F.when(col_idx == 1, F.lit(labels[0]))
+    for i, lab in enumerate(labels[1:], start=2):
+        out = out.when(col_idx == i, F.lit(lab))
+    return out.otherwise(F.lit(None))
 
 
 def set_labels(col_mask: Column, labels: Sequence[str]) -> Column:
@@ -157,10 +165,12 @@ SERVER_BASE_OFFSET_S = 3600
 def _last_sunday_epoch_day(year_col: Column, month: int) -> Column:
     """Epoch day of the last Sunday of `month` (which has 31 days).
     1970-01-01 was a Thursday, so day-of-week with Sunday=0 is
-    (epoch_day + 4) % 7 — pure integer arithmetic, identical in every
-    engine."""
+    pmod(epoch_day + 4, 7) — the SIGN-SAFE remainder: pre-1970 dates
+    make d31 negative, and %'s dividend-sign rule would land the
+    'last Sunday' after the 31st (the SQL mirror in
+    TYPE_DECODE_COMPAT_SQL carries the same ((x%7)+7)%7 form)."""
     d31 = F.unix_date(F.make_date(year_col, F.lit(month), F.lit(31)))
-    return d31 - (d31 + F.lit(4)) % 7
+    return d31 - F.pmod(d31 + F.lit(4), F.lit(7))
 
 
 def server_zone_offset_seconds(
@@ -405,10 +415,10 @@ WITH src AS (
     FROM cal
 ), dst AS (
     SELECT *,
-        (CAST(mar31 - (mar31 + 4) % 7 AS BIGINT) * 86400 + 3600) * 1000
-            AS dst_start_ms,
-        (CAST(oct31 - (oct31 + 4) % 7 AS BIGINT) * 86400 + 3600) * 1000
-            AS dst_end_ms
+        (CAST(mar31 - ((((mar31 + 4) % 7) + 7) % 7) AS BIGINT)
+            * 86400 + 3600) * 1000 AS dst_start_ms,
+        (CAST(oct31 - ((((oct31 + 4) % 7) + 7) % 7) AS BIGINT)
+            * 86400 + 3600) * 1000 AS dst_end_ms
     FROM win
 ), off AS (
     SELECT *,

@@ -51,9 +51,12 @@ def seeker_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = change_feed(spark, sf_dir).withColumn(
         "partition", md5_bucket(F.col("txn_uuid"), N_PARTITIONS)
     )
-    # resume point = a third of the stream already applied before restart
+    # resume point = a third of the stream already applied before
+    # restart — integer FLOOR division on both engines (a float-divide
+    # then cast TRUNCATES in Spark but ROUNDS in DuckDB, so the two
+    # sides disagreed whenever max(event_id) % 3 == 2)
     resume = feed.agg(
-        (F.max("event_id") / F.lit(3)).cast("long").alias("resume_id")
+        F.expr("max(event_id) div 3").alias("resume_id")
     )
     feed_r = feed.crossJoin(F.broadcast(resume))
     applied = (
@@ -91,7 +94,7 @@ parted AS (
              % {N_PARTITIONS} AS INT) AS partition
     FROM feed
 ),
-resume AS (SELECT CAST(MAX(event_id) / 3 AS BIGINT) AS resume_id FROM parted),
+resume AS (SELECT MAX(event_id) // 3 AS resume_id FROM parted),
 applied AS (
     SELECT partition, MAX(event_id) AS watermark_event_id
     FROM parted, resume WHERE event_id <= resume_id

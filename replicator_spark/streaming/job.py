@@ -70,6 +70,13 @@ def run_timemachine_stream(
     stream = _events_stream(spark, sf_dir)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # change_feed_from's lag-derived before-images and txn-window
+        # stamps are computed WITHIN the micro-batch: correct here
+        # because availableNow over the single events file yields one
+        # batch (the shape the testdata + scale-smoke tool guarantee).
+        # A multi-file/maxFilesPerTrigger deployment must feed rows
+        # whose before-images come from the SOURCE (the binlog wire
+        # reader surfaces them per-row), not from batch-local lag.
         cells = cells_from(organized_feed_from(change_feed_from(batch_df)))
         # foreachBatch is at-least-once: write each epoch to its own
         # deterministic subdir with overwrite, so a retried micro-batch

@@ -64,14 +64,19 @@ def _admit(
 ) -> Iterator[pd.DataFrame]:
     band, _bucket = key
     prev = state.get[0] if state.exists else None
+    # the group arrives as MULTIPLE Arrow chunks once it exceeds the
+    # batch size, in no particular order — sort across the WHOLE
+    # micro-batch group (the sibling stateful ops' pd.concat pattern),
+    # or a later chunk's smaller doc_id would be admitted alongside an
+    # earlier chunk's larger one
+    all_ids = sorted(int(d) for pdf in pdfs for d in pdf["doc_id"])
     rows = []
-    for pdf in pdfs:
-        # sorted scan ⇒ within a batch only the bucket's min can be
-        # admitted, matching the arrival-order rule exactly when
-        # batches arrive in doc_id order (file streams preserve it).
-        for did in sorted(int(d) for d in pdf["doc_id"]):
-            rows.append((did, band, prev is None or did < prev))
-            prev = did if prev is None else min(prev, did)
+    # sorted scan ⇒ within a batch only the bucket's min can be
+    # admitted, matching the arrival-order rule exactly when batches
+    # arrive in doc_id order (file streams preserve it).
+    for did in all_ids:
+        rows.append((did, band, prev is None or did < prev))
+        prev = did if prev is None else min(prev, did)
     if prev is not None:
         state.update((prev,))
     yield pd.DataFrame(rows, columns=["doc_id", "band", "admitted"])

@@ -61,10 +61,41 @@ MYSQL_TO_SPARK = {
     "year": T.IntegerType(),
 }
 
-_R_CREATE = re.compile(
-    r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?`?(\w+)`?\s*\((.*)\)\s*$",
-    re.I | re.S,
+_R_CREATE_HEAD = re.compile(
+    r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?`?(\w+)`?\s*\(",
+    re.I,
 )
+
+
+def _match_create(stmt: str):
+    """CREATE TABLE name ( cols... ) [table options] → (name, cols)
+    or None. The column list ends at the BALANCED close paren (column
+    defs nest parens — DECIMAL(10,2), ENUM('a','b') — and quoted
+    defaults may contain either), and real binlog DDL almost always
+    carries trailing options (ENGINE=, DEFAULT CHARSET=, COMMENT=,
+    PARTITION BY ...): the previous $-anchored regex rejected those
+    statements entirely, silently never registering the table."""
+    m = _R_CREATE_HEAD.match(stmt)
+    if not m:
+        return None
+    depth, i, n = 1, m.end(), len(stmt)
+    start = m.end()
+    quote = None
+    while i < n:
+        c = stmt[i]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in ("'", '"'):
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return m.group(1), stmt[start:i]
+        i += 1
+    return None  # unbalanced parens: not a well-formed CREATE
 # CREATE TABLE t LIKE src — the reference's own DDL fixture uses this
 # for the online-schema-change shadow copy (activeschema.test.sql:
 # "CREATE TABLE test1_new LIKE test1" before the swap RENAME)
@@ -82,7 +113,14 @@ _R_DROP = re.compile(
 _R_RENAME = re.compile(
     r"^\s*rename\s+table\s+(.*)$", re.I | re.S
 )
-_R_RENAME_PAIR = re.compile(r"`?(\w+)`?\s+to\s+`?(\w+)`?", re.I)
+# each side may carry a schema qualifier (RENAME TABLE a TO otherdb.b)
+# — the registry is single-database, so the qualifier is ignored and
+# the TABLE part captured (the old \w+ pattern stopped at the dot and
+# captured the SCHEMA as the new name, corrupting the namespace)
+_R_RENAME_PAIR = re.compile(
+    r"(?:`?\w+`?\s*\.\s*)?`?(\w+)`?\s+to\s+(?:`?\w+`?\s*\.\s*)?`?(\w+)`?",
+    re.I,
+)
 _R_ALTER = re.compile(r"^\s*alter\s+table\s+`?(\w+)`?\s+(.*)$", re.I | re.S)
 _R_ADD_COL = re.compile(
     r"^add\s+(column\s+)?(`?)(\w+)`?\s+(\w+)", re.I
@@ -117,9 +155,12 @@ _R_USE_PREFIX = re.compile(r"^\s*use\s+`?\w+`?\s*;\s*", re.I)
 
 def rewrite_active_schema_name(sql: str, db: str) -> str:
     """Strip the database qualifier so the DDL applies to the registry's
-    (single-database) namespace — ActiveSchemaHelpers.java:150-171."""
+    (single-database) namespace — ActiveSchemaHelpers.java:150-171.
+    The qualifier must start at an identifier boundary: without the
+    lookbehind, db='db' inside 'mydb.t' deleted the 'db.' suffix and
+    fused the identifier into a different table name ('myt')."""
     sql = _R_USE_PREFIX.sub("", sql)
-    sql = re.sub(rf"`?{re.escape(db)}`?\s*\.\s*", "", sql)
+    sql = re.sub(rf"(?<![\w`]){'`?'}{re.escape(db)}`?\s*\.\s*", "", sql)
     return sql
 
 
@@ -272,9 +313,9 @@ class SchemaRegistry:
             self.tables[table] = self.tables[src]
             self._names[table] = set(self._names[src])
             return "CREATE_TABLE", table, table, table
-        m = _R_CREATE.match(stmt)
-        if m:
-            table, cols_src = m.group(1).lower(), m.group(2)
+        cm_create = _match_create(stmt)
+        if cm_create:
+            table, cols_src = cm_create[0].lower(), cm_create[1]
             fields = []
             for coldef in self._split_cols(cols_src):
                 cm = re.match(r"^\s*(`?)(\w+)`?\s+(\w+)", coldef)

@@ -1131,3 +1131,144 @@ def test_registry_replays_reference_activeschema_fixture():
     row = reg.apply_ddl("CREATE TABLE ghost_copy LIKE nope")
     assert row["kind"] == "CREATE_UNKNOWN_SOURCE"
     assert reg.get("ghost_copy") is None
+
+
+def test_registry_create_with_table_options():
+    """Real binlog DDL almost always carries table options after the
+    column list (ENGINE=, DEFAULT CHARSET=, COMMENT=, PARTITION BY
+    with nested parens): the registry must register the table, not
+    classify the statement UNKNOWN and silently drop it."""
+    from replicator_spark.streaming.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    row = reg.apply_ddl(
+        "CREATE TABLE t1 (id INT, v DOUBLE)"
+        " ENGINE=InnoDB DEFAULT CHARSET=utf8mb4"
+    )
+    assert row["kind"] == "CREATE_TABLE"
+    assert [f.name for f in reg.get("t1")] == ["id", "v"]
+    row2 = reg.apply_ddl(
+        "CREATE TABLE t2 (d DECIMAL(10,2), e ENUM('a','(b)'))"
+        " COMMENT='opts (with parens)' PARTITION BY HASH(d) PARTITIONS 4"
+    )
+    assert row2["kind"] == "CREATE_TABLE"
+    assert [f.name for f in reg.get("t2")] == ["d", "e"]
+    # unbalanced parens stay UNKNOWN (not a well-formed CREATE)
+    assert reg.apply_ddl("CREATE TABLE broken (id INT")["kind"] == "UNKNOWN"
+
+
+def test_registry_schema_qualified_rename():
+    """RENAME TABLE a TO otherdb.b must rename to the TABLE part —
+    the old \\w+ pair pattern stopped at the dot and renamed a to a
+    table literally called 'otherdb'."""
+    from replicator_spark.streaming.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE a (id INT)")
+    row = reg.apply_ddl("RENAME TABLE a TO otherdb.b")
+    assert row["kind"] == "RENAME_TABLE" and row["table"] == "a->b"
+    assert sorted(reg.tables) == ["b"]
+    reg.apply_ddl("RENAME TABLE `x`.`b` TO `y`.`c`")
+    assert sorted(reg.tables) == ["c"]
+
+
+def test_rewrite_db_qualifier_respects_identifier_boundary():
+    """Stripping db='db' must not eat the 'db.' suffix inside another
+    identifier ('mydb.t' used to become 'myt' — DDL rewritten to
+    target a different table)."""
+    from replicator_spark.streaming.registry import (
+        rewrite_active_schema_name,
+    )
+
+    keep = "ALTER TABLE mydb.t ADD COLUMN c INT"
+    assert rewrite_active_schema_name(keep, db="db") == keep
+    assert rewrite_active_schema_name(
+        "ALTER TABLE db.t ADD COLUMN c INT", db="db"
+    ) == "ALTER TABLE t ADD COLUMN c INT"
+    assert rewrite_active_schema_name(
+        "ALTER TABLE `db`.`t` ADD COLUMN c INT", db="db"
+    ) == "ALTER TABLE `t` ADD COLUMN c INT"
+
+
+def test_enum_label_invalid_index_is_null(spark):
+    """MySQL stores 0 for an invalid/empty ENUM cell (non-strict
+    mode): the decode must yield NULL per its contract — element_at
+    THROWS on index 0 and reads from the tail on negatives."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark.cdc.decode import enum_label
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (-1,), (None,)], "idx int"
+    )
+    got = [
+        r["lab"]
+        for r in df.select(
+            enum_label(F.col("idx"), ("a", "b")).alias("lab")
+        ).collect()
+    ]
+    assert got == [None, "a", "b", None, None, None]
+
+
+def test_dst_window_pre_1970(spark):
+    """Pre-1970 epoch days are negative; %'s dividend-sign rule put
+    the 'last Sunday' AFTER March 31st, mis-placing the DST window.
+    pmod keeps the window correct: 1965's last March Sunday was the
+    28th, last October Sunday the 31st."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark.cdc.decode import _last_sunday_epoch_day
+
+    df = spark.range(1).select(F.lit(1965).alias("y"))
+    row = df.select(
+        _last_sunday_epoch_day(F.col("y"), 3).alias("mar"),
+        _last_sunday_epoch_day(F.col("y"), 10).alias("oct"),
+    ).collect()[0]
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    assert epoch + datetime.timedelta(days=row["mar"]) == datetime.date(
+        1965, 3, 28
+    )
+    assert epoch + datetime.timedelta(days=row["oct"]) == datetime.date(
+        1965, 10, 31
+    )
+
+
+def test_stream_near_dedup_admit_multi_chunk_group():
+    """applyInPandasWithState delivers a big group as several Arrow
+    chunks in no particular order: only the group-wide minimum may be
+    admitted, so _admit must sort across ALL chunks of the micro-batch
+    (a later chunk's smaller doc_id used to be admitted alongside an
+    earlier chunk's larger one)."""
+    import pandas as pd
+
+    from replicator_spark.streaming.near_dedup import _admit
+
+    class _FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = _FakeState()
+    chunks = iter([
+        pd.DataFrame({"doc_id": [10, 11]}),
+        pd.DataFrame({"doc_id": [5]}),
+    ])
+    (out,) = list(_admit((0, "b"), chunks, st))
+    got = {int(r.doc_id): bool(r.admitted) for r in out.itertuples()}
+    assert got == {5: True, 10: False, 11: False}
+    assert st.get == (5,)
+    # a later micro-batch with a larger id is rejected against state
+    (out2,) = list(_admit(
+        (0, "b"), iter([pd.DataFrame({"doc_id": [7]})]), st
+    ))
+    assert not out2["admitted"].iloc[0]

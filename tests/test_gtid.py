@@ -131,3 +131,19 @@ def test_single_range_collapse(spark):
     assert out["A"]["safe_checkpoint"] == 7
     assert out["A"]["n_safe_ranges"] == 1
     assert out["A"]["safe_gtid_set"] == "A:7-7"
+
+
+def test_overlapping_and_contained_ranges_are_not_holes(spark):
+    """Duplicate/retried acks carry overlapping or contained ranges
+    (a cumulative set re-sent): the gap scan must use the running MAX
+    of prior ends — lag(r_end) alone saw 1-10, 2-3, 11-12 as a hole
+    at 11 (> 3+1) and under-reported the safe watermark as 10."""
+    out = _safe(spark, ["A:1-10", "A:2-3", "A:11-12"])
+    assert out["A"]["safe_checkpoint"] == 12
+    assert out["A"]["safe_gtid_set"] == "A:1-12"
+    # exact duplicate ranges likewise
+    out2 = _safe(spark, ["B:1-5", "B:1-5", "B:6-7"])
+    assert out2["B"]["safe_checkpoint"] == 7
+    # a REAL hole past an overlap still stops the scan
+    out3 = _safe(spark, ["C:1-10", "C:2-3", "C:12-13"])
+    assert out3["C"]["safe_checkpoint"] == 10
