@@ -373,11 +373,18 @@ def _ivm_sql() -> str:
 # map partition at 100 TB).
 
 
-def net_effect_from(feed: DataFrame) -> DataFrame:
+def net_effect_from(
+    feed: DataFrame, group_cols: tuple = ("user_id",)
+) -> DataFrame:
     """Collapse a change feed (user_id, op, ts_ms, event_id,
-    value_after) to net mutations — the property-testable core."""
+    value_after) to net mutations — the property-testable core.
+    ``group_cols`` is the row-identity key: the runner passes
+    (table_name, user_id) so ops on different physical tables never
+    collapse together (the reference batches per (table, rowkey),
+    HBaseApplier.java:166-196); the registered op keeps the plain
+    user_id key its oracle mirrors."""
     keyed = feed.select(
-        "user_id",
+        *group_cols,
         "op",
         "ts_ms",
         "event_id",
@@ -385,7 +392,7 @@ def net_effect_from(feed: DataFrame) -> DataFrame:
                    F.lit(NULL_SENTINEL)).alias("value_s"),
     )
     ord_k = F.struct("ts_ms", "event_id")
-    runs = keyed.groupBy("user_id").agg(
+    runs = keyed.groupBy(*group_cols).agg(
         F.min_by("op", ord_k).alias("first_op"),
         F.max_by("op", ord_k).alias("last_op"),
         F.max_by("value_s", ord_k).alias("value"),
@@ -405,7 +412,7 @@ def net_effect_from(feed: DataFrame) -> DataFrame:
         runs.withColumn("net_op", net)
         .where(F.col("net_op").isNotNull())
         .select(
-            "user_id",
+            *group_cols,
             "net_op",
             F.when(F.col("net_op") == "DELETE", F.lit(NULL_SENTINEL))
             .otherwise(F.col("value"))

@@ -68,6 +68,18 @@ def change_feed_from(ev: DataFrame, op_col: str = None) -> DataFrame:
     columns look like (re-deriving from event_type could reclassify a
     real row change as QUERY and silently drop it at the augmenter
     gate)."""
+    # the binlog wire reader surfaces the UPDATE before-image
+    # (value_before_wire/props_before_wire): carry it through as the
+    # FALLBACK for the lag-derived fields, so a user's first row in a
+    # micro-batch whose true predecessor lives in an earlier batch
+    # still gets its before-image (batch-local lag is NULL there —
+    # the streaming/job.py hazard). Within one batch the lag wins,
+    # keeping the single-batch outputs byte-identical.
+    wire_cols = (
+        ["value_before_wire", "props_before_wire"]
+        if op_col and "value_before_wire" in ev.columns
+        else []
+    )
     # ts column arrives as raw nanos (nanosAsLong); work in epoch millis.
     base = ev.select(
         *([op_col] if op_col else []),
@@ -78,6 +90,7 @@ def change_feed_from(ev: DataFrame, op_col: str = None) -> DataFrame:
         "event_type",
         "value",
         "props",
+        *wire_cols,
     )
     env = base.select(
         "event_id",
@@ -95,6 +108,7 @@ def change_feed_from(ev: DataFrame, op_col: str = None) -> DataFrame:
         ).alias("txn_xid"),
         "value",
         "props",
+        *wire_cols,
     )
     # Single-exchange window plan: the per-user lag window is computed
     # first (exchange on user_id); the txn-scoped windows are keyed
@@ -122,13 +136,19 @@ def change_feed_from(ev: DataFrame, op_col: str = None) -> DataFrame:
         F.max("ts_ms").over(w_txn).alias("commit_ts_ms"),
         F.row_number().over(w_txn_seq).alias("seq_in_txn"),
         F.when(
-            F.col("op").isin("UPDATE", "DELETE"), F.col("_prev_value")
+            F.col("op").isin("UPDATE", "DELETE"),
+            F.coalesce(F.col("_prev_value"),
+                       *( [F.col("value_before_wire")] if wire_cols
+                          else [] )),
         ).alias("value_before"),
         F.when(F.col("op").isin("INSERT", "UPDATE"), F.col("value")).alias(
             "value_after"
         ),
         F.when(
-            F.col("op").isin("UPDATE", "DELETE"), F.col("_prev_props")
+            F.col("op").isin("UPDATE", "DELETE"),
+            F.coalesce(F.col("_prev_props"),
+                       *( [F.col("props_before_wire")] if wire_cols
+                          else [] )),
         ).alias("props_before"),
         F.when(F.col("op").isin("INSERT", "UPDATE"), F.col("props")).alias(
             "props_after"

@@ -40,7 +40,7 @@ into the applier's own shuffle via AQE).
 
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional
+from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,7 +88,13 @@ def _augment(feed: DataFrame, cfg: Mapping[str, Any]) -> DataFrame:
     """include/exclude gate → QUERY-event gate → table merge →
     partitioner, per (already-defaulted) config. Shared by the batch
     path and each streaming micro-batch so the two cannot drift."""
-    include = tuple(cfg["augmenter.filter.include"] or ())
+    raw_include = cfg["augmenter.filter.include"] or ()
+    if isinstance(raw_include, str):
+        # the natural config mistake: a single table name as a plain
+        # string — tuple() would shred it into one-character "names"
+        # and the whitelist would silently never match
+        raw_include = (raw_include,)
+    include = tuple(raw_include)
     excl = cfg["augmenter.filter.exclude.pattern"]
     if include or excl:
         feed = feed.where(
@@ -187,8 +193,13 @@ def apply_sink(feed: DataFrame, config: Mapping[str, Any]) -> DataFrame:
             )
         from .cdc.apply import net_effect_from
 
+        # net per (table, row key) — the reference batches per
+        # (table, rowkey) (HBaseApplier.java:166-196), so ops on two
+        # different physical tables must never collapse together;
+        # with table merge ON the name is already the logical table
         collapsed = net_effect_from(
-            feed.where(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+            feed.where(F.col("op").isin("INSERT", "UPDATE", "DELETE")),
+            group_cols=("table_name", "user_id"),
         )
         feed = collapsed.select(F.col("net_op").alias("op"))
     if kind == "count":

@@ -537,8 +537,13 @@ def scd2_weighted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("w_us") > 0)
     )
+    # integer MICRO-UNIT fold, not round(v,6)→DECIMAL: floor(v*1e6+.5)
+    # is pure IEEE double ops, bit-identical in both engines, while
+    # each engine's own decimal-rounding path disagrees for values
+    # within an ulp of a 5e-7 boundary (the sources/formats.py:146
+    # mechanism that once turned a driver row red)
     vw = (
-        F.round(F.col("v"), 6).cast("decimal(20,6)")
+        F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5)).cast("decimal(20,0)")
         * F.col("w_us").cast("decimal(18,0)")
     )
     agg = closed.groupBy("table_name").agg(
@@ -551,7 +556,9 @@ def scd2_weighted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_intervals",
         "total_us",
         F.round(
-            F.col("_svw").cast("double") / F.col("total_us").cast("double"),
+            F.col("_svw").cast("double")
+            / 1e6
+            / F.col("total_us").cast("double"),
             6,
         ).alias("tw_avg_value"),
     )
@@ -572,9 +579,9 @@ closed AS (
 SELECT table_name, COUNT(*) AS n_intervals,
     CAST(SUM(w_us) AS BIGINT) AS total_us,
     round(
-        CAST(SUM(CAST(round(v, 6) AS DECIMAL(20,6))
+        CAST(SUM(CAST(floor(v * 1e6 + 0.5) AS DECIMAL(20,0))
                  * CAST(w_us AS DECIMAL(18,0))) AS DOUBLE)
-        / CAST(SUM(w_us) AS DOUBLE), 6) AS tw_avg_value
+        / 1e6 / CAST(SUM(w_us) AS DOUBLE), 6) AS tw_avg_value
 FROM closed
 GROUP BY table_name
 """

@@ -2457,7 +2457,11 @@ def envelope_projection(rows: DataFrame) -> DataFrame:
     the batch and streaming runner paths so they cannot drift): the
     WIRE op rides along — pass it to change_feed_from(op_col="op") so
     a row decoded from a WRITE/UPDATE/DELETE_ROWS event keeps its
-    authoritative classification whatever its payload columns say."""
+    authoritative classification whatever its payload columns say.
+    The wire UPDATE before-image rides along too: change_feed_from
+    falls back to it when the batch-local lag has no predecessor (a
+    transaction whose earlier rows landed in a previous micro-batch),
+    so streaming == batch across file/batch boundaries."""
     return rows.select(
         "op",
         "event_id",
@@ -2466,6 +2470,8 @@ def envelope_projection(rows: DataFrame) -> DataFrame:
         "event_type",
         "value",
         "props",
+        "value_before_wire",
+        "props_before_wire",
     )
 
 

@@ -42,13 +42,19 @@ def _chk(col: Column) -> Column:
 
 
 def _summary(docs: DataFrame) -> DataFrame:
-    """Per-source row count, char volume, and content checksum."""
+    """Per-source row count, char volume, and content checksum.
+    Every field is NULL-coalesced to a chr(2) sentinel BEFORE the
+    concat: concat_ws silently SKIPS null columns (and their
+    separators) while the oracle's `||` NULL-propagates and drops the
+    whole row from the sum — a single NULL text cell would report a
+    lossless round trip as corruption."""
+    sent = "\x02"
     row = F.concat_ws(
         "\x01",
-        F.col("doc_id").cast("string"),
-        F.col("text"),
-        F.col("lang"),
-        F.col("n_chars").cast("string"),
+        F.coalesce(F.col("doc_id").cast("string"), F.lit(sent)),
+        F.coalesce(F.col("text"), F.lit(sent)),
+        F.coalesce(F.col("lang"), F.lit(sent)),
+        F.coalesce(F.col("n_chars").cast("string"), F.lit(sent)),
     )
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -57,10 +63,27 @@ def _summary(docs: DataFrame) -> DataFrame:
     )
 
 
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(op, sf_dir) scratch dir, recreated fresh on
+    every invocation: mkdtemp leaked one full table copy per call
+    (1300+ test invocations per round), unbounded; this is bounded to
+    ONE live copy per op and never reuses stale state."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{tag}_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    _sh.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
 def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     prep(spark)
     docs = read_table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix=f"fmt_{fmt}_")
+    base = _scratch_dir(f"fmt_{fmt}", sf_dir)
     out = os.path.join(base, f"docs_{fmt}")
     w = docs.write.mode("overwrite").format(fmt)
     r = spark.read.format(fmt).schema(docs.schema)
@@ -112,8 +135,10 @@ def orc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle: the SAME summary over the ORIGINAL table — a parity pass
 # means the format writer+reader preserved every byte of every row.
 _ROW = (
-    "CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang"
-    " || chr(1) || CAST(n_chars AS VARCHAR)"
+    "COALESCE(CAST(doc_id AS VARCHAR), chr(2)) || chr(1)"
+    " || COALESCE(text, chr(2)) || chr(1)"
+    " || COALESCE(lang, chr(2)) || chr(1)"
+    " || COALESCE(CAST(n_chars AS VARCHAR), chr(2))"
 )
 _NIBBLE = " + ".join(
     f"(strpos('0123456789abcdef', substr(md5({_ROW}), {i}, 1)) - 1)"
@@ -155,12 +180,13 @@ CHK_TS_MOD = 1_000_000_007
 
 
 def stream_jsonl_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile as _tf
-
     from ..streaming.job import _events_stream
 
     prep(spark)
-    base = _tf.mkdtemp(prefix="stream_jsonl_")
+    # fresh scratch per invocation (the checkpoint MUST not survive to
+    # the next call — a stale seen-files log would silently skip
+    # regenerated input of the same filename)
+    base = _scratch_dir("stream_jsonl", sf_dir)
     out = os.path.join(base, "out")
     stream = _events_stream(spark, sf_dir).select(
         "event_id",

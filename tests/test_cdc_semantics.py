@@ -1272,3 +1272,43 @@ def test_stream_near_dedup_admit_multi_chunk_group():
         (0, "b"), iter([pd.DataFrame({"doc_id": [7]})]), st
     ))
     assert not out2["admitted"].iloc[0]
+
+
+def test_envelope_wire_before_image_fallback(spark, tmp_path):
+    """A user whose history spans micro-batches: the batch-local lag
+    has no predecessor for the later batch's UPDATE, so the envelope
+    must fall back to the WIRE before-image instead of NULL — the
+    reference's before-images come from the binlog row, not from
+    feed-local inference. Within one batch the lag still wins."""
+    from replicator_spark.cdc.envelope import change_feed_from
+    from replicator_spark.sources.binlog import (
+        encode_binlog_file,
+        envelope_projection,
+        read_binlog_files,
+    )
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    # file 2 carries ONLY the update — its before-image exists on the
+    # wire (synthesized as the zeroed row by the fixture writer) but
+    # not in any batch containing just this file
+    (logs / "binlog.000002").write_bytes(encode_binlog_file(
+        [("UPDATE", 2, 2_000_000, 10, "click", 5.0, '{"b":1}')]
+    ))
+    rows = read_binlog_files(spark, str(logs))
+    feed = change_feed_from(envelope_projection(rows), op_col="op")
+    (r,) = feed.collect()
+    assert r["op"] == "UPDATE"
+    assert r["value_before"] == 0.0  # wire image, not NULL
+    assert r["props_before"] == "{}"
+    assert r["value_after"] == 5.0
+
+    # same-batch predecessor: the lag wins over the wire image
+    (logs / "binlog.000001").write_bytes(encode_binlog_file(
+        [("INSERT", 1, 1_000_000, 10, "signup", 3.0, '{"a":1}')]
+    ))
+    rows2 = read_binlog_files(spark, str(logs))
+    feed2 = change_feed_from(envelope_projection(rows2), op_col="op")
+    upd = [r for r in feed2.collect() if r["op"] == "UPDATE"][0]
+    assert upd["value_before"] == 3.0  # lag (true predecessor)
+    assert upd["props_before"] == '{"a":1}'
