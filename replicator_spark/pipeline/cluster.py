@@ -109,9 +109,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     else:
         raise RuntimeError("connected_components: no fixpoint "
                            f"after {MAX_ITERS} iterations")
-    singletons = nodes.join(enodes, "doc_id", "anti").select(
-        "doc_id", F.col("doc_id").alias("label")
-    )
+    # the loop is done and `labels` is checkpoint-materialized: the
+    # working sets must not stay pinned for the session lifetime (the
+    # registry drive calls this from three operators — leaked persists
+    # fill executor storage and evict later operators' caches). The
+    # singleton anti-join reads the edge-node set from LABELS (already
+    # materialized) instead of the unpersisted `enodes`.
+    sym.unpersist()
+    enodes.unpersist()
+    singletons = nodes.join(
+        labels.select("doc_id"), "doc_id", "anti"
+    ).select("doc_id", F.col("doc_id").alias("label"))
     return labels.unionByName(singletons)
 
 

@@ -787,7 +787,14 @@ def weighted_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("double")
     u = (h + F.lit(0.5)) / F.lit(4294967296.0)
-    pri = -F.log(u) / F.col("n_chars").cast("double")
+    # the rank key is ROUNDED (tie-deterministic floor fold) BEFORE
+    # the window: JVM Math.log and DuckDB's libm log may differ by an
+    # ulp, and an unrounded ulp at the rank-K boundary flips the
+    # sample membership between engines (every other ranking op here
+    # rounds before ROW_NUMBER for exactly this reason)
+    pri = F.floor(
+        -F.log(u) / F.col("n_chars").cast("double") * 1e9 + F.lit(0.5)
+    ) / 1e9
     w_rank = Window.orderBy(F.col("pri").asc(), F.col("doc_id"))
     return (
         docs.withColumn("pri", pri)
@@ -797,7 +804,7 @@ def weighted_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             "n_chars",
-            F.round(F.col("pri"), 9).alias("priority"),
+            F.col("pri").alias("priority"),
             "sample_rank",
         )
     )
@@ -806,16 +813,16 @@ def weighted_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_SAMPLE_SQL = f"""
 WITH keyed AS (
     SELECT doc_id, lang, n_chars,
-        -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-             AS UBIGINT) + 0.5) / 4294967296.0)
-        / CAST(n_chars AS DOUBLE) AS pri
+        floor(-ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0)
+              / CAST(n_chars AS DOUBLE) * 1e9 + 0.5) / 1e9 AS pri
     FROM documents
 ), ranked AS (
     SELECT doc_id, lang, n_chars, pri,
         ROW_NUMBER() OVER (ORDER BY pri ASC, doc_id) AS sample_rank
     FROM keyed QUALIFY sample_rank <= {SAMPLE_TOP_K}
 )
-SELECT doc_id, lang, n_chars, round(pri, 9) AS priority, sample_rank
+SELECT doc_id, lang, n_chars, pri AS priority, sample_rank
 FROM ranked
 """
 
@@ -1169,7 +1176,12 @@ def dsir_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("double")
     u = (h + F.lit(0.5)) / F.lit(4294967296.0)
-    key = F.col("dsir_avg") + (-F.log(-F.log(u)))
+    # rounded BEFORE the rank window (tie-deterministic floor fold) —
+    # the double-ln gumbel key amplifies the cross-engine libm ulp,
+    # and an unrounded ulp at the rank-K boundary flips membership
+    key = F.floor(
+        (F.col("dsir_avg") + (-F.log(-F.log(u)))) * 1e6 + F.lit(0.5)
+    ) / 1e6
     w_rank = Window.orderBy(F.col("key").desc(), F.col("doc_id"))
     return (
         wts.withColumn("key", key)
@@ -1180,7 +1192,7 @@ def dsir_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_toks",
             "dsir_avg",
-            F.round(F.col("key"), 6).alias("gumbel_key"),
+            F.col("key").alias("gumbel_key"),
             "sample_rank",
         )
     )
@@ -1192,14 +1204,14 @@ WITH wts AS (
     SELECT * FROM ({DSIR_WEIGHTS_SQL})
 ), keyed AS (
     SELECT doc_id, lang, n_toks, dsir_avg,
-        dsir_avg + (-ln(-ln(
+        floor((dsir_avg + (-ln(-ln(
             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
-                 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0)))
-            AS key
+                 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0))))
+            * 1e6 + 0.5) / 1e6 AS key
     FROM wts
 )
 SELECT doc_id, lang, n_toks, dsir_avg,
-    round(key, 6) AS gumbel_key, sample_rank
+    key AS gumbel_key, sample_rank
 FROM (
     SELECT *, ROW_NUMBER() OVER (ORDER BY key DESC, doc_id)
         AS sample_rank

@@ -72,7 +72,7 @@ def _shingles(col: Column) -> Column:
 
     `col` must be an ATTRIBUTE reference to an already-computed token
     array (see _with_shingles), never an inline `split(...)` expression:
-    the builder references it 3 times, and an inline expression would be
+    the builder references it K times, and an inline expression would be
     cloned into the lambda and re-evaluated per shingle — O(tokens²)
     regex splits per doc (measured 7× slowdown at sf0.1).
     """
@@ -80,13 +80,14 @@ def _shingles(col: Column) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(1)))
     # F.get is 0-based and returns NULL out of range (ANSI-safe for short
     # docs); concat_ws drops NULLs — matching DuckDB's toks[i] semantics.
+    # The K gram terms are GENERATED from SHINGLE_K (they were once
+    # hardcoded to 3, so bumping the constant silently kept emitting
+    # 3-token shingles) — same construction as curation._kgrams.
     return F.transform(
         idx,
         lambda i: F.concat_ws(
             " ",
-            F.get(col, i - 1),
-            F.get(col, i),
-            F.get(col, i + 1),
+            *[F.get(col, i + F.lit(j) - 1) for j in range(SHINGLE_K)],
         ),
     )
 
@@ -208,11 +209,15 @@ def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs)
 
 
-_SHINGLES_SQL = """
+# generated from SHINGLE_K in lockstep with the Spark builder
+_SHINGLES_SQL = f"""
 list_filter(
     list_transform(
-        range(1, greatest(len(toks) - 2, 1) + 1),
-        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+        range(1, greatest(len(toks) - {SHINGLE_K - 1}, 1) + 1),
+        i -> concat_ws(' ', {", ".join(
+            "toks[i]" if j == 0 else f"toks[i+{j}]"
+            for j in range(SHINGLE_K)
+        )})),
     s -> s IS NOT NULL)
 """
 
@@ -238,8 +243,16 @@ WITH toked AS (
 )
 """
 
+# rows-per-band derived from (N_MINHASH, N_BANDS) exactly as the Spark
+# side derives it — a hardcoded 2-row layout would silently desync
+# every LSH-derived oracle if the banding knobs are retuned
+_ROWS_PER_BAND = N_MINHASH // N_BANDS
 _BANDED_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, h{b * 2} || '|' || h{b * 2 + 1} AS bucket FROM sig"
+    f"SELECT doc_id, {b} AS band, "
+    + " || '|' || ".join(
+        f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+    )
+    + " AS bucket FROM sig"
     for b in range(N_BANDS)
 )
 

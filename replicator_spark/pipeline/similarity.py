@@ -220,13 +220,28 @@ def _centroids(emb: DataFrame) -> DataFrame:
 
     posexplode → combiner-backed groupBy(label, dim) → rebuild array:
     the distributed element-wise mean (no driver collect). Components
-    round to 6 so the Spark partial-sum order can't leak into ranks.
+    use the ARMORED mean of vectors.centroids_query — DECIMAL(28,10)
+    sum (partial-sum order can't leak) + floor(x*1e9+0.5)/1e9
+    tie-deterministic rounding (F.round and DuckDB round diverge on
+    exact ties, and float32-dyadic inputs DO land on them) — so a tie
+    can never flip the unrounded centroid-cosine probe ranking.
     """
     dims = emb.select(
         "label", F.posexplode(F.col("v")).alias("dim", "x")
     )
     per_dim = dims.groupBy("label", "dim").agg(
-        F.round(F.avg("x"), 6).alias("m")
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,10)")).alias("s"),
+    ).select(
+        "label",
+        "dim",
+        (
+            F.floor(
+                F.col("s").cast("double") / F.col("n") * 1e9
+                + F.lit(0.5)
+            )
+            / 1e9
+        ).alias("m"),
     )
     return per_dim.groupBy("label").agg(
         F.transform(
@@ -303,7 +318,9 @@ WITH emb AS (
     SELECT label, i AS dim, v[i] AS x
     FROM emb, (SELECT unnest(range(1, {DIM + 1})) AS i)
 ), per_dim AS (
-    SELECT label, dim, round(AVG(x), 6) AS m
+    SELECT label, dim,
+        floor(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+              / COUNT(*) * 1e9 + 0.5) / 1e9 AS m
     FROM dims GROUP BY label, dim
 ), cents AS (
     SELECT label, list(m ORDER BY dim) AS centroid
@@ -886,13 +903,18 @@ FROM grid g LEFT JOIN hits h ON g.query_id = h.query_id AND g.k = h.k
 
 # ------------------------------------------------- IVF cell balance
 #
-# The load diagnostic behind every IVF/cell-restricted operator here
-# (sim_ivf_topk, sim_knn_graph, emb_matryoshka_fidelity): per-cell
-# population, the max/mean load factor (the straggler multiplier a
-# skewed quantizer inflicts on the fine search), and the Gini of cell
-# sizes (tie-invariant rank-weighted DECIMAL sums, stats_gini's
-# armor). When this report goes bad you retrain the coarse quantizer —
-# it is the operational dial for the documented cell-count knob.
+# The load diagnostic for the LABEL-quantized operators (sim_ivf_topk
+# and the other centroid-coarse-quantizer paths): per-cell population,
+# the max/mean load factor (the straggler multiplier a skewed
+# quantizer inflicts on the fine search), and the Gini of cell sizes
+# (tie-invariant rank-weighted DECIMAL sums, stats_gini's armor).
+# SCOPE: this measures the LABEL partition only — sim_knn_graph /
+# sim_knn_classifier / dedup_semantic_cells assign cells with the
+# hyperplane quantizer (_knn_cell), whose skew this report does NOT
+# see (a skewed _knn_cell shows green here while the knn fine search
+# straggles; KNN_TARGET_CELL is that path's knob).
+# When this report goes bad you retrain the coarse quantizer — it is
+# the operational dial for the documented cell-count knob.
 # Cost: one count agg over the assignment column + sub-agg over
 # |cells| rows.
 
@@ -1224,7 +1246,9 @@ WITH emb AS MATERIALIZED (
     SELECT label, i AS dim, v[i] AS x
     FROM emb, (SELECT unnest(range(1, {DIM + 1})) AS i)
 ), per_dim AS (
-    SELECT label, dim, round(AVG(x), 6) AS m
+    SELECT label, dim,
+        floor(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+              / COUNT(*) * 1e9 + 0.5) / 1e9 AS m
     FROM dims GROUP BY label, dim
 ), cents AS (
     SELECT label, list(m ORDER BY dim) AS centroid
