@@ -178,6 +178,22 @@ Rotation map (which driver run produced each operator's green row):
   ops, streaming joins/sessions, temporal joins; tpch_q12 displaced
   to the round-14 queue head by addition #2). The remaining 37
   r8-green ops are the ROUND-14 QUEUE (registry 280 → 282).
+  Outcome: 50/50 green (CORRECTNESS_r13.json).
+- round 14 window (this file's first 50): slot 1 is the round-14
+  addition (never graded): `source_binlog_legacy_temporals`
+  (pre-5.6.4 packed temporals TIMESTAMP/TIME/DATETIME v0 through
+  the wire, decoded to the v2 value shapes; pre-5.0 DECIMAL
+  rejected — the retained-log restore path, matching what the
+  reference's binlog client handles in
+  AbstractRowsEventDataDeserializer); slots 2-6 re-pin all five
+  binlog wire ops (sources/binlog.py gained the legacy branches in
+  both compile dispatches this round — same-round re-pin rule);
+  slots 7-43 grade the ENTIRE round-13 verdict freshness debt —
+  all 37 operators whose newest green row is round 8 (tpch_q12,
+  the 7-query dedup core block, and the r7-addition
+  curate/emb/sim/stats/text/corpus/events/ts/graph cohort);
+  slots 44-50 are 7 oldest-evidence re-pins from the r9-green
+  cohort head (registry 282 → 283).
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -218,29 +234,75 @@ _ORACLES: dict[str, str] = {}
 # (final 31 never-graded + 19 §2-critical re-pins), then
 # previously-driver-verified blocks.
 _PRIORITY = [
-    # ======== ROUND-13 GRADING WINDOW (2 + 3 + 33 + 12) ========
-    # --- the round-13 addition (never graded): charset TLVs +
-    #     SIMPLE_PRIMARY_KEY through the generic wire reader
-    #     (collation-correct strings + sink-ready salted rowkey
-    #     with NO registry — MysqlTypeDeserializer.java:85-97 +
-    #     HBaseRowKeyMapper.java:24-58 from wire metadata) ---
-    "source_binlog_charset_rowkey",
-    # --- the second round-13 addition (never graded): PARTIAL_JSON
-    #     row-value options — PARTIAL_UPDATE_ROWS_EVENT JSON-diff
-    #     after-images reconstructed against the before image through
-    #     the JSONB codec (8.0.3+ binlog_row_value_options) ---
-    "source_binlog_partial_json",
-    # --- re-pins: sources/binlog.py materially changed this
-    #     round (charset/PK TLVs, TRANSACTION_PAYLOAD envelopes
-    #     mixed into the roundtrip encode, signedness-bitmap
-    #     alignment fix, GTID NULL-coordinate replay fix) —
-    #     same-round re-pin rule ---
+    # ======== ROUND-14 GRADING WINDOW (1 + 5 + 37 + 7) ========
+    # --- the round-14 addition (never graded): pre-5.6.4 legacy
+    #     packed temporals — TIMESTAMP v0 (4-byte LE epoch sec),
+    #     TIME v0 (signed int24 H*10000+M*100+S), DATETIME v0
+    #     (8-byte LE YYYYMMDDHHMMSS) through the wire, decoded to
+    #     the v2 codecs' value shapes; pre-5.0 DECIMAL rejected
+    #     (AbstractRowsEventDataDeserializer parity — the
+    #     retained-log restore path, r13 verdict task #3) ---
+    "source_binlog_legacy_temporals",
+    # --- re-pins: sources/binlog.py changed this round (legacy
+    #     temporal branches in both compile dispatches, DECIMAL(0)
+    #     reject) — same-round re-pin rule covers all five wire ops ---
     "source_binlog_roundtrip",
     "source_binlog_gtid_resume",
     "source_binlog_enum_roundtrip",
-    # --- the full ROUND-13 QUEUE: all 33 operators whose newest
-    #     green row is round 7 (the round-12 verdict's standing
-    #     freshness debt, task #1: the TPC-H block + stragglers) ---
+    "source_binlog_charset_rowkey",
+    "source_binlog_partial_json",
+    # --- the full ROUND-14 QUEUE: all 37 operators whose newest
+    #     green row is round 8 (the round-13 verdict's standing
+    #     freshness debt, task #1: the dedup core block, the
+    #     r7-addition sim/curate/text/stats/graph cohort, tpch_q12) ---
+    "tpch_q12",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_substring_spans",
+    "curate_pack_sequences",
+    "curate_ccnet_buckets",
+    "curate_dsir_weights",
+    "curate_dsir_sample",
+    "emb_jl_fidelity",
+    "emb_outlier_mahal",
+    "emb_silhouette",
+    "sim_hamming_recall",
+    "sim_mmr_select",
+    "sim_nprobe_sweep",
+    "sim_pq_distortion",
+    "stats_ols_multi",
+    "stats_wilson_ci",
+    "text_code_detect",
+    "text_mattr_diversity",
+    "text_readability",
+    "text_token_entropy",
+    "corpus_dispersion_dp",
+    "corpus_term_burstiness",
+    "corpus_herfindahl",
+    "corpus_head_coverage",
+    "events_wow_growth",
+    "events_entropy_rate",
+    "events_pareto_share",
+    "events_conversion_latency",
+    "ts_theil_sen",
+    "ts_seasonal_outliers",
+    "graph_modularity",
+    "graph_link_prediction",
+    # --- 7 oldest-evidence re-pins from the r9-green cohort head
+    #     (the next-stalest surviving grades after the r8 cohort) ---
+    "sketch_ams_f2",
+    "ts_holt_winters",
+    "events_survival_km",
+    "graph_degree_powerlaw",
+    "corpus_ngram_novelty",
+    "curate_temperature_mix",
+    "dedup_template_prefix",
+    # ======== previously-driver-verified (latest grade r9-r13),
+    #          original rotation order preserved ========
     "agg_cube_orders",
     "agg_rollup_pricing",
     "corpus_vocab_growth",
@@ -274,10 +336,6 @@ _PRIORITY = [
     "tpch_q21",
     "tpch_q22",
     "ts_trend_ols",
-    # --- 12 §2-critical re-pins from the 49-op r8-green cohort
-    #     (cdc appliers/metrics, time-machine interval ops,
-    #     streaming joins/sessions, temporal joins; tpch_q12 was
-    #     displaced below the cut by addition #2) ---
     "agg_grouping_sets",
     "cdc_incremental_agg",
     "cdc_ivm_join",
@@ -290,11 +348,6 @@ _PRIORITY = [
     "stream_sessionize",
     "temporal_asof_join",
     "temporal_rollup",
-    # ======== previously-driver-verified (latest grade r8-r12),
-    #          original rotation order preserved; tpch_q12 displaced
-    #          to the round-14 queue head by the second round-13
-    #          addition ========
-    "tpch_q12",
     "tm_cells",
     "tm_asof_snapshot",
     "source_csv_roundtrip",
@@ -440,13 +493,6 @@ _PRIORITY = [
     "dq_constraints",
     "entity_match_blocked",
     "text_rolling_hash",
-    "sketch_ams_f2",
-    "ts_holt_winters",
-    "events_survival_km",
-    "graph_degree_powerlaw",
-    "corpus_ngram_novelty",
-    "curate_temperature_mix",
-    "dedup_template_prefix",
     "tm_cell_lifetimes",
     "cdc_metrics_exposition",
     "stats_mannwhitney_u",
@@ -490,42 +536,6 @@ _PRIORITY = [
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_resize",
-    "dedup_substring_spans",
-    "curate_dsir_weights",
-    "curate_ccnet_buckets",
-    "sim_mmr_select",
-    "stats_ols_multi",
-    "emb_outlier_mahal",
-    "corpus_dispersion_dp",
-    "curate_dsir_sample",
-    "text_token_entropy",
-    "events_wow_growth",
-    "sim_nprobe_sweep",
-    "text_code_detect",
-    "text_readability",
-    "events_entropy_rate",
-    "sim_pq_distortion",
-    "ts_theil_sen",
-    "emb_silhouette",
-    "graph_modularity",
-    "events_pareto_share",
-    "graph_link_prediction",
-    "text_mattr_diversity",
-    "sim_hamming_recall",
-    "corpus_term_burstiness",
-    "events_conversion_latency",
-    "emb_jl_fidelity",
-    "stats_wilson_ci",
-    "corpus_herfindahl",
-    "corpus_head_coverage",
-    "ts_seasonal_outliers",
-    "curate_pack_sequences",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
 ]
 
 

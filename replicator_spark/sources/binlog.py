@@ -46,7 +46,11 @@ range), BIT (big-endian 1..64-bit field, transported as int —
 `cdc/decode.bit_string` maps it downstream), VARCHAR, CHAR/STRING
 (incl. the >255-byte metadata pack trick; raw non-UTF-8 BINARY(n)
 payloads transport as bytes), BLOB (all length-of-length widths),
-TIMESTAMP2, DATETIME2,
+TIMESTAMP2, DATETIME2, the legacy pre-5.6.4 packed temporals
+TIMESTAMP/TIME/DATETIME v0 (retained logs from old fleets — what the
+reference's client handles in AbstractRowsEventDataDeserializer
+.deserializeTimestamp/.deserializeTimeV0/.deserializeDatetime;
+pre-5.0 MYSQL_TYPE_DECIMAL is rejected with a clear error),
 NEWDECIMAL, JSON (a length-prefixed binary-JSON document — decoded by
 composing with `cdc/jsonb.py`, the same JSONB byte-walk the post-
 client pipeline uses), and ENUM/SET (packed under MYSQL_TYPE_STRING
@@ -166,14 +170,22 @@ def _zstd(compress: bool):
 
 # column type codes (the common subset of the MySQL wire types — the
 # row-image encodings under the reference's decode table)
+MYSQL_TYPE_DECIMAL = 0  # pre-5.0 old decimal: REJECTED (see below)
 MYSQL_TYPE_TINY = 1
 MYSQL_TYPE_SHORT = 2
 MYSQL_TYPE_LONG = 3
 MYSQL_TYPE_FLOAT = 4
 MYSQL_TYPE_DOUBLE = 5
+# legacy (pre-5.6.4) packed temporals — the v0 formats retained logs
+# from old fleets carry; the reference's binlog client decodes them in
+# AbstractRowsEventDataDeserializer.deserializeTimestamp/
+# deserializeTimeV0/deserializeDatetime
+MYSQL_TYPE_TIMESTAMP = 7
 MYSQL_TYPE_LONGLONG = 8
 MYSQL_TYPE_INT24 = 9
 MYSQL_TYPE_DATE = 10
+MYSQL_TYPE_TIME = 11
+MYSQL_TYPE_DATETIME = 12
 MYSQL_TYPE_YEAR = 13
 MYSQL_TYPE_VARCHAR = 15
 MYSQL_TYPE_BIT = 16
@@ -414,6 +426,91 @@ def decode_time2(buf: bytes, pos: int, fsp: int) -> tuple[str, int]:
         if fsp:
             out += "." + f"{us:06d}"[:fsp]
     return out, pos
+
+
+def encode_timestamp_v0(ts_us: int) -> bytes:
+    """Legacy (pre-5.6.4) MYSQL_TYPE_TIMESTAMP: 4-byte LITTLE-endian
+    epoch seconds, no fractional storage. Takes epoch-µs for symmetry
+    with the TIMESTAMP2 codec; sub-second precision cannot be stored,
+    so a non-second-aligned value raises instead of silently
+    truncating."""
+    sec, us = divmod(ts_us, 1_000_000)
+    if us:
+        raise ValueError("legacy TIMESTAMP has no fractional seconds")
+    if not 0 <= sec < 1 << 32:
+        raise ValueError("legacy TIMESTAMP out of range")
+    return struct.pack("<I", sec)
+
+
+def decode_timestamp_v0(buf: bytes, pos: int) -> tuple[int, int]:
+    """→ (epoch_us, new_pos) — same value shape as decode_timestamp2,
+    so downstream sees one TIMESTAMP representation regardless of the
+    server generation that wrote the log."""
+    return struct.unpack_from("<I", buf, pos)[0] * 1_000_000, pos + 4
+
+
+def encode_time_v0(hour: int, minute: int, second: int, us: int = 0,
+                   neg: bool = False) -> bytes:
+    """Legacy MYSQL_TYPE_TIME: signed 3-byte little-endian integer of
+    hour*10000 + minute*100 + second (the v0 split the reference's
+    client reverses in deserializeTimeV0). Magnitude + sign flag, like
+    the TIME2 encoder; no fractional storage."""
+    if hour < 0:
+        raise ValueError("pass the magnitude and neg=True for negative TIME")
+    if us:
+        raise ValueError("legacy TIME has no fractional seconds")
+    v = hour * 10000 + minute * 100 + second
+    if v >= 1 << 23:
+        raise ValueError("legacy TIME out of range")
+    if neg:
+        v = -v
+    return (v & 0xFFFFFF).to_bytes(3, "little")
+
+
+def decode_time_v0(buf: bytes, pos: int) -> tuple[str, int]:
+    """→ ('[-]HH:MM:SS', new_pos) — the decode_time2 string shape at
+    fsp=0."""
+    v = int.from_bytes(buf[pos : pos + 3], "little")
+    if v & 0x800000:
+        v -= 0x1000000
+    sign = "-" if v < 0 else ""
+    v = abs(v)
+    hour, rem = divmod(v, 10000)
+    minute, second = divmod(rem, 100)
+    return f"{sign}{hour:02d}:{minute:02d}:{second:02d}", pos + 3
+
+
+def encode_datetime_v0(
+    year: int, month: int, day: int, hour: int, minute: int, second: int,
+    us: int = 0,
+) -> bytes:
+    """Legacy MYSQL_TYPE_DATETIME: 8-byte little-endian unsigned
+    integer YYYYMMDDHHMMSS (date*1e6 + time — the v0 split the
+    reference's client reverses in deserializeDatetime). Component
+    signature matches the DATETIME2 encoder; no fractional storage."""
+    if us:
+        raise ValueError("legacy DATETIME has no fractional seconds")
+    v = (
+        (year * 10000 + month * 100 + day) * 1_000_000
+        + hour * 10000 + minute * 100 + second
+    )
+    return struct.pack("<Q", v)
+
+
+def decode_datetime_v0(buf: bytes, pos: int) -> tuple[str, int]:
+    """→ ('YYYY-MM-DD HH:MM:SS', new_pos) — the decode_datetime2
+    string shape at fsp=0."""
+    v = struct.unpack_from("<Q", buf, pos)[0]
+    d, t = divmod(v, 1_000_000)
+    year, rem = divmod(d, 10000)
+    month, day = divmod(rem, 100)
+    hour, rem = divmod(t, 10000)
+    minute, second = divmod(rem, 100)
+    return (
+        f"{year:04d}-{month:02d}-{day:02d} "
+        f"{hour:02d}:{minute:02d}:{second:02d}",
+        pos + 8,
+    )
 
 
 def _string_meta(length: int) -> bytes:
@@ -1054,6 +1151,28 @@ class BinlogWriter:
             elif t == MYSQL_TYPE_NEWDECIMAL:
                 def e(v, _pr=m[0], _sc=m[1]):
                     return encode_newdecimal(Decimal(v), _pr, _sc)
+            elif t == MYSQL_TYPE_TIMESTAMP:
+                def e(v):
+                    return encode_timestamp_v0(v)
+            elif t == MYSQL_TYPE_DATETIME:
+                def e(v):
+                    return encode_datetime_v0(*v)
+            elif t == MYSQL_TYPE_TIME:
+                def e(v):
+                    # (h, m, s[, us[, neg]]) — the TIME2 signature
+                    h, mi, sec, *rest = v
+                    return encode_time_v0(
+                        h, mi, sec,
+                        rest[0] if rest else 0,
+                        neg=bool(rest[1]) if len(rest) > 1 else False,
+                    )
+            elif t == MYSQL_TYPE_DECIMAL:
+                raise ValueError(
+                    "pre-5.0 MYSQL_TYPE_DECIMAL (type 0) is not "
+                    "supported: its storage is server-build dependent; "
+                    "rewrite the table with NEWDECIMAL (any 5.0+ ALTER "
+                    "forces the upgrade) and re-flush"
+                )
             else:
                 raise ValueError(f"unsupported column type {t}")
             es.append(e)
@@ -1334,6 +1453,25 @@ def _compile_decoders(
         elif t == MYSQL_TYPE_NEWDECIMAL:
             def d(buf, pos, _pr=m[0], _sc=m[1]):
                 return decode_newdecimal(buf, pos, _pr, _sc)
+        elif t == MYSQL_TYPE_TIMESTAMP:
+            def d(buf, pos):
+                return decode_timestamp_v0(buf, pos)
+        elif t == MYSQL_TYPE_DATETIME:
+            def d(buf, pos):
+                return decode_datetime_v0(buf, pos)
+        elif t == MYSQL_TYPE_TIME:
+            def d(buf, pos):
+                return decode_time_v0(buf, pos)
+        elif t == MYSQL_TYPE_DECIMAL:
+            # pre-5.0 old decimal: rejected at table-map compile time
+            # (same surface as the writer) — a clear error beats a
+            # silent mis-parse of build-dependent bytes
+            raise ValueError(
+                "pre-5.0 MYSQL_TYPE_DECIMAL (type 0) is not supported: "
+                "its storage is server-build dependent; rewrite the "
+                "table with NEWDECIMAL (any 5.0+ ALTER forces the "
+                "upgrade) and re-flush"
+            )
         else:
             raise ValueError(f"unsupported column type {t}")
         ds.append(d)
@@ -3341,6 +3479,105 @@ FROM events
 """
 
 
+# ------------------------------------------------------------------
+# legacy (pre-5.6.4) packed temporals end-to-end — the retained-log
+# restore path old fleets bring to a binlog-flusher/db-recovery run
+# ------------------------------------------------------------------
+
+_LEG_TABLE_ID = 37
+_LEG_TYPES = [
+    MYSQL_TYPE_LONGLONG,   # event_id
+    MYSQL_TYPE_TIMESTAMP,  # v0: 4-byte LE epoch seconds
+    MYSQL_TYPE_TIME,       # v0: signed int24 H*10000+M*100+S
+    MYSQL_TYPE_DATETIME,   # v0: 8-byte LE YYYYMMDDHHMMSS
+]
+_LEG_METAS: list[bytes] = [b"", b"", b"", b""]
+
+
+def _encode_legacy_partition(batches) -> Iterator:
+    """mapInArrow: (event_id, ts_sec) batches → binlog files whose row
+    images carry the pre-5.6.4 v0 temporal encodings (the formats the
+    reference's client decodes in AbstractRowsEventDataDeserializer
+    .deserializeTimestamp/.deserializeTimeV0/.deserializeDatetime)."""
+    import time as _time
+
+    import pyarrow as pa
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        w = BinlogWriter()
+        w.gtid(_SID, 1)
+        w.query("BEGIN")
+        w.table_map(_LEG_TABLE_ID, "testdb", "events_v0",
+                    _LEG_TYPES, _LEG_METAS)
+        rows = []
+        for event_id, sec in _arrow_records(batch, ["event_id", "ts_sec"]):
+            tm = _time.gmtime(sec)
+            rows.append([
+                event_id,
+                sec * 1_000_000,
+                (tm.tm_hour, tm.tm_min, tm.tm_sec),
+                (tm.tm_year, tm.tm_mon, tm.tm_mday,
+                 tm.tm_hour, tm.tm_min, tm.tm_sec),
+            ])
+        w.rows(WRITE_ROWS_EVENT, _LEG_TABLE_ID, _LEG_TYPES, _LEG_METAS,
+               rows)
+        w.xid(1)
+        yield pa.RecordBatch.from_pydict({"data": [w.getvalue()]})
+
+
+def binlog_legacy_temporals_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-5.6.4 temporal wire types end-to-end: events → row images
+    packing the SAME instant three ways — legacy TIMESTAMP (4-byte LE
+    epoch seconds), legacy TIME (signed int24 of the UTC time of day),
+    legacy DATETIME (8-byte LE YYYYMMDDHHMMSS) — → byte-walk parse
+    back to (epoch-µs, 'HH:MM:SS', 'YYYY-MM-DD HH:MM:SS'). The decoded
+    value shapes equal the v2 codecs' at fsp=0, so a consumer cannot
+    tell which server generation wrote the log — the property that
+    makes restore-from-retained-logs work on old-fleet files. The
+    oracle derives the identical strings from the source timestamps
+    (UTC on both engines: gmtime here, naive UTC parquet time there)."""
+    from ..session import prep, read_table
+
+    prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", F.expr("ts div 1000000000").alias("ts_sec")
+    )
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
+    blobs = ev.mapInArrow(_encode_legacy_partition, "data binary")
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for blob in pdf["data"]:
+                for e in parse_binlog_file(bytes(blob)):
+                    if e["type"] == WRITE_ROWS_EVENT:
+                        out.extend(tuple(r) for r in e["rows"])
+            yield pd.DataFrame(
+                out, columns=["event_id", "ts_us", "tod", "dt"]
+            )
+
+    return blobs.mapInPandas(
+        parse, "event_id long, ts_us long, tod string, dt string"
+    )
+
+
+BINLOG_LEGACY_TEMPORALS_SQL = """
+SELECT event_id,
+    (epoch_us(ts) // 1000000) * 1000000 AS ts_us,
+    strftime(make_timestamp((epoch_us(ts) // 1000000) * 1000000),
+             '%H:%M:%S') AS tod,
+    strftime(make_timestamp((epoch_us(ts) // 1000000) * 1000000),
+             '%Y-%m-%d %H:%M:%S') AS dt
+FROM events
+"""
+
+
 REGISTRY = [
     ("source_binlog_roundtrip", binlog_roundtrip_query, BINLOG_ROUNDTRIP_SQL),
     ("source_binlog_gtid_resume", binlog_gtid_resume_query,
@@ -3351,4 +3588,6 @@ REGISTRY = [
      BINLOG_CHARSET_ROWKEY_SQL),
     ("source_binlog_partial_json", binlog_partial_json_query,
      BINLOG_PARTIAL_JSON_SQL),
+    ("source_binlog_legacy_temporals", binlog_legacy_temporals_query,
+     BINLOG_LEGACY_TEMPORALS_SQL),
 ]

@@ -99,6 +99,85 @@ def test_datetime2_golden():
     assert txt0.startswith("1999-12-31 23:59:59")
 
 
+def test_legacy_timestamp_v0_golden():
+    """Pre-5.6.4 MYSQL_TYPE_TIMESTAMP: 4-byte LITTLE-endian epoch
+    seconds (v2 is big-endian — the byte order IS the format
+    difference the golden bytes pin)."""
+    enc = B.encode_timestamp_v0(1_000_000_000 * 1_000_000)
+    assert enc == struct.pack("<I", 1_000_000_000)
+    assert enc == bytes.fromhex("00ca9a3b")  # LE, not 3b9aca00
+    val, pos = B.decode_timestamp_v0(enc, 0)
+    assert val == 1_000_000_000 * 1_000_000 and pos == 4
+    # no fractional storage: sub-second input must raise, not truncate
+    with pytest.raises(ValueError, match="fractional"):
+        B.encode_timestamp_v0(1_000_000_000 * 1_000_000 + 1)
+
+
+def test_legacy_time_v0_golden():
+    """Pre-5.6.4 MYSQL_TYPE_TIME: signed 3-byte LE of
+    hour*10000 + minute*100 + second."""
+    enc = B.encode_time_v0(12, 34, 56)
+    assert enc == (123456).to_bytes(3, "little") == bytes.fromhex("40e201")
+    txt, pos = B.decode_time_v0(enc, 0)
+    assert txt == "12:34:56" and pos == 3
+    # negative: two's-complement int24 of -(H*10000+M*100+S)
+    neg = B.encode_time_v0(1, 2, 3, neg=True)
+    assert neg == ((-10203) & 0xFFFFFF).to_bytes(3, "little")
+    assert B.decode_time_v0(neg, 0)[0] == "-01:02:03"
+    # TIME range reaches 838:59:59 — above the 24h clock
+    big = B.encode_time_v0(838, 59, 59)
+    assert B.decode_time_v0(big, 0)[0] == "838:59:59"
+
+
+def test_legacy_datetime_v0_golden():
+    """Pre-5.6.4 MYSQL_TYPE_DATETIME: 8-byte LE unsigned
+    YYYYMMDDHHMMSS."""
+    enc = B.encode_datetime_v0(2024, 3, 5, 12, 34, 56)
+    assert enc == struct.pack("<Q", 20240305123456)
+    txt, pos = B.decode_datetime_v0(enc, 0)
+    assert txt == "2024-03-05 12:34:56" and pos == 8
+    # value shape matches decode_datetime2's fsp=0 string exactly
+    txt2, _ = B.decode_datetime2(
+        B.encode_datetime2(2024, 3, 5, 12, 34, 56, 0, 0), 0, 0
+    )
+    assert txt == txt2
+
+
+def test_legacy_temporals_in_rows_event():
+    """A row image mixing legacy TIMESTAMP/TIME/DATETIME with modern
+    types roundtrips through a WRITE_ROWS event — the retained-log
+    restore path."""
+    types = [
+        B.MYSQL_TYPE_LONG, B.MYSQL_TYPE_TIMESTAMP, B.MYSQL_TYPE_TIME,
+        B.MYSQL_TYPE_DATETIME, B.MYSQL_TYPE_VARCHAR,
+    ]
+    metas = [b"", b"", b"", b"", struct.pack("<H", 80)]
+    rows = [
+        [1, 1_700_000_000 * 1_000_000, (9, 30, 0), (2005, 7, 1, 0, 0, 1),
+         "old fleet"],
+        [2, None, (838, 59, 59, 0, True), None, None],
+    ]
+    w = B.BinlogWriter()
+    w.table_map(9, "legacy", "t", types, metas)
+    w.rows(B.WRITE_ROWS_EVENT, 9, types, metas,
+           [list(r) for r in rows])
+    evs = list(B.parse_binlog_file(w.getvalue()))
+    got = evs[-1]["rows"]
+    assert got[0] == [1, 1_700_000_000 * 1_000_000, "09:30:00",
+                      "2005-07-01 00:00:01", "old fleet"]
+    assert got[1] == [2, None, "-838:59:59", None, None]
+
+
+def test_pre50_decimal_rejected_both_sides():
+    """MYSQL_TYPE_DECIMAL (0) storage is server-build dependent: the
+    codec must refuse with a clear remediation, on both the writer and
+    the parser surface, at table-map compile time."""
+    with pytest.raises(ValueError, match="NEWDECIMAL"):
+        B.BinlogWriter._compile_encoders([B.MYSQL_TYPE_DECIMAL], [b""])
+    with pytest.raises(ValueError, match="NEWDECIMAL"):
+        B._compile_decoders([B.MYSQL_TYPE_DECIMAL], [b""])
+
+
 # ---------------------------------------------------------------------------
 # event framing
 # ---------------------------------------------------------------------------
@@ -862,6 +941,11 @@ _COLSPECS = {
     "ts2": (B.MYSQL_TYPE_TIMESTAMP2, bytes([6]),
             st.integers(min_value=0, max_value=(2**32 - 1)) .map(
                 lambda s: s * 1_000_000 + (s % 1_000_000))),
+    # legacy pre-5.6.4 TIMESTAMP: second-aligned epoch-µs (no
+    # fractional storage in the v0 format)
+    "ts0": (B.MYSQL_TYPE_TIMESTAMP, b"",
+            st.integers(min_value=0, max_value=(2**32 - 1)).map(
+                lambda s: s * 1_000_000)),
     # ENUM/SET: packed under MYSQL_TYPE_STRING with real type in
     # meta[0] — 1/2-byte 1-based index, 1/2-byte bitmask
     "enum1": (B.MYSQL_TYPE_STRING, B.enum_meta(7),
@@ -914,6 +998,41 @@ def test_random_schema_rows_roundtrip(data):
            [list(r) for r in rows])
     evs = list(B.parse_binlog_file(w.getvalue()))
     assert evs[-1]["rows"] == rows
+
+
+# legacy TIME/DATETIME take component tuples on the encode side and
+# return fsp=0 strings on decode (the same asymmetry as their v2
+# twins, which the shared identity fuzz therefore can't cover): fuzz
+# them against the expected string directly
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(min_value=0, max_value=838),
+    mi=st.integers(min_value=0, max_value=59),
+    s=st.integers(min_value=0, max_value=59),
+    neg=st.booleans(),
+)
+def test_legacy_time_v0_component_fuzz(h, mi, s, neg):
+    enc = B.encode_time_v0(h, mi, s, neg=neg)
+    assert len(enc) == 3
+    sign = "-" if neg and (h, mi, s) != (0, 0, 0) else ""
+    assert B.decode_time_v0(enc, 0)[0] == f"{sign}{h:02d}:{mi:02d}:{s:02d}"
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    y=st.integers(min_value=1000, max_value=9999),
+    mo=st.integers(min_value=1, max_value=12),
+    d=st.integers(min_value=1, max_value=31),
+    h=st.integers(min_value=0, max_value=23),
+    mi=st.integers(min_value=0, max_value=59),
+    s=st.integers(min_value=0, max_value=59),
+)
+def test_legacy_datetime_v0_component_fuzz(y, mo, d, h, mi, s):
+    enc = B.encode_datetime_v0(y, mo, d, h, mi, s)
+    assert len(enc) == 8
+    assert B.decode_datetime_v0(enc, 0)[0] == (
+        f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1819,6 +1938,17 @@ def _kitchen_sink_blob() -> bytes:
                 enumset_charsets={0: 255})
     w.rows(B.WRITE_ROWS_EVENT, 8, et, em, [[1]])
     w.xid(2)
+    # a legacy-temporal txn (pre-5.6.4 v0 formats) widens the surface
+    # to the retained-log restore path
+    lt = [B.MYSQL_TYPE_TIMESTAMP, B.MYSQL_TYPE_TIME,
+          B.MYSQL_TYPE_DATETIME]
+    lm = [b"", b"", b""]
+    w.gtid(B._SID, 3)
+    w.query("BEGIN")
+    w.table_map(9, "d", "old", lt, lm)
+    w.rows(B.WRITE_ROWS_EVENT, 9, lt, lm,
+           [[1_500_000_000 * 1_000_000, (8, 0, 0), (2010, 1, 2, 3, 4, 5)]])
+    w.xid(3)
     return w.getvalue()
 
 

@@ -98,6 +98,8 @@ SLATE = [
     # round-12 additions: GTID resume + ENUM/SET through the wire
     "source_binlog_gtid_resume",
     "source_binlog_enum_roundtrip",
+    # round-14 addition: legacy pre-5.6.4 temporals through the wire
+    "source_binlog_legacy_temporals",
     "cdc_change_feed",
     "cdc_apply_upsert",
     "cdc_delay_gauge",
