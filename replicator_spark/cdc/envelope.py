@@ -136,19 +136,30 @@ def change_feed_from(ev: DataFrame, op_col: str = None) -> DataFrame:
         F.max("ts_ms").over(w_txn).alias("commit_ts_ms"),
         F.row_number().over(w_txn_seq).alias("seq_in_txn"),
         F.when(
-            F.col("op").isin("UPDATE", "DELETE"),
+            F.col("op") == "UPDATE",
             F.coalesce(F.col("_prev_value"),
                        *( [F.col("value_before_wire")] if wire_cols
                           else [] )),
+        ).when(
+            F.col("op") == "DELETE",
+            # a DELETE_ROWS event's only image IS the before-image
+            # (the row being removed) — it rides the payload columns,
+            # so the cross-batch fallback for DELETE is the row itself
+            F.coalesce(F.col("_prev_value"),
+                       *( [F.col("value")] if wire_cols else [] )),
         ).alias("value_before"),
         F.when(F.col("op").isin("INSERT", "UPDATE"), F.col("value")).alias(
             "value_after"
         ),
         F.when(
-            F.col("op").isin("UPDATE", "DELETE"),
+            F.col("op") == "UPDATE",
             F.coalesce(F.col("_prev_props"),
                        *( [F.col("props_before_wire")] if wire_cols
                           else [] )),
+        ).when(
+            F.col("op") == "DELETE",
+            F.coalesce(F.col("_prev_props"),
+                       *( [F.col("props")] if wire_cols else [] )),
         ).alias("props_before"),
         F.when(F.col("op").isin("INSERT", "UPDATE"), F.col("props")).alias(
             "props_after"

@@ -69,6 +69,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "source.binlog.checkpoint.gtid_set": None,
     "source.binlog.checkpoint.file": None,
     "source.binlog.checkpoint.pos": 4,
+    # streaming backpressure: bound each micro-batch to N rotated
+    # files (None = Spark's default, all available) — a backlogged
+    # 10k-file directory must not become one giant first batch
+    "source.binlog.max_files_per_trigger": None,
     "augmenter.filter.include": (),
     "augmenter.filter.exclude.pattern": None,
     "augmenter.table.merge": False,
@@ -261,7 +265,14 @@ def run_stream(
 
         stream = envelope_projection(
             _apply_checkpoint(
-                tail_binlog_files(spark, cfg["source.binlog.path"]), cfg
+                tail_binlog_files(
+                    spark,
+                    cfg["source.binlog.path"],
+                    max_files_per_trigger=cfg[
+                        "source.binlog.max_files_per_trigger"
+                    ],
+                ),
+                cfg,
             )
         )
     else:

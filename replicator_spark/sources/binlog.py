@@ -2222,6 +2222,7 @@ def encode_binlog_file(
     txn_ids: Optional[list[int]] = None,
     prev_gtids: Optional[dict] = None,
     payload_mode: str = "none",
+    before_images: Optional[list] = None,
 ) -> bytes:
     """One synthesized binlog file from (op, event_id, ts_us, user_id,
     event_type, value, props) records: the real server's transaction
@@ -2229,6 +2230,13 @@ def encode_binlog_file(
     row), XID — with an UPDATE's before-image synthesized as the
     zeroed row (the envelope's lag-derived before-images are the
     semantic surface; here the wire decode is what's under test).
+
+    ``before_images`` (optional, same length as ``records``): the TRUE
+    (value, props) before-image payload for each UPDATE record — what
+    a real server writes (the row's prior state, binlog_row_image=FULL)
+    instead of this fixture's zeroed synthesis. Entries for non-UPDATE
+    records must be None. The identity columns of the before row stay
+    the record's own (PK-stable update, the reference's row contract).
 
     ``txn_ids`` (optional, same length as ``records``): explicit
     per-record transaction numbers — consecutive equal ids form one
@@ -2244,6 +2252,14 @@ def encode_binlog_file(
     the data, so oracle grades hold."""
     if payload_mode not in ("none", "mixed"):
         raise ValueError(f"unknown payload_mode {payload_mode!r}")
+    if before_images is not None:
+        if len(before_images) != len(records):
+            raise ValueError("before_images length mismatch")
+        for rec, bi in zip(records, before_images):
+            if bi is not None and rec[0] != "UPDATE":
+                raise ValueError(
+                    "before_images entry on a non-UPDATE record"
+                )
     w = BinlogWriter(ts_sec=records[0][2] // 1_000_000 if records else 0)
     if prev_gtids is not None:
         # real servers write PREVIOUS_GTIDS right after the FDE — the
@@ -2252,7 +2268,7 @@ def encode_binlog_file(
         w.previous_gtids(prev_gtids)
     if txn_ids is None:
         txns = [
-            (gno, records[s : s + _TXN_ROWS])
+            (gno, s, records[s : s + _TXN_ROWS])
             for gno, s in enumerate(range(0, len(records), _TXN_ROWS), 1)
         ]
     else:
@@ -2262,9 +2278,9 @@ def encode_binlog_file(
         s = 0
         for k in range(1, len(records) + 1):
             if k == len(records) or txn_ids[k] != txn_ids[s]:
-                txns.append((int(txn_ids[s]), records[s:k]))
+                txns.append((int(txn_ids[s]), s, records[s:k]))
                 s = k
-    for gno, chunk in txns:
+    for gno, base_idx, chunk in txns:
         w.gtid(_SID, gno)
         wrap = payload_mode == "mixed" and gno % 2 == 0
         t = w.payload_writer() if wrap else w
@@ -2278,13 +2294,19 @@ def encode_binlog_file(
             op = chunk[i][0]
             etype = _OP_TO_EVENT[op]
             if etype == UPDATE_ROWS_EVENT:
-                rows = [
-                    (
-                        [r[1], r[2], r[3], r[4], 0.0, "{}"],  # before
-                        list(r[1:]),                          # after
+                rows = []
+                for k, r in enumerate(chunk[i:j], start=base_idx + i):
+                    bi = (
+                        before_images[k]
+                        if before_images is not None
+                        else None
+                    ) or (0.0, "{}")
+                    rows.append(
+                        (
+                            [r[1], r[2], r[3], r[4], bi[0], bi[1]],  # before
+                            list(r[1:]),                             # after
+                        )
                     )
-                    for r in chunk[i:j]
-                ]
             else:
                 rows = [list(r[1:]) for r in chunk[i:j]]
             t.rows(etype, _TABLE_ID, _EV_TYPES, _EV_METAS, rows)
@@ -2613,19 +2635,35 @@ def envelope_projection(rows: DataFrame) -> DataFrame:
     )
 
 
-def tail_binlog_files(spark: SparkSession, path: str) -> DataFrame:
+def tail_binlog_files(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
     """The production STREAMING entry: a continuously-tailed directory
     of rotated binlog files → an unbounded change-row stream. The
     file-stream source tracks seen files in the query checkpoint, so
     each rotated file is decoded exactly once across restarts — the
     Structured-Streaming re-expression of `BinaryLogSupplier.connect`'s
     resume-from-checkpoint contract (the checkpoint here is Spark's
-    seen-files log instead of a binlog file/pos pair)."""
-    blobs = (
+    seen-files log instead of a binlog file/pos pair).
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many
+    rotated files — the backpressure knob for a backlogged directory
+    (10k retained files must not become one giant first batch; the
+    reference's queue-size bound, StreamsImplementation's
+    backpressure, maps to exactly this option). It also makes the
+    multi-micro-batch path deterministic for the golden tests: the
+    envelope's cross-batch wire-before-image fallback is only
+    exercised when one user's history spans trigger boundaries."""
+    reader = (
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
-        .load(path)
-        .select("path", F.col("content").alias("data"))
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    blobs = reader.load(path).select(
+        "path", F.col("content").alias("data")
     )
     return blobs.mapInPandas(_parse_partition, BINLOG_ROWS_POS_SCHEMA)
 
