@@ -1176,8 +1176,11 @@ class BinlogWriter:
             else:
                 raise ValueError(f"unsupported column type {t}")
             es.append(e)
-        if len(cls._ENCODER_CACHE) > 1024:  # unbounded-growth guard
-            cls._ENCODER_CACHE.clear()
+        while len(cls._ENCODER_CACHE) >= 1024:  # bounded, FIFO eviction
+            # evict the oldest entry (dict preserves insertion order)
+            # instead of clearing: a worker cycling through >1024 live
+            # table shapes must not recompile EVERY shape on each lap
+            cls._ENCODER_CACHE.pop(next(iter(cls._ENCODER_CACHE)))
         cls._ENCODER_CACHE[key] = es
         return es
 

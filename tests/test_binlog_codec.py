@@ -2775,3 +2775,81 @@ def test_full_metadata_unsigned_roundtrip_property(data):
     w.rows(B.WRITE_ROWS_EVENT, 3, types, metas, [list(r) for r in rows])
     evs = list(B.parse_binlog_file(w.getvalue()))
     assert evs[-1]["rows"] == rows
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_file_roundtrip_with_true_before_images(data):
+    """before_images entries ride the wire verbatim: the UPDATE rows
+    event's before image carries the supplied (value, props) — the
+    binlog_row_image=FULL shape — and the after image is unchanged."""
+    records = data.draw(st.lists(_record, min_size=1, max_size=40))
+    befores = [
+        data.draw(
+            st.one_of(
+                st.none(),
+                st.tuples(
+                    st.floats(allow_nan=False, width=64), _props
+                ),
+            )
+        )
+        if r[0] == "UPDATE"
+        else None
+        for r in records
+    ]
+    blob = B.encode_binlog_file(records, before_images=befores)
+    got = []
+    for ev in B.parse_binlog_file(blob):
+        op = B._EVENT_TO_OP.get(ev["type"])
+        if op is None:
+            continue
+        for row in ev["rows"]:
+            if op == "UPDATE":
+                before, img = row
+                got.append((op, tuple(img), (before[4], before[5])))
+            else:
+                got.append((op, tuple(row), None))
+    want = [
+        (
+            r[0],
+            tuple(r[1:]),
+            (bi or (0.0, "{}")) if r[0] == "UPDATE" else None,
+        )
+        for r, bi in zip(records, befores)
+    ]
+    assert got == want
+
+
+def test_before_images_rejects_non_update_entry():
+    recs = [("INSERT", 1, 1_000_000, 1, "signup", 1.0, "{}")]
+    with pytest.raises(ValueError, match="non-UPDATE"):
+        B.encode_binlog_file(recs, before_images=[(1.0, "{}")])
+    with pytest.raises(ValueError, match="length mismatch"):
+        B.encode_binlog_file(recs, before_images=[])
+
+
+def test_encoder_cache_evicts_fifo_not_clear():
+    """The compile memo must stay bounded WITHOUT wholesale clears: a
+    worker cycling through >1024 live table shapes evicts the oldest
+    shape only — recent shapes stay compiled (the r12 nit)."""
+    w = B.BinlogWriter
+    saved = dict(w._ENCODER_CACHE)
+    try:
+        w._ENCODER_CACHE.clear()
+        # distinct shapes: VARCHAR max length is 2-byte meta
+        for n in range(1100):
+            w._compile_encoders(
+                [B.MYSQL_TYPE_VARCHAR],
+                [n.to_bytes(2, "little")],
+            )
+        assert len(w._ENCODER_CACHE) <= 1024
+        # the most recent shapes survived (no clear-everything cliff)
+        for n in (1099, 1050, 200):
+            key = ((B.MYSQL_TYPE_VARCHAR,), (n.to_bytes(2, "little"),))
+            assert key in w._ENCODER_CACHE, n
+        # the oldest shapes were the ones evicted
+        key0 = ((B.MYSQL_TYPE_VARCHAR,), ((0).to_bytes(2, "little"),))
+        assert key0 not in w._ENCODER_CACHE
+    finally:
+        w._ENCODER_CACHE.clear()
+        w._ENCODER_CACHE.update(saved)
