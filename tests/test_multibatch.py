@@ -571,3 +571,73 @@ def test_binlog_cells_across_micro_batches_suppression(
     assert (4, "value") in cells and (4, "props") not in cells
     assert (5, "props") in cells and (5, "value") not in cells
     assert (6, "row_status") in cells and (6, "value") not in cells
+
+
+def test_binlog_multibatch_restart_mid_backlog(spark, tmp_path):
+    """Restart composed with the multi-batch contract: lifetime 1
+    drains only PART of the backlog (maxFilesPerTrigger=1 + a stop
+    after the first batch); lifetime 2 resumes the SAME checkpoint and
+    drains the rest. The union must STILL be byte-identical to the
+    batch twin — the cross-restart boundary is just another
+    micro-batch boundary for the wire before-image fallback."""
+    import os
+
+    from replicator_spark.cdc.envelope import change_feed_from
+    from replicator_spark.session import prep
+    from replicator_spark.sources.binlog import (
+        envelope_projection,
+        read_binlog_files,
+        tail_binlog_files,
+    )
+
+    prep(spark)
+    logs = _multibatch_binlog_fixture(tmp_path)
+    out = str(tmp_path / "feed_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_lifetime(stop_after: int) -> list:
+        epochs = []
+
+        def one_batch(bdf, epoch_id):
+            epochs.append(epoch_id)
+            change_feed_from(bdf, op_col="op").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f"epoch={epoch_id}"))
+
+        stream = envelope_projection(
+            tail_binlog_files(spark, logs, max_files_per_trigger=1)
+        )
+        q = (
+            stream.writeStream.foreachBatch(one_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # "kill": stop the query once stop_after batches committed
+        import time
+
+        while len(epochs) < stop_after and q.isActive:
+            time.sleep(0.05)
+        if stop_after < 3:
+            q.stop()
+        q.awaitTermination()
+        return epochs
+
+    e1 = run_lifetime(stop_after=1)
+    assert len(e1) < 3  # the backlog was NOT drained in lifetime 1
+    e2 = run_lifetime(stop_after=3)
+    assert sorted(set(e1) | set(e2)) == list(range(len(set(e1) | set(e2))))
+
+    got = spark.read.parquet(out)
+    # no event decoded twice across the restart
+    assert got.groupBy("event_id").count().where("count > 1").count() == 0
+    want = change_feed_from(
+        envelope_projection(read_binlog_files(spark, logs)), op_col="op"
+    )
+    cols = sorted(want.columns)
+    g = sorted(tuple(r) for r in got.select(*cols).collect())
+    w = sorted(tuple(r) for r in want.select(*cols).collect())
+    assert g == w
+    by_id = {r["event_id"]: r for r in got.collect()}
+    assert by_id[4]["value_before"] == 2.0  # wire image across restart
+    assert by_id[6]["value_before"] == 3.0
