@@ -433,14 +433,17 @@ def test_ddl_replay_version_monotone_across_micro_batches(
 _B14 = 1_700_000_000_000_000  # base µs (2023-11); minutes are txn units
 
 
-def _multibatch_binlog_fixture(tmp_path):
+def _multibatch_binlog_fixture(tmp_path, payload_mode="none"):
     """3 rotated files; users 10 and 20 span ALL files; files 2 and 3
     START with an UPDATE/DELETE whose true predecessor is in the
     previous file. UPDATE e4 changes value but NOT props; UPDATE e5
     changes props but NOT value — the changed-column suppression in
     cells_from makes a wrong/NULL cross-batch before-image visible.
     Each file's rows sit in their own minute (real servers rotate at
-    txn boundaries, and the envelope's txn unit is the user-minute)."""
+    txn boundaries, and the envelope's txn unit is the user-minute).
+    payload_mode='mixed' additionally wraps the even-gno transactions
+    (2, 4, 6 — including BOTH head-of-batch rows) in 8.0.20+
+    TRANSACTION_PAYLOAD envelopes."""
     from replicator_spark.sources.binlog import encode_binlog_file
 
     logs = tmp_path / "logs"
@@ -462,25 +465,32 @@ def _multibatch_binlog_fixture(tmp_path):
     ]
     b3 = [None, (9.0, '{"z":2}')]
     (logs / "binlog.000001").write_bytes(
-        encode_binlog_file(f1, txn_ids=[1, 2, 3], before_images=b1)
+        encode_binlog_file(f1, txn_ids=[1, 2, 3], before_images=b1,
+                           payload_mode=payload_mode)
     )
     (logs / "binlog.000002").write_bytes(
-        encode_binlog_file(f2, txn_ids=[4, 5], before_images=b2)
+        encode_binlog_file(f2, txn_ids=[4, 5], before_images=b2,
+                           payload_mode=payload_mode)
     )
     (logs / "binlog.000003").write_bytes(
-        encode_binlog_file(f3, txn_ids=[6, 7], before_images=b3)
+        encode_binlog_file(f3, txn_ids=[6, 7], before_images=b3,
+                           payload_mode=payload_mode)
     )
     return str(logs)
 
 
+@pytest.mark.parametrize("payload_mode", ["none", "mixed"])
 def test_binlog_feed_before_images_across_micro_batches(
-    spark, tmp_path
+    spark, tmp_path, payload_mode
 ):
     """ONE streaming lifetime, maxFilesPerTrigger=1 → 3 micro-batches.
     The streamed change feed (union of per-epoch outputs) must equal
     the batch feed row-for-row, INCLUDING the before-image columns:
     head-of-batch UPDATEs take the wire before-image, head-of-batch
-    DELETEs take the wire row image, in-batch rows keep the lag."""
+    DELETEs take the wire row image, in-batch rows keep the lag.
+    payload_mode='mixed' proves TRANSACTION_PAYLOAD envelope framing
+    is transparent to the cross-batch before-image contract (both
+    head-of-batch rows ride enveloped transactions there)."""
     import os
 
     from replicator_spark.cdc.envelope import change_feed_from
@@ -492,7 +502,7 @@ def test_binlog_feed_before_images_across_micro_batches(
     )
 
     prep(spark)
-    logs = _multibatch_binlog_fixture(tmp_path)
+    logs = _multibatch_binlog_fixture(tmp_path, payload_mode=payload_mode)
     out = str(tmp_path / "feed_out")
     epochs = []
 
