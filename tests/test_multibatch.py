@@ -651,3 +651,94 @@ def test_binlog_multibatch_restart_mid_backlog(spark, tmp_path):
     by_id = {r["event_id"]: r for r in got.collect()}
     assert by_id[4]["value_before"] == 2.0  # wire image across restart
     assert by_id[6]["value_before"] == 3.0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_feed_split_invariance_property(spark, tmp_path, seed):
+    """ANY split of a consistent change history into rotated files
+    must yield the same change feed whether the files are processed
+    together (batch lag sees everything) or file-by-file (batch-local
+    lag + wire before-image fallback at every file head). Randomized
+    per-user chains INSERT → UPDATE*/DELETE with TRUE wire
+    before-images (= the previous after state, as a real server
+    writes); every record in its own minute so transactions never
+    straddle a file boundary (real servers rotate at txn bounds)."""
+    import os
+    import random
+
+    from replicator_spark.cdc.envelope import change_feed_from
+    from replicator_spark.session import prep
+    from replicator_spark.sources.binlog import (
+        encode_binlog_file,
+        envelope_projection,
+        read_binlog_files,
+    )
+
+    prep(spark)
+    rng = random.Random(seed)
+    records, befores = [], []
+    eid = 0
+    minute = 0
+    state = {}  # user -> (value, props) current row state, or None
+    users = [10, 20, 30]
+    for _ in range(rng.randint(8, 16)):
+        u = rng.choice(users)
+        eid += 1
+        minute += 1
+        ts = _B14 + minute * 60_000_000
+        cur = state.get(u)
+        if cur is None:
+            v = round(rng.uniform(0, 100), 3)
+            p = f'{{"k":{rng.randint(0, 9)}}}'
+            records.append(("INSERT", eid, ts, u, "signup", v, p))
+            befores.append(None)
+            state[u] = (v, p)
+        elif rng.random() < 0.2:
+            records.append(("DELETE", eid, ts, u, "error", *cur))
+            befores.append(None)
+            state[u] = None
+        else:
+            # sometimes leave value or props unchanged (suppression)
+            v = cur[0] if rng.random() < 0.3 else round(
+                rng.uniform(0, 100), 3
+            )
+            p = cur[1] if rng.random() < 0.3 else (
+                f'{{"k":{rng.randint(0, 9)}}}'
+            )
+            records.append(("UPDATE", eid, ts, u, "click", v, p))
+            befores.append(cur)
+            state[u] = (v, p)
+    # random split into 1..4 contiguous files
+    n_files = rng.randint(1, 4)
+    cuts = sorted(rng.sample(range(1, len(records)), n_files - 1))
+    bounds = [0] + cuts + [len(records)]
+    whole = tmp_path / "all"
+    whole.mkdir()
+    file_dirs = []
+    for fi in range(len(bounds) - 1):
+        lo, hi = bounds[fi], bounds[fi + 1]
+        blob = encode_binlog_file(
+            records[lo:hi],
+            txn_ids=list(range(lo + 1, hi + 1)),
+            before_images=befores[lo:hi],
+        )
+        name = f"binlog.{fi + 1:06d}"
+        (whole / name).write_bytes(blob)
+        d = tmp_path / f"f{fi}"
+        d.mkdir()
+        (d / name).write_bytes(blob)
+        file_dirs.append(str(d))
+
+    def feed(path):
+        return change_feed_from(
+            envelope_projection(read_binlog_files(spark, path)),
+            op_col="op",
+        )
+
+    want = sorted(tuple(r) for r in feed(str(whole)).collect())
+    got = sorted(
+        t
+        for d in file_dirs
+        for t in (tuple(r) for r in feed(d).collect())
+    )
+    assert got == want
