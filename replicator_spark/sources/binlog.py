@@ -2935,17 +2935,25 @@ def read_binlog_records(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def tail_binlog_records(spark: SparkSession, path: str) -> DataFrame:
+def tail_binlog_records(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
     """Streaming twin of `read_binlog_records`: a continuously-tailed
     directory of rotated files → an unbounded stream of generic
     schema-on-read change records, exactly-once per file via the
     seen-files checkpoint (the `tail_binlog_files` contract, for any
-    table mix)."""
-    blobs = (
+    table mix — including its `max_files_per_trigger` backpressure
+    bound for backlogged directories)."""
+    reader = (
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
-        .load(path)
-        .select("path", F.col("content").alias("data"))
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    blobs = reader.load(path).select(
+        "path", F.col("content").alias("data")
     )
     return blobs.mapInPandas(
         _parse_records_partition, BINLOG_RECORDS_SCHEMA

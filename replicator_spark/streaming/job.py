@@ -75,8 +75,12 @@ def run_timemachine_stream(
         # because availableNow over the single events file yields one
         # batch (the shape the testdata + scale-smoke tool guarantee).
         # A multi-file/maxFilesPerTrigger deployment must feed rows
-        # whose before-images come from the SOURCE (the binlog wire
-        # reader surfaces them per-row), not from batch-local lag.
+        # whose before-images come from the SOURCE: the binlog wire
+        # reader surfaces them per-row and change_feed_from falls back
+        # to them at batch heads — byte-identical to the batch run by
+        # the tests/test_multibatch.py golden contract (the synthetic
+        # events-parquet source has no wire images, hence this
+        # single-batch shape).
         cells = cells_from(organized_feed_from(change_feed_from(batch_df)))
         # foreachBatch is at-least-once: write each epoch to its own
         # deterministic subdir with overwrite, so a retried micro-batch

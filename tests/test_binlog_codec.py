@@ -2853,3 +2853,38 @@ def test_encoder_cache_evicts_fifo_not_clear():
     finally:
         w._ENCODER_CACHE.clear()
         w._ENCODER_CACHE.update(saved)
+
+
+def test_tail_binlog_records_max_files_per_trigger(spark, tmp_path):
+    """The generic stream honors the per-trigger file bound: 3 rotated
+    files with maxFilesPerTrigger=1 decode as 3 micro-batches in one
+    availableNow lifetime (the backpressure knob a backlogged
+    directory needs — same contract as tail_binlog_files)."""
+    import json
+
+    from replicator_spark.sources.binlog import tail_binlog_records
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    for i in (1, 2, 3):
+        w = B.BinlogWriter()
+        w.table_map(i, "shop", f"t{i}", [B.MYSQL_TYPE_LONG], [b""])
+        w.rows(B.WRITE_ROWS_EVENT, i, [B.MYSQL_TYPE_LONG], [b""], [[i]])
+        (logs / f"binlog.{i:06d}").write_bytes(w.getvalue())
+    batches = []
+
+    def one_batch(bdf, epoch_id):
+        batches.append(
+            sorted(r["table_name"] for r in bdf.collect())
+        )
+
+    q = (
+        tail_binlog_records(spark, str(logs), max_files_per_trigger=1)
+        .writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) == 3
+    assert sorted(t for b in batches for t in b) == ["t1", "t2", "t3"]
