@@ -172,8 +172,9 @@ HEADLINE = [
     # round-13 additions (first round on the slate)
     "source_binlog_charset_rowkey",
     "source_binlog_partial_json",
-    # round-14 addition (first round on the slate)
+    # round-14 additions (first round on the slate)
     "source_binlog_legacy_temporals",
+    "source_binlog_ddl_replay",
 ]
 
 

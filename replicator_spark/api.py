@@ -179,21 +179,24 @@ Rotation map (which driver run produced each operator's green row):
   to the round-14 queue head by addition #2). The remaining 37
   r8-green ops are the ROUND-14 QUEUE (registry 280 → 282).
   Outcome: 50/50 green (CORRECTNESS_r13.json).
-- round 14 window (this file's first 50): slot 1 is the round-14
-  addition (never graded): `source_binlog_legacy_temporals`
+- round 14 window (this file's first 50): slots 1-2 are the
+  round-14 additions (never graded): `source_binlog_legacy_temporals`
   (pre-5.6.4 packed temporals TIMESTAMP/TIME/DATETIME v0 through
   the wire, decoded to the v2 value shapes; pre-5.0 DECIMAL
   rejected — the retained-log restore path, matching what the
   reference's binlog client handles in
-  AbstractRowsEventDataDeserializer); slots 2-6 re-pin all five
-  binlog wire ops (sources/binlog.py gained the legacy branches in
-  both compile dispatches this round — same-round re-pin rule);
-  slots 7-43 grade the ENTIRE round-13 verdict freshness debt —
-  all 37 operators whose newest green row is round 8 (tpch_q12,
-  the 7-query dedup core block, and the r7-addition
+  AbstractRowsEventDataDeserializer) and `source_binlog_ddl_replay`
+  (the DDL statement stream through the wire, replayed in GTID
+  order through the SchemaRegistry — ActiveSchemaManager end-to-end
+  on real binlog bytes); slots 3-7 re-pin all five binlog wire ops
+  (sources/binlog.py gained the legacy branches in both compile
+  dispatches plus the DDL reader this round — same-round re-pin
+  rule); slots 8-44 grade the ENTIRE round-13 verdict freshness
+  debt — all 37 operators whose newest green row is round 8
+  (tpch_q12, the 7-query dedup core block, and the r7-addition
   curate/emb/sim/stats/text/corpus/events/ts/graph cohort);
-  slots 44-50 are 7 oldest-evidence re-pins from the r9-green
-  cohort head (registry 282 → 283).
+  slots 45-50 are 6 oldest-evidence re-pins from the r9-green
+  cohort head (registry 282 → 284).
 
 Any registered name missing from `_PRIORITY` is appended at the end
 (never silently dropped), and a name listed but not registered raises
@@ -234,7 +237,7 @@ _ORACLES: dict[str, str] = {}
 # (final 31 never-graded + 19 §2-critical re-pins), then
 # previously-driver-verified blocks.
 _PRIORITY = [
-    # ======== ROUND-14 GRADING WINDOW (1 + 5 + 37 + 7) ========
+    # ======== ROUND-14 GRADING WINDOW (2 + 5 + 37 + 6) ========
     # --- the round-14 addition (never graded): pre-5.6.4 legacy
     #     packed temporals — TIMESTAMP v0 (4-byte LE epoch sec),
     #     TIME v0 (signed int24 H*10000+M*100+S), DATETIME v0
@@ -243,9 +246,18 @@ _PRIORITY = [
     #     (AbstractRowsEventDataDeserializer parity — the
     #     retained-log restore path, r13 verdict task #3) ---
     "source_binlog_legacy_temporals",
+    # --- the second round-14 addition (never graded): the DDL
+    #     statement stream through the wire — QUERY events carrying
+    #     CREATE/ALTER text (BEGIN/COMMIT boundaries filtered at the
+    #     source), wire-decoded and replayed in GTID order through
+    #     the SchemaRegistry; history equals the non-wire twin
+    #     (ActiveSchemaManager.java:202-288 end-to-end on real
+    #     binlog bytes) ---
+    "source_binlog_ddl_replay",
     # --- re-pins: sources/binlog.py changed this round (legacy
     #     temporal branches in both compile dispatches, DECIMAL(0)
-    #     reject) — same-round re-pin rule covers all five wire ops ---
+    #     reject, the DDL statement reader) — same-round re-pin rule
+    #     covers all five wire ops ---
     "source_binlog_roundtrip",
     "source_binlog_gtid_resume",
     "source_binlog_enum_roundtrip",

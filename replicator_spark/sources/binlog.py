@@ -3627,6 +3627,170 @@ FROM events
 """
 
 
+# ------------------------------------------------------------------
+# DDL statements through the wire → active-schema replay
+# ------------------------------------------------------------------
+
+# one row per DDL statement found in the log (QUERY events minus the
+# BEGIN/COMMIT/ROLLBACK transaction boundaries — the same gate the
+# reference's query classifier applies, AugmenterContext.java:415-577)
+BINLOG_DDL_SCHEMA = (
+    "source_file string, log_pos long, gtid_uuid string,"
+    " gtid_seq long, ts_sec long, db string, sql string"
+)
+
+
+def _parse_ddl_partition(batches) -> Iterator:
+    """mapInPandas: binlog blobs → the DDL statement stream. A real
+    server logs each DDL as its own auto-committed transaction (GTID +
+    QUERY carrying the statement text with its db context) — exactly
+    what `ActiveSchemaManager` (ActiveSchemaManager.java:202-288)
+    replays against the active-schema copy. Txn-boundary QUERY events
+    (BEGIN/COMMIT/ROLLBACK) are filtered at the source; everything
+    else is surfaced for the classifier/registry downstream."""
+    import os as _os
+
+    import pandas as pd
+
+    for pdf in batches:
+        with_pos = "path" in pdf.columns
+        out: list[tuple] = []
+        for i, blob in enumerate(pdf["data"]):
+            fname = (
+                _os.path.basename(pdf["path"].iloc[i]) if with_pos else None
+            )
+            uuid: Optional[str] = None
+            seq: Optional[int] = None
+            for ev in parse_binlog_file(bytes(blob)):
+                if ev["type"] == GTID_EVENT:
+                    uuid, seq = _sid_to_uuid(ev["sid"]), ev["gno"]
+                    continue
+                if ev["type"] != QUERY_EVENT:
+                    continue
+                if ev["sql"].rstrip().upper() in (
+                    "BEGIN", "COMMIT", "ROLLBACK"
+                ):
+                    continue
+                out.append(
+                    (fname, ev["log_pos"], uuid, seq, ev["ts_sec"],
+                     ev["db"], ev["sql"])
+                )
+        yield pd.DataFrame(
+            out,
+            columns=["source_file", "log_pos", "gtid_uuid", "gtid_seq",
+                     "ts_sec", "db", "sql"],
+        )
+
+
+def read_binlog_ddl(spark: SparkSession, path: str) -> DataFrame:
+    """Rotated binlog files → the DDL statement stream (with file/pos
+    and GTID coordinates, so the same resume combinators apply). The
+    row-event readers deliberately drop QUERY events; this is their
+    schema-channel complement — together they are the two streams the
+    reference's augmenter consumes (rows → applier, DDL → active
+    schema)."""
+    blobs = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", F.col("content").alias("data"))
+    )
+    return blobs.mapInPandas(_parse_ddl_partition, BINLOG_DDL_SCHEMA)
+
+
+def _encode_ddl_partition(batches) -> Iterator:
+    """mapInArrow: (version, sql) batches → one binlog file per
+    partition, each DDL its own auto-committed transaction with
+    gno = version (the server's GTID order IS the replay order)."""
+    import pyarrow as pa
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        w = BinlogWriter()
+        for version, sql in _arrow_records(batch, ["version", "sql"]):
+            w.gtid(_SID, version)
+            w.query(sql, db="testdb")
+        yield pa.RecordBatch.from_pydict({"data": [w.getvalue()]})
+
+
+def binlog_ddl_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-schema replay end-to-end on the wire format: the
+    deterministic DDL stream (CREATE on a table's first QUERY-class
+    event, ALTER ADD COLUMN per event — the same derivation the
+    schema_history_log op uses) is encoded as real QUERY events in
+    binlog v4 files, wire-decoded back through `read_binlog_ddl`, and
+    replayed IN GTID ORDER through the SchemaRegistry; the emitted
+    history must equal the registry's non-wire twin — the
+    SCHEMA_HISTORY_SQL oracle verbatim. Proves: QUERY-event encode/
+    decode (db + statement text), boundary-event filtering, GTID
+    replay ordering, and registry semantics compose losslessly."""
+    from pyspark.sql import Window as W
+
+    from ..cdc.envelope import change_feed
+    from ..session import prep
+    from ..streaming.registry import SchemaRegistry
+
+    prep(spark)
+    feed = change_feed(spark, sf_dir)
+    ddl_events = feed.where(
+        (F.col("op") == "QUERY") & (F.col("user_id") % 5 == 2)
+    ).select("event_id", F.lower(F.col("table_name")).alias("t"))
+    rn = F.row_number().over(
+        W.partitionBy("t").orderBy("event_id")
+    )
+    ev2 = ddl_events.withColumn("rn", rn)
+    creates = ev2.where(F.col("rn") == 1).select(
+        "event_id",
+        F.lit(0).alias("sub"),
+        F.concat(
+            F.lit("CREATE TABLE "), F.col("t"),
+            F.lit(" (user_id bigint, value double, props json)"),
+        ).alias("sql"),
+    )
+    alters = ev2.select(
+        "event_id",
+        F.lit(1).alias("sub"),
+        F.concat(
+            F.lit("ALTER TABLE "), F.col("t"), F.lit(" ADD COLUMN c"),
+            F.col("event_id").cast("string"), F.lit(" int"),
+        ).alias("sql"),
+    )
+    stmts = creates.unionByName(alters).withColumn(
+        "version",
+        F.row_number().over(W.orderBy("event_id", "sub")),
+    ).select("version", "sql")
+    # DDL streams are human-scale; the single-partition version window
+    # is bounded by nature (same adjudication as the registry ops).
+    # Encode across a few files (rotation), decode distributed, then
+    # replay sequentially — replay order is inherently serial.
+    blobs = stmts.repartitionByRange(4, "version").sortWithinPartitions(
+        "version"
+    ).mapInArrow(_encode_ddl_partition, "data binary")
+    decoded = blobs.mapInPandas(_parse_ddl_partition, BINLOG_DDL_SCHEMA)
+    ddls = sorted(
+        ((r["gtid_seq"], r["sql"]) for r in decoded.collect())
+    )  # tiny by nature: one row per DDL statement
+    reg = SchemaRegistry()
+    for _, sql in ddls:
+        reg.apply_ddl(sql)
+    rows = [
+        (h["version"], h["kind"], h["table"], h["sql"],
+         h["n_tables_after"])
+        for h in reg.history
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, kind string, table_ref string, sql string,"
+        " n_tables_after long",
+    )
+
+
+def _binlog_ddl_replay_sql() -> str:
+    from ..streaming.registry import SCHEMA_HISTORY_SQL
+
+    return SCHEMA_HISTORY_SQL
+
+
 REGISTRY = [
     ("source_binlog_roundtrip", binlog_roundtrip_query, BINLOG_ROUNDTRIP_SQL),
     ("source_binlog_gtid_resume", binlog_gtid_resume_query,
@@ -3639,4 +3803,6 @@ REGISTRY = [
      BINLOG_PARTIAL_JSON_SQL),
     ("source_binlog_legacy_temporals", binlog_legacy_temporals_query,
      BINLOG_LEGACY_TEMPORALS_SQL),
+    ("source_binlog_ddl_replay", binlog_ddl_replay_query,
+     _binlog_ddl_replay_sql()),
 ]

@@ -150,3 +150,96 @@ def test_restore_from_legacy_log_mixes_with_modern(spark, tmp_path):
         "c2": "2014-05-13 16:53:20",
     }
     assert by_table["t_v2"] == {"c0": 8, "c1": "modern"}
+
+
+# ---------------------------------------------------------------------
+# second round-14 addition: the DDL statement stream through the wire
+# (source_binlog_ddl_replay — ActiveSchemaManager on real binlog bytes)
+
+
+def test_read_binlog_ddl_filters_boundaries(spark, tmp_path):
+    """Only real statements surface: BEGIN/COMMIT/ROLLBACK QUERY
+    events are filtered at the source; DDL rows carry their file/pos
+    and GTID coordinates and the db context."""
+    import replicator_spark.sources.binlog as B
+    from replicator_spark.sources.binlog import read_binlog_ddl
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    w = B.BinlogWriter()
+    w.gtid(B._SID, 1)
+    w.query("BEGIN")
+    w.table_map(9, "testdb", "events", [B.MYSQL_TYPE_LONG], [b""])
+    w.rows(B.WRITE_ROWS_EVENT, 9, [B.MYSQL_TYPE_LONG], [b""], [[7]])
+    w.xid(1)
+    w.gtid(B._SID, 2)
+    w.query("CREATE TABLE t1 (a int)", db="shop")
+    w.gtid(B._SID, 3)
+    w.query("begin")  # case-insensitive boundary
+    w.query("ALTER TABLE t1 ADD COLUMN b int", db="shop")
+    w.query("COMMIT")
+    (logs / "binlog.000001").write_bytes(w.getvalue())
+    got = sorted(
+        read_binlog_ddl(spark, str(logs)).collect(),
+        key=lambda r: r["log_pos"],
+    )
+    assert [r["sql"] for r in got] == [
+        "CREATE TABLE t1 (a int)",
+        "ALTER TABLE t1 ADD COLUMN b int",
+    ]
+    assert all(r["db"] == "shop" for r in got)
+    assert [r["gtid_seq"] for r in got] == [2, 3]
+    assert all(r["source_file"] == "binlog.000001" for r in got)
+    assert got[0]["log_pos"] > 0
+
+
+def test_binlog_ddl_replay_gtid_order_across_files(spark, tmp_path):
+    """Statements land in rotated files; replay follows GTID order —
+    the registry's effects (CREATE then ALTERs) apply exactly as on
+    the server, whatever the file layout."""
+    import replicator_spark.sources.binlog as B
+    from replicator_spark.sources.binlog import read_binlog_ddl
+    from replicator_spark.streaming.registry import SchemaRegistry
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    w1 = B.BinlogWriter()
+    w1.gtid(B._SID, 1)
+    w1.query("CREATE TABLE t (user_id bigint, value double)")
+    w1.gtid(B._SID, 2)
+    w1.query("ALTER TABLE t ADD COLUMN c1 int")
+    (logs / "binlog.000001").write_bytes(w1.getvalue())
+    w2 = B.BinlogWriter()
+    w2.gtid(B._SID, 3)
+    w2.query("ALTER TABLE t ADD COLUMN c2 int")
+    w2.gtid(B._SID, 4)
+    w2.query("ALTER TABLE t DROP COLUMN c1")
+    (logs / "binlog.000002").write_bytes(w2.getvalue())
+    ddls = sorted(
+        (r["gtid_seq"], r["sql"])
+        for r in read_binlog_ddl(spark, str(logs)).collect()
+    )
+    reg = SchemaRegistry()
+    for _, sql in ddls:
+        reg.apply_ddl(sql)
+    assert reg.n_columns("t") == 3  # user_id, value, c2
+    assert [h["kind"] for h in reg.history] == [
+        "CREATE_TABLE", "ALTER_TABLE", "ALTER_TABLE", "ALTER_TABLE",
+    ]
+
+
+def test_binlog_ddl_replay_equals_nonwire_twin(spark, sf_dir):
+    """The registered op's wire roundtrip changes nothing: its
+    history equals schema_history_query's (same derivation, no wire)
+    row for row."""
+    from replicator_spark.sources.binlog import binlog_ddl_replay_query
+    from replicator_spark.streaming.registry import schema_history_query
+
+    got = sorted(
+        tuple(r) for r in binlog_ddl_replay_query(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in schema_history_query(spark, sf_dir).collect()
+    )
+    assert got == want
+    assert len(got) > 0

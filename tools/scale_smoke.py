@@ -98,8 +98,10 @@ SLATE = [
     # round-12 additions: GTID resume + ENUM/SET through the wire
     "source_binlog_gtid_resume",
     "source_binlog_enum_roundtrip",
-    # round-14 addition: legacy pre-5.6.4 temporals through the wire
+    # round-14 additions: legacy pre-5.6.4 temporals + the DDL
+    # statement stream through the wire
     "source_binlog_legacy_temporals",
+    "source_binlog_ddl_replay",
     "cdc_change_feed",
     "cdc_apply_upsert",
     "cdc_delay_gauge",
