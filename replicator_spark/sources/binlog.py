@@ -3697,6 +3697,29 @@ def read_binlog_ddl(spark: SparkSession, path: str) -> DataFrame:
     return blobs.mapInPandas(_parse_ddl_partition, BINLOG_DDL_SCHEMA)
 
 
+def tail_binlog_ddl(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming twin of `read_binlog_ddl`: the DDL statement channel
+    of a continuously-tailed log directory — what feeds a long-lived
+    active-schema replay (`streaming/registry.run_ddl_replay_stream`'s
+    verbatim-sql path, ordered by the GTID sequence). Same seen-files
+    checkpoint and `max_files_per_trigger` backpressure contract as
+    the row-event tails."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    blobs = reader.load(path).select(
+        "path", F.col("content").alias("data")
+    )
+    return blobs.mapInPandas(_parse_ddl_partition, BINLOG_DDL_SCHEMA)
+
+
 def _encode_ddl_partition(batches) -> Iterator:
     """mapInArrow: (version, sql) batches → one binlog file per
     partition, each DDL its own auto-committed transaction with

@@ -876,3 +876,75 @@ def test_run_stream_binlog_timemachine_restart_across_rotation(
     cols = [c for c in want.columns]
     assert got.select(cols).exceptAll(want).count() == 0
     assert want.exceptAll(got.select(cols)).count() == 0
+
+
+def test_wire_ddl_replay_restart_continues_versions(spark, tmp_path):
+    """The active-schema flow on REAL binlog bytes across a restart:
+    lifetime 1 replays file 1's DDL transactions through one
+    long-lived registry; the server rotates file 2 in while the
+    replicator is down; lifetime 2 resumes the SAME checkpoint —
+    versions continue (no per-lifetime reset, no re-apply of file 1)
+    and the final history equals a batch replay of both files in
+    GTID order."""
+    import replicator_spark.sources.binlog as B
+    from pyspark.sql import functions as F
+    from replicator_spark.sources.binlog import (
+        read_binlog_ddl,
+        tail_binlog_ddl,
+    )
+    from replicator_spark.streaming.registry import (
+        SchemaRegistry,
+        run_ddl_replay_stream,
+    )
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    w1 = B.BinlogWriter()
+    w1.gtid(B._SID, 1)
+    w1.query("CREATE TABLE t (user_id bigint, value double)")
+    w1.gtid(B._SID, 2)
+    w1.query("ALTER TABLE t ADD COLUMN c1 int")
+    (logs / "binlog.000001").write_bytes(w1.getvalue())
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def lifetime():
+        stream = tail_binlog_ddl(spark, str(logs)).select(
+            F.col("gtid_seq").alias("event_id"), "sql"
+        )
+        return run_ddl_replay_stream(spark, stream, out, ckpt)
+
+    reg1 = lifetime()
+    assert reg1.version == 2
+
+    w2 = B.BinlogWriter()
+    w2.gtid(B._SID, 3)
+    w2.query("ALTER TABLE t DROP COLUMN c1")
+    w2.gtid(B._SID, 4)
+    w2.query("RENAME TABLE t TO t2")
+    (logs / "binlog.000002").write_bytes(w2.getvalue())
+
+    reg2 = lifetime()
+    # one long-lived registry: versions continued, file 1 not re-applied
+    assert reg2.version == 4
+    assert sorted(reg2.tables) == ["t2"]
+    assert reg2.n_columns("t2") == 2  # user_id, value
+
+    # the emitted history equals a batch replay in GTID order
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("version", "kind", "table_ref", "sql", "n_tables_after")
+        .collect()
+    )
+    batch = SchemaRegistry()
+    for _, sql in sorted(
+        (r["gtid_seq"], r["sql"])
+        for r in read_binlog_ddl(spark, str(logs)).collect()
+    ):
+        batch.apply_ddl(sql)
+    want = sorted(
+        (h["version"], h["kind"], h["table"], h["sql"],
+         h["n_tables_after"])
+        for h in batch.history
+    )
+    assert got == want
