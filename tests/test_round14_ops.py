@@ -243,3 +243,30 @@ def test_binlog_ddl_replay_equals_nonwire_twin(spark, sf_dir):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_read_binlog_ddl_through_payload_envelope(spark, tmp_path):
+    """8.0.20+ binlog_transaction_compression envelopes DDL
+    transactions too — the statement must surface identically from
+    inside a TRANSACTION_PAYLOAD envelope."""
+    import replicator_spark.sources.binlog as B
+    from replicator_spark.sources.binlog import read_binlog_ddl
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    w = B.BinlogWriter()
+    w.gtid(B._SID, 1)
+    t = w.payload_writer()
+    t.query("CREATE TABLE env_t (a int)", db="shop")
+    w.transaction_payload(t)
+    w.gtid(B._SID, 2)
+    w.query("ALTER TABLE env_t ADD COLUMN b int", db="shop")  # plain
+    (logs / "binlog.000001").write_bytes(w.getvalue())
+    got = sorted(
+        (r["gtid_seq"], r["sql"], r["db"])
+        for r in read_binlog_ddl(spark, str(logs)).collect()
+    )
+    assert got == [
+        (1, "CREATE TABLE env_t (a int)", "shop"),
+        (2, "ALTER TABLE env_t ADD COLUMN b int", "shop"),
+    ]
