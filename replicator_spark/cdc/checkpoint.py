@@ -47,14 +47,21 @@ def gtid_safe_set(
     minimal transaction), the number of ranges in it, and the collapsed
     safe GTID-set string.
     """
+    # fragment grammar matches sources/binlog.parse_gtid_set: an
+    # interval is 'n' or 'n-m' — a bare single-transaction ack
+    # ("uuid:7") is 7-7, not a silent NULL row corrupting the island
+    # scan (regexp_extract returns '' on no-match, which casts NULL)
+    r_start = (
+        F.regexp_extract(gtid_col, ":(\\d+)(?:-|$)", 1)
+        .cast("long")
+    )
     parsed = frags.select(
         F.regexp_extract(gtid_col, "^([^:]+):", 1).alias("server_uuid"),
-        F.regexp_extract(gtid_col, ":(\\d+)-", 1)
-        .cast("long")
-        .alias("r_start"),
-        F.regexp_extract(gtid_col, "-(\\d+)$", 1)
-        .cast("long")
-        .alias("r_end"),
+        r_start.alias("r_start"),
+        F.coalesce(
+            F.regexp_extract(gtid_col, "-(\\d+)$", 1).try_cast("long"),
+            r_start,
+        ).alias("r_end"),
     )
     w = W.partitionBy("server_uuid").orderBy("r_start", "r_end")
     # a hole exists iff this range starts past the RUNNING MAX of all

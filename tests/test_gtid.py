@@ -147,3 +147,18 @@ def test_overlapping_and_contained_ranges_are_not_holes(spark):
     # a REAL hole past an overlap still stops the scan
     out3 = _safe(spark, ["C:1-10", "C:2-3", "C:12-13"])
     assert out3["C"]["safe_checkpoint"] == 10
+
+
+def test_single_transaction_fragment_form(spark):
+    """A bare single-transaction ack ("uuid:7") is the interval 7-7 —
+    the same grammar parse_gtid_set accepts — and composes with ranged
+    fragments in the island scan instead of corrupting it."""
+    got = _safe(spark, [
+        "a:1-3", "a:4", "a:5-6",   # contiguous via the bare 4
+        "a:8",                     # past the hole at 7
+        "b:1",                     # a lone single-txn server
+    ])
+    assert got["a"]["safe_checkpoint"] == 6
+    assert got["a"]["safe_gtid_set"] == "a:1-6"
+    assert got["b"]["safe_checkpoint"] == 1
+    assert got["b"]["safe_gtid_set"] == "b:1-1"
