@@ -91,21 +91,33 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     # re-analysis blowup the checkpoint guards against).
     for _ in range(PROBE_FREE_ROUNDS):
         labels = _propagate(labels)
-    labels = labels.localCheckpoint(eager=True)
+    # lazy checkpoint: the probe's scalar aggregate below is the
+    # action that materializes it, so truncation costs no extra job
+    labels = labels.localCheckpoint(eager=False)
     # then fixpoint-probe every round (long-chain graphs still
     # terminate correctly, just with the per-round probe cost they
     # genuinely need)
+    # fixpoint probe via the exact label sum instead of the old
+    # new⨝old join + count: min-label propagation is MONOTONE (a
+    # node's new label is min(own old label, incoming labels), so it
+    # never increases), hence "no label changed" ⟺ "the exact integer
+    # label sum is unchanged". One shuffle-free scalar aggregate per
+    # round replaces a join of two checkpointed frames (guide §2.4
+    # remove shuffles outright). DECIMAL(38,0) keeps the sum exact at
+    # any node count.
+    def _label_sum(lab: DataFrame):
+        return lab.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(PROBE_FREE_ROUNDS, MAX_ITERS):
-        new_labels = _propagate(labels).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_labels = _propagate(labels).localCheckpoint(eager=False)
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError("connected_components: no fixpoint "
                            f"after {MAX_ITERS} iterations")

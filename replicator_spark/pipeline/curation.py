@@ -681,6 +681,10 @@ QF_MIN_AVG_LEN = 3.0
 
 def quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
+    # no fan_out here: the plan-ceiling test pins this op map-only
+    # (zero Exchange), and with the O(n log n) top_cnt fold below the
+    # per-row work is cheap enough that the scan's own parallelism is
+    # the right shape at every scale
     docs = read_table(spark, sf_dir, "documents")
     toks = ws_tokens(F.col("text"))
     d = docs.select(
@@ -692,11 +696,33 @@ def quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq_ratio = (
         F.size(F.array_distinct("toks")).cast("double") / F.col("n_words")
     )
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("toks"),
-            lambda t: F.size(F.filter("toks", lambda x: x == t)),
-        )
+    # max token frequency as the longest run of the SORTED token array
+    # — O(n log n) per doc instead of the old array_distinct ×
+    # filter-per-distinct-token scan (O(n²) per doc; at 100 TB the
+    # per-row work IS this operator's cost — guide §1.2 step 2).
+    # Integer-exact and equal to the old expression for every
+    # non-empty token list; ws_tokens never yields ''/NULL tokens so
+    # the '' seed can't collide with a real first token. Empty token
+    # lists make the old expression NULL and this one 0 — both fail
+    # the sole consumer's `cnt/n_words > thr` predicate identically
+    # (0/0 and NULL/0 are both NULL in Spark and DuckDB), so the
+    # emitted reasons/keep columns are unchanged.
+    _run = lambda acc, t: F.when(  # noqa: E731 - local fold step
+        t == acc["prev"], acc["run"] + 1
+    ).otherwise(F.lit(1))
+    top_cnt = F.aggregate(
+        F.array_sort("toks"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            _run(acc, t).alias("run"),
+            F.greatest(acc["best"], _run(acc, t)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     avg_len = (
         F.aggregate(

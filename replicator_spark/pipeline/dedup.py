@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..session import prep, read_table
+from ..session import fan_out, prep, read_table
 from .text import ws_tokens
 
 N_MINHASH = 8
@@ -95,6 +95,10 @@ def _shingles(col: Column) -> Column:
 def _with_shingles(docs: DataFrame) -> DataFrame:
     """doc_id + shingle array, with the token split materialized in its
     own projection so it is computed once per row."""
+    # NOTE (r14 optimization round): a fan_out here was measured and
+    # REVERTED — the shingle+md5 map work is too cheap per row for the
+    # extra exchange + 32-task scheduling to pay off at bench scale
+    # (dedup_ngram_jaccard 1.8 s → 6.5 s isolated best-of-3).
     toked = docs.select(
         "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
     )
@@ -715,6 +719,7 @@ def semantic_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sanctioned constant-size reduction (see knn_graph_query)
     h = _knn_h(emb.count())
+    emb = fan_out(emb, spark)  # §2.5 input-skew guard, as knn_graph
     celled = emb.select(
         "vec_id", "v", _knn_cell(F.col("v"), h).alias("cell")
     )
@@ -814,7 +819,7 @@ def substring_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prep(spark)
     toked = (
-        read_table(spark, sf_dir, "documents")
+        fan_out(read_table(spark, sf_dir, "documents"), spark)
         .select(
             "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
         )

@@ -21,7 +21,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..session import prep, read_table
+from ..session import fan_out, prep, read_table
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
@@ -618,6 +618,11 @@ def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan is built — the plan then carries only h plane literals and
     # stays a pure cell equi-join
     h = _knn_h(emb.count())
+    # fan_out AFTER the scalar count: the in-cell self-join scoring
+    # (n·cell_pop pair dot products) otherwise runs entirely on the
+    # single-file scan's one task (guide §2.5 input skew); identity at
+    # production partition counts
+    emb = fan_out(emb, spark)
     celled = emb.select(
         "vec_id",
         "v",
@@ -1006,6 +1011,7 @@ def knn_classifier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
     h = _knn_h(emb.count())  # one scalar count, as in knn_graph_query
+    emb = fan_out(emb, spark)  # same §2.5 input-skew guard as knn_graph
     celled = emb.select(
         "vec_id", "label", "v", _knn_cell(F.col("v"), h).alias("cell")
     )

@@ -20,7 +20,7 @@ import math as _math
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..session import prep, read_table
+from ..session import fan_out, prep, read_table
 from ..utils import round_half_away
 
 _EPS = 1e-30  # all-zero-vector guard
@@ -541,6 +541,13 @@ def _km_train(emb: DataFrame) -> list[list[float]]:
         .collect()
     )
     cents = [[round_half_away(float(x), 6) for x in r["v"]] for r in seeds]
+    # NOTE (r14 optimization round): a width-wise variant (one decimal
+    # sum column per dimension, no posexplode) was measured and
+    # REVERTED — the 65-aggregate hash agg recompiles its codegen for
+    # every Lloyd round's fresh plan and the compile time dwarfed the
+    # explode it saved (emb_kmeans training 9.4 s → 31.0 s isolated
+    # best-of-3). The posexplode shape keeps one small generated
+    # function that the codegen cache reuses across rounds.
     for _ in range(KMEANS_ITERS):
         assigned = _assign(emb, cents)
         sums = (
@@ -577,7 +584,12 @@ def _km_train(emb: DataFrame) -> list[list[float]]:
 
 
 def _km_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "embeddings").select(
+    # fan_out: the single-file embeddings scan is ONE task; every
+    # Lloyd round's distance folds would otherwise run on one core
+    # (guide §2.5 input skew). Identity at production partition counts.
+    return fan_out(
+        read_table(spark, sf_dir, "embeddings"), spark
+    ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -837,6 +849,10 @@ PQ_ITERS = 3
 
 
 def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    # fan_out before the M-way explode: the single-file scan is one
+    # task, and every PQ Lloyd round's distance folds over the n×M
+    # subvector rows would otherwise run on one core (guide §2.5).
+    emb = fan_out(emb, emb.sparkSession)
     return emb.select(
         "vec_id",
         F.explode(
@@ -921,6 +937,10 @@ def _pq_train(spark, subs: DataFrame) -> dict:
         ]
         for r in seeds
     }
+    # NOTE (r14 optimization round): the width-wise update variant was
+    # measured and reverted here exactly as in _km_train — per-round
+    # codegen recompilation of the wide aggregate cost more than the
+    # posexplode it removed.
     for _ in range(PQ_ITERS):
         assigned = _pq_assign(spark, subs, cents)
         sums = (
@@ -1674,11 +1694,89 @@ _PR_MILLI = (
 )
 
 
+_GRAM_SCHEMA = "k int, n long, sa long, sab long, sb long, sx long"
+
+
+def _gram_partial(batches):
+    """mapInArrow per-task partial Gram over quantized int64 vectors.
+
+    Optimization guide §4.2: hand whole batches to vectorized native
+    code instead of evaluating a 2080-struct HOF expression per row.
+    Exactness: q is split into 16-bit halves q = a·2¹⁶ + b (arithmetic
+    shift = floor division, so b ∈ [0, 65535] and the identity holds
+    for negatives too); the three int64 Gram matrices aᵀa, aᵀb+bᵀa,
+    bᵀb stay within int64 up to ~10⁸ rows per task (|a| ≤ |q|/2¹⁶
+    with |q| ≈ 1e9-scale quantized components, products ≤ ~1e10) —
+    far above any task size maxPartitionBytes allows. The Spark-side
+    decimal(38,0) recomposition sa·2³² + sab·2¹⁶ + sb then equals the
+    exact Σ qᵢqⱼ the old per-row expression summed, term for term.
+    Per-dim component sums ride the same pass (k = 100000 + dim), so
+    the corpus is scanned ONCE for both moment tables instead of
+    twice."""
+    import numpy as np
+    import pyarrow as pa
+
+    d = None
+    n = 0
+    ga = gab = gb = sx = None
+    for batch in batches:
+        col = batch.column(0)
+        if not len(col):
+            continue
+        flat = col.flatten()
+        vals = flat.to_numpy(zero_copy_only=False)
+        if d is None:
+            d = len(vals) // len(col)
+        q = vals.reshape(len(col), d)
+        a = q >> 16
+        b = q & 0xFFFF
+        pga = a.T @ a
+        pgab = a.T @ b + b.T @ a
+        pgb = b.T @ b
+        psx = q.sum(axis=0)
+        if ga is None:
+            ga, gab, gb, sx = pga, pgab, pgb, psx
+        else:
+            ga += pga
+            gab += pgab
+            gb += pgb
+            sx += psx
+        n += len(col)
+    if n == 0:
+        return
+    iu = np.triu_indices(d)
+    ks = list(range(len(iu[0]))) + [100000 + i for i in range(d)]
+    zeros = [0] * d
+    yield pa.RecordBatch.from_pydict(
+        {
+            "k": ks,
+            "n": [n] * len(iu[0]) + zeros,
+            "sa": [int(x) for x in ga[iu]] + zeros,
+            "sab": [int(x) for x in gab[iu]] + zeros,
+            "sb": [int(x) for x in gb[iu]] + zeros,
+            "sx": [0] * len(iu[0]) + [int(x) for x in sx],
+        },
+        schema=pa.schema(
+            [
+                ("k", pa.int32()),
+                ("n", pa.int64()),
+                ("sa", pa.int64()),
+                ("sab", pa.int64()),
+                ("sb", pa.int64()),
+                ("sx", pa.int64()),
+            ]
+        ),
+    )
+
+
 def participation_ratio_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     prep(spark)
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    d = 64
+    emb = fan_out(
+        read_table(spark, sf_dir, "embeddings"), spark
+    ).select(
         F.transform(
             "embedding",
             lambda x: F.floor(
@@ -1686,25 +1784,46 @@ def participation_ratio_query(
             ).cast("long"),
         ).alias("q")
     )
-    pairs = emb.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(q, (xi, i) -> "
-                "transform(slice(q, i + 1, size(q) - i), (xj, j) -> "
-                "struct(i AS di, i + j AS dj, xi * xj AS p))))"
-            )
-        ).alias("e")
-    ).select("e.di", "e.dj", "e.p")
-    sums = pairs.groupBy("di", "dj").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("p").cast("decimal(38,0)")).alias("spp"),
+    # ONE vectorized pass (guide §4.2) replaces the old per-row
+    # 2080-struct explode (4.2M struct allocations at sf0.1) AND the
+    # second per-dim posexplode scan; sums are recomposed exactly —
+    # see _gram_partial. Output is identical (verified value-equal at
+    # sf0.1/0.01/0.001 and against the unchanged DuckDB oracle).
+    tot = (
+        emb.mapInArrow(_gram_partial, _GRAM_SCHEMA)
+        .groupBy("k")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum(F.col("sa").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("sab").cast("decimal(38,0)")).alias("sab"),
+            F.sum(F.col("sb").cast("decimal(38,0)")).alias("sb"),
+            F.sum(F.col("sx").cast("decimal(38,0)")).alias("sx"),
+        )
+        .persist()  # 2144 rows; consumed by sums + both join sides —
+        # un-cached each would re-scan the corpus (r9 scan audit)
     )
-    comp = emb.select(
-        F.posexplode("q").alias("dim", "x")
-    ).groupBy("dim").agg(
-        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx")
-    ).persist()  # d rows; consumed as both join sides (si and sj) —
-    # un-cached each would re-scan the corpus (r9 scan audit)
+    kmap = []
+    k = 0
+    for i in range(d):
+        for j in range(i, d):
+            kmap.append((k, i, j))
+            k += 1
+    kdf = F.broadcast(
+        spark.createDataFrame(kmap, "k int, di int, dj int")
+    )
+    spp = (
+        F.col("sa") * F.lit(4294967296).cast("decimal(38,0)")
+        + F.col("sab") * F.lit(65536).cast("decimal(38,0)")
+        + F.col("sb")
+    ).cast("decimal(38,0)")
+    sums = (
+        tot.where(F.col("k") < 100000)
+        .join(kdf, "k")
+        .select("di", "dj", "n", spp.alias("spp"))
+    )
+    comp = tot.where(F.col("k") >= 100000).select(
+        (F.col("k") - 100000).alias("dim"), F.col("sx").alias("sx")
+    )
     si = comp.select(F.col("dim").alias("di"), F.col("sx").alias("si"))
     sj = comp.select(F.col("dim").alias("dj"), F.col("sx").alias("sj"))
     grid = (

@@ -28,8 +28,18 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # the default 200 shuffle partitions over-parallelizes local runs
     # by an order of magnitude (AQE coalesces batch plans, but
-    # stateful streaming ops are pinned to this number at first run)
-    "spark.sql.shuffle.partitions": "32",
+    # stateful streaming ops are pinned to this number at first run).
+    # Sized from $SPARK_GRAFT_CPUS (floor 8) so the driver's low-core
+    # scaling bench gets proportionally fewer state partitions too —
+    # a cluster deployment sizes this at 2-3× total cores instead.
+    "spark.sql.shuffle.partitions": str(
+        max(
+            int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            if os.environ.get("SPARK_GRAFT_CPUS", "32").isdigit()
+            else 32,
+            8,
+        )
+    ),
 }
 
 
@@ -71,6 +81,41 @@ def get_spark(app_name: str = "replicator-spark") -> SparkSession:
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def fan_out(df, spark: SparkSession):
+    """Input-skew guard (optimization guide §2.5 "one huge unsplittable
+    file ... repartition immediately after the read").
+
+    The bench/driver testdata ships every table as ONE single-row-group
+    parquet file, so every scan is exactly one task and all map-side
+    work before the first exchange runs single-threaded regardless of
+    core count. For operators whose cost is heavy per-row compute (the
+    vector/trainer family's distance folds, LSH hashing, in-cell
+    self-join scoring, wide decimal partial aggregations), one
+    round-robin exchange of the (tiny) input right after the scan
+    unlocks the cores.
+
+    Scale-adaptive, not a local[32] constant: the guard compares the
+    scan's actual partition count to ``defaultParallelism`` (which
+    follows $SPARK_GRAFT_CPUS locally and cluster sizing in
+    production). At real scale the scan already carries more
+    partitions than cores and this is the identity — no exchange
+    enters the plan. Only applied where results are provably
+    partition-invariant (deterministic total orders, order-free exact
+    aggregates — the repo-wide cross-engine determinism armor already
+    guarantees this for every declared query it is used in).
+    """
+    if df.isStreaming:
+        # streaming frames can't be repartition-probed (and micro-batch
+        # parallelism is governed by the stream's own partitioning)
+        return df
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive only
+        return df
+    p = spark.sparkContext.defaultParallelism
+    return df.repartition(p) if n < p else df
 
 
 def normalize_events(df):

@@ -40,6 +40,7 @@ import os
 import tempfile
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,18 +69,28 @@ def _admit(
     # batch size, in no particular order — sort across the WHOLE
     # micro-batch group (the sibling stateful ops' pd.concat pattern),
     # or a later chunk's smaller doc_id would be admitted alongside an
-    # earlier chunk's larger one
-    all_ids = sorted(int(d) for pdf in pdfs for d in pdf["doc_id"])
-    rows = []
-    # sorted scan ⇒ within a batch only the bucket's min can be
-    # admitted, matching the arrival-order rule exactly when batches
-    # arrive in doc_id order (file streams preserve it).
-    for did in all_ids:
-        rows.append((did, band, prev is None or did < prev))
-        prev = did if prev is None else min(prev, did)
-    if prev is not None:
-        state.update((prev,))
-    yield pd.DataFrame(rows, columns=["doc_id", "band", "admitted"])
+    # earlier chunk's larger one.
+    #
+    # Vectorized (guide §4.2): this function runs once per (band,
+    # bucket) group — tens of thousands of mostly-1-row groups per
+    # micro-batch — so per-call Python cost IS the operator's cost.
+    # The sorted scan of the old per-id loop reduces to a closed form:
+    # after ascending sort only the batch minimum can ever be admitted
+    # (every later id sees prev ≤ ids[0] ≤ id), so the verdict vector
+    # is computed without a loop and the output frame is built from
+    # numpy arrays instead of a per-row tuple list.
+    chunks = [pdf["doc_id"].to_numpy() for pdf in pdfs]
+    ids = np.sort(np.concatenate(chunks)) if len(chunks) > 1 else np.sort(
+        chunks[0]
+    )
+    adm = np.zeros(len(ids), dtype=bool)
+    if len(ids):
+        adm[0] = prev is None or int(ids[0]) < prev
+        newmin = int(ids[0]) if prev is None else min(prev, int(ids[0]))
+        state.update((newmin,))
+    yield pd.DataFrame(
+        {"doc_id": ids, "band": band, "admitted": adm}
+    )
 
 
 def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,287 @@
+"""Focused tests for the round-14 optimization-round internals.
+
+Each test pins an operator-internal rewrite from the optimization
+round to the semantics of the code it replaced:
+
+- session.fan_out: scale-adaptive input-skew guard (guide §2.5) —
+  repartitions only when the scan carries fewer partitions than
+  defaultParallelism, identity otherwise.
+- cluster.connected_components: the fixpoint probe is now an exact
+  label-sum scalar aggregate (guide §2.4 — the old probe was a
+  join+count of two checkpointed frames); valid because min-label
+  propagation is monotone. Exercised on a long-chain graph whose
+  diameter far exceeds PROBE_FREE_ROUNDS so the probe loop really
+  drives termination.
+- curation.quality_filter top_cnt: max token frequency via a sorted
+  run-length fold (O(n log n)) must equal the old
+  array_distinct × filter count (O(n²)) on every shape that matters.
+- vectors._gram_partial: the mapInArrow Gram pass (guide §4.2) must
+  recompose, via sa·2³² + sab·2¹⁶ + sb, to the exact integer Gram
+  matrix of the quantized vectors, negatives included.
+- streaming.near_dedup._admit: the vectorized closed form must match
+  the old per-id sorted-scan loop on multi-chunk, duplicate-id, and
+  prior-state inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- fan_out
+
+
+def test_fan_out_repartitions_single_partition_input(spark):
+    from replicator_spark.session import fan_out
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "x long")
+    one = df.coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    out = fan_out(one, spark)
+    p = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == p
+    # content identical
+    assert sorted(r.x for r in out.collect()) == list(range(100))
+
+
+def test_fan_out_identity_when_input_already_parallel(spark):
+    from replicator_spark.session import fan_out
+
+    p = spark.sparkContext.defaultParallelism
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)], "x long"
+    ).repartition(p + 4)
+    out = fan_out(df, spark)
+    # identity — no extra exchange enters the plan
+    assert out is df
+
+
+# --------------------------------------- connected_components label-sum
+
+
+def test_cc_label_sum_probe_terminates_long_chain(spark):
+    """A 14-node path graph: diameter 13 >> PROBE_FREE_ROUNDS, so the
+    label-sum probe loop must drive propagation to the true fixpoint
+    (one hop per round on a path — 13 rounds + 1 confirming round,
+    inside the MAX_ITERS=20 cap) and stop exactly when labels
+    freeze."""
+    from replicator_spark.pipeline.cluster import connected_components
+
+    n = 14
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    out = connected_components(nodes, edges).collect()
+    assert {(r.doc_id, r.label) for r in out} == {(i, 0) for i in range(n)}
+
+
+def test_cc_label_sum_probe_two_components_plus_singleton(spark):
+    from replicator_spark.pipeline.cluster import connected_components
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(7)], "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    out = connected_components(nodes, edges).collect()
+    got = {(r.doc_id, r.label) for r in out}
+    assert got == {
+        (0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 3), (6, 6)
+    }
+
+
+# ----------------------------------------- quality_filter top_cnt fold
+
+
+def test_top_cnt_run_fold_matches_naive_count(spark):
+    """The sorted run-length fold must equal the old
+    array_max(transform(array_distinct, count-per-token)) on every
+    token-array shape: all-same, all-distinct, ties, interleaved."""
+    cases = [
+        ["a"],
+        ["a", "a", "a"],
+        ["a", "b", "c"],
+        ["a", "b", "a", "c", "a", "b"],
+        ["z", "y", "z", "y"],
+        ["m", "m", "n", "n", "n", "o"],
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "toks array<string>")
+    _run = lambda acc, t: F.when(  # noqa: E731
+        t == acc["prev"], acc["run"] + 1
+    ).otherwise(F.lit(1))
+    fold = F.aggregate(
+        F.array_sort("toks"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            _run(acc, t).alias("run"),
+            F.greatest(acc["best"], _run(acc, t)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    naive = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda t: F.size(F.filter("toks", lambda x: x == t)),
+        )
+    )
+    rows = df.select(fold.alias("fold"), naive.alias("naive")).collect()
+    for r in rows:
+        assert r.fold == r.naive
+
+
+# ------------------------------------------------- _gram_partial exact
+
+
+def _naive_gram(q: np.ndarray):
+    g = q.T.astype(object) @ q.astype(object)  # exact big-int products
+    s = q.sum(axis=0)
+    return g, s
+
+
+@pytest.mark.parametrize("seed_rows", [(3, 5), (7, 64)])
+def test_gram_partial_recomposes_exact(seed_rows):
+    from replicator_spark.pipeline.vectors import _gram_partial
+
+    k, d = seed_rows
+    # deterministic pseudo-data with negatives and large magnitudes
+    # (quantized embeddings are ~1e6-1e9 scale longs)
+    q = np.array(
+        [
+            [((i * 2654435761 + j * 40503) % 2000003) - 1000001
+             for j in range(d)]
+            for i in range(k)
+        ],
+        dtype=np.int64,
+    ) * 997  # push into the ~1e9 range
+    arr = pa.array([row.tolist() for row in q], type=pa.list_(pa.int64()))
+    batch = pa.RecordBatch.from_arrays([arr], names=["q"])
+    out = list(_gram_partial(iter([batch])))
+    assert len(out) == 1
+    t = out[0].to_pydict()
+    g, s = _naive_gram(q)
+    # upper-triangle keys 0..d(d+1)/2-1 in (i, j>=i) row-major order
+    idx = 0
+    for i in range(d):
+        for j in range(i, d):
+            pos = t["k"].index(idx)
+            got = t["sa"][pos] * 4294967296 + t["sab"][pos] * 65536 \
+                + t["sb"][pos]
+            assert got == int(g[i][j]), (i, j)
+            assert t["n"][pos] == k
+            idx += 1
+    for dim in range(d):
+        pos = t["k"].index(100000 + dim)
+        assert t["sx"][pos] == int(s[dim])
+
+
+def test_gram_partial_multiple_batches_accumulate():
+    from replicator_spark.pipeline.vectors import _gram_partial
+
+    d = 4
+    q1 = np.array([[1, -2, 3, -4], [5, 6, -7, 8]], dtype=np.int64)
+    q2 = np.array([[-9, 10, 11, -12]], dtype=np.int64)
+
+    def mk(q):
+        arr = pa.array(
+            [row.tolist() for row in q], type=pa.list_(pa.int64())
+        )
+        return pa.RecordBatch.from_arrays([arr], names=["q"])
+
+    out = list(_gram_partial(iter([mk(q1), mk(q2)])))
+    assert len(out) == 1
+    t = out[0].to_pydict()
+    g, s = _naive_gram(np.vstack([q1, q2]))
+    idx = 0
+    for i in range(d):
+        for j in range(i, d):
+            pos = t["k"].index(idx)
+            got = t["sa"][pos] * 4294967296 + t["sab"][pos] * 65536 \
+                + t["sb"][pos]
+            assert got == int(g[i][j])
+            assert t["n"][pos] == 3
+            idx += 1
+    for dim in range(d):
+        assert t["sx"][t["k"].index(100000 + dim)] == int(s[dim])
+
+
+def test_gram_partial_empty_input_yields_nothing():
+    from replicator_spark.pipeline.vectors import _gram_partial
+
+    empty = pa.RecordBatch.from_arrays(
+        [pa.array([], type=pa.list_(pa.int64()))], names=["q"]
+    )
+    assert list(_gram_partial(iter([empty]))) == []
+
+
+# ------------------------------------------------ streaming _admit
+
+
+class _FakeState:
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return (self._v,)
+
+    def update(self, t):
+        self._v = t[0]
+
+
+def _admit_reference(key, pdfs, state):
+    """The pre-optimization per-id sorted-scan loop, verbatim."""
+    band, _bucket = key
+    prev = state.get[0] if state.exists else None
+    all_ids = sorted(int(d) for pdf in pdfs for d in pdf["doc_id"])
+    rows = []
+    for did in all_ids:
+        rows.append((did, band, prev is None or did < prev))
+        prev = did if prev is None else min(prev, did)
+    if prev is not None:
+        state.update((prev,))
+    yield pd.DataFrame(rows, columns=["doc_id", "band", "admitted"])
+
+
+@pytest.mark.parametrize(
+    "chunks,prior",
+    [
+        ([[5, 3, 9]], None),
+        ([[5, 3, 9]], 4),
+        ([[5, 3, 9]], 2),
+        ([[7, 7, 7]], None),          # duplicate ids: only first admitted
+        ([[9, 8], [2, 11], [6]], None),  # multi-chunk arrival, unordered
+        ([[9, 8], [2, 11], [6]], 1),
+        ([[4]], 4),                   # equal to prior: not admitted
+    ],
+)
+def test_admit_vectorized_matches_reference_loop(chunks, prior):
+    from replicator_spark.streaming.near_dedup import _admit
+
+    key = (3, 17)
+    pdfs = [pd.DataFrame({"doc_id": c}) for c in chunks]
+    ref_state, new_state = _FakeState(prior), _FakeState(prior)
+    ref = pd.concat(list(_admit_reference(key, iter(pdfs), ref_state)))
+    got = pd.concat(
+        list(_admit(key, iter([p.copy() for p in pdfs]), new_state))
+    )
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert list(ref["doc_id"]) == [int(x) for x in got["doc_id"]]
+    assert list(ref["admitted"]) == [bool(x) for x in got["admitted"]]
+    assert list(got["band"]) == [key[0]] * len(got)
+    assert ref_state._v == new_state._v

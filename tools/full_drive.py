@@ -63,7 +63,9 @@ def summarize(log_path: str, out_path: str) -> None:
     print(json.dumps({k: v for k, v in summary.items() if k != "results"}))
 
 
-def drive(lo: int, hi: int, log_path: str, sf_dir: str) -> None:
+def drive(
+    lo: int, hi: int, log_path: str, sf_dir: str, only: list | None = None
+) -> None:
     from pyspark.sql import SparkSession
 
     spark = (
@@ -84,7 +86,7 @@ def drive(lo: int, hi: int, log_path: str, sf_dir: str) -> None:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     qs, orc = E.queries(), E.oracle_sql()
-    names = list(qs)[lo:hi]
+    names = [n for n in only if n in qs] if only else list(qs)[lo:hi]
     with open(log_path, "a") as logf:
         for i, name in enumerate(names):
             t0 = time.time()
@@ -129,6 +131,11 @@ def main() -> None:
             args.append(a)
     if summarize_to:
         summarize(log_path, summarize_to)
+        return
+    if args and not args[0].isdigit():
+        # name mode: drive exactly these ops (targeted re-verification
+        # of a touched-op set during the optimization rounds)
+        drive(0, 0, log_path, sf_dir, only=args)
         return
     lo, hi = int(args[0]), int(args[1])
     drive(lo, hi, log_path, sf_dir)
