@@ -22,11 +22,11 @@ relative to the feed, and nothing here touches the wide columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..session import prep, read_table
-from .checkpoint import _GAP_MOD, _N_SERVERS, safe_watermark
+from .checkpoint import _GAP_MOD, _N_SERVERS
 
 
 def delay_gauge(ev: DataFrame) -> DataFrame:
@@ -50,18 +50,29 @@ def delay_gauge(ev: DataFrame) -> DataFrame:
         F.max("ts_ns").alias("head_ts_ns"),
     )
     acked = base.where((F.col("event_id") % _GAP_MOD) != 0)
-    safe = safe_watermark(acked, "srv", "txn")
-    # event time of the safe-checkpoint transaction ((srv, txn) is
-    # unique by construction, so this join is 1:1 and broadcast-sized)
-    safe_ts = safe.join(
-        base.select(
-            F.col("srv").alias("s2"),
-            F.col("txn").alias("t2"),
-            F.col("ts_ns").alias("safe_ts_ns"),
-        ),
-        (F.col("srv") == F.col("s2"))
-        & (F.col("safe_checkpoint") == F.col("t2")),
-    ).select("srv", "safe_checkpoint", "acked_contiguous", "safe_ts_ns")
+    # safe_watermark's gap-free-prefix window, inlined with ts_ns
+    # carried through so the checkpoint's event time falls out of the
+    # SAME pass as max_by (r14 optimization round, guide §2.4): the
+    # old shape joined the tiny safe set back against the FULL base
+    # projection — a third scan of events — to recover safe_ts_ns.
+    # (srv, txn) is unique by construction (event_id bijection), so
+    # max_by(ts_ns, txn_id) picks exactly the row the join found.
+    wsafe = W.partitionBy("srv").orderBy("txn")
+    ranked = acked.select(
+        "srv",
+        F.col("txn").alias("txn_id"),
+        "ts_ns",
+        (F.row_number().over(wsafe) - F.lit(1)).alias("rn"),
+        F.min("txn").over(W.partitionBy("srv")).alias("min_id"),
+    )
+    contiguous = ranked.where(
+        F.col("txn_id") - F.col("min_id") == F.col("rn")
+    )
+    safe_ts = contiguous.groupBy("srv").agg(
+        F.max("txn_id").alias("safe_checkpoint"),
+        F.count("*").alias("acked_contiguous"),
+        F.max_by("ts_ns", "txn_id").alias("safe_ts_ns"),
+    )
     out = head.join(safe_ts, "srv").select(
         F.concat(
             F.lit("srv-"), F.lpad(F.col("srv").cast("string"), 2, "0")

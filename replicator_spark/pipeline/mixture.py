@@ -373,7 +373,10 @@ def _bpe_words(docs: DataFrame) -> DataFrame:
                 " i -> substring(w, i, 1))"
             ).alias("syms"),
         )
-        .localCheckpoint()
+        # lazy: round 1's pair-count collect is the action that
+        # materializes it — the eager form paid one extra job just to
+        # checkpoint (guide §1.2: fewer passes; r14 optimization round)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -405,9 +408,13 @@ def _bpe_train(words: DataFrame):
         merges.append(
             (rank, win["l"], win["r"], win["l"] + win["r"], int(win["total"]))
         )
+        # lazy checkpoint: materialized by the NEXT round's pair-count
+        # collect (or the encoder's broadcast build after the last
+        # round) — halves the per-merge-round job count while keeping
+        # the lineage truncation that bounds Catalyst re-analysis
         words = words.select(
             "w", "freq", _merge_pair(win["l"], win["r"]).alias("syms")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return words, merges
 
 

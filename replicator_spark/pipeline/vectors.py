@@ -486,28 +486,39 @@ KMEANS_K = 8
 KMEANS_ITERS = 5
 
 
+def _book_df(spark: SparkSession, cents: list[list[float]]):
+    """The K centroids as a broadcast ONE-ROW DataFrame carrying the
+    whole codebook as array<struct<cid, c>> — the _pq_assign pattern
+    (r14 optimization round, guide §1.2 step 2). The old literal-array
+    shape embedded K·d literal doubles in the plan, so every Lloyd
+    round produced a DIFFERENT plan and recompiled its whole-stage
+    codegen; as broadcast DATA the plan (and its cached codegen) is
+    identical across rounds and across the trainer queries. Element
+    order (cid 0..K-1) and the double values are bit-identical to the
+    literal form, so every distance fold sees the same IEEE inputs in
+    the same order."""
+    return F.broadcast(
+        spark.createDataFrame(
+            [([(i, [float(x) for x in c]) for i, c in enumerate(cents)],)],
+            "book array<struct<cid int, c array<double>>>",
+        )
+    )
+
+
 def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     """vec rows + cluster id of the nearest centroid (squared L2).
 
-    Fully map-side: the K centroids are a constant-folded literal and
-    the argmin is array_min over per-centroid (d2, cid) structs —
-    struct ordering gives the same (distance, then lower cid) tie
-    order as the previous F.min(F.struct(...)) formulation, WITHOUT
-    its explode + groupBy(vec_id), which shuffled the whole corpus
-    once per Lloyd round (n×K rows through an exchange; at 100 TB
-    that shuffle, not the distance math, was the plan's cost)."""
-    c_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(x) for x in c]).alias("c"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
+    Fully map-side but for the 1-row broadcast codebook attach
+    (BroadcastNestedLoopJoin — no shuffle of the corpus side): the
+    argmin is array_min over per-centroid (d2, cid) structs — struct
+    ordering gives the same (distance, then lower cid) tie order as
+    the previous F.min(F.struct(...)) formulation, WITHOUT its
+    explode + groupBy(vec_id), which shuffled the whole corpus once
+    per Lloyd round (n×K rows through an exchange; at 100 TB that
+    shuffle, not the distance math, was the plan's cost)."""
     best = F.array_min(
         F.transform(
-            c_lit,
+            F.col("book"),
             lambda t: F.struct(
                 F.aggregate(
                     F.zip_with(
@@ -520,7 +531,7 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
             ),
         )
     )
-    return emb.select(
+    return emb.crossJoin(_book_df(emb.sparkSession, cents)).select(
         "vec_id",
         "v",
         best["cid"].alias("cid"),
@@ -731,19 +742,12 @@ SIL_BOUNDARY = 0.1  # s below this = near the decision boundary
 def _assign2(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     """Like _assign but also returns the SECOND-nearest centroid's
     squared distance (array_sort over (d2, cid) structs — same tie
-    order as the argmin)."""
-    c_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(x) for x in c]).alias("c"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
+    order as the argmin). Codebook attaches as the same broadcast
+    1-row frame as _assign (stable plan → cached codegen across
+    rounds/queries; identical IEEE inputs in identical order)."""
     dists = F.array_sort(
         F.transform(
-            c_lit,
+            F.col("book"),
             lambda t: F.struct(
                 F.aggregate(
                     F.zip_with(
@@ -756,7 +760,7 @@ def _assign2(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
             ),
         )
     )
-    return emb.select(
+    return emb.crossJoin(_book_df(emb.sparkSession, cents)).select(
         "vec_id",
         dists[0]["cid"].alias("cid"),
         dists[0]["d2"].alias("d2"),

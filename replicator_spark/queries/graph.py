@@ -372,13 +372,17 @@ def kcore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint per round: the survivor-count branches below
         # are separate plan trees — without truncation round i's branch
         # re-runs every earlier peel (cluster.py's lineage lesson;
-        # measured 11.8 s → 6 s at sf0.1)
+        # measured 11.8 s → 6 s at sf0.1). LAZY since the r14
+        # optimization round: the final union action materializes the
+        # whole checkpoint chain in ONE job (stage graph dedupes the
+        # shared alive_i RDDs), instead of paying one eager
+        # materialization job per peel round.
         alive = (
             surv.groupBy("a")
             .agg(F.count("*").alias("d"))
             .where(F.col("d") >= KCORE_K)
             .select(F.col("a").alias("n"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         out.append(
             alive.agg(F.count("*").alias("n_alive")).select(

@@ -285,3 +285,119 @@ def test_admit_vectorized_matches_reference_loop(chunks, prior):
     assert list(ref["admitted"]) == [bool(x) for x in got["admitted"]]
     assert list(got["band"]) == [key[0]] * len(got)
     assert ref_state._v == new_state._v
+
+
+# ------------------------- _assign/_assign2 broadcast-book equivalence
+
+
+def _assign_literal_reference(emb, cents):
+    """The pre-optimization literal-centroid argmin, verbatim."""
+    from pyspark.sql import functions as F
+
+    c_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(x) for x in c]).alias("c"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            c_lit,
+            lambda t: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"), t["c"], lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d2"),
+                t["cid"].alias("cid"),
+            ),
+        )
+    )
+    return emb.select(
+        "vec_id", "v", best["cid"].alias("cid"), best["d2"].alias("d2")
+    )
+
+
+def test_assign_broadcast_book_bitwise_equals_literal_form(spark):
+    from replicator_spark.pipeline.vectors import _assign, _assign2
+
+    cents = [
+        [0.125, -3.5, 2.0 / 3.0],
+        [1e-9, 4.75, -0.1],
+        [0.125, -3.5, 2.0 / 3.0 + 1e-15],  # near-tie with cid 0
+    ]
+    rows = [
+        (0, [0.125, -3.5, 2.0 / 3.0]),          # exact tie cid0 vs cid2
+        (1, [100.0, -200.0, 0.5]),
+        (2, [1e-9, 4.75, -0.1]),
+        (3, [-7.25, 0.0, 9.625]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = {
+        r.vec_id: (r.cid, r.d2)
+        for r in _assign(emb, cents).collect()
+    }
+    ref = {
+        r.vec_id: (r.cid, r.d2)
+        for r in _assign_literal_reference(emb, cents).collect()
+    }
+    assert got == ref  # same argmin AND bit-identical doubles
+    two = {r.vec_id: (r.cid, r.d2, r.d2b) for r in
+           _assign2(emb, cents).collect()}
+    for vid, (cid, d2) in ref.items():
+        assert two[vid][0] == cid and two[vid][1] == d2
+        assert two[vid][2] >= two[vid][1]
+
+
+# ------------------------------- delay_gauge single-pass equivalence
+
+
+def test_delay_gauge_maxby_matches_join_back_shape(spark):
+    """The inlined max_by(ts_ns, txn_id) safe-checkpoint timestamp must
+    equal the old join-back-to-base lookup on a stream with holes."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark.cdc.checkpoint import _GAP_MOD, _N_SERVERS
+    from replicator_spark.cdc.metrics import delay_gauge
+
+    n = 5000
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000_000_000_000 + i * 1_000_000) for i in range(n)],
+        "event_id long, ts long",
+    )
+    out = {r.server_uuid: r.asDict() for r in delay_gauge(ev).collect()}
+    assert len(out) == _N_SERVERS
+    # reference: per server, safe = largest gap-free acked prefix;
+    # safe_ts from the (srv, txn) bijection event_id = txn*N + srv
+    for srv in range(_N_SERVERS):
+        txns = sorted(
+            i // _N_SERVERS
+            for i in range(n)
+            if i % _N_SERVERS == srv and i % _GAP_MOD != 0
+        )
+        safe = txns[0]
+        cnt = 1
+        for t in txns[1:]:
+            if t == safe + 1:
+                safe, cnt = t, cnt + 1
+            else:
+                break
+        r = out[f"srv-{srv:02d}"]
+        assert r["safe_checkpoint"] == safe
+        assert r["acked_contiguous"] == cnt
+        head_txn = max(
+            i // _N_SERVERS for i in range(n) if i % _N_SERVERS == srv
+        )
+        assert r["head_txn"] == head_txn
+        head_ts = 1_700_000_000_000_000_000 + (
+            head_txn * _N_SERVERS + srv
+        ) * 1_000_000
+        safe_ts = 1_700_000_000_000_000_000 + (
+            safe * _N_SERVERS + srv
+        ) * 1_000_000
+        assert r["delay_ms"] == (head_ts - safe_ts) // 1_000_000
