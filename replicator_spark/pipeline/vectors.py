@@ -16,11 +16,13 @@ sequential folds so the doubles match bit-for-bit.
 from __future__ import annotations
 
 import math as _math
+import os as _os
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..session import fan_out, prep, read_table
+from ..session import fan_out, prep, read_table, table_path
 from ..utils import round_half_away
 
 _EPS = 1e-30  # all-zero-vector guard
@@ -485,6 +487,37 @@ FROM ray, UNNEST(range(1, {d + 1})) AS t(i)
 KMEANS_K = 8
 KMEANS_ITERS = 5
 
+# Per-task input budget for the ITERATIVE trainer corpora (k-means /
+# PQ Lloyd loops). Each training round re-schedules one task per
+# partition of the persisted working set, so fan-out width beyond
+# input_bytes/this trades no compute win for per-round scheduler
+# latency (measured: a 2000-row sf0.1 round costs 1.5-2.1 s at 32
+# partitions vs 0.8-1.0 s at ~4). Production sizing is unaffected:
+# fan_out caps at defaultParallelism and is the identity once the
+# scan itself carries enough partitions.
+TRAINER_BYTES_PER_TASK = 256 << 10
+
+
+@_contextmanager
+def _no_aqe(spark: SparkSession):
+    """Disable adaptive query execution around the trainer collect
+    loops. A Lloyd/PQ round's reduction output is CONSTANT-SIZE by
+    design (K·d partial-sum rows, at any corpus scale), so AQE has
+    nothing to adapt — no skew join, no post-shuffle size surprise —
+    while its stage-by-stage re-optimization costs a driver
+    round-trip per stage per round (measured: 1.7-2.4 s/round with
+    AQE vs 0.9-1.1 s without, identical results; the collect output
+    and every centroid update are order-exact DECIMAL sums, so plan
+    variation cannot change them). Serving plans returned to the
+    caller keep AQE: only the loop-internal collects run under this.
+    """
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
 
 def _book_df(spark: SparkSession, cents: list[list[float]]):
     """The K centroids as a broadcast ONE-ROW DataFrame carrying the
@@ -544,6 +577,11 @@ def _km_train(emb: DataFrame) -> list[list[float]]:
     (vec_id, v) frame and return the trained centroids. Shared by
     kmeans_query and silhouette_query so both audit the SAME
     codebook."""
+    with _no_aqe(emb.sparkSession):
+        return _km_train_loop(emb)
+
+
+def _km_train_loop(emb: DataFrame) -> list[list[float]]:
     seeds = (
         emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
@@ -598,8 +636,15 @@ def _km_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: the single-file embeddings scan is ONE task; every
     # Lloyd round's distance folds would otherwise run on one core
     # (guide §2.5 input skew). Identity at production partition counts.
+    # Width derives from the input size (guide §2 scale-adaptive
+    # partitioning): each Lloyd round schedules one task per
+    # partition, so a tiny working set at full defaultParallelism
+    # pays per-round scheduler latency for nothing.
     return fan_out(
-        read_table(spark, sf_dir, "embeddings"), spark
+        read_table(spark, sf_dir, "embeddings"),
+        spark,
+        input_bytes=_os.path.getsize(table_path(sf_dir, "embeddings")),
+        bytes_per_task=TRAINER_BYTES_PER_TASK,
     ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -852,11 +897,20 @@ PQ_K = 16  # codewords per subspace (4-bit codes)
 PQ_ITERS = 3
 
 
-def _pq_subvectors(emb: DataFrame) -> DataFrame:
+def _pq_subvectors(
+    emb: DataFrame, input_bytes: int | None = None
+) -> DataFrame:
     # fan_out before the M-way explode: the single-file scan is one
     # task, and every PQ Lloyd round's distance folds over the n×M
     # subvector rows would otherwise run on one core (guide §2.5).
-    emb = fan_out(emb, emb.sparkSession)
+    # Width derives from input size exactly as _km_corpus (the PQ
+    # loop re-schedules per partition per round too).
+    emb = fan_out(
+        emb,
+        emb.sparkSession,
+        input_bytes=input_bytes,
+        bytes_per_task=TRAINER_BYTES_PER_TASK if input_bytes else None,
+    )
     return emb.select(
         "vec_id",
         F.explode(
@@ -921,6 +975,11 @@ def _pq_train(spark, subs: DataFrame) -> dict:
     md5-seeded K picks per subspace, PQ_ITERS Lloyd rounds with
     DECIMAL-exact update sums, 6-dp half-away centroid rounding.
     Caller persists `subs`; driver state is the M*K codebook dict."""
+    with _no_aqe(spark):
+        return _pq_train_loop(spark, subs)
+
+
+def _pq_train_loop(spark, subs: DataFrame) -> dict:
     seeds = (
         subs.withColumn(
             "h", F.md5(F.concat_ws(":", "sub", "vec_id"))
@@ -984,7 +1043,10 @@ def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist-across-Lloyd-rounds (same pattern as kmeans_query):
     # the subvector frame feeds the seed job + PQ_ITERS update jobs
-    subs = _pq_subvectors(emb).persist()
+    subs = _pq_subvectors(
+        emb,
+        input_bytes=_os.path.getsize(table_path(sf_dir, "embeddings")),
+    ).persist()
     cents = _pq_train(spark, subs)
     subs.unpersist()  # final encode pass recomputes from parquet
     final = _pq_assign(spark, subs, cents)
@@ -1163,7 +1225,10 @@ def adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     # persist-across-Lloyd-rounds (same pattern as kmeans_query)
-    subs = _pq_subvectors(emb).persist()
+    subs = _pq_subvectors(
+        emb,
+        input_bytes=_os.path.getsize(table_path(sf_dir, "embeddings")),
+    ).persist()
     cents = _pq_train(spark, subs)
     subs.unpersist()  # final encode pass recomputes from parquet
     codes = _pq_assign(spark, subs, cents).select("vec_id", "sub", "cid")
@@ -1248,7 +1313,10 @@ def ivfadc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     celled = emb.select(
         "vec_id", "v", _knn_cell(F.col("v"), h).alias("cell")
     )
-    subs = _pq_subvectors(emb).persist()
+    subs = _pq_subvectors(
+        emb,
+        input_bytes=_os.path.getsize(table_path(sf_dir, "embeddings")),
+    ).persist()
     cents = _pq_train(spark, subs)
     subs.unpersist()
     codes = _pq_assign(spark, subs, cents).select(
@@ -1383,7 +1451,10 @@ def pq_distortion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    subs = _pq_subvectors(emb).persist()
+    subs = _pq_subvectors(
+        emb,
+        input_bytes=_os.path.getsize(table_path(sf_dir, "embeddings")),
+    ).persist()
     cents = _pq_train(spark, subs)
     subs.unpersist()  # final assign recomputes from parquet (lazy)
     final = _pq_assign(spark, subs, cents)

@@ -61,6 +61,54 @@ def test_fan_out_identity_when_input_already_parallel(spark):
     assert out is df
 
 
+def test_fan_out_input_size_derived_width(spark):
+    """Iterative-trainer sizing: with input_bytes given, the fan-out
+    width is ceil(input_bytes / bytes_per_task), capped at
+    defaultParallelism — tiny working sets stop paying per-round
+    scheduler latency, big inputs still saturate the cluster."""
+    from replicator_spark.session import fan_out
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)], "x long"
+    ).coalesce(1)
+    out = fan_out(
+        df, spark, input_bytes=300 << 10, bytes_per_task=256 << 10
+    )
+    assert out.rdd.getNumPartitions() == 2  # ceil(300K/256K)
+    assert sorted(r.x for r in out.collect()) == list(range(100))
+    # the defaultParallelism cap holds for big inputs
+    p = spark.sparkContext.defaultParallelism
+    out_big = fan_out(
+        df, spark, input_bytes=(p + 50) << 20, bytes_per_task=1 << 20
+    )
+    assert out_big.rdd.getNumPartitions() == p
+    # a scan already wider than the derived width is left alone
+    wide = df.repartition(4)
+    assert (
+        fan_out(
+            wide, spark, input_bytes=300 << 10, bytes_per_task=256 << 10
+        )
+        is wide
+    )
+
+
+def test_km_train_restores_aqe_conf(spark):
+    """_no_aqe must restore the session's AQE setting even when the
+    loop raises."""
+    from replicator_spark.pipeline.vectors import _no_aqe
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    with _no_aqe(spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    try:
+        with _no_aqe(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
 # --------------------------------------- connected_components label-sum
 
 
