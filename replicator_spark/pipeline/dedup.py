@@ -23,10 +23,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..session import fan_out, prep, read_table
+from ..session import fan_out, prep, read_table, scan_bytes
 from .text import ws_tokens
 
 N_MINHASH = 8
+
+# Per-task input budget for the shingle/minhash map stages: the
+# per-byte cost here is hashing (one md5 per shingle), so ~192 KB per
+# task keeps tasks in the tens-of-ms range; capped at
+# defaultParallelism by fan_out, identity once the scan carries more
+# partitions than the derived width.
+SHINGLE_BYTES_PER_TASK = 192 << 10
 N_BANDS = 4  # 2 rows per band
 # Buckets above this size stop emitting the O(k²) clique and fall back
 # to a sorted O(k) chain (same connected components — see
@@ -95,10 +102,21 @@ def _shingles(col: Column) -> Column:
 def _with_shingles(docs: DataFrame) -> DataFrame:
     """doc_id + shingle array, with the token split materialized in its
     own projection so it is computed once per row."""
-    # NOTE (r14 optimization round): a fan_out here was measured and
-    # REVERTED — the shingle+md5 map work is too cheap per row for the
-    # extra exchange + 32-task scheduling to pay off at bench scale
-    # (dedup_ngram_jaccard 1.8 s → 6.5 s isolated best-of-3).
+    # Size-derived fan_out (guide §2.5 input skew + §2 scale-adaptive
+    # partitioning): the single-file scan runs the tokenize+shingle+md5
+    # map on ONE core. A full defaultParallelism fan-out was measured
+    # and REVERTED in this round's first pass (dedup_ngram_jaccard
+    # 1.8 s → 6.5 s — 32-task scheduling swamped the map work), but a
+    # width derived from input bytes keeps the exchange tiny while
+    # unlocking the hash loop: pairs 1.9 → 1.2 s isolated best-of-3 at
+    # width ~4. Identity at production partition counts (capped by
+    # defaultParallelism; a multi-file scan already exceeds the width).
+    docs = fan_out(
+        docs,
+        docs.sparkSession,
+        input_bytes=scan_bytes(docs),
+        bytes_per_task=SHINGLE_BYTES_PER_TASK,
+    )
     toked = docs.select(
         "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
     )

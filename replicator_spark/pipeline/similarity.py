@@ -21,7 +21,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..session import fan_out, prep, read_table
+from ..session import fan_out, prep, read_table, scan_bytes
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
@@ -561,6 +561,13 @@ GROUP BY label
 # cand_id tiebreak (sim_cosine_topk's tie armor). The directed edge
 # list is n·k rows, so the mutual self-join is k-bounded per node.
 
+# Per-task input budget for the in-cell self-join scoring stages:
+# each input row is scored against its whole cell (~KNN_TARGET_CELL
+# pair dot products per row), so the per-byte compute is ~100× the
+# shingle map's — a smaller slab per task. Capped at
+# defaultParallelism; identity on multi-file production scans.
+CELL_JOIN_BYTES_PER_TASK = 96 << 10
+
 KNN_TARGET_CELL = 128  # target per-cell population (recall/cost knob)
 KNN_MAX_PLANES = 12  # sign-bit budget: up to 2^12 cells
 
@@ -621,8 +628,17 @@ def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out AFTER the scalar count: the in-cell self-join scoring
     # (n·cell_pop pair dot products) otherwise runs entirely on the
     # single-file scan's one task (guide §2.5 input skew); identity at
-    # production partition counts
-    emb = fan_out(emb, spark)
+    # production partition counts. Width derives from input bytes
+    # (guide §2 scale-adaptive): full defaultParallelism on a tiny
+    # corpus pays more in task scheduling than the pair scoring it
+    # parallelizes (isolated best-of-3: 6.1 s at 32 parts vs 2.5 s at
+    # the derived ~8).
+    emb = fan_out(
+        emb,
+        spark,
+        input_bytes=scan_bytes(emb),
+        bytes_per_task=CELL_JOIN_BYTES_PER_TASK,
+    )
     celled = emb.select(
         "vec_id",
         "v",
@@ -1011,7 +1027,13 @@ def knn_classifier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
     h = _knn_h(emb.count())  # one scalar count, as in knn_graph_query
-    emb = fan_out(emb, spark)  # same §2.5 input-skew guard as knn_graph
+    # same §2.5 input-skew guard as knn_graph, size-derived width
+    emb = fan_out(
+        emb,
+        spark,
+        input_bytes=scan_bytes(emb),
+        bytes_per_task=CELL_JOIN_BYTES_PER_TASK,
+    )
     celled = emb.select(
         "vec_id", "label", "v", _knn_cell(F.col("v"), h).alias("cell")
     )

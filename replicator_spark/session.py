@@ -137,6 +137,31 @@ def fan_out(
     return df.repartition(p) if n < p else df
 
 
+def scan_bytes(df) -> int | None:
+    """Total on-disk size of the files behind a scan, for the
+    size-derived fan_out width (guide §2 scale-adaptive partitioning).
+    Driver-side listing only — no job. None when the frame has no
+    file provenance (local relations, streaming)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - defensive only
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        p = uri
+        if p.startswith("file:"):
+            p = p[5:]
+            while p.startswith("//"):
+                p = p[1:]
+        try:
+            total += os.path.getsize(p)
+        except OSError:  # pragma: no cover - non-local storage
+            return None
+    return total
+
+
 def normalize_events(df):
     """Canonicalize the events ``ts`` column to INT64 epoch-nanos.
 
