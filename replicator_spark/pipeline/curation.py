@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import prep, read_table
+from ..session import no_aqe, prep, read_table
 from .text import ws_tokens
 
 _HEX = "0123456789abcdef"
@@ -958,6 +958,13 @@ def coreset_kcenter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).persist()  # KCENTER_K scans: seed + one top-1 pass per pick
+    with no_aqe(spark):
+        return _kcenter_loop(spark, emb)
+
+
+def _kcenter_loop(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    # greedy farthest-point loop: KCENTER_K constant-size driver
+    # reductions — run without AQE (session.no_aqe) like the trainers
     seed = (
         emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")

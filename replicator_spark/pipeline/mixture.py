@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..session import prep, read_table
+from ..session import no_aqe, prep, read_table
 from .text import ws_tokens
 
 # ------------------------------------------------ mixture weights
@@ -383,6 +383,13 @@ def _bpe_words(docs: DataFrame) -> DataFrame:
 def _bpe_train(words: DataFrame):
     """Run the N_BPE_MERGES merge rounds over the word table; returns
     (final word table, merge list) — shared by trainer and encoder."""
+    with no_aqe(words.sparkSession):
+        return _bpe_train_loop(words)
+
+
+def _bpe_train_loop(words: DataFrame):
+    # per-round top-1 pair collect: a constant-size driver reduction —
+    # run without AQE (session.no_aqe) exactly as the Lloyd trainers
     merges = []
     for rank in range(1, N_BPE_MERGES + 1):
         n = F.size("syms")

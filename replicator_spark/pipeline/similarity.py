@@ -21,7 +21,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..session import fan_out, prep, read_table, scan_bytes
+from ..session import fan_out, no_aqe, prep, read_table, scan_bytes
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
@@ -1382,6 +1382,13 @@ def mmr_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .persist()  # MMR_K + 1 scans: seed + one top-1 pass per pick
     )
+    with no_aqe(spark):
+        return _mmr_select_loop(spark, emb)
+
+
+def _mmr_select_loop(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    # greedy top-1 loop: MMR_K + 1 constant-size driver reductions —
+    # run without AQE (session.no_aqe) exactly as the Lloyd trainers
     seed = (
         emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")

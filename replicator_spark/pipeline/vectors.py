@@ -17,12 +17,11 @@ from __future__ import annotations
 
 import math as _math
 import os as _os
-from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..session import fan_out, prep, read_table, table_path
+from ..session import fan_out, no_aqe as _no_aqe, prep, read_table, table_path
 from ..utils import round_half_away
 
 _EPS = 1e-30  # all-zero-vector guard
@@ -496,27 +495,6 @@ KMEANS_ITERS = 5
 # fan_out caps at defaultParallelism and is the identity once the
 # scan itself carries enough partitions.
 TRAINER_BYTES_PER_TASK = 256 << 10
-
-
-@_contextmanager
-def _no_aqe(spark: SparkSession):
-    """Disable adaptive query execution around the trainer collect
-    loops. A Lloyd/PQ round's reduction output is CONSTANT-SIZE by
-    design (K·d partial-sum rows, at any corpus scale), so AQE has
-    nothing to adapt — no skew join, no post-shuffle size surprise —
-    while its stage-by-stage re-optimization costs a driver
-    round-trip per stage per round (measured: 1.7-2.4 s/round with
-    AQE vs 0.9-1.1 s without, identical results; the collect output
-    and every centroid update are order-exact DECIMAL sums, so plan
-    variation cannot change them). Serving plans returned to the
-    caller keep AQE: only the loop-internal collects run under this.
-    """
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def _book_df(spark: SparkSession, cents: list[list[float]]):

@@ -79,6 +79,28 @@ def get_spark(app_name: str = "replicator-spark") -> SparkSession:
     return prep(spark)
 
 
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def no_aqe(spark: SparkSession):
+    """Disable adaptive query execution around driver-side
+    constant-size reduction loops (Lloyd/PQ training rounds, greedy
+    top-1 selection loops). Their reduction output is constant-size
+    BY DESIGN at any corpus scale, so AQE has nothing to adapt — no
+    skew join, no post-shuffle size surprise — while its
+    stage-by-stage re-optimization costs a driver round-trip per
+    stage per round (measured 1.7-2.4 s/round with AQE vs 0.9-1.1 s
+    without on the sf0.1 trainer corpus, identical results). Serving
+    plans returned to callers keep AQE."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
