@@ -21,13 +21,23 @@ Spark-first shape:
 - signature + banding run NARROW on the stream (the same zero-exchange
   minhash_signatures as batch — streaming-compatible by construction);
 - the only stateful op is applyInPandasWithState keyed by
-  (band, bucket): state is ONE long (the bucket's min doc_id ever) —
-  at 100 TB the state store holds |buckets| longs, the same bound the
-  batch LSH groupBy shuffles, and each batch's per-bucket work is
-  sorted-linear. A production deployment adds a ProcessingTimeTimeout
-  TTL to age out cold buckets (the dedup horizon knob); the bounded
-  test stream keeps state forever so the verdict matches the batch
-  oracle exactly.
+  (band, shard) where shard = xxhash64(bucket) mod N_SHARDS, holding a
+  per-shard map bucket → min doc_id ever. Keying by raw (band, bucket)
+  is semantically identical but calls the Python handler once per
+  bucket — tens of thousands of mostly-1-row groups per micro-batch,
+  so per-CALL overhead (Arrow framing + pandas construction per group)
+  WAS the operator's cost (guide §4: amortize the Python boundary over
+  large batches). Hash-sharding the buckets keeps per-bucket admission
+  logic exactly as before (a bucket maps to exactly one shard) while
+  cutting handler calls to N_BANDS × N_SHARDS per micro-batch. At
+  100 TB the state store holds the same |buckets| longs, just grouped
+  into shard-keyed maps; N_SHARDS bounds the stateful stage's
+  parallelism, so a cluster deployment sizes it ≥ total cores AND pins
+  it for the lifetime of a checkpoint (the shard id is part of the
+  state key — resizing requires a fresh checkpoint). A production
+  deployment adds a ProcessingTimeTimeout TTL to age out cold buckets
+  (the dedup horizon knob); the bounded test stream keeps state
+  forever so the verdict matches the batch oracle exactly.
 - per-band verdicts AND-combine per doc in the SERVE layer over the
   sink output (same stream+serve split as stream_topk_users: a doc's
   final verdict needs all 4 band streams, which is a second stateful
@@ -37,6 +47,7 @@ Spark-first shape:
 from __future__ import annotations
 
 import os
+import pickle
 import tempfile
 from typing import Iterator
 
@@ -57,37 +68,52 @@ from ..pipeline.dedup import (
 from ..session import prep, table_path
 
 OUT_SCHEMA = "doc_id long, band int, admitted boolean"
-STATE_SCHEMA = "m long"
+STATE_SCHEMA = "blob binary"
+# floor on the bucket-shard count (the stateful stage's parallelism
+# lower bound); the actual width follows defaultParallelism at stream
+# build time and is pinned for the checkpoint's lifetime.
+BUCKET_SHARDS_FLOOR = 8
 
 
 def _admit(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    band, _bucket = key
-    prev = state.get[0] if state.exists else None
-    # the group arrives as MULTIPLE Arrow chunks once it exceeds the
-    # batch size, in no particular order — sort across the WHOLE
-    # micro-batch group (the sibling stateful ops' pd.concat pattern),
-    # or a later chunk's smaller doc_id would be admitted alongside an
-    # earlier chunk's larger one.
+    band, _shard = key
+    # state: pickled dict bucket → min doc_id ever admitted-checked.
+    prev = pickle.loads(bytes(state.get[0])) if state.exists else {}
+    frames = list(pdfs)
+    pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+    # the shard's rows arrive as MULTIPLE Arrow chunks in no particular
+    # order — order by (bucket, doc_id) across the WHOLE micro-batch
+    # group, or a later chunk's smaller doc_id would be admitted
+    # alongside an earlier chunk's larger one.
     #
-    # Vectorized (guide §4.2): this function runs once per (band,
-    # bucket) group — tens of thousands of mostly-1-row groups per
-    # micro-batch — so per-call Python cost IS the operator's cost.
-    # The sorted scan of the old per-id loop reduces to a closed form:
-    # after ascending sort only the batch minimum can ever be admitted
-    # (every later id sees prev ≤ ids[0] ≤ id), so the verdict vector
-    # is computed without a loop and the output frame is built from
-    # numpy arrays instead of a per-row tuple list.
-    chunks = [pdf["doc_id"].to_numpy() for pdf in pdfs]
-    ids = np.sort(np.concatenate(chunks)) if len(chunks) > 1 else np.sort(
-        chunks[0]
-    )
+    # Per bucket the old sorted-scan loop reduces to a closed form:
+    # after ascending sort only the bucket's batch minimum can ever be
+    # admitted (every later id sees prev ≤ ids[first] ≤ id), so only
+    # each bucket run's FIRST row needs the state probe; the rest of
+    # the verdict vector stays False without any per-row work
+    # (guide §4.2 — vectorize, touch Python state once per bucket).
+    ids_raw = pdf["doc_id"].to_numpy()
+    buckets_raw = pdf["bucket"].to_numpy()
+    order = np.lexsort((ids_raw, buckets_raw))
+    ids = ids_raw[order]
+    buckets = buckets_raw[order]
     adm = np.zeros(len(ids), dtype=bool)
-    if len(ids):
-        adm[0] = prev is None or int(ids[0]) < prev
-        newmin = int(ids[0]) if prev is None else min(prev, int(ids[0]))
-        state.update((newmin,))
+    run_start = np.ones(len(ids), dtype=bool)
+    if len(ids) > 1:
+        run_start[1:] = buckets[1:] != buckets[:-1]
+    for i in np.flatnonzero(run_start):
+        b = buckets[i]
+        mn = int(ids[i])
+        p = prev.get(b)
+        if p is None:
+            adm[i] = True
+            prev[b] = mn
+        elif mn < p:
+            adm[i] = True
+            prev[b] = mn
+    state.update((pickle.dumps(prev, protocol=4),))
     yield pd.DataFrame(
         {"doc_id": ids, "band": band, "admitted": adm}
     )
@@ -133,7 +159,20 @@ def build_verdict_stream(docs_stream: DataFrame) -> DataFrame:
     banded = sig.select(
         "doc_id", F.explode(band_structs).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    return banded.groupBy("band", "bucket").applyInPandasWithState(
+    # shard deterministically (guide §2.5 — no rand-derived keys): a
+    # bucket's rows always land in the same (band, shard) group, so the
+    # per-bucket admission rule is unchanged; the shard width bounds
+    # handler-call count per micro-batch and the stateful stage's
+    # parallelism. Pinned at stream build time — part of the state key.
+    n_shards = max(
+        BUCKET_SHARDS_FLOOR,
+        docs_stream.sparkSession.sparkContext.defaultParallelism,
+    )
+    keyed = banded.withColumn(
+        "shard",
+        F.pmod(F.xxhash64("bucket"), F.lit(n_shards)).cast("int"),
+    )
+    return keyed.groupBy("band", "shard").applyInPandasWithState(
         _admit,
         OUT_SCHEMA,
         STATE_SCHEMA,

@@ -1237,10 +1237,12 @@ def test_dst_window_pre_1970(spark):
 
 def test_stream_near_dedup_admit_multi_chunk_group():
     """applyInPandasWithState delivers a big group as several Arrow
-    chunks in no particular order: only the group-wide minimum may be
-    admitted, so _admit must sort across ALL chunks of the micro-batch
-    (a later chunk's smaller doc_id used to be admitted alongside an
-    earlier chunk's larger one)."""
+    chunks in no particular order: only each bucket's group-wide
+    minimum may be admitted, so _admit must sort across ALL chunks of
+    the micro-batch (a later chunk's smaller doc_id used to be
+    admitted alongside an earlier chunk's larger one)."""
+    import pickle
+
     import pandas as pd
 
     from replicator_spark.streaming.near_dedup import _admit
@@ -1260,18 +1262,23 @@ def test_stream_near_dedup_admit_multi_chunk_group():
 
     st = _FakeState()
     chunks = iter([
-        pd.DataFrame({"doc_id": [10, 11]}),
-        pd.DataFrame({"doc_id": [5]}),
+        pd.DataFrame({"doc_id": [10, 11], "bucket": ["b", "b"]}),
+        pd.DataFrame({"doc_id": [5], "bucket": ["b"]}),
     ])
-    (out,) = list(_admit((0, "b"), chunks, st))
+    (out,) = list(_admit((0, 17), chunks, st))
     got = {int(r.doc_id): bool(r.admitted) for r in out.itertuples()}
     assert got == {5: True, 10: False, 11: False}
-    assert st.get == (5,)
-    # a later micro-batch with a larger id is rejected against state
+    assert pickle.loads(st.get[0]) == {"b": 5}
+    # a later micro-batch with a larger id is rejected against state;
+    # an unseen bucket sharing the shard admits independently
     (out2,) = list(_admit(
-        (0, "b"), iter([pd.DataFrame({"doc_id": [7]})]), st
+        (0, 17),
+        iter([pd.DataFrame({"doc_id": [7, 9], "bucket": ["b", "c"]})]),
+        st,
     ))
-    assert not out2["admitted"].iloc[0]
+    v2 = {int(r.doc_id): bool(r.admitted) for r in out2.itertuples()}
+    assert v2 == {7: False, 9: True}
+    assert pickle.loads(st.get[0]) == {"b": 5, "c": 9}
 
 
 def test_envelope_wire_before_image_fallback(spark, tmp_path):

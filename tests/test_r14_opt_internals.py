@@ -291,48 +291,61 @@ class _FakeState:
         self._v = t[0]
 
 
-def _admit_reference(key, pdfs, state):
-    """The pre-optimization per-id sorted-scan loop, verbatim."""
-    band, _bucket = key
-    prev = state.get[0] if state.exists else None
-    all_ids = sorted(int(d) for pdf in pdfs for d in pdf["doc_id"])
-    rows = []
-    for did in all_ids:
-        rows.append((did, band, prev is None or did < prev))
-        prev = did if prev is None else min(prev, did)
-    if prev is not None:
-        state.update((prev,))
-    yield pd.DataFrame(rows, columns=["doc_id", "band", "admitted"])
+def _admit_reference(rows, prior):
+    """The original per-(band,bucket) sorted-scan loop, applied bucket
+    by bucket over the shard's rows: walk each bucket's ids ascending,
+    admit iff earlier than everything seen for that bucket so far."""
+    prev = dict(prior)
+    out = []
+    for bucket, did in sorted(rows):
+        p = prev.get(bucket)
+        out.append((bucket, did, p is None or did < p))
+        prev[bucket] = did if p is None else min(p, did)
+    return out, prev
 
 
 @pytest.mark.parametrize(
-    "chunks,prior",
+    "rows,prior",
     [
-        ([[5, 3, 9]], None),
-        ([[5, 3, 9]], 4),
-        ([[5, 3, 9]], 2),
-        ([[7, 7, 7]], None),          # duplicate ids: only first admitted
-        ([[9, 8], [2, 11], [6]], None),  # multi-chunk arrival, unordered
-        ([[9, 8], [2, 11], [6]], 1),
-        ([[4]], 4),                   # equal to prior: not admitted
+        ([("a", 5), ("a", 3), ("a", 9)], {}),
+        ([("a", 5), ("a", 3), ("a", 9)], {"a": 4}),
+        ([("a", 5), ("a", 3), ("a", 9)], {"a": 2}),
+        ([("a", 7), ("a", 7), ("a", 7)], {}),  # dups: only first admitted
+        # several buckets sharing one shard, unordered multi-chunk arrival
+        ([("a", 9), ("b", 8), ("a", 2), ("b", 11), ("c", 6)], {}),
+        ([("a", 9), ("b", 8), ("a", 2), ("b", 11), ("c", 6)],
+         {"a": 1, "c": 100}),
+        ([("a", 4)], {"a": 4}),  # equal to prior: not admitted
     ],
 )
-def test_admit_vectorized_matches_reference_loop(chunks, prior):
+def test_admit_sharded_matches_per_bucket_rule(rows, prior):
+    import pickle
+
     from replicator_spark.streaming.near_dedup import _admit
 
     key = (3, 17)
-    pdfs = [pd.DataFrame({"doc_id": c}) for c in chunks]
-    ref_state, new_state = _FakeState(prior), _FakeState(prior)
-    ref = pd.concat(list(_admit_reference(key, iter(pdfs), ref_state)))
-    got = pd.concat(
-        list(_admit(key, iter([p.copy() for p in pdfs]), new_state))
+    # split rows into two arrival chunks to exercise the cross-chunk sort
+    half = len(rows) // 2
+    pdfs = [
+        pd.DataFrame(
+            {"doc_id": [d for _, d in c], "bucket": [b for b, _ in c]}
+        )
+        for c in (rows[:half], rows[half:])
+        if c
+    ]
+    state = _FakeState(pickle.dumps(prior) if prior else None)
+    got = pd.concat(list(_admit(key, iter(pdfs), state)))
+    ref_rows, prev = _admit_reference(rows, prior)
+    # emitted rows = input rows (same multiset of doc_ids), band from key
+    assert sorted(int(x) for x in got["doc_id"]) == sorted(
+        d for _, d in rows
     )
-    ref = ref.sort_values("doc_id").reset_index(drop=True)
-    got = got.sort_values("doc_id").reset_index(drop=True)
-    assert list(ref["doc_id"]) == [int(x) for x in got["doc_id"]]
-    assert list(ref["admitted"]) == [bool(x) for x in got["admitted"]]
     assert list(got["band"]) == [key[0]] * len(got)
-    assert ref_state._v == new_state._v
+    # the implementation emits in (bucket, doc_id) order — exactly the
+    # reference's sorted() order, so verdicts align positionally
+    got_adm = [bool(x) for x in got["admitted"]]
+    assert got_adm == [adm for _, _, adm in ref_rows]
+    assert pickle.loads(state._v) == prev
 
 
 # ------------------------- _assign/_assign2 broadcast-book equivalence
