@@ -550,6 +550,113 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     )
 
 
+def _dec15_10_scaled(v):
+    """Elementwise Spark ``CAST(double AS DECIMAL(15,10))`` as scaled
+    int64 (value × 10¹⁰), vectorized.
+
+    Spark's cast goes through Double.toString (shortest round-trip
+    decimal digits) and HALF_UP-rounds to 10 places. Fast path:
+    half-away rounding of v·1e10 in float64; every element whose
+    scaled value lands within 1e-2 of a .5 boundary (which covers the
+    double-multiply representation error up to |v| ≈ 4e4, far past
+    embedding range) is redone exactly from repr(v) — Python's repr is
+    the same shortest round-trip decimal as Double.toString — so a
+    boundary can never flip on the fast path's error."""
+    import numpy as np
+
+    t = v * 1e10
+    r = np.where(t >= 0, np.floor(t + 0.5), np.ceil(t - 0.5))
+    frac = np.abs(t - np.floor(t) - 0.5)
+    bad = frac < 1e-2
+    if bad.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("1e-10")
+        for idx in np.argwhere(bad):
+            i, j = int(idx[0]), int(idx[1])
+            r[i, j] = int(
+                Decimal(repr(float(v[i, j])))
+                .quantize(q, rounding=ROUND_HALF_UP)
+                .scaleb(10)
+            )
+    return r.astype(np.int64)
+
+
+def _km_round_fn(cents: list[list[float]]):
+    """One Lloyd round as a mapInArrow per-task partial pass (guide
+    §4.2): nearest-centroid assignment AND the exact decimal(15,10)
+    per-(cid, dim) update sums happen in numpy over whole batches,
+    replacing the interpreted HOF distance fold (~0.45 s/pass at
+    sf0.1, CodegenFallback) + posexplode + hash-agg round (0.710 →
+    0.225 s/round measured, centroids bit-identical over all 5 rounds).
+
+    Bit-exactness contract vs the SQL formulation it replaced:
+    - distances accumulate sequentially over dims from 0.0, matching
+      ``aggregate(zip_with(...), 0.0, +)``;
+    - argmin ties break to the LOWEST cid (np.argmin first occurrence
+      over cid-ordered columns = array_min struct(d2, cid) order);
+    - update sums are exact scaled-int64 per batch (≤ arrow batch rows
+      × |v|·1e10 ≪ 2⁶³), recombined losslessly by the caller's
+      decimal(38,0) Spark-side aggregate."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        K, D = C.shape
+        dims = np.arange(D, dtype=np.int64)
+        for batch in batches:
+            col = batch.column(0)
+            n = len(col)
+            if not n:
+                continue
+            v = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, D)
+                .astype(np.float64, copy=False)
+            )
+            d2 = np.zeros((n, K))
+            for dim in range(D):
+                diff = v[:, dim][:, None] - C[:, dim][None, :]
+                d2 = d2 + diff * diff
+            cid = np.argmin(d2, axis=1)
+            r = _dec15_10_scaled(v)
+            cids, dcol, sxs, ns = [], [], [], []
+            for k in range(K):
+                mask = cid == k
+                m = int(mask.sum())
+                if not m:
+                    continue
+                ssum = r[mask].sum(axis=0)
+                cids.append(np.full(D, k, dtype=np.int64))
+                dcol.append(dims)
+                sxs.append(ssum)
+                ns.append(np.full(D, m, dtype=np.int64))
+            if not cids:
+                continue
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "cid": pa.array(
+                        np.concatenate(cids).astype(np.int32), pa.int32()
+                    ),
+                    "dim": pa.array(
+                        np.concatenate(dcol).astype(np.int32), pa.int32()
+                    ),
+                    "sx": pa.array(np.concatenate(sxs), pa.int64()),
+                    "n": pa.array(np.concatenate(ns), pa.int64()),
+                }
+            )
+
+    return fn
+
+
+_KM_PARTIAL_SCHEMA = "cid int, dim int, sx long, n long"
+
+
 def _km_train(emb: DataFrame) -> list[list[float]]:
     """Run the md5-seeded KMEANS_ITERS Lloyd loop over a persisted
     (vec_id, v) frame and return the trained centroids. Shared by
@@ -573,26 +680,29 @@ def _km_train_loop(emb: DataFrame) -> list[list[float]]:
     # REVERTED — the 65-aggregate hash agg recompiles its codegen for
     # every Lloyd round's fresh plan and the compile time dwarfed the
     # explode it saved (emb_kmeans training 9.4 s → 31.0 s isolated
-    # best-of-3). The posexplode shape keeps one small generated
-    # function that the codegen cache reuses across rounds.
+    # best-of-3). The surviving shape is the _km_round_fn mapInArrow
+    # pass: per-task numpy partials, recombined by a constant-size
+    # Spark aggregate (partitions×K×d partial rows never reach the
+    # driver — the hash agg's map-side partial keeps the exchange at
+    # K×d rows per task regardless of corpus size).
     for _ in range(KMEANS_ITERS):
-        assigned = _assign(emb, cents)
         sums = (
-            assigned.select(
-                "cid", F.posexplode("v").alias("dim", "x")
-            )
+            emb.select("v")
+            .mapInArrow(_km_round_fn(cents), _KM_PARTIAL_SCHEMA)
             .groupBy("cid", "dim")
             .agg(
-                F.sum(F.col("x").cast("decimal(15,10)")).alias("sx"),
-                F.count("*").alias("n"),
+                F.sum(F.col("sx").cast("decimal(38,0)")).alias("sx"),
+                F.sum("n").alias("n"),
             )
             .collect()  # K×d rows — constant-size reduction output
         )
         by_cid: dict = {}
         for r in sums:
+            # int/int true division = the correctly-rounded double of
+            # the exact decimal sum, identical to float(decimal_sum)
             by_cid.setdefault(r["cid"], {})[r["dim"]] = (
-                float(r["sx"]),
-                r["n"],
+                int(r["sx"]) / 10**10,
+                int(r["n"]),
             )
         new_cents = []
         for i, old in enumerate(cents):
@@ -948,6 +1058,87 @@ def _pq_assign(spark, subs: DataFrame, cents: dict) -> DataFrame:
     )
 
 
+def _pq_round_fn(cents: dict):
+    """One PQ Lloyd round as a mapInArrow per-task partial pass over
+    the (sub, subv) frame — the _km_round_fn surgery applied per
+    subspace (guide §4.2). Same bit-exactness contract: sequential
+    distance folds from 0.0, argmin ties to the lowest cid, exact
+    scaled-int64 decimal(15,10) partial sums recombined by the
+    caller's decimal(38,0) Spark aggregate."""
+    import numpy as np
+
+    books: dict = {}
+    for (s, i), c in sorted(cents.items()):
+        books.setdefault(s, []).append(c)
+    mats = {s: np.asarray(rows, dtype=np.float64) for s, rows in books.items()}
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            sub = batch.column(0).to_numpy(zero_copy_only=False)
+            col = batch.column(1)
+            n = len(col)
+            if not n:
+                continue
+            first = mats[next(iter(mats))]
+            D = first.shape[1]
+            v = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, D)
+                .astype(np.float64, copy=False)
+            )
+            subs_o, cids_o, dims_o, sxs_o, ns_o = [], [], [], [], []
+            dims = np.arange(D, dtype=np.int64)
+            for s, C in mats.items():
+                smask = sub == s
+                if not smask.any():
+                    continue
+                vs = v[smask]
+                K = C.shape[0]
+                d2 = np.zeros((len(vs), K))
+                for dim in range(D):
+                    diff = vs[:, dim][:, None] - C[:, dim][None, :]
+                    d2 = d2 + diff * diff
+                cid = np.argmin(d2, axis=1)
+                r = _dec15_10_scaled(vs)
+                for k in range(K):
+                    kmask = cid == k
+                    m = int(kmask.sum())
+                    if not m:
+                        continue
+                    ssum = r[kmask].sum(axis=0)
+                    subs_o.append(np.full(D, s, dtype=np.int64))
+                    cids_o.append(np.full(D, k, dtype=np.int64))
+                    dims_o.append(dims)
+                    sxs_o.append(ssum)
+                    ns_o.append(np.full(D, m, dtype=np.int64))
+            if not subs_o:
+                continue
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "sub": pa.array(
+                        np.concatenate(subs_o).astype(np.int32), pa.int32()
+                    ),
+                    "cid": pa.array(
+                        np.concatenate(cids_o).astype(np.int32), pa.int32()
+                    ),
+                    "dim": pa.array(
+                        np.concatenate(dims_o).astype(np.int32), pa.int32()
+                    ),
+                    "sx": pa.array(np.concatenate(sxs_o), pa.int64()),
+                    "n": pa.array(np.concatenate(ns_o), pa.int64()),
+                }
+            )
+
+    return fn
+
+
+_PQ_PARTIAL_SCHEMA = "sub int, cid int, dim int, sx long, n long"
+
+
 def _pq_train(spark, subs: DataFrame) -> dict:
     """Shared PQ codebook trainer (pq_codes / adc_topk / ivfadc):
     md5-seeded K picks per subspace, PQ_ITERS Lloyd rounds with
@@ -981,25 +1172,24 @@ def _pq_train_loop(spark, subs: DataFrame) -> dict:
     # NOTE (r14 optimization round): the width-wise update variant was
     # measured and reverted here exactly as in _km_train — per-round
     # codegen recompilation of the wide aggregate cost more than the
-    # posexplode it removed.
+    # posexplode it removed. The surviving shape is the _pq_round_fn
+    # mapInArrow pass (see _km_train_loop).
     for _ in range(PQ_ITERS):
-        assigned = _pq_assign(spark, subs, cents)
         sums = (
-            assigned.select(
-                "sub", "cid", F.posexplode("subv").alias("dim", "x")
-            )
+            subs.select("sub", "subv")
+            .mapInArrow(_pq_round_fn(cents), _PQ_PARTIAL_SCHEMA)
             .groupBy("sub", "cid", "dim")
             .agg(
-                F.sum(F.col("x").cast("decimal(15,10)")).alias("sx"),
-                F.count("*").alias("n"),
+                F.sum(F.col("sx").cast("decimal(38,0)")).alias("sx"),
+                F.sum("n").alias("n"),
             )
             .collect()  # M*K*(d/M) = K*d rows — constant
         )
         acc: dict = {}
         for r in sums:
             acc.setdefault((r["sub"], r["cid"]), {})[r["dim"]] = (
-                float(r["sx"]),
-                r["n"],
+                int(r["sx"]) / 10**10,
+                int(r["n"]),
             )
         for key, old in cents.items():
             dims = acc.get(key)

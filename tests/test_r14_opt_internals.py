@@ -462,3 +462,158 @@ def test_delay_gauge_maxby_matches_join_back_shape(spark):
             safe * _N_SERVERS + srv
         ) * 1_000_000
         assert r["delay_ms"] == (head_ts - safe_ts) // 1_000_000
+
+
+# ---------------------------------------------------------------- #
+# numpy Lloyd-round partials (_km_round_fn / _pq_round_fn)          #
+# ---------------------------------------------------------------- #
+
+
+def test_dec15_10_scaled_matches_spark_cast(spark):
+    """The scaled-int fast path + repr fallback must reproduce Spark's
+    CAST(double AS DECIMAL(15,10)) on adversarial values: negatives,
+    exact .5 boundaries at the 10th place, and values whose binary
+    expansion disagrees with the shortest-repr digits near a boundary."""
+    from replicator_spark.pipeline.vectors import _dec15_10_scaled
+
+    vals = [
+        0.0,
+        -0.0,
+        1.23456789015,       # boundary .5 at the 11th digit
+        -1.23456789015,
+        0.00000000005,       # rounds to 1e-10 HALF_UP
+        -0.00000000005,
+        0.05,
+        -17.333333333349999,
+        123.45678901234999,
+        -123.45678901235001,
+        2.5e-10,
+        -2.5e-10,
+        0.9999999999499999,
+        1.00000000005,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    expect = [
+        int(r["s"])
+        for r in df.select(
+            (F.col("x").cast("decimal(15,10)") * F.lit(10**10))
+            .cast("long")
+            .alias("s")
+        ).collect()
+    ]
+    got = _dec15_10_scaled(np.asarray(vals).reshape(-1, 1))[:, 0]
+    assert [int(x) for x in got] == expect
+
+
+def test_km_round_fn_matches_posexplode_formulation(spark):
+    """One numpy Lloyd round (assign + partial sums) must equal the
+    pre-optimization posexplode/hash-agg round bit for bit, including
+    argmin ties (duplicate centroids) and negative coordinates."""
+    import random
+
+    from replicator_spark.pipeline.vectors import (
+        _KM_PARTIAL_SCHEMA,
+        _assign,
+        _km_round_fn,
+    )
+
+    rnd = random.Random(14)
+    dim = 5
+    cents = [[round(rnd.uniform(-2, 2), 3) for _ in range(dim)] for _ in range(3)]
+    cents.append(list(cents[0]))  # duplicate centroid: tie must go to cid 0
+    rows = [
+        (i, [rnd.uniform(-3, 3) for _ in range(dim)]) for i in range(400)
+    ] + [(400 + j, list(cents[0])) for j in range(5)]  # exact-tie rows
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>").repartition(4)
+    emb = emb.persist()
+    try:
+        old = (
+            _assign(emb, cents)
+            .select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum(F.col("x").cast("decimal(15,10)")).alias("sx"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        old_map = {
+            (r["cid"], r["dim"]): (int(r["sx"] * 10**10), r["n"]) for r in old
+        }
+        new = (
+            emb.select("v")
+            .mapInArrow(_km_round_fn(cents), _KM_PARTIAL_SCHEMA)
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum(F.col("sx").cast("decimal(38,0)")).alias("sx"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        new_map = {
+            (r["cid"], r["dim"]): (int(r["sx"]), int(r["n"])) for r in new
+        }
+        assert new_map == old_map
+        # the duplicate centroid (cid 3) must have received NO members
+        assert not any(k[0] == 3 for k in new_map)
+    finally:
+        emb.unpersist()
+
+
+def test_pq_round_fn_matches_posexplode_formulation(spark):
+    """Same contract for the per-subspace PQ round."""
+    import random
+
+    from replicator_spark.pipeline.vectors import (
+        _PQ_PARTIAL_SCHEMA,
+        _pq_assign,
+        _pq_round_fn,
+    )
+
+    rnd = random.Random(41)
+    dim, M, K = 4, 2, 3
+    cents = {
+        (s, k): [round(rnd.uniform(-1, 1), 3) for _ in range(dim)]
+        for s in range(M)
+        for k in range(K)
+    }
+    rows = [
+        (i, i % M, [rnd.uniform(-2, 2) for _ in range(dim)])
+        for i in range(300)
+    ]
+    subs = spark.createDataFrame(
+        rows, "vec_id long, sub int, subv array<double>"
+    ).repartition(3)
+    subs = subs.persist()
+    try:
+        old = (
+            _pq_assign(spark, subs, cents)
+            .select("sub", "cid", F.posexplode("subv").alias("dim", "x"))
+            .groupBy("sub", "cid", "dim")
+            .agg(
+                F.sum(F.col("x").cast("decimal(15,10)")).alias("sx"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        old_map = {
+            (r["sub"], r["cid"], r["dim"]): (int(r["sx"] * 10**10), r["n"])
+            for r in old
+        }
+        new = (
+            subs.select("sub", "subv")
+            .mapInArrow(_pq_round_fn(cents), _PQ_PARTIAL_SCHEMA)
+            .groupBy("sub", "cid", "dim")
+            .agg(
+                F.sum(F.col("sx").cast("decimal(38,0)")).alias("sx"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        new_map = {
+            (r["sub"], r["cid"], r["dim"]): (int(r["sx"]), int(r["n"]))
+            for r in new
+        }
+        assert new_map == old_map
+    finally:
+        subs.unpersist()
