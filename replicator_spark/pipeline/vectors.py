@@ -1797,62 +1797,146 @@ _JL_ROWS = [[_jl_sign(i, j) for j in range(64)] for i in range(JL_D)]
 _JL_SCALE = _math.sqrt(JL_D)
 
 
-def _jl_project(v: Column) -> Column:
-    """Map-side JL projection: JL_D sequential signed folds."""
-    comps = []
+def _jl_proj_py(v: list) -> list:
+    """JL projection of one collected vector, driver-side: the same
+    products-then-sequential-left-fold IEEE sequence the executor path
+    runs (Python floats ARE IEEE doubles), so query projections are
+    bit-identical to the old in-plan HOF columns."""
+    out = []
     for row in _JL_ROWS:
-        signs = F.array(*[F.lit(float(s)) for s in row])
-        comps.append(
-            F.aggregate(
-                F.zip_with(v, signs, lambda x, s: x * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.lit(_JL_SCALE)
+        acc = 0.0
+        for x, sg in zip(v, row):
+            acc = acc + x * float(sg)
+        out.append(acc / _JL_SCALE)
+    return out
+
+
+_JL_PART_SCHEMA = (
+    "query_id long, n long, sfloor long, minr double, maxr double"
+)
+
+
+def _jl_partial_fn(queries):
+    """mapInArrow per-task JL-fidelity partials (guide §4.2 — the old
+    path evaluated JL_D interpreted projection folds per row plus two
+    interpreted d² folds per (row × query) pair).
+
+    Exactness: candidate projections and both d² folds run the
+    identical per-element IEEE sequence (products first, sequential
+    left fold from 0.0, ascending index) vectorized across rows; the
+    per-pair ratio is the same single division; per-task partials are
+    the exact Σ floor(ratio·1e9+0.5) int64 the old floor fold summed
+    (values O(1e9)·pairs stay far under 2^63 per task), plus
+    min/max/count — all recombined losslessly by the final agg."""
+    qids = [int(q[0]) for q in queries]
+
+    def _fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        nq = len(queries)
+        qv = np.array([q[1] for q in queries], dtype=np.float64)
+        qy = np.array([q[2] for q in queries], dtype=np.float64)
+        sgn = np.array(_JL_ROWS, dtype=np.float64)
+        cnt = np.zeros(nq, dtype=np.int64)
+        sfl = np.zeros(nq, dtype=np.int64)
+        mn = np.full(nq, np.inf)
+        mx = np.full(nq, -np.inf)
+        for batch in batches:
+            col = batch.column(1)
+            if not len(col):
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            vals = col.flatten().to_numpy(zero_copy_only=False)
+            v = vals.reshape(len(col), -1)
+            d = v.shape[1]
+            y = np.empty((len(col), len(sgn)), dtype=np.float64)
+            for k in range(len(sgn)):
+                acc = np.zeros(len(col), dtype=np.float64)
+                for j in range(d):
+                    acc = acc + v[:, j] * sgn[k, j]
+                y[:, k] = acc / _JL_SCALE
+            for qi in range(nq):
+                accv = np.zeros(len(col), dtype=np.float64)
+                for j in range(d):
+                    t = qv[qi, j] - v[:, j]
+                    accv = accv + t * t
+                accy = np.zeros(len(col), dtype=np.float64)
+                for k in range(len(sgn)):
+                    t = qy[qi, k] - y[:, k]
+                    accy = accy + t * t
+                mask = (ids != qids[qi]) & (accv > 0)
+                if not mask.any():
+                    continue
+                ratio = accy[mask] / accv[mask]
+                cnt[qi] += int(mask.sum())
+                sfl[qi] += int(
+                    np.floor(ratio * 1e9 + 0.5).astype(np.int64).sum()
+                )
+                mn[qi] = min(mn[qi], float(ratio.min()))
+                mx[qi] = max(mx[qi], float(ratio.max()))
+        keep = [i for i in range(nq) if cnt[i] > 0]
+        if not keep:
+            return
+        yield pa.RecordBatch.from_pydict(
+            {
+                "query_id": [qids[i] for i in keep],
+                "n": [int(cnt[i]) for i in keep],
+                "sfloor": [int(sfl[i]) for i in keep],
+                "minr": [float(mn[i]) for i in keep],
+                "maxr": [float(mx[i]) for i in keep],
+            },
+            schema=pa.schema(
+                [
+                    ("query_id", pa.int64()),
+                    ("n", pa.int64()),
+                    ("sfloor", pa.int64()),
+                    ("minr", pa.float64()),
+                    ("maxr", pa.float64()),
+                ]
+            ),
         )
-    return F.array(*comps)
+
+    return _fn
 
 
 def jl_fidelity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    emb = fan_out(
+        read_table(spark, sf_dir, "embeddings"),
+        spark,
+        input_bytes=_os.path.getsize(table_path(sf_dir, "embeddings")),
+        bytes_per_task=TRAINER_BYTES_PER_TASK,
+    ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    proj = emb.select("vec_id", "v", _jl_project(F.col("v")).alias("y"))
-    q = proj.where(F.col("vec_id") < JL_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("y").alias("qy"),
+    # constant-size driver job: the JL_QUERIES query vectors (the
+    # pushed-down vec_id filter reads a handful of rows); projections
+    # are recomputed driver-side with the identical IEEE fold
+    qrows = (
+        emb.where(F.col("vec_id") < JL_QUERIES)
+        .select("vec_id", "v")
+        .collect()
     )
-    d2 = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        proj.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            d2(F.col("qy"), F.col("y")).alias("d2y"),
-            d2(F.col("qv"), F.col("v")).alias("d2v"),
-        )
-        # exact-duplicate guard: a zero original distance would make
-        # the ratio 0/0 (NaN) — exclude, don't propagate
-        .where(F.col("d2v") > 0)
-        .select("query_id", (F.col("d2y") / F.col("d2v")).alias("ratio"))
-    )
-    return pairs.groupBy("query_id").agg(
-        F.count("*").alias("n_pairs"),
+    queries = [
+        (r["vec_id"], list(r["v"]), _jl_proj_py(list(r["v"])))
+        for r in sorted(qrows, key=lambda r: r["vec_id"])
+    ]
+    # ONE vectorized pass replaces the broadcast cross join + per-pair
+    # interpreted folds; per-task partials are ≤ JL_QUERIES rows
+    # regardless of corpus size (guide §2.3 aggregate-before-shuffle)
+    part = emb.mapInArrow(_jl_partial_fn(queries), _JL_PART_SCHEMA)
+    return part.groupBy("query_id").agg(
+        F.sum("n").alias("n_pairs"),
         F.round(
-            F.sum(F.floor(F.col("ratio") * 1e9 + 0.5)).cast("double")
+            F.sum("sfloor").cast("double")
             / 1e9
-            / F.count("*").cast("double"),
+            / F.sum("n").cast("double"),
             6,
         ).alias("mean_ratio"),
-        F.round(F.min("ratio"), 6).alias("min_ratio"),
-        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        F.round(F.min("minr"), 6).alias("min_ratio"),
+        F.round(F.max("maxr"), 6).alias("max_ratio"),
     )
 
 
@@ -2192,35 +2276,105 @@ _ISO_RES_NANO = (
     "CAST(floor((sqrt(ss) / (nn * 1e9)) * 1e9 + 0.5) AS BIGINT)"
 )
 
+_ISO_SCHEMA = "dim int, n long, s long, rhi long, rlo long"
+
+
+def _iso_partial(batches):
+    """mapInArrow per-task partials for the isotropy moments (guide
+    §4.2 — the old path evaluated three interpreted HOF folds per row
+    plus a 64× posexplode).
+
+    Exactness: per row the norm fold is the identical IEEE sequence
+    (products first, then a sequential left fold from 0.0, k ascending)
+    and q = floor(v/nrm·1e9 + 0.5) is the same double expression, so q
+    is bit-identical to the old column. Per dim the task emits Σq (int64
+    — |q| ≤ 1e9+1 and ≤ ~5e5 rows/task under 128 MB splits keep it
+    < 2^63) and Σq² split as q² = hi·2³² + lo (q² ≤ ~1e18 fits int64
+    elementwise; per-task Σhi ≤ ~1.2e14, Σlo ≤ ~2.2e15). The Spark-side
+    decimal(38,0) recomposition Σhi·2³² + Σlo equals Σq² term for term,
+    so `dims` carries the exact integers the old per-component
+    aggregation produced."""
+    import numpy as np
+    import pyarrow as pa
+
+    d = None
+    n = 0
+    s = hi = lo = None
+    for batch in batches:
+        col = batch.column(0)
+        if not len(col):
+            continue
+        flat = col.flatten()
+        vals = flat.to_numpy(zero_copy_only=False)
+        if d is None:
+            d = len(vals) // len(col)
+        v = vals.reshape(len(col), d)
+        acc = np.zeros(len(col), dtype=np.float64)
+        for k in range(d):
+            acc = acc + v[:, k] * v[:, k]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(v / np.sqrt(acc)[:, None] * 1e9 + 0.5).astype(
+                np.int64
+            )
+        qq = q * q
+        ps = q.sum(axis=0)
+        phi = (qq >> 32).sum(axis=0)
+        plo = (qq & 0xFFFFFFFF).sum(axis=0)
+        if s is None:
+            s, hi, lo = ps, phi, plo
+        else:
+            s += ps
+            hi += phi
+            lo += plo
+        n += len(col)
+    if n == 0:
+        return
+    yield pa.RecordBatch.from_pydict(
+        {
+            "dim": list(range(d)),
+            "n": [n] * d,
+            "s": [int(x) for x in s],
+            "rhi": [int(x) for x in hi],
+            "rlo": [int(x) for x in lo],
+        },
+        schema=pa.schema(
+            [
+                ("dim", pa.int32()),
+                ("n", pa.int64()),
+                ("s", pa.int64()),
+                ("rhi", pa.int64()),
+                ("rlo", pa.int64()),
+            ]
+        ),
+    )
+
 
 def isotropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    emb = fan_out(
+        read_table(spark, sf_dir, "embeddings"),
+        spark,
+        input_bytes=_os.path.getsize(table_path(sf_dir, "embeddings")),
+        bytes_per_task=TRAINER_BYTES_PER_TASK,
+    ).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    nrm = F.sqrt(
-        F.aggregate(
-            F.zip_with("v", "v", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # ONE vectorized pass replaces the interpreted norm/quantize HOFs
+    # and the 64× posexplode (guide §4.2); per-task partials are 64
+    # rows regardless of corpus size (guide §2.3 aggregate-before-
+    # shuffle), recombined exactly — see _iso_partial.
+    dims = (
+        emb.mapInArrow(_iso_partial, _ISO_SCHEMA)
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
+            (
+                F.sum(F.col("rhi").cast("decimal(38,0)"))
+                * F.lit(4294967296).cast("decimal(20,0)")
+                + F.sum(F.col("rlo").cast("decimal(38,0)"))
+            ).alias("r_d"),
+            F.sum("n").alias("n"),
         )
-    )
-    unit = emb.select(nrm.alias("nrm"), "v").select(
-        F.transform(
-            "v",
-            lambda x: F.floor(
-                x / F.col("nrm") * F.lit(1e9) + F.lit(0.5)
-            ).cast("long"),
-        ).alias("q")
-    )
-    comp = unit.select(F.posexplode("q").alias("dim", "qv"))
-    dims = comp.groupBy("dim").agg(
-        F.sum(F.col("qv").cast("decimal(38,0)")).alias("s"),
-        F.sum(
-            F.col("qv").cast("decimal(19,0)")
-            * F.col("qv").cast("decimal(19,0)")
-        ).alias("r_d"),
-        F.count("*").alias("n"),
     )
     fin = dims.agg(
         F.sum(F.col("s") * F.col("s")).alias("rss"),
