@@ -225,32 +225,135 @@ FROM sums
 # identical inputs).
 
 
+_COV_SCHEMA = "k int, n long, spp decimal(38,20), sx decimal(25,10)"
+
+
+def _cov_partial(batches):
+    """mapInArrow per-task partials for the covariance grid (guide
+    §4.2 — the old path exploded d(d+1)/2 BigDecimal product structs
+    per row, 4.16M decimal multiplies at sf0.1).
+
+    Exactness: components quantize through _dec15_10_scaled (the exact
+    Spark CAST(double AS DECIMAL(15,10)) as scaled int64, repr-fallback
+    on .5 boundaries), per-batch Gram pieces use the 16-bit split of
+    _gram_partial (int64-safe per ≤10k-row Arrow batch for |x| ≤ ~60;
+    the corpus is unit-normalized, |x| ≤ 0.58), and cross-batch
+    accumulation is object-dtype (arbitrary-precision Python ints), so
+    the per-task Σ qᵢqⱼ is exact at ANY task size. The partial is
+    emitted as decimal(38,20) with unscaled value Σ qᵢqⱼ — i.e. the
+    exact decimal Σ xᵢxⱼ the old per-row (15,10)×(15,10) products
+    summed — so the Spark-side SUM(decimal(38,20)) and the final
+    CAST(... AS DOUBLE) keep the old aggregate's semantics verbatim.
+    Per-dim component sums ride the same pass as decimal(25,10)
+    (k = 100000 + dim), replacing the second posexplode scan."""
+    import numpy as np
+    import pyarrow as pa
+
+    d = None
+    n = 0
+    ga = gab = gb = sx = None
+    for batch in batches:
+        col = batch.column(0)
+        if not len(col):
+            continue
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        if d is None:
+            d = len(vals) // len(col)
+        v = vals.reshape(len(col), d)
+        q = _dec15_10_scaled(v)
+        a = q >> 16
+        b = q & 0xFFFF
+        pga = (a.T @ a).astype(object)
+        pgab = (a.T @ b + b.T @ a).astype(object)
+        pgb = (b.T @ b).astype(object)
+        psx = q.sum(axis=0).astype(object)
+        if ga is None:
+            ga, gab, gb, sx = pga, pgab, pgb, psx
+        else:
+            ga += pga
+            gab += pgab
+            gb += pgb
+            sx += psx
+        n += len(col)
+    if n == 0:
+        return
+    from decimal import Decimal
+
+    iu = np.triu_indices(d)
+    spp = [
+        Decimal(
+            int((int(ga[i, j]) << 32) + (int(gab[i, j]) << 16)
+                + int(gb[i, j]))
+        ).scaleb(-20)
+        for i, j in zip(iu[0], iu[1])
+    ]
+    zero20 = Decimal(0).scaleb(-20)
+    zero10 = Decimal(0).scaleb(-10)
+    ks = list(range(len(iu[0]))) + [100000 + i for i in range(d)]
+    yield pa.RecordBatch.from_pydict(
+        {
+            "k": ks,
+            "n": [n] * len(ks),
+            "spp": spp + [zero20] * d,
+            "sx": [zero10] * len(iu[0])
+            + [Decimal(int(x)).scaleb(-10) for x in sx],
+        },
+        schema=pa.schema(
+            [
+                ("k", pa.int32()),
+                ("n", pa.int64()),
+                ("spp", pa.decimal128(38, 20)),
+                ("sx", pa.decimal128(25, 10)),
+            ]
+        ),
+    )
+
+
 def covariance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    d = 64
+    emb = fan_out(
+        read_table(spark, sf_dir, "embeddings"),
+        spark,
+        input_bytes=_os.path.getsize(table_path(sf_dir, "embeddings")),
+        bytes_per_task=TRAINER_BYTES_PER_TASK,
+    ).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    pairs = emb.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(v, (xi, i) -> "
-                "transform(slice(v, i + 1, size(v) - i), (xj, j) -> "
-                "struct(i AS di, i + j AS dj, "
-                "CAST(xi AS DECIMAL(15,10)) * CAST(xj AS DECIMAL(15,10))"
-                " AS p))))"
-            )
-        ).alias("e")
-    ).select("e.di", "e.dj", "e.p")
-    sums = pairs.groupBy("di", "dj").agg(
-        F.count("*").alias("n"), F.sum("p").alias("spp")
+    # ONE vectorized pass (guide §4.2) replaces the per-row
+    # 2080-struct BigDecimal explode AND the second per-dim posexplode
+    # scan; partials are d(d+1)/2 + d rows per task regardless of
+    # corpus size (guide §2.3 aggregate-before-shuffle) and carry the
+    # exact decimal sums — see _cov_partial. The final cov expression
+    # and its rounding run unchanged in Spark.
+    tot = (
+        emb.mapInArrow(_cov_partial, _COV_SCHEMA)
+        .groupBy("k")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("spp").alias("spp"),
+            F.sum("sx").alias("sx"),
+        )
+        .persist()  # 2144 rows; consumed by sums + both join sides —
+        # un-cached each would re-scan the corpus (r9 scan audit)
     )
-    comp = emb.select(
-        F.posexplode("v").alias("dim", "x")
-    ).groupBy("dim").agg(
-        F.sum(F.col("x").cast("decimal(15,10)")).alias("sx")
-    ).persist()  # d rows; consumed as both join sides (si and sj) —
-    # un-cached each re-scans the corpus (r9 scan audit, same fix as
-    # emb_participation_ratio)
+    kmap = []
+    k = 0
+    for i in range(d):
+        for j in range(i, d):
+            kmap.append((k, i, j))
+            k += 1
+    kdf = F.broadcast(
+        spark.createDataFrame(kmap, "k int, di int, dj int")
+    )
+    sums = (
+        tot.where(F.col("k") < 100000)
+        .join(kdf, "k")
+        .select("di", "dj", "n", "spp")
+    )
+    comp = tot.where(F.col("k") >= 100000).select(
+        (F.col("k") - 100000).alias("dim"), F.col("sx").alias("sx")
+    )
     si = comp.select(F.col("dim").alias("di"), F.col("sx").alias("si"))
     sj = comp.select(F.col("dim").alias("dj"), F.col("sx").alias("sj"))
     j = sums.join(F.broadcast(si), "di").join(F.broadcast(sj), "dj")

@@ -781,3 +781,53 @@ def test_jl_partial_matches_pairwise_reference():
         ["vec_id", "v"],
     )
     assert list(_jl_partial_fn(queries)(iter([empty]))) == []
+
+
+# ------------------------------------------------ covariance partials
+
+
+def test_cov_partial_matches_decimal_products():
+    """_cov_partial's decimal(38,20) partials must equal the exact
+    Σ CAST(xi AS DEC(15,10))·CAST(xj AS DEC(15,10)) the old per-row
+    explode summed, and the per-dim sums the old posexplode produced."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from replicator_spark.pipeline.vectors import _cov_partial
+
+    d = 5
+    vs = [
+        [((i * 2654435761 + j * 40503) % 2003 - 1001) / 977.0
+         for j in range(d)]
+        for i in range(7)
+    ]
+    # includes negatives and values near rounding boundaries
+    vs[0][0] = 0.00000000005  # exactly .5 at the 10th decimal place
+    vs[1][2] = -1.25
+    arr = pa.array(vs, type=pa.list_(pa.float64()))
+    b1 = pa.RecordBatch.from_arrays([arr[:4]], names=["v"])
+    b2 = pa.RecordBatch.from_arrays([arr[4:]], names=["v"])
+    out = list(_cov_partial(iter([b1, b2])))
+    assert len(out) == 1
+    t = out[0].to_pydict()
+    q10 = Decimal("1e-10")
+    dec = [
+        [Decimal(repr(x)).quantize(q10, rounding=ROUND_HALF_UP)
+         for x in row]
+        for row in vs
+    ]
+    k = 0
+    for i in range(d):
+        for j in range(i, d):
+            want = sum(row[i] * row[j] for row in dec)
+            pos = t["k"].index(k)
+            assert t["spp"][pos] == want, (i, j)
+            assert t["n"][pos] == len(vs)
+            k += 1
+    for dim in range(d):
+        pos = t["k"].index(100000 + dim)
+        assert t["sx"][pos] == sum(row[dim] for row in dec), dim
+    # empty input yields nothing
+    empty = pa.RecordBatch.from_arrays(
+        [pa.array([], type=pa.list_(pa.float64()))], names=["v"]
+    )
+    assert list(_cov_partial(iter([empty]))) == []
