@@ -374,8 +374,11 @@ def recall_at_k_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk_query(spark, sf_dir).select(
         "query_id", F.col("cand_id").alias("a_cand")
     )
+    # both sides are |Q|·k rows BY CONSTRUCTION at any corpus scale —
+    # broadcast the probe side so the planner can't fall back to a
+    # sort-merge shuffle of two bounded frames (guide §3.1)
     hits = truth.join(
-        approx,
+        F.broadcast(approx),
         (truth.query_id == approx.query_id)
         & (truth.cand_id == approx.a_cand),
         "left",
@@ -868,7 +871,8 @@ def recall_curve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk_query(spark, sf_dir).select(
         "query_id", "cand_id", F.col("rank").alias("a_rank")
     )
-    both = truth.join(approx, ["query_id", "cand_id"])
+    # |Q|·k-row bounded sides at any scale — broadcast (guide §3.1)
+    both = truth.join(F.broadcast(approx), ["query_id", "cand_id"])
     ks = F.explode(
         F.array(*[F.lit(k) for k in RECALL_K_GRID])
     ).alias("k")
@@ -884,7 +888,7 @@ def recall_curve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", ks)
     )
     return (
-        grid.join(hits, ["query_id", "k"], "left")
+        grid.join(F.broadcast(hits), ["query_id", "k"], "left")
         .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
         .select(
             "query_id",
@@ -1244,7 +1248,9 @@ def nprobe_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "cand_id", F.lit(1).alias("hit")
     )
     return (
-        approx.join(truth, ["query_id", "cand_id"], "left")
+        # truth is TOP_K·|Q| rows by construction — broadcast so the
+        # bounded comparison can't shuffle+sort the approx side
+        approx.join(F.broadcast(truth), ["query_id", "cand_id"], "left")
         .groupBy("query_id", "nprobe")
         .agg(
             F.max("n_cands").cast("long").alias("n_cands"),
