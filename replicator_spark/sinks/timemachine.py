@@ -142,30 +142,28 @@ def asof_snapshot(
 ) -> DataFrame:
     """Current state of every row as of ``cutoff_us``.
 
-    Two stacked aggregations, no window + no self-join: max_by picks
-    each cell's latest value in ONE combiner-backed shuffle (the
-    previous window + latest⨝alive join evaluated the whole cells
-    subtree twice — 2× the work at any scale); the second groupBy
-    pivots the three columns and filters tombstones.
+    ONE aggregation, no window + no self-join: per (table, rowkey) a
+    conditional max_by per column picks that column's latest cell in a
+    single combiner-backed shuffle (rows of other columns carry a NULL
+    ordering key, which max_by skips — the same conditional-latest
+    fold `snapshot_delta_query` uses). The previous shape stacked a
+    per-(table, rowkey, column_name) latest under a second pivoting
+    groupBy — a second exchange + sort over the same rows for the same
+    winners: within one cell key event_id is unique, so "latest per
+    (key, column), then the one row per column" ≡ "latest among the
+    column's rows per key".
     """
     capped = cells.where(F.col("version_us") <= F.lit(cutoff_us))
-    latest = capped.groupBy("table_name", "rowkey", "column_name").agg(
-        F.max_by(
-            "cell_value", F.struct("version_us", "event_id")
-        ).alias("cell_value")
-    )
-    pivoted = latest.groupBy("table_name", "rowkey").agg(
-        F.max(
-            F.when(F.col("column_name") == "value", F.col("cell_value"))
-        ).alias("value"),
-        F.max(
-            F.when(F.col("column_name") == "props", F.col("cell_value"))
-        ).alias("props"),
-        F.max(
-            F.when(
-                F.col("column_name") == "row_status", F.col("cell_value")
-            )
-        ).alias("row_status"),
+
+    def _latest(col: str) -> Column:
+        cond = F.col("column_name") == col
+        return F.max_by(
+            F.when(cond, F.col("cell_value")),
+            F.when(cond, F.struct("version_us", "event_id")),
+        ).alias(col)
+
+    pivoted = capped.groupBy("table_name", "rowkey").agg(
+        _latest("value"), _latest("props"), _latest("row_status")
     )
     return (
         pivoted.where(F.col("row_status") != "D")
@@ -400,25 +398,28 @@ def snapshot_delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("version_us") <= F.lit(SNAPSHOT_CUTOFF_US)
     )
 
-    def at(cutoff_us: int, alias: str) -> Column:
-        key = F.when(
-            F.col("version_us") <= F.lit(cutoff_us),
-            F.struct("version_us", "event_id"),
+    # one combiner-backed aggregation: per (table, rowkey) each
+    # (column, cutoff) pair folds to its latest cell directly — rows
+    # outside the column or cutoff carry a NULL max_by ordering key
+    # and are skipped, so this is the stacked latest-then-pivot pair
+    # (same winners: event_id is unique within a cell key) minus the
+    # second exchange + sort
+    def at(col: str, cutoff_us: int, alias: str) -> Column:
+        cond = (F.col("column_name") == col) & (
+            F.col("version_us") <= F.lit(cutoff_us)
         )
-        return F.max_by("cell_value", key).alias(alias)
+        return F.max_by(
+            F.when(cond, F.col("cell_value")),
+            F.when(cond, F.struct("version_us", "event_id")),
+        ).alias(alias)
 
-    latest = capped.groupBy("table_name", "rowkey", "column_name").agg(
-        at(DELTA_T1_US, "v1"), at(SNAPSHOT_CUTOFF_US, "v2")
-    )
-
-    def piv(col: str, src: str) -> Column:
-        return F.max(
-            F.when(F.col("column_name") == col, F.col(src))
-        ).alias(f"{col}_{src}")
-
-    pivoted = latest.groupBy("table_name", "rowkey").agg(
-        piv("value", "v1"), piv("props", "v1"), piv("row_status", "v1"),
-        piv("value", "v2"), piv("props", "v2"), piv("row_status", "v2"),
+    pivoted = capped.groupBy("table_name", "rowkey").agg(
+        at("value", DELTA_T1_US, "value_v1"),
+        at("props", DELTA_T1_US, "props_v1"),
+        at("row_status", DELTA_T1_US, "row_status_v1"),
+        at("value", SNAPSHOT_CUTOFF_US, "value_v2"),
+        at("props", SNAPSHOT_CUTOFF_US, "props_v2"),
+        at("row_status", SNAPSHOT_CUTOFF_US, "row_status_v2"),
     )
 
     def alive(s: str) -> Column:
