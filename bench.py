@@ -326,7 +326,45 @@ def main() -> None:
     }
     if math.isfinite(stream_overhead):
         compact["stream_overhead"] = round(stream_overhead, 3)
-    print(json.dumps(compact))
+    final_line = json.dumps(compact, separators=(",", ":"))
+    # Driver per-query visibility (round-15): the driver keeps only the
+    # LAST ~2000 chars of stdout, and the full 122-entry map is ~3.1 KB
+    # — the query NAMES alone exceed the window, so a complete map can
+    # never fit a parseable line inside the capture. Best achievable:
+    # one self-contained JSON line right before the final line, carrying
+    # the largest time-ranked prefix of the per-query map that fits a
+    # conservative window budget, with the omitted remainder accounted
+    # explicitly (n_omitted / omitted_sum — no silent truncation). The
+    # FULL map still goes to BENCH_LOCAL.json and the earlier full line.
+    # Additions only: the timed region and the final line are unchanged.
+    tail_budget = 1900  # driver capture is 2000; leave newline margin
+    ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    part = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "queries": {},
+        "n_omitted": len(ranked),
+        "omitted_sum": total,
+    }
+    budget = tail_budget - len(final_line) - 1
+    for name, sec in ranked:
+        part["queries"][name] = round(sec, 2)
+        part["n_omitted"] = len(ranked) - len(part["queries"])
+        part["omitted_sum"] = max(
+            0.0, round(total - sum(part["queries"].values()), 2)
+        )
+        if len(json.dumps(part, separators=(",", ":"))) > budget:
+            del part["queries"][name]
+            part["n_omitted"] = len(ranked) - len(part["queries"])
+            part["omitted_sum"] = round(
+                total - sum(part["queries"].values()), 2
+            )
+            break
+    print(json.dumps(part, separators=(",", ":")))
+    print(final_line)
     spark.stop()
 
 

@@ -759,6 +759,42 @@ def _km_round_fn(cents: list[list[float]]):
 
 _KM_PARTIAL_SCHEMA = "cid int, dim int, sx long, n long"
 
+# Per-round partial reduction strategy (r15 optimization round, guide
+# §1.2 fewer passes / §5 driver): each Lloyd round's mapInArrow pass
+# emits ≤ K×d exact int64 partial rows PER PARTITION. When the total
+# partial-row count is small, a driver-side exact integer reduce of the
+# collected partials replaces the groupBy + exchange + (AQE-off, so
+# un-coalesced) shuffle.partitions-wide reduce stage that ran per round
+# — Python bigint summation of scaled-int64 partials is EXACTLY the
+# decimal(38,0) SUM it replaces, so centroids stay bit-identical. At
+# cluster scale (thousands of partitions) the partial volume exceeds
+# the cap and the combiner-backed groupBy path keeps the driver out of
+# the data path (guide §5 — the driver should do almost no data work).
+_PARTIAL_COLLECT_MAX_ROWS = 1 << 16
+
+
+def _reduce_partials(part: DataFrame, key_cols: list, n_partial_rows: int):
+    """partials frame → {key_tuple: (sum_sx, sum_n)} — driver-side
+    exact reduce under the cap, Spark groupBy above it."""
+    if n_partial_rows <= _PARTIAL_COLLECT_MAX_ROWS:
+        acc: dict = {}
+        kn = len(key_cols)
+        for row in part.collect():
+            k = tuple(row[:kn])
+            s, n = acc.get(k, (0, 0))
+            acc[k] = (s + row[kn], n + row[kn + 1])
+        return acc
+    rows = (
+        part.groupBy(*key_cols)
+        .agg(
+            F.sum(F.col("sx").cast("decimal(38,0)")).alias("sx"),
+            F.sum("n").alias("n"),
+        )
+        .collect()
+    )
+    kn = len(key_cols)
+    return {tuple(r[:kn]): (int(r[kn]), r[kn + 1]) for r in rows}
+
 
 def _km_train(emb: DataFrame) -> list[list[float]]:
     """Run the md5-seeded KMEANS_ITERS Lloyd loop over a persisted
@@ -788,25 +824,22 @@ def _km_train_loop(emb: DataFrame) -> list[list[float]]:
     # Spark aggregate (partitions×K×d partial rows never reach the
     # driver — the hash agg's map-side partial keeps the exchange at
     # K×d rows per task regardless of corpus size).
+    # partial-volume bound for the per-round reduce strategy: one
+    # partition emits ≤ K rows per dim per Arrow batch; the working
+    # set is persisted so batch count ≈ 1 per partition
+    n_parts = emb.rdd.getNumPartitions()
+    d = len(cents[0]) if cents else 0
+    n_partial = n_parts * KMEANS_K * d
     for _ in range(KMEANS_ITERS):
-        sums = (
-            emb.select("v")
-            .mapInArrow(_km_round_fn(cents), _KM_PARTIAL_SCHEMA)
-            .groupBy("cid", "dim")
-            .agg(
-                F.sum(F.col("sx").cast("decimal(38,0)")).alias("sx"),
-                F.sum("n").alias("n"),
-            )
-            .collect()  # K×d rows — constant-size reduction output
+        part = emb.select("v").mapInArrow(
+            _km_round_fn(cents), _KM_PARTIAL_SCHEMA
         )
+        sums = _reduce_partials(part, ["cid", "dim"], n_partial)
         by_cid: dict = {}
-        for r in sums:
+        for (cid, dim), (sx, n) in sums.items():
             # int/int true division = the correctly-rounded double of
-            # the exact decimal sum, identical to float(decimal_sum)
-            by_cid.setdefault(r["cid"], {})[r["dim"]] = (
-                int(r["sx"]) / 10**10,
-                int(r["n"]),
-            )
+            # the exact integer sum, identical to float(decimal_sum)
+            by_cid.setdefault(cid, {})[dim] = (sx / 10**10, n)
         new_cents = []
         for i, old in enumerate(cents):
             dims = by_cid.get(i)
@@ -1277,23 +1310,20 @@ def _pq_train_loop(spark, subs: DataFrame) -> dict:
     # codegen recompilation of the wide aggregate cost more than the
     # posexplode it removed. The surviving shape is the _pq_round_fn
     # mapInArrow pass (see _km_train_loop).
+    # same per-round reduce strategy as _km_train_loop: ≤ K×d exact
+    # int64 partial rows per partition, driver-reduced under the cap
+    n_parts = subs.rdd.getNumPartitions()
+    n_partial = n_parts * PQ_K * PQ_M * (
+        len(next(iter(cents.values()))) if cents else 0
+    )
     for _ in range(PQ_ITERS):
-        sums = (
-            subs.select("sub", "subv")
-            .mapInArrow(_pq_round_fn(cents), _PQ_PARTIAL_SCHEMA)
-            .groupBy("sub", "cid", "dim")
-            .agg(
-                F.sum(F.col("sx").cast("decimal(38,0)")).alias("sx"),
-                F.sum("n").alias("n"),
-            )
-            .collect()  # M*K*(d/M) = K*d rows — constant
+        part = subs.select("sub", "subv").mapInArrow(
+            _pq_round_fn(cents), _PQ_PARTIAL_SCHEMA
         )
+        sums = _reduce_partials(part, ["sub", "cid", "dim"], n_partial)
         acc: dict = {}
-        for r in sums:
-            acc.setdefault((r["sub"], r["cid"]), {})[r["dim"]] = (
-                int(r["sx"]) / 10**10,
-                int(r["n"]),
-            )
+        for (sub, cid, dim), (sx, n) in sums.items():
+            acc.setdefault((sub, cid), {})[dim] = (sx / 10**10, n)
         for key, old in cents.items():
             dims = acc.get(key)
             if dims:

@@ -12,6 +12,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # golden/property suite: full-suite seal only (see conftest)
+
 
 @pytest.fixture(scope="module")
 def chunked_dir(spark, sf_dir, tmp_path_factory):

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+
+pytestmark = pytest.mark.slow  # golden/property suite: full-suite seal only (see conftest)
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 

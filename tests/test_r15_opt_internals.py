@@ -1,0 +1,55 @@
+"""Focused pins for round-15 optimization internals (round rule: an
+optimization that changes an operator's internals adds a test)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+# ------------------------------------------ trainer partial reduction
+
+
+def _partials_frame(spark):
+    # duplicate (cid, dim) keys spread across partitions, values chosen
+    # so a float reduce would drift but an exact integer one cannot
+    rows = [
+        (0, 0, 10**17 + 1, 3),
+        (0, 0, 10**17 + 3, 2),
+        (1, 0, -5, 1),
+        (1, 63, 7, 4),
+        (1, 63, -7, 1),
+        (15, 63, 123456789012345, 2),
+    ]
+    return spark.createDataFrame(
+        rows, "cid int, dim int, sx long, n long"
+    ).repartition(4)
+
+
+def test_reduce_partials_direct_matches_groupby(spark):
+    from replicator_spark.pipeline.vectors import _reduce_partials
+
+    part = _partials_frame(spark)
+    direct = _reduce_partials(part, ["cid", "dim"], n_partial_rows=6)
+    via_spark = _reduce_partials(
+        part, ["cid", "dim"], n_partial_rows=10**9
+    )
+    assert direct == via_spark
+    assert direct[(0, 0)] == (2 * 10**17 + 4, 5)
+    assert direct[(1, 63)] == (0, 5)
+
+
+def test_km_train_centroids_unchanged_by_reduce_path(spark, sf_dir):
+    """The driver-side exact reduce must yield bit-identical centroids
+    to the Spark decimal(38,0) groupBy path over the real corpus."""
+    import replicator_spark.pipeline.vectors as V
+
+    emb = V._km_corpus(spark, sf_dir).persist()
+    cents_direct = V._km_train(emb)
+    old_cap = V._PARTIAL_COLLECT_MAX_ROWS
+    V._PARTIAL_COLLECT_MAX_ROWS = 0  # force the groupBy path
+    try:
+        cents_spark = V._km_train(emb)
+    finally:
+        V._PARTIAL_COLLECT_MAX_ROWS = old_cap
+    emb.unpersist()
+    assert cents_direct == cents_spark

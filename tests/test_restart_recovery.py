@@ -35,6 +35,8 @@ import time
 
 import pytest
 
+pytestmark = pytest.mark.slow  # golden/property suite: full-suite seal only (see conftest)
+
 from pyspark.sql import functions as F
 
 

@@ -249,6 +249,7 @@ def test_stream_near_dedup_drops_later_copy(spark, tmp_path):
     assert by_src["uniq"]["n_kept"] == 1
 
 
+@pytest.mark.slow  # multibatch golden family (see conftest)
 def test_stream_near_dedup_multibatch_matches_single(spark, sf_dir, tmp_path):
     """The admission verdicts must be a pure function of the dataset:
     splitting the stream into 3 doc_id-ordered micro-batches gives the
