@@ -2380,6 +2380,34 @@ def _sid_to_uuid(sid: bytes) -> str:
     return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
 
 
+# Wire-op fan-out width (r15 optimization round, guide §2.5 input skew
+# + §2 scale-adaptive partitioning): the single-file testdata scan is
+# ONE task, and a flat repartition(defaultParallelism) of a ~2 MB frame
+# costs more in exchange + tiny-task overhead than the Python codec it
+# parallelizes (measured best-of-4 on the roundtrip chain at sf0.1:
+# width 32 = 1.69 s, 16 = 1.29 s, 8 = 1.39 s). Derive the width from
+# the source size instead — identical to the trainer family's
+# fan_out(bytes_per_task) contract: capped at defaultParallelism, so a
+# corpus big enough to need the cluster still saturates it, and blob
+# grouping never reaches any declared projection (payload columns
+# only), so results are partitioning-invariant.
+_WIRE_BYTES_PER_TASK = 128 << 10
+
+
+def _wire_fan_out(df: DataFrame, spark: SparkSession, sf_dir: str,
+                  table: str) -> DataFrame:
+    import os as _os
+
+    from ..session import fan_out, table_path
+
+    return fan_out(
+        df,
+        spark,
+        input_bytes=_os.path.getsize(table_path(sf_dir, table)),
+        bytes_per_task=_WIRE_BYTES_PER_TASK,
+    )
+
+
 def _parse_partition(batches) -> Iterator:
     """mapInPandas: binlog blobs → change rows. UPDATE emits the after
     image (the applier's view) plus the wire BEFORE image's payload
@@ -3136,11 +3164,12 @@ def binlog_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("op") != "QUERY")
     )
     # the local testdata ships ONE parquet file → one input partition,
-    # which would serialize the Python codec; a round-robin spread
-    # matches the many-files shape real retained logs have (output is
-    # grouping-independent — the oracle projection carries no file
-    # coordinates)
-    ev = ev.repartition(spark.sparkContext.defaultParallelism)
+    # which would serialize the Python codec; a size-derived round-robin
+    # spread matches the many-files shape real retained logs have
+    # (output is grouping-independent — the oracle projection carries no
+    # file coordinates). Width from source bytes, not flat parallelism
+    # (see _wire_fan_out).
+    ev = _wire_fan_out(ev, spark, sf_dir, "events")
     blobs = ev.mapInArrow(_encode_partition, "data binary")
     parsed = blobs.mapInPandas(_parse_partition, BINLOG_ROWS_GTID_SCHEMA)
     # the oracle is the payload projection; the GTID/before-image
@@ -3309,7 +3338,7 @@ def binlog_enum_roundtrip_query(
         F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_idx"),
         (F.col("o_orderkey") % 8).cast("int").alias("flags_mask"),
     )
-    orders = orders.repartition(spark.sparkContext.defaultParallelism)
+    orders = _wire_fan_out(orders, spark, sf_dir, "orders")
     blobs = orders.mapInArrow(_encode_orders_partition, "data binary")
     parsed = blobs.mapInPandas(
         _parse_orders_partition,
@@ -3406,7 +3435,7 @@ def binlog_charset_rowkey_query(
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_name"
     )
-    cust = cust.repartition(spark.sparkContext.defaultParallelism)
+    cust = _wire_fan_out(cust, spark, sf_dir, "customer")
     blobs = cust.mapInArrow(
         _encode_customer_charset_partition, "data binary"
     ).select(F.lit("binlog.000001").alias("path"), "data")
@@ -3495,7 +3524,7 @@ def binlog_partial_json_query(
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
     )
-    ev = ev.repartition(spark.sparkContext.defaultParallelism)
+    ev = _wire_fan_out(ev, spark, sf_dir, "events")
     blobs = ev.mapInArrow(_encode_partial_json_partition, "data binary")
 
     def parse(batches):
@@ -3595,7 +3624,7 @@ def binlog_legacy_temporals_query(
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", F.expr("ts div 1000000000").alias("ts_sec")
     )
-    ev = ev.repartition(spark.sparkContext.defaultParallelism)
+    ev = _wire_fan_out(ev, spark, sf_dir, "events")
     blobs = ev.mapInArrow(_encode_legacy_partition, "data binary")
 
     def parse(batches):

@@ -53,3 +53,31 @@ def test_km_train_centroids_unchanged_by_reduce_path(spark, sf_dir):
         V._PARTIAL_COLLECT_MAX_ROWS = old_cap
     emb.unpersist()
     assert cents_direct == cents_spark
+
+
+# ------------------------------------------------ wire-op fan-out width
+
+
+def test_wire_fan_out_width_derives_from_source_size(spark, sf_dir):
+    """The wire ops' pre-codec spread must follow ceil(bytes/128KiB)
+    capped at defaultParallelism — not a flat repartition."""
+    import math
+    import os
+
+    from replicator_spark.session import read_table, table_path
+    from replicator_spark.sources.binlog import (
+        _WIRE_BYTES_PER_TASK,
+        _wire_fan_out,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id")
+    out = _wire_fan_out(ev, spark, sf_dir, "events")
+    size = os.path.getsize(table_path(sf_dir, "events"))
+    want = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            math.ceil(size / _WIRE_BYTES_PER_TASK),
+        ),
+    )
+    assert out.rdd.getNumPartitions() == want
