@@ -653,6 +653,138 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     )
 
 
+def _km_assign_arrow(
+    emb: DataFrame,
+    cents: list[list[float]],
+    *,
+    with_vec_id: bool = False,
+    second: bool = False,
+) -> DataFrame:
+    """Vectorized serving-pass twin of ``_assign`` / ``_assign2`` (r15
+    optimization round, guide §4.2): the per-row interpreted HOF
+    distance folds (CodegenFallback, ~0.45 s/pass over the sf0.1
+    corpus) become one numpy pass per Arrow batch. Bit-exactness
+    contract (pinned by tests against the fold formulations):
+    - d2 accumulates dim-by-dim from 0.0 in ascending dim order —
+      float64 adds in the same IEEE order as
+      ``aggregate(zip_with(...), 0.0, +)``;
+    - nearest ties break to the LOWEST cid (np.argmin first
+      occurrence over cid-ordered columns = array_min struct order);
+    - the second-nearest comes from a STABLE argsort over (d2, cid) —
+      the array_sort struct order of ``_assign2``.
+    All rounding/decimal aggregation stays in Spark, unchanged."""
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.asarray(cents, dtype=np.float64)
+    cols = (["vec_id"] if with_vec_id else []) + ["v"]
+
+    def fn(batches):
+        K, D = C.shape
+        for batch in batches:
+            names = batch.schema.names
+            col = batch.column(names.index("v"))
+            n = len(col)
+            if not n:
+                continue
+            v = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, D)
+                .astype(np.float64, copy=False)
+            )
+            d2 = np.zeros((n, K))
+            for dim in range(D):
+                diff = v[:, dim][:, None] - C[:, dim][None, :]
+                d2 = d2 + diff * diff
+            out = {}
+            if with_vec_id:
+                out["vec_id"] = batch.column(names.index("vec_id"))
+            rows = np.arange(n)
+            if second:
+                order = np.argsort(d2, axis=1, kind="stable")
+                cid = order[:, 0]
+                out["cid"] = pa.array(cid.astype(np.int32), pa.int32())
+                out["d2"] = pa.array(d2[rows, cid], pa.float64())
+                out["d2b"] = pa.array(
+                    d2[rows, order[:, 1]], pa.float64()
+                )
+            else:
+                cid = np.argmin(d2, axis=1)
+                out["cid"] = pa.array(cid.astype(np.int32), pa.int32())
+                out["d2"] = pa.array(d2[rows, cid], pa.float64())
+            yield pa.RecordBatch.from_pydict(out)
+
+    schema = (
+        ("vec_id long, " if with_vec_id else "")
+        + "cid int, d2 double"
+        + (", d2b double" if second else "")
+    )
+    return emb.select(*cols).mapInArrow(fn, schema)
+
+
+def _pq_assign_arrow(subs: DataFrame, cents: dict) -> DataFrame:
+    """Vectorized serving-pass twin of ``_pq_assign`` — the
+    ``_km_assign_arrow`` surgery per subspace. Same bit-exactness
+    contract; returns (vec_id, sub, cid, d2) row-aligned with the
+    input."""
+    import numpy as np
+    import pyarrow as pa
+
+    books: dict = {}
+    for (s, i), c in sorted(cents.items()):
+        books.setdefault(s, []).append(c)
+    mats = {
+        s: np.asarray(rows, dtype=np.float64) for s, rows in books.items()
+    }
+
+    def fn(batches):
+        for batch in batches:
+            names = batch.schema.names
+            sub = batch.column(names.index("sub")).to_numpy(
+                zero_copy_only=False
+            )
+            col = batch.column(names.index("subv"))
+            n = len(col)
+            if not n:
+                continue
+            first = mats[next(iter(mats))]
+            D = first.shape[1]
+            v = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, D)
+                .astype(np.float64, copy=False)
+            )
+            cid = np.zeros(n, dtype=np.int32)
+            d2min = np.zeros(n, dtype=np.float64)
+            for s, C in mats.items():
+                smask = sub == s
+                if not smask.any():
+                    continue
+                vs = v[smask]
+                K = C.shape[0]
+                d2 = np.zeros((len(vs), K))
+                for dim in range(D):
+                    diff = vs[:, dim][:, None] - C[:, dim][None, :]
+                    d2 = d2 + diff * diff
+                c = np.argmin(d2, axis=1)
+                cid[smask] = c.astype(np.int32)
+                d2min[smask] = d2[np.arange(len(vs)), c]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": batch.column(names.index("vec_id")),
+                    "sub": batch.column(names.index("sub")),
+                    "cid": pa.array(cid, pa.int32()),
+                    "d2": pa.array(d2min, pa.float64()),
+                }
+            )
+
+    return subs.select("vec_id", "sub", "subv").mapInArrow(
+        fn, "vec_id long, sub int, cid int, d2 double"
+    )
+
+
 def _dec15_10_scaled(v):
     """Elementwise Spark ``CAST(double AS DECIMAL(15,10))`` as scaled
     int64 (value × 10¹⁰), vectorized.
@@ -889,7 +1021,7 @@ def kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training jobs are done; the returned plan recomputes its one
     # final pass from parquet rather than pinning executor memory
     emb.unpersist()
-    final = _assign(emb, cents)
+    final = _km_assign_arrow(emb, cents)
     norm = [
         # math.sqrt (IEEE correctly-rounded, = SQL sqrt) — not ** 0.5,
         # whose libm pow is not guaranteed identical cross-engine
@@ -1042,7 +1174,7 @@ def silhouette_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _km_corpus(spark, sf_dir).persist()
     cents = _km_train(emb)
     emb.unpersist()
-    asg = _assign2(emb, cents)
+    asg = _km_assign_arrow(emb, cents, second=True)
     a = F.sqrt(F.col("d2"))
     b = F.sqrt(F.col("d2b"))
     s = F.when(b > 0, (b - a) / b).otherwise(F.lit(0.0))
@@ -1350,7 +1482,7 @@ def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     cents = _pq_train(spark, subs)
     subs.unpersist()  # final encode pass recomputes from parquet
-    final = _pq_assign(spark, subs, cents)
+    final = _pq_assign_arrow(subs, cents)
     return (
         final.groupBy("vec_id")
         .agg(
@@ -1532,7 +1664,7 @@ def adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     cents = _pq_train(spark, subs)
     subs.unpersist()  # final encode pass recomputes from parquet
-    codes = _pq_assign(spark, subs, cents).select("vec_id", "sub", "cid")
+    codes = _pq_assign_arrow(subs, cents).select("vec_id", "sub", "cid")
     # per-query LUT: distance from the query's subvector to every
     # codeword — Q·M·K rows, broadcast
     probes = {
@@ -1620,7 +1752,7 @@ def ivfadc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     cents = _pq_train(spark, subs)
     subs.unpersist()
-    codes = _pq_assign(spark, subs, cents).select(
+    codes = _pq_assign_arrow(subs, cents).select(
         "vec_id", "sub", "cid"
     ).join(celled.select("vec_id", "cell"), "vec_id")
     probes = {
@@ -1758,7 +1890,7 @@ def pq_distortion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     cents = _pq_train(spark, subs)
     subs.unpersist()  # final assign recomputes from parquet (lazy)
-    final = _pq_assign(spark, subs, cents)
+    final = _pq_assign_arrow(subs, cents)
     return final.groupBy("sub").agg(
         F.count("*").cast("long").alias("n_vecs"),
         F.countDistinct("cid").cast("long").alias("n_codes_used"),

@@ -81,3 +81,68 @@ def test_wire_fan_out_width_derives_from_source_size(spark, sf_dir):
         ),
     )
     assert out.rdd.getNumPartitions() == want
+
+
+# ------------------------- vectorized serving passes (bit-exactness)
+
+
+def test_km_assign_arrow_bitwise_equals_fold(spark, sf_dir):
+    """The Arrow serving pass must reproduce _assign / _assign2
+    bit-for-bit (cid, d2, d2b) over the real corpus."""
+    import replicator_spark.pipeline.vectors as V
+
+    emb = V._km_corpus(spark, sf_dir).persist()
+    cents = V._km_train(emb)
+
+    ref = {
+        r["vec_id"]: (r["cid"], r["d2"])
+        for r in V._assign(emb, cents).collect()
+    }
+    got = {
+        r["vec_id"]: (r["cid"], r["d2"])
+        for r in V._km_assign_arrow(
+            emb, cents, with_vec_id=True
+        ).collect()
+    }
+    assert ref == got
+
+    ref2 = {
+        r["vec_id"]: (r["cid"], r["d2"], r["d2b"])
+        for r in V._assign2(emb, cents).collect()
+    }
+    got2 = {
+        r["vec_id"]: (r["cid"], r["d2"], r["d2b"])
+        for r in V._km_assign_arrow(
+            emb, cents, with_vec_id=True, second=True
+        ).collect()
+    }
+    emb.unpersist()
+    assert ref2 == got2
+
+
+def test_pq_assign_arrow_bitwise_equals_fold(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    import replicator_spark.pipeline.vectors as V
+    from replicator_spark.session import table_path
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    subs = V._pq_subvectors(
+        emb, input_bytes=os.path.getsize(table_path(sf_dir, "embeddings"))
+    ).persist()
+    cents = V._pq_train(spark, subs)
+    ref = {
+        (r["vec_id"], r["sub"]): (r["cid"], r["d2"])
+        for r in V._pq_assign(spark, subs, cents).collect()
+    }
+    got = {
+        (r["vec_id"], r["sub"]): (r["cid"], r["d2"])
+        for r in V._pq_assign_arrow(subs, cents).collect()
+    }
+    subs.unpersist()
+    assert ref == got
