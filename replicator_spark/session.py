@@ -137,11 +137,37 @@ def fan_out(
         # streaming frames can't be repartition-probed (and micro-batch
         # parallelism is governed by the stream's own partitioning)
         return df
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - defensive only
-        return df
     p = spark.sparkContext.defaultParallelism
+    # Scan-partition bounds from the file listing (r15, VERDICT item 5):
+    # `df.rdd.getNumPartitions()` re-analyzes the plan and converts it
+    # to an RDD — a fixed driver cost per call in exactly the
+    # overhead-bound regime this guard serves. A file of size s yields
+    # at most ceil(s/maxPartitionBytes) splits (splits never cross
+    # files) and packing can only merge them, so Σceil bounds n from
+    # ABOVE; every split holds ≤ maxPartitionBytes of file bytes (open
+    # cost only inflates further), so ceil(total/maxPartitionBytes)
+    # bounds n from BELOW. When the bounds decide (tiny local inputs:
+    # upper < p → repartition; cluster-scale inputs: lower ≥ p →
+    # identity) the RDD probe is skipped; only the in-between band
+    # pays it.
+    n = None
+    sizes = _input_file_sizes(df)
+    if sizes:
+        try:
+            max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        except Exception:
+            max_pb = 128 * 1024 * 1024
+        n_upper = sum(-(-s // max_pb) for s in sizes)
+        n_lower = max(1, -(-sum(sizes) // max_pb))
+        if n_upper < p:
+            n = n_upper  # < p: the repartition branch fires below
+        elif n_lower >= p:
+            return df  # already at least p scan partitions
+    if n is None:
+        try:
+            n = df.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover - defensive only
+            return df
     if input_bytes is not None and bytes_per_task:
         # Iterative callers (the Lloyd/PQ trainer loops) additionally
         # derive the fan-out width from the INPUT SIZE (guide §2
@@ -159,29 +185,37 @@ def fan_out(
     return df.repartition(p) if n < p else df
 
 
-def scan_bytes(df) -> int | None:
-    """Total on-disk size of the files behind a scan, for the
-    size-derived fan_out width (guide §2 scale-adaptive partitioning).
-    Driver-side listing only — no job. None when the frame has no
-    file provenance (local relations, streaming)."""
+def _input_file_sizes(df) -> list | None:
+    """Local on-disk sizes of the files behind a scan (driver-side
+    listing, no job). None when the frame has no file provenance or a
+    file is not local."""
     try:
         files = df.inputFiles()
     except Exception:  # pragma: no cover - defensive only
         return None
     if not files:
         return None
-    total = 0
+    sizes = []
     for uri in files:
-        p = uri
-        if p.startswith("file:"):
-            p = p[5:]
-            while p.startswith("//"):
-                p = p[1:]
+        pth = uri
+        if pth.startswith("file:"):
+            pth = pth[5:]
+            while pth.startswith("//"):
+                pth = pth[1:]
         try:
-            total += os.path.getsize(p)
+            sizes.append(os.path.getsize(pth))
         except OSError:  # pragma: no cover - non-local storage
             return None
-    return total
+    return sizes
+
+
+def scan_bytes(df) -> int | None:
+    """Total on-disk size of the files behind a scan, for the
+    size-derived fan_out width (guide §2 scale-adaptive partitioning).
+    Driver-side listing only — no job. None when the frame has no
+    file provenance (local relations, streaming)."""
+    sizes = _input_file_sizes(df)
+    return sum(sizes) if sizes else None
 
 
 def normalize_events(df):

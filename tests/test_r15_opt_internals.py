@@ -146,3 +146,29 @@ def test_pq_assign_arrow_bitwise_equals_fold(spark, sf_dir):
     }
     subs.unpersist()
     assert ref == got
+
+
+# ---------------------------------------- fan_out probe-free bounds
+
+
+def test_fan_out_bounds_skip_rdd_probe(spark, sf_dir):
+    """Tiny single-file scans must take the upper-bound branch
+    (repartition without an RDD probe) and behave exactly as before;
+    frames without file provenance must still fall back safely."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark.session import fan_out, read_table
+
+    p = spark.sparkContext.defaultParallelism
+    docs = read_table(spark, sf_dir, "documents")
+    out = fan_out(docs, spark)
+    assert out.rdd.getNumPartitions() == p
+    # size-derived width unchanged
+    out2 = fan_out(docs, spark, input_bytes=300 << 10,
+                   bytes_per_task=256 << 10)
+    assert out2.rdd.getNumPartitions() == min(p, 2)
+    # no file provenance: local relation falls back to the RDD probe
+    local = spark.range(10).select(F.col("id").alias("doc_id"))
+    n_before = local.rdd.getNumPartitions()
+    got = fan_out(local, spark).rdd.getNumPartitions()
+    assert got == (p if n_before < p else n_before)
